@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator query: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle query over
+  * the same parquet tables. The driver hash-compares the two at sf0.01.
+  *
+  * Determinism contract (so that value-hash comparison is exact):
+  *   - every query ends in a total ORDER BY;
+  *   - sums/avgs over doubles go through exact DECIMAL arithmetic
+  *     (order-independent) and are cast back to DOUBLE at the end;
+  *   - conditional counts use COUNT(CASE WHEN …) so both engines yield BIGINT;
+  *   - integer-valued derived columns are cast to BIGINT on both sides.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** include in the Bench headline set */
+    bench: Boolean = true)
+
+object Q {
+  /** DuckDB SQL fragment: exact decimal sum of a double expr, as DOUBLE. */
+  def dsumSql(c: String): String = s"CAST(SUM(CAST(($c) AS DECIMAL(25,4))) AS DOUBLE)"
+  /** DuckDB SQL fragment: exact average of a double expr, as DOUBLE. */
+  def davgSql(c: String): String = s"(${dsumSql(c)} / COUNT($c))"
+  /** DuckDB SQL fragment: exact average of ratio-scale doubles (12 dp). */
+  def dravgSql(c: String): String =
+    s"(CAST(SUM(CAST(($c) AS DECIMAL(25,12))) AS DOUBLE) / COUNT($c))"
+}

@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY §2 is registered in [[registry]]
+  * with a Spark implementation and (when SQL-expressible) a DuckDB oracle.
+  */
 object SparkEntry {
+
+  val registry: Seq[Q] =
+    _root_.graft.queries.CoreQueries.qs ++
+    _root_.graft.queries.FunctionQueries.qs ++
+    _root_.graft.queries.TextQueries.qs ++
+    _root_.graft.queries.VectorQueries.qs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    registry.find(_.name == "q_a2_geo_rollup").get
+      .run(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap(registry.map(q => q.name -> q.run): _*)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    ListMap(registry.flatMap(q => q.oracle.map(o => q.name -> o.trim)): _*)
 }

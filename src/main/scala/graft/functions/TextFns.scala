@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline operators
+  * (dedup, language-ID, quality scoring, fingerprinting). All are built-in
+  * expression compositions (codegen'd, distributed); the char-level
+  * polynomial hash is deliberately engine-portable so DuckDB oracles can
+  * reproduce it bit-for-bit.
+  */
+object TextFns {
+
+  /** Whitespace tokenization, lowercased. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Token count (whitespace tokenizer; reference U4's 100-char snippet is a
+    * cruder cousin, scripts/app/language_detection.py:79).
+    */
+  def tokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+
+  /** Word k-gram shingles of a token-array column. Callers must filter
+    * `size(tokens) >= k` first (Spark's `sequence(1, n)` runs descending when
+    * n < 1, which would fabricate shingles).
+    */
+  def shingleExpr(tokensCol: String, k: Int): Column =
+    expr(s"transform(sequence(1, size($tokensCol) - ${k - 1}), " +
+         s"i -> concat_ws(' ', slice($tokensCol, i, $k)))")
+
+  /** Portable 31-base polynomial string hash mod 2^31-1 (seed 7).
+    * Same arithmetic as the DuckDB `list_reduce` form in the oracles, so
+    * minhash/simhash signatures hash-match across engines.
+    */
+  def polyHash(colName: String): Column =
+    expr(s"aggregate(split($colName, ''), 7L, " +
+         s"(acc, x) -> (acc * 31 + ascii(x)) % 2147483647)")
+
+  /** DuckDB rendering of [[polyHash]] — kept adjacent so the two cannot drift. */
+  def polyHashSql(c: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+    s"list_transform(string_split($c, ''), x -> CAST(ascii(x) AS BIGINT))), " +
+    s"(a, b) -> (a * 31 + b) % 2147483647)"
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Minhash permutation constants (a, b) for h' = (a*h + b) mod P. */
+  val minhashPerms: Seq[(Long, Long)] = Seq(
+    (131L, 101L), (523L, 9L), (2029L, 37L), (3571L, 3L),
+    (7919L, 11L), (10007L, 5L), (31L, 1009L), (104729L, 7L))
+  val minhashP: Long = 1000000007L
+}

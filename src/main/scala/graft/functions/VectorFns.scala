@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding (array<float>) primitives built on higher-order functions
+  * (`zip_with` + `aggregate`), kept numerically exact so DuckDB oracles match
+  * bit-for-bit: each float is widened to double (exact) then quantized to
+  * DECIMAL(12,6); products and sums stay in decimal (exact, order-free); only
+  * the final sqrt/divide happens in double.
+  *
+  * For a hot path where ±1e-6 quantization is unacceptable you'd swap the
+  * decimal lattice for a plain double `aggregate` (same shape, one less cast)
+  * or a custom codegen Expression — the surrounding plan is unchanged.
+  */
+object VectorFns {
+
+  /** Exact decimal dot product of two array<float> columns, as double. */
+  def dot(a: String, b: String): Column = expr(dotExprSql(a, b))
+
+  /** [[dot]] kept in exact decimal (no double cast) — for aggregation paths
+    * where a double→decimal re-quantization would differ across engines.
+    */
+  def dotDec(a: String, b: String): Column =
+    expr(dotExprSql(a, b).stripPrefix("CAST(").stripSuffix(" AS DOUBLE)"))
+
+  /** DuckDB rendering of [[dotDec]]. */
+  def dotDecSql(a: String, b: String): String =
+    dotSql(a, b).stripPrefix("CAST(").stripSuffix(" AS DOUBLE)")
+
+  // Accumulator is DECIMAL(32,12) with an explicit re-cast in the merge
+  // lambda: Spark's decimal `+` widens (p,s)+(p,s) beyond the accumulator
+  // type, so without the cast the aggregate() types don't unify; the cast is
+  // exact for |values| < 1e20 which our unit-scale embeddings never approach.
+  private def dotExprSql(a: String, b: String): String =
+    s"CAST(aggregate(zip_with($a, $b, (x, y) -> " +
+    s"CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(12,6))), " +
+    s"CAST(0 AS DECIMAL(32,12)), (acc, v) -> CAST(acc + v AS DECIMAL(32,12))) AS DOUBLE)"
+
+  /** DuckDB rendering of [[dot]] — identical arithmetic. */
+  def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
+    s"CAST(CAST($a[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST($b[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)"
+
+  /** Signed projection of an embedding onto deterministic hyperplane j:
+    * sum_i emb[i] * s(i,j) with s = ±1 from ((i*7919 + j*104729) % 97) % 2,
+    * i 1-based. Returned as exact decimal (compared to 0 for the LSH bit).
+    */
+  def signProjection(emb: String, j: Int): Column =
+    expr(s"aggregate(transform($emb, (x, i) -> " +
+      s"CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * " +
+      s"CAST(CASE WHEN ((i + 1) * 7919 + $j * 104729) % 97 % 2 = 0 THEN 1 ELSE -1 END AS DECIMAL(2,0))), " +
+      s"CAST(0 AS DECIMAL(32,12)), (acc, v) -> CAST(acc + v AS DECIMAL(32,12)))")
+
+  /** DuckDB rendering of [[signProjection]] (1-based i matches Spark's i+1). */
+  def signProjectionSql(emb: String, j: Int): String =
+    s"list_sum(list_transform(range(1, len($emb) + 1), i -> " +
+    s"CAST(CAST($emb[i] AS DOUBLE) AS DECIMAL(12,6)) * " +
+    s"CAST(CASE WHEN (i * 7919 + $j * 104729) % 97 % 2 = 0 THEN 1 ELSE -1 END AS DECIMAL(2,0))))"
+}

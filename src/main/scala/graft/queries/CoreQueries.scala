@@ -1,0 +1,498 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Q._
+import graft.operators.Upsert
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operators from SURVEY §2.2–§2.7: projections/filters,
+  * joins (inner/semi/anti/agg-to-detail/upsert), aggregations, windows,
+  * sorts/limits/sampling, set ops. Each entry pairs the Spark plan with a
+  * DuckDB oracle.
+  *
+  * Scale notes are on each query; the common ones: dims (region/nation/
+  * customer/supplier/part) are broadcast explicitly so fact-side joins never
+  * shuffle the fact; aggregates are hash-aggregates with map-side partials;
+  * the only wide exchanges are on the declared grouping/join keys.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal sum of a double column, returned as double (see Q doc). */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 4))).cast(DoubleType)
+  private def davg(c: Column): Column = dsum(c) / count(c)
+  /** BIGINT conditional count on both engines. */
+  private def cntIf(cond: Column): Column = count(when(cond, lit(1)))
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- A1 + F3: weekly hash-agg (reference sql/data/04_load_calendar.sql:24-46)
+    Q("q_a1_weekly_agg",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        ev.groupBy(col("user_id"),
+            date_trunc("week", col("ts")).cast(DateType).as("week_start"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            cntIf(col("event_type") === "click").as("n_clicks"),
+            davg(col("value")).as("avg_value"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy(col("user_id"), col("week_start"))
+      },
+      Some(s"""
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week_start,
+               COUNT(*) AS n_events,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+               ${davgSql("value")} AS avg_value,
+               ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY user_id, week_start""")),
+
+    // ----- A2 + J1: multi-agg geo rollup (reference sql/schema/03_create_views.sql:14-56)
+    Q("q_a2_geo_rollup",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_customers"),
+            davg(col("c_acctbal")).as("avg_acctbal"),
+            countDistinct(col("c_mktsegment")).as("n_segments"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      Some(s"""
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               ${davgSql("c_acctbal")} AS avg_acctbal,
+               COUNT(DISTINCT c_mktsegment) AS n_segments
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ----- A3: per-key count (reference sql/data/02_load_hosts.sql:26-32)
+    Q("q_a3_per_key_count",
+      (s, dir) =>
+        t(s, dir, "orders").groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_totalprice"))
+          .orderBy(col("o_custkey")),
+      Some(s"""
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice")} AS sum_totalprice
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ----- A4: duplicate-key detection (reference scripts/debug/check_duplicates.py:6-12)
+    Q("q_a4_dup_keys",
+      (s, dir) =>
+        t(s, dir, "events").groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .orderBy(col("n").desc, col("user_id"), col("event_type")),
+      Some("""
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1
+        ORDER BY n DESC, user_id, event_type""")),
+
+    // ----- A5: global MIN/MAX span (reference scripts/analysis/get_date_span.py:21)
+    Q("q_a5_minmax_span",
+      (s, dir) =>
+        t(s, dir, "orders").agg(
+          min(col("o_orderdate").cast(DateType)).as("first_order"),
+          max(col("o_orderdate").cast(DateType)).as("last_order"),
+          count(lit(1)).as("n_orders")),
+      Some("""
+        SELECT CAST(min(o_orderdate) AS DATE) AS first_order,
+               CAST(max(o_orderdate) AS DATE) AS last_order,
+               COUNT(*) AS n_orders
+        FROM orders""")),
+
+    // ----- A6: conditional counts / audit counts (reference modules/data_loader.py:233-240)
+    Q("q_a6_conditional_counts",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          cntIf(col("l_discount") > 0.05).as("n_high_discount"),
+          cntIf(col("l_returnflag") === "R").as("n_returns"),
+          cntIf(col("l_quantity") >= 25.0).as("n_bulk"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_high_discount,
+               COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returns,
+               COUNT(CASE WHEN l_quantity >= 25.0 THEN 1 END) AS n_bulk
+        FROM lineitem""")),
+
+    // ----- A7: COUNT(DISTINCT) (reference sql/data/02_load_hosts.sql:4)
+    Q("q_a7_count_distinct",
+      (s, dir) =>
+        t(s, dir, "customer").groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+               countDistinct(col("c_nationkey")).as("n_nations"))
+          .orderBy(col("c_mktsegment")),
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               COUNT(DISTINCT c_nationkey) AS n_nations
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ----- A8: EDA profile (reference modules/data_analyzer.py:109-125)
+    Q("q_a8_profile",
+      (s, dir) =>
+        t(s, dir, "customer").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("c_custkey")).as("d_custkey"),
+          countDistinct(col("c_name")).as("d_name"),
+          countDistinct(col("c_nationkey")).as("d_nationkey"),
+          countDistinct(col("c_acctbal")).as("d_acctbal"),
+          countDistinct(col("c_mktsegment")).as("d_mktsegment"),
+          (count(lit(1)) - count(col("c_acctbal"))).as("nulls_acctbal")),
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT c_custkey) AS d_custkey,
+               COUNT(DISTINCT c_name) AS d_name,
+               COUNT(DISTINCT c_nationkey) AS d_nationkey,
+               COUNT(DISTINCT c_acctbal) AS d_acctbal,
+               COUNT(DISTINCT c_mktsegment) AS d_mktsegment,
+               COUNT(*) - COUNT(c_acctbal) AS nulls_acctbal
+        FROM customer""")),
+
+    // ----- A9: value-counts top-k (reference modules/data_cleaner.py:131-135)
+    Q("q_a9_value_counts",
+      (s, dir) =>
+        t(s, dir, "events").groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("event_type")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n FROM events
+        GROUP BY event_type ORDER BY n DESC, event_type""")),
+
+    // ----- P1 + P8: static projection + range predicate (reference
+    // modules/data_cleaner.py:164-186; modules/data_loader.py:489).
+    // Both the 4-column ReadSchema and the shipdate filter reach the scan.
+    Q("q_p1_projection_range",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate").cast(DateType)
+            .between(lit("1995-01-01"), lit("1995-06-30")))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                  col("l_extendedprice"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----- P4 + F2: TRY_CAST validity gate (reference modules/data_loader.py:269)
+    Q("q_p4_trycast_gate",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val k = regexp_extract(col("props"), "(\\d+)", 1).try_cast(LongType)
+        ev.select(k.as("k"))
+          .agg(count(col("k")).as("n_valid"),
+               (count(lit(1)) - count(col("k"))).as("n_invalid"),
+               sum(col("k")).as("sum_k"))
+      },
+      Some("""
+        SELECT COUNT(k) AS n_valid, COUNT(*) - COUNT(k) AS n_invalid,
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM (SELECT TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k
+              FROM events) t""")),
+
+    // ----- P5: non-empty-text predicate (reference scripts/app/language_detection.py:56)
+    Q("q_p5_nonempty_text",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .filter(col("text").isNotNull && length(col("text")) > 200)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+          .orderBy(col("lang")),
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents WHERE text IS NOT NULL AND length(text) > 200
+        GROUP BY lang ORDER BY lang""")),
+
+    // ----- P7: high-null-column rule (reference modules/data_analyzer.py:196-207)
+    Q("q_p7_null_ratio",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .withColumn("seg_n", expr("nullif(c_mktsegment, 'BUILDING')"))
+        c.agg(
+          ((count(lit(1)) - count(col("seg_n"))).cast(DoubleType) / count(lit(1)))
+            .as("null_ratio_seg"),
+          ((count(lit(1)) - count(col("c_acctbal"))).cast(DoubleType) / count(lit(1)))
+            .as("null_ratio_acctbal"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) - COUNT(nullif(c_mktsegment, 'BUILDING')) AS DOUBLE) / COUNT(*) AS null_ratio_seg,
+               CAST(COUNT(*) - COUNT(c_acctbal) AS DOUBLE) / COUNT(*) AS null_ratio_acctbal
+        FROM customer""")),
+
+    // ----- J1: FK-filter inner join before aggregate (reference sql/data/04_load_calendar.sql:41-46)
+    Q("q_j1_join_fk_filter",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o  = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               ${dsumSql("l_quantity")} AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ----- J2: multi-hop join with cast-in-condition (reference sql/data/05_load_reviews.sql:42-43)
+    Q("q_j2_multi_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o  = t(s, dir, "orders")
+        val c  = t(s, dir, "customer")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"),
+                   year(col("o_orderdate")).cast(LongType).as("order_year"))
+          .agg(count(lit(1)).as("n_items"),
+               dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy(col("c_mktsegment"), col("order_year"))
+      },
+      Some(s"""
+        SELECT c_mktsegment, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_items,
+               ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2 ORDER BY c_mktsegment, order_year""")),
+
+    // ----- J3: left-anti dedup-vs-target (reference sql/data/05_load_reviews.sql:55-56)
+    Q("q_j3_left_anti",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ----- J4: anti via NOT IN shape (reference scripts/app/run_move_steps.py:28)
+    Q("q_j4_anti_not_in",
+      (s, dir) => {
+        val p  = t(s, dir, "part")
+        val li = t(s, dir, "lineitem")
+        p.join(li, col("p_partkey") === col("l_partkey"), "left_anti")
+          .select(col("p_partkey"), col("p_name"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT p_partkey, p_name FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_partkey IS NOT NULL)
+        ORDER BY p_partkey""")),
+
+    // ----- J5: semi via IN shape (reference scripts/debug/debug_calendar_match.py:72-75)
+    Q("q_j5_semi",
+      (s, dir) => {
+        val sup = t(s, dir, "supplier")
+        val li  = t(s, dir, "lineitem")
+        sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        ORDER BY s_suppkey""")),
+
+    // ----- J6: aggregate-to-detail join (reference sql/data/02_load_hosts.sql:25-32)
+    Q("q_j6_agg_detail_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val counts = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        c.join(counts, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, n_orders
+        FROM customer
+        JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) oc
+          ON c_custkey = oc.o_custkey
+        ORDER BY c_custkey""")),
+
+    // ----- J7 + A10: MERGE upsert rewrite (reference modules/data_loader.py:251-310)
+    Q("q_j7_upsert_merge",
+      (s, dir) => {
+        val (staging, current) = upsertInputs(s, dir)
+        Upsert.merge(staging, current, Seq("c_custkey"))
+          .select(col("c_custkey"), col("c_acctbal"), col("action"))
+          .orderBy(col("c_custkey"))
+      },
+      Some(s"""$upsertCte
+        SELECT c_custkey, c_acctbal, action FROM merged ORDER BY c_custkey""")),
+
+    Q("q_a10_merge_action_counts",
+      (s, dir) => {
+        val (staging, current) = upsertInputs(s, dir)
+        Upsert.merge(staging, current, Seq("c_custkey"))
+          .groupBy(col("action")).agg(count(lit(1)).as("n"))
+          .orderBy(col("action"))
+      },
+      Some(s"""$upsertCte
+        SELECT action, COUNT(*) AS n FROM merged GROUP BY action ORDER BY action""")),
+
+    // ----- J8: update-from-join / coalesce overwrite (reference scripts/app/language_detection.py:107-115)
+    Q("q_j8_update_from_join",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val detected = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("u_doc_id"),
+                  concat(lit("det_"), col("lang")).as("new_lang"))
+        d.join(detected, col("doc_id") === col("u_doc_id"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("new_lang"), col("lang")).as("lang_final"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, coalesce(u.new_lang, d.lang) AS lang_final
+        FROM documents d
+        LEFT JOIN (SELECT doc_id AS u_doc_id, 'det_' || lang AS new_lang
+                   FROM documents WHERE doc_id % 2 = 0) u
+          ON d.doc_id = u.u_doc_id
+        ORDER BY doc_id""")),
+
+    // ----- W1: dedup latest-wins window (reference sql/data/02_load_hosts.sql:7-16)
+    Q("q_w1_dedup_latest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, event_id, event_type, value FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+        WHERE rn = 1 ORDER BY user_id""")),
+
+    // ----- W2: dedup arbitrary-survivor, pinned deterministic (reference sql/data/05_load_reviews.sql:41)
+    Q("q_w2_dedup_arbitrary",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("event_id"))
+        ev.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""
+        SELECT user_id, event_type, event_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                      ORDER BY event_id) AS rn
+          FROM events) t
+        WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // ----- O1: TOP-n preview (reference scripts/analysis/query_db.py:53)
+    Q("q_o1_limit",
+      (s, dir) =>
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")).limit(10),
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 10""")),
+
+    // ----- O2: ORDER BY + TOP k (TakeOrderedAndProject; reference scripts/debug/query_staging.py:12)
+    Q("q_o2_topk",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(20),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""")),
+
+    // ----- O3/O4: sampling — deterministic key-mod stand-in for the
+    // reference's seeded 80% cap (modules/data_loader.py:428-431). The true
+    // Bernoulli sample(0.8, seed) is library surface (tested in specs);
+    // engines' PRNGs differ so the oracle uses the key-mod form.
+    Q("q_o3_sample_cap",
+      (s, dir) => {
+        val o = t(s, dir, "orders").filter(col("o_orderkey") % 10 < 8)
+        o.agg(count(lit(1)).as("n_sampled"), dsum(col("o_totalprice")).as("sum_totalprice"))
+      },
+      Some(s"""
+        SELECT COUNT(*) AS n_sampled, ${dsumSql("o_totalprice")} AS sum_totalprice
+        FROM orders WHERE o_orderkey % 10 < 8""")),
+
+    // ----- Set op: unionByName (introduced by our J7 rewrite; SURVEY §2.7)
+    Q("q_u1_union",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_name").as("name"), lit("customer").as("src"))
+        val sup = t(s, dir, "supplier").select(col("s_name").as("name"), lit("supplier").as("src"))
+        c.unionByName(sup).orderBy(col("name"), col("src"))
+      },
+      Some("""
+        SELECT name, src FROM (
+          SELECT c_name AS name, 'customer' AS src FROM customer
+          UNION ALL
+          SELECT s_name AS name, 'supplier' AS src FROM supplier) t
+        ORDER BY name, src"""))
+  )
+
+  /** Shared inputs for the J7 MERGE rewrite: staging = updated balances for
+    * custkey%3=0 plus brand-new keys (+100000) for custkey%7=0; current = the
+    * customer table as-is.
+    */
+  private def upsertInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = c.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+    val inserts = c.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_custkey", col("c_custkey") + lit(100000L))
+    (updates.unionByName(inserts), c)
+  }
+
+  private def upsertCte: String = """
+    WITH staging AS (
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey + 100000, c_name, c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ), u AS (
+      SELECT c_custkey, c_name, c_acctbal, 0 AS pri FROM staging
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, 1 AS pri FROM customer
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY pri) AS rn,
+             count(*) OVER (PARTITION BY c_custkey) AS nk
+      FROM u
+    ), merged AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             CASE WHEN pri = 1 THEN 'keep'
+                  WHEN nk > 1 THEN 'update'
+                  ELSE 'insert' END AS action
+      FROM r WHERE rn = 1
+    )"""
+}

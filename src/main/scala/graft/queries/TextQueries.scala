@@ -1,0 +1,327 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.Q._
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-training-data pipeline operators over `documents` (+ the streaming
+  * batch-equivalent over `events`): text analysis (tokens, quality, lang-ID,
+  * fingerprint), deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash),
+  * and the multimodal binary-column plumbing with a stubbed decoder.
+  *
+  * Scale posture: everything keys on doc_id / shingle / fingerprint — shuffles
+  * are on those keys only, pair generation is bounded by shared-shingle or
+  * shared-band joins (never a cross join), and the hash arithmetic is
+  * engine-portable integer math (see TextFns.polyHash) so correctness is
+  * oracle-checked, not eyeballed.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 4))).cast(DoubleType)
+  /** order-independent exact mean of a ratio-scale double */
+  private def dravg(c: Column): Column =
+    sum(c.cast(DecimalType(25, 12))).cast(DoubleType) / count(c)
+
+  /** Distinct (doc_id, 4-gram shingle) pairs — shared by the dedup family. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 4)
+      .select(col("doc_id"), explode(TextFns.shingleExpr("t", 4)).as("sh"))
+      .distinct()
+
+  /** DuckDB CTE producing the same distinct (doc_id, sh) relation. */
+  private val shingleCte: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), sh0 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+      FROM toks WHERE len(t) >= 4
+    ), sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- token counting (whitespace tokenizer)
+    Q("q_text_tokens",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("ntok", TextFns.tokenCount(col("text")).cast(LongType))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+               (sum(col("ntok")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+               min(col("ntok")).as("min_tokens"), max(col("ntok")).as("max_tokens"))
+          .orderBy(col("lang")),
+      Some("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               min(ntok) AS min_tokens, max(ntok) AS max_tokens
+        FROM (SELECT lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+              FROM documents) t
+        GROUP BY lang ORDER BY lang""")),
+
+    // ----- quality scoring (length / stopword / word-length heuristics)
+    Q("q_text_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("tk", TextFns.tokens(col("text")))
+          .withColumn("ntok", size(col("tk")))
+          .withColumn("nstop",
+            expr("size(filter(tk, x -> x IN ('the','a','of','and','to','is')))"))
+          .withColumn("stop_ratio", col("nstop").cast(DoubleType) / col("ntok"))
+          .withColumn("avg_word_len",
+            expr("length(replace(text, ' ', ''))").cast(DoubleType) / col("ntok"))
+          .withColumn("score",
+            (when(col("ntok").between(20, 80), 1.0).otherwise(0.5)) *
+              (lit(1.0) - col("stop_ratio")))
+        d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               dravg(col("stop_ratio")).as("avg_stop_ratio"),
+               dravg(col("avg_word_len")).as("avg_word_len"),
+               dravg(col("score")).as("avg_score"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        SELECT source, COUNT(*) AS n_docs,
+               ${dravgSql("stop_ratio")} AS avg_stop_ratio,
+               ${dravgSql("awl")} AS avg_word_len,
+               ${dravgSql("score")} AS avg_score
+        FROM (
+          SELECT source, stop_ratio,
+                 CAST(length(replace(text, ' ', '')) AS DOUBLE) / ntok AS awl,
+                 (CASE WHEN ntok BETWEEN 20 AND 80 THEN 1.0 ELSE 0.5 END)
+                   * (1.0 - stop_ratio) AS score
+          FROM (
+            SELECT source, text, ntok,
+                   CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE)
+                     / ntok AS stop_ratio
+            FROM (SELECT source, text,
+                         string_split_regex(lower(trim(text)), '\\s+') AS tk,
+                         len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok
+                  FROM documents) t1
+          ) t2
+        ) t3
+        GROUP BY source ORDER BY source""")),
+
+    // ----- language ID via marker-token scores (SQL-expressible heuristic;
+    // the richer trigram classifier is library surface, see functions.LangId)
+    Q("q_text_langid",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("tk", TextFns.tokens(col("text")))
+          .withColumn("s_en", expr("size(filter(tk, x -> x IN ('the','a')))"))
+          .withColumn("s_es", expr("size(filter(tk, x -> x IN ('spark','data')))"))
+          .withColumn("s_de", expr("size(filter(tk, x -> x IN ('join','merge')))"))
+          .withColumn("predicted",
+            when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+              .when(col("s_es") >= col("s_de"), "es")
+              .otherwise("de"))
+        d.groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some("""
+        SELECT lang, predicted, COUNT(*) AS n
+        FROM (
+          SELECT lang,
+                 CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+                      WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted
+          FROM (
+            SELECT lang,
+                   len(list_filter(tk, x -> x IN ('the','a'))) AS s_en,
+                   len(list_filter(tk, x -> x IN ('spark','data'))) AS s_es,
+                   len(list_filter(tk, x -> x IN ('join','merge'))) AS s_de
+            FROM (SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS tk
+                  FROM documents) t1
+          ) t2
+        ) t3
+        GROUP BY lang, predicted ORDER BY lang, predicted""")),
+
+    // ----- document fingerprinting (md5 of normalized text)
+    Q("q_text_fingerprint",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("fp", TextFns.fingerprint(col("text")))
+        d.agg(count(lit(1)).as("n_docs"),
+              countDistinct(col("fp")).as("n_unique_fp"),
+              (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique_fp,
+               COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
+        FROM (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents) t""")),
+
+    // ----- exact dedup: hash-groupBy, min-id survivor
+    Q("q_dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select(col("doc_id"), col("n_copies"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY doc_id""")),
+
+    // ----- near-dup: word 4-gram Jaccard over shared-shingle pairs
+    Q("q_dedup_ngram_jaccard",
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val pairs = sh.select(col("doc_id").as("a_id"), col("sh"))
+          .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
+        pairs
+          .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
+          .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
+          .withColumn("jaccard",
+            col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
+          .filter(col("jaccard") >= 0.4)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""$shingleCte,
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.4
+        ORDER BY a_id, b_id""")),
+
+    // ----- near-dup: MinHash signatures + 2-band LSH candidate pairs
+    Q("q_dedup_minhash_lsh",
+      (s, dir) => {
+        val hashed = shingles(s, dir).withColumn("h", TextFns.polyHash("sh"))
+        val sigCols = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          min((col("h") * a + b) % TextFns.minhashP).as(s"m$i")
+        }
+        val sig = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+          .withColumn("band0", concat_ws("-", col("m0"), col("m1"), col("m2"), col("m3")))
+          .withColumn("band1", concat_ws("-", col("m4"), col("m5"), col("m6"), col("m7")))
+        def side(p: String) = sig.select(sig.columns.map(c => col(c).as(p + c)): _*)
+        val a = side("a_"); val b = side("b_")
+        val cand = a.join(b, col("a_band0") === col("b_band0") && col("a_doc_id") < col("b_doc_id"))
+          .unionByName(
+            a.join(b, col("a_band1") === col("b_band1") && col("a_doc_id") < col("b_doc_id")))
+          .distinct()
+        val matches = (0 until 8)
+          .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        cand
+          .withColumn("est_jaccard", matches.cast(DoubleType) / 8)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"), col("est_jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some {
+        val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          s"min((h * $a + $b) % ${TextFns.minhashP}) AS m$i"
+        }.mkString(",\n                 ")
+        val matchSum = (0 until 8)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        val pairSel = (j: Int) =>
+          s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST($matchSum AS DOUBLE) / 8 AS est_jaccard
+              FROM banded a JOIN banded b
+                ON a.band$j = b.band$j AND a.doc_id < b.doc_id"""
+        s"""$shingleCte,
+          hashed AS (SELECT doc_id, ${TextFns.polyHashSql("sh")} AS h FROM sh),
+          sig AS (SELECT doc_id,
+                 $minExprs
+               FROM hashed GROUP BY doc_id),
+          banded AS (SELECT *,
+               concat_ws('-', m0, m1, m2, m3) AS band0,
+               concat_ws('-', m4, m5, m6, m7) AS band1
+             FROM sig),
+          cand AS (${pairSel(0)} UNION ${pairSel(1)})
+          SELECT a_id, b_id, est_jaccard FROM cand
+          WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id"""
+      }),
+
+    // ----- near-dup: 16-bit SimHash over token hashes
+    Q("q_dedup_simhash",
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+          .withColumn("h", TextFns.polyHash("tok"))
+        val bitSums = (0 until 16).map(i =>
+          sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END"))
+            .as(s"s$i"))
+        val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        val sim = (0 until 16)
+          .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        agg.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+      },
+      Some {
+        val bitSums = (0 until 16).map(i =>
+          s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i")
+          .mkString(",\n                 ")
+        val sim = (0 until 16)
+          .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+        s"""WITH tok AS (
+             SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+             FROM documents
+           ), hashed AS (
+             SELECT doc_id, ${TextFns.polyHashSql("tok")} AS h FROM tok
+           ), agg AS (
+             SELECT doc_id,
+                 $bitSums
+             FROM hashed GROUP BY doc_id)
+           SELECT doc_id, CAST($sim AS BIGINT) AS simhash
+           FROM agg ORDER BY doc_id"""
+      }),
+
+    // ----- multimodal: opaque binary column + typed metadata via a
+    // deterministic stub decoder (no image libs in this container; the
+    // Spark-side plumbing — binary schema, per-batch decode, metadata
+    // extraction — is the real surface, see graft.multimodal.Multimodal).
+    Q("q_mm_decode_stub",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("blob", encode(col("text"), "UTF-8"))
+          .select(
+            col("doc_id"),
+            octet_length(col("blob")).cast(LongType).as("n_bytes"),
+            (octet_length(col("blob")).cast(LongType) % 640).as("width"),
+            (octet_length(col("blob")).cast(LongType) * 7 % 480).as("height"),
+            (octet_length(col("blob")).cast(LongType) / lit(100L)).cast(LongType).as("n_frames"),
+            md5(col("text")).as("checksum"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, octet_length(blob) AS n_bytes,
+               octet_length(blob) % 640 AS width,
+               octet_length(blob) * 7 % 480 AS height,
+               octet_length(blob) // 100 AS n_frames,
+               md5(text) AS checksum
+        FROM (SELECT doc_id, text, encode(text) AS blob FROM documents) t
+        ORDER BY doc_id""")),
+
+    // ----- streaming batch-equivalent: tumbling hourly window (the
+    // Structured Streaming surface with watermark lives in
+    // graft.streaming.Streams and is spec-tested against this result)
+    Q("q_stream_tumbling_batch",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("window_start"), col("event_type")),
+      Some(s"""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+  )
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` fixture (array<float>, dim 64):
+  * brute-force cosine top-k as the exact baseline, and a deterministic
+  * sign-random-projection LSH bucketing as the scale path.
+  *
+  * Numeric parity strategy: dot products are computed in exact DECIMAL
+  * arithmetic (float → double → DECIMAL(12,6) per element, exact products and
+  * order-independent exact sums), then cast to DOUBLE for the final
+  * sqrt/divide. Both engines therefore produce bit-identical doubles and the
+  * top-k ranking cannot diverge on summation order.
+  *
+  * Scale posture: brute-force is O(Q·N) with the query side broadcast — the
+  * right baseline shape on a cluster (no shuffle of the candidate side at
+  * all). The LSH variant buckets candidates in one narrow pass; at 100 TB the
+  * bucket id becomes the write-partition key so probes touch one partition.
+  */
+object VectorQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- brute-force cosine top-5 for query vectors vec_id < 5
+    Q("q_sim_cosine_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        c.crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos",
+            VectorFns.dot("qe", "ce") /
+              (sqrt(VectorFns.dot("qe", "qe")) * sqrt(VectorFns.dot("ce", "ce"))))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("similarity"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        p AS (
+          SELECT q_id, c_id,
+                 ${VectorFns.dotSql("qe", "ce")} /
+                   (sqrt(${VectorFns.dotSql("qe", "qe")}) * sqrt(${VectorFns.dotSql("ce", "ce")})) AS cos
+          FROM q, c WHERE q_id <> c_id
+        ), r AS (
+          SELECT q_id, c_id, cos,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rank
+          FROM p)
+        SELECT q_id, c_id, round(cos, 6) AS similarity, rank
+        FROM r WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ----- per-label embedding norm statistics (zip_with/aggregate surface)
+    // avg is over *squared* norms: those stay in exact decimal end-to-end,
+    // whereas averaging sqrt() doubles would re-quantize irrational doubles
+    // to decimal, which rounds differently across engines.
+    Q("q_vec_norm_stats",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .withColumn("sq", VectorFns.dotDec("embedding", "embedding"))
+          .withColumn("norm", sqrt(col("sq").cast(DoubleType)))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vectors"),
+               (sum(col("sq")).cast(DoubleType) / count(lit(1))).as("avg_sq_norm"),
+               min(col("norm")).as("min_norm"), max(col("norm")).as("max_norm"))
+          .orderBy(col("label")),
+      Some(s"""
+        SELECT label, COUNT(*) AS n_vectors,
+               CAST(SUM(sq) AS DOUBLE) / COUNT(*) AS avg_sq_norm,
+               min(norm) AS min_norm, max(norm) AS max_norm
+        FROM (SELECT label, sq, sqrt(CAST(sq AS DOUBLE)) AS norm
+              FROM (SELECT label, ${VectorFns.dotDecSql("embedding", "embedding")} AS sq
+                    FROM embeddings) t0) t
+        GROUP BY label ORDER BY label""")),
+
+    // ----- LSH: deterministic sign-random-projection bucketing (8 bits).
+    // The hyperplane sign for (bit j, dim i) is ((i*7919 + j*104729) % 97) % 2
+    // mapped to ±1 — pseudo-random but engine-portable; projections are exact
+    // decimal sums so the sign (and thus the bucket) cannot diverge.
+    Q("q_ann_lsh_buckets",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val bucket = (0 until 8)
+          .map(j => when(VectorFns.signProjection("embedding", j) > 0, lit(1L << j))
+            .otherwise(lit(0L)))
+          .reduce(_ + _)
+        e.withColumn("bucket", bucket)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .withColumn("n_cand_pairs",
+            expr("CAST(n_vectors * (n_vectors - 1) / 2 AS BIGINT)"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val bucketSql = (0 until 8)
+          .map(j => s"CASE WHEN ${VectorFns.signProjectionSql("embedding", j)} > 0 " +
+                    s"THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        SELECT bucket, COUNT(*) AS n_vectors,
+               CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_cand_pairs
+        FROM (SELECT CAST($bucketSql AS BIGINT) AS bucket FROM embeddings) t
+        GROUP BY bucket ORDER BY bucket"""
+      })
+  )
+}
