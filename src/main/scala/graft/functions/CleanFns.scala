@@ -15,7 +15,7 @@ object CleanFns {
     * modules/data_loader.py:163-166 (nested REPLACE chain).
     */
   def priceClean(c: Column): Column =
-    regexp_replace(trim(c), "[$,\r]", "").cast(DecimalType(10, 2))
+    regexp_replace(trim(c), "[$,\r]", "").try_cast(DecimalType(10, 2))
 
   /** F2 — NULL-on-failure cast (reference TRY_CAST, modules/data_loader.py:253-267). */
   def tryCastLong(c: Column): Column = c.try_cast(LongType)

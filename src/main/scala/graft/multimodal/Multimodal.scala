@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque `binary`
+  * columns with typed metadata structs; decode / feature-extract runs
+  * batch-wise in executors via mapPartitions.
+  *
+  * The decode itself is STUBBED (this container has no image/audio codecs):
+  * [[StubCodec]] derives deterministic fake metadata and features from the
+  * bytes. The Spark-side surface — schema, batch iteration shape,
+  * executor-local "codec" initialization, partition sizing — is the real,
+  * tested part; swapping StubCodec for a JNI/FFmpeg binding changes no plan.
+  *
+  * Scale: binary payloads stay columnar in parquet; `maxPartitionBytes`
+  * bounds decode batch memory; features come back as array<float> feeding
+  * straight into operators.Similarity.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class MediaMeta(width: Int, height: Int, n_frames: Int, codec: String)
+  final case class DecodedRow(doc_id: Long, n_bytes: Long, meta: MediaMeta,
+                              features: Array[Float])
+
+  /** The stand-in decoder: one instance per partition (mirrors how a real
+    * codec handle would be opened once per task, not per row).
+    */
+  final class StubCodec {
+    def decode(bytes: Array[Byte]): (MediaMeta, Array[Float]) = {
+      val n = bytes.length
+      val meta = MediaMeta(n % 640, n * 7 % 480, n / 100, if (n % 2 == 0) "raw" else "rle")
+      // deterministic fake "embedding": 16-bin byte histogram, L1-normalized
+      val hist = new Array[Float](16)
+      var i = 0
+      while (i < n) { hist((bytes(i) & 0xff) / 16) += 1f; i += 1 }
+      val tot = math.max(n, 1).toFloat
+      (meta, hist.map(_ / tot))
+    }
+  }
+
+  /** Attach a binary media column derived from text (fixture stand-in for
+    * real image bytes — the fixtures carry no binary column).
+    */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast(LongType).as("doc_id"),
+              encode(col(textCol), "UTF-8").as("media")).as[MediaRow]
+  }
+
+  /** Batch decode: one codec per partition, rows streamed through it. */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new StubCodec
+      rows.map { r =>
+        val (meta, feats) = codec.decode(r.media)
+        DecodedRow(r.doc_id, r.media.length.toLong, meta, feats)
+      }
+    }
+  }
+
+  /** Frame-sample stub: pick every `stride`-th byte as a "frame" digest. */
+  def frameSample(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val frames = r.media.indices.by(stride).map(i => r.media(i).toInt & 0xff).toArray
+      (r.doc_id, frames)
+    }.toDF("doc_id", "frame_digest")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication family for large-scale text corpora: exact (hash-groupBy),
+  * word n-gram Jaccard, MinHash+LSH, and SimHash. Generalizes the reference's
+  * two window-dedups (SURVEY W1/W2, sql/data/02_load_hosts.sql:7-16 and
+  * 05_load_reviews.sql:41) to content-based near-duplicate detection.
+  *
+  * Scale design:
+  *   - nothing ever pairs documents by cross join — candidate pairs come only
+  *     from shared shingles (ngram) or shared LSH bands (minhash), so the
+  *     join fan-out is bounded by real content overlap;
+  *   - all hashes are engine-portable integer arithmetic (TextFns.polyHash)
+  *     so every path is DuckDB-oracle-checkable;
+  *   - each stage shuffles on exactly one key (shingle, band, doc_id).
+  * At 100 TB you'd additionally drop ubiquitous shingles (document-frequency
+  * cutoff) before the pair join; that is a one-line filter on `shingles`.
+  */
+object Dedup {
+
+  /** Exact dedup on a content hash; deterministic min-id survivor.
+    * Returns (id, n_copies) — one row per distinct content.
+    */
+  def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
+    df.groupBy(md5(concat_ws("", contentCols.map(col): _*)).as("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"))
+
+  /** Distinct (id, k-gram shingle) pairs of a text column. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col(idCol), explode(TextFns.shingleExpr("t", k)).as("sh"))
+      .distinct()
+
+  /** Candidate pairs with exact n-gram Jaccard similarity >= threshold.
+    * Output: (a_id, b_id, jaccard), a_id < b_id.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
+    val pairs = sh.select(col(idCol).as("a_id"), col("sh"))
+      .join(sh.select(col(idCol).as("b_id"), col("sh")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col(idCol).as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("nsh").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** MinHash signatures (8 permutations) per document. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val hashed = shingles(df, idCol, textCol, k).withColumn("h", TextFns.polyHash("sh"))
+    val sigCols = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % TextFns.minhashP).as(s"m$i")
+    }
+    hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH candidate pairs (2 bands × 4 rows) with estimated Jaccard
+    * (signature agreement fraction) >= threshold.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, threshold: Double): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, k)
+      .withColumn("band0", concat_ws("-", col("m0"), col("m1"), col("m2"), col("m3")))
+      .withColumn("band1", concat_ws("-", col("m4"), col("m5"), col("m6"), col("m7")))
+    def side(p: String) = sig.select(sig.columns.map(c => col(c).as(p + c)): _*)
+    val a = side("a_"); val b = side("b_")
+    val key = col(s"a_$idCol") < col(s"b_$idCol")
+    val cand = a.join(b, col("a_band0") === col("b_band0") && key)
+      .unionByName(a.join(b, col("a_band1") === col("b_band1") && key))
+      .distinct()
+    val matches = (0 until 8)
+      .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .withColumn("est_jaccard", matches.cast(DoubleType) / 8)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col(s"a_$idCol").as("a_id"), col(s"b_$idCol").as("b_id"), col("est_jaccard"))
+  }
+
+  /** Per-document SimHash over token hashes (`bits` <= 63). Documents whose
+    * simhash collides are near-duplicates at hamming distance 0.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextFns.polyHash("tok"))
+    val bitSums = (0 until bits).map(i =>
+      sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$i"))
+    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until bits)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets: vectors are
+    * sign-random-projection bucketed (Similarity.lshBucket) and only
+    * same-bucket pairs are scored — the scale path for embedding dedup.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                            nBits: Int, threshold: Double): DataFrame = {
+    val b = df.select(col(idCol), col(embCol))
+      .withColumn("bucket", Similarity.lshBucket(embCol, nBits))
+    val a = b.select(col(idCol).as("a_id"), col(embCol).as("ae"), col("bucket"))
+    val c = b.select(col(idCol).as("b_id"), col(embCol).as("be"), col("bucket"))
+    a.join(c, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", Similarity.cosine("ae", "be"))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+}

@@ -239,18 +239,9 @@ object FunctionQueries {
     // (reference builds it row-by-row in Python, modules/data_loader.py:484-522;
     // here it's the engine's one generator/UDTF-shaped operator).
     Q("q_dim_dates",
-      (s, dir) => {
-        val span = t(s, dir, "orders").agg(
-          min(col("o_orderdate").cast(DateType)).as("lo"),
-          max(col("o_orderdate").cast(DateType)).as("hi"))
-        val days = span.select(explode(sequence(col("lo"), col("hi"))).as("full_date"))
-        val w = Window.orderBy(col("full_date"))
-        CleanFns.dateParts(col("full_date"))
-          .foldLeft(days.withColumn("date_id", row_number().over(w).cast(LongType))) {
-            case (df, (n, c)) => df.withColumn(n, c)
-          }
-          .orderBy(col("full_date"))
-      },
+      (s, dir) =>
+        graft.operators.DatesDim.fromSpan(t(s, dir, "orders"), "o_orderdate")
+          .orderBy(col("full_date")),
       Some("""
         WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
                              CAST(max(o_orderdate) AS DATE) AS hi FROM orders),

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.Q._
 import graft.functions.TextFns
+import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -27,15 +28,7 @@ object TextQueries {
   private def dravg(c: Column): Column =
     sum(c.cast(DecimalType(25, 12))).cast(DoubleType) / count(c)
 
-  /** Distinct (doc_id, 4-gram shingle) pairs — shared by the dedup family. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 4)
-      .select(col("doc_id"), explode(TextFns.shingleExpr("t", 4)).as("sh"))
-      .distinct()
-
-  /** DuckDB CTE producing the same distinct (doc_id, sh) relation. */
+  /** DuckDB CTE mirroring Dedup.shingles(_, "doc_id", "text", 4). */
   private val shingleCte: String = """
     WITH toks AS (
       SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -160,10 +153,7 @@ object TextQueries {
     // ----- exact dedup: hash-groupBy, min-id survivor
     Q("q_dedup_exact",
       (s, dir) =>
-        t(s, dir, "documents")
-          .groupBy(md5(col("text")).as("fp"))
-          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-          .select(col("doc_id"), col("n_copies"))
+        Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
           .orderBy(col("doc_id")),
       Some("""
         SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
@@ -171,22 +161,9 @@ object TextQueries {
 
     // ----- near-dup: word 4-gram Jaccard over shared-shingle pairs
     Q("q_dedup_ngram_jaccard",
-      (s, dir) => {
-        val sh = shingles(s, dir)
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-        val pairs = sh.select(col("doc_id").as("a_id"), col("sh"))
-          .join(sh.select(col("doc_id").as("b_id"), col("sh")), "sh")
-          .filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
-        pairs
-          .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
-          .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
-          .withColumn("jaccard",
-            col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
-          .filter(col("jaccard") >= 0.4)
-          .select(col("a_id"), col("b_id"), col("jaccard"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 4, 0.4)
+          .orderBy(col("a_id"), col("b_id")),
       Some(s"""$shingleCte,
         sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
         pairs AS (
@@ -203,29 +180,9 @@ object TextQueries {
 
     // ----- near-dup: MinHash signatures + 2-band LSH candidate pairs
     Q("q_dedup_minhash_lsh",
-      (s, dir) => {
-        val hashed = shingles(s, dir).withColumn("h", TextFns.polyHash("sh"))
-        val sigCols = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
-          min((col("h") * a + b) % TextFns.minhashP).as(s"m$i")
-        }
-        val sig = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-          .withColumn("band0", concat_ws("-", col("m0"), col("m1"), col("m2"), col("m3")))
-          .withColumn("band1", concat_ws("-", col("m4"), col("m5"), col("m6"), col("m7")))
-        def side(p: String) = sig.select(sig.columns.map(c => col(c).as(p + c)): _*)
-        val a = side("a_"); val b = side("b_")
-        val cand = a.join(b, col("a_band0") === col("b_band0") && col("a_doc_id") < col("b_doc_id"))
-          .unionByName(
-            a.join(b, col("a_band1") === col("b_band1") && col("a_doc_id") < col("b_doc_id")))
-          .distinct()
-        val matches = (0 until 8)
-          .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
-          .reduce(_ + _)
-        cand
-          .withColumn("est_jaccard", matches.cast(DoubleType) / 8)
-          .filter(col("est_jaccard") >= 0.5)
-          .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"), col("est_jaccard"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, dir) =>
+        Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", 4, 0.5)
+          .orderBy(col("a_id"), col("b_id")),
       Some {
         val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
           s"min((h * $a + $b) % ${TextFns.minhashP}) AS m$i"
@@ -253,19 +210,9 @@ object TextQueries {
 
     // ----- near-dup: 16-bit SimHash over token hashes
     Q("q_dedup_simhash",
-      (s, dir) => {
-        val tok = t(s, dir, "documents")
-          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-          .withColumn("h", TextFns.polyHash("tok"))
-        val bitSums = (0 until 16).map(i =>
-          sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END"))
-            .as(s"s$i"))
-        val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-        val sim = (0 until 16)
-          .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        agg.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
-      },
+      (s, dir) =>
+        Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", 16)
+          .orderBy(col("doc_id")),
       Some {
         val bitSums = (0 until 16).map(i =>
           s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i")

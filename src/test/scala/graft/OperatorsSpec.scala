@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.{Dedup, Profile, Similarity, Upsert}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("J7 upsert: latest-wins with insert/update/keep action tags") {
+    val current = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val staging = Seq((2L, "b", 99.0), (4L, "d", 40.0)).toDF("id", "name", "bal")
+    val m = Upsert.merge(staging, current, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    assert(m.toSeq == Seq(
+      (1L, 10.0, "keep"), (2L, 99.0, "update"), (3L, 30.0, "keep"), (4L, 40.0, "insert")))
+    val counts = Upsert.actionCounts(Upsert.merge(staging, current, Seq("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("keep" -> 2L, "update" -> 1L, "insert" -> 1L))
+  }
+
+  test("dedup exact keeps min-id survivor per identical content") {
+    val df = Seq((10L, "x y z"), (3L, "x y z"), (7L, "unique text here"))
+      .toDF("id", "text")
+    val got = Dedup.exact(df, "id", Seq("text")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((3L, 2L), (7L, 1L)))
+  }
+
+  test("ngram Jaccard finds planted near-duplicates and not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val other = "completely different content about spark query engines at scale now"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 4, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH surfaces the same planted near-duplicate pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu")
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", 4, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs collide, different docs don't") {
+    val df = Seq((1L, "red green blue yellow purple orange"),
+                 (2L, "red green blue yellow purple orange"),
+                 (3L, "cats dogs birds fish hamsters snakes lizards")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(df, "doc_id", "text", 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+  }
+
+  test("brute-force cosine top-k ranks an identical vector first") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val planted = e.filter($"vec_id" === 0)
+      .select(lit(10000L).as("c_id"), $"embedding".as("ce"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce")).unionByName(planted)
+    val top = Similarity.cosineTopK(q, c, 3).orderBy("rank").collect()
+    assert(top.head.getLong(1) == 10000L) // the planted copy of vec 0
+    assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN achieves reasonable recall@10 vs brute force") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val exact = Similarity.cosineTopK(q, c, 10).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, c, 3, 10).select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // fixture vectors are iid random (near-orthogonal), so "neighbors" are
+    // weak and sign-LSH recall is intrinsically coarse — the assertion guards
+    // the plumbing (bucketing + rerank beats chance), not ANN quality
+    assert(recall > 0.1, s"recall=$recall")
+  }
+
+  test("profile reports nulls, distincts and min/max per column") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(p("id") == (0L, 3L))
+    assert(p("v") == (1L, 2L))
+    assert(Profile.highNullColumns(df, 0.5).isEmpty)
+    assert(Profile.highNullColumns(df, 0.2) == Seq("v"))
+    assert(Profile.duplicateRowCount(df.union(df)) == 3L)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** File streaming sources need a directory; stage the fixture into one. */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("streaming tumbling window equals the batch aggregation") {
+    val stream = Streams.readEvents(spark, eventsDir)
+    val fmt = "yyyy-MM-dd HH:mm"
+    val got = Streams.runToMemory(
+        Streams.tumblingAgg(stream, "1 hour", "10 minutes"), "t_tumbling")
+      .select(date_format($"window_start", fmt), $"event_type", $"n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = Tables.events(spark, TestSpark.sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window_start", fmt), $"event_type", $"n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    val stream = Streams.readEvents(spark, eventsDir)
+    val sessions = Streams.runToMemory(
+      Streams.sessionAgg(stream, "30 minutes", "10 minutes"), "t_sessions")
+    assert(sessions.count() > 0)
+    // session integrity: per-user event counts are preserved
+    val perUser = sessions.groupBy("user_id").agg(sum("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables.events(spark, TestSpark.sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perUser == batch)
+  }
+
+  test("mapGroupsWithState keeps running per-user counts") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select($"user_id", $"event_id").as[Streams.UserEvent]
+    val got = Streams.runningCounts(ev)
+      .collect().map(r => r.user_id -> r.n_events).toMap
+    val batch = Tables.events(spark, TestSpark.sfDir).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+  }
+}
