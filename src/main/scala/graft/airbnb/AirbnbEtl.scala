@@ -1,0 +1,86 @@
+package graft.airbnb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end orchestration of the reference pipeline (main.py option 4:
+  * EDA → clean → load → views; SURVEY §3.1), idempotent and re-runnable —
+  * a second run over the same feeds updates listings in place (MERGE
+  * semantics) and inserts zero duplicate reviews (anti-join), exactly like
+  * the reference.
+  */
+object AirbnbEtl {
+
+  final case class Result(wh: Warehouse, stats: Map[String, Long],
+                          mergeActions: Map[String, Long])
+
+  /** @param listingsGlob raw `*listings*.csv.gz` glob
+    * @param calendarGlob raw `*calendar*.csv.gz` glob
+    * @param reviewsGlob  raw `*reviews*.csv.gz` glob
+    * @param reviewsCap   O4 load-shedding cap (None = off; the reference
+    *                     default silently drops 20% above 200k rows)
+    */
+  def run(spark: SparkSession, warehouseRoot: String,
+          listingsGlob: String, calendarGlob: String, reviewsGlob: String,
+          reviewsCap: Option[Long] = None): Result = {
+    val wh = Warehouse(spark, warehouseRoot)
+
+    // ---- clean (modules/data_cleaner.py)
+    val cleanL = Cleaner.cleanListings(Sources.readRawCsv(spark, listingsGlob))
+    val cleanC = Cleaner.cleanCalendar(Sources.readRawCsv(spark, calendarGlob))
+    val cleanR0 = Cleaner.cleanReviews(Sources.readRawCsv(spark, reviewsGlob))
+    val cleanR = reviewsCap.map(Loaders.sampleCap(cleanR0, _)).getOrElse(cleanR0)
+
+    // ---- listings: staging → typed → MERGE upsert + id map
+    val current = wh.readOrEmpty("dim_listings", Schemas.dimListings)
+    val merged = Loaders.upsertListings(Loaders.typedListings(cleanL), current)
+    val mergeActions = merged.groupBy("action").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    wh.write("dim_listings", merged.drop("action"))
+
+    val mapExisting = wh.readOrEmpty("dim_listing_id_map", Schemas.dimListingIdMap)
+    wh.write("dim_listing_id_map", Loaders.appendIdMap(cleanL, mapExisting))
+
+    // ---- hosts, dates
+    val dimListings = wh.read("dim_listings")
+    wh.write("dim_hosts", Loaders.loadHosts(dimListings))
+    val dateSpan = cleanC.select(col("date")).unionByName(cleanR.select(col("date")))
+    wh.write("dim_dates", Loaders.loadDates(dateSpan, "date"))
+
+    // ---- facts (partitioned for downstream partition pruning)
+    wh.write("fact_calendar", Loaders.loadCalendar(cleanC, dimListings),
+      partitionBy = Seq("week_start_date"))
+    val existingReviews = wh.readOrEmpty("fact_reviews", Schemas.factReviews)
+    val newReviews = Loaders.loadReviews(cleanR, wh.read("dim_dates"),
+      dimListings, existingReviews)
+    wh.write("fact_reviews", existingReviews.unionByName(newReviews))
+
+    // ---- enrichment + views
+    val (enrichedListings, enrichedHosts) =
+      Enrich.pretreat(wh.read("dim_listings"), wh.read("dim_hosts"))
+    wh.write("dim_listings_enriched", enrichedListings)
+    wh.write("dim_hosts_enriched", enrichedHosts)
+    wh.write("fact_reviews_enriched", Enrich.addReviewLang(wh.read("fact_reviews")))
+    Views.register(spark, wh.read("dim_listings_enriched"))
+
+    Result(wh, wh.stats(), mergeActions)
+  }
+
+  /** §5 — the reference's debug-check corpus as invariant audits: returns
+    * (name → violation count); all zero on a healthy warehouse.
+    */
+  def validate(wh: Warehouse): Map[String, Long] = {
+    val listings = wh.read("dim_listings")
+    val calendar = wh.read("fact_calendar")
+    val reviews = wh.read("fact_reviews")
+    Map(
+      "dup_listing_pk" ->
+        (listings.count() - listings.select("listing_id").distinct().count()),
+      "dup_review_pk" ->
+        (reviews.count() - reviews.select("review_id").distinct().count()),
+      "orphan_calendar_rows" ->
+        calendar.join(listings, Seq("listing_id"), "left_anti").count(),
+      "orphan_review_rows" ->
+        reviews.join(listings, Seq("listing_id"), "left_anti").count())
+  }
+}

@@ -66,13 +66,22 @@ object CleanFns {
   def sanitizeNumStr(c: Column): Column =
     regexp_replace(regexp_replace(c, ",", ""), "\\.0$", "")
 
-  /** F10 — host-location parse: "City, Country" → (city, country); single
-    * token → (Unknown, token). Reference: modules/data_cleaner.py:48-65.
+  /** F10 — host-location parse (reference modules/data_cleaner.py:48-65):
+    * split on ',', trim each part, drop empties; >=2 parts → (city = init
+    * parts joined with ", ", country = last); 1 part → (Unknown, it);
+    * 0 parts → (Unknown, Unknown).
     */
-  def locationCountry(c: Column): Column = trim(regexp_extract(c, "([^,]+)$", 1))
-  def locationCity(c: Column): Column =
-    when(instr(c, ",") > 0, trim(regexp_replace(c, ",[^,]*$", "")))
+  private def locParts(c: Column): Column =
+    filter(transform(split(c, ","), x => trim(x)), x => x =!= "")
+  def locationCountry(c: Column): Column = {
+    val p = locParts(c)
+    when(size(p) >= 1, element_at(p, -1)).otherwise(lit("Unknown"))
+  }
+  def locationCity(c: Column): Column = {
+    val p = locParts(c)
+    when(size(p) >= 2, array_join(slice(p, lit(1), size(p) - 1), ", "))
       .otherwise(lit("Unknown"))
+  }
 
   /** F12 — category normalization (reference US-state → country CASE-IN,
     * scripts/maintenance/pretreatment.py:14-22).
