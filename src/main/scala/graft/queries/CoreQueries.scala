@@ -76,6 +76,33 @@ object CoreQueries {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
 
+    // ----- rollup totals (beyond the reference — no grouping sets exist
+    // there, SURVEY §2.4 — but a warehouse user expects region/nation/total
+    // rollups; nulls from the rollup are coalesced to 'ALL' so cross-engine
+    // ordering is deterministic)
+    Q("q_a11_rollup",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+                  coalesce(col("n_name"), lit("ALL")).as("nation"),
+                  col("n_customers"), col("sum_acctbal"))
+          .orderBy(col("region"), col("nation"))
+      },
+      Some(s"""
+        SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_customers, ${dsumSql("c_acctbal")} AS sum_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region, nation""")),
+
     // ----- A3: per-key count (reference sql/data/02_load_hosts.sql:26-32)
     Q("q_a3_per_key_count",
       (s, dir) =>

@@ -29,32 +29,36 @@ object VectorQueries {
 
   val qs: Seq[Q] = Seq(
 
-    // ----- brute-force cosine top-5 for query vectors vec_id < 5
+    // ----- brute-force cosine top-5 for query vectors vec_id < 5.
+    // Norms are precomputed per vector (one self-dot each) instead of per
+    // pair — at Q queries × N candidates that's N+Q dots of setup for Q·N
+    // pair dots, not 3·Q·N. Exactness is unaffected: the decimal dots are
+    // exact, so cos is bit-identical whenever it's computed.
     Q("q_sim_cosine_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
+          .withColumn("norm", sqrt(VectorFns.dot("embedding", "embedding")))
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(round(col("cos"), 9).desc, col("c_id"))
         c.crossJoin(broadcast(q))
           .filter(col("q_id") =!= col("c_id"))
-          .withColumn("cos",
-            VectorFns.dot("qe", "ce") /
-              (sqrt(VectorFns.dot("qe", "qe")) * sqrt(VectorFns.dot("ce", "ce"))))
+          .withColumn("cos", VectorFns.dot("qe", "ce") / (col("qn") * col("cn")))
           .withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("similarity"), col("rank"))
           .orderBy(col("q_id"), col("rank"))
       },
       Some(s"""
-        WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
-        c AS (SELECT vec_id AS c_id, embedding AS ce FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS ce, norm AS cn FROM e),
         p AS (
-          SELECT q_id, c_id,
-                 ${VectorFns.dotSql("qe", "ce")} /
-                   (sqrt(${VectorFns.dotSql("qe", "qe")}) * sqrt(${VectorFns.dotSql("ce", "ce")})) AS cos
+          SELECT q_id, c_id, ${VectorFns.dotSql("qe", "ce")} / (qn * cn) AS cos
           FROM q, c WHERE q_id <> c_id
         ), r AS (
           SELECT q_id, c_id, cos,
@@ -63,6 +67,96 @@ object VectorQueries {
           FROM p)
         SELECT q_id, c_id, round(cos, 6) AS similarity, rank
         FROM r WHERE rank <= 5 ORDER BY q_id, rank""")),
+
+    // ----- end-to-end LSH ANN: score only within the query's 4-bit bucket,
+    // then rerank exactly — the scale path (bucket equi-join, no cross join)
+    Q("q_ann_lsh_topk",
+      (s, dir) => {
+        val bucket = (0 until 4)
+          .map(j => when(VectorFns.signProjection("embedding", j) > 0, lit(1L << j))
+            .otherwise(lit(0L)))
+          .reduce(_ + _)
+        val e = t(s, dir, "embeddings")
+          .withColumn("bucket", bucket)
+          .withColumn("norm", sqrt(VectorFns.dot("embedding", "embedding")))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+                  col("norm").as("qn"), col("bucket"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+                  col("norm").as("cn"), col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        c.join(broadcast(q), Seq("bucket"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", VectorFns.dot("qe", "ce") / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("similarity"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val bucketSql = (0 until 4)
+          .map(j => s"CASE WHEN ${VectorFns.signProjectionSql("embedding", j)} > 0 " +
+                    s"THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn, bucket
+              FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS ce, norm AS cn, bucket FROM e),
+        p AS (
+          SELECT q_id, c_id, ${VectorFns.dotSql("qe", "ce")} / (qn * cn) AS cos
+          FROM q JOIN c USING (bucket) WHERE q_id <> c_id
+        ), r AS (
+          SELECT q_id, c_id, cos,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rank
+          FROM p)
+        SELECT q_id, c_id, round(cos, 6) AS similarity, rank
+        FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
+      }),
+
+    // ----- embedding near-dup pairs within 8-bit LSH buckets (label-0 slice:
+    // near-dup detection normally runs per-shard; norms precomputed)
+    Q("q_dedup_embedding",
+      (s, dir) => {
+        val bucket = (0 until 8)
+          .map(j => when(VectorFns.signProjection("embedding", j) > 0, lit(1L << j))
+            .otherwise(lit(0L)))
+          .reduce(_ + _)
+        val e = t(s, dir, "embeddings").filter(col("label") === 0)
+          .withColumn("bucket", bucket)
+          .withColumn("norm", sqrt(VectorFns.dot("embedding", "embedding")))
+        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+                         col("norm").as("an"), col("bucket"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+                         col("norm").as("bn"), col("bucket"))
+        a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+          .withColumn("cos", VectorFns.dot("ae", "be") / (col("an") * col("bn")))
+          .filter(round(col("cos"), 6) >= 0.2)
+          .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("similarity"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some {
+        val bucketSql = (0 until 8)
+          .map(j => s"CASE WHEN ${VectorFns.signProjectionSql("embedding", j)} > 0 " +
+                    s"THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                   FROM embeddings WHERE label = 0),
+        a AS (SELECT vec_id AS a_id, embedding AS ae, norm AS an, bucket FROM e),
+        b AS (SELECT vec_id AS b_id, embedding AS be, norm AS bn, bucket FROM e),
+        p AS (
+          SELECT a_id, b_id, ${VectorFns.dotSql("ae", "be")} / (an * bn) AS cos
+          FROM a JOIN b USING (bucket) WHERE a_id < b_id)
+        SELECT a_id, b_id, round(cos, 6) AS similarity
+        FROM p WHERE round(cos, 6) >= 0.2
+        ORDER BY a_id, b_id"""
+      }),
 
     // ----- per-label embedding norm statistics (zip_with/aggregate surface)
     // avg is over *squared* norms: those stay in exact decimal end-to-end,
