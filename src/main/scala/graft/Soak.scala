@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling soak: replicates the sf0.1 fixtures `factor`× (with shifted keys
+  * and perturbed text so dedup semantics stay sane), then times a
+  * representative query set at both scales. If an operator's plan is sound,
+  * time grows ~linearly with data (modulo fixed JVM/codegen cost measured by
+  * the warm run); superlinear growth flags a shuffle or pair-explosion
+  * problem before a real cluster ever sees it.
+  *
+  * Usage: SPARK_GRAFT_SOAK_FACTOR=10 runMain graft.Soak
+  */
+object Soak {
+
+  private val soakQueries = Seq(
+    "q_p1_projection_range", // scan + pushdown
+    "q_a1_weekly_agg",       // hash agg on events
+    "q_a3_per_key_count",    // high-cardinality agg
+    "q_j2_multi_join",       // 3-way join
+    "q_w1_dedup_latest",     // window
+    "q_j7_upsert_merge",     // merge rewrite
+    "q_dedup_exact",         // content hash groupBy
+    "q_text_quality",        // tokenization + HOFs
+    "q_sim_cosine_topk",     // broadcast brute-force ANN
+    "q_ann_lsh_topk")        // bucketed ANN
+
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
+    val small = "/root/testdata/sf0.1"
+    val big = s"/tmp/graft-soak-x$factor"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$big/lineitem.parquet").exists()) generate(spark, small, big, factor)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"query"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (data x$factor)")
+    soakQueries.foreach { name =>
+      val q = SparkEntry.registry.find(_.name == name).get
+      time(q.run(spark, small).count()) // cold: codegen+JIT, discarded
+      val tSmall = time(q.run(spark, small).count())
+      time(q.run(spark, big).count())
+      val tBig = time(q.run(spark, big).count())
+      println(f"$name%-24s $tSmall%10.2f $tBig%10.2f ${tBig / tSmall}%7.1f")
+    }
+    spark.stop()
+  }
+
+  /** Key-shifted replication; text gets a per-copy suffix so content-hash
+    * dedup doesn't degenerate into factor-sized duplicate groups.
+    */
+  private def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    def rep(name: String, grow: (DataFrame, Int) => DataFrame): Unit = {
+      // events: keep ts as raw nanos-long so Tables.events' conversion still
+      // applies when reading the soak copy
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val base =
+        if (name == "events") spark.read.parquet(s"$src/events.parquet")
+        else Tables.load(spark, src, name)
+      val out = (0 until factor).map(i => grow(base, i)).reduce(_ unionByName _)
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"generated $name x$factor")
+    }
+    val M = 100000000L
+    rep("lineitem", (df, i) => df.withColumn("l_orderkey", col("l_orderkey") + i * M))
+    rep("orders", (df, i) => df.withColumn("o_orderkey", col("o_orderkey") + i * M)
+      .withColumn("o_custkey", col("o_custkey") + i * M))
+    rep("customer", (df, i) => df.withColumn("c_custkey", col("c_custkey") + i * M))
+    rep("events", (df, i) => df.withColumn("event_id", col("event_id") + i * M)
+      .withColumn("user_id", col("user_id") + lit(i * 1000L)))
+    rep("documents", (df, i) => df.withColumn("doc_id", col("doc_id") + i * M)
+      .withColumn("text", concat(col("text"), lit(s" copytoken$i"))))
+    rep("embeddings", (df, i) => df.withColumn("vec_id", col("vec_id") + i * M))
+    Seq("region", "nation", "supplier", "part").foreach { t =>
+      Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+}
