@@ -45,6 +45,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
         if (d.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(d) }
       }
 
+  /** S11 — SQL script runner (modules/data_loader.py:532-568): split on ';',
+    * execute each statement, tolerate failures only on DROP statements.
+    */
+  def runScript(sqlText: String): Unit =
+    sqlText.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+      try spark.sql(stmt).collect()
+      catch {
+        case e: Exception if stmt.toUpperCase.startsWith("DROP") => // idempotent drops
+        case e: Exception => throw e
+      }
+    }
+
   /** A6/F16 — the reference's post-load statistics
     * (modules/data_loader.py:570-578): table → row count.
     */
