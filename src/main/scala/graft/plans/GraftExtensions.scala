@@ -18,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash(exprs.head)))
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
   }
 }

@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Whole-operator extension (tier (c) of the ladder: LogicalPlan + Strategy
+  * + SparkPlan, SURVEY §7.3): per-group bounded top-k with rank.
+  *
+  * The built-in way to get "top k rows per group" is a window `row_number`
+  * plus filter, which SORTS every group in full — O(n log n) per partition
+  * and the sort buffers/spills the whole input. This operator keeps a bounded
+  * k-row heap per group instead: O(n log k) time, O(groups·k) memory, nothing
+  * spilled. For ANN top-k over 100 TB of candidates (k≈10, groups≈probe set)
+  * the difference is the whole sort.
+  *
+  * Distribution: declares `ClusteredDistribution(groupExprs)` so
+  * EnsureRequirements plans exactly one hash exchange on the group keys —
+  * the same shuffle the window strategy needs, minus its sort.
+  */
+case class TopKPerGroupPlan(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan,
+    rankAttr: Attribute = AttributeReference("rank", LongType, nullable = false)())
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, so, k, child, rank) =>
+      TopKPerGroupExec(g, so, k, rank, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (groupExprs.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOut = child.output
+    val gExprs = groupExprs
+    val so = sortOrder
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(gExprs, childOut)
+      val baseOrd = RowOrdering.create(so, childOut)
+      implicit val ord: Ordering[InternalRow] =
+        (a: InternalRow, b: InternalRow) => baseOrd.compare(a, b)
+      // max-heap per key: head is the current worst of the best-k
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kk) heap.enqueue(row.copy())
+            else if (baseOrd.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+          case None =>
+            val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow]
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap)
+        }
+      }
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      heaps.iterator.flatMap { case (_, heap) =>
+        // dequeueAll yields worst-first for a max-heap; reverse → rank order
+        val ranked: Seq[InternalRow] = heap.dequeueAll.reverse.toSeq
+        ranked.iterator.zipWithIndex.map { pair =>
+          outProj(joined(pair._1, InternalRow((pair._2 + 1).toLong))): InternalRow
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKPerGroup {
+
+  /** Registers the strategy on the session (idempotent). Also injectable via
+    * GraftExtensions for config-time wiring.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!s.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ TopKPerGroupStrategy
+  }
+
+  /** Top `k` rows per group of `groupCols`, ordered by `orderCols`
+    * ((name, descending)); appends a 1-based `rank` column.
+    */
+  def topK(df: DataFrame, groupCols: Seq[String], orderCols: Seq[(String, Boolean)],
+           k: Int): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    register(spark)
+    val child = df.queryExecution.analyzed
+    def attr(n: String): Attribute = child.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n in ${child.output.map(_.name)}"))
+    val so = orderCols.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      TopKPerGroupPlan(groupCols.map(attr), so, k, child))
+  }
+}
