@@ -39,10 +39,23 @@ object Dedup {
 
   /** Candidate pairs with exact n-gram Jaccard similarity >= threshold.
     * Output: (a_id, b_id, jaccard), a_id < b_id.
+    *
+    * @param maxDocFreq drop shingles appearing in more than this many
+    *        documents before pairing (0 = off). THE scale lever: a shingle in
+    *        d docs contributes d·(d-1)/2 pairs, so heavy-tailed corpora need
+    *        a document-frequency cutoff to bound the join fan-out; dropping
+    *        ubiquitous shingles barely moves Jaccard for true near-dups.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
+                        k: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+    val shAll = shingles(df, idCol, textCol, k)
+    val sh =
+      if (maxDocFreq <= 0L) shAll
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        shAll.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
+      }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val pairs = sh.select(col(idCol).as("a_id"), col("sh"))
       .join(sh.select(col(idCol).as("b_id"), col("sh")), "sh")

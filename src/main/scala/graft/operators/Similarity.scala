@@ -51,6 +51,20 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
   }
 
+  /** [[cosineTopK]] on the custom bounded-heap operator
+    * (graft.plans.TopKPerGroup) instead of a window: same results, but the
+    * per-query ranking is O(n log k) with O(queries·k) state — no full sort,
+    * no window spill. The shape of choice when candidates are fact-scale.
+    */
+  def cosineTopKFast(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("similarity", cosine("qe", "ce"))
+      .select(col("q_id"), col("c_id"), col("similarity"))
+    graft.plans.TopKPerGroup.topK(scored, Seq("q_id"),
+      Seq(("similarity", true), ("c_id", false)), k)
+  }
+
   /** LSH-bucketed ANN top-k: candidates are scored only inside the query's
     * bucket. Recall < 1 by construction; nBits trades recall for speed.
     */

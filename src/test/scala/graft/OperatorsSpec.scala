@@ -73,6 +73,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("cosineTopKFast (custom TopKPerGroup operator) equals the window form") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val slow = Similarity.cosineTopK(q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val fast = Similarity.cosineTopKFast(q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(fast == slow)
+    assert(fast.size == 25)
+  }
+
+  test("document-frequency cutoff bounds shingle fan-out but keeps true near-dups") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    // a ubiquitous boilerplate shingle shared by everything
+    val boiler = "standard footer text common to all documents here"
+    val df = (Seq((1L, s"$base $boiler"), (2L, s"$near $boiler")) ++
+      (3L to 30L).map(i => (i, s"doc number $i unique content piece $boiler")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 4, 0.3, maxDocFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"expected only the planted pair, got ${pairs.toSeq}")
+  }
+
   test("LSH ANN achieves reasonable recall@10 vs brute force") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"embedding".as("qe"))
