@@ -59,6 +59,29 @@ object TextQueries {
               FROM documents) t
         GROUP BY lang ORDER BY lang""")),
 
+    // ----- BPE-ish regex tokenization (letters / digits / single symbol
+    // runs — the pre-tokenizer shape BPE vocabularies assume), vs the
+    // whitespace tokenizer in q_text_tokens
+    Q("q_text_tokens_bpe",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("ntok",
+            size(regexp_extract_all(lower(col("text")),
+              lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast(LongType))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               (sum(col("ntok")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+               max(col("ntok")).as("max_tokens"))
+          .orderBy(col("source")),
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+               max(ntok) AS max_tokens
+        FROM (SELECT source,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS ntok
+              FROM documents) t
+        GROUP BY source ORDER BY source""")),
+
     // ----- quality scoring (length / stopword / word-length heuristics)
     Q("q_text_quality",
       (s, dir) => {
@@ -260,6 +283,23 @@ object TextQueries {
     // ----- streaming batch-equivalent: tumbling hourly window (the
     // Structured Streaming surface with watermark lives in
     // graft.streaming.Streams and is spec-tested against this result)
+    Q("q_stream_sliding_batch",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("window_start",
+            explode(array(expr("date_trunc('hour', ts) - INTERVAL 1 HOUR"),
+                          expr("date_trunc('hour', ts)"))))
+          .groupBy(col("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("window_start"), col("event_type")),
+      Some("""
+        SELECT window_start, event_type, COUNT(*) AS n
+        FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                             date_trunc('hour', ts)]) AS window_start,
+                     event_type
+              FROM events) t
+        GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
     Q("q_stream_tumbling_batch",
       (s, dir) =>
         t(s, dir, "events")
