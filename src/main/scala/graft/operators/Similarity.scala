@@ -65,6 +65,93 @@ object Similarity {
       Seq(("similarity", true), ("c_id", false)), k)
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — centroids
+    * from a fixed-seed k-means run over a sample — partitions the corpus into
+    * `nLists` cells; probes score only the `nProbe` nearest cells.
+    *
+    * Scale: the corpus is assigned once (one narrow pass + a broadcast of
+    * centroids — at 100 TB you persist `cell` as the write-partition key);
+    * each probe touches nProbe/nLists of the data. Training samples to the
+    * driver deliberately: `nLists·dim` floats is KBs, and k-means over a
+    * bounded sample is the standard IVF recipe (FAISS-style) — the corpus
+    * itself is never collected.
+    */
+  def ivfIndex(candidates: DataFrame, embCol: String, nLists: Int,
+               sampleSize: Int = 2000, iters: Int = 5): Array[Array[Double]] = {
+    val sample = candidates.select(col(embCol))
+      .orderBy(col(embCol).getItem(0), col(embCol).getItem(1)) // deterministic sample
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= nLists, s"need >= $nLists vectors to train")
+    var centroids = sample.take(nLists).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nLists)(new Array[Double](centroids(0).length))
+      val counts = new Array[Long](nLists)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0; while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell assignment as a column (argmin over the broadcast centroid list). */
+  def ivfCell(embCol: String, centroids: Array[Array[Double]]): Column = {
+    val centroidLits = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    // argmin over squared distance, computed with HOFs over the literal array
+    val dists = transform(centroidLits, cent =>
+      aggregate(
+        zip_with(col(embCol), cent,
+          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v))
+    array_position(dists, array_min(dists)).cast("long") - 1
+  }
+
+  /** IVF ANN top-k: probes score only candidates in their `nProbe` nearest
+    * cells.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, nLists: Int,
+              nProbe: Int, k: Int): DataFrame = {
+    val cents = ivfIndex(candidates.select(col("ce").as("embedding")), "embedding", nLists)
+    val c = candidates.withColumn("cell", ivfCell("ce", cents))
+    // probe lists: the nProbe nearest cells per query
+    val centroidLits = array(cents.map(cc => array(cc.map(lit): _*)): _*)
+    val qDists = transform(centroidLits, cent =>
+      aggregate(zip_with(col("qe"), cent,
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v))
+    val qq = queries.withColumn("qd", qDists)
+      .withColumn("cell_structs", expr(
+        s"slice(array_sort(transform(qd, (d, i) -> named_struct('d', d, 'i', CAST(i AS LONG))), " +
+        s"(a, b) -> CASE WHEN a.d < b.d THEN -1 WHEN a.d > b.d THEN 1 ELSE 0 END), 1, $nProbe)"))
+      .withColumn("cell", explode(expr("transform(cell_structs, s -> s.i)")))
+      .drop("qd", "cell_structs")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("similarity").desc, col("c_id"))
+    c.join(broadcast(qq), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("similarity", cosine("qe", "ce"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates are scored only inside the query's
     * bucket. Recall < 1 by construction; nBits trades recall for speed.
     */

@@ -114,6 +114,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.1, s"recall=$recall")
   }
 
+  test("IVF ANN: deterministic index, full-probe equals brute force, recall sane") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val exact = Similarity.cosineTopK(q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing ALL cells must recover the exact result
+    val full = Similarity.ivfTopK(q, c, 8, 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    // probing 3/8 cells: approximate but overlapping
+    val approx = Similarity.ivfTopK(q, c, 8, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("profile reports nulls, distincts and min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
     val p = Profile.profile(df).collect()
