@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (point-in-time join): for each left row, the most recent right
+  * row with the same key and right.time <= left.time. Spark has no native
+  * operator; per the extension ladder this is tier (a) — composed from
+  * built-ins: tag both sides, union on (key, time), and carry the latest
+  * right values forward with `last(_, ignoreNulls)` over a running window.
+  *
+  * Cost: ONE shuffle on the key (the union sorts within partitions) — same
+  * price as a plain equi-join, versus the naive inequality-join formulation
+  * which is a per-key cross product filtered after the fact. This is the
+  * shape that survives fact-scale on both sides.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; all its columns are kept
+    * @param right     reference side
+    * @param key       equi-key column name (same on both sides)
+    * @param leftTime  event-time column on `left`
+    * @param rightTime event-time column on `right`
+    * @param valueCols right columns to carry (emitted as `asof_<name>`)
+    * @param inner     drop left rows with no match (true) or keep with nulls
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String,
+           leftTime: String, rightTime: String,
+           valueCols: Seq[String], inner: Boolean = true): DataFrame = {
+    val lCols = left.columns
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        lCols.filter(_ != key).map(c => col(c)) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__t"), col("__side")) ++
+        lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"asof_$c")): _*)
+    // right rows sort before left rows at equal time: right.time == left.time
+    // matches (inclusive <=), like DuckDB/pandas ASOF semantics
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    val probes = carried.filter(col("__side") === 1).drop("__t", "__side")
+    if (inner) probes.filter(valueCols.map(c => col(s"asof_$c").isNotNull).reduce(_ && _))
+    else probes
+  }
+}

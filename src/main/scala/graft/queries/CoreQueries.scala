@@ -439,6 +439,62 @@ object CoreQueries {
           FROM events) t
         WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // ----- as-of join (beyond the reference; the canonical "operator Spark
+    // lacks"): for each click, the user's most recent prior-or-simultaneous
+    // purchase. Composed as union + running window (operators.AsOfJoin, one
+    // shuffle); DuckDB verifies with its native ASOF JOIN.
+    Q("q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+            Seq("value", "ts"))
+          .select(col("event_id"), col("user_id"),
+                  col("asof_value"), col("asof_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT l.event_id, l.user_id, r.value AS asof_value, r.ts AS asof_ts
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        ORDER BY l.event_id""")),
+
+    // ----- banded range join (beyond the reference): events counted inside
+    // synthesized 6h–18h maintenance windows on every 3rd day. Spark joins
+    // on a day band + exact filter (operators.RangeJoin — a hash join, not
+    // the nested-loop an inequality join would plan); DuckDB verifies with a
+    // plain inequality join (its IEJoin handles it natively).
+    Q("q_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val iv = ev.filter(dayofmonth(col("ts")) % 3 === 0)
+          .select(date_trunc("day", col("ts")).cast(DateType).as("interval_day")).distinct()
+          .withColumn("start_ts", expr("CAST(interval_day AS TIMESTAMP_NTZ) + INTERVAL 6 HOUR"))
+          .withColumn("end_ts", expr("CAST(interval_day AS TIMESTAMP_NTZ) + INTERVAL 18 HOUR"))
+        graft.operators.RangeJoin.pointInInterval(
+            ev.select(col("ts"), col("event_id"), col("value")), "ts",
+            iv, "start_ts", "end_ts")
+          .groupBy(col("interval_day"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("interval_day"))
+      },
+      Some(s"""
+        WITH iv AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS interval_day
+          FROM events WHERE day(ts) % 3 = 0
+        ), iv2 AS (
+          SELECT interval_day,
+                 CAST(interval_day AS TIMESTAMP) + INTERVAL 6 HOUR AS start_ts,
+                 CAST(interval_day AS TIMESTAMP) + INTERVAL 18 HOUR AS end_ts
+          FROM iv)
+        SELECT interval_day, COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+        FROM iv2 JOIN events e ON e.ts >= start_ts AND e.ts <= end_ts
+        GROUP BY interval_day ORDER BY interval_day""")),
+
     // ----- O1: TOP-n preview (reference scripts/analysis/query_db.py:53)
     Q("q_o1_limit",
       (s, dir) =>
