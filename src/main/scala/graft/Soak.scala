@@ -24,7 +24,9 @@ object Soak {
     "q_dedup_exact",         // content hash groupBy
     "q_text_quality",        // tokenization + HOFs
     "q_sim_cosine_topk",     // broadcast brute-force ANN
-    "q_ann_lsh_topk")        // bucketed ANN
+    "q_ann_lsh_topk",        // bucketed ANN
+    "q_asof_join",           // union+window point-in-time join
+    "q_range_join")          // banded range join
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
