@@ -31,12 +31,24 @@ object AirbnbEtl {
     val cleanR0 = Cleaner.cleanReviews(Sources.readRawCsv(spark, reviewsGlob))
     val cleanR = reviewsCap.map(Loaders.sampleCap(cleanR0, _)).getOrElse(cleanR0)
 
-    // ---- listings: staging → typed → MERGE upsert + id map
+    // ---- listings: staging → typed → MERGE upsert + id map.
+    // Action counts ride the write via observe() — the reference's OUTPUT
+    // $action reconciliation without a second scan (SURVEY §7.4: never pay an
+    // extra full pass for counts at 100 TB).
     val current = wh.readOrEmpty("dim_listings", Schemas.dimListings)
     val merged = Loaders.upsertListings(Loaders.typedListings(cleanL), current)
-    val mergeActions = merged.groupBy("action").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    wh.write("dim_listings", merged.drop("action"))
+    val obs = org.apache.spark.sql.Observation("merge_actions")
+    val observed = merged.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(col("action") === "insert", 1)).as("insert"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(col("action") === "update", 1)).as("update"),
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.when(col("action") === "keep", 1)).as("keep"))
+    wh.write("dim_listings", observed.drop("action"))
+    val mergeActions = obs.get.collect {
+      case (k, v: Long) if v > 0 => k -> v
+    }.toMap
 
     val mapExisting = wh.readOrEmpty("dim_listing_id_map", Schemas.dimListingIdMap)
     wh.write("dim_listing_id_map", Loaders.appendIdMap(cleanL, mapExisting))
