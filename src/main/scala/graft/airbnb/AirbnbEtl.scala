@@ -59,8 +59,14 @@ object AirbnbEtl {
     val dateSpan = cleanC.select(col("date")).unionByName(cleanR.select(col("date")))
     wh.write("dim_dates", Loaders.loadDates(dateSpan, "date"))
 
-    // ---- facts (partitioned for downstream partition pruning)
-    wh.write("fact_calendar", Loaders.loadCalendar(cleanC, dimListings),
+    // ---- facts: partitioned by week for dynamic partition pruning, sorted
+    // by listing_id within files so parquet row-group min/max stats take the
+    // role of the reference's B-tree indexes (SURVEY §4,
+    // sql/schema/04_create_indexes.sql)
+    wh.write("fact_calendar",
+      Loaders.loadCalendar(cleanC, dimListings)
+        .repartition(col("week_start_date"))
+        .sortWithinPartitions(col("week_start_date"), col("listing_id")),
       partitionBy = Seq("week_start_date"))
     val existingReviews = wh.readOrEmpty("fact_reviews", Schemas.factReviews)
     val newReviews = Loaders.loadReviews(cleanR, wh.read("dim_dates"),

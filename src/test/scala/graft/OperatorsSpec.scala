@@ -131,6 +131,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("salted join and salted count equal their unsalted forms") {
+    val big = Tables.load(spark, TestSpark.sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val small = Tables.load(spark, TestSpark.sfDir, "orders")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+    val plain = big.join(small, "l_orderkey").count()
+    assert(graft.operators.SkewJoin.saltedJoin(big, small, "l_orderkey", 8).count() == plain)
+    val counts = graft.operators.SkewJoin.saltedCount(big, "l_orderkey", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = big.groupBy("l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == expected)
+  }
+
   test("profile reports nulls, distincts and min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
     val p = Profile.profile(df).collect()
