@@ -131,6 +131,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("embedding near-dup pairs finds a planted duplicate vector") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val planted = e.filter($"vec_id" === 7)
+      .select(lit(99007L).as("vec_id"), $"embedding")
+    val corpus = e.select($"vec_id", $"embedding").unionByName(planted)
+    val pairs = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 4, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((7L, 99007L)), s"got ${pairs.toSeq}")
+  }
+
   test("salted join and salted count equal their unsalted forms") {
     val big = Tables.load(spark, TestSpark.sfDir, "lineitem")
       .select($"l_orderkey", $"l_quantity")

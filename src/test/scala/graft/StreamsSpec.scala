@@ -50,6 +50,15 @@ class StreamsSpec extends AnyFunSuite {
     assert(perUser == batch)
   }
 
+  test("sliding windows carry each event into windowLen/slide windows") {
+    val stream = Streams.readEvents(spark, eventsDir)
+    val slid = Streams.runToMemory(
+      Streams.slidingAgg(stream, "2 hours", "1 hour", "10 minutes"), "t_sliding")
+    val total = slid.groupBy().sum("n").collect().head.getLong(0)
+    val nEvents = Tables.events(spark, TestSpark.sfDir).count()
+    assert(total == nEvents * 2, s"each event must land in exactly 2 windows")
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val ev = Tables.events(spark, TestSpark.sfDir)
       .select($"user_id", $"event_id").as[Streams.UserEvent]
