@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PolyHash(exprs.head)))
     e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => RewriteRowNumberTopK)
   }
 }
