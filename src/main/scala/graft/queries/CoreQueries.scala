@@ -103,6 +103,43 @@ object CoreQueries {
         GROUP BY ROLLUP(r_name, n_name)
         ORDER BY region, nation""")),
 
+    // ----- CUBE over two dims (completes the grouping-sets family with A11)
+    Q("q_a12_cube",
+      (s, dir) =>
+        t(s, dir, "events")
+          .cube(col("event_type"),
+                date_format(col("ts"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+                  coalesce(col("month"), lit("ALL")).as("month"), col("n"))
+          .orderBy(col("event_type"), col("month")),
+      Some("""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(month, 'ALL') AS month, COUNT(*) AS n
+        FROM (SELECT event_type, strftime(ts, '%Y-%m') AS month FROM events) t
+        GROUP BY CUBE(event_type, month)
+        ORDER BY event_type, month""")),
+
+    // ----- JSON extraction from the props column (the typed alternative to
+    // q_p4's regex scrape; modern pipelines carry JSON side-channels)
+    Q("q_json_extract",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val k = get_json_object(col("props"), "$.k").try_cast(LongType)
+        ev.select(k.as("k"), col("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n_with_k"), min(col("k")).as("min_k"),
+               max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, COUNT(k) AS n_with_k, min(k) AS min_k, max(k) AS max_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k
+        FROM (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                     event_type
+              FROM events) t
+        GROUP BY event_type ORDER BY event_type""")),
+
     // ----- A3: per-key count (reference sql/data/02_load_hosts.sql:26-32)
     Q("q_a3_per_key_count",
       (s, dir) =>

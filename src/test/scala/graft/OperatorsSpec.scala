@@ -155,6 +155,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(counts == expected)
   }
 
+  test("approx_count_distinct lands within 5% of exact (opt-in sketch surface)") {
+    val li = Tables.load(spark, TestSpark.sfDir, "lineitem")
+    val row = li.agg(
+      countDistinct($"l_orderkey").as("exact"),
+      approx_count_distinct($"l_orderkey", 0.02).as("approx")).collect().head
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("profile reports nulls, distincts and min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
     val p = Profile.profile(df).collect()
