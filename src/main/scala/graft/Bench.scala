@@ -28,10 +28,21 @@ object Bench {
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Round per-query seconds to 3 decimals: keeps the one-line JSON compact
+    // so the driver's output-tail capture never clips it (BENCH_r01 parsed:null).
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Belt and braces: persist the full JSON to bench.json in cwd, print the
+    // full line, then end with a short summary line that fits any tail window.
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("bench.json"), "UTF-8")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    println(full)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries_file":"bench.json","n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -71,7 +71,11 @@ object AirbnbEtl {
     val existingReviews = wh.readOrEmpty("fact_reviews", Schemas.factReviews)
     val newReviews = Loaders.loadReviews(cleanR, wh.read("dim_dates"),
       dimListings, existingReviews)
-    wh.write("fact_reviews", existingReviews.unionByName(newReviews))
+    wh.write("fact_reviews",
+      existingReviews.unionByName(newReviews)
+        .repartition(col("review_year"))
+        .sortWithinPartitions(col("review_year"), col("listing_id")),
+      partitionBy = Seq("review_year"))
 
     // ---- enrichment + views
     val (enrichedListings, enrichedHosts) =
@@ -85,20 +89,33 @@ object AirbnbEtl {
   }
 
   /** §5 — the reference's debug-check corpus as invariant audits: returns
-    * (name → violation count); all zero on a healthy warehouse.
+    * (name → violation count); all zero on a healthy warehouse (the
+    * language-progress row counts rows still awaiting detection, like
+    * scripts/debug/check_language_detection_progress.py:29-37).
+    *
+    * ONE Spark job: every invariant is a 1-row (name, v) aggregate and the
+    * union collects once — not a count() job per check (SURVEY §7.4).
     */
   def validate(wh: Warehouse): Map[String, Long] = {
     val listings = wh.read("dim_listings")
     val calendar = wh.read("fact_calendar")
     val reviews = wh.read("fact_reviews")
-    Map(
-      "dup_listing_pk" ->
-        (listings.count() - listings.select("listing_id").distinct().count()),
-      "dup_review_pk" ->
-        (reviews.count() - reviews.select("review_id").distinct().count()),
-      "orphan_calendar_rows" ->
-        calendar.join(listings, Seq("listing_id"), "left_anti").count(),
-      "orphan_review_rows" ->
-        reviews.join(listings, Seq("listing_id"), "left_anti").count())
+    val lkeys = listings.select("listing_id")
+    def check(name: String, df: DataFrame, agg: org.apache.spark.sql.Column): DataFrame =
+      df.agg(agg.cast("long").as("v")).select(lit(name).as("name"), col("v"))
+    val checks = Seq(
+      check("dup_listing_pk", listings, count(lit(1)) - countDistinct(col("listing_id"))),
+      check("dup_review_pk", reviews, count(lit(1)) - countDistinct(col("review_id"))),
+      check("orphan_calendar_rows",
+        calendar.join(lkeys, Seq("listing_id"), "left_anti"), count(lit(1))),
+      check("orphan_review_rows",
+        reviews.join(lkeys, Seq("listing_id"), "left_anti"), count(lit(1)))) ++
+      (if (wh.exists("fact_reviews_enriched"))
+        Seq(check("reviews_lang_untagged", wh.read("fact_reviews_enriched"),
+          count(when(col("review_lang").isNull && col("comments").isNotNull
+            && length(col("comments")) > 0, 1))))
+      else Nil)
+    checks.reduce(_ unionByName _).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 }

@@ -72,16 +72,29 @@ object Loaders {
   def appendIdMap(stagingRaw: DataFrame, existing: DataFrame): DataFrame = {
     val base = existing.agg(coalesce(max(col("mapping_id")), lit(0L))).collect()(0).getLong(0)
     val parts = CleanFns.idParts(col("listing_raw_id")).toMap
-    val w = Window.orderBy(col("listing_raw_id"), col("listing_id"))
     val fresh = stagingRaw
       .withColumnRenamed("id", "listing_raw_id")
       .select(
         col("listing_raw_id").try_cast(LongType).as("listing_id"),
         col("listing_raw_id"),
         parts("part1").as("part1"), parts("part2").as("part2"), parts("part3").as("part3"))
-      .withColumn("mapping_id", (row_number().over(w) + base).cast(LongType))
-      .select("mapping_id", "listing_id", "listing_raw_id", "part1", "part2", "part3")
-    existing.unionByName(fresh)
+    // Distributed IDENTITY: a global Window.orderBy would drag every row to a
+    // single partition (never finishes at 100 TB). Instead fix a deterministic
+    // global order with range partitioning + in-partition sort, then assign
+    // contiguous ids two-phase via zipWithIndex (per-partition counts → offsets
+    // — one lightweight extra job, no data concentration). Ids depend only on
+    // the global sort order, not on range boundaries, so they're stable.
+    val sorted = fresh
+      .repartitionByRange(col("listing_raw_id"), col("listing_id"))
+      .sortWithinPartitions(col("listing_raw_id"), col("listing_id"))
+    val schema = StructType(
+      StructField("mapping_id", LongType, nullable = false) +: sorted.schema.fields)
+    val withId = stagingRaw.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq((base + i + 1L) +: r.toSeq)
+      }, schema)
+    existing.unionByName(
+      withId.select("mapping_id", "listing_id", "listing_raw_id", "part1", "part2", "part3"))
   }
 
   /** dim_hosts (sql/data/02_load_hosts.sql): latest-wins dedup per host (W1)
@@ -131,8 +144,13 @@ object Loaders {
     * runner: it silently drops data.
     */
   def sampleCap(df: DataFrame, capRows: Long, fraction: Double = 0.8,
-                seed: Long = 42L): DataFrame =
-    if (df.count() > capRows) df.sample(fraction, seed) else df
+                seed: Long = 42L): DataFrame = {
+    // Bounded probe, not a full count: LocalLimit caps every partition at
+    // capRows+1 rows, so deciding "over the cap?" reads O(partitions·cap)
+    // rows instead of scanning the whole feed (SURVEY §7.4).
+    val probe = math.min(capRows + 1L, Int.MaxValue.toLong).toInt
+    if (df.limit(probe).count() > capRows) df.sample(fraction, seed) else df
+  }
 
   /** fact_reviews (sql/data/05_load_reviews.sql:34-56): typed casts +
     * LEFT(reviewer_name,255) (F7) + in-batch dedup by review id (W2, pinned
@@ -155,6 +173,8 @@ object Loaders {
             col("review_date") === col("full_date"))
       .join(dimListings.select("listing_id"), Seq("listing_id"))
       .join(existingReviews.select("review_id"), Seq("review_id"), "left_anti")
-      .select("review_id", "listing_id", "date_id", "reviewer_id", "reviewer_name", "comments")
+      .withColumn("review_year", year(col("review_date")))
+      .select("review_id", "listing_id", "date_id", "reviewer_id", "reviewer_name",
+              "comments", "review_year")
   }
 }

@@ -77,5 +77,8 @@ object Schemas {
     StructField("date_id", LongType),
     StructField("reviewer_id", LongType),
     StructField("reviewer_name", StringType),
-    StructField("comments", StringType)))
+    StructField("comments", StringType),
+    // physical partition column (SURVEY §4: fact_reviews by review year →
+    // dynamic partition pruning on year-ranged reads)
+    StructField("review_year", IntegerType)))
 }

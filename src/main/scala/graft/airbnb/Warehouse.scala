@@ -11,38 +11,90 @@ import org.apache.spark.sql.types.StructType
   */
 final case class Warehouse(spark: SparkSession, root: String) {
 
+  import org.apache.hadoop.fs.Path
+
   private def path(name: String) = s"$root/$name"
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Spark's committer leaves _SUCCESS when (and only when) a write job
+    * completed — the marker that a __tmp directory is safe to promote.
+    */
+  private def isComplete(f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    f.exists(new Path(p, "_SUCCESS"))
+
+  /** Finish or undo a swap interrupted by a crash. States (dest, __tmp, __old):
+    *  - dest present: strays are garbage from an already-completed swap → drop;
+    *  - dest absent, complete __tmp present: the writer died mid-swap after
+    *    materializing → roll FORWARD (promote __tmp, drop __old);
+    *  - dest absent, __old present: roll BACK to the previous version;
+    *  - incomplete __tmp (no _SUCCESS): a dead write job → drop.
+    */
+  private def recover(name: String): Unit = {
+    val dest = new Path(path(name)); val f = fs(dest)
+    val tmp = new Path(path(name) + "__tmp"); val old = new Path(path(name) + "__old")
+    if (f.exists(dest)) {
+      if (f.exists(tmp)) f.delete(tmp, true)
+      if (f.exists(old)) f.delete(old, true)
+    } else if (f.exists(tmp) && isComplete(f, tmp)) {
+      if (!f.rename(tmp, dest)) throw new java.io.IOException(s"recover: promote failed for $name")
+      if (f.exists(old)) f.delete(old, true)
+    } else {
+      if (f.exists(tmp)) f.delete(tmp, true)
+      if (f.exists(old) && !f.rename(old, dest))
+        throw new java.io.IOException(s"recover: rollback failed for $name")
+    }
+  }
 
   /** Write-to-temp-then-swap: upserts read the current table while producing
     * its replacement, and Spark (correctly) refuses to overwrite a path it is
-    * reading from — so materialize beside it, then atomically swap.
+    * reading from — so materialize beside it, then swap via the Hadoop
+    * FileSystem API (HDFS/object-store paths included; plain java.io.File
+    * would silently corrupt non-local roots). The previous version is parked
+    * at __old until the new one is in place, so every crash point is
+    * recoverable by [[recover]] — no delete-before-rename data-loss window.
+    * NOTE: rename is atomic on HDFS/local; on S3-style stores it is
+    * copy+delete — still recoverable here via the _SUCCESS-gated roll-forward,
+    * just not atomic.
     */
   def write(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
-    val tmp = path(name) + "__tmp"
+    recover(name)
+    val tmpStr = path(name) + "__tmp"
     val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmp)
-    val dest = new java.io.File(path(name))
-    if (dest.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dest)
-    if (!new java.io.File(tmp).renameTo(dest))
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(tmpStr)
+    val dest = new Path(path(name)); val f = fs(dest)
+    val tmp = new Path(tmpStr); val old = new Path(path(name) + "__old")
+    if (f.exists(dest) && !f.rename(dest, old))
+      throw new java.io.IOException(s"swap: park failed for $name")
+    if (!f.rename(tmp, dest)) {
+      if (f.exists(old)) f.rename(old, dest) // roll back
       throw new java.io.IOException(s"swap failed for $name")
+    }
+    if (f.exists(old)) f.delete(old, true)
   }
 
-  def read(name: String): DataFrame = spark.read.parquet(path(name))
+  def read(name: String): DataFrame = {
+    recover(name)
+    spark.read.parquet(path(name))
+  }
 
   def readOrEmpty(name: String, schema: StructType): DataFrame =
     if (exists(name)) read(name)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  def exists(name: String): Boolean =
-    new java.io.File(path(name)).exists()
+  def exists(name: String): Boolean = {
+    recover(name)
+    val p = new Path(path(name)); fs(p).exists(p)
+  }
 
   /** S10 — clear in FK order (facts → dims), like 00_prepare_tables.sql:5-10. */
   def truncateAll(): Unit =
     Seq("fact_calendar", "fact_reviews", "dim_listing_id_map", "dim_hosts",
         "dim_dates", "dim_listings")
       .foreach { t =>
-        val d = new java.io.File(path(t))
-        if (d.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(d) }
+        val p = new Path(path(t)); val f = fs(p)
+        if (f.exists(p)) f.delete(p, true)
       }
 
   /** Bucketed catalog table (SURVEY §4: bucketing co-locates repeated joins
@@ -76,11 +128,22 @@ final case class Warehouse(spark: SparkSession, root: String) {
       }
     }
 
+  private val tableNames =
+    Seq("dim_listings", "dim_listing_id_map", "dim_hosts", "dim_dates",
+        "fact_calendar", "fact_reviews")
+
   /** A6/F16 — the reference's post-load statistics
     * (modules/data_loader.py:570-578): table → row count.
     */
   def stats(): Map[String, Long] =
-    Seq("dim_listings", "dim_listing_id_map", "dim_hosts", "dim_dates",
-        "fact_calendar", "fact_reviews")
-      .filter(exists).map(t => t -> read(t).count()).toMap
+    tableNames.filter(exists).map(t => t -> read(t).count()).toMap
+
+  /** The reference's db-size report (scripts/analysis/db_size_check.py:22-46):
+    * table → bytes on disk. Pure filesystem metadata — no scan.
+    */
+  def sizeStats(): Map[String, Long] =
+    tableNames.filter(exists).map { t =>
+      val p = new Path(path(t))
+      t -> fs(p).getContentSummary(p).getLength
+    }.toMap
 }

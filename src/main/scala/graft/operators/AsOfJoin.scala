@@ -28,28 +28,38 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String,
            leftTime: String, rightTime: String,
            valueCols: Seq[String], inner: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val lCols = left.columns
+    // ALL right value columns travel as ONE struct so `last(_, ignoreNulls)`
+    // selects the matched right row atomically — carrying each column
+    // independently would backfill a NULL value column from an OLDER right
+    // row, emitting a mix of two right rows (and inner-ness derived from
+    // value non-nullness would drop legitimate NULL-valued matches).
+    val structType = StructType(valueCols.map(c =>
+      StructField(s"asof_$c", right.schema(c).dataType, nullable = true)))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col("__t"), col("__side")) ++
-        lCols.filter(_ != key).map(c => col(c)) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")): _*)
+        lCols.filter(_ != key).map(c => col(c)) :+
+        lit(null).cast(structType).as("__asof"): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col("__t"), col("__side")) ++
-        lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"asof_$c")): _*)
+        lCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(c => col(c).as(s"asof_$c")): _*).as("__asof"): _*)
     // right rows sort before left rows at equal time: right.time == left.time
     // matches (inclusive <=), like DuckDB/pandas ASOF semantics
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    val probes = carried.filter(col("__side") === 1).drop("__t", "__side")
-    if (inner) probes.filter(valueCols.map(c => col(s"asof_$c").isNotNull).reduce(_ && _))
-    else probes
+    val carried = l.unionByName(r)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
+    val probes = carried.filter(col("__side") === 1)
+    // a left row matched iff SOME right row preceded it: the struct itself
+    // (never null on right rows) is the match marker
+    val kept = if (inner) probes.filter(col("__asof").isNotNull) else probes
+    kept.select(col(key) +: lCols.filter(_ != key).map(c => col(c)) ++:
+      valueCols.map(c => col(s"__asof.asof_$c").as(s"asof_$c")): _*)
   }
 }

@@ -25,10 +25,22 @@ object Dedup {
   /** Exact dedup on a content hash; deterministic min-id survivor.
     * Returns (id, n_copies) — one row per distinct content.
     */
-  def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
-    df.groupBy(md5(concat_ws("", contentCols.map(col): _*)).as("fp"))
+  def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    // Unambiguous multi-column encoding: each column is length-prefixed and
+    // NULL gets a distinct sentinel, so ("ab","c") vs ("a","bc") and NULL vs
+    // empty never collide (concat_ws silently drops NULLs, and a separator
+    // char alone cannot distinguish NULL from the empty string). The groups
+    // are exactly those of hashing each column independently, so the
+    // single-column DuckDB oracle GROUP BY md5(text) (NULLs one group) still
+    // matches.
+    val enc = contentCols.map { c =>
+      val s = col(c).cast(StringType)
+      when(s.isNull, lit("N;")).otherwise(concat(lit("V"), length(s), lit(":"), s, lit(";")))
+    }
+    df.groupBy(md5(concat(enc: _*)).as("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"))
+  }
 
   /** Distinct (id, k-gram shingle) pairs of a text column. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
@@ -79,27 +91,45 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
   }
 
-  /** LSH candidate pairs (2 bands × 4 rows) with estimated Jaccard
-    * (signature agreement fraction) >= threshold.
+  /** LSH candidate pairs (`bands` bands × nPerms/bands rows each) with
+    * estimated Jaccard (signature agreement fraction) >= threshold.
+    *
+    * Plan shape: signatures are computed ONCE and exploded to one
+    * (band_idx, band_key) row per band, then a single self-equi-join on the
+    * composite band key finds candidates across all bands. The naive
+    * per-band self-join + union re-evaluates the whole shingle→hash→groupBy
+    * signature pipeline once per join input (4× for 2 bands); the exploded
+    * form has identical-modulo-alias join inputs, so exchange reuse applies,
+    * and band count is a parameter instead of hard-coded column names.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      k: Int, threshold: Double): DataFrame = {
+                      k: Int, threshold: Double, bands: Int = 2): DataFrame = {
+    val nPerms = TextFns.minhashPerms.size
+    require(bands > 0 && nPerms % bands == 0, s"bands must divide $nPerms permutations")
+    val rows = nPerms / bands
     val sig = minhashSignatures(df, idCol, textCol, k)
-      .withColumn("band0", concat_ws("-", col("m0"), col("m1"), col("m2"), col("m3")))
-      .withColumn("band1", concat_ws("-", col("m4"), col("m5"), col("m6"), col("m7")))
-    def side(p: String) = sig.select(sig.columns.map(c => col(c).as(p + c)): _*)
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("band_idx"),
+             concat_ws("-", (bi * rows until (bi + 1) * rows).map(i => col(s"m$i")): _*)
+               .as("band_key"))
+    }
+    val banded = sig.withColumn("b", explode(array(bandStructs: _*)))
+      .select(col(idCol) +: (0 until nPerms).map(i => col(s"m$i")) :+
+              col("b.band_idx").as("band_idx") :+ col("b.band_key").as("band_key"): _*)
+    def side(p: String) = banded.select(banded.columns.map(c => col(c).as(p + c)): _*)
     val a = side("a_"); val b = side("b_")
-    val key = col(s"a_$idCol") < col(s"b_$idCol")
-    val cand = a.join(b, col("a_band0") === col("b_band0") && key)
-      .unionByName(a.join(b, col("a_band1") === col("b_band1") && key))
-      .distinct()
-    val matches = (0 until 8)
+    val cand = a.join(b,
+      col("a_band_idx") === col("b_band_idx") &&
+        col("a_band_key") === col("b_band_key") &&
+        col(s"a_$idCol") < col(s"b_$idCol"))
+    val matches = (0 until nPerms)
       .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
       .reduce(_ + _)
     cand
-      .withColumn("est_jaccard", matches.cast(DoubleType) / 8)
+      .select(col(s"a_$idCol").as("a_id"), col(s"b_$idCol").as("b_id"),
+              (matches.cast(DoubleType) / nPerms).as("est_jaccard"))
+      .distinct()
       .filter(col("est_jaccard") >= threshold)
-      .select(col(s"a_$idCol").as("a_id"), col(s"b_$idCol").as("b_id"), col("est_jaccard"))
   }
 
   /** Per-document SimHash over token hashes (`bits` <= 63). Documents whose

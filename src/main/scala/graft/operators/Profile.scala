@@ -32,6 +32,42 @@ object Profile {
               col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** pandas `describe()` for numeric columns (modules/data_analyzer.py:109-125,
+    * utils/utility.py:179-194): count / mean / std / min / 25% / 50% / 75% /
+    * max, one row per column, ONE aggregation pass over the data.
+    *
+    * mean and (sample, ddof=1) std aggregate decimal-exact sums — order-
+    * independent and engine-portable — with only the final divide/sqrt in
+    * double; quartiles use percentile_approx (a t-digest-style mergeable
+    * sketch: one pass, no per-column sort, the 100 TB path).
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val aggs = cols.flatMap { c =>
+      val d = col(c).cast(DoubleType)
+      val n = count(col(c))
+      val sm = sum(col(c).cast(DecimalType(25, 4))).cast(DoubleType)
+      val sq = sum(col(c).cast(DecimalType(18, 4)) * col(c).cast(DecimalType(18, 4)))
+        .cast(DoubleType)
+      Seq(
+        n.cast("double").as(s"${c}__n"),
+        (sm / n).as(s"${c}__mean"),
+        sqrt((sq - sm * sm / n) / (n - lit(1))).as(s"${c}__std"),
+        min(d).as(s"${c}__min"),
+        percentile_approx(d, lit(0.25), lit(10000)).as(s"${c}__q25"),
+        percentile_approx(d, lit(0.5), lit(10000)).as(s"${c}__q50"),
+        percentile_approx(d, lit(0.75), lit(10000)).as(s"${c}__q75"),
+        max(d).as(s"${c}__max"))
+    }
+    val total = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', ${c}__n, ${c}__mean, ${c}__std, ${c}__min, ${c}__q25, ${c}__q50, ${c}__q75, ${c}__max"
+    }.mkString(", ")
+    total.selectExpr(
+      s"stack(${cols.length}, $stacked) as " +
+        "(column, n_nonnull, mean, std, min_value, q25, median, q75, max_value)")
+  }
+
   /** P7 — columns whose null ratio exceeds `threshold` (the reference's
     * drop-recommendation rule, modules/data_analyzer.py:196-207).
     */

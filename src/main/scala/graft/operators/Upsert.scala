@@ -31,16 +31,23 @@ object Upsert {
     val u = staging.withColumn("__pri", lit(0))
       .unionByName(current.withColumn("__pri", lit(1)))
     val keyCols = keys.map(col)
-    val w  = Window.partitionBy(keyCols: _*).orderBy(col("__pri"))
+    // Deterministic survivor among duplicate STAGING rows for one key: break
+    // the __pri tie on the remaining columns (a bare ORDER BY __pri made the
+    // winner partition-order-dependent).
+    val tieBreak = staging.columns.filterNot(keys.contains).map(col).toSeq
+    val w  = Window.partitionBy(keyCols: _*).orderBy(col("__pri") +: tieBreak: _*)
     val wk = Window.partitionBy(keyCols: _*)
+    // update vs insert is decided by CURRENT-side presence (max __pri over the
+    // key), not by key multiplicity: a key staged twice but absent from
+    // current is an insert, despite its count > 1.
     u.withColumn("__rn", row_number().over(w))
-      .withColumn("__nk", count(lit(1)).over(wk))
+      .withColumn("__hascur", max(col("__pri")).over(wk))
       .filter(col("__rn") === 1)
       .withColumn("action",
         when(col("__pri") === 1, lit("keep"))
-          .when(col("__nk") > 1, lit("update"))
+          .when(col("__hascur") === 1, lit("update"))
           .otherwise(lit("insert")))
-      .drop("__pri", "__rn", "__nk")
+      .drop("__pri", "__rn", "__hascur")
   }
 
   /** The reference's OUTPUT $action summary (A10). */

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
 
 /** Optimizer rule: rewrites the ubiquitous
   * `filter(row_number().over(partitionBy… orderBy…) <= k)` dedup/top-k idiom
@@ -19,13 +19,40 @@ import org.apache.spark.sql.types.IntegerType
   */
 object RewriteRowNumberTopK extends Rule[LogicalPlan] {
 
-  /** cond is `rn <= k`, `rn < k+1`, or `rn = 1` on the given attribute. */
-  private def extractK(cond: Expression, rn: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: Attribute, Literal(k: Int, IntegerType)) if a.semanticEquals(rn) => Some(k - 1)
-    case EqualTo(a: Attribute, Literal(1, IntegerType)) if a.semanticEquals(rn) => Some(1)
-    case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(k)
+  /** Integral literal as Int (row_number's range), if it fits. */
+  private def litK(l: Literal): Option[Int] = l match {
+    case Literal(k: Int, IntegerType) => Some(k)
+    case Literal(k: Long, LongType) if k >= Int.MinValue && k <= Int.MaxValue => Some(k.toInt)
+    case Literal(k: Short, ShortType) => Some(k.toInt)
     case _ => None
+  }
+
+  /** Strip value-preserving integral upcasts the analyzer inserts for mixed
+    * comparisons like `rn <= 10L` (→ `CAST(rn AS BIGINT) <= 10L`).
+    */
+  private def unwrapCast(e: Expression): Expression = e match {
+    case c: Cast if c.child.dataType == IntegerType &&
+      (c.dataType == LongType || c.dataType == IntegerType) => unwrapCast(c.child)
+    case other => other
+  }
+
+  /** cond is `rn <= k`, `rn < k+1`, `rn = 1` or any reversed / long-literal /
+    * cast-wrapped spelling of those, on the given attribute.
+    */
+  private def extractK(cond: Expression, rn: Attribute): Option[Int] = {
+    def isRn(e: Expression): Boolean = unwrapCast(e) match {
+      case a: Attribute => a.semanticEquals(rn)
+      case _ => false
+    }
+    cond match {
+      case LessThanOrEqual(a, l: Literal) if isRn(a) => litK(l)
+      case GreaterThanOrEqual(l: Literal, a) if isRn(a) => litK(l)
+      case LessThan(a, l: Literal) if isRn(a) => litK(l).map(_ - 1)
+      case GreaterThan(l: Literal, a) if isRn(a) => litK(l).map(_ - 1)
+      case EqualTo(a, l: Literal) if isRn(a) => litK(l).filter(_ == 1)
+      case EqualTo(l: Literal, a) if isRn(a) => litK(l).filter(_ == 1)
+      case _ => None
+    }
   }
 
   private def isRowNumberWindow(e: NamedExpression): Boolean = e match {

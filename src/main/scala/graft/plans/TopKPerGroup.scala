@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
 
 /** Whole-operator extension (tier (c) of the ladder: LogicalPlan + Strategy
@@ -55,45 +56,108 @@ case class TopKPerGroupExec(
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"))
+
   override def requiredChildDistribution: Seq[Distribution] =
+    // Empty groupExprs = GLOBAL top-k. We still accept any child distribution:
+    // doExecute runs a bounded local top-k per input partition (≤ k rows out)
+    // and merges the ≤ k·numPartitions survivors in one final task — never
+    // the single-partition full sort a global window needs.
     if (groupExprs.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
+
+  /** Belt-and-braces state guard: documented O(groups·k) memory, fail loudly
+    * (instead of OOMing an executor) if one partition sees more groups.
+    */
+  private val maxGroupsPerPartition: Long =
+    conf.getConfString("spark.graft.topk.maxGroupsPerPartition", "50000000").toLong
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOut = child.output
     val gExprs = groupExprs
     val so = sortOrder
     val kk = k
-    child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(gExprs, childOut)
-      val baseOrd = RowOrdering.create(so, childOut)
-      implicit val ord: Ordering[InternalRow] =
-        (a: InternalRow, b: InternalRow) => baseOrd.compare(a, b)
-      // max-heap per key: head is the current worst of the best-k
-      val heaps = scala.collection.mutable.HashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+    val outTypes = output.map(_.dataType).toArray
+    val numOutputRows = longMetric("numOutputRows")
+    val numGroups = longMetric("numGroups")
+    val maxGroups = maxGroupsPerPartition
+
+    // Bounded local top-k of one iterator: max-heap whose head is the current
+    // worst of the best-k. O(n log k) time, O(k) state.
+    def localTopK(iter: Iterator[InternalRow], baseOrd: Ordering[InternalRow])
+        : scala.collection.mutable.PriorityQueue[InternalRow] = {
+      implicit val ord: Ordering[InternalRow] = baseOrd
+      val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow]
       iter.foreach { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kk) heap.enqueue(row.copy())
-            else if (baseOrd.compare(row, heap.head) < 0) {
-              heap.dequeue(); heap.enqueue(row.copy())
-            }
-          case None =>
-            val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow]
-            heap.enqueue(row.copy())
-            heaps.put(key.copy(), heap)
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (baseOrd.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
         }
       }
-      val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(output.map(_.dataType).toArray)
-      heaps.iterator.flatMap { case (_, heap) =>
-        // dequeueAll yields worst-first for a max-heap; reverse → rank order
-        val ranked: Seq[InternalRow] = heap.dequeueAll.reverse.toSeq
-        ranked.iterator.zipWithIndex.map { pair =>
-          outProj(joined(pair._1, InternalRow((pair._2 + 1).toLong))): InternalRow
+      heap
+    }
+
+    def emit(heap: scala.collection.mutable.PriorityQueue[InternalRow],
+             joined: JoinedRow, outProj: UnsafeProjection): Iterator[InternalRow] = {
+      // dequeueAll yields worst-first for a max-heap; reverse → rank order
+      val ranked: Seq[InternalRow] = heap.dequeueAll.reverse.toSeq
+      ranked.iterator.zipWithIndex.map { pair =>
+        numOutputRows += 1
+        outProj(joined(pair._1, InternalRow((pair._2 + 1).toLong))): InternalRow
+      }
+    }
+
+    if (gExprs.isEmpty) {
+      // Global top-k, two-phase: per-partition bounded heaps, then ONE merge
+      // task over ≤ k·numPartitions pre-filtered rows (rank assigned there).
+      val partial = child.execute().mapPartitions { iter =>
+        val o = RowOrdering.create(so, childOut)
+        val ord: Ordering[InternalRow] = (a: InternalRow, b: InternalRow) => o.compare(a, b)
+        localTopK(iter, ord).iterator
+      }
+      partial.repartition(1).mapPartitions { iter =>
+        val o = RowOrdering.create(so, childOut)
+        val ord: Ordering[InternalRow] = (a: InternalRow, b: InternalRow) => o.compare(a, b)
+        val joined = new JoinedRow
+        val outProj = UnsafeProjection.create(outTypes)
+        numGroups += 1
+        emit(localTopK(iter, ord), joined, outProj)
+      }
+    } else {
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(gExprs, childOut)
+        val o = RowOrdering.create(so, childOut)
+        val baseOrd: Ordering[InternalRow] = (a: InternalRow, b: InternalRow) => o.compare(a, b)
+        implicit val ord: Ordering[InternalRow] = baseOrd
+        // max-heap per key: head is the current worst of the best-k
+        val heaps = scala.collection.mutable.HashMap
+          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        iter.foreach { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(heap) =>
+              if (heap.size < kk) heap.enqueue(row.copy())
+              else if (o.compare(row, heap.head) < 0) {
+                heap.dequeue(); heap.enqueue(row.copy())
+              }
+            case None =>
+              if (heaps.size >= maxGroups) {
+                throw new IllegalStateException(
+                  s"TopKPerGroupExec: more than $maxGroups groups in one partition " +
+                    s"(O(groups*k) state would exceed memory); raise " +
+                    s"spark.graft.topk.maxGroupsPerPartition or repartition finer")
+              }
+              val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow]
+              heap.enqueue(row.copy())
+              heaps.put(key.copy(), heap)
+          }
         }
+        numGroups += heaps.size
+        val joined = new JoinedRow
+        val outProj = UnsafeProjection.create(outTypes)
+        heaps.iterator.flatMap { case (_, heap) => emit(heap, joined, outProj) }
       }
     }
   }

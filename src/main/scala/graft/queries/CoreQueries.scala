@@ -226,6 +226,52 @@ object CoreQueries {
                COUNT(*) - COUNT(c_acctbal) AS nulls_acctbal
         FROM customer""")),
 
+    // ----- A8 (complete): pandas describe() mean/std, decimal-exact sums with
+    // only the final divide/sqrt in double (reference utils/utility.py:179-194;
+    // quartiles are approx-sketch-only → spec'd in OperatorsSpec, not oracled)
+    Q("q_a8_profile_stats",
+      (s, dir) => {
+        val acct = col("c_acctbal")
+        val n = count(acct)
+        val sm = sum(acct.cast(DecimalType(25, 4))).cast(DoubleType)
+        val sq = sum(acct.cast(DecimalType(18, 4)) * acct.cast(DecimalType(18, 4)))
+          .cast(DoubleType)
+        t(s, dir, "customer").agg(
+          n.as("n_acctbal"),
+          (sm / n).as("mean_acctbal"),
+          sqrt((sq - sm * sm / n) / (n - lit(1))).as("std_acctbal"))
+      },
+      Some("""
+        SELECT COUNT(c_acctbal) AS n_acctbal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(c_acctbal) AS mean_acctbal,
+               sqrt((CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     - CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE)
+                       * CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(c_acctbal))
+                    / (COUNT(c_acctbal) - 1)) AS std_acctbal
+        FROM customer""")),
+
+    // ----- S4+S7 roundtrip: pipe-delimited csv.gz sink + all-string scan
+    // (reference modules/data_cleaner.py:146 + modules/data_loader.py:133).
+    // The query WRITES the fixture from the nation parquet, re-reads it with
+    // the S4 scan, and the oracle re-reads the same files with DuckDB's
+    // read_csv — the S-family's only DuckDB-visible hard gate.
+    Q("q_s4_pipe_roundtrip",
+      (s, dir) => {
+        val fixture = "/tmp/graft_fixtures/pipe_nation"
+        graft.airbnb.Sources.writePipeCsv(t(s, dir, "nation"), fixture)
+        graft.airbnb.Sources.readPipeCsv(s, fixture)
+          .select(col("n_nationkey").cast(LongType).as("n_nationkey"),
+                  col("n_name"),
+                  col("n_regionkey").cast(LongType).as("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM read_csv('/tmp/graft_fixtures/pipe_nation/*.csv.gz',
+                      delim='|', header=true, all_varchar=true)
+        ORDER BY n_nationkey""")),
+
     // ----- A9: value-counts top-k (reference modules/data_cleaner.py:131-135)
     Q("q_a9_value_counts",
       (s, dir) =>
@@ -605,13 +651,14 @@ object CoreQueries {
       UNION ALL
       SELECT c_custkey, c_name, c_acctbal, 1 AS pri FROM customer
     ), r AS (
-      SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY pri) AS rn,
-             count(*) OVER (PARTITION BY c_custkey) AS nk
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY pri, c_name, c_acctbal) AS rn,
+             max(pri) OVER (PARTITION BY c_custkey) AS hascur
       FROM u
     ), merged AS (
       SELECT c_custkey, c_name, c_acctbal,
              CASE WHEN pri = 1 THEN 'keep'
-                  WHEN nk > 1 THEN 'update'
+                  WHEN hascur = 1 THEN 'update'
                   ELSE 'insert' END AS action
       FROM r WHERE rn = 1
     )"""

@@ -138,6 +138,36 @@ class AirbnbEtlSpec extends AnyFunSuite {
     assert(audits.values.forall(_ == 0L), audits.toString)
   }
 
+  test("fact_reviews is written partitioned by review_year and prunes on it") {
+    result // ensure the warehouse exists
+    assert(new File(whRoot, "fact_reviews/review_year=2025").exists,
+      new File(whRoot, "fact_reviews").list().mkString(", "))
+    val scan = result.wh.read("fact_reviews").filter(col("review_year") === 2025)
+    val files = scan.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(files.nonEmpty)
+    assert(files.head.partitionFilters.exists(_.references.map(_.name).toSeq.contains("review_year")),
+      files.head.toString)
+    // pruning a year that doesn't exist selects zero partitions
+    assert(result.wh.read("fact_reviews").filter(col("review_year") === 1999).count() == 0)
+  }
+
+  test("validate() runs all invariants in one collect and tracks lang progress") {
+    result
+    val audits = AirbnbEtl.validate(result.wh)
+    assert(audits.keySet == Set("dup_listing_pk", "dup_review_pk",
+      "orphan_calendar_rows", "orphan_review_rows", "reviews_lang_untagged"))
+    assert(audits.values.forall(_ == 0L), audits.toString)
+  }
+
+  test("warehouse size stats report bytes on disk per table") {
+    result
+    val sizes = result.wh.sizeStats()
+    assert(sizes.keySet.contains("dim_listings"))
+    assert(sizes.values.forall(_ > 0L), sizes.toString)
+  }
+
   test("O4 sample cap activates only above the row threshold") {
     val df = spark.range(1000).toDF("id")
     assert(Loaders.sampleCap(df, 2000).count() == 1000)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Profile, Similarity, Upsert}
+import graft.operators.{AsOfJoin, Dedup, Profile, Similarity, Tuning, Upsert}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -20,6 +20,94 @@ class OperatorsSpec extends AnyFunSuite {
     val counts = Upsert.actionCounts(Upsert.merge(staging, current, Seq("id")))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(counts == Map("keep" -> 2L, "update" -> 1L, "insert" -> 1L))
+  }
+
+  test("J7 upsert: duplicate staging key absent from current is an insert, once") {
+    val current = Seq((1L, "a", 10.0)).toDF("id", "name", "bal")
+    val staging = Seq((4L, "d", 40.0), (4L, "d", 41.0), (1L, "a", 11.0))
+      .toDF("id", "name", "bal")
+    val m = Upsert.merge(staging, current, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    // key 4 staged twice, not in current → ONE row, action insert, and the
+    // survivor is the deterministic tie-break winner (smallest bal)
+    assert(m.toSeq == Seq((1L, 11.0, "update"), (4L, 40.0, "insert")))
+  }
+
+  test("dedup exact: NULL vs empty and column boundaries never collide") {
+    val df = Seq((1L, Option.empty[String], Option("c")),
+                 (2L, Option(""), Option("c")),
+                 (3L, Option("ab"), Option("c")),
+                 (4L, Option("a"), Option("bc")),
+                 (5L, Option.empty[String], Option("c")))
+      .toDF("id", "x", "y")
+    val got = Dedup.exact(df, "id", Seq("x", "y")).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // NULLs group together (ids 1,5); '' is its own group; ab|c ≠ a|bc
+    assert(got.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("as-of join carries the matched right row atomically (NULL value cols)") {
+    val left = Seq((1L, 10L), (2L, 10L)).toDF("k", "lt")
+    val right = Seq((1L, 5L, Option("a"), "x"), (1L, 8L, Option.empty[String], "y"))
+      .toDF("k", "rt", "v1", "v2")
+    val out = AsOfJoin.asof(left, right, "k", "lt", "rt", Seq("v1", "v2"))
+    val rows = out.collect()
+    // k=2 has no match → dropped by inner; k=1 matches the rt=8 row WHOLE:
+    // v1 must be NULL (not backfilled from the older rt=5 row), v2 = "y",
+    // and the row survives inner-ness despite the NULL value column
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("k") == 1L)
+    assert(r.getAs[String]("asof_v1") == null)
+    assert(r.getAs[String]("asof_v2") == "y")
+    val outer = AsOfJoin.asof(left, right, "k", "lt", "rt", Seq("v1", "v2"), inner = false)
+    assert(outer.count() == 2)
+    val unmatched = outer.filter($"k" === 2).collect().head
+    assert(unmatched.getAs[String]("asof_v2") == null)
+  }
+
+  test("numericProfile matches pandas describe() semantics in one pass") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val p = Profile.numericProfile(df, Seq("v")).collect().head
+    assert(p.getAs[String]("column") == "v")
+    assert(p.getAs[Double]("n_nonnull") == 4.0)
+    assert(math.abs(p.getAs[Double]("mean") - 2.5) < 1e-12)
+    // sample std (ddof=1) of 1..4 = sqrt(5/3)
+    assert(math.abs(p.getAs[Double]("std") - math.sqrt(5.0 / 3.0)) < 1e-12)
+    assert(p.getAs[Double]("min_value") == 1.0)
+    assert(p.getAs[Double]("median") >= 2.0 && p.getAs[Double]("median") <= 3.0)
+    assert(p.getAs[Double]("max_value") == 4.0)
+  }
+
+  test("tuning knobs: session-config override and corpus-scaled defaults") {
+    assert(Tuning.lshNBits(spark, 64L * 1024) == 10)   // 1024 buckets of 64
+    assert(Tuning.lshNBits(spark, 100) == 4)           // clamped low
+    assert(Tuning.minhashBands(spark) == 2)
+    assert(Tuning.maxShingleDocFreq(spark, 50_000_000L) == math.sqrt(1e8).toLong)
+    spark.conf.set("spark.graft.lsh.nbits", "7")
+    spark.conf.set("spark.graft.minhash.bands", "4")
+    spark.conf.set("spark.graft.dedup.maxDocFreq", "123")
+    try {
+      assert(Tuning.lshNBits(spark, 1L << 40) == 7)
+      assert(Tuning.minhashBands(spark) == 4)
+      assert(Tuning.maxShingleDocFreq(spark, 1L << 40) == 123L)
+    } finally {
+      spark.conf.unset("spark.graft.lsh.nbits")
+      spark.conf.unset("spark.graft.minhash.bands")
+      spark.conf.unset("spark.graft.dedup.maxDocFreq")
+    }
+  }
+
+  test("minhash LSH with 4 bands still finds the planted pair (param band count)") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = base.replace("mu", "nu")
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", 4, 0.3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("dedup exact keeps min-id survivor per identical content") {

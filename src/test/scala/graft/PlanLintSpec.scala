@@ -37,4 +37,24 @@ class PlanLintSpec extends AnyFunSuite {
   test("top-k is TakeOrderedAndProject, not a global sort") {
     assert(plan("q_o2_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("no ETL loader plans a single-partition global window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def emptyPartWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    val staging = Seq(("101", "x"), ("abc-7", "y")).toDF("id", "junk")
+    val existing = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.airbnb.Schemas.dimListingIdMap)
+    // the id-map loader was THE scale-killer (VERDICT r1 #2): its id
+    // assignment must not be a Window with no partitioning
+    assert(emptyPartWindows(graft.airbnb.Loaders.appendIdMap(staging, existing)).isEmpty)
+    val listings = Seq((1L, "h", "c", "co", java.sql.Timestamp.valueOf("2025-01-01 00:00:00")))
+      .toDF("host_id", "host_name", "host_city", "host_country", "updated_date")
+    assert(emptyPartWindows(graft.airbnb.Loaders.loadHosts(listings)).isEmpty)
+  }
 }

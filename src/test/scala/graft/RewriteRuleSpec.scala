@@ -48,6 +48,43 @@ class RewriteRuleSpec extends AnyFunSuite {
     assert(rewritten == baseline)
   }
 
+  test("reversed and long-literal spellings of the filter are recognized") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select($"user_id", $"event_id", $"value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    // rn <= 2L inserts a cast on rn; 2 >= rn reverses the comparison
+    def qLong = ev.withColumn("rn", row_number().over(w)).filter($"rn" <= 2L)
+    def qRev = ev.withColumn("rn", row_number().over(w)).filter(lit(2) >= $"rn")
+    def qEqRev = ev.withColumn("rn", row_number().over(w)).filter(lit(1) === $"rn")
+    withRule {
+      for (q <- Seq(qLong, qRev, qEqRev)) {
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("TopKPerGroup ["), plan)
+      }
+      assert(qLong.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        qRev.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    }
+  }
+
+  test("GLOBAL row_number (empty partition by) rewrites to two-phase top-k") {
+    val ev = Tables.events(spark, TestSpark.sfDir)
+      .select($"user_id", $"event_id", $"value")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"value".desc, $"event_id")
+    def q = ev.withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+    val baseline = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val (plan, rewritten) = withRule {
+      (q.queryExecution.executedPlan.toString,
+       q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+    }
+    assert(plan.contains("TopKPerGroup ["), plan)
+    // exactly k rows with unique ranks 1..k — NOT k·numPartitions rows
+    assert(rewritten.size == 4, rewritten.toString)
+    assert(rewritten.map(_._3) == baseline.map(_._3))
+    assert(rewritten == baseline)
+  }
+
   test("windows other than row_number are left alone") {
     val ev = Tables.events(spark, TestSpark.sfDir).select($"user_id", $"value")
     val w = org.apache.spark.sql.expressions.Window

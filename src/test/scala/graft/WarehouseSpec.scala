@@ -18,6 +18,37 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[Exception] { wh.runScript("SELECT * FROM definitely_missing_table") }
   }
 
+  test("write swap recovers from every crash window (roll forward / roll back)") {
+    import java.io.File
+    val root = java.nio.file.Files.createTempDirectory("wh-crash").toString
+    val wh = Warehouse(spark, root)
+    wh.write("t", spark.range(5).toDF("id"))
+    assert(wh.read("t").count() == 5)
+
+    // crash AFTER parking current and BEFORE promoting a complete __tmp:
+    // next access must roll FORWARD to the new version
+    spark.range(9).toDF("id").write.parquet(s"$root/t__tmp")
+    assert(new File(s"$root/t__tmp/_SUCCESS").exists)
+    assert(new File(s"$root/t").renameTo(new File(s"$root/t__old")))
+    assert(wh.read("t").count() == 9)
+    assert(!new File(s"$root/t__tmp").exists && !new File(s"$root/t__old").exists)
+
+    // crash MID-WRITE (no _SUCCESS) with current parked: roll BACK
+    spark.range(3).toDF("id").write.parquet(s"$root/t__tmp")
+    assert(new File(s"$root/t__tmp/_SUCCESS").delete())
+    assert(new File(s"$root/t").renameTo(new File(s"$root/t__old")))
+    assert(wh.read("t").count() == 9)
+
+    // stray dirs next to a healthy table are garbage-collected
+    spark.range(2).toDF("id").write.parquet(s"$root/t__tmp")
+    assert(wh.read("t").count() == 9)
+    assert(!new File(s"$root/t__tmp").exists)
+
+    // a normal overwrite still works after all that
+    wh.write("t", spark.range(7).toDF("id"))
+    assert(wh.read("t").count() == 7)
+  }
+
   test("J9 catalog introspection replaces sys.tables/sys.columns queries") {
     Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("t_cat_probe")
     val tables = spark.catalog.listTables().collect().map(_.name)
