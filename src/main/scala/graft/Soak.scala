@@ -56,6 +56,51 @@ object Soak {
       val tBig = time(q.run(spark, big).count())
       println(f"$name%-24s $tSmall%10.2f $tBig%10.2f ${tBig / tSmall}%7.1f")
     }
+
+    // Dedup-family soak at an independently larger factor, with the
+    // document-frequency shingle cutoff engaged (the 100 TB lever): a
+    // replicated corpus multiplies every shingle's doc frequency, so WITHOUT
+    // the cutoff the pair join fans out quadratically by construction — the
+    // point of this section is showing the cutoff keeps it ~linear.
+    val dedupFactor = sys.env.getOrElse("SPARK_GRAFT_SOAK_DEDUP", "0").toInt
+    if (dedupFactor > 0) {
+      import graft.operators.{Dedup, Tuning}
+      val dbig = s"/tmp/graft-soak-docs-x$dedupFactor"
+      if (!new java.io.File(s"$dbig/documents.parquet").exists()) {
+        val base = Tables.load(spark, small, "documents")
+        val M = 100000000L
+        // Suffix every WORD with a per-copy token: every shingle then contains
+        // copy-tagged words only, so no shingle is shared across copies, while
+        // within a copy the shingle-sharing structure is exactly the base
+        // corpus's. Each copy mirrors the base near-dup answer → true answer
+        // and candidate pairs grow linearly with factor. (A tail-suffix
+        // perturbation instead makes all copies mutual near-dups — answer
+        // quadratic in factor by construction, measuring the data, not the
+        // plan.)
+        (0 until dedupFactor).map(i =>
+            base.withColumn("doc_id", col("doc_id") + i * M)
+              .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1w$i")))
+          .reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite").parquet(s"$dbig/documents.parquet")
+        println(s"generated documents x$dedupFactor")
+      }
+      def docs(dir: String) = Tables.load(spark, dir, "documents")
+      def nRows(dir: String) = docs(dir).count()
+      val runs: Seq[(String, String => Long)] = Seq(
+        "dedup_ngram_dfcut" -> { dir =>
+          Dedup.ngramJaccardPairs(docs(dir), "doc_id", "text", 4, 0.4,
+            maxDocFreq = Tuning.maxShingleDocFreq(spark, nRows(dir))).count()
+        },
+        "dedup_simhash" -> { dir =>
+          Dedup.simhash(docs(dir), "doc_id", "text", 16).count()
+        })
+      println(f"${"dedup op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (docs x$dedupFactor, dfcut)")
+      runs.foreach { case (name, f) =>
+        f(small); val tSmall = time(f(small))
+        val tBig = time(f(dbig))
+        println(f"$name%-24s $tSmall%10.2f $tBig%10.2f ${tBig / tSmall}%7.1f")
+      }
+    }
     spark.stop()
   }
 

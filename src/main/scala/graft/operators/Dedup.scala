@@ -99,8 +99,12 @@ object Dedup {
     * composite band key finds candidates across all bands. The naive
     * per-band self-join + union re-evaluates the whole shingle→hash→groupBy
     * signature pipeline once per join input (4× for 2 bands); the exploded
-    * form has identical-modulo-alias join inputs, so exchange reuse applies,
-    * and band count is a parameter instead of hard-coded column names.
+    * form has identical-modulo-alias join inputs, so at fact scale (both
+    * sides shuffle on the band key) the canonicalized exchanges are equal and
+    * ReusedExchange computes signatures ONCE. When one side is
+    * broadcast-small the pipeline runs twice (bounded, and cheaper than the
+    * broadcast is worth), and band count is a parameter instead of
+    * hard-coded column names.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int, threshold: Double, bands: Int = 2): DataFrame = {

@@ -522,6 +522,43 @@ object CoreQueries {
           FROM events) t
         WHERE rn = 1 ORDER BY user_id, event_type""")),
 
+    // ----- W3: the custom bounded-heap TopKPerGroup PHYSICAL operator under
+    // the hard oracle gate (was spec-only): top-3 events per user by value,
+    // total order via the event_id tie-break — result must equal the
+    // row_number window formulation DuckDB runs.
+    Q("q_w3_topk_per_group",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_id"), col("value"))
+        graft.plans.TopKPerGroup.topK(ev, Seq("user_id"),
+            Seq(("value", true), ("event_id", false)), 3)
+          .select(col("user_id"), col("event_id"), col("rank").as("rnk"))
+          .orderBy(col("user_id"), col("rnk"))
+      },
+      Some("""
+        SELECT user_id, event_id, CAST(rn AS BIGINT) AS rnk FROM (
+          SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+                   ORDER BY value DESC, event_id) AS rn
+          FROM events) t
+        WHERE rn <= 3 ORDER BY user_id, rnk""")),
+
+    // ----- O6: GLOBAL top-k through the same operator's two-phase path
+    // (per-partition bounded heaps + one merge task — never a
+    // single-partition global sort).
+    Q("q_o6_global_topk",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("event_id"), col("value"))
+        graft.plans.TopKPerGroup.topK(ev, Nil,
+            Seq(("value", true), ("event_id", false)), 10)
+          .select(col("user_id"), col("event_id"), col("rank").as("rnk"))
+          .orderBy(col("rnk"))
+      },
+      Some("""
+        SELECT user_id, event_id, CAST(rn AS BIGINT) AS rnk FROM (
+          SELECT user_id, event_id, row_number() OVER (
+                   ORDER BY value DESC, event_id) AS rn
+          FROM events) t
+        WHERE rn <= 10 ORDER BY rnk""")),
+
     // ----- as-of join (beyond the reference; the canonical "operator Spark
     // lacks"): for each click, the user's most recent prior-or-simultaneous
     // purchase. Composed as union + running window (operators.AsOfJoin, one

@@ -309,6 +309,36 @@ object TextQueries {
       Some(s"""
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n, ${dsumSql("value")} AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // ----- streaming batch-equivalent: SESSION windows (30-min inactivity
+    // gap). Spark's session_window merges an event into the open session iff
+    // it lands strictly before last_ts + gap; DuckDB reproduces that with a
+    // lag-diff flag + running sum (the standard sessionization idiom).
+    Q("q_stream_session_batch",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+                  col("session_window.start").as("session_start"),
+                  col("n_events"))
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        ), grouped AS (
+          SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+          FROM flagged
+        )
+        SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events
+        FROM grouped GROUP BY user_id, sess
+        ORDER BY user_id, session_start"""))
   )
 }
