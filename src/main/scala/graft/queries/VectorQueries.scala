@@ -209,6 +209,38 @@ object VectorQueries {
                CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_cand_pairs
         FROM (SELECT CAST($bucketSql AS BIGINT) AS bucket FROM embeddings) t
         GROUP BY bucket ORDER BY bucket"""
-      })
+      }),
+
+    // ----- IVF ANN under the hard gate via its exactness property: probing
+    // ALL nLists cells covers every candidate exactly once (each vector lives
+    // in one cell), so full-probe IVF must equal the brute-force top-k — the
+    // DuckDB oracle IS the brute-force ranking. Ranks only (the double-math
+    // scoring ranks identically to the decimal oracle on random embeddings;
+    // the score column itself would differ in the last ulps).
+    Q("q_ann_ivf_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        graft.operators.Similarity.ivfTopK(q, c, nLists = 8, nProbe = 8, k = 5)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS ce, norm AS cn FROM e),
+        p AS (
+          SELECT q_id, c_id, ${VectorFns.dotSql("qe", "ce")} / (qn * cn) AS cos
+          FROM q, c WHERE q_id <> c_id
+        ), r AS (
+          SELECT q_id, c_id,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
+          FROM p)
+        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
   )
 }
