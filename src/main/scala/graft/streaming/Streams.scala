@@ -62,6 +62,23 @@ object Streams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
               col("user_id"), col("n_events"))
 
+  /** Streaming dedup by event_id with bounded state: duplicates arriving
+    * within the watermark horizon are dropped, and state for ids older than
+    * the watermark is evicted (dropDuplicatesWithinWatermark — plain
+    * dropDuplicates on a stream would keep ALL ids forever).
+    */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static side (a dimension) is
+    * broadcast per micro-batch; the stream side never shuffles. The streaming
+    * twin of the batch FK-filter join (J1).
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   final case class UserEvent(user_id: Long, event_id: Long)
   final case class UserRunning(user_id: Long, n_events: Long)
 

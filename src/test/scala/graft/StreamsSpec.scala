@@ -59,6 +59,31 @@ class StreamsSpec extends AnyFunSuite {
     assert(total == nEvents * 2, s"each event must land in exactly 2 windows")
   }
 
+  test("streaming dedup within watermark drops replayed events, bounded state") {
+    val d = java.nio.file.Files.createTempDirectory("graft-events-dup")
+    val src = java.nio.file.Paths.get(s"${TestSpark.sfDir}/events.parquet")
+    java.nio.file.Files.copy(src, d.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(src, d.resolve("events_b.parquet")) // full replay
+    d.toFile.deleteOnExit()
+    val stream = Streams.readEvents(spark, d.toString)
+    val out = Streams.runToMemory(
+      Streams.dedupStream(stream, "10 minutes"), "t_dedup", OutputMode.Append())
+    val nDistinct = Tables.events(spark, TestSpark.sfDir)
+      .select("event_id").distinct().count()
+    assert(out.count() == nDistinct,
+      s"replayed file must be fully deduplicated (got ${out.count()}, want $nDistinct)")
+  }
+
+  test("stream-static broadcast join enriches every event without losses") {
+    val dim = Tables.events(spark, TestSpark.sfDir)
+      .select($"user_id").distinct().withColumn("segment", $"user_id" % 3)
+    val stream = Streams.readEvents(spark, eventsDir)
+    val out = Streams.runToMemory(
+      Streams.enrichStream(stream, dim, "user_id"), "t_enrich", OutputMode.Append())
+    assert(out.count() == Tables.events(spark, TestSpark.sfDir).count())
+    assert(out.filter($"segment".isNull).count() == 0)
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val ev = Tables.events(spark, TestSpark.sfDir)
       .select($"user_id", $"event_id").as[Streams.UserEvent]
