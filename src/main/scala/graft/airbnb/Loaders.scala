@@ -128,7 +128,7 @@ object Loaders {
   def loadCalendar(cleanCalendar: DataFrame, dimListings: DataFrame): DataFrame = {
     val d = col("date").try_cast(DateType)
     val priceClean = CleanFns.priceClean(col("price"))
-    val avail = lower(trim(col("available"))).isin("t", "true", "1")
+    val avail = lower(CleanFns.wsTrim(col("available"))).isin("t", "true", "1")
     cleanCalendar
       .withColumn("listing_id", col("listing_id").try_cast(LongType))
       .join(broadcast(dimListings.select("listing_id")), Seq("listing_id"))

@@ -10,12 +10,18 @@ import org.apache.spark.sql.types._
   */
 object CleanFns {
 
+  /** Python str.strip() equivalent: ALL leading/trailing whitespace, not just
+    * spaces (Spark's trim() strips ' ' only — tab-padded feed values slipped
+    * through it; caught by FuzzSpec).
+    */
+  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** F1 — price clean: strip '$', ',' and CR then cast DECIMAL(10,2).
     * Reference: /root/reference/sql/data/04_load_calendar.sql:30-36 and
     * modules/data_loader.py:163-166 (nested REPLACE chain).
     */
   def priceClean(c: Column): Column =
-    regexp_replace(trim(c), "[$,\r]", "").try_cast(DecimalType(10, 2))
+    regexp_replace(wsTrim(c), "[$,\r]", "").try_cast(DecimalType(10, 2))
 
   /** F2 — NULL-on-failure cast (reference TRY_CAST, modules/data_loader.py:253-267). */
   def tryCastLong(c: Column): Column = c.try_cast(LongType)
@@ -45,7 +51,7 @@ object CleanFns {
     * false; else null). Reference: modules/data_loader.py:168-174.
     */
   def normBool(c: Column): Column = {
-    val v = lower(trim(c))
+    val v = lower(wsTrim(c))
     when(v.isin("t", "true", "1", "y", "yes"), lit(true))
       .when(v.isin("f", "false", "0", "n", "no"), lit(false))
       .otherwise(lit(null).cast(BooleanType))
@@ -57,8 +63,8 @@ object CleanFns {
     "part2" -> substring(c, 7, 6),
     "part3" -> substring(c, 13, 6))
 
-  /** F7 — sanitize_str: trim + max length (modules/data_loader.py:147-151). */
-  def sanitizeStr(c: Column, maxLen: Int): Column = substring(trim(c), 1, maxLen)
+  /** F7 — sanitize_str: strip + max length (modules/data_loader.py:147-151). */
+  def sanitizeStr(c: Column, maxLen: Int): Column = substring(wsTrim(c), 1, maxLen)
 
   /** F8 — numeric-string normalize: drop commas and trailing ".0"
     * (modules/data_loader.py:153-160).

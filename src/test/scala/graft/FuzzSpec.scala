@@ -1,0 +1,182 @@
+package graft
+
+import graft.functions.CleanFns
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, Upsert}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based fuzzing: scalacheck generators produce randomized inputs
+  * (fixed seeds — reproducible), each operator runs ONCE over the whole
+  * sample as a DataFrame, and the result is compared against a naive
+  * in-memory Scala model. This catches semantic edge cases (ties, NULLs,
+  * empty strings, boundary lengths) that a handful of hand-picked rows
+  * misses, without paying a Spark job per sample.
+  */
+class FuzzSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic sample of `n` values from a generator. */
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("F1 priceClean recovers every rendered decimal (fuzz)") {
+    val price = for {
+      cents <- Gen.chooseNum(0L, 99999999L) // < 1e6 dollars, DECIMAL(10,2)-safe
+      dollar <- Gen.oneOf("", "$")
+      pad <- Gen.oneOf("", " ", "  ")
+    } yield {
+      val d = BigDecimal(cents, 2)
+      // US-style rendering with thousands separators, like the raw feeds
+      val s = f"$d%,.2f"
+      (s"$pad$dollar$s$pad", d)
+    }
+    val cases = sample(price, 300, 1L)
+    val got = cases.map(_._1).toDF("raw")
+      .select(CleanFns.priceClean($"raw").as("p")).collect().map(_.getDecimal(0))
+    cases.zip(got).foreach { case ((raw, want), gotD) =>
+      assert(gotD != null && BigDecimal(gotD) == want, s"raw=<$raw>")
+    }
+  }
+
+  test("F5 normBool matches the truth table under random case/whitespace (fuzz)") {
+    val trues = Seq("t", "true", "1", "y", "yes")
+    val falses = Seq("f", "false", "0", "n", "no")
+    val wordExpect: Gen[(String, Option[Boolean])] = Gen.oneOf(
+      Gen.oneOf(trues).map(w => (w, Option(true))),
+      Gen.oneOf(falses).map(w => (w, Option(false))),
+      Gen.oneOf(Seq("si", "oui", "2", "truthy", "nope", ""))
+        .map(w => (w, Option.empty[Boolean])))
+    val word = for {
+      we <- wordExpect
+      (w, expect) = we
+      cased <- Gen.oneOf(Seq(w, w.toUpperCase, w.capitalize))
+      pad <- Gen.oneOf("", " ", "\t")
+    } yield (s"$pad$cased$pad", expect)
+    val cases = sample(word, 300, 2L)
+    val got = cases.map(_._1).toDF("raw")
+      .select(CleanFns.normBool($"raw").as("b")).collect()
+      .map(r => if (r.isNullAt(0)) Option.empty[Boolean] else Option(r.getBoolean(0)))
+    cases.zip(got).foreach { case ((raw, want), g) =>
+      assert(g == want, s"raw=<$raw>")
+    }
+  }
+
+  test("F6 idParts recomposes the original id for any length (fuzz)") {
+    val id = Gen.chooseNum(0, 20).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    val cases = sample(id, 200, 3L)
+    val parts = CleanFns.idParts($"raw").toMap
+    val got = cases.toDF("raw")
+      .select(parts("part1"), parts("part2"), parts("part3")).collect()
+      .map(r => Seq(0, 1, 2).map(i => Option(r.getString(i)).getOrElse("")).mkString)
+    cases.zip(got).foreach { case (raw, g) =>
+      assert(g == raw.take(18), s"raw=<$raw>")
+    }
+  }
+
+  test("as-of join equals the naive per-row model (fuzz)") {
+    // unique (k, rt) pairs on the right so the match is well-defined
+    val leftG = for { k <- Gen.chooseNum(1L, 5L); t <- Gen.chooseNum(0L, 100L) } yield (k, t)
+    val lefts = sample(leftG, 120, 4L)
+    val rights = sample(
+      for { k <- Gen.chooseNum(1L, 5L); t <- Gen.chooseNum(0L, 100L)
+            v <- Gen.option(Gen.alphaStr.map(_.take(4))) } yield (k, t, v),
+      80, 5L).groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val left = lefts.toDF("k", "lt")
+    val right = rights.toDF("k", "rt", "v")
+    val got = AsOfJoin.asof(left, right, "k", "lt", "rt", Seq("v"), inner = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(r.fieldIndex("asof_v"))))).toSeq.sorted
+    val model = lefts.flatMap { case (k, lt) =>
+      val matches = rights.filter(r => r._1 == k && r._2 <= lt)
+      if (matches.isEmpty) None
+      else {
+        val m = matches.maxBy(_._2)
+        Some((k, lt, m._3)) // the WHOLE matched row's value, NULL included
+      }
+    }.sorted
+    assert(got == model)
+  }
+
+  test("upsert merge equals the per-key model (fuzz)") {
+    val currents = sample(
+      for { id <- Gen.chooseNum(1L, 40L); b <- Gen.chooseNum(0, 999) } yield (id, s"n$id", b.toDouble),
+      30, 6L).groupBy(_._1).map(_._2.head).toSeq // unique keys (warehouse invariant)
+    val stagings = sample(
+      for { id <- Gen.chooseNum(1L, 60L); b <- Gen.chooseNum(0, 999) } yield (id, s"n$id", b.toDouble),
+      40, 7L)
+    val got = Upsert.merge(stagings.toDF("id", "name", "bal"),
+        currents.toDF("id", "name", "bal"), Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3))).toSeq.sorted
+    val curByKey = currents.map(c => c._1 -> c).toMap
+    val stgByKey = stagings.groupBy(_._1)
+    val model = (curByKey.keySet ++ stgByKey.keySet).toSeq.map { k =>
+      (stgByKey.get(k), curByKey.get(k)) match {
+        case (Some(st), Some(_)) =>
+          val s = st.minBy(x => (x._2, x._3)); (k, s._3, "update")
+        case (Some(st), None) =>
+          val s = st.minBy(x => (x._2, x._3)); (k, s._3, "insert")
+        case (None, Some(c)) => (k, c._3, "keep")
+        case _ => sys.error("unreachable")
+      }
+    }.sorted
+    assert(got == model)
+  }
+
+  test("banded range join equals the O(n·m) filter model (fuzz)") {
+    def ts(day: Int, hour: Int) =
+      java.sql.Timestamp.valueOf(f"2025-03-${day}%02d $hour%02d:00:00")
+    val pts = sample(
+      for { id <- Gen.chooseNum(1, 500); d <- Gen.chooseNum(1, 28); h <- Gen.chooseNum(0, 23) }
+        yield (id.toLong, ts(d, h)),
+      100, 8L)
+    val ivs = sample(
+      for { id <- Gen.chooseNum(1, 500); d <- Gen.chooseNum(1, 25); h <- Gen.chooseNum(0, 23)
+            len <- Gen.chooseNum(0, 72) } yield {
+        val start = ts(d, h)
+        val end = new java.sql.Timestamp(start.getTime + len * 3600L * 1000L)
+        (id.toLong + 1000L, start, end)
+      },
+      40, 9L)
+    val got = RangeJoin.pointInInterval(
+        pts.toDF("p_id", "pt"), "pt", ivs.toDF("i_id", "start", "end"), "start", "end")
+      .select("p_id", "i_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val model = (for {
+      (pid, pt) <- pts
+      (iid, s, e) <- ivs
+      if !pt.before(s) && !pt.after(e)
+    } yield (pid, iid)).sorted
+    assert(got == model)
+  }
+
+  test("exact dedup equals tuple-equality grouping incl. NULL vs empty (fuzz)") {
+    val cell = Gen.option(Gen.oneOf(Seq("", "a", "b", "ab", "bc", "c")))
+    val rows = sample(
+      for { x <- cell; y <- cell } yield (x, y), 150, 10L)
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val got = Dedup.exact(rows.toDF("id", "x", "y"), "id", Seq("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val model = rows.groupBy(r => (r._2, r._3)).values
+      .map(g => (g.map(_._1).min, g.size.toLong)).toSeq.sorted
+    assert(got == model)
+  }
+
+  test("TopKPerGroup equals the window formulation for random data and k (fuzz)") {
+    val rows = sample(
+      for { g <- Gen.chooseNum(1L, 8L); v <- Gen.chooseNum(0, 1000) } yield (g, v.toDouble),
+      300, 11L).zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+    val df = rows.toDF("g", "id", "v")
+    for (k <- Seq(1, 3, 7)) {
+      val got = graft.plans.TopKPerGroup.topK(df, Seq("g"), Seq(("v", true), ("id", false)), k)
+        .select($"g", $"id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val model = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+          .map { case (r, i) => (g, r._2, (i + 1).toLong) }
+      }.toSet
+      assert(got == model, s"k=$k")
+    }
+  }
+}
