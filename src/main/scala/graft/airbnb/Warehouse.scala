@@ -97,6 +97,15 @@ final case class Warehouse(spark: SparkSession, root: String) {
         if (f.exists(p)) f.delete(p, true)
       }
 
+  /** Z-ordered write: rows are clustered along the Morton curve of `zCols`
+    * so parquet min/max stats data-skip on EVERY z dimension (multi-column
+    * B-tree index intent, sql/schema/04_create_indexes.sql, re-expressed for
+    * columnar storage). See operators.ZOrder.
+    */
+  def writeZOrdered(name: String, df: DataFrame, zCols: Seq[String],
+                    bits: Int = 8, numPartitions: Int = 0): Unit =
+    write(name, graft.operators.ZOrder.cluster(df, zCols, bits, numPartitions))
+
   /** Bucketed catalog table (SURVEY §4: bucketing co-locates repeated joins
     * on the same key — both sides pre-hashed into the same bucket layout join
     * with NO exchange). Requires the session catalog (bucketBy is
