@@ -68,14 +68,17 @@ object Dedup {
         shAll.withColumn("__df", count(lit(1)).over(w))
           .filter(col("__df") <= maxDocFreq).drop("__df")
       }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-    val pairs = sh.select(col(idCol).as("a_id"), col("sh"))
-      .join(sh.select(col(idCol).as("b_id"), col("sh")), "sh")
+    // Per-doc shingle counts ride along as a window column instead of a
+    // separate `sizes` aggregate re-joined on each pair side: that formulation
+    // paid two extra shuffle joins keyed on a_id/b_id after the pair join;
+    // this one pays one window pass on idCol and carries two ints through.
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val shN = sh.withColumn("nsh", count(lit(1)).over(wDoc))
+    shN.select(col(idCol).as("a_id"), col("sh"), col("nsh").as("na"))
+      .join(shN.select(col(idCol).as("b_id"), col("sh"), col("nsh").as("nb")), "sh")
       .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(sizes.select(col(idCol).as("a_id"), col("nsh").as("na")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("nsh").as("nb")), "b_id")
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= threshold)
