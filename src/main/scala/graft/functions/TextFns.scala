@@ -45,6 +45,25 @@ object TextFns {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(trim(c), "\\s+", " ")))
 
+  /** Overlapping token-window chunks (context-window packing for training
+    * corpora): chunk i covers tokens [1 + i·stride, +size), the tail chunk is
+    * shorter. Returns an array of chunk strings over a token-array column.
+    */
+  def chunkExpr(tokensCol: String, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1, "size and stride must be >= 1")
+    expr(s"transform(sequence(1, size($tokensCol), $stride), " +
+         s"st -> array_join(slice($tokensCol, st, $size), ' '))")
+  }
+
+  /** PII scrubbing: emails then phone-like digit groups replaced with typed
+    * placeholder tokens. Patterns are deliberately RE2-compatible so the
+    * DuckDB oracle applies the identical regexes.
+    */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}[- ][0-9]{4}\\b"
+  def piiScrub(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
+
   /** Minhash permutation constants (a, b) for h' = (a*h + b) mod P. */
   val minhashPerms: Seq[(Long, Long)] = Seq(
     (131L, 101L), (523L, 9L), (2029L, 37L), (3571L, 3L),

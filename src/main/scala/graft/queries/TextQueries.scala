@@ -311,6 +311,52 @@ object TextQueries {
                COUNT(*) AS n, ${dsumSql("value")} AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // ----- context-window chunking (training-corpus packing): overlapping
+    // 40-token windows at stride 30; the tail chunk is shorter. DuckDB
+    // reproduces with range-stepped list slicing.
+    Q("q_text_chunking",
+      (s, dir) =>
+        t(s, dir, "documents").filter(col("doc_id") < 20)
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+          .select(col("doc_id"),
+                  posexplode(TextFns.chunkExpr("t", size = 40, stride = 30)))
+          .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("chunk_idx"),
+                  col("col").as("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx, u.chunk AS chunk
+        FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) + 1, 30),
+                   s -> struct_pack(ci := (s - 1) // 30 + 1,
+                                    chunk := array_to_string(t[s:s+39], ' ')))) AS u
+          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                FROM documents WHERE doc_id < 20) toks) x
+        ORDER BY doc_id, chunk_idx""")),
+
+    // ----- PII scrubbing (training-data hygiene): identical RE2-safe regexes
+    // on both engines; the synthetic contact line plants one email and one
+    // phone per document.
+    Q("q_text_pii_scrub",
+      (s, dir) =>
+        t(s, dir, "documents").filter(col("doc_id") < 30)
+          .select(col("doc_id"),
+            TextFns.piiScrub(concat(
+              lit("reach user"), col("doc_id"), lit("@mail.example.com or 555-"),
+              lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+              lit(" re: "), substring(col("text"), 1, 40))).as("scrubbed"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   'reach user' || doc_id || '@mail.example.com or 555-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                     ' re: ' || substring(text, 1, 40),
+                   '${TextFns.emailRe}', '[EMAIL]', 'g'),
+                 '${TextFns.phoneRe}', '[PHONE]', 'g') AS scrubbed
+        FROM documents WHERE doc_id < 30 ORDER BY doc_id""")),
+
     // ----- streaming batch-equivalent: SESSION windows (30-min inactivity
     // gap). Spark's session_window merges an event into the open session iff
     // it lands strictly before last_ts + gap; DuckDB reproduces that with a
