@@ -311,6 +311,57 @@ object TextQueries {
                COUNT(*) AS n, ${dsumSql("value")} AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // ----- deterministic train/test split: portable content-free hash of the
+    // doc id bucketed mod 100 — reproducible on any engine (unlike
+    // sample()), stable under corpus growth, and oracle-checkable because
+    // polyHash is the engines' shared arithmetic.
+    Q("q_split_train_test",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("bucket",
+            pmod(TextFns.polyHash("CAST(doc_id AS STRING)"), lit(100L)))
+          .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("lang"), col("split")),
+      Some(s"""
+        SELECT lang, split, COUNT(*) AS n_docs
+        FROM (SELECT lang,
+                     CASE WHEN ${TextFns.polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                          THEN 'train' ELSE 'test' END AS split
+              FROM documents) t
+        GROUP BY lang, split ORDER BY lang, split""")),
+
+    // ----- repetition ratio (Gopher/C4-style quality signal): fraction of
+    // within-doc 3-gram repeats; high values flag boilerplate/spam.
+    Q("q_text_repetition",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("source"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .withColumn("sh3", TextFns.shingleExpr("tk", 3))
+          .withColumn("rep",
+            lit(1.0) - size(array_distinct(col("sh3"))).cast(DoubleType)
+              / size(col("sh3")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), dravg(col("rep")).as("avg_repetition"),
+               max(col("rep")).as("max_repetition"))
+          .orderBy(col("source")),
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(rep AS DECIMAL(25,12))) AS DOUBLE) / COUNT(rep) AS avg_repetition,
+               max(rep) AS max_repetition
+        FROM (
+          SELECT source,
+                 1.0 - CAST(len(list_distinct(sh3)) AS DOUBLE) / len(sh3) AS rep
+          FROM (SELECT source,
+                       list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh3
+                FROM (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+                      FROM documents) toks
+                WHERE len(t) >= 3) x) y
+        GROUP BY source ORDER BY source""")),
+
     // ----- context-window chunking (training-corpus packing): overlapping
     // 40-token windows at stride 30; the tail chunk is shorter. DuckDB
     // reproduces with range-stepped list slicing.
