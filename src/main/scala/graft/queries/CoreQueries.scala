@@ -272,6 +272,59 @@ object CoreQueries {
                       delim='|', header=true, all_varchar=true)
         ORDER BY n_nationkey""")),
 
+    // ----- A13: per-group quantile binning (feature bucketing) — ntile over a
+    // per-segment window with a TOTAL order, so bucket assignment is
+    // deterministic and identical across engines. Partitioned window: scales
+    // (a global ntile would single-partition; per-key binning never does).
+    Q("q_a13_ntile_binning",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .withColumn("quartile", ntile(4).over(w).cast(LongType))
+          .groupBy(col("c_mktsegment"), col("quartile"))
+          .agg(count(lit(1)).as("n"), davg(col("c_acctbal")).as("avg_bal"))
+          .orderBy(col("c_mktsegment"), col("quartile"))
+      },
+      Some("""
+        SELECT c_mktsegment, quartile, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+        FROM (SELECT c_mktsegment, c_acctbal,
+                     CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+              FROM customer) t
+        GROUP BY c_mktsegment, quartile ORDER BY c_mktsegment, quartile""")),
+
+    // ----- A14: per-group z-score normalization (feature engineering) —
+    // windowed decimal-exact sums, only the final divide/sqrt in double, so
+    // the standardized values are bit-identical across engines without any
+    // rounding crutch.
+    Q("q_a14_group_zscore",
+      (s, dir) => {
+        val acct = col("c_acctbal")
+        val w = Window.partitionBy(col("c_mktsegment"))
+        val n = count(acct).over(w)
+        val sm = sum(acct.cast(DecimalType(25, 4))).over(w).cast(DoubleType)
+        val sq = sum(acct.cast(DecimalType(18, 4)) * acct.cast(DecimalType(18, 4)))
+          .over(w).cast(DoubleType)
+        val mean = sm / n
+        val std = sqrt((sq - sm * sm / n) / (n - lit(1)))
+        t(s, dir, "customer")
+          .withColumn("zscore", (acct.cast(DoubleType) - mean) / std)
+          .select(col("c_custkey"), col("c_mktsegment"), col("zscore"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment,
+               (CAST(c_acctbal AS DOUBLE) - sm / n) / sqrt((sq - sm * sm / n) / (n - 1)) AS zscore
+        FROM (SELECT c_custkey, c_mktsegment, c_acctbal,
+                     COUNT(c_acctbal) OVER w AS n,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) OVER w AS DOUBLE) AS sm,
+                     CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)) * CAST(c_acctbal AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sq
+              FROM customer
+              WINDOW w AS (PARTITION BY c_mktsegment)) t
+        ORDER BY c_custkey""")),
+
     // ----- A9: value-counts top-k (reference modules/data_cleaner.py:131-135)
     Q("q_a9_value_counts",
       (s, dir) =>
