@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end training-corpus preparation: quality gate → PII scrub → exact
+  * dedup → near-dup removal → deterministic split → context-window chunking,
+  * as ONE composable library call. Each stage is the oracle-checked operator
+  * it names; this object only sequences them and keeps the row accounting.
+  *
+  * Scale shape: the quality gate and scrub are narrow (no shuffle); exact
+  * dedup shuffles once on the content fingerprint; near-dup pair generation
+  * is the bounded shared-shingle join (document-frequency cutoff from
+  * [[Tuning]]); the survivor anti-join shuffles on doc id; split is a pure
+  * expression; chunking is a narrow explode. Nothing in the pipeline holds
+  * per-partition state beyond the dedup heaps, and nothing collects to the
+  * driver.
+  */
+object CorpusPipeline {
+
+  /** @param minTokens     drop docs shorter than this (whitespace tokens)
+    * @param maxRepetition drop docs whose 3-gram repeat fraction exceeds this
+    * @param scrubPii      replace emails/phones with typed placeholders
+    * @param nearDupK      shingle width for near-dup removal (0 = skip)
+    * @param nearDupJaccard near-dup threshold; the LOWER doc id survives
+    * @param trainPct      deterministic hash split: bucket < trainPct → train
+    * @param chunkSize     tokens per chunk (0 = no chunking)
+    * @param chunkStride   tokens between chunk starts
+    */
+  final case class Config(
+      minTokens: Int = 20,
+      maxRepetition: Double = 0.5,
+      scrubPii: Boolean = true,
+      nearDupK: Int = 4,
+      nearDupJaccard: Double = 0.85,
+      trainPct: Int = 80,
+      chunkSize: Int = 0,
+      chunkStride: Int = 0)
+
+  final case class Result(corpus: DataFrame, droppedQuality: Long,
+                          droppedExactDup: Long, droppedNearDup: Long)
+
+  /** Prepare `df` (must have `idCol`: long, `textCol`: string). Output keeps
+    * the input columns plus `split`, and — when chunking is on — one row per
+    * chunk with `chunk_idx`/`chunk` replacing `textCol`.
+    */
+  def prepare(df: DataFrame, idCol: String, textCol: String,
+              cfg: Config = Config()): Result = {
+    val spark = df.sparkSession
+    val id = col(idCol)
+
+    // 1. quality gate (narrow): token floor + repetition ceiling
+    val toks = TextFns.tokens(col(textCol))
+    val sh3 = TextFns.shingleExpr("__tk", 3)
+    val gated = df
+      .withColumn("__tk", toks)
+      .filter(size(col("__tk")) >= cfg.minTokens)
+      .withColumn("__rep",
+        lit(1.0) - size(array_distinct(sh3)).cast(DoubleType) / size(sh3))
+      .filter(col("__rep") <= cfg.maxRepetition)
+      .drop("__tk", "__rep")
+    val nIn = df.count(); val nGated = gated.count()
+
+    // 2. PII scrub (narrow)
+    val scrubbed =
+      if (cfg.scrubPii) gated.withColumn(textCol, TextFns.piiScrub(col(textCol)))
+      else gated
+
+    // 3. exact dedup: min-id survivor per identical content (one shuffle)
+    val exactSurvivors = Dedup.exact(scrubbed, idCol, Seq(textCol)).select(id)
+    val exactDeduped = scrubbed.join(exactSurvivors, Seq(idCol), "left_semi")
+    val nExact = exactDeduped.count()
+
+    // 4. near-dup removal: bounded shared-shingle pair join, lower id wins
+    val nearDeduped =
+      if (cfg.nearDupK <= 0) exactDeduped
+      else {
+        val maxDf = Tuning.maxShingleDocFreq(spark, nExact)
+        val losers = Dedup.ngramJaccardPairs(exactDeduped, idCol, textCol,
+            cfg.nearDupK, cfg.nearDupJaccard, maxDocFreq = maxDf)
+          .select(col("b_id").as(idCol)).distinct()
+        exactDeduped.join(losers, Seq(idCol), "left_anti")
+      }
+    val nNear = nearDeduped.count()
+
+    // 5. deterministic split (pure expression — reproducible on any engine)
+    val bucket = pmod(TextFns.polyHash(s"CAST($idCol AS STRING)"), lit(100L))
+    val split = nearDeduped.withColumn("split",
+      when(bucket < cfg.trainPct, "train").otherwise("test"))
+
+    // 6. context-window chunking (narrow explode)
+    val out =
+      if (cfg.chunkSize <= 0) split
+      else split
+        .withColumn("__tk", TextFns.tokens(col(textCol)))
+        .select(col("*"),
+          posexplode(TextFns.chunkExpr("__tk", cfg.chunkSize, cfg.chunkStride)))
+        .withColumn("chunk_idx", (col("pos") + 1).cast(LongType))
+        .withColumnRenamed("col", "chunk")
+        .drop("pos", "__tk", textCol)
+
+    Result(out, nIn - nGated, nGated - nExact, nExact - nNear)
+  }
+}

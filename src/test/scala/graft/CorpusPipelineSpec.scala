@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.CorpusPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val goodText =
+    "the analysis of large corpora requires careful attention to quality " +
+    "signals and duplicate structure across many different documents today"
+
+  test("pipeline gates quality, scrubs, dedups exact+near, splits, accounts") {
+    val docs = Seq(
+      (1L, goodText),                                  // keeps
+      (2L, goodText),                                  // exact dup of 1 → dropped
+      (3L, goodText.replace("today", "tomorrow")),     // near dup of 1 → dropped
+      (4L, "too short"),                               // quality: token floor
+      (5L, ("spam spam spam " * 20).trim),             // quality: repetition
+      (6L, "contact me at someone@example.org or 555-1234 about the corpus " +
+           "quality analysis work we discussed during the previous meeting ok"))
+      .toDF("doc_id", "text")
+    val r = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 15))
+    val kept = r.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 6L), s"kept=$kept")
+    assert(r.droppedQuality == 2)  // 4 and 5
+    assert(r.droppedExactDup == 1) // 2
+    assert(r.droppedNearDup == 1)  // 3
+    val scrubbed = r.corpus.filter($"doc_id" === 6L)
+      .select("text").collect().head.getString(0)
+    assert(scrubbed.contains("[EMAIL]") && scrubbed.contains("[PHONE]"), scrubbed)
+    val splits = r.corpus.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "test")))
+  }
+
+  test("chunking mode emits overlapping windows that reassemble the doc") {
+    val docs = Seq((7L, (1 to 100).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val r = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 10, nearDupK = 0,
+        chunkSize = 40, chunkStride = 30))
+    val chunks = r.corpus.orderBy("chunk_idx")
+      .select("chunk_idx", "chunk").collect()
+      .map(row => row.getLong(0) -> row.getString(1))
+    // starts at 1, 31, 61, 91 → 4 chunks; tail chunk has 10 tokens
+    assert(chunks.length == 4)
+    assert(chunks.head._2.startsWith("w1 w2 ") && chunks.head._2.split(" ").length == 40)
+    assert(chunks.last._2.split(" ").length == 10)
+    // overlap: chunk 2 starts at token 31, inside chunk 1's [1, 40] window
+    assert(chunks(1)._2.startsWith("w31 "))
+  }
+
+  test("pipeline is deterministic end-to-end (same input, same output)") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text").limit(200)
+    def run() = CorpusPipeline.prepare(docs, "doc_id", "text")
+      .corpus.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(run() == run())
+  }
+}
