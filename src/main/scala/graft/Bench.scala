@@ -41,7 +41,7 @@ object Bench {
       }
       val cold = once(); val warm = once()
       (q.name, cold, warm)
-    }.map { case (n, c, w) => (n, c, w) }
+    }
     // Round per-query seconds to 3 decimals: keeps the one-line JSON compact
     // so the driver's output-tail capture never clips it (BENCH_r01 parsed:null).
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

@@ -71,9 +71,13 @@ object AirbnbEtl {
     val existingReviews = wh.readOrEmpty("fact_reviews", Schemas.factReviews)
     val newReviews = Loaders.loadReviews(cleanR, wh.read("dim_dates"),
       dimListings, existingReviews)
+    // range-partition on (year, listing_id): hash-partitioning on year alone
+    // would collapse the write to one task per distinct year — a parallelism
+    // cliff on the biggest fact; range keeps many tasks per year while
+    // partitionBy still splits the directories for pruning
     wh.write("fact_reviews",
       existingReviews.unionByName(newReviews)
-        .repartition(col("review_year"))
+        .repartitionByRange(col("review_year"), col("listing_id"))
         .sortWithinPartitions(col("review_year"), col("listing_id")),
       partitionBy = Seq("review_year"))
 
@@ -103,9 +107,17 @@ object AirbnbEtl {
     val lkeys = listings.select("listing_id")
     def check(name: String, df: DataFrame, agg: org.apache.spark.sql.Column): DataFrame =
       df.agg(agg.cast("long").as("v")).select(lit(name).as("name"), col("v"))
+    // countDistinct ignores NULL keys, so the dup check counts only non-null
+    // rows on both sides (duplicates among real keys); NULL keys are their
+    // own invariant row — together these preserve the original
+    // count - distinct semantics while keeping everything in one job
     val checks = Seq(
-      check("dup_listing_pk", listings, count(lit(1)) - countDistinct(col("listing_id"))),
-      check("dup_review_pk", reviews, count(lit(1)) - countDistinct(col("review_id"))),
+      check("dup_listing_pk", listings,
+        count(col("listing_id")) - countDistinct(col("listing_id"))),
+      check("null_listing_pk", listings, count(when(col("listing_id").isNull, 1))),
+      check("dup_review_pk", reviews,
+        count(col("review_id")) - countDistinct(col("review_id"))),
+      check("null_review_pk", reviews, count(when(col("review_id").isNull, 1))),
       check("orphan_calendar_rows",
         calendar.join(lkeys, Seq("listing_id"), "left_anti"), count(lit(1))),
       check("orphan_review_rows",

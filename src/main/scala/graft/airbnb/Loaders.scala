@@ -147,9 +147,13 @@ object Loaders {
                 seed: Long = 42L): DataFrame = {
     // Bounded probe, not a full count: LocalLimit caps every partition at
     // capRows+1 rows, so deciding "over the cap?" reads O(partitions·cap)
-    // rows instead of scanning the whole feed (SURVEY §7.4).
-    val probe = math.min(capRows + 1L, Int.MaxValue.toLong).toInt
-    if (df.limit(probe).count() > capRows) df.sample(fraction, seed) else df
+    // rows instead of scanning the whole feed (SURVEY §7.4). limit() takes an
+    // Int; for caps beyond Int.MaxValue the probe can't witness an overrun,
+    // so fall back to the exact count rather than silently never capping.
+    val over =
+      if (capRows >= Int.MaxValue.toLong) df.count() > capRows
+      else df.limit(capRows.toInt + 1).count() > capRows
+    if (over) df.sample(fraction, seed) else df
   }
 
   /** fact_reviews (sql/data/05_load_reviews.sql:34-56): typed casts +

@@ -88,13 +88,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val p = new Path(path(name)); fs(p).exists(p)
   }
 
-  /** S10 — clear in FK order (facts → dims), like 00_prepare_tables.sql:5-10. */
+  /** S10 — clear in FK order (facts → dims), like 00_prepare_tables.sql:5-10.
+    * Also removes __tmp/__old swap strays: leaving them would let a later
+    * recover() roll a truncated table FORWARD from a pre-truncate __tmp.
+    */
   def truncateAll(): Unit =
     Seq("fact_calendar", "fact_reviews", "dim_listing_id_map", "dim_hosts",
         "dim_dates", "dim_listings")
       .foreach { t =>
-        val p = new Path(path(t)); val f = fs(p)
-        if (f.exists(p)) f.delete(p, true)
+        Seq(path(t), path(t) + "__tmp", path(t) + "__old").foreach { s =>
+          val p = new Path(s); val f = fs(p)
+          if (f.exists(p)) f.delete(p, true)
+        }
       }
 
   /** Z-ordered write: rows are clustered along the Morton curve of `zCols`

@@ -14,7 +14,7 @@ object CleanFns {
     * spaces (Spark's trim() strips ' ' only — tab-padded feed values slipped
     * through it; caught by FuzzSpec).
     */
-  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+  def wsTrim(c: Column): Column = regexp_replace(c, "(?U)^\\s+|\\s+$", "")
 
   /** F1 — price clean: strip '$', ',' and CR then cast DECIMAL(10,2).
     * Reference: /root/reference/sql/data/04_load_calendar.sql:30-36 and

@@ -39,6 +39,10 @@ object CorpusPipeline {
       chunkSize: Int = 0,
       chunkStride: Int = 0)
 
+  /** `corpus`'s deduped parent stage stays persisted (MEMORY_AND_DISK) so
+    * consuming it doesn't re-run the pair join; unpersist via
+    * `spark.catalog.clearCache()` (or let it age out) when done.
+    */
   final case class Result(corpus: DataFrame, droppedQuality: Long,
                           droppedExactDup: Long, droppedNearDup: Long)
 
@@ -51,14 +55,19 @@ object CorpusPipeline {
     val spark = df.sparkSession
     val id = col(idCol)
 
-    // 1. quality gate (narrow): token floor + repetition ceiling
+    // 1. quality gate (narrow): token floor + repetition ceiling. The
+    // repetition term only evaluates where >= 3 tokens exist (shingleExpr's
+    // precondition — sequence() runs descending below it); shorter docs that
+    // pass the floor count as repetition 0.
     val toks = TextFns.tokens(col(textCol))
     val sh3 = TextFns.shingleExpr("__tk", 3)
+    val rep = when(size(col("__tk")) >= 3,
+      lit(1.0) - size(array_distinct(sh3)).cast(DoubleType) / size(sh3))
+      .otherwise(lit(0.0))
     val gated = df
       .withColumn("__tk", toks)
       .filter(size(col("__tk")) >= cfg.minTokens)
-      .withColumn("__rep",
-        lit(1.0) - size(array_distinct(sh3)).cast(DoubleType) / size(sh3))
+      .withColumn("__rep", rep)
       .filter(col("__rep") <= cfg.maxRepetition)
       .drop("__tk", "__rep")
     val nIn = df.count(); val nGated = gated.count()
@@ -68,22 +77,27 @@ object CorpusPipeline {
       if (cfg.scrubPii) gated.withColumn(textCol, TextFns.piiScrub(col(textCol)))
       else gated
 
-    // 3. exact dedup: min-id survivor per identical content (one shuffle)
+    // 3. exact dedup: min-id survivor per identical content (one shuffle).
+    // Persist reused stages: the drop-count actions and the final consumer
+    // would otherwise re-execute the whole upstream lineage (the pair join —
+    // the most expensive shuffle here — must run exactly once).
     val exactSurvivors = Dedup.exact(scrubbed, idCol, Seq(textCol)).select(id)
     val exactDeduped = scrubbed.join(exactSurvivors, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exactDeduped.count()
 
     // 4. near-dup removal: bounded shared-shingle pair join, lower id wins
     val nearDeduped =
-      if (cfg.nearDupK <= 0) exactDeduped
+      (if (cfg.nearDupK <= 0) exactDeduped
       else {
         val maxDf = Tuning.maxShingleDocFreq(spark, nExact)
         val losers = Dedup.ngramJaccardPairs(exactDeduped, idCol, textCol,
             cfg.nearDupK, cfg.nearDupJaccard, maxDocFreq = maxDf)
           .select(col("b_id").as(idCol)).distinct()
         exactDeduped.join(losers, Seq(idCol), "left_anti")
-      }
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nNear = nearDeduped.count()
+    exactDeduped.unpersist(blocking = false)
 
     // 5. deterministic split (pure expression — reproducible on any engine)
     val bucket = pmod(TextFns.polyHash(s"CAST($idCol AS STRING)"), lit(100L))

@@ -32,9 +32,13 @@ object ZOrder {
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val nBuckets = 1 << bits
     val binCols: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
-      val lo = row.getDouble(2 * i); val hi = row.getDouble(2 * i + 1)
-      if (hi <= lo) lit(0L)
+      // empty input / all-NULL dimension → min/max are NULL; a constant (or
+      // collapsed) range degenerates to one bin, never an NPE
+      val degenerate = row.isNullAt(2 * i) || row.isNullAt(2 * i + 1) ||
+        row.getDouble(2 * i + 1) <= row.getDouble(2 * i)
+      if (degenerate) lit(0L)
       else {
+        val lo = row.getDouble(2 * i); val hi = row.getDouble(2 * i + 1)
         val raw = floor((col(c).cast(DoubleType) - lit(lo)) / lit((hi - lo) / nBuckets))
         coalesce(least(lit(nBuckets - 1L), greatest(lit(0L), raw.cast(LongType))), lit(0L))
       }

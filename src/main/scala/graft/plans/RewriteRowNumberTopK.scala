@@ -47,8 +47,10 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
     cond match {
       case LessThanOrEqual(a, l: Literal) if isRn(a) => litK(l)
       case GreaterThanOrEqual(l: Literal, a) if isRn(a) => litK(l)
-      case LessThan(a, l: Literal) if isRn(a) => litK(l).map(_ - 1)
-      case GreaterThan(l: Literal, a) if isRn(a) => litK(l).map(_ - 1)
+      // filter(_ > Int.MinValue): `rn < Int.MinValue` would wrap `_ - 1` to
+      // Int.MaxValue and turn an always-false filter into top-everything
+      case LessThan(a, l: Literal) if isRn(a) => litK(l).filter(_ > Int.MinValue).map(_ - 1)
+      case GreaterThan(l: Literal, a) if isRn(a) => litK(l).filter(_ > Int.MinValue).map(_ - 1)
       case EqualTo(a, l: Literal) if isRn(a) => litK(l).filter(_ == 1)
       case EqualTo(l: Literal, a) if isRn(a) => litK(l).filter(_ == 1)
       case _ => None

@@ -156,7 +156,8 @@ class AirbnbEtlSpec extends AnyFunSuite {
   test("validate() runs all invariants in one collect and tracks lang progress") {
     result
     val audits = AirbnbEtl.validate(result.wh)
-    assert(audits.keySet == Set("dup_listing_pk", "dup_review_pk",
+    assert(audits.keySet == Set("dup_listing_pk", "null_listing_pk",
+      "dup_review_pk", "null_review_pk",
       "orphan_calendar_rows", "orphan_review_rows", "reviews_lang_untagged"))
     assert(audits.values.forall(_ == 0L), audits.toString)
   }

@@ -53,7 +53,7 @@ class FuzzSpec extends AnyFunSuite {
       we <- wordExpect
       (w, expect) = we
       cased <- Gen.oneOf(Seq(w, w.toUpperCase, w.capitalize))
-      pad <- Gen.oneOf("", " ", "\t")
+      pad <- Gen.oneOf("", " ", "\t", "\u00A0") // incl. Unicode NBSP padding
     } yield (s"$pad$cased$pad", expect)
     val cases = sample(word, 300, 2L)
     val got = cases.map(_._1).toDF("raw")
