@@ -12,6 +12,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType}
   * W1/W2 dedups and every "latest row per key" load in the warehouse hit this
   * pattern.
   *
+  * An EMPTY partition spec (global `row_number` filter) also rewrites — and
+  * is the biggest win: the window form drags every row into one partition,
+  * while [[TopKPerGroupExec]]'s global path keeps k-row heaps per input
+  * partition and merges ≤ k·numPartitions survivors in one final task.
+  *
   * Opt-in via GraftExtensions / experimental.extraOptimizations (ties under a
   * non-total ordering are resolved arbitrarily by BOTH formulations, but not
   * necessarily identically — exactly like disk-order-dependent row_number
