@@ -96,8 +96,10 @@ object Soak {
         })
       println(f"${"dedup op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (docs x$dedupFactor, dfcut)")
       runs.foreach { case (name, f) =>
+        // warm BOTH sides: timing the big corpus cold would fold plan codegen
+        // and first-touch I/O into exactly the ratio this section reports
         f(small); val tSmall = time(f(small))
-        val tBig = time(f(dbig))
+        f(dbig); val tBig = time(f(dbig))
         println(f"$name%-24s $tSmall%10.2f $tBig%10.2f ${tBig / tSmall}%7.1f")
       }
     }

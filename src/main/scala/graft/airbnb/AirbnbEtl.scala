@@ -68,7 +68,13 @@ object AirbnbEtl {
         .repartition(col("week_start_date"))
         .sortWithinPartitions(col("week_start_date"), col("listing_id")),
       partitionBy = Seq("week_start_date"))
-    val existingReviews = wh.readOrEmpty("fact_reviews", Schemas.factReviews)
+    // schema migration: a warehouse written before review_year existed still
+    // appends cleanly (rows with an unknown year land in the null partition)
+    val existingReviews0 = wh.readOrEmpty("fact_reviews", Schemas.factReviews)
+    val existingReviews =
+      if (existingReviews0.columns.contains("review_year")) existingReviews0
+      else existingReviews0.withColumn("review_year",
+        lit(null).cast(org.apache.spark.sql.types.IntegerType))
     val newReviews = Loaders.loadReviews(cleanR, wh.read("dim_dates"),
       dimListings, existingReviews)
     // range-partition on (year, listing_id): hash-partitioning on year alone

@@ -11,13 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** Whitespace tokenization, lowercased. */
-  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+  /** Whitespace tokenization, lowercased — Python str.split() semantics:
+    * leading/trailing whitespace of ANY kind is ignored (CleanFns.wsTrim;
+    * plain trim() strips spaces only, which fed a phantom empty first token
+    * on tab-padded text). Oracles keep plain trim(): fixture text carries no
+    * non-space padding, so results agree; the Spark side is the stricter one.
+    */
+  def tokens(c: Column): Column =
+    split(lower(graft.functions.CleanFns.wsTrim(c)), "\\s+")
 
   /** Token count (whitespace tokenizer; reference U4's 100-char snippet is a
     * cruder cousin, scripts/app/language_detection.py:79).
     */
-  def tokenCount(c: Column): Column = size(split(trim(c), "\\s+"))
+  def tokenCount(c: Column): Column =
+    size(split(graft.functions.CleanFns.wsTrim(c), "\\s+"))
 
   /** Word k-gram shingles of a token-array column. Callers must filter
     * `size(tokens) >= k` first (Spark's `sequence(1, n)` runs descending when
@@ -43,7 +50,7 @@ object TextFns {
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(c: Column): Column =
-    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+    md5(lower(regexp_replace(graft.functions.CleanFns.wsTrim(c), "\\s+", " ")))
 
   /** Overlapping token-window chunks (context-window packing for training
     * corpora): chunk i covers tokens [1 + i·stride, +size), the tail chunk is

@@ -86,31 +86,37 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exactDeduped.count()
 
-    // 4. near-dup removal: bounded shared-shingle pair join, lower id wins
+    // 4. near-dup removal: bounded shared-shingle pair join, lower id wins.
+    // With near-dup off the exact-dedup frame IS the output — keep its cache
+    // (unpersisting the alias would uncache the returned corpus).
     val nearDeduped =
-      (if (cfg.nearDupK <= 0) exactDeduped
+      if (cfg.nearDupK <= 0) exactDeduped
       else {
         val maxDf = Tuning.maxShingleDocFreq(spark, nExact)
         val losers = Dedup.ngramJaccardPairs(exactDeduped, idCol, textCol,
             cfg.nearDupK, cfg.nearDupJaccard, maxDocFreq = maxDf)
           .select(col("b_id").as(idCol)).distinct()
         exactDeduped.join(losers, Seq(idCol), "left_anti")
-      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
     val nNear = nearDeduped.count()
-    exactDeduped.unpersist(blocking = false)
+    if (!(nearDeduped eq exactDeduped)) exactDeduped.unpersist(blocking = false)
 
     // 5. deterministic split (pure expression — reproducible on any engine)
     val bucket = pmod(TextFns.polyHash(s"CAST($idCol AS STRING)"), lit(100L))
     val split = nearDeduped.withColumn("split",
       when(bucket < cfg.trainPct, "train").otherwise("test"))
 
-    // 6. context-window chunking (narrow explode)
+    // 6. context-window chunking (narrow explode); stride defaults to the
+    // chunk size (non-overlapping) so Config(chunkSize = N) alone is legal
+    // instead of failing chunkExpr's require AFTER the expensive stages ran
+    val stride = if (cfg.chunkStride >= 1) cfg.chunkStride else cfg.chunkSize
     val out =
       if (cfg.chunkSize <= 0) split
       else split
         .withColumn("__tk", TextFns.tokens(col(textCol)))
         .select(col("*"),
-          posexplode(TextFns.chunkExpr("__tk", cfg.chunkSize, cfg.chunkStride)))
+          posexplode(TextFns.chunkExpr("__tk", cfg.chunkSize, stride)))
         .withColumn("chunk_idx", (col("pos") + 1).cast(LongType))
         .withColumnRenamed("col", "chunk")
         .drop("pos", "__tk", textCol)

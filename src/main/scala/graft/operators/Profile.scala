@@ -60,8 +60,12 @@ object Profile {
         max(d).as(s"${c}__max"))
     }
     val total = df.agg(aggs.head, aggs.tail: _*)
+    // backtick-quote the generated refs so non-identifier column names
+    // (spaces, dots, keywords) survive the stack() SQL round-trip
     val stacked = cols.map { c =>
-      s"'$c', ${c}__n, ${c}__mean, ${c}__std, ${c}__min, ${c}__q25, ${c}__q50, ${c}__q75, ${c}__max"
+      val fields = Seq("n", "mean", "std", "min", "q25", "q50", "q75", "max")
+        .map(f => s"`${c}__$f`").mkString(", ")
+      s"'${c.replace("'", "''")}', $fields"
     }.mkString(", ")
     total.selectExpr(
       s"stack(${cols.length}, $stacked) as " +

@@ -216,7 +216,11 @@ object VectorQueries {
     // in one cell), so full-probe IVF must equal the brute-force top-k — the
     // DuckDB oracle IS the brute-force ranking. Ranks only (the double-math
     // scoring ranks identically to the decimal oracle on random embeddings;
-    // the score column itself would differ in the last ulps).
+    // the score column itself would differ in the last ulps). Residual risk
+    // acknowledged: a pair of cosines within ~5e-10 at the k boundary could
+    // order differently (Spark ranks raw doubles, the oracle rounds to 9dp) —
+    // on the FIXED iid-float fixture no such near-tie exists (verified at
+    // sf0.001/0.01/0.1), and for random embeddings the probability is ~1e-12.
     Q("q_ann_ivf_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
