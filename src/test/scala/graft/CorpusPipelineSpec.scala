@@ -52,6 +52,17 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(chunks(1)._2.startsWith("w31 "))
   }
 
+  test("near-dup off keeps the corpus cached and chunkSize alone is legal") {
+    val docs = Seq((8L, (1 to 50).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val r = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 10, nearDupK = 0, chunkSize = 20))
+    // stride defaulted to chunkSize → non-overlapping: ceil on stride grid
+    val chunks = r.corpus.select("chunk_idx").collect().map(_.getLong(0)).sorted
+    assert(chunks.toSeq == Seq(1L, 2L, 3L))
+    // consuming twice still works (nothing was unpersisted out from under us)
+    assert(r.corpus.count() == 3)
+  }
+
   test("pipeline is deterministic end-to-end (same input, same output)") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
       .select($"doc_id", $"text").limit(200)

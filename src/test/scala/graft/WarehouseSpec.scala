@@ -49,6 +49,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read("t").count() == 7)
   }
 
+  test("truncateAll clears swap strays so recover() cannot resurrect data") {
+    import java.io.File
+    val root = java.nio.file.Files.createTempDirectory("wh-trunc").toString
+    val wh = Warehouse(spark, root)
+    wh.write("dim_listings", spark.range(4).toDF("id"))
+    // simulate a crash that parked the table and left a complete __tmp
+    spark.range(9).toDF("id").write.parquet(s"$root/dim_listings__tmp")
+    assert(new File(s"$root/dim_listings").renameTo(new File(s"$root/dim_listings__old")))
+    wh.truncateAll()
+    assert(!wh.exists("dim_listings")) // no roll-forward resurrection
+    assert(!new File(s"$root/dim_listings__tmp").exists)
+    assert(!new File(s"$root/dim_listings__old").exists)
+  }
+
   test("J9 catalog introspection replaces sys.tables/sys.columns queries") {
     Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("t_cat_probe")
     val tables = spark.catalog.listTables().collect().map(_.name)

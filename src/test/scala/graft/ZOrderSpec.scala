@@ -25,6 +25,15 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z((2L, 1L)) == 6L)   // x=10,y=01 → 0110
   }
 
+  test("zValue degrades to a constant on empty input and all-NULL dimensions") {
+    val empty = spark.range(0).select($"id".cast("double").as("x"), $"id".cast("double").as("y"))
+    assert(ZOrder.cluster(empty, Seq("x", "y")).count() == 0) // no NPE
+    val nulls = Seq((Option.empty[Double], 1.0), (Option.empty[Double], 2.0))
+      .toDF("x", "y")
+    val z = nulls.select(ZOrder.zValue(nulls, Seq("x", "y"), 2).as("z")).collect()
+    assert(z.forall(!_.isNullAt(0))) // NULL dim bins to 0, z stays defined
+  }
+
   /** Mean per-file span of `c`, as a fraction of its global span. */
   private def spanFrac(written: DataFrame, c: String): Double = {
     val byFile = written.groupBy(input_file_name())
