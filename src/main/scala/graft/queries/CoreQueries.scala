@@ -325,6 +325,67 @@ object CoreQueries {
               WINDOW w AS (PARTITION BY c_mktsegment)) t
         ORDER BY c_custkey""")),
 
+    // ----- A15: pivot (wide counts per nation × segment). Spark's pivot with
+    // an explicit value list = conditional aggregation; count over an empty
+    // cell is NULL in Spark but 0 in SQL COUNT(CASE …), hence the coalesce.
+    Q("q_a15_pivot",
+      (s, dir) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val wide = t(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .pivot("c_mktsegment", segs)
+          .agg(count(lit(1)))
+        wide.select(col("c_nationkey") +:
+            segs.map(g => coalesce(col(g), lit(0L)).cast(LongType).as(g.toLowerCase)): _*)
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""
+        SELECT c_nationkey,
+               COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS automobile,
+               COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS building,
+               COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS furniture,
+               COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS household,
+               COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS machinery
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ----- A16: unpivot/melt (wide → long), the inverse reshape
+    Q("q_a16_unpivot",
+      (s, dir) => {
+        val wide = t(s, dir, "customer")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).cast(DoubleType).as("n_customers"),
+               davg(col("c_acctbal")).as("avg_bal"))
+        wide.unpivot(Array(col("c_mktsegment")),
+                     Array(col("n_customers"), col("avg_bal")),
+                     "metric", "v")
+          .orderBy(col("c_mktsegment"), col("metric"))
+      },
+      Some("""
+        WITH wide AS (
+          SELECT c_mktsegment,
+                 CAST(COUNT(*) AS DOUBLE) AS n_customers,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+          FROM customer GROUP BY c_mktsegment)
+        SELECT c_mktsegment, metric, v FROM (
+          SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS v FROM wide
+          UNION ALL
+          SELECT c_mktsegment, 'avg_bal' AS metric, avg_bal AS v FROM wide) t
+        ORDER BY c_mktsegment, metric""")),
+
+    // ----- A17: ordered collect (set-valued aggregation rendered stable):
+    // sort_array(collect_list(…)) — collection order is partition-dependent,
+    // sorting makes the aggregate deterministic and cross-engine comparable
+    Q("q_a17_collect_sorted",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .groupBy(col("n_regionkey").cast(LongType).as("n_regionkey"))
+          .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy(col("n_regionkey")),
+      Some("""
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               array_to_string(list_sort(list(n_name)), ',') AS nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
     // ----- A9: value-counts top-k (reference modules/data_cleaner.py:131-135)
     Q("q_a9_value_counts",
       (s, dir) =>
@@ -611,6 +672,30 @@ object CoreQueries {
                    ORDER BY value DESC, event_id) AS rn
           FROM events) t
         WHERE rn <= 10 ORDER BY rnk""")),
+
+    // ----- W4: trailing moving average (time-series smoothing) — a framed
+    // window (ROWS BETWEEN) with a total order and decimal-exact sums
+    Q("q_w4_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-2, 0)
+        t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .withColumn("mov_avg",
+            sum(col("value").cast(DecimalType(25, 4))).over(w).cast(DoubleType)
+              / count(col("value")).over(w))
+          .select(col("user_id"), col("event_id"), col("mov_avg"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(value AS DECIMAL(25,4))) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w AS mov_avg
+        FROM events WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
 
     // ----- as-of join (beyond the reference; the canonical "operator Spark
     // lacks"): for each click, the user's most recent prior-or-simultaneous
