@@ -673,6 +673,88 @@ object CoreQueries {
           FROM events) t
         WHERE rn <= 10 ORDER BY rnk""")),
 
+    // ----- W5: lag delta (per-user event-over-event change) — offset window
+    // function with a total order; the first row's delta is NULL on both sides
+    Q("q_w5_lag_delta",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .withColumn("delta",
+            coalesce(col("value") - lag(col("value"), 1).over(w), lit(0.0)))
+          .select(col("user_id"), col("event_id"), col("delta"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      // first event per user has no predecessor → delta 0 (comparator rows
+      // must be NULL-free; same coalesce on both sides)
+      Some("""
+        SELECT user_id, event_id,
+               coalesce(value - lag(value, 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id), 0.0) AS delta
+        FROM events WHERE user_id < 50
+        ORDER BY user_id, event_id""")),
+
+    // ----- W6: percent_rank + cume_dist (distributional ranking) under a
+    // total order — (rank-1)/(n-1) and ≤-fraction are the SQL-standard
+    // definitions in both engines, so the doubles are bit-identical
+    Q("q_w6_percent_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .select(col("c_custkey"), col("c_mktsegment"), col("pr"), col("cd"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_mktsegment,
+               percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        FROM customer WHERE c_custkey <= 200
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ----- A18: explicit GROUPING SETS + grouping_id (the general form of
+    // the rollup/cube family; exercised through the SQL surface, where the
+    // clause lives)
+    Q("q_a18_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("gs_customer")
+        // grouped-out columns are NULL in grouping-set rows → coalesce to
+        // sentinels so comparator rows stay NULL-free
+        s.sql("""
+          SELECT coalesce(c_mktsegment, '(all)') AS seg,
+                 CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nation,
+                 CAST(grouping_id(c_mktsegment, c_nationkey) AS BIGINT) AS gid,
+                 COUNT(*) AS n
+          FROM gs_customer
+          GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+          ORDER BY gid, seg, nation""")
+      },
+      Some("""
+        SELECT coalesce(c_mktsegment, '(all)') AS seg,
+               CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nation,
+               CAST(grouping(c_mktsegment) * 2 + grouping(c_nationkey) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY gid, seg, nation""")),
+
+    // ----- A19: equal-width histogram — pure arithmetic binning (the
+    // scalable form: one hash-agg, no sort, no per-bin scans)
+    Q("q_a19_histogram",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .withColumn("bin",
+            floor((col("c_acctbal") - lit(-1000.0)) / lit(500.0)).cast(LongType))
+          .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+          .orderBy(col("bin")),
+      Some("""
+        SELECT CAST(floor((c_acctbal - (-1000.0)) / 500.0) AS BIGINT) AS bin,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1 ORDER BY bin""")),
+
     // ----- W4: trailing moving average (time-series smoothing) — a framed
     // window (ROWS BETWEEN) with a total order and decimal-exact sums
     Q("q_w4_moving_avg",
