@@ -107,10 +107,12 @@ object CorpusPipeline {
     val split = nearDeduped.withColumn("split",
       when(bucket < cfg.trainPct, "train").otherwise("test"))
 
-    // 6. context-window chunking (narrow explode); stride defaults to the
-    // chunk size (non-overlapping) so Config(chunkSize = N) alone is legal
-    // instead of failing chunkExpr's require AFTER the expensive stages ran
-    val stride = if (cfg.chunkStride >= 1) cfg.chunkStride else cfg.chunkSize
+    // 6. context-window chunking (narrow explode); stride 0 (the default)
+    // means the chunk size (non-overlapping) so Config(chunkSize = N) alone
+    // is legal — but a NEGATIVE stride is a caller typo and must fail, not
+    // silently coerce
+    require(cfg.chunkStride >= 0, s"chunkStride must be >= 0, got ${cfg.chunkStride}")
+    val stride = if (cfg.chunkStride == 0) cfg.chunkSize else cfg.chunkStride
     val out =
       if (cfg.chunkSize <= 0) split
       else split

@@ -10,20 +10,33 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Backtick-quoted identifier reference — spaces, dots, keywords and
+    * embedded backticks in a column name all survive generated SQL.
+    */
+  private def qi(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Spark-SQL string literal — backslash escaping, NOT SQL-standard quote
+    * doubling: Spark's parser concatenates adjacent string literals, so
+    * 'o''hare' would silently become 'ohare'.
+    */
+  private def ql(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Long-format profile: one row per column with count/nulls/distinct and
     * min/max rendered as strings (schema-stable across column types).
     */
   def profile(df: DataFrame): DataFrame = {
     val aggs = df.columns.flatMap { c =>
       Seq(
-        count(col(c)).as(s"${c}__nonnull"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
+        count(col(qi(c))).as(s"${c}__nonnull"),
+        countDistinct(col(qi(c))).as(s"${c}__distinct"),
+        min(col(qi(c))).cast("string").as(s"${c}__min"),
+        max(col(qi(c))).cast("string").as(s"${c}__max"))
     }
     val total = df.agg(count(lit(1)).as("__n"), aggs.toSeq: _*)
     val stacked = df.columns.map { c =>
-      s"'$c', __n - ${c}__nonnull, ${c}__distinct, ${c}__min, ${c}__max"
+      s"${ql(c)}, __n - ${qi(c + "__nonnull")}, ${qi(c + "__distinct")}, " +
+        s"${qi(c + "__min")}, ${qi(c + "__max")}"
     }.mkString(", ")
     total.selectExpr("__n as n_rows",
         s"stack(${df.columns.length}, $stacked) as (column, n_nulls, n_distinct, min_value, max_value)")
@@ -44,10 +57,11 @@ object Profile {
   def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val aggs = cols.flatMap { c =>
-      val d = col(c).cast(DoubleType)
-      val n = count(col(c))
-      val sm = sum(col(c).cast(DecimalType(25, 4))).cast(DoubleType)
-      val sq = sum(col(c).cast(DecimalType(18, 4)) * col(c).cast(DecimalType(18, 4)))
+      val src = col(qi(c))
+      val d = src.cast(DoubleType)
+      val n = count(src)
+      val sm = sum(src.cast(DecimalType(25, 4))).cast(DoubleType)
+      val sq = sum(src.cast(DecimalType(18, 4)) * src.cast(DecimalType(18, 4)))
         .cast(DoubleType)
       Seq(
         n.cast("double").as(s"${c}__n"),
@@ -60,12 +74,12 @@ object Profile {
         max(d).as(s"${c}__max"))
     }
     val total = df.agg(aggs.head, aggs.tail: _*)
-    // backtick-quote the generated refs so non-identifier column names
-    // (spaces, dots, keywords) survive the stack() SQL round-trip
+    // quote generated refs and the label so non-identifier column names
+    // (spaces, dots, keywords, quotes, backticks) survive the stack() SQL
     val stacked = cols.map { c =>
       val fields = Seq("n", "mean", "std", "min", "q25", "q50", "q75", "max")
-        .map(f => s"`${c}__$f`").mkString(", ")
-      s"'${c.replace("'", "''")}', $fields"
+        .map(f => qi(s"${c}__$f")).mkString(", ")
+      s"${ql(c)}, $fields"
     }.mkString(", ")
     total.selectExpr(
       s"stack(${cols.length}, $stacked) as " +

@@ -80,6 +80,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(p.getAs[Double]("max_value") == 4.0)
   }
 
+  test("profile functions survive hostile column names (spaces, dots, quotes)") {
+    val df = Seq((1.0, "a"), (2.0, "b"), (3.0, null))
+      .toDF("unit price.usd", "o'hare `select`")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(p("unit price.usd") == 0L)
+    assert(p("o'hare `select`") == 1L)
+    val np = Profile.numericProfile(df, Seq("unit price.usd")).collect().head
+    assert(np.getAs[String]("column") == "unit price.usd")
+    assert(math.abs(np.getAs[Double]("mean") - 2.0) < 1e-12)
+  }
+
   test("tuning knobs: session-config override and corpus-scaled defaults") {
     assert(Tuning.lshNBits(spark, 64L * 1024) == 10)   // 1024 buckets of 64
     assert(Tuning.lshNBits(spark, 100) == 4)           // clamped low
