@@ -78,6 +78,32 @@ object FunctionQueries {
         ORDER BY full_date""")),
 
     // ----- F5: boolean normalization (reference modules/data_loader.py:168-174)
+    // ----- F15b: date arithmetic family — day diffs, day offsets, month
+    // boundaries, ISO parts; operations chosen for identical semantics in
+    // both engines (add_months-style month clamping is deliberately avoided)
+    Q("q_f15_date_arith",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"),
+            col("o_orderdate").cast(DateType).as("d"))
+          .select(col("o_orderkey"),
+            datediff(lit("1998-01-01").cast(DateType), col("d")).cast(LongType)
+              .as("days_to_cutoff"),
+            date_add(col("d"), 30).as("plus_30d"),
+            last_day(col("d")).as("month_end"),
+            dayofweek(col("d")).cast(LongType).as("dow"),
+            weekofyear(col("d")).cast(LongType).as("iso_week"))
+          .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_cutoff,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+               CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week
+        FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")),
+
     Q("q_f5_bool_norm",
       (s, dir) => {
         val ev = t(s, dir, "events")

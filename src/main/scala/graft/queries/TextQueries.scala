@@ -311,6 +311,29 @@ object TextQueries {
                COUNT(*) AS n, ${dsumSql("value")} AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    // ----- fuzzy matching (entity-resolution primitive): edit distance over
+    // a broadcast-small candidate set — both engines implement standard
+    // Levenshtein, so the ints agree exactly. At scale the candidate pairs
+    // would come from a blocking key (e.g. first letter + length band), not
+    // a cross join; the 25-name dimension here is the broadcast-small case.
+    Q("q_text_fuzzy_match",
+      (s, dir) => {
+        val n = t(s, dir, "nation")
+        val a = n.select(col("n_name").as("a_name"))
+        val b = n.select(col("n_name").as("b_name"))
+        a.crossJoin(broadcast(b))
+          .filter(col("a_name") < col("b_name"))
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast(LongType))
+          .filter(col("dist") <= 4)
+          .orderBy(col("a_name"), col("b_name"))
+      },
+      Some("""
+        SELECT a.n_name AS a_name, b.n_name AS b_name,
+               CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        FROM nation a, nation b
+        WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 4
+        ORDER BY a_name, b_name""")),
+
     // ----- deterministic train/test split: portable content-free hash of the
     // doc id bucketed mod 100 — reproducible on any engine (unlike
     // sample()), stable under corpus growth, and oracle-checkable because
