@@ -38,6 +38,18 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan("q_o2_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("dedup/LSH family never plans an all-pairs join (the 100 TB claim)") {
+    // candidate pairs must come from shared shingles/bands/buckets — a
+    // nested-loop join anywhere in these plans means the bound is gone
+    Seq("q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
+        "q_dedup_simhash", "q_dedup_embedding", "q_ann_lsh_topk")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$name plans an all-pairs join")
+      }
+  }
+
   test("no ETL loader plans a single-partition global window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.functions._
