@@ -38,12 +38,16 @@ object Cleaner {
     */
   def cleanListings(raw: DataFrame): DataFrame = {
     val projected = Sources.tolerantProject(raw, Schemas.keptColumns("listings"))
+    // blank = whitespace-only of ANY kind (wsTrim): a tab-padded
+    // host_location must yield Unknown like Python strip(), not a tab city
+    val blank = col("host_location").isNull ||
+      CleanFns.wsTrim(col("host_location")) === ""
     val withHostGeo = projected
       .withColumn("host_city",
-        when(col("host_location").isNull || trim(col("host_location")) === "", "Unknown")
+        when(blank, "Unknown")
           .otherwise(CleanFns.locationCity(col("host_location"))))
       .withColumn("host_country",
-        when(col("host_location").isNull || trim(col("host_location")) === "", "Unknown")
+        when(blank, "Unknown")
           .otherwise(CleanFns.locationCountry(col("host_location"))))
     filenameGeo(withHostGeo)
       .withColumn("property_neighbourhood",

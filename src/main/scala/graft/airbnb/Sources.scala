@@ -16,19 +16,31 @@ object Sources {
 
   /** S1+S2/S3 — glob scan of raw feeds, all-string (inferSchema=false as in
     * modules/data_analyzer.py:136-139). Comma-separated, gzip auto-detected.
+    *
+    * multiLine: review comments and listing descriptions routinely embed
+    * newlines inside quoted fields — without it the parser splits such rows
+    * into corrupt records. (It disables input splitting, but gzip feeds are
+    * non-splittable anyway: parallelism = number of feed files either way.)
+    * escape='"' = RFC-4180 doubled quotes, what the feeds (and DuckDB) use.
     */
   def readRawCsv(spark: SparkSession, pathGlob: String): DataFrame =
-    spark.read.option("header", "true").csv(pathGlob)
+    spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(pathGlob)
 
   /** S4 — pipe-delimited cleaned intermediates (modules/data_loader.py:133). */
   def readPipeCsv(spark: SparkSession, pathGlob: String): DataFrame =
-    spark.read.option("header", "true").option("sep", "|").csv(pathGlob)
+    spark.read.option("header", "true").option("sep", "|")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(pathGlob)
 
   /** S7 — cleaned csv.gz sink: pipe-separated, gzip, no index column
-    * (modules/data_cleaner.py:146).
+    * (modules/data_cleaner.py:146). escape='"' writes RFC-4180 doubled
+    * quotes so [[readPipeCsv]] and DuckDB read_csv re-read the sink exactly.
     */
   def writePipeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").option("sep", "|")
+      .option("escape", "\"")
       .option("compression", "gzip").csv(path)
 
   /** P2 — tolerant projection: keep expected∩actual, backfill missing

@@ -78,7 +78,7 @@ object CleanFns {
     * 0 parts → (Unknown, Unknown).
     */
   private def locParts(c: Column): Column =
-    filter(transform(split(c, ","), x => trim(x)), x => x =!= "")
+    filter(transform(split(c, ","), x => wsTrim(x)), x => x =!= "")
   def locationCountry(c: Column): Column = {
     val p = locParts(c)
     when(size(p) >= 1, element_at(p, -1)).otherwise(lit("Unknown"))

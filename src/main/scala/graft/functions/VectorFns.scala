@@ -15,32 +15,44 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
+  // CONTRACT: both arrays must be the same dimension and non-empty. Outside
+  // that, the engines genuinely diverge (Spark aggregate() over an empty
+  // array returns the 0 seed where DuckDB list_sum returns NULL; on a length
+  // mismatch Spark NULL-poisons via zip_with padding where DuckDB skips the
+  // out-of-bounds NULL products) — callers validate dimensions at ingest,
+  // parity is guaranteed only under the contract.
+
   /** Exact decimal dot product of two array<float> columns, as double. */
-  def dot(a: String, b: String): Column = expr(dotExprSql(a, b))
+  def dot(a: String, b: String): Column =
+    expr(s"CAST(${dotDecExpr(a, b)} AS DOUBLE)")
 
   /** [[dot]] kept in exact decimal (no double cast) — for aggregation paths
     * where a double→decimal re-quantization would differ across engines.
     */
-  def dotDec(a: String, b: String): Column =
-    expr(dotExprSql(a, b).stripPrefix("CAST(").stripSuffix(" AS DOUBLE)"))
+  def dotDec(a: String, b: String): Column = expr(dotDecExpr(a, b))
 
   /** DuckDB rendering of [[dotDec]]. */
-  def dotDecSql(a: String, b: String): String =
-    dotSql(a, b).stripPrefix("CAST(").stripSuffix(" AS DOUBLE)")
+  def dotDecSql(a: String, b: String): String = dotDecDuck(a, b)
 
   // Accumulator is DECIMAL(32,12) with an explicit re-cast in the merge
   // lambda: Spark's decimal `+` widens (p,s)+(p,s) beyond the accumulator
   // type, so without the cast the aggregate() types don't unify; the cast is
   // exact for |values| < 1e20 which our unit-scale embeddings never approach.
-  private def dotExprSql(a: String, b: String): String =
-    s"CAST(aggregate(zip_with($a, $b, (x, y) -> " +
+  // (The double and decimal variants share ONE inner expression on each
+  // engine — deriving one from the other by string surgery silently broke
+  // when the wrapper changed.)
+  private def dotDecExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> " +
     s"CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(12,6))), " +
-    s"CAST(0 AS DECIMAL(32,12)), (acc, v) -> CAST(acc + v AS DECIMAL(32,12))) AS DOUBLE)"
+    s"CAST(0 AS DECIMAL(32,12)), (acc, v) -> CAST(acc + v AS DECIMAL(32,12)))"
+
+  private def dotDecDuck(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), i -> " +
+    s"CAST(CAST($a[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST($b[i] AS DOUBLE) AS DECIMAL(12,6))))"
 
   /** DuckDB rendering of [[dot]] — identical arithmetic. */
   def dotSql(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> " +
-    s"CAST(CAST($a[i] AS DOUBLE) AS DECIMAL(12,6)) * CAST(CAST($b[i] AS DOUBLE) AS DECIMAL(12,6)))) AS DOUBLE)"
+    s"CAST(${dotDecDuck(a, b)} AS DOUBLE)"
 
   /** Signed projection of an embedding onto deterministic hyperplane j:
     * sum_i emb[i] * s(i,j) with s = ±1 from ((i*7919 + j*104729) % 97) % 2,

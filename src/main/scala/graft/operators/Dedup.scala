@@ -160,12 +160,14 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                             nBits: Int, threshold: Double): DataFrame = {
-    val b = df.select(col(idCol), col(embCol))
+    val b = Similarity.withNorm(df.select(col(idCol), col(embCol)), embCol, "__n")
       .withColumn("bucket", Similarity.lshBucket(embCol, nBits))
-    val a = b.select(col(idCol).as("a_id"), col(embCol).as("ae"), col("bucket"))
-    val c = b.select(col(idCol).as("b_id"), col(embCol).as("be"), col("bucket"))
+    val a = b.select(col(idCol).as("a_id"), col(embCol).as("ae"),
+      col("__n").as("an"), col("bucket"))
+    val c = b.select(col(idCol).as("b_id"), col(embCol).as("be"),
+      col("__n").as("bn"), col("bucket"))
     a.join(c, Seq("bucket")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", Similarity.cosine("ae", "be"))
+      .withColumn("cos", Similarity.cosinePre("ae", "be", col("an"), col("bn")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
   }

@@ -27,8 +27,21 @@ object Similarity {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
          s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
+  /** Per-pair cosine recomputing both norms — O(3d) per pair. Fine for a
+    * handful of pairs; JOIN paths must use [[withNorm]] + [[cosinePre]]
+    * instead (norms once per ROW, not once per pair — 3× less work on the
+    * dominant term).
+    */
   def cosine(a: String, b: String): Column =
     dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
+
+  /** Adds the L2 norm of `embCol` as `normCol` (computed once per row). */
+  def withNorm(df: DataFrame, embCol: String, normCol: String): DataFrame =
+    df.withColumn(normCol, sqrt(dotFast(embCol, embCol)))
+
+  /** Cosine from a fresh dot and two PREcomputed norm columns. */
+  def cosinePre(a: String, b: String, an: Column, bn: Column): Column =
+    dotFast(a, b) / (an * bn)
 
   /** Deterministic sign-random-projection LSH bucket id (nBits <= 30). */
   def lshBucket(embCol: String, nBits: Int): Column =
@@ -43,9 +56,10 @@ object Similarity {
     */
   def cosineTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("similarity").desc, col("c_id"))
-    candidates.crossJoin(broadcast(queries))
+    withNorm(candidates, "ce", "cn")
+      .crossJoin(broadcast(withNorm(queries, "qe", "qn")))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("similarity", cosine("qe", "ce"))
+      .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
@@ -57,9 +71,10 @@ object Similarity {
     * no window spill. The shape of choice when candidates are fact-scale.
     */
   def cosineTopKFast(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val scored = candidates.crossJoin(broadcast(queries))
+    val scored = withNorm(candidates, "ce", "cn")
+      .crossJoin(broadcast(withNorm(queries, "qe", "qn")))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("similarity", cosine("qe", "ce"))
+      .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
       .select(col("q_id"), col("c_id"), col("similarity"))
     graft.plans.TopKPerGroup.topK(scored, Seq("q_id"),
       Seq(("similarity", true), ("c_id", false)), k)
@@ -78,8 +93,12 @@ object Similarity {
     */
   def ivfIndex(candidates: DataFrame, embCol: String, nLists: Int,
                sampleSize: Int = 2000, iters: Int = 5): Array[Array[Double]] = {
+    // Deterministic UNIFORM sample: order by a hash of the vector and take
+    // the top sampleSize (TakeOrderedAndProject — bounded heap, no full
+    // sort). Ordering by coordinate values instead would train k-means on
+    // one extreme corner of the space and collapse the cells.
     val sample = candidates.select(col(embCol))
-      .orderBy(col(embCol).getItem(0), col(embCol).getItem(1)) // deterministic sample
+      .orderBy(xxhash64(col(embCol)), col(embCol).getItem(0))
       .limit(sampleSize)
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.length >= nLists, s"need >= $nLists vectors to train")
@@ -144,9 +163,9 @@ object Similarity {
       .withColumn("cell", explode(expr("transform(cell_structs, s -> s.i)")))
       .drop("qd", "cell_structs")
     val w = Window.partitionBy(col("q_id")).orderBy(col("similarity").desc, col("c_id"))
-    c.join(broadcast(qq), Seq("cell"))
+    withNorm(c, "ce", "cn").join(broadcast(withNorm(qq, "qe", "qn")), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("similarity", cosine("qe", "ce"))
+      .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
@@ -156,12 +175,12 @@ object Similarity {
     * bucket. Recall < 1 by construction; nBits trades recall for speed.
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, nBits: Int, k: Int): DataFrame = {
-    val q = queries.withColumn("bucket", lshBucket("qe", nBits))
-    val c = candidates.withColumn("bucket", lshBucket("ce", nBits))
+    val q = withNorm(queries, "qe", "qn").withColumn("bucket", lshBucket("qe", nBits))
+    val c = withNorm(candidates, "ce", "cn").withColumn("bucket", lshBucket("ce", nBits))
     val w = Window.partitionBy(col("q_id")).orderBy(col("similarity").desc, col("c_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("similarity", cosine("qe", "ce"))
+      .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))

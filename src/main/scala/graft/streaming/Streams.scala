@@ -97,13 +97,16 @@ object Streams {
   }
 
   /** Drive a streaming frame to completion against a memory sink and return
-    * the materialized result (for specs and local smoke).
+    * the materialized result (for specs and local smoke). Default mode is
+    * Complete — right for the aggregation helpers; pass Append for
+    * [[dedupStream]]/[[enrichStream]] (no aggregation). Always stops the
+    * query, even when processing throws — a leaked StreamingQuery would keep
+    * polling the source for the rest of the session.
     */
   def runToMemory(df: DataFrame, name: String,
                   mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
   }
 }
