@@ -123,7 +123,7 @@ object Dedup {
     val banded = sig.withColumn("b", explode(array(bandStructs: _*)))
       .select(col(idCol) +: (0 until nPerms).map(i => col(s"m$i")) :+
               col("b.band_idx").as("band_idx") :+ col("b.band_key").as("band_key"): _*)
-    def side(p: String) = banded.select(banded.columns.map(c => col(c).as(p + c)): _*)
+    def side(p: String) = banded.select(banded.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
     val a = side("a_"); val b = side("b_")
     val cand = a.join(b,
       col("a_band_idx") === col("b_band_idx") &&

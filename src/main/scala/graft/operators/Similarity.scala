@@ -133,7 +133,7 @@ object Similarity {
 
   /** Cell assignment as a column (argmin over the broadcast centroid list). */
   def ivfCell(embCol: String, centroids: Array[Array[Double]]): Column = {
-    val centroidLits = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val centroidLits = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
     // argmin over squared distance, computed with HOFs over the literal array
     val dists = transform(centroidLits, cent =>
       aggregate(
@@ -151,7 +151,7 @@ object Similarity {
     val cents = ivfIndex(candidates.select(col("ce").as("embedding")), "embedding", nLists)
     val c = candidates.withColumn("cell", ivfCell("ce", cents))
     // probe lists: the nProbe nearest cells per query
-    val centroidLits = array(cents.map(cc => array(cc.map(lit): _*)): _*)
+    val centroidLits = array(cents.toIndexedSeq.map(cc => array(cc.toIndexedSeq.map(lit): _*)): _*)
     val qDists = transform(centroidLits, cent =>
       aggregate(zip_with(col("qe"), cent,
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
