@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked program's stdout must reach sbt's stdout RAW: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks
+// any driver that json.loads the benchmark's one-line JSON output
+// (BENCH_r01/r02 both had parsed:null with "[info] {...}" in the tail).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -51,16 +51,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val warmTotal = if (results.nonEmpty) results.map(_._3).sum else 0.0
+    // The contract line the driver parses: exactly the documented shape, with
+    // the per-query cold map. Printed ONCE, as the program's last stdout line,
+    // unprefixed (build.sbt sets run/outputStrategy := StdoutOutput — sbt's
+    // default LoggedOutput wraps every line in "[info] ", which broke the
+    // driver's JSON parse in rounds 1 and 2).
+    val contract = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Extended detail (warm pass isolates per-query fixed cost) goes to
+    // bench.json only, so stdout carries a single JSON line.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""warm_total":${fmt(warmTotal)},"queries_warm":$qsWarm,"sf":"$sfDir"}"""
-    // Belt and braces: persist the full JSON to bench.json in cwd, print the
-    // full line, then end with a short summary line that fits any tail window.
     try {
       val w = new java.io.PrintWriter(new java.io.File("bench.json"), "UTF-8")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
-    println(full)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","warm_total":${fmt(warmTotal)},"queries_file":"bench.json","n_queries":${results.size}}""")
+    println(contract)
     spark.stop()
   }
 }
