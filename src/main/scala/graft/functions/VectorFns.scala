@@ -1,19 +1,47 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
-/** Embedding (array<float>) primitives built on higher-order functions
-  * (`zip_with` + `aggregate`), kept numerically exact so DuckDB oracles match
-  * bit-for-bit: each float is widened to double (exact) then quantized to
-  * DECIMAL(12,6); products and sums stay in decimal (exact, order-free); only
-  * the final sqrt/divide happens in double.
+/** Embedding (array<float>) primitives, numerically exact so DuckDB oracles
+  * match bit-for-bit: each float is widened to double (exact) then quantized
+  * to DECIMAL(12,6); products and sums stay exact (order-free); only the
+  * final sqrt/divide happens in double.
   *
-  * For a hot path where ±1e-6 quantization is unacceptable you'd swap the
-  * decimal lattice for a plain double `aggregate` (same shape, one less cast)
-  * or a custom codegen Expression — the surrounding plan is unchanged.
+  * Two equivalent implementations exist:
+  *   - the HOF decimal lattice (`zip_with` + `aggregate`, this file's *Expr
+  *     forms) — the executable specification, and the template the DuckDB
+  *     oracle SQL is generated from;
+  *   - the scaled-long codegen kernels (graft.plans.VectorKernels) — the hot
+  *     path: a DECIMAL(12,6) is an integer count of 1e-6 units, so the same
+  *     arithmetic runs on primitive longs inside whole-stage codegen instead
+  *     of interpreted HOFs with per-element Decimal boxing.
+  * VectorKernelSpec proves the two agree element-for-element; queries use the
+  * kernel forms ([[quantize]]/[[dotQ]]/[[lshBucketQ]]).
   */
 object VectorFns {
+
+  /** Quantize array<float> → array<long> (unscaled DECIMAL(12,6) values) —
+    * compute ONCE per row, then feed [[dotQ]]/[[lshBucketQ]].
+    */
+  def quantize(c: Column): Column =
+    GraftColumnBridge.column(graft.plans.QuantizeVec(GraftColumnBridge.expression(c)))
+
+  /** Exact decimal dot product of two [[quantize]]d vectors, as DECIMAL(32,12). */
+  def dotQ(a: Column, b: Column): Column =
+    GraftColumnBridge.column(graft.plans.DotQ(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** [[dotQ]] cast to double — the common scoring form. */
+  def dotQDouble(a: Column, b: Column): Column = dotQ(a, b).cast(DoubleType)
+
+  /** Sign-random-projection LSH bucket of a [[quantize]]d vector — the
+    * codegen twin of the `signProjection(_, j) > 0` bit column stack.
+    */
+  def lshBucketQ(q: Column, nBits: Int): Column =
+    GraftColumnBridge.column(graft.plans.LshBucketQ(GraftColumnBridge.expression(q), nBits))
 
   // CONTRACT: both arrays must be the same dimension and non-empty. Outside
   // that, the engines genuinely diverge (Spark aggregate() over an empty

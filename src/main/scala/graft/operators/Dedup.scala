@@ -42,12 +42,25 @@ object Dedup {
       .select(col(idCol), col("n_copies"))
   }
 
-  /** Distinct (id, k-gram shingle) pairs of a text column. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def exprOf(c: Column) =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** Distinct shingle ARRAY per document (plus the token array pre-check) —
+    * the per-row sketch kernel: distinctness is established inside the row,
+    * so no `distinct()` exchange of the exploded shingle set is ever paid.
+    */
+  private def shingleArr(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= k)
-      .select(col(idCol), explode(TextFns.shingleExpr("t", k)).as("sh"))
-      .distinct()
+      .select(col(idCol),
+        colOf(graft.plans.ShinglesDistinct(exprOf(col("t")), k)).as("sha"))
+
+  /** Distinct (id, k-gram shingle) pairs of a text column. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    shingleArr(df, idCol, textCol, k)
+      .select(col(idCol), explode(col("sha")).as("sh"))
 
   /** Candidate pairs with exact n-gram Jaccard similarity >= threshold.
     * Output: (a_id, b_id, jaccard), a_id < b_id.
@@ -60,20 +73,24 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
-    val shAll = shingles(df, idCol, textCol, k)
-    val sh =
-      if (maxDocFreq <= 0L) shAll
+    // Per-doc shingle counts are free row-local facts (size of the distinct
+    // shingle array) — no window pass, no sizes re-join. Only the optional
+    // document-frequency cutoff pays a shuffle (its count is inherently
+    // cross-document), and when it fires the per-doc counts are recomputed
+    // post-cutoff by window so the Jaccard denominator matches the surviving
+    // shingle sets (same semantics the windowed formulation had).
+    val base = shingleArr(df, idCol, textCol, k)
+      .select(col(idCol), size(col("sha")).cast(LongType).as("nsh"),
+        explode(col("sha")).as("sh"))
+    val shN =
+      if (maxDocFreq <= 0L) base
       else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-        shAll.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= maxDocFreq).drop("__df")
+        val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+        base.withColumn("__df", count(lit(1)).over(wSh))
+          .filter(col("__df") <= maxDocFreq).drop("__df", "nsh")
+          .withColumn("nsh", count(lit(1)).over(wDoc))
       }
-    // Per-doc shingle counts ride along as a window column instead of a
-    // separate `sizes` aggregate re-joined on each pair side: that formulation
-    // paid two extra shuffle joins keyed on a_id/b_id after the pair join;
-    // this one pays one window pass on idCol and carries two ints through.
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-    val shN = sh.withColumn("nsh", count(lit(1)).over(wDoc))
     shN.select(col(idCol).as("a_id"), col("sh"), col("nsh").as("na"))
       .join(shN.select(col(idCol).as("b_id"), col("sh"), col("nsh").as("nb")), "sh")
       .filter(col("a_id") < col("b_id"))
@@ -85,13 +102,19 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash signatures (8 permutations) per document. */
+  /** MinHash signatures (8 permutations) per document — ONE narrow pass: the
+    * MinHashSig kernel folds shingling, hashing, and the per-permutation min
+    * into a per-row expression (min over duplicate shingles = min over
+    * distinct, so the sketch needs neither a distinct set nor a groupBy).
+    * The explode → distinct → groupBy formulation this replaces paid two
+    * full shuffles of the exploded shingle set before any pair discovery.
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val hashed = shingles(df, idCol, textCol, k).withColumn("h", TextFns.polyHash("sh"))
-    val sigCols = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % TextFns.minhashP).as(s"m$i")
-    }
-    hashed.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val nPerms = TextFns.minhashPerms.size
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+      .withColumn("sig", colOf(graft.plans.MinHashSig(exprOf(col("t")), k)))
+      .select(col(idCol) +: (0 until nPerms).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
   /** LSH candidate pairs (`bands` bands × nPerms/bands rows each) with
@@ -143,15 +166,14 @@ object Dedup {
     * simhash collides are near-duplicates at hamming distance 0.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
-    val tok = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok"))
-      .withColumn("h", TextFns.polyHash("tok"))
-    val bitSums = (0 until bits).map(i =>
-      sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$i"))
-    val agg = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until bits)
-      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col(idCol), sim.as("simhash"))
+    // Per-row sketch kernel: token hashing and the per-bit ±1 vote both
+    // depend only on the row, so the explode → groupBy shuffle of the
+    // token set is gone. The null-text filter preserves the exact output of
+    // that formulation (explode over a null token array emitted no row).
+    val toks = TextFns.tokens(col(textCol))
+    df.filter(toks.isNotNull)
+      .select(col(idCol),
+        colOf(graft.plans.SimHashBits(exprOf(toks), bits)).as("simhash"))
   }
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets: vectors are

@@ -22,10 +22,15 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Fast double dot product (sequential fold, codegen'd). */
+  /** Fast double dot product — the DotFloat codegen kernel; bit-identical to
+    * the HOF fold `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` it
+    * replaced (same sequential summation order), minus the interpreted
+    * per-element lambda dispatch.
+    */
   def dotFast(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-         s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.DotFloat(
+      org.apache.spark.sql.GraftColumnBridge.expression(col(a)),
+      org.apache.spark.sql.GraftColumnBridge.expression(col(b))))
 
   /** Per-pair cosine recomputing both norms — O(3d) per pair. Fine for a
     * handful of pairs; JOIN paths must use [[withNorm]] + [[cosinePre]]
@@ -43,11 +48,12 @@ object Similarity {
   def cosinePre(a: String, b: String, an: Column, bn: Column): Column =
     dotFast(a, b) / (an * bn)
 
-  /** Deterministic sign-random-projection LSH bucket id (nBits <= 30). */
+  /** Deterministic sign-random-projection LSH bucket id (nBits <= 30).
+    * Quantize-then-bucket on the scaled-long kernel: the projection sums are
+    * exact, so buckets equal the decimal `signProjection(_, j) > 0` stack.
+    */
   def lshBucket(embCol: String, nBits: Int): Column =
-    (0 until nBits)
-      .map(j => when(VectorFns.signProjection(embCol, j) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+    VectorFns.lshBucketQ(VectorFns.quantize(col(embCol)), nBits)
 
   /** Exact brute-force cosine top-k.
     * @param queries    (q_id, qe) probe set — must be broadcast-small

@@ -1,0 +1,220 @@
+package graft.plans
+
+import graft.functions.TextFns
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row document-sketch kernels: distinct word k-gram shingles, the full
+  * MinHash signature, and SimHash — each computed in ONE narrow pass over the
+  * token array.
+  *
+  * This is the load-bearing 100 TB design choice of the dedup family: a
+  * document's sketch depends only on that document, so it belongs in a
+  * map-side expression, not in an explode → distinct → groupBy pipeline
+  * (which pays two full shuffles of the exploded shingle set — ~10× the
+  * corpus size — before the first byte of actual pair discovery). With these
+  * kernels the only shuffle left in MinHash-LSH is the band-key self-join,
+  * and n-gram Jaccard drops its shingle-distinct exchange and per-doc window.
+  *
+  * Parity obligations (SketchKernelSpec proves each against the HOF forms):
+  *   - shinglesDistinct ≡ set of transform(sequence(1, n-k+1),
+  *       i -> concat_ws(' ', slice(tokens, i, k))) — first-occurrence order;
+  *   - minhashSig(t, k)[i] ≡ min over distinct shingles of
+  *       (polyHash(sh)·aᵢ + bᵢ) mod P   (min over duplicates = min over
+  *       distinct, so no distinct pass is needed at all);
+  *   - simhashBits ≡ per-bit sign of Σ_tokens (bit set ? +1 : -1).
+  *
+  * The string hash walks CODE POINTS (`split(s,'')` + `ascii()` semantics,
+  * identical to charAt for ASCII/Latin-1) so oracle parity holds beyond ASCII.
+  */
+object SketchKernels {
+
+  private val Mod = 2147483647L // 2^31 - 1
+  private val permA: Array[Long] = TextFns.minhashPerms.map(_._1).toArray
+  private val permB: Array[Long] = TextFns.minhashPerms.map(_._2).toArray
+
+  /** Seed-7 base-31 polynomial hash over code points — TextFns.polyHash. */
+  def polyHashCp(s: String): Long = {
+    var acc = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Hash of the k-token shingle at position p without materializing the
+    * string: tokens joined by a single space, concat_ws style (null tokens
+    * skipped, separator only between emitted tokens).
+    */
+  private def shingleHash(tokens: ArrayData, p: Int, k: Int): Long = {
+    var acc = 7L
+    var emitted = 0
+    var t = p
+    while (t < p + k) {
+      if (!tokens.isNullAt(t)) {
+        if (emitted > 0) acc = (acc * 31L + 32L) % Mod // ' '
+        val s = tokens.getUTF8String(t).toString
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          acc = (acc * 31L + cp) % Mod
+          i += Character.charCount(cp)
+        }
+        emitted += 1
+      }
+      t += 1
+    }
+    acc
+  }
+
+  /** Distinct k-gram shingle strings in first-occurrence order; empty array
+    * when the document has fewer than k tokens.
+    */
+  def shinglesDistinct(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var p = 0
+    while (p <= n - k) {
+      val sb = new java.lang.StringBuilder
+      var emitted = 0
+      var t = p
+      while (t < p + k) {
+        if (!tokens.isNullAt(t)) {
+          if (emitted > 0) sb.append(' ')
+          sb.append(tokens.getUTF8String(t).toString)
+          emitted += 1
+        }
+        t += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      p += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Full MinHash signature (one long per permutation) in a single pass over
+    * shingle positions — duplicates don't affect a min, so no distinct set is
+    * ever built. Null when the document has fewer than k tokens (the groupBy
+    * formulation emits no row for such documents; callers filter first).
+    */
+  def minhashSig(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return null
+    val m = permA.length
+    val sigs = Array.fill(m)(Long.MaxValue)
+    var p = 0
+    while (p <= n - k) {
+      val h = shingleHash(tokens, p, k)
+      var i = 0
+      while (i < m) {
+        val v = (h * permA(i) + permB(i)) % TextFns.minhashP
+        if (v < sigs(i)) sigs(i) = v
+        i += 1
+      }
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
+
+  /** SimHash over per-token hashes: bit i set iff more token hashes have bit
+    * i set than clear (ties → clear, matching `sum > 0`). Null tokens
+    * contribute nothing (explode+sum skips nulls).
+    */
+  def simhashBits(tokens: ArrayData, bits: Int): Long = {
+    val n = tokens.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = polyHashCp(tokens.getUTF8String(i).toString)
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+}
+
+private[plans] trait TokenArrayInput { self: UnaryExpression =>
+  def fnName: String
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fnName requires array<string> tokens, got $other")
+  }
+}
+
+/** array<string> tokens → array<string> distinct k-gram shingles. */
+case class ShinglesDistinct(child: Expression, k: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def fnName: String = "shingles_distinct"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.shinglesDistinct(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.shinglesDistinct($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesDistinct =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<long> MinHash signature (null if < k tokens). */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def fnName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.SketchKernels.minhashSig($c, $k);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → long SimHash (`bits` ≤ 63 low bits used). */
+case class SimHashBits(child: Expression, bits: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  override def fnName: String = "simhash_bits"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.simhashBits(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.simhashBits($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}

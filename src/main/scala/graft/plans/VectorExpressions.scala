@@ -1,0 +1,236 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+
+/** Scaled-long kernels for the engine's exact-decimal embedding arithmetic.
+  *
+  * VectorFns' oracle-parity strategy quantizes each float to DECIMAL(12,6)
+  * (float → double widening is exact, double → decimal rounds HALF_UP like
+  * both engines' CAST), multiplies pairs exactly (scale 12), and sums exactly.
+  * The higher-order-function formulation of that lattice is semantically
+  * perfect but runs interpreted (HOFs are CodegenFallback) with a boxed
+  * Decimal allocation per element — the dominant cost of every ANN/dedup
+  * query at bench time.
+  *
+  * These expressions compute the IDENTICAL values on primitive longs:
+  * a DECIMAL(12,6) is an integer count of 1e-6 units, so the quantized vector
+  * is an `array<long>` (unscaled at scale 6), a product of two elements is an
+  * unscaled long at scale 12, and the exact decimal dot product is a plain
+  * long sum re-wrapped as Decimal(32,12). `Math.multiplyExact`/`addExact`
+  * guard the (out-of-contract, |x| ≳ 2e6) overflow region loudly instead of
+  * wrapping silently.
+  *
+  * Parity proof obligations, each covered by VectorKernelSpec:
+  *   - QuantizeVec(x)[i]   == CAST(CAST(x[i] AS DOUBLE) AS DECIMAL(12,6)) × 1e6
+  *   - DotQ(q(a), q(b))    == VectorFns.dotDec(a, b)   (exact decimal)
+  *   - DotFloat(a, b)      == Similarity.dotFast(a, b) (sequential double fold)
+  *   - LshBucketQ(q(a), n) == Similarity.lshBucket(a, n)
+  */
+object VectorKernels {
+
+  /** Quantize an array<float> to unscaled longs at scale 6, replicating
+    * Spark's Cast(float→double→DECIMAL(12,6)): BigDecimal.valueOf (shortest
+    * decimal repr of the exact double) then setScale(6, HALF_UP). Returns
+    * null (whole vector) if any element is null/NaN/Inf — the same
+    * null-poisoning the zip_with lattice produces on its dot products.
+    */
+  def quantize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val d = a.getFloat(i).toDouble
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+      out(i) = java.math.BigDecimal.valueOf(d)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Exact dot product of two quantized vectors as an unscaled long at scale
+    * 12; null on dimension mismatch (zip_with would null-pad and poison).
+    */
+  def dotUnscaled(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** Plain double dot product, sequential left fold — bit-identical to
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, (acc,v) -> acc+v)` (the
+    * fast ranking path). Null on length mismatch or null element.
+    */
+  def dotFloat(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  /** Sign-random-projection LSH bucket over a quantized vector: bit j is set
+    * iff sum_i q_i·s(i,j) > 0 with s = ±1 from ((i+1)·7919 + j·104729) % 97 % 2
+    * (i 0-based). The projection sum of scale-6 longs is exact, so its sign —
+    * and hence the bucket — matches the decimal HOF form exactly.
+    */
+  def lshBucket(q: ArrayData, nBits: Int): Long = {
+    val n = q.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < nBits) {
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val sign = if ((((i + 1) * 7919L + j * 104729L) % 97L) % 2L == 0L) 1L else -1L
+        s = Math.addExact(s, sign * q.getLong(i))
+        i += 1
+      }
+      if (s > 0L) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+/** array<float> → array<long>: each element quantized to its unscaled
+  * DECIMAL(12,6) value (see [[VectorKernels.quantize]]).
+  */
+case class QuantizeVec(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_vec requires array<float>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.VectorKernels.quantize($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeVec =
+    copy(child = newChild)
+}
+
+/** (array<long>, array<long>) → DECIMAL(32,12): the exact decimal dot product
+  * of two quantized vectors (see [[VectorKernels.dotUnscaled]]).
+  */
+case class DotQ(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DecimalType(32, 12)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dotq requires two array<long> (quantized) inputs, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val s = VectorKernels.dotUnscaled(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (s == null) null else Decimal(s.longValue(), 32, 12)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotqSum")
+      s"""
+      java.lang.Long $tmp = graft.plans.VectorKernels.dotUnscaled($a, $b);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = org.apache.spark.sql.types.Decimal.apply($tmp.longValue(), 32, 12);
+      }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotQ =
+    copy(left = l, right = r)
+}
+
+/** (array<float>, array<float>) → double: plain sequential-fold dot product,
+  * the codegen'd twin of Similarity.dotFast (ranking paths, no decimal).
+  */
+case class DotFloat(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dotf requires two array<float> inputs, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotfSum")
+      s"""
+      java.lang.Double $tmp = graft.plans.VectorKernels.dotFloat($a, $b);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp.doubleValue();
+      }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFloat =
+    copy(left = l, right = r)
+}
+
+/** array<long> → long: deterministic sign-random-projection LSH bucket id
+  * over a quantized vector ([[VectorKernels.lshBucket]]). `nBits` is a
+  * plan-time constant (≤ 30), not a child expression.
+  */
+case class LshBucketQ(child: Expression, nBits: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 30, s"nBits must be in [1, 30], got $nBits")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket_q requires array<long> (quantized) input, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBucket(input.asInstanceOf[ArrayData], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.VectorKernels.lshBucket($c, $nBits);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketQ =
+    copy(child = newChild)
+}

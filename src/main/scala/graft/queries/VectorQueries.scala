@@ -36,16 +36,19 @@ object VectorQueries {
     // exact, so cos is bit-identical whenever it's computed.
     Q("q_sim_cosine_topk",
       (s, dir) => {
+        // Quantize ONCE per row (the only BigDecimal work); every pair dot is
+        // then primitive long arithmetic inside whole-stage codegen.
         val e = t(s, dir, "embeddings")
-          .withColumn("norm", sqrt(VectorFns.dot("embedding", "embedding")))
+          .withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("norm", sqrt(VectorFns.dotQDouble(col("qv"), col("qv"))))
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("norm").as("qn"))
-        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("norm").as("cn"))
+          .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("norm").as("qn"))
+        val c = e.select(col("vec_id").as("c_id"), col("qv").as("ce"), col("norm").as("cn"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(round(col("cos"), 9).desc, col("c_id"))
         c.crossJoin(broadcast(q))
           .filter(col("q_id") =!= col("c_id"))
-          .withColumn("cos", VectorFns.dot("qe", "ce") / (col("qn") * col("cn")))
+          .withColumn("cos", VectorFns.dotQDouble(col("qe"), col("ce")) / (col("qn") * col("cn")))
           .withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("similarity"), col("rank"))
@@ -72,23 +75,20 @@ object VectorQueries {
     // then rerank exactly — the scale path (bucket equi-join, no cross join)
     Q("q_ann_lsh_topk",
       (s, dir) => {
-        val bucket = (0 until 4)
-          .map(j => when(VectorFns.signProjection("embedding", j) > 0, lit(1L << j))
-            .otherwise(lit(0L)))
-          .reduce(_ + _)
         val e = t(s, dir, "embeddings")
-          .withColumn("bucket", bucket)
-          .withColumn("norm", sqrt(VectorFns.dot("embedding", "embedding")))
+          .withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("bucket", VectorFns.lshBucketQ(col("qv"), 4))
+          .withColumn("norm", sqrt(VectorFns.dotQDouble(col("qv"), col("qv"))))
         val q = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          .select(col("vec_id").as("q_id"), col("qv").as("qe"),
                   col("norm").as("qn"), col("bucket"))
-        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        val c = e.select(col("vec_id").as("c_id"), col("qv").as("ce"),
                   col("norm").as("cn"), col("bucket"))
         val w = Window.partitionBy(col("q_id"))
           .orderBy(round(col("cos"), 9).desc, col("c_id"))
         c.join(broadcast(q), Seq("bucket"))
           .filter(col("q_id") =!= col("c_id"))
-          .withColumn("cos", VectorFns.dot("qe", "ce") / (col("qn") * col("cn")))
+          .withColumn("cos", VectorFns.dotQDouble(col("qe"), col("ce")) / (col("qn") * col("cn")))
           .withColumn("rank", row_number().over(w).cast(LongType))
           .filter(col("rank") <= 3)
           .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("similarity"), col("rank"))
@@ -122,19 +122,16 @@ object VectorQueries {
     // near-dup detection normally runs per-shard; norms precomputed)
     Q("q_dedup_embedding",
       (s, dir) => {
-        val bucket = (0 until 8)
-          .map(j => when(VectorFns.signProjection("embedding", j) > 0, lit(1L << j))
-            .otherwise(lit(0L)))
-          .reduce(_ + _)
         val e = t(s, dir, "embeddings").filter(col("label") === 0)
-          .withColumn("bucket", bucket)
-          .withColumn("norm", sqrt(VectorFns.dot("embedding", "embedding")))
-        val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+          .withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("bucket", VectorFns.lshBucketQ(col("qv"), 8))
+          .withColumn("norm", sqrt(VectorFns.dotQDouble(col("qv"), col("qv"))))
+        val a = e.select(col("vec_id").as("a_id"), col("qv").as("ae"),
                          col("norm").as("an"), col("bucket"))
-        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        val b = e.select(col("vec_id").as("b_id"), col("qv").as("be"),
                          col("norm").as("bn"), col("bucket"))
         a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
-          .withColumn("cos", VectorFns.dot("ae", "be") / (col("an") * col("bn")))
+          .withColumn("cos", VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")))
           .filter(round(col("cos"), 6) >= 0.2)
           .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("similarity"))
           .orderBy(col("a_id"), col("b_id"))
@@ -165,7 +162,8 @@ object VectorQueries {
     Q("q_vec_norm_stats",
       (s, dir) =>
         t(s, dir, "embeddings")
-          .withColumn("sq", VectorFns.dotDec("embedding", "embedding"))
+          .withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("sq", VectorFns.dotQ(col("qv"), col("qv")))
           .withColumn("norm", sqrt(col("sq").cast(DoubleType)))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n_vectors"),
@@ -188,11 +186,8 @@ object VectorQueries {
     Q("q_ann_lsh_buckets",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
-        val bucket = (0 until 8)
-          .map(j => when(VectorFns.signProjection("embedding", j) > 0, lit(1L << j))
-            .otherwise(lit(0L)))
-          .reduce(_ + _)
-        e.withColumn("bucket", bucket)
+        e.withColumn("bucket",
+            VectorFns.lshBucketQ(VectorFns.quantize(col("embedding")), 8))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_vectors"))
           .withColumn("n_cand_pairs",

@@ -1,0 +1,140 @@
+package graft
+
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.Dedup
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen kernels (graft.plans.VectorKernels / SketchKernels) must agree
+  * value-for-value with the HOF decimal-lattice forms they replaced — those
+  * HOF forms are the executable specification the DuckDB oracle SQL is
+  * generated from, so kernel ≡ HOF on real fixture data implies the oracle
+  * gate is unaffected by the swap.
+  */
+class KernelParitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+  private lazy val docs = Tables.load(spark, sf, "documents").cache()
+
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    GraftColumnBridge.column(e)
+  private def exprOf(c: org.apache.spark.sql.Column) =
+    GraftColumnBridge.expression(c)
+
+  test("QuantizeVec element == CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) unscaled") {
+    val n = emb.filter(
+      exists(zip_with(
+        VectorFns.quantize(col("embedding")),
+        expr("transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT))"),
+        (a, b) => a =!= b), x => x)).count()
+    assert(n == 0L)
+  }
+
+  test("DotQ on quantized vectors == VectorFns.dotDec (exact decimal HOF)") {
+    val pairs = emb.select(col("vec_id"), col("embedding").as("e1"))
+      .crossJoin(broadcast(
+        emb.filter(col("vec_id") < 3).select(col("embedding").as("e2"))))
+    val bad = pairs
+      .withColumn("kernel", VectorFns.dotQ(
+        VectorFns.quantize(col("e1")), VectorFns.quantize(col("e2"))))
+      .withColumn("hof", VectorFns.dotDec("e1", "e2").cast(DecimalType(32, 12)))
+      .filter(!(col("kernel") <=> col("hof")))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("DotFloat == double zip_with/aggregate fold, bit for bit") {
+    val hof = expr("aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    val pairs = emb.select(col("embedding").as("e1"))
+      .crossJoin(broadcast(emb.filter(col("vec_id") < 3).select(col("embedding").as("e2"))))
+    val bad = pairs
+      .withColumn("kernel", graft.operators.Similarity.dotFast("e1", "e2"))
+      .withColumn("hof", hof)
+      // exact equality: same summation order, same primitive double ops
+      .filter(!(col("kernel") <=> col("hof"))).count()
+    assert(bad == 0L)
+  }
+
+  test("LshBucketQ == signProjection decimal bit stack (4 and 8 bits)") {
+    for (bits <- Seq(4, 8)) {
+      val stack = (0 until bits)
+        .map(j => when(VectorFns.signProjection("embedding", j) > 0, lit(1L << j))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
+      val bad = emb
+        .withColumn("kernel",
+          VectorFns.lshBucketQ(VectorFns.quantize(col("embedding")), bits))
+        .withColumn("hof", stack)
+        .filter(col("kernel") =!= col("hof")).count()
+      assert(bad == 0L, s"bucket mismatch at nBits=$bits")
+    }
+  }
+
+  test("ShinglesDistinct == distinct exploded transform/slice/concat_ws shingles") {
+    val k = 4
+    val viaKernel = Dedup.shingles(docs, "doc_id", "text", k)
+    val viaHof = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(TextFns.shingleExpr("t", k)).as("sh"))
+      .distinct()
+    assert(viaKernel.count() == viaKernel.distinct().count(), "kernel emitted duplicate shingles")
+    assert(viaKernel.exceptAll(viaHof).count() == 0L)
+    assert(viaHof.exceptAll(viaKernel).count() == 0L)
+  }
+
+  test("MinHashSig == groupBy-min over hashed distinct shingles") {
+    val k = 4
+    val viaKernel = Dedup.minhashSignatures(docs, "doc_id", "text", k)
+    val hashed = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(TextFns.shingleExpr("t", k)).as("sh"))
+      .distinct()
+      .withColumn("h", TextFns.polyHash("sh"))
+    val sigCols = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % TextFns.minhashP).as(s"m$i")
+    }
+    val viaHof = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    assert(viaKernel.exceptAll(viaHof).count() == 0L)
+    assert(viaHof.exceptAll(viaKernel).count() == 0L)
+  }
+
+  test("SimHashBits == explode/groupBy per-bit vote, incl. duplicate tokens") {
+    val bits = 16
+    val viaKernel = Dedup.simhash(docs, "doc_id", "text", bits)
+    val tok = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .withColumn("h", TextFns.polyHash("tok"))
+    val bitSums = (0 until bits).map(i =>
+      sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until bits)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val viaHof = agg.select(col("doc_id"), sim.as("simhash"))
+    assert(viaKernel.exceptAll(viaHof).count() == 0L)
+    assert(viaHof.exceptAll(viaKernel).count() == 0L)
+  }
+
+  test("sketch kernels handle degenerate inputs like the HOF forms") {
+    // < k tokens → no shingles / no signature row; duplicates collapse
+    val df = Seq((1L, "a b c"), (2L, "x x x x x"), (3L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 4)
+    assert(sh.filter(col("doc_id") === 1L).count() == 0L)
+    assert(sh.filter(col("doc_id") === 2L).count() == 1L) // "x x x x" ×2 positions → ONE distinct
+    val sig = Dedup.minhashSignatures(df, "doc_id", "text", 4)
+    assert(sig.count() == 2L)
+    // n < k via the raw expression → null signature
+    val raw = df.select(colOf(graft.plans.MinHashSig(
+      exprOf(TextFns.tokens(col("text"))), 4)).as("sig"))
+    assert(raw.filter(col("sig").isNull).count() == 1L)
+    // empty-ish strings: simhash of "" is the hash-7 vote, not a crash
+    val s0 = Seq((1L, "")).toDF("doc_id", "text")
+    assert(Dedup.simhash(s0, "doc_id", "text", 16).count() == 1L)
+  }
+}
