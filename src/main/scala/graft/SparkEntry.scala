@@ -14,7 +14,8 @@ object SparkEntry {
     _root_.graft.queries.CoreQueries.qs ++
     _root_.graft.queries.FunctionQueries.qs ++
     _root_.graft.queries.TextQueries.qs ++
-    _root_.graft.queries.VectorQueries.qs
+    _root_.graft.queries.VectorQueries.qs ++
+    _root_.graft.queries.CurationQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup: boilerplate removal, train/test decontamination, sequence
+  * packing, and deterministic stratified sampling. All are pure DataFrame
+  * compositions whose only shuffles key on content hashes / strata — the
+  * shapes that survive a 1000-executor 100 TB run.
+  *
+  * Reference lineage: the reference pipeline's nearest analogues are its
+  * dedup windows and validity gates (sql/data/02_load_hosts.sql:7-16,
+  * modules/data_loader.py:142-170); these operators generalize that intent to
+  * corpus curation the way C4/Gopher-style pipelines do.
+  */
+object Curation {
+
+  /** Non-overlapping `chunkTokens`-token chunks per document — the "line"
+    * unit for boilerplate detection on corpora whose documents carry no
+    * newline structure. (doc_id, pos, chunk).
+    */
+  def chunks(df: DataFrame, idCol: String, textCol: String, chunkTokens: Int): DataFrame =
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
+      .select(col(idCol),
+        posexplode(TextFns.chunkExpr("t", chunkTokens, chunkTokens)))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"), col("col").as("chunk"))
+
+  /** C4-style boilerplate removal at chunk granularity: a chunk that appears
+    * in more than `maxDocFreq` distinct documents is boilerplate; every
+    * occurrence of it is dropped. Returns per-document accounting
+    * (doc_id, n_chunks, n_kept) — the caller reassembles or filters.
+    *
+    * Scale: one shuffle on the chunk string (the document-frequency count);
+    * the flag rides back on the chunk rows — no driver-side state. At 100 TB
+    * you'd hash the chunk to a 64-bit key first so the shuffle moves longs,
+    * not strings (same plan shape).
+    */
+  def boilerplateAccounting(df: DataFrame, idCol: String, textCol: String,
+                            chunkTokens: Int, maxDocFreq: Long): DataFrame = {
+    val ch = chunks(df, idCol, textCol, chunkTokens)
+    val dfreq = ch.groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    ch.join(dfreq, "chunk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("__df") <= maxDocFreq, 1)).as("n_kept"))
+  }
+
+  /** Train/test decontamination: flags training documents that share at least
+    * one word `k`-gram with any test document — the standard contamination
+    * check run before an evaluation split is trusted. Returns
+    * (train_id, n_shared_shingles, n_test_docs_hit).
+    *
+    * Scale: shingles on both sides, one equi-join on the shingle string; the
+    * test side of a real pipeline is millions of shingles at most — broadcast
+    * it. Candidate fan-out is bounded by real content overlap, like the
+    * dedup family.
+    */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    val trainSh = Dedup.shingles(train, idCol, textCol, k)
+      .withColumnRenamed(idCol, "train_id")
+    val testSh = Dedup.shingles(test, idCol, textCol, k)
+      .withColumnRenamed(idCol, "test_id")
+    trainSh.join(testSh, "sh")
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("test_id")).as("n_test_docs_hit"))
+  }
+
+  /** Greedy sequence packing: documents are laid out in deterministic order
+    * within each shard and cut into fixed `ctxLen`-token context windows;
+    * each document is assigned to the bin its first token lands in (documents
+    * are not split across bins by this operator — the accounting variant
+    * below counts boundary crossers).
+    *
+    * Returns one row per document: (shard, id, ntok, start_off, bin).
+    *
+    * Scale: the running offset is a per-shard window cumsum — shards
+    * (source, date, hash-range …) bound the window partition, so nothing
+    * global ever sorts. This is the map-side layout pass of a packed-sequence
+    * writer; the bin id doubles as the write-partition key.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, ctxLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(shardCol), col(idCol),
+        size(TextFns.tokens(col(textCol))).cast(LongType).as("ntok"))
+      .withColumn("start_off", sum(col("ntok")).over(w) - col("ntok"))
+      .withColumn("bin", floor(col("start_off") / ctxLen).cast(LongType))
+  }
+
+  /** Per-row target keep rate (percent) for a stratum, from a literal map;
+    * absent strata get 0.
+    */
+  def stratumRate(strataCol: String, rates: Map[String, Int]): Column =
+    rates.toSeq.sortBy(_._1).foldLeft(lit(0)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+
+  /** Deterministic stratified sampling: keep a row iff
+    * (id·1000003 + 17) mod 100 < rate(stratum). Pure integer arithmetic —
+    * reproducible across engines and runs, no RNG state, no shuffle at all
+    * (the filter is map-side; only the accounting aggregate shuffles).
+    * `rates` maps stratum → percentage (0–100); absent strata keep nothing.
+    */
+  def stratifiedKeep(idCol: String, strataCol: String, rates: Map[String, Int]): Column =
+    ((col(idCol) * 1000003L + 17L) % 100L) <
+      stratumRate(strataCol, rates).cast(LongType)
+}

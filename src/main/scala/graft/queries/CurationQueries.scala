@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{Curation, Scd2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation + warehouse-history operators, oracle-gated: C4-style
+  * boilerplate accounting, train/test decontamination, sequence packing,
+  * deterministic stratified sampling, and SCD2 change-log history.
+  *
+  * Scale posture mirrors the dedup family: curation shuffles key on content
+  * strings (chunk, shingle) or strata; packing windows are per-shard (never
+  * global); sampling is a map-side integer filter; SCD2 is one shuffle
+  * reused by two windows.
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB tokens CTE (lower + trim + whitespace split) over documents. */
+  private val toksCte =
+    """toks AS (SELECT doc_id, source,
+      |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- C4-style boilerplate accounting: non-overlapping 8-token chunks
+    // ("lines" for newline-free corpora); a chunk in >1 distinct doc is
+    // boilerplate, every occurrence dropped. One shuffle on the chunk string.
+    Q("q_text_boilerplate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.boilerplateAccounting(docs, "doc_id", "text", 8, maxDocFreq = 1L)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chunks")).as("total_chunks"),
+            sum(col("n_kept")).as("kept_chunks"),
+            count(when(col("n_kept") < col("n_chunks"), 1)).as("docs_with_boilerplate"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH $toksCte,
+        ch AS (SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(t) + 1, 8),
+                   st -> array_to_string(t[st:st+7], ' '))) AS chunk
+               FROM toks),
+        dfreq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS dfv FROM ch GROUP BY chunk),
+        acct AS (
+          SELECT ch.doc_id, any_value(ch.source) AS source,
+                 COUNT(*) AS n_chunks,
+                 COUNT(CASE WHEN dfreq.dfv <= 1 THEN 1 END) AS n_kept
+          FROM ch JOIN dfreq USING (chunk) GROUP BY ch.doc_id)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+               CAST(SUM(n_kept) AS BIGINT) AS kept_chunks,
+               COUNT(CASE WHEN n_kept < n_chunks THEN 1 END) AS docs_with_boilerplate
+        FROM acct GROUP BY source ORDER BY source""")),
+
+    // ----- train/test decontamination: training docs sharing any word
+    // 4-gram with the held-out slice (source = 'src0'). Shingle equi-join —
+    // fan-out bounded by true content overlap; test side broadcast at scale.
+    Q("q_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.decontaminate(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", k = 4)
+          .orderBy(col("train_id"))
+      },
+      Some {
+        val terms = (0 until 4)
+          .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+        s"""
+        WITH $toksCte,
+        sh0 AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(t) - 2), i -> $terms)) AS sh
+                FROM toks WHERE len(t) >= 4),
+        sh AS (SELECT DISTINCT doc_id, source, sh FROM sh0),
+        tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE source <> 'src0'),
+        te AS (SELECT doc_id AS test_id, sh FROM sh WHERE source = 'src0')
+        SELECT train_id, COUNT(*) AS n_shared_shingles,
+               COUNT(DISTINCT test_id) AS n_test_docs_hit
+        FROM tr JOIN te USING (sh)
+        GROUP BY train_id ORDER BY train_id"""
+      }),
+
+    // ----- sequence packing: per-shard (source) deterministic layout,
+    // 512-token context windows; documents binned by first-token offset.
+    // The cumsum window is per-shard — nothing ever sorts globally.
+    Q("q_pack_sequences",
+      (s, dir) =>
+        Curation.packSequences(t(s, dir, "documents"), "doc_id", "text",
+            "source", ctxLen = 512)
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("sum_tokens"),
+            max(col("start_off")).as("max_start"))
+          .orderBy(col("source"), col("bin")),
+      Some(s"""
+        WITH $toksCte,
+        sized AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS ntok FROM toks),
+        off AS (SELECT source, doc_id, ntok,
+                  CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - ntok AS BIGINT) AS start_off
+                FROM sized)
+        SELECT source, CAST(floor(start_off / 512.0) AS BIGINT) AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS sum_tokens,
+               MAX(start_off) AS max_start
+        FROM off GROUP BY source, bin ORDER BY source, bin""")),
+
+    // ----- deterministic stratified sampling / domain mixing: keep rate per
+    // stratum from pure integer arithmetic on the id — map-side filter, no
+    // RNG state, reproducible on any engine or cluster size.
+    Q("q_stratified_sample",
+      (s, dir) => {
+        val rates = (0 until 20).map(i => s"src$i" -> (10 + 6 * (i % 5))).toMap
+        val rate = Curation.stratumRate("source", rates)
+        t(s, dir, "documents")
+          .withColumn("keep", Curation.stratifiedKeep("doc_id", "source", rates))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("keep"), 1)).as("n_kept"),
+            max(rate.cast(LongType)).as("target_pct"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN (doc_id * 1000003 + 17) % 100 <
+                 10 + 6 * (CAST(substr(source, 4) AS INT) % 5) THEN 1 END) AS n_kept,
+               CAST(MAX(10 + 6 * (CAST(substr(source, 4) AS INT) % 5)) AS BIGINT) AS target_pct
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ----- SCD2 history from a change log: one row per state version with
+    // [valid_from, valid_to) and is_current; consecutive duplicate states
+    // collapse. Two windows over ONE (user_id) shuffle — no self-join.
+    Q("q_scd2_history",
+      (s, dir) =>
+        Scd2.fromChangeLog(t(s, dir, "events"), "user_id", "ts", "event_id",
+            "event_type")
+          .orderBy(col("user_id"), col("valid_from"), col("event_id")),
+      Some("""
+        WITH ordered AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev
+          FROM events),
+        versions AS (
+          SELECT user_id, event_type, ts AS valid_from, event_id
+          FROM ordered WHERE prev IS NULL OR prev <> event_type),
+        hist AS (
+          SELECT user_id, event_type, valid_from, event_id,
+                 lead(valid_from) OVER (PARTITION BY user_id
+                   ORDER BY valid_from, event_id) AS valid_to
+          FROM versions)
+        SELECT user_id, event_type, valid_from, valid_to,
+               (valid_to IS NULL) AS is_current, event_id
+        FROM hist ORDER BY user_id, valid_from, event_id"""))
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Curation, Scd2}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("boilerplate accounting flags cross-document repeated chunks only") {
+    // 2-token chunks: "dup dup" appears in docs 1 and 2 → boilerplate at
+    // maxDocFreq=1; "solo text"/"uniq here" appear once → kept. A chunk
+    // repeated WITHIN one doc only (doc 3) has dfreq 1 → NOT boilerplate.
+    val df = Seq(
+      (1L, "dup dup solo text"),
+      (2L, "dup dup uniq here"),
+      (3L, "same same same same")).toDF("doc_id", "text")
+    val acct = Curation.boilerplateAccounting(df, "doc_id", "text", 2, 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(acct.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 2L)))
+  }
+
+  test("decontamination finds exactly the planted overlap") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val test = Seq(
+      (90L, "xx alpha beta gamma delta yy"),
+      (91L, "nothing shared at all here")).toDF("doc_id", "text")
+    val hits = Curation.decontaminate(train, test, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // train 10 shares 4-grams "alpha beta gamma delta" with test 90 — one
+    // shared shingle, one test doc; train 11 is clean
+    assert(hits.toSeq == Seq((10L, 1L, 1L)))
+  }
+
+  test("sequence packing: per-shard offsets, bins, and no global window") {
+    val df = Seq(
+      ("a", 1L, "w1 w2 w3"), ("a", 2L, "w1 w2"), ("a", 3L, "w1 w2 w3 w4"),
+      ("b", 9L, "w1 w2 w3 w4 w5")).toDF("source", "doc_id", "text")
+    val packed = Curation.packSequences(df, "doc_id", "text", "source", 4)
+      .orderBy("source", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(packed.toSeq == Seq(
+      ("a", 1L, 3L, 0L, 0L),   // starts at 0 → bin 0
+      ("a", 2L, 2L, 3L, 0L),   // starts at 3 → bin 0
+      ("a", 3L, 4L, 5L, 1L),   // starts at 5 → bin 1
+      ("b", 9L, 5L, 0L, 0L)))  // fresh shard restarts at 0
+    // plan lint: the window must be partitioned (no single-partition sort)
+    val plan = Curation.packSequences(df, "doc_id", "text", "source", 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"),
+      "packing window lost its partition spec")
+  }
+
+  test("stratified keep is deterministic and respects per-stratum rates") {
+    val rates = Map("a" -> 100, "b" -> 0)
+    val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    val kept = df.filter(Curation.stratifiedKeep("doc_id", "source", rates))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (2L to 50L by 2).toSet)       // all of a, none of b
+    // absent stratum keeps nothing
+    val none = df.withColumn("source", lit("zzz"))
+      .filter(Curation.stratifiedKeep("doc_id", "source", rates)).count()
+    assert(none == 0L)
+  }
+
+  test("SCD2: consecutive duplicates collapse, intervals chain, current open") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val log = Seq(
+      (1L, ts(1), 101L, "new"), (1L, ts(2), 102L, "new"),
+      (1L, ts(3), 103L, "active"), (1L, ts(4), 104L, "new"),
+      (2L, ts(5), 201L, "active")).toDF("user_id", "ts", "event_id", "event_type")
+    val hist = Scd2.fromChangeLog(log, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(hist.toSeq == Seq(
+      (1L, "new", ts(1), Some(ts(3)), false),     // ts(2) duplicate collapsed
+      (1L, "active", ts(3), Some(ts(4)), false),
+      (1L, "new", ts(4), None, true),             // state can recur as new version
+      (2L, "active", ts(5), None, true)))
+    assert(ts0 != null) // silence unused warning on helper anchor
+  }
+}
