@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the closure step every
+  * near-dedup pipeline needs after pair generation: LSH/Jaccard emit PAIRS,
+  * but survivorship must be decided per CLUSTER (a~b, b~c ⇒ {a,b,c} keep one
+  * representative), and pairwise keep-the-smaller would over- or under-delete.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled with
+  * its own id; each round a node adopts the minimum label among itself and
+  * its neighbors; fixpoint = components labeled by their minimum member id.
+  * Rounds needed = graph diameter (near-dup clusters are shallow — dozens of
+  * members, diameter a handful), each round is one join + one min-aggregate,
+  * both shuffling on the node id only. The edge set is persisted once and
+  * reused every round. A driver-side convergence probe per round is O(1)
+  * result rows (LIMIT 1 on changed labels) — the label sets themselves never
+  * collect.
+  *
+  * At 100 TB scale the same loop holds: edges ≪ corpus (pairs only exist
+  * where content overlaps), and the alternative single-pass formulations
+  * (recursive closure, GraphX pregel) either blow up quadratically on big
+  * components or add a dependency; bounded-round label propagation is the
+  * standard Spark-native answer.
+  */
+object Components {
+
+  /** @return (node, component_id) for every node appearing in `pairs`,
+    *         component_id = minimum node id of the component. Deterministic.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < maxIters) {
+      // neighbors' labels flow along edges; keep own label; take the min
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = prop.as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0L
+      labels.unpersist()
+      labels = prop
+      iters += 1
+      converged = !changed
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("component_id"))
+  }
+
+  /** Cluster survivors: one representative (min id) per component plus the
+    * cluster size — the deletion list is every clustered node that is not its
+    * component's representative.
+    */
+  def survivors(components: DataFrame): DataFrame =
+    components.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("component_id").as("survivor_id"), col("n_members"))
+}

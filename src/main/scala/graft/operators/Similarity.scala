@@ -137,15 +137,18 @@ object Similarity {
     best
   }
 
+  /** Squared distances to every centroid — the CellDists codegen kernel
+    * (identical math to the HOF transform/zip_with/aggregate stack it
+    * replaced; the centroid matrix rides as a codegen reference object).
+    */
+  def cellDists(embCol: String, centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.CellDists(
+      org.apache.spark.sql.GraftColumnBridge.expression(col(embCol)),
+      centroids.toIndexedSeq.map(_.toIndexedSeq)))
+
   /** Cell assignment as a column (argmin over the broadcast centroid list). */
   def ivfCell(embCol: String, centroids: Array[Array[Double]]): Column = {
-    val centroidLits = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
-    // argmin over squared distance, computed with HOFs over the literal array
-    val dists = transform(centroidLits, cent =>
-      aggregate(
-        zip_with(col(embCol), cent,
-          (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v))
+    val dists = cellDists(embCol, centroids)
     array_position(dists, array_min(dists)).cast("long") - 1
   }
 
@@ -157,12 +160,7 @@ object Similarity {
     val cents = ivfIndex(candidates.select(col("ce").as("embedding")), "embedding", nLists)
     val c = candidates.withColumn("cell", ivfCell("ce", cents))
     // probe lists: the nProbe nearest cells per query
-    val centroidLits = array(cents.toIndexedSeq.map(cc => array(cc.toIndexedSeq.map(lit): _*)): _*)
-    val qDists = transform(centroidLits, cent =>
-      aggregate(zip_with(col("qe"), cent,
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-        lit(0.0), (acc, v) => acc + v))
-    val qq = queries.withColumn("qd", qDists)
+    val qq = queries.withColumn("qd", cellDists("qe", cents))
       .withColumn("cell_structs", expr(
         s"slice(array_sort(transform(qd, (d, i) -> named_struct('d', d, 'i', CAST(i AS LONG))), " +
         s"(a, b) -> CASE WHEN a.d < b.d THEN -1 WHEN a.d > b.d THEN 1 ELSE 0 END), 1, $nProbe)"))

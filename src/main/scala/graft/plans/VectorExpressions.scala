@@ -87,6 +87,33 @@ object VectorKernels {
     java.lang.Double.valueOf(s)
   }
 
+  /** Squared L2 distance to each of k centroids (flattened row-major, `dim`
+    * doubles per centroid) — sequential double fold per centroid, matching
+    * the `aggregate(zip_with(emb, cent, (x,y) -> (x-y)*(x-y)), 0d, +)` HOF
+    * stack bit-for-bit. Null on dimension mismatch or null element.
+    */
+  def cellDists(a: ArrayData, cents: Array[Double], dim: Int): ArrayData = {
+    val n = a.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    val k = cents.length / dim
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      i = 0
+      while (i < dim) {
+        val d = a.getFloat(i).toDouble - cents(c * dim + i)
+        s += d * d
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sign-random-projection LSH bucket over a quantized vector: bit j is set
     * iff sum_i q_i·s(i,j) > 0 with s = ±1 from ((i+1)·7919 + j·104729) % 97 % 2
     * (i 0-based). The projection sum of scale-6 longs is exact, so its sign —
@@ -207,6 +234,42 @@ case class DotFloat(left: Expression, right: Expression) extends BinaryExpressio
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFloat =
     copy(left = l, right = r)
+}
+
+/** array<float> → array<double>: squared L2 distance to each centroid of a
+  * plan-time centroid table (IVF coarse quantizer). The centroid matrix rides
+  * into codegen as a reference object, not a literal expression tree — k×dim
+  * doubles of driver state, broadcast with the plan.
+  */
+case class CellDists(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+    "centroids must be non-empty and rectangular")
+  private val dim = centroids.head.length
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_dists requires array<float>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.cellDists(input.asInstanceOf[ArrayData], flat, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cellDistsCents", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.VectorKernels.cellDists($c, $centsRef, $dim);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellDists =
+    copy(child = newChild)
 }
 
 /** array<long> → long: deterministic sign-random-projection LSH bucket id

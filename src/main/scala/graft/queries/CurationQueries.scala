@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{Curation, Scd2}
+import graft.functions.TextFns
+import graft.operators.{Components, Curation, Dedup, Scd2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -135,6 +136,77 @@ object CurationQueries {
                  10 + 6 * (CAST(substr(source, 4) AS INT) % 5) THEN 1 END) AS n_kept,
                CAST(MAX(10 + 6 * (CAST(substr(source, 4) AS INT) % 5)) AS BIGINT) AS target_pct
         FROM documents GROUP BY source ORDER BY source""")),
+
+    // ----- dedup-cluster closure: near-dup PAIRS (4-gram Jaccard ≥ 0.4)
+    // grouped into connected components labeled by their min member — the
+    // survivorship unit (a~b, b~c ⇒ one representative for {a,b,c}).
+    // Spark: bounded-round min-label propagation; oracle: recursive closure.
+    Q("q_dedup_components",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", 4, 0.4)
+        Components.connectedComponents(pairs, "a_id", "b_id")
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+                FROM toks WHERE len(t) >= 4),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a_id, b_id FROM cand
+          JOIN sizes sa ON a_id = sa.doc_id
+          JOIN sizes sb ON b_id = sb.doc_id
+          WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.4),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(node, r) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        SELECT node, LEAST(node, MIN(r)) AS component_id
+        FROM reach GROUP BY node ORDER BY node""")),
+
+    // ----- temperature-style domain mixing weights (α = 0.5): weight each
+    // source by isqrt(tokens) — exact integer arithmetic end-to-end (IEEE
+    // sqrt is correctly rounded, floor makes it an integer in both engines),
+    // so shares and token allocations are engine-exact. The corpus total
+    // rides in on a broadcast cross join of a 1-row aggregate, not a global
+    // window.
+    Q("q_mix_weights",
+      (s, dir) => {
+        val per = t(s, dir, "documents")
+          .withColumn("ntok", size(TextFns.tokens(col("text"))).cast(LongType))
+          .groupBy(col("source")).agg(sum(col("ntok")).as("tokens"))
+          .withColumn("weight", floor(sqrt(col("tokens"))).cast(LongType))
+        val tot = per.agg(sum(col("weight")).as("total_w"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("share",
+            col("weight").cast(DoubleType) / col("total_w").cast(DoubleType))
+          .withColumn("alloc_tokens", expr("CAST((1000000 * weight) DIV total_w AS BIGINT)"))
+          .select(col("source"), col("tokens"), col("weight"), col("share"),
+            col("alloc_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH $toksCte,
+        per AS (SELECT source, CAST(SUM(len(t)) AS BIGINT) AS tokens
+                FROM toks GROUP BY source),
+        w AS (SELECT source, tokens,
+                CAST(floor(sqrt(tokens)) AS BIGINT) AS weight FROM per),
+        tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM w)
+        SELECT source, tokens, weight,
+               CAST(weight AS DOUBLE) / CAST(total_w AS DOUBLE) AS share,
+               CAST((1000000 * weight) // total_w AS BIGINT) AS alloc_tokens
+        FROM w, tot ORDER BY source""")),
 
     // ----- SCD2 history from a change log: one row per state version with
     // [valid_from, valid_to) and is_current; consecutive duplicate states

@@ -68,6 +68,26 @@ class CurationSpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
+  test("connected components: chains merge transitively, islands stay apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val cc = graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    val surv = graft.operators.Components.survivors(
+        graft.operators.Components.connectedComponents(pairs, "a_id", "b_id"))
+      .orderBy("survivor_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(surv.toSeq == Seq((1L, 3L), (10L, 2L)))
+  }
+
+  test("connected components: long path needs multiple propagation rounds") {
+    // diameter-7 path: labels must walk the whole chain — catches any
+    // one-round-only implementation
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.length == 8 && cc.forall(_._2 == 1L))
+  }
+
   test("SCD2: consecutive duplicates collapse, intervals chain, current open") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
