@@ -36,24 +36,30 @@ object Components {
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("node")).distinct()
+    var cached = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
-      // neighbors' labels flow along edges; keep own label; take the min
+      // Neighbors' labels flow along edges; the node's OWN previous label
+      // rides along tagged (__own) so the convergence probe needs no join
+      // against the previous round: after the min-aggregate, a row changed
+      // iff min-over-all < min-over-own. One shuffle and ONE action per
+      // round (the probe's LIMIT 1 materializes the round into the cache).
       val prop = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"))
-        .union(labels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"), lit(0).as("__own"))
+        .union(labels.withColumn("__own", lit(1)))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("__own") === 1, col("label"))).as("__prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = prop.as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count() > 0L
-      labels.unpersist()
-      labels = prop
+      val changed =
+        prop.filter(col("label") < col("__prev")).limit(1).count() > 0L
+      cached.unpersist()
+      cached = prop
+      labels = prop.select(col("node"), col("label"))
       iters += 1
       converged = !changed
     }

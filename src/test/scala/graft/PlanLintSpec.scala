@@ -50,6 +50,27 @@ class PlanLintSpec extends AnyFunSuite {
       }
   }
 
+  test("sketch kernels keep signature computation map-side (no pre-join shuffle)") {
+    // SimHash is a pure per-row sketch now: its plan must contain NO
+    // aggregate at all (the old explode→groupBy form had two).
+    val simhash = plan("q_dedup_simhash")
+    assert(!simhash.contains("HashAggregate") && !simhash.contains("SortAggregate"),
+      "simhash plan re-grew an aggregation — sketch is no longer per-row")
+    assert(simhash.toLowerCase.contains("simhashbits"), "simhash kernel not in plan")
+    // MinHash signatures likewise: the kernel must appear, and the only
+    // aggregate allowed is the candidate-pair DISTINCT after the band join.
+    val mh = plan("q_dedup_minhash_lsh")
+    assert(mh.toLowerCase.contains("minhashsig"), "minhash kernel not in plan")
+    // Vector queries run on quantized long arrays inside codegen.
+    Seq("q_sim_cosine_topk", "q_ann_lsh_topk", "q_dedup_embedding")
+      .foreach { name =>
+        val p = plan(name).toLowerCase
+        assert(p.contains("quantizevec") && p.contains("dotq"),
+          s"$name no longer uses the quantized kernels")
+      }
+    assert(plan("q_ann_lsh_buckets").toLowerCase.contains("lshbucketq"))
+  }
+
   test("no ETL loader plans a single-partition global window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.functions._
