@@ -93,6 +93,19 @@ object Soak {
         },
         "dedup_simhash" -> { dir =>
           Dedup.simhash(docs(dir), "doc_id", "text", 16).count()
+        },
+        // per-row sketch + single exploded-band self-join: both stages are
+        // linear in docs when no band key is hot (the copy-tagged corpus
+        // guarantees bands never collide across copies)
+        "dedup_minhash_lsh" -> { dir =>
+          Dedup.minhashLshPairs(docs(dir), "doc_id", "text", 4, 0.5).count()
+        },
+        // pair generation + bounded-round label propagation: components are
+        // copy-local so rounds stay constant and cost tracks the pair count
+        "dedup_components" -> { dir =>
+          val pairs = Dedup.ngramJaccardPairs(docs(dir), "doc_id", "text", 4, 0.4,
+            maxDocFreq = Tuning.maxShingleDocFreq(spark, nRows(dir)))
+          graft.operators.Components.connectedComponents(pairs, "a_id", "b_id").count()
         })
       println(f"${"dedup op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (docs x$dedupFactor, dfcut)")
       runs.foreach { case (name, f) =>
