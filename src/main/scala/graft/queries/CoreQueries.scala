@@ -880,7 +880,35 @@ object CoreQueries {
           SELECT c_name AS name, 'customer' AS src FROM customer
           UNION ALL
           SELECT s_name AS name, 'supplier' AS src FROM supplier) t
-        ORDER BY name, src"""))
+        ORDER BY name, src""")),
+
+    // ----- Set op: INTERSECT (SURVEY §2.7) — nations that have both
+    // customers and suppliers. Spark plans a left-semi-style hash join per
+    // side; no sort-based set logic.
+    Q("q_u2_intersect",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy(col("nationkey")),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+        ORDER BY nationkey""")),
+
+    // ----- Set op: EXCEPT (SURVEY §2.7) — order priorities that never occur
+    // with the highest urgency flag (distinct-set difference, anti-join plan).
+    Q("q_u3_except",
+      (s, dir) =>
+        t(s, dir, "orders").select(col("o_orderpriority").as("priority"))
+          .except(t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderpriority").as("priority")))
+          .orderBy(col("priority")),
+      Some("""
+        SELECT o_orderpriority AS priority FROM orders
+        EXCEPT
+        SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        ORDER BY priority"""))
   )
 
   /** Shared inputs for the J7 MERGE rewrite: staging = updated balances for
