@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+
+/** Column API for the per-row document-sketch kernels
+  * (graft.plans.SketchExpressions) — the single wrapping point, so operator
+  * code never touches the Column ⇄ Expression bridge directly.
+  */
+object SketchFns {
+
+  /** Distinct word k-gram shingles of a token-array column (first-occurrence
+    * order; empty array below k tokens).
+    */
+  def shinglesDistinct(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(graft.plans.ShinglesDistinct(
+      GraftColumnBridge.expression(tokens), k))
+
+  /** Full MinHash signature (one long per permutation) of a token-array
+    * column; null below k tokens.
+    */
+  def minhashSig(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(graft.plans.MinHashSig(
+      GraftColumnBridge.expression(tokens), k))
+
+  /** SimHash (`bits` low bits) over per-token hashes of a token-array column. */
+  def simhashBits(tokens: Column, bits: Int): Column =
+    GraftColumnBridge.column(graft.plans.SimHashBits(
+      GraftColumnBridge.expression(tokens), bits))
+}

@@ -29,6 +29,9 @@ object Components {
 
   /** @return (node, component_id) for every node appearing in `pairs`,
     *         component_id = minimum node id of the component. Deterministic.
+    *         The result reads from the final round's local checkpoint.
+    *         Throws if the label set has not converged after `maxIters`
+    *         rounds (rounds needed = component diameter).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 20): DataFrame = {
@@ -36,34 +39,46 @@ object Components {
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = edges.select(col("src").as("node")).distinct()
+    // Each round's label set is localCheckpoint'ed (eager): the logical plan
+    // would otherwise DOUBLE per round (labels feeds both the join and the
+    // union branch — 2^rounds plan nodes, which blows up analysis long
+    // before data does). Checkpointing truncates lineage to the materialized
+    // blocks, keeps every round's plan constant-size, and lets old rounds'
+    // storage be GC'd when their references drop — no cache juggling. On a
+    // real cluster prefer reliable checkpoints (executor loss drops local
+    // ones); the algorithm is unchanged.
+    var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+      .localCheckpoint()
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       // Neighbors' labels flow along edges; the node's OWN previous label
       // rides along tagged (__own) so the convergence probe needs no join
       // against the previous round: after the min-aggregate, a row changed
-      // iff min-over-all < min-over-own. One shuffle and ONE action per
-      // round (the probe's LIMIT 1 materializes the round into the cache).
+      // iff min-over-all < min-over-own. One shuffle per round; the eager
+      // checkpoint is the round's single materializing action.
       val prop = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"), lit(0).as("__own"))
         .union(labels.withColumn("__own", lit(1)))
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"),
           min(when(col("__own") === 1, col("label"))).as("__prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed =
         prop.filter(col("label") < col("__prev")).limit(1).count() > 0L
-      cached.unpersist()
-      cached = prop
       labels = prop.select(col("node"), col("label"))
       iters += 1
       converged = !changed
     }
     edges.unpersist()
+    // Fail loudly rather than return silently split components: an
+    // unconverged label set would make survivors() emit multiple
+    // "representatives" per true cluster — a wrong deletion list. (Rounds
+    // needed = graph diameter; raise maxIters for pathological chains.)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+      "component diameter exceeds maxIters; raise it (rounds = diameter)")
     labels.select(col("node"), col("label").as("component_id"))
   }
 

@@ -104,12 +104,15 @@ object Curation {
     }
 
   /** Deterministic stratified sampling: keep a row iff
-    * (id·1000003 + 17) mod 100 < rate(stratum). Pure integer arithmetic —
+    * pmod(id·1000003 + 17, 100) < rate(stratum). Pure integer arithmetic —
     * reproducible across engines and runs, no RNG state, no shuffle at all
     * (the filter is map-side; only the accounting aggregate shuffles).
-    * `rates` maps stratum → percentage (0–100); absent strata keep nothing.
+    * `rates` maps stratum → percentage (0–100); absent strata keep nothing —
+    * pmod (not %) keeps that true for negative ids, whose plain remainder
+    * would be negative and therefore below every rate. Contract:
+    * |id| < 9.2e12 (the multiplication must not wrap).
     */
   def stratifiedKeep(idCol: String, strataCol: String, rates: Map[String, Int]): Column =
-    ((col(idCol) * 1000003L + 17L) % 100L) <
+    pmod(col(idCol) * 1000003L + 17L, lit(100L)) <
       stratumRate(strataCol, rates).cast(LongType)
 }

@@ -42,11 +42,6 @@ object Dedup {
       .select(col(idCol), col("n_copies"))
   }
 
-  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-    org.apache.spark.sql.GraftColumnBridge.column(e)
-  private def exprOf(c: Column) =
-    org.apache.spark.sql.GraftColumnBridge.expression(c)
-
   /** Distinct shingle ARRAY per document (plus the token array pre-check) —
     * the per-row sketch kernel: distinctness is established inside the row,
     * so no `distinct()` exchange of the exploded shingle set is ever paid.
@@ -55,7 +50,7 @@ object Dedup {
     df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= k)
       .select(col(idCol),
-        colOf(graft.plans.ShinglesDistinct(exprOf(col("t")), k)).as("sha"))
+        graft.functions.SketchFns.shinglesDistinct(col("t"), k).as("sha"))
 
   /** Distinct (id, k-gram shingle) pairs of a text column. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
@@ -113,7 +108,7 @@ object Dedup {
     val nPerms = TextFns.minhashPerms.size
     df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= k)
-      .withColumn("sig", colOf(graft.plans.MinHashSig(exprOf(col("t")), k)))
+      .withColumn("sig", graft.functions.SketchFns.minhashSig(col("t"), k))
       .select(col(idCol) +: (0 until nPerms).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
@@ -173,7 +168,7 @@ object Dedup {
     val toks = TextFns.tokens(col(textCol))
     df.filter(toks.isNotNull)
       .select(col(idCol),
-        colOf(graft.plans.SimHashBits(exprOf(toks), bits)).as("simhash"))
+        graft.functions.SketchFns.simhashBits(toks, bits).as("simhash"))
   }
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets: vectors are

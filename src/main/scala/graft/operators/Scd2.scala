@@ -37,10 +37,9 @@ object Scd2 {
       // (null-safe: the first row always starts a version)
       .filter(col("__prev").isNull || !(col("__prev") <=> col(stateCol)))
       .drop("__prev")
-    val wv = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     versions
       .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", lead(col(tsCol), 1).over(wv))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .select(col(keyCol), col(stateCol), col("valid_from"), col("valid_to"),
         col("is_current"), col(tieCol))

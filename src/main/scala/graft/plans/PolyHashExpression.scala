@@ -9,10 +9,11 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's portable polynomial string
   * hash (seed 7, base 31, mod 2^31-1) — the codegen'd fast path for the
-  * higher-order-function form in TextFns.polyHash (`aggregate(split(s,''),…)`),
-  * which allocates a per-row array. Identical results for ASCII/Latin-1 input
-  * (both walk per-character codepoints); the dedup/minhash pipelines feed it
-  * whitespace tokens so that holds by construction.
+  * higher-order-function form in TextFns.polyHash (`aggregate(split(s,''),…)`).
+  * Identical for ALL inputs: both walk code points (`ascii` returns the code
+  * point in Spark and DuckDB — probed incl. 'é' → 233 and '😀' → 128512), and
+  * the empty string hashes to 217 because `split('','')` yields one empty
+  * piece with `ascii('') = 0`.
   *
   * Demonstrates the (b) tier of the extension ladder — custom `Expression`
   * with `doGenCode` — per SURVEY §7.3: everything else in the engine is
@@ -33,29 +34,27 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     PolyHash.hash(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("phStr")
-      val i = ctx.freshName("phI")
-      s"""
-        java.lang.String $s = $c.toString();
-        long ${ev.value}_acc = 7L;
-        for (int $i = 0; $i < $s.length(); $i++) {
-          ${ev.value}_acc = (${ev.value}_acc * 31L + (long) $s.charAt($i)) % 2147483647L;
-        }
-        ${ev.value} = ${ev.value}_acc;
-      """
-    })
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.PolyHash.hash($c.toString());")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
 }
 
 object PolyHash {
-  /** Reference implementation (interpreted path + tests). */
+  /** Reference implementation (interpreted + codegen call target). Walks
+    * code points ('😀' is ONE contribution of 128512, matching both engines'
+    * `ascii`); '' hashes to 217 (one empty piece, ascii 0) — see class doc.
+    */
   def hash(s: String): Long = {
+    if (s.isEmpty) return 217L
     var acc = 7L
     var i = 0
-    while (i < s.length) { acc = (acc * 31L + s.charAt(i)) % 2147483647L; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
     acc
   }
 

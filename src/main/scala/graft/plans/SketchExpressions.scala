@@ -37,8 +37,15 @@ object SketchKernels {
   private val permA: Array[Long] = TextFns.minhashPerms.map(_._1).toArray
   private val permB: Array[Long] = TextFns.minhashPerms.map(_._2).toArray
 
-  /** Seed-7 base-31 polynomial hash over code points — TextFns.polyHash. */
+  /** Seed-7 base-31 polynomial hash over code points — TextFns.polyHash.
+    * The empty string hashes to 217, NOT the seed: `split('', '')` yields one
+    * empty piece in both engines and `ascii('') = 0`, so the HOF fold runs
+    * once with 0 ((7·31 + 0) mod M). Probed empirically on Spark and DuckDB —
+    * both also agree on code points for non-ASCII ('é' → 233, '😀' → 128512),
+    * which is exactly what codePointAt walks.
+    */
   def polyHashCp(s: String): Long = {
+    if (s.isEmpty) return 217L // (7*31 + ascii('')) % Mod
     var acc = 7L
     var i = 0
     while (i < s.length) {
@@ -56,22 +63,25 @@ object SketchKernels {
   private def shingleHash(tokens: ArrayData, p: Int, k: Int): Long = {
     var acc = 7L
     var emitted = 0
+    var nChars = 0
     var t = p
     while (t < p + k) {
       if (!tokens.isNullAt(t)) {
-        if (emitted > 0) acc = (acc * 31L + 32L) % Mod // ' '
+        if (emitted > 0) { acc = (acc * 31L + 32L) % Mod; nChars += 1 } // ' '
         val s = tokens.getUTF8String(t).toString
         var i = 0
         while (i < s.length) {
           val cp = s.codePointAt(i)
           acc = (acc * 31L + cp) % Mod
           i += Character.charCount(cp)
+          nChars += 1
         }
         emitted += 1
       }
       t += 1
     }
-    acc
+    // an all-empty shingle string hashes like polyHashCp("") — see above
+    if (nChars == 0) 217L else acc
   }
 
   /** Distinct k-gram shingle strings in first-occurrence order; empty array

@@ -39,7 +39,9 @@ object VectorKernels {
     * null (whole vector) if any element is null/NaN/Inf — the same
     * null-poisoning the zip_with lattice produces on its dot products.
     */
-  def quantize(a: ArrayData): ArrayData = {
+  def quantize(a: ArrayData): ArrayData = quantize(a, ansi = false)
+
+  def quantize(a: ArrayData, ansi: Boolean): ArrayData = {
     val n = a.numElements()
     val out = new Array[Long](n)
     var i = 0
@@ -47,9 +49,19 @@ object VectorKernels {
       if (a.isNullAt(i)) return null
       val d = a.getFloat(i).toDouble
       if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
-      out(i) = java.math.BigDecimal.valueOf(d)
+      val q = java.math.BigDecimal.valueOf(d)
         .setScale(6, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
+      // DECIMAL(12,6) holds |unscaled| < 1e12; on precision overflow Spark's
+      // CAST throws under ANSI mode and yields null otherwise — the kernel
+      // must do the same, not quietly emit a value the HOF lattice (and the
+      // oracle) would reject.
+      if (q <= -1000000000000L || q >= 1000000000000L) {
+        if (ansi) throw new ArithmeticException(
+          s"$d cannot be represented as Decimal(12, 6) (quantize_vec, ANSI mode)")
+        return null
+      }
+      out(i) = q
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)
@@ -64,6 +76,10 @@ object VectorKernels {
     var s = 0L
     var i = 0
     while (i < n) {
+      // QuantizeVec never emits null elements, but the SQL-registered `dotq`
+      // accepts any array<long> — null-poison like the decimal HOF would
+      // rather than unboxing null to 0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
@@ -119,13 +135,15 @@ object VectorKernels {
     * (i 0-based). The projection sum of scale-6 longs is exact, so its sign —
     * and hence the bucket — matches the decimal HOF form exactly.
     */
-  def lshBucket(q: ArrayData, nBits: Int): Long = {
+  def lshBucket(q: ArrayData, nBits: Int): java.lang.Long = {
     val n = q.numElements()
+    var i = 0
+    while (i < n) { if (q.isNullAt(i)) return null; i += 1 }
     var bucket = 0L
     var j = 0
     while (j < nBits) {
       var s = 0L
-      var i = 0
+      i = 0
       while (i < n) {
         val sign = if ((((i + 1) * 7919L + j * 104729L) % 97L) % 2L == 0L) 1L else -1L
         s = Math.addExact(s, sign * q.getLong(i))
@@ -134,7 +152,7 @@ object VectorKernels {
       if (s > 0L) bucket |= (1L << j)
       j += 1
     }
-    bucket
+    java.lang.Long.valueOf(bucket)
   }
 }
 
@@ -145,6 +163,11 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  // Captured at planning, like Cast does: under ANSI a precision overflow
+  // throws; otherwise it null-poisons the vector.
+  private val ansi: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -152,11 +175,11 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorKernels.quantize(input.asInstanceOf[ArrayData])
+    VectorKernels.quantize(input.asInstanceOf[ArrayData], ansi)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.plans.VectorKernels.quantize($c);
+      ${ev.value} = graft.plans.VectorKernels.quantize($c, $ansi);
       ${ev.isNull} = (${ev.value} == null);
     """)
 
@@ -291,8 +314,17 @@ case class LshBucketQ(child: Expression, nBits: Int) extends UnaryExpression {
     VectorKernels.lshBucket(input.asInstanceOf[ArrayData], nBits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.VectorKernels.lshBucket($c, $nBits);")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("lshBucket")
+      s"""
+      java.lang.Long $tmp = graft.plans.VectorKernels.lshBucket($c, $nBits);
+      if ($tmp == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $tmp.longValue();
+      }
+      """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketQ =
     copy(child = newChild)

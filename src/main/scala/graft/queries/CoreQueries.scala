@@ -896,18 +896,23 @@ object CoreQueries {
         SELECT s_nationkey FROM supplier
         ORDER BY nationkey""")),
 
-    // ----- Set op: EXCEPT (SURVEY §2.7) — order priorities that never occur
-    // with the highest urgency flag (distinct-set difference, anti-join plan).
+    // ----- Set op: EXCEPT (SURVEY §2.7) — distinct-set difference with an
+    // anti-join plan. The right side excludes the '1-URGENT' rows so the
+    // result is non-empty BY CONSTRUCTION at every fixture scale: an EXCEPT
+    // implementation that wrongly returned the empty set (or forgot to
+    // dedup) would fail the gate, which a data-dependent predicate whose
+    // true answer happens to be empty could never detect.
     Q("q_u3_except",
       (s, dir) =>
         t(s, dir, "orders").select(col("o_orderpriority").as("priority"))
-          .except(t(s, dir, "orders").filter(col("o_orderkey") % 2 === 0)
+          .except(t(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "1-URGENT")
             .select(col("o_orderpriority").as("priority")))
           .orderBy(col("priority")),
       Some("""
         SELECT o_orderpriority AS priority FROM orders
         EXCEPT
-        SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+        SELECT o_orderpriority FROM orders WHERE o_orderpriority <> '1-URGENT'
         ORDER BY priority"""))
   )
 

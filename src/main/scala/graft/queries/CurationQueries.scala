@@ -132,7 +132,7 @@ object CurationQueries {
       },
       Some("""
         SELECT source, COUNT(*) AS n_docs,
-               COUNT(CASE WHEN (doc_id * 1000003 + 17) % 100 <
+               COUNT(CASE WHEN ((doc_id * 1000003 + 17) % 100 + 100) % 100 <
                  10 + 6 * (CAST(substr(source, 4) AS INT) % 5) THEN 1 END) AS n_kept,
                CAST(MAX(10 + 6 * (CAST(substr(source, 4) AS INT) % 5)) AS BIGINT) AS target_pct
         FROM documents GROUP BY source ORDER BY source""")),

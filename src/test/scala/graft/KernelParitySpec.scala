@@ -21,11 +21,6 @@ class KernelParitySpec extends AnyFunSuite {
   private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
   private lazy val docs = Tables.load(spark, sf, "documents").cache()
 
-  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-    GraftColumnBridge.column(e)
-  private def exprOf(c: org.apache.spark.sql.Column) =
-    GraftColumnBridge.expression(c)
-
   test("QuantizeVec element == CAST(CAST(x AS DOUBLE) AS DECIMAL(12,6)) unscaled") {
     val n = emb.filter(
       exists(zip_with(
@@ -120,6 +115,66 @@ class KernelParitySpec extends AnyFunSuite {
     assert(viaHof.exceptAll(viaKernel).count() == 0L)
   }
 
+  test("hash kernels match the HOF fold on empty, whitespace-only, and non-ASCII text") {
+    // ascii('') = 0 and split('','') = [''] in BOTH engines, so '' hashes to
+    // 217, not the seed; ascii is code-point based ('é' → 233, '😀' → 128512).
+    // These inputs are absent from the fixtures — this is the regression net.
+    assert(graft.plans.PolyHash.hash("") == 217L)
+    assert(graft.plans.PolyHash.hash("abc") == 304891L)
+    assert(graft.plans.PolyHash.hash("é") == (7L * 31 + 233) % 2147483647L)
+    assert(graft.plans.PolyHash.hash("😀") == (7L * 31 + 128512) % 2147483647L)
+    assert(graft.plans.SketchKernels.polyHashCp("") == 217L)
+    assert(graft.plans.SketchKernels.polyHashCp("😀") == (7L * 31 + 128512) % 2147483647L)
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "é über 😀 straße"),
+      (4L, "plain ascii text here")).toDF("doc_id", "text")
+    val viaKernel = Dedup.simhash(docs, "doc_id", "text", 16)
+    val tok = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .withColumn("h", TextFns.polyHash("tok"))
+    val bitSums = (0 until 16).map(i =>
+      sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 16)
+      .map(i => when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val viaHof = agg.select(col("doc_id"), sim.as("simhash"))
+    assert(viaKernel.exceptAll(viaHof).count() == 0L)
+    assert(viaHof.exceptAll(viaKernel).count() == 0L)
+    // minhash over 1-grams exercises the empty-shingle path ('' hashes 217)
+    val sig1 = Dedup.minhashSignatures(docs, "doc_id", "text", 1)
+    val hashed1 = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("doc_id"), explode(col("t")).as("sh")).distinct()
+      .withColumn("h", TextFns.polyHash("sh"))
+    val sigCols1 = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % TextFns.minhashP).as(s"m$i")
+    }
+    val hof1 = hashed1.groupBy(col("doc_id")).agg(sigCols1.head, sigCols1.tail: _*)
+    assert(sig1.exceptAll(hof1).count() == 0L && hof1.exceptAll(sig1).count() == 0L)
+  }
+
+  test("quantize mirrors the cast on DECIMAL(12,6) precision overflow (ANSI and not)") {
+    // |x| >= 1e6 overflows precision 12. Spark's CAST throws under ANSI mode
+    // (the 4.x default) and yields null otherwise — the kernel must do both,
+    // not quietly emit a finite value the HOF lattice would reject.
+    def big = Seq((1L, Array(1234567.0f, 1.0f))).toDF("id", "emb")
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      intercept[Exception] {
+        big.select(VectorFns.dotQ(VectorFns.quantize(col("emb")),
+          VectorFns.quantize(col("emb")))).collect()
+      }
+      intercept[Exception] { big.select(VectorFns.dotDec("emb", "emb")).collect() }
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      // rebuild AFTER the conf flip — QuantizeVec captures ansi at planning
+      val r = big.select(col("id"),
+          VectorFns.dotQ(VectorFns.quantize(col("emb")), VectorFns.quantize(col("emb"))).as("kernel"),
+          VectorFns.dotDec("emb", "emb").as("hof"))
+        .collect()
+      assert(r(0).isNullAt(1) && r(0).isNullAt(2), "overflow row must be null in both forms")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
   test("sketch kernels handle degenerate inputs like the HOF forms") {
     // < k tokens → no shingles / no signature row; duplicates collapse
     val df = Seq((1L, "a b c"), (2L, "x x x x x"), (3L, "one two three four five"))
@@ -130,8 +185,8 @@ class KernelParitySpec extends AnyFunSuite {
     val sig = Dedup.minhashSignatures(df, "doc_id", "text", 4)
     assert(sig.count() == 2L)
     // n < k via the raw expression → null signature
-    val raw = df.select(colOf(graft.plans.MinHashSig(
-      exprOf(TextFns.tokens(col("text"))), 4)).as("sig"))
+    val raw = df.select(graft.functions.SketchFns.minhashSig(
+      TextFns.tokens(col("text")), 4).as("sig"))
     assert(raw.filter(col("sig").isNull).count() == 1L)
     // empty-ish strings: simhash of "" is the hash-7 vote, not a crash
     val s0 = Seq((1L, "")).toDF("doc_id", "text")
