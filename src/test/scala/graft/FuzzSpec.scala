@@ -163,6 +163,50 @@ class FuzzSpec extends AnyFunSuite {
     assert(got == model)
   }
 
+  test("polyhash kernels equal the HOF fold on arbitrary unicode text (fuzz)") {
+    // Would have caught the empty-string 217 divergence: generators cover
+    // '', whitespace runs, ASCII, Latin-1, CJK, and astral-plane emoji.
+    val text: Gen[String] = Gen.oneOf(
+      Gen.const(""),
+      Gen.oneOf(" ", "  ", "\t"),
+      Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.listOf(Gen.oneOf('é', 'ü', 'ß', '中', '文', 'a', ' ')).map(_.mkString),
+      Gen.listOf(Gen.oneOf("😀", "🚀", "x", " ")).map(_.mkString))
+    val cases = sample(text, 400, 7L).distinct
+    // kernel (scala) vs the HOF aggregate(split(s,''),…) fold — one job
+    val got = cases.toDF("s")
+      .select(col("s"), graft.functions.TextFns.polyHash("s").as("hof"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    cases.foreach { s =>
+      assert(graft.plans.PolyHash.hash(s) == got(s), s"PolyHash <$s>")
+      assert(graft.plans.SketchKernels.polyHashCp(s) == got(s), s"polyHashCp <$s>")
+    }
+  }
+
+  test("connected components equal a union-find model on random graphs (fuzz)") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 60L)
+      b <- Gen.chooseNum(0L, 60L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    val edges = sample(edgeGen.retryUntil(_ => true), 120, 11L).distinct
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = graft.operators.Components.connectedComponents(
+        edges.toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("TopKPerGroup equals the window formulation for random data and k (fuzz)") {
     val rows = sample(
       for { g <- Gen.chooseNum(1L, 8L); v <- Gen.chooseNum(0, 1000) } yield (g, v.toDouble),
