@@ -96,6 +96,57 @@ object Streams {
       }
   }
 
+  final case class ChangeEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, event_type: String)
+  final case class Scd2Open(state: String, valid_from: java.sql.Timestamp,
+      from_id: Long)
+  final case class Scd2Closed(user_id: Long, event_type: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+      event_id: Long)
+
+  /** Streaming SCD2: the stateful twin of operators.Scd2.fromChangeLog.
+    * Per key, state holds only the OPEN version (current state + its start);
+    * a batch's events are applied in (ts, event_id) order, consecutive
+    * duplicate states collapse, and each version whose successor arrives is
+    * EMITTED closed (valid_to = successor's start) — append-mode semantics:
+    * the open version stays in state until its close is known, exactly like
+    * a warehouse SCD2 whose current rows are open-ended.
+    *
+    * Equivalence contract (StreamsSpec): over any prefix of the change log
+    * processed in event order, the emitted closed versions equal
+    * `Scd2.fromChangeLog(...).filter(valid_to IS NOT NULL)`. Cross-batch
+    * ordering relies on the source delivering a key's events in order
+    * (within a batch they are sorted here); late events older than the open
+    * version would need a watermark + reordering buffer, the same caveat
+    * every streaming SCD2 carries.
+    *
+    * Scale: state is ONE small tuple per key (not the version history), kept
+    * in the state store keyed by user — the 100 TB shape.
+    */
+  def scd2Stream(events: Dataset[ChangeEvent]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Open, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[ChangeEvent], state: GroupState[Scd2Open]) =>
+          val sorted = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(open) if open.state == e.event_type => // dup collapses
+              case Some(open) =>
+                out += Scd2Closed(uid, open.state, open.valid_from, e.ts, open.from_id)
+                cur = Some(Scd2Open(e.event_type, e.ts, e.event_id))
+              case None =>
+                cur = Some(Scd2Open(e.event_type, e.ts, e.event_id))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Drive a streaming frame to completion against a memory sink and return
     * the materialized result (for specs and local smoke). Default mode is
     * Complete — right for the aggregation helpers; pass Append for

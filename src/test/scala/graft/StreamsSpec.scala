@@ -84,6 +84,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.filter($"segment".isNull).count() == 0)
   }
 
+  test("streaming SCD2 emits exactly the batch operator's closed versions") {
+    val stream = Streams.readEvents(spark, eventsDir)
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .as[Streams.ChangeEvent]
+    val got = Streams.runToMemory(Streams.scd2Stream(stream).toDF(),
+        "t_scd2", OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4)))
+      .toSet
+    // batch twin on the SAME (local-tz) timestamp rendering as the stream
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchEvents = spark.read.schema(Streams.rawSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.operators.Scd2
+      .fromChangeLog(batchEvents, "user_id", "ts", "event_id", "event_type")
+      .filter($"valid_to".isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(5)))
+      .toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState keeps running per-user counts") {
     val ev = Tables.events(spark, TestSpark.sfDir)
       .select($"user_id", $"event_id").as[Streams.UserEvent]
