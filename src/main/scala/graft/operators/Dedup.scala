@@ -171,6 +171,22 @@ object Dedup {
         graft.functions.SketchFns.simhashBits(toks, bits).as("simhash"))
   }
 
+  /** Incremental dedup — the operational 100 TB shape: a NEW batch is
+    * checked against the fingerprint index of the already-ingested corpus
+    * instead of re-deduping everything. Tags each new row `is_novel`; the
+    * caller appends novel rows and their fingerprints to the index.
+    *
+    * Scale: the index side is a (bucketed) single-column fingerprint table —
+    * the join shuffles fingerprints only, never corpus text; with a small
+    * daily batch the NEW side broadcasts instead.
+    */
+  def tagAgainstIndex(newDf: DataFrame, indexFps: DataFrame, textCol: String): DataFrame =
+    newDf.withColumn("fp", md5(col(textCol)))
+      .join(indexFps.select(col("fp")).distinct().withColumn("__known", lit(1)),
+        Seq("fp"), "left")
+      .withColumn("is_novel", col("__known").isNull)
+      .drop("__known")
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: vectors are
     * sign-random-projection bucketed (Similarity.lshBucket) and only
     * same-bucket pairs are scored — the scale path for embedding dedup.

@@ -182,6 +182,29 @@ object TextQueries {
         SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
         FROM documents GROUP BY md5(text) ORDER BY doc_id""")),
 
+    // ----- incremental dedup: the second half of the corpus arrives as a
+    // new batch and is tagged against the first half's fingerprint index —
+    // the operational shape at 100 TB (never re-dedup the world)
+    Q("q_dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val half = 250L
+        val index = docs.filter(col("doc_id") < half)
+          .select(md5(col("text")).as("fp"))
+        Dedup.tagAgainstIndex(docs.filter(col("doc_id") >= half), index, "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_new"),
+            count(when(col("is_novel"), 1)).as("n_novel"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH idx AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
+        fresh AS (SELECT source, md5(text) AS fp FROM documents WHERE doc_id >= 250)
+        SELECT source, COUNT(*) AS n_new,
+               COUNT(CASE WHEN idx.fp IS NULL THEN 1 END) AS n_novel
+        FROM fresh LEFT JOIN idx ON fresh.fp = idx.fp
+        GROUP BY source ORDER BY source""")),
+
     // ----- near-dup: word 4-gram Jaccard over shared-shingle pairs
     Q("q_dedup_ngram_jaccard",
       (s, dir) =>
