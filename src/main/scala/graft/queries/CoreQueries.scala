@@ -868,6 +868,72 @@ object CoreQueries {
         SELECT COUNT(*) AS n_sampled, ${dsumSql("o_totalprice")} AS sum_totalprice
         FROM orders WHERE o_orderkey % 10 < 8""")),
 
+    // ----- interpolated quantiles per group (pandas describe() kin; exact
+    // `percentile` ≡ DuckDB quantile_cont — both use (n-1)·q linear
+    // interpolation; a 6dp round absorbs the one-ulp formula difference
+    // ((1-d)·lo + d·hi vs lo + d·(hi-lo)))
+    Q("q_a20_median",
+      (s, dir) =>
+        t(s, dir, "events").groupBy(col("event_type"))
+          .agg(round(expr("percentile(value, 0.25)"), 6).as("p25_value"),
+            round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+            round(expr("percentile(value, 0.75)"), 6).as("p75_value"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.25), 6) AS p25_value,
+               round(quantile_cont(value, 0.5), 6) AS median_value,
+               round(quantile_cont(value, 0.75), 6) AS p75_value
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ----- covariance + correlation from DECIMAL-EXACT moments (never the
+    // built-in corr/covar: those sum raw doubles, whose value depends on
+    // partition order). Sums are exact decimals; the final double formula is
+    // written identically on both engines so every operation is the same
+    // IEEE op in the same order.
+    Q("q_a21_cov_corr",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val x = col("l_quantity").cast(DecimalType(18, 4))
+        val y = col("l_extendedprice").cast(DecimalType(18, 4))
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+            sum(x * y).cast(DoubleType).as("sxy"),
+            sum(x * x).cast(DoubleType).as("sxx"),
+            sum(y * y).cast(DoubleType).as("syy"))
+          .select(col("l_returnflag"),
+            col("n"),
+            round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
+              .as("cov_pop"),
+            round(((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")) /
+              (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")) *
+               sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n"))), 6)
+              .as("corr"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) AS DOUBLE) AS syy
+          -- DECIMAL(19,4): one digit wider than Spark's (18,4) purely so
+          -- DuckDB stores the operands as INT128 — its (18,4)·(18,4) product
+          -- would overflow int64 physical storage. Both forms are exact, so
+          -- the summed values (and their double casts) are identical.
+          FROM (SELECT l_returnflag,
+                       CAST(l_quantity AS DECIMAL(19,4)) AS x,
+                       CAST(l_extendedprice AS DECIMAL(19,4)) AS y
+                FROM lineitem) t
+          GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               round((sxy - sx * sy / n) / n, 6) AS cov_pop,
+               round(((sxy - sx * sy / n) / n) /
+                 (sqrt((sxx - sx * sx / n) / n) * sqrt((syy - sy * sy / n) / n)), 6) AS corr
+        FROM m ORDER BY l_returnflag""")),
+
     // ----- Set op: unionByName (introduced by our J7 rewrite; SURVEY §2.7)
     Q("q_u1_union",
       (s, dir) => {
