@@ -870,8 +870,11 @@ object CoreQueries {
 
     // ----- interpolated quantiles per group (pandas describe() kin; exact
     // `percentile` ≡ DuckDB quantile_cont — both use (n-1)·q linear
-    // interpolation; a 6dp round absorbs the one-ulp formula difference
-    // ((1-d)·lo + d·hi vs lo + d·(hi-lo)))
+    // interpolation). The engines' formulas differ in float ((1-d)·lo + d·hi
+    // vs lo + d·(hi-lo)) but the 6dp round is SAFE here, not merely hopeful:
+    // for quartile q on 2-decimal fixture values, d ∈ {0, ¼, ½, ¾} exactly,
+    // so the true quantile is a multiple of 0.0025 — representable on the
+    // 1e-6 grid, never within an ulp of a .5e-6 rounding boundary.
     Q("q_a20_median",
       (s, dir) =>
         t(s, dir, "events").groupBy(col("event_type"))
@@ -888,14 +891,19 @@ object CoreQueries {
 
     // ----- covariance + correlation from DECIMAL-EXACT moments (never the
     // built-in corr/covar: those sum raw doubles, whose value depends on
-    // partition order). Sums are exact decimals; the final double formula is
-    // written identically on both engines so every operation is the same
-    // IEEE op in the same order.
+    // partition order). Operands are shifted by constants near their means —
+    // cov/corr are shift-invariant, the decimal sums stay exact, and the
+    // (sxy − sx·sy/n) subtraction loses no precision because sx,sy ≈ 0: any
+    // last-ulp difference between the engines' decimal→double casts lands at
+    // ~1e-16 RELATIVE to already-small moments, ~1e9 below the 6dp rounding
+    // grid, instead of being amplified by catastrophic cancellation of two
+    // ~1e11 magnitudes. The final double formula is written identically on
+    // both engines so every IEEE op runs in the same order.
     Q("q_a21_cov_corr",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
-        val x = col("l_quantity").cast(DecimalType(18, 4))
-        val y = col("l_extendedprice").cast(DecimalType(18, 4))
+        val x = col("l_quantity").cast(DecimalType(18, 4)) - 25
+        val y = col("l_extendedprice").cast(DecimalType(18, 4)) - 38000
         li.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
@@ -921,11 +929,11 @@ object CoreQueries {
                  CAST(SUM(y * y) AS DOUBLE) AS syy
           -- DECIMAL(19,4): one digit wider than Spark's (18,4) purely so
           -- DuckDB stores the operands as INT128 — its (18,4)·(18,4) product
-          -- would overflow int64 physical storage. Both forms are exact, so
-          -- the summed values (and their double casts) are identical.
+          -- would overflow int64 physical storage. Both forms are exact.
+          -- Shifts match the Spark side (cov/corr are shift-invariant).
           FROM (SELECT l_returnflag,
-                       CAST(l_quantity AS DECIMAL(19,4)) AS x,
-                       CAST(l_extendedprice AS DECIMAL(19,4)) AS y
+                       CAST(l_quantity AS DECIMAL(19,4)) - 25 AS x,
+                       CAST(l_extendedprice AS DECIMAL(19,4)) - 38000 AS y
                 FROM lineitem) t
           GROUP BY l_returnflag)
         SELECT l_returnflag, n,

@@ -187,19 +187,30 @@ object TextQueries {
     // the operational shape at 100 TB (never re-dedup the world)
     Q("q_dedup_incremental",
       (s, dir) => {
+        // the split point scales with the corpus (max id / 2), so the shape
+        // — second half tagged against the first half's index — holds at
+        // every fixture scale, not just 500-doc ones. The midpoint is a
+        // 1-row broadcast, not a driver-side collect.
         val docs = t(s, dir, "documents")
-        val half = 250L
-        val index = docs.filter(col("doc_id") < half)
+        // integer division on BOTH engines (Spark DIV ≡ DuckDB //): a double
+        // divide + cast would round in DuckDB but truncate in Spark
+        val mid = docs.agg(expr("MAX(doc_id) DIV 2").as("mid"))
+        val withMid = docs.crossJoin(broadcast(mid))
+        val index = withMid.filter(col("doc_id") < col("mid"))
           .select(md5(col("text")).as("fp"))
-        Dedup.tagAgainstIndex(docs.filter(col("doc_id") >= half), index, "text")
+        Dedup.tagAgainstIndex(
+            withMid.filter(col("doc_id") >= col("mid")), index, "text")
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_new"),
             count(when(col("is_novel"), 1)).as("n_novel"))
           .orderBy(col("source"))
       },
       Some("""
-        WITH idx AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 250),
-        fresh AS (SELECT source, md5(text) AS fp FROM documents WHERE doc_id >= 250)
+        WITH mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
+        idx AS (SELECT DISTINCT md5(text) AS fp
+                FROM documents, mid WHERE doc_id < m),
+        fresh AS (SELECT source, md5(text) AS fp
+                  FROM documents, mid WHERE doc_id >= m)
         SELECT source, COUNT(*) AS n_new,
                COUNT(CASE WHEN idx.fp IS NULL THEN 1 END) AS n_novel
         FROM fresh LEFT JOIN idx ON fresh.fp = idx.fp

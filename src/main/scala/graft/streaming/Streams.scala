@@ -129,7 +129,11 @@ object Streams {
       .flatMapGroupsWithState[Scd2Open, Scd2Closed](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, batch: Iterator[ChangeEvent], state: GroupState[Scd2Open]) =>
-          val sorted = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+          // full-precision event order: getTime() alone truncates to millis,
+          // which would order same-millisecond events differently from the
+          // batch twin's micros-precision ORDER BY ts
+          val sorted = batch.toArray.sortBy(e =>
+            (e.ts.toInstant.getEpochSecond, e.ts.getNanos, e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
           var cur = state.getOption
           sorted.foreach { e =>

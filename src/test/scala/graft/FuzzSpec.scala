@@ -184,11 +184,14 @@ class FuzzSpec extends AnyFunSuite {
   }
 
   test("connected components equal a union-find model on random graphs (fuzz)") {
+    // structurally a != b (no generator filter to exhaust): b = a + offset
     val edgeGen = for {
       a <- Gen.chooseNum(0L, 60L)
-      b <- Gen.chooseNum(0L, 60L) if a != b
-    } yield (math.min(a, b), math.max(a, b))
-    val edges = sample(edgeGen.retryUntil(_ => true), 120, 11L).distinct
+      off <- Gen.chooseNum(1L, 30L)
+    } yield (a, (a + off) % 61L) match {
+      case (x, y) => (math.min(x, y), math.max(x, y))
+    }
+    val edges = sample(edgeGen, 120, 11L).distinct.filter(e => e._1 != e._2)
     // union-find reference
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {

@@ -95,7 +95,7 @@ class StreamsSpec extends AnyFunSuite {
         r.getTimestamp(3), r.getLong(4)))
       .toSet
     // batch twin on the SAME (local-tz) timestamp rendering as the stream
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // (nanosAsLong is already session-set by Streams.readEvents above)
     val batchEvents = spark.read.schema(Streams.rawSchema)
       .parquet(eventsDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
