@@ -175,6 +175,47 @@ object CurationQueries {
         SELECT node, LEAST(node, MIN(r)) AS component_id
         FROM reach GROUP BY node ORDER BY node""")),
 
+    // ----- cluster survivorship: one representative (min id) per near-dup
+    // component plus the cluster size — the actual deletion-list shape a
+    // dedup pipeline ships (everything clustered that is not its component's
+    // representative gets dropped).
+    Q("q_dedup_survivors",
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", 4, 0.4)
+        Components.survivors(
+            Components.connectedComponents(pairs, "a_id", "b_id"))
+          .orderBy(col("survivor_id"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+                FROM toks WHERE len(t) >= 4),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a_id, b_id FROM cand
+          JOIN sizes sa ON a_id = sa.doc_id
+          JOIN sizes sb ON b_id = sb.doc_id
+          WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.4),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(node, r) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        comp AS (SELECT node, LEAST(node, MIN(r)) AS component_id
+                 FROM reach GROUP BY node)
+        SELECT component_id AS survivor_id, COUNT(*) AS n_members
+        FROM comp GROUP BY component_id ORDER BY survivor_id""")),
+
     // ----- temperature-style domain mixing weights (α = 0.5): weight each
     // source by isqrt(tokens) — exact integer arithmetic end-to-end (IEEE
     // sqrt is correctly rounded, floor makes it an integer in both engines),
