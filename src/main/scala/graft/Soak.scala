@@ -106,6 +106,18 @@ object Soak {
           val pairs = Dedup.ngramJaccardPairs(docs(dir), "doc_id", "text", 4, 0.4,
             maxDocFreq = Tuning.maxShingleDocFreq(spark, nRows(dir)))
           graft.operators.Components.connectedComponents(pairs, "a_id", "b_id").count()
+        },
+        // curation family on the same corpus: chunk-DF boilerplate accounting
+        // (one chunk-key shuffle) and train/test shingle decontamination
+        "curation_boilerplate" -> { dir =>
+          graft.operators.Curation.boilerplateAccounting(
+            docs(dir), "doc_id", "text", 8, maxDocFreq = 1L).count()
+        },
+        "curation_decontaminate" -> { dir =>
+          val d = docs(dir)
+          graft.operators.Curation.decontaminate(
+            d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+            "doc_id", "text", 4).count()
         })
       println(f"${"dedup op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (docs x$dedupFactor, dfcut)")
       runs.foreach { case (name, f) =>
