@@ -55,14 +55,19 @@ object CorpusPipeline {
     val spark = df.sparkSession
     val id = col(idCol)
 
-    // 1. quality gate (narrow): token floor + repetition ceiling. The
-    // repetition term only evaluates where >= 3 tokens exist (shingleExpr's
-    // precondition — sequence() runs descending below it); shorter docs that
-    // pass the floor count as repetition 0.
+    // 1. quality gate (narrow): token floor + repetition ceiling, via the
+    // ShinglesDistinct codegen kernel. The interpreted-HOF form
+    // (transform+array_distinct) is NOT a valid alternative here: the
+    // optimizer inlines the whole tokenize→shingle chain into one Filter
+    // conjunct (and into the scan's DataFilters), each copy evaluated
+    // interpreted per row — measured 13 s vs 0.6 s on 5k docs at sf0.1.
+    // rep = 1 - distinct/(n-2) shingles; docs with < 3 tokens count as 0
+    // (CaseWhen is lazy, so the kernel never sees the short arrays, and it
+    // returns an empty array below k anyway).
     val toks = TextFns.tokens(col(textCol))
-    val sh3 = TextFns.shingleExpr("__tk", 3)
     val rep = when(size(col("__tk")) >= 3,
-      lit(1.0) - size(array_distinct(sh3)).cast(DoubleType) / size(sh3))
+      lit(1.0) - size(graft.functions.SketchFns.shinglesDistinct(col("__tk"), 3))
+        .cast(DoubleType) / (size(col("__tk")) - 2))
       .otherwise(lit(0.0))
     val gated = df
       .withColumn("__tk", toks)
@@ -70,12 +75,19 @@ object CorpusPipeline {
       .withColumn("__rep", rep)
       .filter(col("__rep") <= cfg.maxRepetition)
       .drop("__tk", "__rep")
-    val nIn = df.count(); val nGated = gated.count()
 
-    // 2. PII scrub (narrow)
-    val scrubbed =
+    // 2. PII scrub (narrow). Persisted: every downstream stage (exact-dedup
+    // survivors join reads it on BOTH sides, the near-dup pair join, the
+    // final corpus) would otherwise re-run the gate + scrub lineage once per
+    // consumer — the counts alone would pay it 3×.
+    val scrubbed0 =
       if (cfg.scrubPii) gated.withColumn(textCol, TextFns.piiScrub(col(textCol)))
       else gated
+    val scrubbed = scrubbed0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Scrub is 1:1, so counting the persisted frame both materializes the
+    // cache and yields the gate's survivor count in the same single pass.
+    val nIn = df.count(); val nGated = scrubbed.count()
 
     // 3. exact dedup: min-id survivor per identical content (one shuffle).
     // Persist reused stages: the drop-count actions and the final consumer
@@ -85,6 +97,7 @@ object CorpusPipeline {
     val exactDeduped = scrubbed.join(exactSurvivors, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exactDeduped.count()
+    scrubbed.unpersist(blocking = false)
 
     // 4. near-dup removal: bounded shared-shingle pair join, lower id wins.
     // With near-dup off the exact-dedup frame IS the output — keep its cache

@@ -249,6 +249,68 @@ object CurationQueries {
                CAST((1000000 * weight) // total_w AS BIGINT) AS alloc_tokens
         FROM w, tot ORDER BY source""")),
 
+    // ----- END-TO-END corpus preparation: the full CorpusPipeline (quality
+    // gate → PII scrub → exact dedup → near-dup removal → deterministic
+    // split) hash-checked as ONE oracle — every stage mirrored in SQL,
+    // including the sqrt(2n) document-frequency cutoff computed from the
+    // post-exact-dedup corpus size. The strongest correctness statement in
+    // the registry: not just each operator, but their composition.
+    Q("q_corpus_pipeline",
+      (s, dir) => {
+        val r = graft.operators.CorpusPipeline.prepare(
+          t(s, dir, "documents"), "doc_id", "text",
+          graft.operators.CorpusPipeline.Config())
+        r.corpus
+          .select(col("doc_id"), md5(col("text")).as("text_fp"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t0 AS (SELECT doc_id, text,
+                      string_split_regex(lower(trim(text)), '\\s+') AS t
+                    FROM documents),
+        gated AS (
+          SELECT doc_id, text FROM t0
+          WHERE len(t) >= 20 AND
+            (CASE WHEN len(t) >= 3 THEN
+               1.0 - CAST(len(list_distinct(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS DOUBLE)
+                     / (len(t) - 2)
+             ELSE 0.0 END) <= 0.5),
+        scrub AS (SELECT doc_id,
+                    regexp_replace(regexp_replace(text,
+                      '${graft.functions.TextFns.emailRe}', '[EMAIL]', 'g'),
+                      '${graft.functions.TextFns.phoneRe}', '[PHONE]', 'g') AS text
+                  FROM gated),
+        keepers AS (SELECT MIN(doc_id) AS doc_id FROM scrub GROUP BY md5(text)),
+        ex AS (SELECT doc_id, text FROM scrub
+               WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        n AS (SELECT GREATEST(16, CAST(floor(sqrt(2.0 * COUNT(*))) AS BIGINT)) AS maxdf
+              FROM ex),
+        toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+                 FROM ex),
+        sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+                FROM toks WHERE len(t) >= 4),
+        shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        shf AS (SELECT doc_id, sh FROM
+                  (SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS dfq
+                   FROM shd) z, n
+                WHERE dfq <= n.maxdf),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shf GROUP BY doc_id),
+        cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+                 FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+        losers AS (SELECT DISTINCT b_id AS doc_id FROM cand
+                   JOIN sizes sa ON a_id = sa.doc_id
+                   JOIN sizes sb ON b_id = sb.doc_id
+                   WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.85),
+        final AS (SELECT doc_id, text FROM ex
+                  WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+        SELECT doc_id, md5(text) AS text_fp,
+               CASE WHEN ${graft.functions.TextFns.polyHashSql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM final ORDER BY doc_id""")),
+
     // ----- SCD2 history from a change log: one row per state version with
     // [valid_from, valid_to) and is_current; consecutive duplicate states
     // collapse. Two windows over ONE (user_id) shuffle — no self-join.
