@@ -20,6 +20,7 @@ object Main {
     val raw = opts.getOrElse("raw", "data/raw")
     val whRoot = opts.getOrElse("warehouse", "data/warehouse")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(opts.getOrElse("master", "local[*]"))
       .appName("airbnb-dw")
       .config("spark.sql.shuffle.partitions", opts.getOrElse("shuffle", "32"))

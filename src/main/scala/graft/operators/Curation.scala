@@ -115,4 +115,72 @@ object Curation {
   def stratifiedKeep(idCol: String, strataCol: String, rates: Map[String, Int]): Column =
     pmod(col(idCol) * 1000003L + 17L, lit(100L)) <
       stratumRate(strataCol, rates).cast(LongType)
+
+  /** Per-group salient terms, ranked by an integer-exact TF-IDF-style score:
+    * score = (tf · 10^6) DIV df. For a fixed corpus this is a monotone
+    * transform of tf·idf (idf = ln(N/df) is monotone-decreasing in df), so
+    * the RANKING matches classic TF-IDF while every value stays exact 64-bit
+    * integer arithmetic — reproducible on any engine, no float log.
+    *
+    * Output: (group, rank, term, tf, df, score), rank 1..k per group.
+    *
+    * Scale: term frequency is one shuffle on (group, term); document
+    * frequency needs no distinct() exchange — distinctness is established
+    * inside each row (array_distinct before the explode), so the aggregate
+    * is a plain count on term. The tf⋈df join keys on term (sort-merge; the
+    * web-scale vocabulary is NOT broadcast-safe — hapax-heavy corpora should
+    * pre-filter df=1 terms, which can never rank above a repeated term of
+    * the same rarity class). The per-group top-k is a bounded window the
+    * RewriteRowNumberTopK rule collapses to the heap-based TopKPerGroupExec.
+    */
+  def salientTerms(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(groupCol), col(idCol),
+      TextFns.tokens(col(textCol)).as("t"))
+    val tf = toks.select(col(groupCol), explode(col("t")).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(explode(array_distinct(col("t"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", expr("CAST((tf * 1000000) DIV df AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Linear quality classifier over engine-exact integer features — the
+    * fasttext-style quality gate of a pretraining pipeline, reduced to
+    * arithmetic both engines reproduce bit-for-bit: ratios are ppm-scaled
+    * integer divisions (DIV), the score is an integer dot product, and the
+    * keep decision is a threshold on that score. Features:
+    *   - length credit: min(ntok, 200) — longer is better, capped;
+    *   - lexical diversity: distinct-token ppm of ntok;
+    *   - stopword pressure: stopword ppm of ntok (penalized).
+    * score = 1000·min(ntok,200) + (500·distinct_ppm) DIV 1000
+    *       − (300·stop_ppm) DIV 1000.
+    * Returns (input columns…, score: long, keep: boolean). Purely map-side:
+    * no shuffle, no UDF — one projection the optimizer can push around.
+    */
+  def qualityScore(df: DataFrame, textCol: String, stopwords: Seq[String],
+                   keepThreshold: Long): DataFrame = {
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
+      "stopwords must be non-empty lowercase words")
+    val stopList = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    df.withColumn("__t", TextFns.tokens(col(textCol)))
+      .withColumn("__n", greatest(size(col("__t")).cast(LongType), lit(1L)))
+      .withColumn("__nd",
+        size(graft.functions.SketchFns.shinglesDistinct(col("__t"), 1))
+          .cast(LongType))
+      .withColumn("__ns",
+        expr(s"CAST(size(filter(__t, x -> x IN $stopList)) AS BIGINT)"))
+      .withColumn("score", expr(
+        """1000 * least(__n, 200)
+           + (500 * ((__nd * 1000000) DIV __n)) DIV 1000
+           - (300 * ((__ns * 1000000) DIV __n)) DIV 1000"""))
+      .withColumn("keep", col("score") >= keepThreshold)
+      .drop("__t", "__n", "__nd", "__ns")
+  }
 }

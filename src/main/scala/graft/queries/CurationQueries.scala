@@ -137,6 +137,61 @@ object CurationQueries {
                CAST(MAX(10 + 6 * (CAST(substr(source, 4) AS INT) % 5)) AS BIGINT) AS target_pct
         FROM documents GROUP BY source ORDER BY source""")),
 
+    // ----- per-source salient terms: integer-exact TF-IDF ranking
+    // (score = tf·10^6 DIV df — monotone in tf·idf for a fixed corpus, no
+    // float log). tf shuffles on (source, term), df needs no distinct()
+    // exchange (per-row array_distinct), top-5 per source is the bounded
+    // window the TopK rewrite collapses to a heap.
+    Q("q_text_tfidf",
+      (s, dir) =>
+        Curation.salientTerms(t(s, dir, "documents"), "doc_id", "text",
+            "source", 5)
+          .orderBy(col("source"), col("rank")),
+      Some(s"""
+        WITH $toksCte,
+        tfc AS (SELECT source, unnest(t) AS term FROM toks),
+        tf AS (SELECT source, term, COUNT(*) AS tf FROM tfc GROUP BY 1, 2),
+        dfc AS (SELECT term, COUNT(*) AS df FROM
+                  (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+                GROUP BY term),
+        scored AS (SELECT source, term, tf, df,
+                     CAST((tf * 1000000) // df AS BIGINT) AS score
+                   FROM tf JOIN dfc USING (term)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY score DESC, term) AS rank FROM scored)
+        SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+        FROM r WHERE rank <= 5 ORDER BY source, rank""")),
+
+    // ----- linear quality classifier (fasttext-style gate) on engine-exact
+    // integer features: capped length credit + lexical-diversity ppm −
+    // stopword-pressure ppm, thresholded. Purely map-side scoring; only the
+    // per-source accounting aggregate shuffles.
+    Q("q_text_quality_class",
+      (s, dir) => {
+        val scored = Curation.qualityScore(t(s, dir, "documents"), "text",
+          Seq("a", "the"), keepThreshold = 250000L)
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("keep"), 1)).as("n_keep"),
+            (sum(col("score")).cast(DoubleType) / count(lit(1))).as("avg_score"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH $toksCte,
+        g AS (SELECT source, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT source,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g)
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN score >= 250000 THEN 1 END) AS n_keep,
+               CAST(SUM(score) AS DOUBLE) / COUNT(*) AS avg_score
+        FROM sc GROUP BY source ORDER BY source""")),
+
     // ----- dedup-cluster closure: near-dup PAIRS (4-gram Jaccard ≥ 0.4)
     // grouped into connected components labeled by their min member — the
     // survivorship unit (a~b, b~c ⇒ one representative for {a,b,c}).

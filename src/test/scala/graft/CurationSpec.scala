@@ -88,6 +88,35 @@ class CurationSpec extends AnyFunSuite {
     assert(cc.length == 8 && cc.forall(_._2 == 1L))
   }
 
+  test("salient terms: rarity beats frequency, rank is dense per group") {
+    // "rare" occurs once in one doc (df=1, tf=1 → score 1,000,000);
+    // "common" occurs in every doc (df=3) with tf=2 in g1 → 2e6 DIV 3 =
+    // 666,666. Equal-ish frequency, rarer term ranks first.
+    val df = Seq(
+      (1L, "g1", "common rare"),
+      (2L, "g1", "common filler"),
+      (3L, "g2", "common only here")).toDF("doc_id", "source", "text")
+    val top = Curation.salientTerms(df, "doc_id", "text", "source", 2)
+      .filter(col("source") === "g1").orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(5)))
+    assert(top.toSeq == Seq(
+      (1L, "filler", 1000000L),         // tf=1, df=1; ties with rare → term asc
+      (2L, "rare", 1000000L)))          // tf=1, df=1
+  }
+
+  test("quality score: length cap, diversity credit, stopword penalty, exact ints") {
+    val df = Seq(
+      (1L, "the the the the the the the the the the the the the the the the the the the the"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val rows = Curation.qualityScore(df, "text", Seq("a", "the"), 100000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    // doc 1: n=20, nd=1, ns=20 → 20000 + (500*50000) DIV 1000 − (300*1000000) DIV 1000
+    //      = 20000 + 25000 − 300000 = −255000 → dropped
+    // doc 2: n=10, nd=10, ns=0 → 10000 + (500*1000000) DIV 1000 − 0 = 510000 → kept
+    assert(rows.toSeq == Seq((1L, -255000L, false), (2L, 510000L, true)))
+  }
+
   test("SCD2: consecutive duplicates collapse, intervals chain, current open") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")

@@ -38,6 +38,18 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan("q_o2_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("row_number<=k windows compile to the heap-based TopKPerGroupExec") {
+    // GraftExtensions is active in every entry point (Verify/Bench/tests),
+    // so the rewrite must fire wherever a query filters a row_number rank:
+    // the full sort-per-group window never runs for these.
+    Seq("q_w3_topk_per_group", "q_o6_global_topk", "q_text_tfidf").foreach { n =>
+      val p = plan(n)
+      assert(p.contains("TopKPerGroup"), s"$n did not plan TopKPerGroupExec")
+      assert(!p.contains("RunningWindowFunction") || !p.contains("row_number"),
+        s"$n still evaluates row_number via a window")
+    }
+  }
+
   test("dedup/LSH family never plans an all-pairs join (the 100 TB claim)") {
     // candidate pairs must come from shared shingles/bands/buckets — a
     // nested-loop join anywhere in these plans means the bound is gone
