@@ -119,6 +119,30 @@ object Soak {
           graft.operators.Curation.decontaminate(
             d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
             "doc_id", "text", 4).count()
+        },
+        // end-to-end pipeline: gate → scrub → exact dedup → near-dup (cutoff
+        // self-derived from the post-dedup corpus size) → split. Includes the
+        // pipeline's own accounting actions; caches cleared per run so the
+        // big run can't ride the small run's blocks.
+        "corpus_pipeline" -> { dir =>
+          val r = graft.operators.CorpusPipeline.prepare(docs(dir), "doc_id",
+            "text", graft.operators.CorpusPipeline.Config())
+          val n = r.corpus.count()
+          spark.catalog.clearCache(); n
+        },
+        // integer-exact TF-IDF: tf shuffle on (source, term), df from per-row
+        // distinct, term-keyed join, heap top-k — vocabulary grows with the
+        // copy-tagging, the token stream with the factor
+        "text_tfidf_top5" -> { dir =>
+          graft.operators.Curation.salientTerms(docs(dir), "doc_id", "text",
+            "source", 5).count()
+        },
+        // map-side linear scorer + one accounting shuffle
+        "quality_class" -> { dir =>
+          graft.operators.Curation.qualityScore(docs(dir), "text",
+              Seq("a", "the"), 250000L)
+            .groupBy(col("source"))
+            .agg(count(when(col("keep"), 1)).as("n_keep")).count()
         })
       println(f"${"dedup op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (docs x$dedupFactor, dfcut)")
       runs.foreach { case (name, f) =>

@@ -179,6 +179,37 @@ object VectorQueries {
                     FROM embeddings) t0) t
         GROUP BY label ORDER BY label""")),
 
+    // ----- per-label centroids — the k-means/IVF update step, exact: the
+    // QuantizeVec kernel turns each vector into integer 1e-6 units, per-dim
+    // sums are plain long arithmetic, and the centroid double is one exactly
+    // rounded division of exact integers. Scale shape: posexplode is narrow
+    // and the (label, dim) hash-agg combines map-side, so the shuffle carries
+    // at most labels × dims × partitions rows — never the vector stream.
+    Q("q_vec_centroids",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("label"), posexplode(VectorFns.quantize(col("embedding"))))
+          .withColumn("dim", (col("pos") + 1).cast(LongType))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n_vectors"),
+               sum(col("col")).as("sum_units"),
+               (sum(col("col")).cast(DoubleType)
+                 / (count(lit(1)) * 1000000L)).as("centroid"))
+          .orderBy(col("label"), col("dim")),
+      Some("""
+        WITH u AS (
+          -- two same-length unnests in one SELECT zip positionally
+          SELECT label,
+                 unnest(range(1, len(embedding) + 1)) AS dim,
+                 unnest(list_transform(embedding,
+                   e -> CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)))) AS d
+          FROM embeddings)
+        SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n_vectors,
+               CAST(SUM(d) * 1000000 AS BIGINT) AS sum_units,
+               CAST(CAST(SUM(d) * 1000000 AS BIGINT) AS DOUBLE)
+                 / (COUNT(*) * 1000000) AS centroid
+        FROM u GROUP BY label, dim ORDER BY label, dim""")),
+
     // ----- LSH: deterministic sign-random-projection bucketing (8 bits).
     // The hyperplane sign for (bit j, dim i) is ((i*7919 + j*104729) % 97) % 2
     // mapped to ±1 — pseudo-random but engine-portable; projections are exact
