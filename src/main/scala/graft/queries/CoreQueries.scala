@@ -673,6 +673,41 @@ object CoreQueries {
           FROM events) t
         WHERE rn <= 10 ORDER BY rnk""")),
 
+    // ----- W7: frame-clause family — running total (unbounded-preceding
+    // frame), lead, first/last value over the full partition — one (orderkey)
+    // shuffle serves all four. l_quantity is integer-valued, so the running
+    // double sums are exact on both engines (every prefix < 2^53).
+    Q("q_w7_running_frame",
+      (s, dir) => {
+        val wRun = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wOff = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        val wAll = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 2000)
+          .withColumn("running_qty", sum(col("l_quantity")).over(wRun))
+          .withColumn("next_qty", coalesce(lead(col("l_quantity"), 1).over(wOff), lit(-1.0)))
+          .withColumn("first_qty", first(col("l_quantity")).over(wAll))
+          .withColumn("last_qty", last(col("l_quantity")).over(wAll))
+          .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+            col("running_qty"), col("next_qty"), col("first_qty"), col("last_qty"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+               COALESCE(LEAD(l_quantity, 1) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber), -1.0) AS next_qty,
+               FIRST_VALUE(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_qty,
+               LAST_VALUE(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty
+        FROM lineitem WHERE l_orderkey < 2000
+        ORDER BY l_orderkey, l_linenumber""")),
+
     // ----- W5: lag delta (per-user event-over-event change) — offset window
     // function with a total order; the first row's delta is NULL on both sides
     Q("q_w5_lag_delta",
@@ -987,7 +1022,71 @@ object CoreQueries {
         SELECT o_orderpriority AS priority FROM orders
         EXCEPT
         SELECT o_orderpriority FROM orders WHERE o_orderpriority <> '1-URGENT'
-        ORDER BY priority"""))
+        ORDER BY priority""")),
+
+    // ----- set ops, bag semantics: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (min / difference of per-value counts) — the variant a
+    // reconciliation actually needs when duplicates are signal. Same
+    // hash-partition-on-value shuffle as the DISTINCT forms.
+    Q("q_u4_intersect_all",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+          .orderBy(col("nationkey")),
+      Some("""
+        SELECT nationkey, COUNT(*) AS n FROM (
+          SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey FROM supplier) t
+        GROUP BY nationkey ORDER BY nationkey""")),
+
+    Q("q_u5_except_all",
+      (s, dir) =>
+        t(s, dir, "orders").select(col("o_orderpriority").as("priority"))
+          .exceptAll(t(s, dir, "orders")
+            .filter(col("o_custkey") % 2 === 0)
+            .select(col("o_orderpriority").as("priority")))
+          .groupBy(col("priority")).agg(count(lit(1)).as("n"))
+          .orderBy(col("priority")),
+      Some("""
+        SELECT priority, COUNT(*) AS n FROM (
+          SELECT o_orderpriority AS priority FROM orders
+          EXCEPT ALL
+          SELECT o_orderpriority FROM orders WHERE o_custkey % 2 = 0) t
+        GROUP BY priority ORDER BY priority""")),
+
+    // ----- FULL OUTER join: nations appearing on either side of the
+    // customer/supplier split, with per-side counts and NULL-preserving
+    // mismatch accounting — completes the join-type family (inner, left,
+    // semi, anti, full). Aggregate-then-join keeps the outer join on two
+    // 25-row inputs; the raw fact tables never shuffle through it.
+    Q("q_j9_full_outer",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_nationkey") < 20)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sup = t(s, dir, "supplier").filter(col("s_nationkey") >= 5)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.withColumnRenamed("nationkey", "c_nk")
+          .join(sup.withColumnRenamed("nationkey", "s_nk"),
+            col("c_nk") === col("s_nk"), "full_outer")
+          .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy(col("nationkey"))
+      },
+      Some("""
+        WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+                   FROM customer WHERE c_nationkey < 20 GROUP BY 1),
+             s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+                   FROM supplier WHERE s_nationkey >= 5 GROUP BY 1)
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+               COALESCE(n_cust, 0) AS n_cust,
+               COALESCE(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        ORDER BY nationkey"""))
   )
 
   /** Shared inputs for the J7 MERGE rewrite: staging = updated balances for

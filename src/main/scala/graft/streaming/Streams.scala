@@ -79,6 +79,28 @@ object Streams {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Stream-stream inner join with event-time bounds: a right event matches
+    * a left event of the same key when it lands in [l_ts, l_ts + maxDelay]
+    * (attribution: "click within maxDelay of the impression"). BOTH sides
+    * carry watermarks and the join predicate bounds the time skew — that is
+    * what lets Spark evict buffered rows (left rows older than
+    * watermark, right rows older than watermark + maxDelay); either side
+    * unbounded would buffer a stream forever. State shuffles on the key only.
+    */
+  def correlateStreams(left: DataFrame, right: DataFrame, key: String,
+                       watermark: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("__rkey"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r,
+        col(key) === col("__rkey") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col(key), col("l_id"), col("r_id"), col("l_ts"), col("r_ts"))
+  }
+
   final case class UserEvent(user_id: Long, event_id: Long)
   final case class UserRunning(user_id: Long, n_events: Long)
 

@@ -84,6 +84,27 @@ class StreamsSpec extends AnyFunSuite {
     assert(out.filter($"segment".isNull).count() == 0)
   }
 
+  test("stream-stream time-bounded join equals the batch range join") {
+    val views = Streams.readEvents(spark, eventsDir).filter($"event_type" === "view")
+    val clicks = Streams.readEvents(spark, eventsDir).filter($"event_type" === "click")
+    val got = Streams.runToMemory(
+        Streams.correlateStreams(views, clicks, "user_id",
+          "10 minutes", "30 minutes"), "t_corr", OutputMode.Append())
+      .select($"user_id", $"l_id", $"r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val batch = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts".as("l_ts"), $"event_id".as("l_id"))
+      .join(ev.filter($"event_type" === "click")
+          .select($"user_id".as("__rkey"), $"ts".as("r_ts"), $"event_id".as("r_id")),
+        $"user_id" === $"__rkey" && $"r_ts" >= $"l_ts" &&
+          $"r_ts" <= $"l_ts" + expr("INTERVAL 30 minutes"))
+      .select($"user_id", $"l_id", $"r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty, "fixture must contain at least one view→click pair")
+  }
+
   test("streaming SCD2 emits exactly the batch operator's closed versions") {
     val stream = Streams.readEvents(spark, eventsDir)
       .selectExpr("user_id", "ts", "event_id", "event_type")
