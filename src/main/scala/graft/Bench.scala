@@ -34,7 +34,12 @@ object Bench {
     // per-query fixed cost from actual data cost; a real deployment reuses
     // compiled plans, so both numbers are honest answers to different
     // questions).
-    val results = SparkEntry.registry.filter(_.bench).map { q =>
+    // Optional positional args narrow the run to matching query names
+    // (substring match) — a local iteration aid; the driver passes none.
+    val wanted = args.toSeq
+    val results = SparkEntry.registry.filter(_.bench)
+      .filter(q => wanted.isEmpty || wanted.exists(q.name.contains))
+      .map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }

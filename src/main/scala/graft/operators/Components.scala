@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -15,21 +16,56 @@ import org.apache.spark.storage.StorageLevel
   * Rounds needed = graph diameter (near-dup clusters are shallow — dozens of
   * members, diameter a handful), each round is one join + one min-aggregate,
   * both shuffling on the node id only. The edge set is persisted once and
-  * reused every round. A driver-side convergence probe per round is O(1)
-  * result rows (LIMIT 1 on changed labels) — the label sets themselves never
-  * collect.
+  * reused every round.
+  *
+  * Round cost discipline: each round runs exactly ONE job — the eager
+  * checkpoint that materializes the new label set — with the convergence
+  * count riding on it as an observed metric (`CollectMetrics`), not a second
+  * driver-side probe job. The superseded round's checkpoint blocks are freed
+  * explicitly the moment the new round is materialized; leaving them to GC
+  * accumulates every round's label set in executor storage across the loop
+  * (measured at sf0.1: q_dedup_survivors 13.0 s warm vs 5.6 s cold purely
+  * from stale blocks).
   *
   * At 100 TB scale the same loop holds: edges ≪ corpus (pairs only exist
   * where content overlaps), and the alternative single-pass formulations
   * (recursive closure, GraphX pregel) either blow up quadratically on big
   * components or add a dependency; bounded-round label propagation is the
-  * standard Spark-native answer.
+  * standard Spark-native answer. On a real cluster set
+  * `sparkContext.setCheckpointDir(...)` — the loop then uses reliable
+  * checkpoints, which survive executor loss (local checkpoint blocks do not:
+  * losing one mid-loop fails the job).
   */
 object Components {
 
+  /** Truncate lineage for one propagation round (the logical plan would
+    * otherwise DOUBLE per round — labels feeds both the join and the union
+    * branch — 2^rounds plan nodes, which blows up analysis long before data
+    * does). Reliable checkpoint when the context has a checkpoint dir
+    * (cluster posture: survives executor loss); local checkpoint otherwise
+    * (fastest; single-process testing).
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Free the executor storage behind a superseded round's local checkpoint.
+    * The checkpointed plan is a LogicalRDD leaf over cached blocks that are
+    * otherwise only dropped when the ContextCleaner notices the RDD is
+    * unreachable (i.e. whenever a driver GC happens to run) — deterministic
+    * release keeps the loop's storage footprint at one round, not
+    * O(rounds). Reliable-checkpoint RDDs are files, not blocks; unpersist
+    * on them is a harmless no-op.
+    */
+  private def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _              => ()
+    }
+
   /** @return (node, component_id) for every node appearing in `pairs`,
     *         component_id = minimum node id of the component. Deterministic.
-    *         The result reads from the final round's local checkpoint.
+    *         The result reads from the final round's checkpoint.
     *         Throws if the label set has not converged after `maxIters`
     *         rounds (rounds needed = component diameter).
     */
@@ -39,37 +75,31 @@ object Components {
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Each round's label set is localCheckpoint'ed (eager): the logical plan
-    // would otherwise DOUBLE per round (labels feeds both the join and the
-    // union branch — 2^rounds plan nodes, which blows up analysis long
-    // before data does). Checkpointing truncates lineage to the materialized
-    // blocks, keeps every round's plan constant-size, and lets old rounds'
-    // storage be GC'd when their references drop — no cache juggling. On a
-    // real cluster prefer reliable checkpoints (executor loss drops local
-    // ones); the algorithm is unchanged.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    var labels = truncate(
+      edges.select(col("src").as("node")).distinct().withColumn("label", col("node")))
+    var prevRound = labels
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
       // Neighbors' labels flow along edges; the node's OWN previous label
-      // rides along tagged (__own) so the convergence probe needs no join
-      // against the previous round: after the min-aggregate, a row changed
-      // iff min-over-all < min-over-own. One shuffle per round; the eager
-      // checkpoint is the round's single materializing action.
-      val prop = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("label"), lit(0).as("__own"))
-        .union(labels.withColumn("__own", lit(1)))
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"),
-          min(when(col("__own") === 1, col("label"))).as("__prev"))
-        .localCheckpoint()
-      val changed =
-        prop.filter(col("label") < col("__prev")).limit(1).count() > 0L
+      // rides along tagged (__own) so convergence needs no join against the
+      // previous round: after the min-aggregate, a row changed iff
+      // min-over-all < min-over-own. One shuffle per round; the observed
+      // changed-count is computed inside the checkpoint job itself.
+      val obs = Observation()
+      val prop = truncate(
+        edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("label"), lit(0).as("__own"))
+          .union(labels.withColumn("__own", lit(1)))
+          .groupBy(col("node"))
+          .agg(min(col("label")).as("label"),
+            min(when(col("__own") === 1, col("label"))).as("__prev"))
+          .observe(obs, count(when(col("label") < col("__prev"), 1)).as("changed")))
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      free(prevRound)
+      prevRound = prop
       labels = prop.select(col("node"), col("label"))
       iters += 1
-      converged = !changed
     }
     edges.unpersist()
     // Fail loudly rather than return silently split components: an

@@ -88,6 +88,25 @@ class CurationSpec extends AnyFunSuite {
     assert(cc.length == 8 && cc.forall(_._2 == 1L))
   }
 
+  test("connected components: reliable-checkpoint mode when a checkpoint dir is set") {
+    // Cluster posture: with sparkContext.setCheckpointDir the loop switches
+    // to reliable checkpoints (survive executor loss). Same answers.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      val cc = graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cc.length == 6 && cc.forall(_._2 == 1L))
+      // reliable checkpoint files actually landed
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      // Option(null) → None in setCheckpointDir: restores local-checkpoint
+      // behavior for the other suites sharing this session.
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("salient terms: rarity beats frequency, rank is dense per group") {
     // "rare" occurs once in one doc (df=1, tf=1 → score 1,000,000);
     // "common" occurs in every doc (df=3) with tf=2 in g1 → 2e6 DIV 3 =
