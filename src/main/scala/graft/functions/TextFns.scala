@@ -71,6 +71,52 @@ object TextFns {
   def piiScrub(c: Column): Column =
     regexp_replace(regexp_replace(c, emailRe, "[EMAIL]"), phoneRe, "[PHONE]")
 
+  /** BPE pre-tokenizer: letter runs, digit runs, single symbols — the shape
+    * BPE vocabularies assume. (Spark and DuckDB regex flavors agree here.)
+    */
+  val preTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def preTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(preTokenRe), lit(0))
+
+  /** Fixed BPE merges table, rank-ordered and TRAINING-CONSISTENT: every
+    * composite side is created by an earlier rule. That property is what
+    * makes one in-order pass per rule exactly classic BPE encoding (a
+    * lower-ranked rule can never become applicable again — see
+    * graft.plans.BpeKernel), and what lets the DuckDB oracle run the same
+    * algorithm as a nested `replace()` chain ([[bpeMergeChainSql]]).
+    */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "i" -> "n", "a" -> "n", "r" -> "e", "o" -> "n", "e" -> "r",
+    "a" -> "t", "e" -> "n", "o" -> "r", "e" -> "s", "s" -> "t", "a" -> "l",
+    "o" -> "u", "i" -> "s", "i" -> "t", "l" -> "e", "e" -> "d", "c" -> "h",
+    "s" -> "h", "w" -> "h", "th" -> "e", "an" -> "d", "in" -> "g", "t" -> "o",
+    "o" -> "f", "a" -> "r", "e" -> "a", "q" -> "u", "s" -> "e", "d" -> "e",
+    "m" -> "e", "h" -> "i", "er" -> "s", "at" -> "e", "u" -> "n", "w" -> "e")
+
+  /** Total BPE token count over a pre-token array column (map-side kernel). */
+  def bpeCount(pre: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.BpeCount(
+      org.apache.spark.sql.GraftColumnBridge.expression(pre)))
+
+  /** Full BPE token sequence over a pre-token array column. */
+  def bpeTokens(pre: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.BpeTokens(
+      org.apache.spark.sql.GraftColumnBridge.expression(pre)))
+
+  /** DuckDB rendering of the BPE merge chain over one lowercase-letter word
+    * expression: the word is exploded to '.'-delimited characters
+    * ("the" → ".t..h..e."), each merge rule becomes one plain (non-regex)
+    * `replace` — leftmost non-overlapping, the same scan order as the
+    * kernel — and the result string's token count is `count('..') + 1`.
+    * Kept adjacent to [[bpeMerges]] so the two cannot drift.
+    */
+  def bpeMergeChainSql(wordExpr: String): String = {
+    val enc = s"'.' || array_to_string(string_split($wordExpr, ''), '..') || '.'"
+    bpeMerges.foldLeft(enc) { case (acc, (a, b)) =>
+      s"replace($acc, '.$a..$b.', '.$a$b.')"
+    }
+  }
+
   /** Minhash permutation constants (a, b) for h' = (a*h + b) mod P. */
   val minhashPerms: Seq[(Long, Long)] = Seq(
     (131L, 101L), (523L, 9L), (2029L, 37L), (3571L, 3L),

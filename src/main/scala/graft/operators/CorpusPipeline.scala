@@ -69,7 +69,12 @@ object CorpusPipeline {
       lit(1.0) - size(graft.functions.SketchFns.shinglesDistinct(col("__tk"), 3))
         .cast(DoubleType) / (size(col("__tk")) - 2))
       .otherwise(lit(0.0))
+    // The raw-input row count rides the gate pass as an observed metric —
+    // a separate df.count() would re-scan the whole input once more just
+    // for the droppedQuality accounting.
+    val obsIn = org.apache.spark.sql.Observation()
     val gated = df
+      .observe(obsIn, count(lit(1)).as("n_in"))
       .withColumn("__tk", toks)
       .filter(size(col("__tk")) >= cfg.minTokens)
       .withColumn("__rep", rep)
@@ -85,9 +90,11 @@ object CorpusPipeline {
       else gated
     val scrubbed = scrubbed0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Scrub is 1:1, so counting the persisted frame both materializes the
-    // cache and yields the gate's survivor count in the same single pass.
-    val nIn = df.count(); val nGated = scrubbed.count()
+    // Scrub is 1:1, so counting the persisted frame materializes the cache,
+    // yields the gate's survivor count, AND completes the input-count
+    // observation — one pass, one job, both numbers.
+    val nGated = scrubbed.count()
+    val nIn = obsIn.get("n_in").asInstanceOf[Long]
 
     // 3. exact dedup: min-id survivor per identical content (one shuffle).
     // Persist reused stages: the drop-count actions and the final consumer

@@ -34,17 +34,21 @@ object Curation {
     * occurrence of it is dropped. Returns per-document accounting
     * (doc_id, n_chunks, n_kept) — the caller reassembles or filters.
     *
-    * Scale: one shuffle on the chunk string (the document-frequency count);
-    * the flag rides back on the chunk rows — no driver-side state. At 100 TB
-    * you'd hash the chunk to a 64-bit key first so the shuffle moves longs,
-    * not strings (same plan shape).
+    * Scale: the chunk text is hashed to a 64-bit key (xxhash64) at the map
+    * side, so both shuffles — the document-frequency count and the join
+    * back — move (long, long) rows, never chunk strings; at 100 TB the
+    * shuffle bytes ARE the bill. A 64-bit collision falsely merges two
+    * chunks' document frequencies — vanishingly rare and conservative for
+    * boilerplate detection (it can only over-flag, the same trade C4's own
+    * hash-based dedup makes).
     */
   def boilerplateAccounting(df: DataFrame, idCol: String, textCol: String,
                             chunkTokens: Int, maxDocFreq: Long): DataFrame = {
     val ch = chunks(df, idCol, textCol, chunkTokens)
-    val dfreq = ch.groupBy(col("chunk"))
+      .select(col(idCol), xxhash64(col("chunk")).as("__ck"))
+    val dfreq = ch.groupBy(col("__ck"))
       .agg(countDistinct(col(idCol)).as("__df"))
-    ch.join(dfreq, "chunk")
+    ch.join(dfreq, "__ck")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("__df") <= maxDocFreq, 1)).as("n_kept"))
@@ -55,18 +59,30 @@ object Curation {
     * check run before an evaluation split is trusted. Returns
     * (train_id, n_shared_shingles, n_test_docs_hit).
     *
-    * Scale: shingles on both sides, one equi-join on the shingle string; the
-    * test side of a real pipeline is millions of shingles at most — broadcast
-    * it. Candidate fan-out is bounded by real content overlap, like the
-    * dedup family.
+    * Scale: shingles on both sides are hashed to 64-bit keys at the map side
+    * (the join and aggregate move (long, long) rows, never shingle strings),
+    * and the held-out side is BROADCAST when its input is small enough —
+    * which it always is in practice (an eval set is MBs against a TB-scale
+    * train side), turning the whole check into a map-side join with zero
+    * shuffle of the training corpus. The gate reads the test input's
+    * planner size estimate against `spark.graft.decontaminate.broadcastMaxBytes`
+    * (default 32 MB of input text ≈ low hundreds of MB of hashed shingle
+    * rows); a genuinely large held-out side falls back to the shuffled
+    * equi-join, whose fan-out is bounded by real content overlap.
     */
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
                     textCol: String, k: Int): DataFrame = {
     val trainSh = Dedup.shingles(train, idCol, textCol, k)
-      .withColumnRenamed(idCol, "train_id")
-    val testSh = Dedup.shingles(test, idCol, textCol, k)
-      .withColumnRenamed(idCol, "test_id")
-    trainSh.join(testSh, "sh")
+      .select(col(idCol).as("train_id"), xxhash64(col("sh")).as("__sk"))
+    val testShRaw = Dedup.shingles(test, idCol, textCol, k)
+      .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
+    val maxBytes = test.sparkSession.conf
+      .get("spark.graft.decontaminate.broadcastMaxBytes", (32L << 20).toString).toLong
+    val testSh =
+      if (test.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+        broadcast(testShRaw)
+      else testShRaw
+    trainSh.join(testSh, "__sk")
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_shared_shingles"),
         countDistinct(col("test_id")).as("n_test_docs_hit"))

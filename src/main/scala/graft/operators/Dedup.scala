@@ -74,9 +74,16 @@ object Dedup {
     // cross-document), and when it fires the per-doc counts are recomputed
     // post-cutoff by window so the Jaccard denominator matches the surviving
     // shingle sets (same semantics the windowed formulation had).
+    // Shingles are hashed to 64-bit keys BEFORE leaving the row: the DF
+    // window, the pair self-join, and the pair aggregate all move
+    // (long, long) rows, never k-gram strings — at 100 TB the candidate
+    // join's shuffle bytes dominate this operator, and hashing cuts them
+    // ~5-10× for typical 4-gram lengths. A 64-bit collision can only ADD a
+    // spurious shared shingle between two documents (never remove one), a
+    // vanishing overestimate of Jaccard at any realistic corpus size.
     val base = shingleArr(df, idCol, textCol, k)
       .select(col(idCol), size(col("sha")).cast(LongType).as("nsh"),
-        explode(col("sha")).as("sh"))
+        explode(transform(col("sha"), s => xxhash64(s))).as("sh"))
     val shN =
       if (maxDocFreq <= 0L) base
       else {
@@ -169,6 +176,52 @@ object Dedup {
     df.filter(toks.isNotNull)
       .select(col(idCol),
         graft.functions.SketchFns.simhashBits(toks, bits).as("simhash"))
+  }
+
+  /** SimHash near-duplicate PAIRS at hamming distance <= `maxHamming` — the
+    * part of simhash dedup that exact-signature collision (distance 0)
+    * misses by construction. Bit-band blocking: the `bits`-bit signature is
+    * split into `bands` contiguous slices; by pigeonhole, two signatures
+    * within hamming distance d < bands agree EXACTLY on at least one slice,
+    * so candidates come only from per-band equality joins (same banded
+    * shape as MinHash-LSH: one explode, one self-equi-join on the composite
+    * band key) and the exact popcount-of-XOR verification runs on that
+    * bounded candidate set. Output: (a_id, b_id, hamming), a_id < b_id.
+    *
+    * Scale: band width picks the bucket count (2^(bits/bands) keys); the
+    * shuffle moves (id, sig, band_key) longs only, and no all-pairs join
+    * exists anywhere — fan-out is bounded by docs genuinely colliding on
+    * a quarter of their simhash, which at 64/4 bits is vanishing for
+    * non-near-dup content.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int, maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(bands > 0 && bits % bands == 0, s"bands must divide bits ($bits/$bands)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming/$bands)")
+    val w = bits / bands
+    val mask = (1L << w) - 1L
+    val sig = simhash(df, idCol, textCol, bits)
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        shiftright(col("simhash"), bi * w).bitwiseAND(lit(mask)).as("band_key"))
+    }
+    val banded = sig.select(col(idCol), col("simhash"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("simhash"),
+        col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
+    val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sim"),
+      col("band_idx"), col("band_key"))
+    val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sim"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_sim ^ b_sim) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
   /** Incremental dedup — the operational 100 TB shape: a NEW batch is

@@ -28,6 +28,29 @@ object TextQueries {
   private def dravg(c: Column): Column =
     sum(c.cast(DecimalType(25, 12))).cast(DoubleType) / count(c)
 
+  /** DuckDB CTE `sims(doc_id, simhash)` mirroring
+    * Dedup.simhash(_, "doc_id", "text", bits): per-bit majority vote over
+    * token polyhashes (ties → clear, matching `sum > 0`).
+    */
+  private def simhashCte(bits: Int): String = {
+    val bitSums = (0 until bits).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n                 ")
+    val sim = (0 until bits)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (
+             SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+             FROM documents
+           ), hashed AS (
+             SELECT doc_id, ${TextFns.polyHashSql("tok")} AS h FROM tok
+           ), agg AS (
+             SELECT doc_id,
+                 $bitSums
+             FROM hashed GROUP BY doc_id
+           ), sims AS (
+             SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM agg)"""
+  }
+
   /** DuckDB CTE mirroring Dedup.shingles(_, "doc_id", "text", 4). */
   private val shingleCte: String = """
     WITH toks AS (
@@ -81,6 +104,49 @@ object TextQueries {
                      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS ntok
               FROM documents) t
         GROUP BY source ORDER BY source""")),
+
+    // ----- REAL merge-table BPE token counting: the headline number a data
+    // curator asks of a corpus. The Spark side runs the BpeCount codegen
+    // kernel (rank-ordered merges over char sequences); the oracle runs the
+    // SAME algorithm as a nested replace() chain generated from the same
+    // merges table — real cross-engine verification of the merge loop, not
+    // a fixture of precomputed counts (possible because a training-
+    // consistent merge table is order-insensitive to re-application; see
+    // graft.plans.BpeKernel).
+    Q("q_text_tokens_bpe_real",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("ntok", TextFns.bpeCount(TextFns.preTokens(col("text"))))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("ntok")).as("bpe_tokens"),
+               max(col("ntok")).as("max_doc_tokens"))
+          .orderBy(col("source")),
+      Some(s"""
+        WITH pre AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                   '${TextFns.preTokenRe}')) AS w
+          FROM documents),
+        m AS (
+          SELECT doc_id, w,
+                 CASE WHEN regexp_matches(w, '^[a-z]+${"$"}')
+                      THEN ${TextFns.bpeMergeChainSql("w")} END AS s
+          FROM pre),
+        cnt AS (
+          SELECT doc_id,
+                 CASE WHEN s IS NOT NULL
+                        THEN length(s) - length(replace(s, '..', '.')) + 1
+                      WHEN regexp_matches(w, '^[0-9]+${"$"}') THEN length(w)
+                      ELSE 1 END AS ntok
+          FROM m),
+        perdoc AS (
+          SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS ntok
+          FROM cnt GROUP BY doc_id)
+        SELECT d.source, COUNT(*) AS n_docs,
+               CAST(SUM(COALESCE(p.ntok, 0)) AS BIGINT) AS bpe_tokens,
+               CAST(MAX(COALESCE(p.ntok, 0)) AS BIGINT) AS max_doc_tokens
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        GROUP BY d.source ORDER BY d.source""")),
 
     // ----- quality scoring (length / stopword / word-length heuristics)
     Q("q_text_quality",
@@ -270,24 +336,26 @@ object TextQueries {
       (s, dir) =>
         Dedup.simhash(t(s, dir, "documents"), "doc_id", "text", 16)
           .orderBy(col("doc_id")),
-      Some {
-        val bitSums = (0 until 16).map(i =>
-          s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS s$i")
-          .mkString(",\n                 ")
-        val sim = (0 until 16)
-          .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-        s"""WITH tok AS (
-             SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-             FROM documents
-           ), hashed AS (
-             SELECT doc_id, ${TextFns.polyHashSql("tok")} AS h FROM tok
-           ), agg AS (
-             SELECT doc_id,
-                 $bitSums
-             FROM hashed GROUP BY doc_id)
-           SELECT doc_id, CAST($sim AS BIGINT) AS simhash
-           FROM agg ORDER BY doc_id"""
-      }),
+      Some(s"""${simhashCte(16)}
+           SELECT doc_id, simhash
+           FROM sims ORDER BY doc_id""")),
+
+    // ----- near-dup PAIRS at hamming distance <= 3: bit-band blocked on the
+    // Spark side (4 bands of 7 bits; pigeonhole finds every pair within
+    // distance 3), verified by exact popcount of the XOR. The oracle brute-
+    // forces the same pair set — the banding is a pure candidate-generation
+    // optimization and must not change the answer.
+    Q("q_dedup_simhash_hamming",
+      (s, dir) =>
+        Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+            bits = 28, maxHamming = 3, bands = 4)
+          .orderBy(col("a_id"), col("b_id")),
+      Some(s"""${simhashCte(28)}
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           ORDER BY a_id, b_id""")),
 
     // ----- multimodal: opaque binary column + typed metadata via a
     // deterministic stub decoder (no image libs in this container; the

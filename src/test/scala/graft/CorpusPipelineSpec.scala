@@ -63,6 +63,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(r.corpus.count() == 3)
   }
 
+  test("accounting rides observed metrics — no separate raw-input count job") {
+    // Every materializing action in prepare() is accounted for; the raw
+    // input count must NOT add an action of its own (it rides the gate pass
+    // as an observed metric). With near-dup and chunking off the pipeline
+    // runs exactly 3 actions: gate+scrub count, exact-dedup count, and the
+    // final (cache-served) count. Jobs are NOT a stable unit (AQE
+    // materializes shuffle stages as extra jobs) — QueryExecutions are.
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val docs = Seq((1L, goodText), (2L, goodText + " extra tail tokens here"))
+      .toDF("doc_id", "text")
+    spark.listenerManager.register(listener)
+    try {
+      val r = CorpusPipeline.prepare(docs, "doc_id", "text",
+        CorpusPipeline.Config(minTokens = 5, nearDupK = 0))
+      assert(r.droppedQuality == 0 && r.droppedExactDup == 0)
+      // listener events post asynchronously — wait for the count to settle
+      var last = -1
+      var settled = 0
+      while (settled < 4) {                 // 4 × 100 ms of no new events
+        Thread.sleep(100)
+        if (actions.get() == last) settled += 1 else { last = actions.get(); settled = 0 }
+      }
+      assert(actions.get() <= 3,
+        s"prepare() ran ${actions.get()} actions — accounting regrew a separate count")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("pipeline is deterministic end-to-end (same input, same output)") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
       .select($"doc_id", $"text").limit(200)

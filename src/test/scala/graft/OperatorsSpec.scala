@@ -161,6 +161,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sh(1L) != sh(3L))
   }
 
+  test("simhash hamming pairs: banding finds every pair brute force finds") {
+    // 60 docs around 3 content clusters plus noise docs: band-blocked
+    // candidate generation + popcount verify must equal the brute-force
+    // popcount filter exactly (pigeonhole: d=3 < 4 bands).
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    val docs = (1L to 60L).map { i =>
+      val c = (i % 3).toInt
+      val body = (0 until 10).map(j => words((c * 3 + j * (c + 1)) % words.length))
+      val tail = if (i % 5 == 0) Seq(s"tail${i}") else Seq(words((i % 7).toInt))
+      (i, (body ++ tail).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDupPairs(df, "doc_id", "text", 28, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sims = Dedup.simhash(df, "doc_id", "text", 28).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- sims; (b, hb) <- sims if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture produced no near pairs — test is vacuous")
+  }
+
   test("brute-force cosine top-k ranks an identical vector first") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter($"vec_id" === 0)

@@ -54,7 +54,8 @@ class PlanLintSpec extends AnyFunSuite {
     // candidate pairs must come from shared shingles/bands/buckets — a
     // nested-loop join anywhere in these plans means the bound is gone
     Seq("q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
-        "q_dedup_simhash", "q_dedup_embedding", "q_ann_lsh_topk")
+        "q_dedup_simhash", "q_dedup_simhash_hamming", "q_dedup_embedding",
+        "q_ann_lsh_topk")
       .foreach { name =>
         val p = plan(name)
         assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -81,6 +82,19 @@ class PlanLintSpec extends AnyFunSuite {
           s"$name no longer uses the quantized kernels")
       }
     assert(plan("q_ann_lsh_buckets").toLowerCase.contains("lshbucketq"))
+  }
+
+  test("decontaminate broadcasts the held-out side and shuffles hashed longs") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "held-out shingle side is not broadcast — a 100 TB train side would sort-merge")
+    assert(p.contains("xxhash64"), "shingle join key is not hashed to 64-bit")
+  }
+
+  test("boilerplate/ngram joins key on 64-bit hashes, not chunk/shingle strings") {
+    Seq("q_text_boilerplate", "q_dedup_ngram_jaccard").foreach { n =>
+      assert(plan(n).contains("xxhash64"), s"$n shuffles raw strings")
+    }
   }
 
   test("no ETL loader plans a single-partition global window") {
