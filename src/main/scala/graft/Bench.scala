@@ -37,13 +37,22 @@ object Bench {
     // Optional positional args narrow the run to matching query names
     // (substring match) — a local iteration aid; the driver passes none.
     val wanted = args.toSeq
+    // A query that throws must FAIL LOUDLY, not bench as "fast": its slot
+    // records the -1.0 sentinel, its name lands in `failed` (stderr + both
+    // JSON payloads), and the driver sees a nonzero failure count.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.registry.filter(_.bench)
       .filter(q => wanted.isEmpty || wanted.exists(q.name.contains))
       .map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          failed += q.name
+          System.err.println(
+            s"BENCH FAIL ${q.name}: ${e.getClass.getName}: ${e.getMessage}")
+          -1.0
+        }
       }
       val cold = once(); val warm = once()
       (q.name, cold, warm)
@@ -55,18 +64,23 @@ object Bench {
       .mkString("{", ",", "}")
     val qsWarm = results.map { case (k, _, w) => "\"" + k + "\":" + fmt(w) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val warmTotal = if (results.nonEmpty) results.map(_._3).sum else 0.0
-    // The contract line the driver parses: exactly the documented shape, with
-    // the per-query cold map. Printed ONCE, as the program's last stdout line,
-    // unprefixed (build.sbt sets run/outputStrategy := StdoutOutput — sbt's
-    // default LoggedOutput wraps every line in "[info] ", which broke the
-    // driver's JSON parse in rounds 1 and 2).
-    val contract = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Extended detail (warm pass isolates per-query fixed cost) goes to
-    // bench.json only, so stdout carries a single JSON line.
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
+    val warmTotal = if (results.nonEmpty) results.map(_._3).filter(_ >= 0).sum else 0.0
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The contract line the driver parses. Printed ONCE, as the program's
+    // last stdout line, unprefixed (build.sbt sets run/outputStrategy :=
+    // StdoutOutput — sbt's default LoggedOutput wraps every line in
+    // "[info] ", which broke the driver's JSON parse in rounds 1 and 2).
+    // SHORT on purpose: the 109-query per-query map grew past the driver's
+    // output-tail capture window and clipped the line in round 4
+    // ("parsed": null) — the full maps live in bench.json only.
+    val contract = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+    // Extended detail (per-query cold/warm maps, failed names) goes to
+    // bench.json only, so stdout carries a single short JSON line.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-      s""""warm_total":${fmt(warmTotal)},"queries_warm":$qsWarm,"sf":"$sfDir"}"""
+      s""""warm_total":${fmt(warmTotal)},"queries_warm":$qsWarm,""" +
+      s""""failed":$failedArr,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("bench.json"), "UTF-8")
       try w.println(full) finally w.close()

@@ -128,7 +128,7 @@ object Soak {
           val r = graft.operators.CorpusPipeline.prepare(docs(dir), "doc_id",
             "text", graft.operators.CorpusPipeline.Config())
           val n = r.corpus.count()
-          spark.catalog.clearCache(); n
+          r.unpersist(); n
         },
         // integer-exact TF-IDF: tf shuffle on (source, term), df from per-row
         // distinct, term-keyed join, heap top-k — vocabulary grows with the

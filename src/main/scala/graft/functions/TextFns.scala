@@ -122,4 +122,15 @@ object TextFns {
     (131L, 101L), (523L, 9L), (2029L, 37L), (3571L, 3L),
     (7919L, 11L), (10007L, 5L), (31L, 1009L), (104729L, 7L))
   val minhashP: Long = 1000000007L
+
+  /** SimHash token-hash widening: [[polyHash]] yields 31 informative bits;
+    * a second affine transform of the same hash mod the same prime (the
+    * MinHash-perm trick) fills bits 31..61, so simhash signatures up to 62
+    * bits carry signal in every bit position:
+    * `h62 = h | (((h * A + B) % 2147483647) << 31)`.
+    * Bits 0..30 of h62 are h unchanged, so signatures at `bits <= 31` are
+    * byte-identical to the narrow form (existing oracles unaffected).
+    */
+  val simhashWidenA: Long = 1000003L
+  val simhashWidenB: Long = 17L
 }

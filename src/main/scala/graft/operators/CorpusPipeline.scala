@@ -40,11 +40,18 @@ object CorpusPipeline {
       chunkStride: Int = 0)
 
   /** `corpus`'s deduped parent stage stays persisted (MEMORY_AND_DISK) so
-    * consuming it doesn't re-run the pair join; unpersist via
-    * `spark.catalog.clearCache()` (or let it age out) when done.
+    * consuming it doesn't re-run the pair join; call [[Result.unpersist]]
+    * once the corpus has been consumed — a leaked cache occupies executor
+    * storage for the rest of the session and slows every later job.
     */
   final case class Result(corpus: DataFrame, droppedQuality: Long,
-                          droppedExactDup: Long, droppedNearDup: Long)
+                          droppedExactDup: Long, droppedNearDup: Long)(
+      releasable: DataFrame) {
+    /** Free the pipeline's persisted survivor stage. The corpus can still be
+      * consumed afterwards, but recomputes its lineage from the source.
+      */
+    def unpersist(): Unit = releasable.unpersist(blocking = false)
+  }
 
   /** Prepare `df` (must have `idCol`: long, `textCol`: string). Output keeps
     * the input columns plus `split`, and — when chunking is on — one row per
@@ -143,6 +150,6 @@ object CorpusPipeline {
         .withColumnRenamed("col", "chunk")
         .drop("pos", "__tk", textCol)
 
-    Result(out, nIn - nGated, nGated - nExact, nExact - nNear)
+    Result(out, nIn - nGated, nGated - nExact, nExact - nNear)(nearDeduped)
   }
 }

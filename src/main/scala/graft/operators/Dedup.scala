@@ -191,8 +191,13 @@ object Dedup {
     * Scale: band width picks the bucket count (2^(bits/bands) keys); the
     * shuffle moves (id, sig, band_key) longs only, and no all-pairs join
     * exists anywhere — fan-out is bounded by docs genuinely colliding on
-    * a quarter of their simhash, which at 64/4 bits is vanishing for
-    * non-near-dup content.
+    * a quarter of their simhash. Band width is the scale lever: callers
+    * MUST keep bands wide (>= ~15 bits, i.e. >= 32k keys per band — e.g.
+    * 60 bits / 4 bands); narrow bands (7 bits = 128 keys) make every band a
+    * hot bucket and the candidate set quadratic. The hamming verification
+    * runs on the raw banded join output BEFORE any exchange, so the ~99%
+    * of candidates that fail the distance test never pay the dedup shuffle
+    * and never carry their signatures through it.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int, maxHamming: Int, bands: Int = 4): DataFrame = {
@@ -214,13 +219,29 @@ object Dedup {
       col("band_idx"), col("band_key"))
     val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sim"),
       col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key"))
+    // A pair within distance d agrees on possibly SEVERAL bands and would
+    // surface once per agreeing band. Both signatures ride the joined row,
+    // so "is this the FIRST agreeing band?" is a pure expression — the
+    // duplicates die map-side and the (a_id, b_id) distinct exchange the
+    // naive form pays (on the full candidate set, at that) never exists.
+    def bandOf(sig: Column, j: Int): Column =
+      shiftright(sig, j * w).bitwiseAND(lit(mask))
+    val firstAgreeingBand = (0 until bands).foldRight(lit(bands)) { (j, tail) =>
+      when(bandOf(col("a_sim"), j) === bandOf(col("b_sim"), j), lit(j))
+        .otherwise(tail)
+    }
+    // MERGE hint: a broadcast of the small side would re-run the whole
+    // scan→tokenize→sketch pipeline once per join input; with both sides
+    // shuffling on the band key the canonicalized exchanges are equal and
+    // ReusedExchange computes the signatures ONCE (same shape as
+    // minhashLshPairs). At fact scale sort-merge is what the planner picks
+    // anyway, so the hint only changes the toy-scale plan.
+    a.hint("merge").join(b, Seq("band_idx", "band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
-      .distinct()
       .withColumn("hamming",
         expr("CAST(bit_count(a_sim ^ b_sim) AS BIGINT)"))
       .filter(col("hamming") <= maxHamming)
+      .filter(col("band_idx") === firstAgreeingBand)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 

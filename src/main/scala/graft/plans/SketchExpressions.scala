@@ -144,7 +144,12 @@ object SketchKernels {
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = polyHashCp(tokens.getUTF8String(i).toString)
+        val h1 = polyHashCp(tokens.getUTF8String(i).toString)
+        // widen 31 → 62 informative bits (TextFns.simhashWidenA/B); bits
+        // 0..30 stay exactly h1, so narrow (<=31-bit) signatures are
+        // unchanged. h1 < 2^31 and A ~ 2^20, so h1*A + B < 2^52: no overflow.
+        val h = h1 |
+          (((h1 * TextFns.simhashWidenA + TextFns.simhashWidenB) % Mod) << 31)
         var b = 0
         while (b < bits) {
           if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -211,10 +216,12 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
-/** array<string> tokens → long SimHash (`bits` ≤ 63 low bits used). */
+/** array<string> tokens → long SimHash (`bits` ≤ 62 low bits used — the
+  * widened token hash carries 62 informative bits; see TextFns.simhashWidenA).
+  */
 case class SimHashBits(child: Expression, bits: Int)
     extends UnaryExpression with TokenArrayInput {
-  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
   override def fnName: String = "simhash_bits"
   override def dataType: DataType = LongType
 

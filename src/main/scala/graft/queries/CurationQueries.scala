@@ -315,9 +315,17 @@ object CurationQueries {
         val r = graft.operators.CorpusPipeline.prepare(
           t(s, dir, "documents"), "doc_id", "text",
           graft.operators.CorpusPipeline.Config())
-        r.corpus
+        // Materialize the (small) projected answer eagerly, then release the
+        // pipeline's persisted survivor stage BEFORE handing the frame to
+        // the consumer — the caller only ever sees checkpoint blocks, so the
+        // heavyweight cache never outlives this function (a leaked cache
+        // made the warm bench run SLOWER than cold in round 4). Checkpoint
+        // blocks are freed by the ContextCleaner once the frame is GC'd.
+        val out = r.corpus
           .select(col("doc_id"), md5(col("text")).as("text_fp"), col("split"))
-          .orderBy(col("doc_id"))
+          .localCheckpoint(true)
+        r.unpersist()
+        out.orderBy(col("doc_id"))
       },
       Some(s"""
         WITH t0 AS (SELECT doc_id, text,

@@ -30,7 +30,10 @@ object TextQueries {
 
   /** DuckDB CTE `sims(doc_id, simhash)` mirroring
     * Dedup.simhash(_, "doc_id", "text", bits): per-bit majority vote over
-    * token polyhashes (ties → clear, matching `sum > 0`).
+    * token polyhashes (ties → clear, matching `sum > 0`). The 31-bit
+    * polyhash is widened to 62 informative bits by the same affine
+    * transform the Spark kernel applies (TextFns.simhashWidenA/B) — bits
+    * 0..30 are the raw polyhash, so narrow signatures are unchanged.
     */
   private def simhashCte(bits: Int): String = {
     val bitSums = (0 until bits).map(i =>
@@ -41,8 +44,13 @@ object TextQueries {
     s"""WITH tok AS (
              SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
              FROM documents
+           ), hashed1 AS (
+             SELECT doc_id, ${TextFns.polyHashSql("tok")} AS h1 FROM tok
            ), hashed AS (
-             SELECT doc_id, ${TextFns.polyHashSql("tok")} AS h FROM tok
+             SELECT doc_id,
+                    h1 | (((h1 * ${TextFns.simhashWidenA} + ${TextFns.simhashWidenB})
+                           % 2147483647) << 31) AS h
+             FROM hashed1
            ), agg AS (
              SELECT doc_id,
                  $bitSums
@@ -341,16 +349,20 @@ object TextQueries {
            FROM sims ORDER BY doc_id""")),
 
     // ----- near-dup PAIRS at hamming distance <= 3: bit-band blocked on the
-    // Spark side (4 bands of 7 bits; pigeonhole finds every pair within
-    // distance 3), verified by exact popcount of the XOR. The oracle brute-
-    // forces the same pair set — the banding is a pure candidate-generation
-    // optimization and must not change the answer.
+    // Spark side (4 bands of 15 bits = 32k keys per band; pigeonhole finds
+    // every pair within distance 3), verified by exact popcount of the XOR
+    // BEFORE any exchange. The oracle brute-forces the same pair set — the
+    // banding is a pure candidate-generation optimization and must not
+    // change the answer. 60 bits (vs round-4's 28) both bounds the band
+    // fan-out (~n²/2^15 per band worst case vs ~n²/2^7) and tightens the
+    // semantics: hamming <= 3 of 60 voted bits is a defensible near-dup,
+    // where <= 3 of 28 qualified 13% of ALL pairs.
     Q("q_dedup_simhash_hamming",
       (s, dir) =>
         Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-            bits = 28, maxHamming = 3, bands = 4)
+            bits = 60, maxHamming = 3, bands = 4)
           .orderBy(col("a_id"), col("b_id")),
-      Some(s"""${simhashCte(28)}
+      Some(s"""${simhashCte(60)}
            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
            FROM sims a JOIN sims b ON a.doc_id < b.doc_id

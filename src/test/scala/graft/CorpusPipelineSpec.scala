@@ -98,6 +98,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("Result.unpersist releases the pipeline's cached stage") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text").limit(100)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val r = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 5))
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "prepare() no longer persists its survivor stage — test is vacuous")
+    r.unpersist()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "unpersist() left the survivor stage cached (round-4 warm-slower-than-cold leak)")
+  }
+
   test("pipeline is deterministic end-to-end (same input, same output)") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
       .select($"doc_id", $"text").limit(200)

@@ -174,16 +174,24 @@ class OperatorsSpec extends AnyFunSuite {
       (i, (body ++ tail).mkString(" "))
     }
     val df = docs.toDF("doc_id", "text")
-    val banded = Dedup.simhashNearDupPairs(df, "doc_id", "text", 28, 3, 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val sims = Dedup.simhash(df, "doc_id", "text", 28).collect()
-      .map(r => r.getLong(0) -> r.getLong(1))
-    val brute = (for {
-      (a, ha) <- sims; (b, hb) <- sims if a < b
-      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
-    } yield (a, b, d.toLong)).toSet
-    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
-    assert(brute.nonEmpty, "fixture produced no near pairs — test is vacuous")
+    // narrow (28-bit, 7-bit bands) and wide (60-bit, 15-bit bands — the
+    // registry's parameterization) must BOTH equal brute force exactly
+    Seq(28, 60).foreach { bits =>
+      val banded = Dedup.simhashNearDupPairs(df, "doc_id", "text", bits, 3, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sims = Dedup.simhash(df, "doc_id", "text", bits).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val brute = (for {
+        (a, ha) <- sims; (b, hb) <- sims if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (a, b, d.toLong)).toSet
+      assert(banded == brute, s"bits=$bits: banded ${banded.size} vs brute ${brute.size}")
+      assert(brute.nonEmpty, s"bits=$bits: fixture produced no near pairs — test is vacuous")
+    }
+    // the widened signature carries signal above bit 30 (a constant high
+    // half would re-create the all-in-one-bucket hot band this fixes)
+    val wide = Dedup.simhash(df, "doc_id", "text", 60).collect().map(_.getLong(1))
+    assert(wide.map(_ >>> 31).distinct.length > 1, "high 29 bits are constant")
   }
 
   test("brute-force cosine top-k ranks an identical vector first") {

@@ -84,6 +84,18 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan("q_ann_lsh_buckets").toLowerCase.contains("lshbucketq"))
   }
 
+  test("simhash hamming pairs dedupe map-side (no distinct exchange)") {
+    // a pair appears once per agreeing band; the first-agreeing-band filter
+    // kills duplicates as a pure expression — the plan must contain NO
+    // aggregate (a HashAggregate here means the (a_id,b_id) distinct is
+    // back, paying an exchange over the full candidate set)
+    val p = plan("q_dedup_simhash_hamming")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "hamming pair dedup re-grew a distinct exchange")
+    assert(p.contains("SortMergeJoin"),
+      "band self-join is no longer sort-merge — the signature pipeline runs twice")
+  }
+
   test("decontaminate broadcasts the held-out side and shuffles hashed longs") {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
