@@ -101,6 +101,14 @@ object Soak {
         "dedup_minhash_lsh" -> { dir =>
           Dedup.minhashLshPairs(docs(dir), "doc_id", "text", 4, 0.5).count()
         },
+        // banded hamming pairs (the registry's 60-bit/4-band parameters):
+        // true pairs are copy-local and grow linearly; incidental band
+        // collisions between unrelated docs are the n²/2^15-per-band term —
+        // THE quantity this soak exists to measure (a corpus much past ~1M
+        // docs needs a wider signature or wider bands; see SCALING.md)
+        "dedup_simhash_hamming" -> { dir =>
+          Dedup.simhashNearDupPairs(docs(dir), "doc_id", "text", 60, 3, 4).count()
+        },
         // pair generation + bounded-round label propagation: components are
         // copy-local so rounds stay constant and cost tracks the pair count
         "dedup_components" -> { dir =>

@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata structs; decode / feature-extract runs
   * batch-wise in executors via mapPartitions.
   *
-  * The decode itself is STUBBED (this container has no image/audio codecs):
-  * [[StubCodec]] derives deterministic fake metadata and features from the
-  * bytes. The Spark-side surface — schema, batch iteration shape,
-  * executor-local "codec" initialization, partition sizing — is the real,
-  * tested part; swapping StubCodec for a JNI/FFmpeg binding changes no plan.
+  * Decode: PNG and BMP headers are parsed FOR REAL ([[MediaCodecs]] — pure
+  * JVM byte-offset reads, no image libs needed); payloads in any other
+  * format fall back to [[StubCodec]], which derives deterministic fake
+  * metadata from the bytes (this container has no full image/audio codecs).
+  * The Spark-side surface — schema, batch iteration shape, executor-local
+  * codec initialization, partition sizing — is identical either way;
+  * swapping the stub tail for a JNI/FFmpeg binding changes no plan.
   *
   * Scale: binary payloads stay columnar in parquet; `maxPartitionBytes`
   * bounds decode batch memory; features come back as array<float> feeding
@@ -50,13 +52,18 @@ object Multimodal {
               encode(col(textCol), "UTF-8").as("media")).as[MediaRow]
   }
 
-  /** Batch decode: one codec per partition, rows streamed through it. */
+  /** Batch decode: one codec per partition, rows streamed through it.
+    * PNG/BMP payloads get their REAL header metadata; anything else falls
+    * back to the deterministic stub. Features are the byte histogram in
+    * both paths (a real embedding model is the out-of-container seam).
+    */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val codec = new StubCodec
       rows.map { r =>
-        val (meta, feats) = codec.decode(r.media)
+        val (stubMeta, feats) = codec.decode(r.media)
+        val meta = MediaCodecs.parseMeta(r.media).getOrElse(stubMeta)
         DecodedRow(r.doc_id, r.media.length.toLong, meta, feats)
       }
     }

@@ -369,30 +369,45 @@ object TextQueries {
            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
            ORDER BY a_id, b_id""")),
 
-    // ----- multimodal: opaque binary column + typed metadata via a
-    // deterministic stub decoder (no image libs in this container; the
-    // Spark-side plumbing — binary schema, per-batch decode, metadata
-    // extraction — is the real surface, see graft.multimodal.Multimodal).
-    Q("q_mm_decode_stub",
-      (s, dir) =>
-        t(s, dir, "documents")
-          .withColumn("blob", encode(col("text"), "UTF-8"))
+    // ----- multimodal: REAL header decode. Each doc gets a spec-conformant
+    // PNG (even ids) or BMP (odd ids) header whose dimensions derive from
+    // doc_id; the executor-side codec (graft.multimodal.MediaCodecs) parses
+    // the actual bytes — PNG big-endian IHDR, BMP little-endian
+    // BITMAPINFOHEADER — and must recover exactly the dims DuckDB computes
+    // arithmetically. A parser that read the wrong offset, endianness, or
+    // field width hash-mismatches immediately. (Full pixel decode remains
+    // out of scope — no image libs in this container; MultimodalSpec pins
+    // the non-image fallback path.)
+    Q("q_mm_decode_png",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 640 + 1).toInt
+            val h = (id * 7 % 480 + 1).toInt
+            val bytes =
+              if (id % 2 == 0) graft.multimodal.MediaCodecs.encodePng(w, h)
+              else graft.multimodal.MediaCodecs.encodeBmp(w, h)
+            graft.multimodal.Multimodal.MediaRow(id, bytes)
+          }
+        graft.multimodal.Multimodal.decode(media)
           .select(
             col("doc_id"),
-            octet_length(col("blob")).cast(LongType).as("n_bytes"),
-            (octet_length(col("blob")).cast(LongType) % 640).as("width"),
-            (octet_length(col("blob")).cast(LongType) * 7 % 480).as("height"),
-            (octet_length(col("blob")).cast(LongType) / lit(100L)).cast(LongType).as("n_frames"),
-            md5(col("text")).as("checksum"))
-          .orderBy(col("doc_id")),
+            col("meta.codec").as("codec"),
+            col("meta.width").cast(LongType).as("width"),
+            col("meta.height").cast(LongType).as("height"),
+            col("meta.n_frames").cast(LongType).as("n_frames"),
+            col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
       Some("""
-        SELECT doc_id, octet_length(blob) AS n_bytes,
-               octet_length(blob) % 640 AS width,
-               octet_length(blob) * 7 % 480 AS height,
-               octet_length(blob) // 100 AS n_frames,
-               md5(text) AS checksum
-        FROM (SELECT doc_id, text, encode(text) AS blob FROM documents) t
-        ORDER BY doc_id""")),
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS codec,
+               CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+               CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
 
     // ----- streaming batch-equivalent: tumbling hourly window (the
     // Structured Streaming surface with watermark lives in
