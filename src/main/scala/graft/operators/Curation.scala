@@ -140,23 +140,33 @@ object Curation {
     *
     * Output: (group, rank, term, tf, df, score), rank 1..k per group.
     *
+    * `minDf` (default 2) drops terms in fewer than that many documents
+    * BEFORE the tf⋈df join. This is a semantic knob, not a pure
+    * optimization — a term 5× in one single doc scores 5e6 and could crack
+    * a thin group's top-k — but hapax "terms" in a web corpus are
+    * overwhelmingly typos/serial numbers/markup shards with no salience
+    * signal, and by Heaps' law they are roughly HALF the vocabulary: at
+    * 100 TB, filtering them halves the join's probe side and its shuffle.
+    * Pass `minDf = 1` for the unfiltered classic ranking.
+    *
     * Scale: term frequency is one shuffle on (group, term); document
     * frequency needs no distinct() exchange — distinctness is established
     * inside each row (array_distinct before the explode), so the aggregate
     * is a plain count on term. The tf⋈df join keys on term (sort-merge; the
-    * web-scale vocabulary is NOT broadcast-safe — hapax-heavy corpora should
-    * pre-filter df=1 terms, which can never rank above a repeated term of
-    * the same rarity class). The per-group top-k is a bounded window the
-    * RewriteRowNumberTopK rule collapses to the heap-based TopKPerGroupExec.
+    * web-scale vocabulary is NOT broadcast-safe). The per-group top-k is a
+    * bounded window the RewriteRowNumberTopK rule collapses to the
+    * heap-based TopKPerGroupExec.
     */
   def salientTerms(df: DataFrame, idCol: String, textCol: String,
-                   groupCol: String, k: Int): DataFrame = {
+                   groupCol: String, k: Int, minDf: Long = 2L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
     val toks = df.select(col(groupCol), col(idCol),
       TextFns.tokens(col(textCol)).as("t"))
     val tf = toks.select(col(groupCol), explode(col("t")).as("term"))
       .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = toks.select(explode(array_distinct(col("t"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")

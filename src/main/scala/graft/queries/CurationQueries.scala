@@ -153,7 +153,8 @@ object CurationQueries {
         tf AS (SELECT source, term, COUNT(*) AS tf FROM tfc GROUP BY 1, 2),
         dfc AS (SELECT term, COUNT(*) AS df FROM
                   (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
-                GROUP BY term),
+                GROUP BY term
+                HAVING COUNT(*) >= 2),  -- minDf: hapax pre-filter, see salientTerms
         scored AS (SELECT source, term, tf, df,
                      CAST((tf * 1000000) // df AS BIGINT) AS score
                    FROM tf JOIN dfc USING (term)),

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table shape (SURVEY §2.9:
@@ -185,5 +186,75 @@ object Streams {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
+  }
+
+  // ---------------------------------------------------------------------
+  // Production sink: idempotent foreachBatch parquet upsert.
+  //
+  // Structured Streaming's contract after a crash is AT-LEAST-ONCE delivery
+  // to foreachBatch: the last uncommitted batch is re-executed with the SAME
+  // batchId and (for replayable sources) the same data. The sink below makes
+  // the re-delivery invisible downstream: each batch lands in its own
+  // batchId-keyed directory behind a park-promote swap (write to __tmp,
+  // rename, then drop a _COMMITTED marker), and a replayed batchId whose
+  // marker already exists is skipped outright. Readers go through
+  // [[readCommitted]], which lists ONLY marker-bearing directories — a batch
+  // that crashed mid-write (no marker) is invisible until its replay
+  // completes it. Net: exactly-once OUTPUT on top of at-least-once delivery.
+  //
+  // Scale: one directory per micro-batch, no global state, no driver-side
+  // data movement; the marker check is one namenode round-trip per batch.
+  // ---------------------------------------------------------------------
+
+  private def batchDir(outDir: String, batchId: Long) = new Path(outDir, f"batch-$batchId%09d")
+
+  /** Write one micro-batch idempotently (the foreachBatch body, callable
+    * directly in tests). Returns true if the batch was written, false if it
+    * was a replay of an already-committed batchId.
+    */
+  def writeBatchIdempotent(batch: Dataset[_], outDir: String, batchId: Long): Boolean = {
+    val dir = batchDir(outDir, batchId)
+    val fs = dir.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+    val marker = new Path(dir, "_COMMITTED")
+    if (fs.exists(marker)) return false // replayed, already fully committed
+    val tmp = new Path(dir.toString + "__tmp")
+    fs.delete(tmp, true) // stray from a crash mid-write
+    batch.toDF().write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true) // stray unmarked dir from a crash pre-marker
+    if (!fs.rename(tmp, dir))
+      throw new java.io.IOException(s"sink: promote failed for batch $batchId")
+    fs.create(marker).close()
+    true
+  }
+
+  /** Start the idempotent parquet sink on a streaming frame. `checkpointDir`
+    * carries the source offsets — the pair (checkpoint, outDir) is the unit
+    * of exactly-once recovery.
+    */
+  def startParquetSink(df: DataFrame, outDir: String, checkpointDir: String,
+                       queryName: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        writeBatchIdempotent(batch, outDir, batchId): Unit
+      }
+      .start()
+
+  /** Read the sink's committed output: only batch directories bearing the
+    * _COMMITTED marker participate, so readers never observe a torn batch.
+    */
+  def readCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val committed =
+      if (!fs.exists(root)) Array.empty[String]
+      else fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+        .filter(s => fs.exists(new Path(s.getPath, "_COMMITTED")))
+        .map(_.getPath.toString)
+    require(committed.nonEmpty, s"no committed batches under $outDir")
+    spark.read.parquet(committed.toIndexedSeq: _*)
   }
 }

@@ -115,12 +115,19 @@ class CurationSpec extends AnyFunSuite {
       (1L, "g1", "common rare"),
       (2L, "g1", "common filler"),
       (3L, "g2", "common only here")).toDF("doc_id", "source", "text")
-    val top = Curation.salientTerms(df, "doc_id", "text", "source", 2)
+    val top = Curation.salientTerms(df, "doc_id", "text", "source", 2, minDf = 1)
       .filter(col("source") === "g1").orderBy("rank")
       .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(5)))
     assert(top.toSeq == Seq(
       (1L, "filler", 1000000L),         // tf=1, df=1; ties with rare → term asc
       (2L, "rare", 1000000L)))          // tf=1, df=1
+    // default minDf=2 pre-filters the hapax BEFORE the tf⋈df join: the
+    // df>=2 survivors are all that remain ("common" df=3, "here"/"only" df=1
+    // die with the rest)
+    val dflt = Curation.salientTerms(df, "doc_id", "text", "source", 2)
+      .filter(col("source") === "g1").orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(5)))
+    assert(dflt.toSeq == Seq((1L, "common", 666666L))) // tf=2, df=3
   }
 
   test("quality score: length cap, diversity credit, stopword penalty, exact ints") {

@@ -140,4 +140,64 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == batch)
   }
+
+  /** Drop a single-file parquet into a streaming-source directory. */
+  private def addSourceFile(dir: java.nio.file.Path, name: String,
+                            rows: Seq[(Long, String)]): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-onefile")
+    rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+  }
+
+  test("parquet sink is exactly-once across a crash-replay of the last batch") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-sink-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-sink-ckp").toString
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    def stream = spark.readStream.schema(schema).parquet(src.toString)
+
+    // batch 0 flows through and commits
+    addSourceFile(src, "f0.parquet", Seq(1L -> "a", 2L -> "b"))
+    val q0 = Streams.startParquetSink(stream, out, ckp, "sink_replay_0")
+    try q0.processAllAvailable() finally q0.stop()
+    assert(Streams.readCommitted(spark, out).count() == 2L)
+
+    // CRASH SIMULATION: the engine wrote the sink output but died before
+    // recording the batch commit — delete checkpoint commits/0. On restart
+    // Structured Streaming re-executes batch 0 from offsets/0: same batchId,
+    // same data, delivered to foreachBatch a SECOND time.
+    val commit0 = java.nio.file.Paths.get(ckp, "commits", "0")
+    assert(java.nio.file.Files.deleteIfExists(commit0), "no commit to crash")
+    // the local ChecksumFs keeps a CRC sidecar; a real crash loses both
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ckp, "commits", ".0.crc"))
+    val q1 = Streams.startParquetSink(stream, out, ckp, "sink_replay_1")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Streams.readCommitted(spark, out).count() == 2L,
+      "replayed batch was written twice — sink is not idempotent")
+
+    // the stream continues normally after the replay: batch 1 appends
+    addSourceFile(src, "f1.parquet", Seq(3L -> "c"))
+    val q2 = Streams.startParquetSink(stream, out, ckp, "sink_replay_2")
+    try q2.processAllAvailable() finally q2.stop()
+    val finalRows = Streams.readCommitted(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(finalRows == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // the foreachBatch body itself reports replay-vs-write truthfully
+    val direct = java.nio.file.Files.createTempDirectory("graft-sink-direct").toString
+    val df = Seq(9L -> "z").toDF("id", "v")
+    assert(Streams.writeBatchIdempotent(df, direct, 7L))
+    assert(!Streams.writeBatchIdempotent(df, direct, 7L))
+    assert(Streams.readCommitted(spark, direct).count() == 1L)
+
+    // a torn batch (no marker) is invisible to readers
+    val torn = new org.apache.hadoop.fs.Path(direct, "batch-000000008")
+    val fs = torn.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(torn)
+    df.write.mode("overwrite").parquet(torn.toString + "/part")
+    assert(Streams.readCommitted(spark, direct).count() == 1L)
+  }
 }
