@@ -19,9 +19,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Schema-inference cache. `spark.read.parquet(path)` re-reads footers to
+    * infer the schema on EVERY call — measured ~0.1 s per DataFrame
+    * construction, the single largest slice of the suite's per-query fixed
+    * cost. The fixtures are immutable for a session, so the inferred schema
+    * is cached per path and passed explicitly — the same shape a metastore
+    * catalog gives a production table (schema from metadata, never from
+    * footer scans).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else readCached(spark, s"$dir/$name.parquet")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read natively
     * (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to micros —
@@ -30,7 +46,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    readCached(spark, s"$dir/events.parquet")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }
 }

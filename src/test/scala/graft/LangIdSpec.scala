@@ -18,6 +18,38 @@ class LangIdSpec extends AnyFunSuite {
     assert(LangId.detect("zzz qqq kkk 12345") == "und")
   }
 
+  test("detects Latin-script languages added in round 5") {
+    assert(LangId.detect("il gatto non è solo, che sono animali per una casa") == "it")
+    assert(LangId.detect("het huis is mooi en ik ben niet met je meegegaan") == "nl")
+    assert(LangId.detect("huset är stort och det är inte långt att gå för oss") == "sv")
+    assert(LangId.detect("to nie jest dom, że się na drodze jest z nami") == "pl")
+    assert(LangId.detect("bu bir ev ve çok güzel bir bahçe için buradayız değil mi") == "tr")
+    assert(LangId.detect("rumah ini yang besar dan itu tidak jauh dengan jalan untuk kita") == "id")
+    assert(LangId.detect("az ház nagy és nem kicsi, hogy egy kert is van benne") == "hu")
+  }
+
+  test("script-dominant languages resolve without word profiles") {
+    assert(LangId.detect("这是一个很大的房子，花园也很漂亮") == "zh")
+    assert(LangId.detect("これは大きな家です、庭もきれいです") == "ja")
+    assert(LangId.detect("이것은 큰 집이고 정원도 아름답습니다") == "ko")
+    assert(LangId.detect("αυτό είναι ένα μεγάλο σπίτι με ωραίο κήπο") == "el")
+    assert(LangId.detect("זהו בית גדול עם גינה יפה מאוד") == "he")
+    assert(LangId.detect("นี่คือบ้านหลังใหญ่มีสวนสวยงาม") == "th")
+    assert(LangId.detect("यह एक बड़ा घर है और बगीचा सुंदर है") == "hi")
+  }
+
+  test("Cyrillic and Arabic branches disambiguate by orthography") {
+    assert(LangId.detect("это большой дом и сад очень красивый") == "ru")
+    assert(LangId.detect("це великий будинок і сад дуже гарний") == "uk")
+    assert(LangId.detect("това е голяма къща и градината е красива") == "bg")
+    assert(LangId.detect("هذا بيت كبير والحديقة جميلة جدا") == "ar")
+    assert(LangId.detect("این خانه بزرگ است و باغ زیبا است") == "fa")
+  }
+
+  test("mixed-script text with a Latin majority falls through to profiles") {
+    assert(LangId.detect("the house 房子 is big and the garden is nice") == "en")
+  }
+
   test("UDF applies distributed over a comments-like column") {
     val df = Seq("the weather is nice and the host was great",
                  "la maison est belle et le quartier est calme")
