@@ -26,7 +26,9 @@ object Soak {
     "q_sim_cosine_topk",     // broadcast brute-force ANN
     "q_ann_lsh_topk",        // bucketed ANN
     "q_asof_join",           // union+window point-in-time join
-    "q_range_join")          // banded range join
+    "q_range_join",          // banded range join
+    "q_sessionize_gap",      // double-window sessionization on one shuffle
+    "q_outlier_iqr")         // rank-quartiles + broadcast fence join
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

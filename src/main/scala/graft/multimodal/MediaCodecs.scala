@@ -3,19 +3,21 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.CRC32
 
-import graft.multimodal.Multimodal.MediaMeta
+import graft.multimodal.Multimodal.{AudioMeta, MediaMeta}
 
-/** Real byte-level image-header codecs — pure JVM, no image libraries.
+/** Real byte-level media-header codecs — pure JVM, no media libraries.
   *
-  * [[parseMeta]] recognizes PNG (8-byte signature + IHDR chunk, RFC 2083 §3)
-  * and BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, LE) payloads and reads
-  * width/height/depth from their documented byte offsets; anything else
-  * returns None so callers can fall back to a stub or raise. The encoders
-  * exist for fixtures and the oracle roundtrip: they emit spec-conformant
-  * header bytes (PNG CRC32 included) that any external tool would accept,
-  * so the parser is exercised against real byte layouts, not a mirror of
-  * its own assumptions — MediaCodecsSpec additionally pins hand-written
-  * golden byte arrays independent of the encoders.
+  * [[parseMeta]] recognizes PNG (8-byte signature + IHDR chunk, RFC 2083 §3),
+  * BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, LE), and GIF (87a/89a logical
+  * screen descriptor, LE) payloads and reads width/height from their
+  * documented byte offsets; [[parseWav]] walks RIFF/WAVE chunks to the PCM
+  * `fmt ` + `data` pair and recovers rate/channels/depth/sample-count.
+  * Anything else returns None so callers can fall back to a stub or raise.
+  * The encoders exist for fixtures and the oracle roundtrip: they emit
+  * spec-conformant header bytes (PNG CRC32 included) that any external tool
+  * would accept, so the parser is exercised against real byte layouts, not a
+  * mirror of its own assumptions — MediaCodecsSpec additionally pins
+  * hand-written golden byte arrays independent of the encoders.
   */
 object MediaCodecs {
 
@@ -25,6 +27,10 @@ object MediaCodecs {
   val PngHeaderLen = 33
   /** BMP header length: 14 file header + 40 BITMAPINFOHEADER. */
   val BmpHeaderLen = 54
+  /** GIF header length: 6 signature + 7 logical screen descriptor. */
+  val GifHeaderLen = 13
+  /** Canonical PCM WAV header length: RIFF(12) + fmt(8+16) + data chunk header(8). */
+  val WavHeaderLen = 44
 
   /** Parse image metadata from the leading bytes of a payload. n_frames is 1
     * for both stills (APNG/multi-frame formats are out of scope). Returns
@@ -32,7 +38,7 @@ object MediaCodecs {
     * arbitrary bytes (executors see whatever the corpus carries).
     */
   def parseMeta(bytes: Array[Byte]): Option[MediaMeta] =
-    parsePng(bytes).orElse(parseBmp(bytes))
+    parsePng(bytes).orElse(parseBmp(bytes)).orElse(parseGif(bytes))
 
   private def parsePng(b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 26) return None
@@ -67,6 +73,55 @@ object MediaCodecs {
     Some(MediaMeta(w, math.abs(h), 1, "bmp"))
   }
 
+  private def parseGif(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < GifHeaderLen) return None
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+        (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val w = buf.getShort(6) & 0xffff // logical screen width/height, LE u16
+    val h = buf.getShort(8) & 0xffff
+    if (w == 0 || h == 0) return None
+    Some(MediaMeta(w, h, 1, "gif"))
+  }
+
+  /** Parse PCM audio metadata from a RIFF/WAVE payload. Walks the chunk list
+    * (so LIST/INFO or fact chunks between fmt and data don't break it) to
+    * the `fmt ` chunk for rate/channels/depth and the `data` chunk for the
+    * sample count (data bytes / block align). Returns None for anything that
+    * is not a well-formed PCM WAV prefix — never throws on arbitrary bytes.
+    */
+  def parseWav(b: Array[Byte]): Option[AudioMeta] = {
+    if (b.length < WavHeaderLen) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var rate = 0; var channels = 0; var depth = 0; var blockAlign = 0
+    var dataBytes = -1L; var sawFmt = false
+    // chunk walk: 4-byte id + 4-byte LE size, chunks are word-aligned
+    while (off + 8 <= b.length && (dataBytes < 0 || !sawFmt)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4).toLong & 0xffffffffL
+      if (id == "fmt ") {
+        if (size < 16 || off + 8 + 16 > b.length) return None
+        if (buf.getShort(off + 8) != 1) return None // PCM only
+        channels = buf.getShort(off + 10).toInt
+        rate = buf.getInt(off + 12)
+        blockAlign = buf.getShort(off + 20).toInt
+        depth = buf.getShort(off + 22).toInt
+        sawFmt = true
+      } else if (id == "data") {
+        dataBytes = size
+      }
+      if (size > Int.MaxValue - 16) return None // u32 size would overflow the walk
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (!sawFmt || dataBytes < 0 || rate <= 0 || channels <= 0 ||
+        depth <= 0 || blockAlign <= 0) return None
+    if (blockAlign != channels * depth / 8) return None
+    Some(AudioMeta(rate, channels, depth, dataBytes / blockAlign, "pcm_wav"))
+  }
+
   /** Spec-conformant PNG signature + IHDR chunk (CRC32 over type+data, as
     * the spec requires). `colorType` 2 = truecolor.
     */
@@ -90,6 +145,47 @@ object MediaCodecs {
     * pixel payload (header-only fixture; the file size and data offset
     * fields are filled in as the spec defines them).
     */
+  /** GIF89a signature + logical screen descriptor (no GCT, no frames —
+    * header-only fixture, as the image encoders above).
+    */
+  def encodeGif(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      s"dims must be positive u16 ($width x $height)")
+    val buf = ByteBuffer.allocate(GifHeaderLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort(width.toShort).putShort(height.toShort)
+    buf.put(0.toByte)  // packed: no global color table
+    buf.put(0.toByte)  // background color index
+    buf.put(0.toByte)  // pixel aspect ratio
+    buf.array()
+  }
+
+  /** Canonical 44-byte PCM WAV header. The data-chunk size field is set as
+    * if `nSamples` frames followed (header-only fixture — parseWav derives
+    * the sample count from the size field, which is how real tools do it).
+    */
+  def encodeWav(sampleRate: Int, channels: Int, bitDepth: Int, nSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0, "invalid wav params")
+    require(bitDepth % 8 == 0 && bitDepth > 0, s"bitDepth must be a byte multiple: $bitDepth")
+    val blockAlign = channels * bitDepth / 8
+    val dataBytes = nSamples * blockAlign
+    val buf = ByteBuffer.allocate(WavHeaderLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt((36 + dataBytes).toInt)        // RIFF chunk size
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)                            // PCM fmt chunk size
+    buf.putShort(1)                           // audio format: PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * blockAlign)       // byte rate
+    buf.putShort(blockAlign.toShort)
+    buf.putShort(bitDepth.toShort)
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataBytes.toInt)
+    buf.array()
+  }
+
   def encodeBmp(width: Int, height: Int, bitsPerPixel: Int = 24): Array[Byte] = {
     require(width > 0 && height > 0, s"dims must be positive ($width x $height)")
     val buf = ByteBuffer.allocate(BmpHeaderLen).order(ByteOrder.LITTLE_ENDIAN)

@@ -26,6 +26,11 @@ object Multimodal {
   final case class MediaMeta(width: Int, height: Int, n_frames: Int, codec: String)
   final case class DecodedRow(doc_id: Long, n_bytes: Long, meta: MediaMeta,
                               features: Array[Float])
+  /** PCM audio metadata: rate in Hz, depth in bits, n_samples per channel. */
+  final case class AudioMeta(sample_rate: Int, channels: Int, bit_depth: Int,
+                             n_samples: Long, codec: String)
+  final case class DecodedAudioRow(doc_id: Long, n_bytes: Long, meta: AudioMeta,
+                                   duration_ms: Long)
 
   /** The stand-in decoder: one instance per partition (mirrors how a real
     * codec handle would be opened once per task, not per row).
@@ -65,6 +70,24 @@ object Multimodal {
         val (stubMeta, feats) = codec.decode(r.media)
         val meta = MediaCodecs.parseMeta(r.media).getOrElse(stubMeta)
         DecodedRow(r.doc_id, r.media.length.toLong, meta, feats)
+      }
+    }
+  }
+
+  /** Batch audio decode (same executor shape as [[decode]]): RIFF/WAVE
+    * headers are parsed FOR REAL ([[MediaCodecs.parseWav]]); non-WAV
+    * payloads are dropped (an audio pipeline routes unrecognized bytes to a
+    * quarantine, not a fake decode). duration_ms is floor-integer math so
+    * the value is engine-exact for the oracle.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudioRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseWav(r.media).map { meta =>
+          DecodedAudioRow(r.doc_id, r.media.length.toLong, meta,
+            meta.n_samples * 1000L / meta.sample_rate)
+        }
       }
     }
   }

@@ -1086,7 +1086,121 @@ object CoreQueries {
                COALESCE(n_cust, 0) AS n_cust,
                COALESCE(n_supp, 0) AS n_supp
         FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
-        ORDER BY nationkey"""))
+        ORDER BY nationkey""")),
+
+    // ----- IQR outlier detection with NEAREST-RANK quartiles: the
+    // data-cleaning gate before training-set statistics. Quartiles are exact
+    // order statistics (row_number at ceil(n/4) / ceil(3n/4)) on
+    // DECIMAL-cast values, so q1/q3/fences are engine-exact integers-on-a-
+    // grid — no interpolated-percentile float whose last ulp could flip a
+    // fence comparison between engines. Scale shape: one windowed pass to
+    // rank (shuffle on event_type), a 5-row bounds frame broadcast back
+    // onto the fact — the detail table never shuffles twice.
+    Q("q_outlier_iqr",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_type"), col("event_id"),
+            col("value").cast(DecimalType(18, 6)).as("v"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("v"), col("event_id"))
+        val ranked = ev
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        // Tukey fences scaled by 2 so every comparison is integer-weighted
+        // decimal (lo = q1 - 1.5*IQR = (5*q1 - 3*q3)/2): no 1.5 literal,
+        // whose decimal-vs-double typing differs between engines.
+        val bounds = ranked
+          .filter(col("r") === ceil(col("n") / 4.0) ||
+                  col("r") === ceil(col("n") * 3.0 / 4.0))
+          .groupBy(col("event_type"))
+          .agg(min(col("v")).as("q1"), max(col("v")).as("q3"))
+          .select(col("event_type"),
+            (col("q1") * 5 - col("q3") * 3).as("lo2"),
+            (col("q3") * 5 - col("q1") * 3).as("hi2"))
+        ev.join(broadcast(bounds), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            count(when(col("v") * 2 < col("lo2") || col("v") * 2 > col("hi2"), 1))
+              .as("n_outliers"),
+            (min(col("lo2")).cast(DoubleType) / 2).as("lo_fence"),
+            (min(col("hi2")).cast(DoubleType) / 2).as("hi_fence"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT event_type, event_id, CAST(value AS DECIMAL(18,6)) AS v
+          FROM events
+        ), ranked AS (
+          SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS r,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM ev
+        ), qs AS (
+          SELECT event_type, min(v) AS q1, max(v) AS q3
+          FROM ranked
+          WHERE r = CAST(ceil(n / 4.0) AS BIGINT)
+             OR r = CAST(ceil(n * 3.0 / 4.0) AS BIGINT)
+          GROUP BY event_type
+        ), bounds AS (
+          SELECT event_type, q1 * 5 - q3 * 3 AS lo2, q3 * 5 - q1 * 3 AS hi2
+          FROM qs)
+        SELECT ev.event_type, COUNT(*) AS n_events,
+               COUNT(CASE WHEN v * 2 < lo2 OR v * 2 > hi2 THEN 1 END) AS n_outliers,
+               CAST(min(lo2) AS DOUBLE) / 2 AS lo_fence,
+               CAST(min(hi2) AS DOUBLE) / 2 AS hi_fence
+        FROM ev JOIN bounds ON ev.event_type = bounds.event_type
+        GROUP BY ev.event_type ORDER BY ev.event_type""")),
+
+    // ----- gap-based sessionization: assign session ids per user (a new
+    // session starts after a >30-min silence), then one row per session.
+    // The classic batch twin of streaming session windows
+    // (q_stream_session_batch aggregates; this MATERIALIZES the session
+    // assignment so downstream work can key on it). All time math is
+    // integer microseconds (unix_micros / epoch_us) — engine-exact. Scale
+    // shape: one shuffle on user_id shared by both windows and the final
+    // group-by; sessions per user are bounded by the data's own gap
+    // structure, never a cross-window product.
+    Q("q_sessionize_gap",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            // ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast is
+            // the identity wall-clock mapping and epoch micros match DuckDB's
+            // epoch_us on the naive timestamp exactly
+            unix_micros(col("ts").cast(TimestampType)).as("us"))
+          .withColumn("new_sess",
+            when(lag(col("us"), 1).over(w).isNull ||
+                 col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id",
+            sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+        ), marked AS (
+          SELECT user_id, event_id, value, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+          FROM ev
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), sessed AS (
+          SELECT user_id, value, us,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM marked)
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+               COUNT(*) AS n_events,
+               min(us) AS start_us, max(us) AS end_us,
+               ${dsumSql("value")} AS sum_value
+        FROM sessed GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_id"""))
   )
 
   /** Shared inputs for the J7 MERGE rewrite: staging = updated balances for

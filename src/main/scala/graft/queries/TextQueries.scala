@@ -5,6 +5,7 @@ import graft.Q._
 import graft.functions.TextFns
 import graft.operators.Dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,6 +90,35 @@ object TextQueries {
         FROM (SELECT lang, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
               FROM documents) t
         GROUP BY lang ORDER BY lang""")),
+
+    // ----- vocabulary build: the top-k corpus vocabulary with deterministic
+    // ids (freq desc, token asc) — the table a tokenizer trainer starts
+    // from. Scale shape: the count is a distributed hash-agg keyed on token;
+    // the top-k is a TakeOrdered (per-partition heap + driver merge of k),
+    // never a full sort; the rank window runs over only the k survivors.
+    Q("q_text_vocab",
+      (s, dir) => {
+        val k = 200
+        val counts = t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        counts.orderBy(col("freq").desc, col("token")).limit(k)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("freq").desc, col("token"))).cast(LongType))
+          .select(col("rank"), col("token"), col("freq"))
+          .orderBy(col("rank"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents
+        ), cnt AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+          WHERE token <> '' GROUP BY token)
+        SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+               token, freq
+        FROM cnt ORDER BY rank LIMIT 200""")),
 
     // ----- BPE-ish regex tokenization (letters / digits / single symbol
     // runs — the pre-tokenizer shape BPE vocabularies assume), vs the
@@ -370,14 +400,14 @@ object TextQueries {
            ORDER BY a_id, b_id""")),
 
     // ----- multimodal: REAL header decode. Each doc gets a spec-conformant
-    // PNG (even ids) or BMP (odd ids) header whose dimensions derive from
+    // PNG / BMP / GIF header (by doc_id mod 3) whose dimensions derive from
     // doc_id; the executor-side codec (graft.multimodal.MediaCodecs) parses
     // the actual bytes — PNG big-endian IHDR, BMP little-endian
-    // BITMAPINFOHEADER — and must recover exactly the dims DuckDB computes
-    // arithmetically. A parser that read the wrong offset, endianness, or
-    // field width hash-mismatches immediately. (Full pixel decode remains
-    // out of scope — no image libs in this container; MultimodalSpec pins
-    // the non-image fallback path.)
+    // BITMAPINFOHEADER, GIF little-endian logical screen descriptor — and
+    // must recover exactly the dims DuckDB computes arithmetically. A parser
+    // that read the wrong offset, endianness, or field width hash-mismatches
+    // immediately. (Full pixel decode remains out of scope — no image libs
+    // in this container; MultimodalSpec pins the non-image fallback path.)
     Q("q_mm_decode_png",
       (s, dir) => {
         import s.implicits._
@@ -385,9 +415,11 @@ object TextQueries {
           .map { id =>
             val w = (id % 640 + 1).toInt
             val h = (id * 7 % 480 + 1).toInt
-            val bytes =
-              if (id % 2 == 0) graft.multimodal.MediaCodecs.encodePng(w, h)
-              else graft.multimodal.MediaCodecs.encodeBmp(w, h)
+            val bytes = (id % 3) match {
+              case 0 => graft.multimodal.MediaCodecs.encodePng(w, h)
+              case 1 => graft.multimodal.MediaCodecs.encodeBmp(w, h)
+              case _ => graft.multimodal.MediaCodecs.encodeGif(w, h)
+            }
             graft.multimodal.Multimodal.MediaRow(id, bytes)
           }
         graft.multimodal.Multimodal.decode(media)
@@ -402,11 +434,52 @@ object TextQueries {
       },
       Some("""
         SELECT doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS codec,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS codec,
                CAST(doc_id % 640 + 1 AS BIGINT) AS width,
                CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
                CAST(1 AS BIGINT) AS n_frames,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END AS BIGINT) AS n_bytes
+               CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 13 END AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
+
+    // ----- multimodal audio: REAL RIFF/WAVE chunk-walk decode. Each doc
+    // gets a canonical 44-byte PCM WAV header with rate/channels/depth/
+    // sample-count derived from doc_id; MediaCodecs.parseWav must walk the
+    // chunk list and recover every field exactly as DuckDB computes it
+    // arithmetically (duration_ms is floor-integer math on both engines).
+    Q("q_mm_decode_wav",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val rate = Array(8000, 16000, 22050, 44100, 48000)((id % 5).toInt)
+            val channels = (id % 2 + 1).toInt
+            val depth = if (id % 3 == 0) 24 else 16
+            val nSamples = id * 37 % 100000 + 1
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeWav(rate, channels, depth, nSamples))
+          }
+        graft.multimodal.Multimodal.decodeAudio(media)
+          .select(
+            col("doc_id"),
+            col("meta.codec").as("codec"),
+            col("meta.sample_rate").cast(LongType).as("sample_rate"),
+            col("meta.channels").cast(LongType).as("channels"),
+            col("meta.bit_depth").cast(LongType).as("bit_depth"),
+            col("meta.n_samples").as("n_samples"),
+            col("duration_ms"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               'pcm_wav' AS codec,
+               CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT) AS bit_depth,
+               CAST(doc_id * 37 % 100000 + 1 AS BIGINT) AS n_samples,
+               CAST((doc_id * 37 % 100000 + 1) * 1000 //
+                    (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                     WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_ms
         FROM documents ORDER BY doc_id""")),
 
     // ----- streaming batch-equivalent: tumbling hourly window (the

@@ -1,7 +1,7 @@
 package graft
 
 import graft.multimodal.MediaCodecs
-import graft.multimodal.Multimodal.MediaMeta
+import graft.multimodal.Multimodal.{AudioMeta, MediaMeta}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Byte-level codec checks. The golden arrays are hand-written from the PNG
@@ -63,6 +63,75 @@ class MediaCodecsSpec extends AnyFunSuite {
     val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     buf.putInt(22, -5)
     assert(MediaCodecs.parseMeta(b).contains(MediaMeta(4, 5, 1, "bmp")))
+  }
+
+  // 4x2 GIF89a logical screen descriptor, LE u16 dims, no GCT
+  private val goldenGif: Array[Byte] = Array(
+    0x47, 0x49, 0x46, 0x38, 0x39, 0x61, // "GIF89a"
+    0x04, 0x00,                         // width 4 (LE)
+    0x02, 0x00,                         // height 2 (LE)
+    0x00, 0x00, 0x00                    // packed, bg index, aspect
+  ).map(_.toByte)
+
+  // 8000 Hz mono 16-bit PCM WAV, 2 sample frames: canonical 44-byte header
+  private val goldenWav: Array[Byte] = Array(
+    0x52, 0x49, 0x46, 0x46,             // "RIFF"
+    0x28, 0x00, 0x00, 0x00,             // chunk size 36 + 4 data bytes
+    0x57, 0x41, 0x56, 0x45,             // "WAVE"
+    0x66, 0x6d, 0x74, 0x20,             // "fmt "
+    0x10, 0x00, 0x00, 0x00,             // fmt size 16
+    0x01, 0x00,                         // PCM
+    0x01, 0x00,                         // 1 channel
+    0x40, 0x1f, 0x00, 0x00,             // 8000 Hz (LE)
+    0x80, 0x3e, 0x00, 0x00,             // byte rate 16000
+    0x02, 0x00,                         // block align 2
+    0x10, 0x00,                         // 16 bits
+    0x64, 0x61, 0x74, 0x61,             // "data"
+    0x04, 0x00, 0x00, 0x00              // data size 4 = 2 frames
+  ).map(_.toByte)
+
+  test("parses hand-written golden GIF and WAV headers") {
+    assert(MediaCodecs.parseMeta(goldenGif).contains(MediaMeta(4, 2, 1, "gif")))
+    assert(MediaCodecs.parseWav(goldenWav)
+      .contains(AudioMeta(8000, 1, 16, 2L, "pcm_wav")))
+  }
+
+  test("gif/wav encoders emit exactly the golden bytes") {
+    assert(MediaCodecs.encodeGif(4, 2).sameElements(goldenGif))
+    assert(MediaCodecs.encodeWav(8000, 1, 16, 2L).sameElements(goldenWav))
+  }
+
+  test("wav encode/parse roundtrip over a parameter sweep") {
+    for (rate <- Seq(8000, 22050, 48000); ch <- Seq(1, 2);
+         depth <- Seq(16, 24); n <- Seq(0L, 1L, 99999L)) {
+      assert(MediaCodecs.parseWav(MediaCodecs.encodeWav(rate, ch, depth, n))
+        .contains(AudioMeta(rate, ch, depth, n, "pcm_wav")),
+        s"wav $rate/$ch/$depth/$n")
+    }
+    for (w <- Seq(1, 640, 65535); h <- Seq(1, 480))
+      assert(MediaCodecs.parseMeta(MediaCodecs.encodeGif(w, h))
+        .contains(MediaMeta(w, h, 1, "gif")), s"gif ${w}x$h")
+  }
+
+  test("wav chunk walk skips a LIST chunk between fmt and data") {
+    // RIFF + fmt, then a 6-byte LIST chunk (odd size → word-aligned pad),
+    // then data: parseWav must land on the data size regardless.
+    val base = MediaCodecs.encodeWav(16000, 2, 16, 7L)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 'I', 'N', 'F', 'O', 'x', 0)
+    val spliced = base.take(36) ++ list ++ base.drop(36)
+    assert(MediaCodecs.parseWav(spliced)
+      .contains(AudioMeta(16000, 2, 16, 7L, "pcm_wav")))
+  }
+
+  test("wav rejects non-PCM, truncated, and RIFF-prefixed garbage") {
+    assert(MediaCodecs.parseWav("RIFF but actually prose, not audio data!!".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodecs.parseWav(goldenWav.take(30)).isEmpty)
+    val nonPcm = goldenWav.clone
+    nonPcm(20) = 3 // IEEE float format code
+    assert(MediaCodecs.parseWav(nonPcm).isEmpty)
+    val badAlign = goldenWav.clone
+    badAlign(32) = 5 // block align inconsistent with channels*depth/8
+    assert(MediaCodecs.parseWav(badAlign).isEmpty)
   }
 
   test("garbage, truncation, and BM-prefixed text do not parse") {

@@ -109,6 +109,26 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  test("IQR outlier fences broadcast back onto the detail table") {
+    // the 5-row bounds frame must be the build side of a broadcast join —
+    // a sort-merge here would shuffle the full fact table a second time
+    assert(plan("q_outlier_iqr").contains("BroadcastHashJoin"),
+      "outlier bounds join is not broadcast")
+  }
+
+  test("sessionization shares one user_id shuffle across windows and agg") {
+    // lag window, running-sum window, and the (user_id, sess_id) group-by
+    // must all ride the same hashpartitioning(user_id); only the final
+    // presentation ORDER BY may add a range exchange
+    val p = plan("q_sessionize_gap")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"sessionize plans $exchanges exchanges:\n$p")
+  }
+
+  test("vocabulary top-k is a TakeOrdered, not a global sort of the counts") {
+    assert(plan("q_text_vocab").contains("TakeOrderedAndProject"))
+  }
+
   test("no ETL loader plans a single-partition global window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.functions._
