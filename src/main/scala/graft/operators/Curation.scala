@@ -88,6 +88,44 @@ object Curation {
         countDistinct(col("test_id")).as("n_test_docs_hit"))
   }
 
+  /** [[decontaminate]] for the scale where even the HASHED held-out shingle
+    * set no longer broadcasts raw: a Bloom filter over the held-out shingle
+    * hashes is broadcast instead (1% fpp ≈ 9.6 bits/key — ~1.2 GB for a
+    * 10^9-shingle eval suite vs 8 GB of raw longs), the train side is
+    * prefiltered map-side against the sketch, and the exact hashed equi-join
+    * then runs on only the surviving fraction. Bloom filters have no false
+    * negatives, so no contamination is missed; the exact join removes the
+    * false positives — the RESULT IS IDENTICAL to [[decontaminate]] and is
+    * gated by the same oracle. The membership probe is a scala UDF over one
+    * long: no public codegen expression exposes sketch membership, and the
+    * probe's cost is noise against the shuffle bytes it saves (only
+    * ~overlap + fpp of the train shingles reach the join).
+    */
+  def decontaminateBloom(train: DataFrame, test: DataFrame, idCol: String,
+                         textCol: String, k: Int, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val trainSh = Dedup.shingles(train, idCol, textCol, k)
+      .select(col(idCol).as("train_id"), xxhash64(col("sh")).as("__sk"))
+    val testSh = Dedup.shingles(test, idCol, textCol, k)
+      .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
+    // one small pass over the eval side sizes the sketch; the sketch build
+    // itself is a treeAggregate (partial filters OR-merged executor-side)
+    val nTest = testSh.count()
+    val bloom = testSh.stat.bloomFilter("__sk", math.max(nTest, 64L), fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    // no broadcast hint on purpose: this path exists precisely because the
+    // held-out side may exceed broadcast budget — both post-filter sides
+    // are small (overlap + fpp of train; the eval suite), so the shuffled
+    // equi-join moves (long, long) rows only, and AQE may still choose to
+    // broadcast at demo scale
+    trainSh.filter(mightContain(col("__sk")))
+      .join(testSh, "__sk")
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("test_id")).as("n_test_docs_hit"))
+  }
+
   /** Greedy sequence packing: documents are laid out in deterministic order
     * within each shard and cut into fixed `ctxLen`-token context windows;
     * each document is assigned to the bin its first token lands in (documents

@@ -90,6 +90,37 @@ object CurationQueries {
         GROUP BY train_id ORDER BY train_id"""
       }),
 
+    // ----- decontamination via broadcast Bloom sketch: the 100 TB path for
+    // when even the hashed held-out shingle set exceeds broadcast budget.
+    // No false negatives → the exact join on the prefiltered survivors
+    // returns EXACTLY the decontaminate result, so the oracle is the same
+    // brute-force shingle join.
+    Q("q_decontaminate_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.decontaminateBloom(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", k = 4)
+          .orderBy(col("train_id"))
+      },
+      Some {
+        val terms = (0 until 4)
+          .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+        s"""
+        WITH $toksCte,
+        sh0 AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(t) - 2), i -> $terms)) AS sh
+                FROM toks WHERE len(t) >= 4),
+        sh AS (SELECT DISTINCT doc_id, source, sh FROM sh0),
+        tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE source <> 'src0'),
+        te AS (SELECT doc_id AS test_id, sh FROM sh WHERE source = 'src0')
+        SELECT train_id, COUNT(*) AS n_shared_shingles,
+               COUNT(DISTINCT test_id) AS n_test_docs_hit
+        FROM tr JOIN te USING (sh)
+        GROUP BY train_id ORDER BY train_id"""
+      }),
+
     // ----- sequence packing: per-shard (source) deterministic layout,
     // 512-token context windows; documents binned by first-token offset.
     // The cumsum window is per-shard — nothing ever sorts globally.

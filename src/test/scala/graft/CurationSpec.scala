@@ -36,6 +36,24 @@ class CurationSpec extends AnyFunSuite {
     assert(hits.toSeq == Seq((10L, 1L, 1L)))
   }
 
+  test("bloom-prefiltered decontamination returns exactly the exact result") {
+    // the sketch path may pass false positives into the join, never false
+    // negatives — so its output must be IDENTICAL to the exact operator's,
+    // here on a corpus large enough that fpp would surface a discrepancy
+    val train = (0L until 300L).map(i =>
+      (i, s"tok${i} tok${i + 1} tok${i + 2} tok${i + 3} tok${i + 4} filler$i"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (900L, "tok7 tok8 tok9 tok10 tok11"),
+      (901L, "unshared words only in eval")).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(train, test, "doc_id", "text", 4)
+      .orderBy("train_id").collect().map(_.toSeq)
+    val bloomed = Curation.decontaminateBloom(train, test, "doc_id", "text", 4)
+      .orderBy("train_id").collect().map(_.toSeq)
+    assert(bloomed.toSeq == exact.toSeq)
+    assert(exact.nonEmpty) // sanity: the planted overlap was found at all
+  }
+
   test("sequence packing: per-shard offsets, bins, and no global window") {
     val df = Seq(
       ("a", 1L, "w1 w2 w3"), ("a", 2L, "w1 w2"), ("a", 3L, "w1 w2 w3 w4"),
