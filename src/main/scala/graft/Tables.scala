@@ -30,10 +30,24 @@ object Tables {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
-  private def readCached(spark: SparkSession, path: String): DataFrame = {
-    val schema = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
-  }
+  /** Resolved-DataFrame cache. Every `spark.read.schema(s).parquet(path)`
+    * builds a fresh file index (a filesystem listing) and a fresh analyzed
+    * plan. On local disk with single-file fixtures that costs ~nothing
+    * (measured: no warm-time change), but against an object store a listing
+    * is a remote call per table per query — so the frame is cached per
+    * (session, path) and reused, the exact service a metastore catalog's
+    * cached relation provides in production. DataFrames are immutable and
+    * the fixtures don't change within a session; keyed by session so
+    * concurrently active sessions (tests vs mains) never cross wires.
+    */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def readCached(spark: SparkSession, path: String): DataFrame =
+    frameCache.computeIfAbsent((spark, path), { case (s, p) =>
+      val schema = schemaCache.computeIfAbsent(p, q => s.read.parquet(q).schema)
+      s.read.schema(schema).parquet(p)
+    })
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
@@ -45,8 +59,11 @@ object Tables {
     * TIMESTAMP_NTZ so it behaves like the other fixture timestamps.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    readCached(spark, s"$dir/events.parquet")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val key = (spark, s"$dir/events.parquet#ts_micros")
+    frameCache.computeIfAbsent(key, { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      readCached(spark, s"$dir/events.parquet")
+        .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    })
   }
 }

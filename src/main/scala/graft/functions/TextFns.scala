@@ -93,6 +93,13 @@ object TextFns {
     "o" -> "f", "a" -> "r", "e" -> "a", "q" -> "u", "s" -> "e", "d" -> "e",
     "m" -> "e", "h" -> "i", "er" -> "s", "at" -> "e", "u" -> "n", "w" -> "e")
 
+  /** Unicode canonicalization (lower → NFC → accent strip → ws collapse) as
+    * a map-side codegen kernel — see graft.plans.NormalizeKernel.
+    */
+  def normalizeText(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.NormalizeText(
+      org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** Total BPE token count over a pre-token array column (map-side kernel). */
   def bpeCount(pre: Column): Column =
     org.apache.spark.sql.GraftColumnBridge.column(graft.plans.BpeCount(

@@ -134,8 +134,12 @@ object Dedup {
     * broadcast is worth), and band count is a parameter instead of
     * hard-coded column names.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      k: Int, threshold: Double, bands: Int = 2): DataFrame = {
+  /** Signatures exploded to one (band_idx, band_key) row per band — the
+    * shared candidate-generation layout of [[minhashLshPairs]] (self-join)
+    * and [[tagNearDupAgainstIndex]] (new-batch vs index join).
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                               k: Int, bands: Int): DataFrame = {
     val nPerms = TextFns.minhashPerms.size
     require(bands > 0 && nPerms % bands == 0, s"bands must divide $nPerms permutations")
     val rows = nPerms / bands
@@ -145,9 +149,15 @@ object Dedup {
              concat_ws("-", (bi * rows until (bi + 1) * rows).map(i => col(s"m$i")): _*)
                .as("band_key"))
     }
-    val banded = sig.withColumn("b", explode(array(bandStructs: _*)))
+    sig.withColumn("b", explode(array(bandStructs: _*)))
       .select(col(idCol) +: (0 until nPerms).map(i => col(s"m$i")) :+
               col("b.band_idx").as("band_idx") :+ col("b.band_key").as("band_key"): _*)
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int, threshold: Double, bands: Int = 2): DataFrame = {
+    val nPerms = TextFns.minhashPerms.size
+    val banded = bandedSignatures(df, idCol, textCol, k, bands)
     def side(p: String) = banded.select(banded.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
     val a = side("a_"); val b = side("b_")
     val cand = a.join(b,
@@ -260,6 +270,32 @@ object Dedup {
         Seq("fp"), "left")
       .withColumn("is_novel", col("__known").isNull)
       .drop("__known")
+
+  /** Incremental NEAR-dup gate: tag a new batch against an existing corpus's
+    * MinHash band index — the daily-crawl shape where yesterday's corpus is
+    * already sketched and only the new batch pays signature cost. A doc is a
+    * near-dup suspect iff ANY of its LSH bands collides with an index band
+    * (the one-sided version of [[minhashLshPairs]]'s candidate semantics).
+    *
+    * Returns (idCol, is_near_dup) for every new doc that HAS a signature
+    * (>= k tokens); shorter docs have no sketch — callers left-join and
+    * treat absent as novel. Scale shape: both sides shuffle (band_idx,
+    * band_key) rows only; the index is DISTINCT on band key, so the left
+    * join fans out to at most `bands` rows per new doc; the corpus text
+    * never moves. In production the index side is a persisted sketch table
+    * — recomputing it here stands in for that read.
+    */
+  def tagNearDupAgainstIndex(newDf: DataFrame, indexDf: DataFrame, idCol: String,
+                             textCol: String, k: Int, bands: Int = 2): DataFrame = {
+    val newB = bandedSignatures(newDf, idCol, textCol, k, bands)
+      .select(col(idCol), col("band_idx"), col("band_key"))
+    val idxB = bandedSignatures(indexDf, idCol, textCol, k, bands)
+      .select(col("band_idx"), col("band_key")).distinct()
+      .withColumn("__hit", lit(1))
+    newB.join(idxB, Seq("band_idx", "band_key"), "left")
+      .groupBy(col(idCol))
+      .agg((count(col("__hit")) > 0).as("is_near_dup"))
+  }
 
   /** Embedding-cosine near-duplicate pairs within LSH buckets: vectors are
     * sign-random-projection bucketed (Similarity.lshBucket) and only

@@ -91,6 +91,48 @@ object TextQueries {
               FROM documents) t
         GROUP BY lang ORDER BY lang""")),
 
+    // ----- Unicode canonicalization: the pass every curation pipeline runs
+    // before hashing/dedup (corpora disagree on byte forms; sketches must
+    // not). The fixture text is ASCII, so each doc gets a doc_id-selected
+    // accented suffix appended IN THE QUERY — the kernel (a codegen
+    // Expression over java.text.Normalizer) must produce byte-identical
+    // output to DuckDB's nfc_normalize + strip_accents on real non-ASCII
+    // content, not just pass ASCII through.
+    Q("q_text_normalize",
+      (s, dir) => {
+        val suffix = element_at(
+          array(lit("Cécile à Zürich"), lit("naïve façade Ökonom"),
+                lit("élan ñandú Ångström"), lit("Mëtàl übér"),
+                lit("çà et là, crème brûlée")),
+          (col("doc_id") % 5 + 1).cast(IntegerType))
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFns.normalizeText(
+              concat(substring(col("text"), 1, 40), lit("  "), suffix))
+              .as("norm_text"))
+          .withColumn("n_chars", length(col("norm_text")).cast(LongType))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               regexp_replace(trim(strip_accents(nfc_normalize(lower(
+                 substring(text, 1, 40) || '  ' ||
+                 CASE doc_id % 5 WHEN 0 THEN 'Cécile à Zürich'
+                                 WHEN 1 THEN 'naïve façade Ökonom'
+                                 WHEN 2 THEN 'élan ñandú Ångström'
+                                 WHEN 3 THEN 'Mëtàl übér'
+                                 ELSE 'çà et là, crème brûlée' END)))),
+                 '\s+', ' ', 'g') AS norm_text,
+               CAST(length(regexp_replace(trim(strip_accents(nfc_normalize(lower(
+                 substring(text, 1, 40) || '  ' ||
+                 CASE doc_id % 5 WHEN 0 THEN 'Cécile à Zürich'
+                                 WHEN 1 THEN 'naïve façade Ökonom'
+                                 WHEN 2 THEN 'élan ñandú Ångström'
+                                 WHEN 3 THEN 'Mëtàl übér'
+                                 ELSE 'çà et là, crème brûlée' END)))),
+                 '\s+', ' ', 'g')) AS BIGINT) AS n_chars
+        FROM documents ORDER BY doc_id""")),
+
     // ----- vocabulary build: the top-k corpus vocabulary with deterministic
     // ids (freq desc, token asc) — the table a tokenizer trainer starts
     // from. Scale shape: the count is a distributed hash-agg keyed on token;
@@ -319,6 +361,50 @@ object TextQueries {
                COUNT(CASE WHEN idx.fp IS NULL THEN 1 END) AS n_novel
         FROM fresh LEFT JOIN idx ON fresh.fp = idx.fp
         GROUP BY source ORDER BY source""")),
+
+    // ----- incremental NEAR-dup: the second half of the corpus tagged
+    // against the first half's MinHash band index (daily-crawl shape: only
+    // the new batch pays sketch cost; a band collision marks a suspect).
+    // The oracle recomputes the same 8-permutation signatures in SQL and
+    // brute-forces the one-sided band match.
+    Q("q_dedup_incremental_minhash",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mid = docs.agg(expr("MAX(doc_id) DIV 2").as("mid"))
+        val withMid = docs.crossJoin(broadcast(mid))
+        val fresh = withMid.filter(col("doc_id") >= col("mid"))
+        val tags = Dedup.tagNearDupAgainstIndex(
+          fresh, withMid.filter(col("doc_id") < col("mid")), "doc_id", "text", 4)
+        fresh.select(col("doc_id"), col("source"))
+          .join(tags, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_new"),
+            count(when(!coalesce(col("is_near_dup"), lit(false)), 1)).as("n_novel"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          s"min((h * $a + $b) % ${TextFns.minhashP}) AS m$i"
+        }.mkString(",\n                 ")
+        s"""$shingleCte,
+          hashed AS (SELECT doc_id, ${TextFns.polyHashSql("sh")} AS h FROM sh),
+          sig AS (SELECT doc_id, $minExprs FROM hashed GROUP BY doc_id),
+          banded AS (SELECT doc_id,
+               concat_ws('-', m0, m1, m2, m3) AS band0,
+               concat_ws('-', m4, m5, m6, m7) AS band1
+             FROM sig),
+          mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
+          hits AS (SELECT DISTINCT f.doc_id
+                   FROM banded f, banded o, mid
+                   WHERE f.doc_id >= m AND o.doc_id < m
+                     AND (o.band0 = f.band0 OR o.band1 = f.band1))
+          SELECT d.source, COUNT(*) AS n_new,
+                 COUNT(CASE WHEN h.doc_id IS NULL THEN 1 END) AS n_novel
+          FROM documents d CROSS JOIN mid
+          LEFT JOIN hits h ON d.doc_id = h.doc_id
+          WHERE d.doc_id >= m
+          GROUP BY d.source ORDER BY d.source"""
+      }),
 
     // ----- near-dup: word 4-gram Jaccard over shared-shingle pairs
     Q("q_dedup_ngram_jaccard",

@@ -129,6 +129,13 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan("q_text_vocab").contains("TakeOrderedAndProject"))
   }
 
+  test("unicode normalization runs as the codegen kernel, map-side") {
+    val p = plan("q_text_normalize")
+    assert(p.toLowerCase.contains("normalizetext"), "kernel not in plan")
+    assert(!p.contains("HashAggregate") && !p.contains("BatchEvalPython"),
+      "normalization should be a pure projection")
+  }
+
   test("no ETL loader plans a single-partition global window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.functions._
