@@ -175,6 +175,115 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
   }
 
+  /** Product-quantization codebooks: `m` contiguous subspaces, `kCent`
+    * centroids each, trained by the same deterministic sampled k-means as
+    * [[ivfIndex]]. Returned as [subspace][centroid][subdim].
+    *
+    * PQ is the MEMORY side of the ANN scale story (IVF bounds compute):
+    * a candidate vector becomes `m` small codes (+1 stored norm) instead of
+    * `dim` floats — 128-d float32 → 8 bytes at m=8, a 64× compression — so
+    * a billion-vector index fits executor memory where raw vectors cannot.
+    */
+  def pqTrain(candidates: DataFrame, embCol: String, m: Int, kCent: Int,
+              sampleSize: Int = 2000, iters: Int = 5): Array[Array[Array[Double]]] = {
+    val sample = candidates.select(col(embCol))
+      .orderBy(xxhash64(col(embCol)), col(embCol).getItem(0))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      require(slice.length >= kCent, s"need >= $kCent vectors to train subspace $j")
+      var cents = slice.take(kCent).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(kCent)(new Array[Double](sub))
+        val counts = new Array[Long](kCent)
+        slice.foreach { v =>
+          val c = nearestCentroid(v, cents)
+          counts(c) += 1
+          var i = 0; while (i < sub) { sums(c)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** PQ code assignment: array<long> of per-subspace nearest-centroid ids —
+    * a pure map-side projection (slice + CellDists argmin per subspace).
+    */
+  def pqEncode(embCol: String, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    array((0 until m).map { j =>
+      val dists = org.apache.spark.sql.GraftColumnBridge.column(graft.plans.CellDists(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          slice(col(embCol), j * sub + 1, sub)),
+        codebooks(j).toIndexedSeq.map(_.toIndexedSeq)))
+      (array_position(dists, array_min(dists)) - 1).cast(LongType)
+    }: _*)
+  }
+
+  /** PQ + ADC ANN top-k with exact re-rank.
+    *
+    * Candidates carry only (id, codes, norm); each query builds its
+    * asymmetric-distance lookup tables (dot of the query sub-vector with
+    * every centroid — m·kCent doubles, map-side from the broadcast
+    * codebooks), approximates dot(q,c) as the sum of table lookups at the
+    * candidate's codes, heap-selects `rerank` candidates per query on the
+    * approximate cosine, and re-scores ONLY those against true embeddings
+    * for the final exact top-k ranking.
+    *
+    * Scale: the scan side touches codes+norm (bytes, not vectors); true
+    * embeddings are fetched by an equi-join on the ~queries·rerank
+    * surviving ids. Recall is a parameter (rerank/kCent trade): spec-bounded
+    * rather than oracle-gated, because ADC is lossy by construction.
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+             codebooks: Array[Array[Array[Double]]], k: Int, rerank: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    // candidate side: codes + norm only (the production PQ index layout)
+    val cIdx = withNorm(candidates, "ce", "cn")
+      .select(col("c_id"), pqEncode("ce", codebooks).as("codes"), col("cn"))
+    // query side: ADC tables as one flat array — lut[j*kCent + code]
+    val lutCol = array(codebooks.indices.flatMap { j =>
+      codebooks(j).indices.map { c =>
+        val cent = codebooks(j)(c)
+        val centLit = array(cent.map(lit): _*)
+        org.apache.spark.sql.GraftColumnBridge.column(graft.plans.DotFloat(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            slice(col("qe"), j * sub + 1, sub).cast(ArrayType(FloatType))),
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            centLit.cast(ArrayType(FloatType)))))
+      }
+    }: _*)
+    val kCent = codebooks(0).length
+    val q = withNorm(queries, "qe", "qn").withColumn("lut", lutCol)
+    val adcTerms = (0 until m).map(j =>
+      element_at(col("lut"), (col("codes").getItem(j) + lit(j.toLong * kCent) + 1L).cast(IntegerType)))
+    val approx = cIdx.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_sim", adcTerms.reduce(_ + _) / (col("qn") * col("cn")))
+      .select(col("q_id"), col("c_id"), col("approx_sim"))
+    val shortlist = graft.plans.TopKPerGroup.topK(approx, Seq("q_id"),
+      Seq(("approx_sim", true), ("c_id", false)), rerank)
+    // exact re-rank of the shortlist only
+    val w = Window.partitionBy(col("q_id")).orderBy(col("similarity").desc, col("c_id"))
+    shortlist
+      .join(withNorm(candidates, "ce", "cn"), Seq("c_id"))
+      .join(broadcast(withNorm(queries, "qe", "qn")), Seq("q_id"))
+      .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates are scored only inside the query's
     * bucket. Recall < 1 by construction; nBits trades recall for speed.
     */

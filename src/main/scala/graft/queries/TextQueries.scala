@@ -162,6 +162,44 @@ object TextQueries {
                token, freq
         FROM cnt ORDER BY rank LIMIT 200""")),
 
+    // ----- vocabulary coverage (Zipf head mass): what fraction of all
+    // corpus tokens the top-k vocabulary explains — the number that decides
+    // a tokenizer's OOV rate. Exact-integer arithmetic end to end (counts
+    // and a ppm ratio), so the oracle is hash-exact.
+    Q("q_text_vocab_coverage",
+      (s, dir) => {
+        val k = 200
+        val counts = t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        val total = counts.agg(sum(col("freq")).as("total"), count(lit(1)).as("n_vocab"))
+        counts.orderBy(col("freq").desc, col("token")).limit(k)
+          .agg(sum(col("freq")).as("topk_freq"))
+          .crossJoin(broadcast(total))
+          .select(lit(k.toLong).as("k"), col("n_vocab"), col("total").as("n_tokens"),
+            col("topk_freq"),
+            // DIV: Spark's `/` on longs yields double; integer division on
+            // both engines (Spark DIV ≡ DuckDB //) keeps the ppm exact
+            expr("topk_freq * 1000000 DIV total").as("coverage_ppm"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents
+        ), cnt AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+          WHERE token <> '' GROUP BY token
+        ), tot AS (
+          SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_vocab FROM cnt
+        ), topk AS (
+          SELECT CAST(SUM(freq) AS BIGINT) AS topk_freq
+          FROM (SELECT freq FROM cnt ORDER BY freq DESC, token LIMIT 200))
+        SELECT CAST(200 AS BIGINT) AS k, n_vocab, n_tokens, topk_freq,
+               topk_freq * 1000000 // n_tokens AS coverage_ppm
+        FROM topk, tot""")),
+
     // ----- BPE-ish regex tokenization (letters / digits / single symbol
     // runs — the pre-tokenizer shape BPE vocabularies assume), vs the
     // whitespace tokenizer in q_text_tokens

@@ -271,6 +271,28 @@ object VectorQueries {
                  CAST(row_number() OVER (PARTITION BY q_id
                         ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
           FROM p)
-        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ----- PQ (product-quantization) ANN: the MEMORY half of the ANN scale
+    // story — candidates carry m=8 codes + a norm (~16 bytes) instead of 64
+    // floats; queries ADC-score codes, heap-select a rerank shortlist, and
+    // re-rank it exactly. ADC is lossy by construction (iid fixture vectors
+    // have no cluster structure, the hardest case for PQ), so this row is
+    // rows-only in the driver gate; OperatorsSpec pins the machinery with
+    // (a) full-rerank ≡ brute force exactly and (b) a recall floor at the
+    // tight rerank below.
+    Q("q_ann_pq_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val books = graft.operators.Similarity.pqTrain(
+          c.select(col("ce").as("embedding")), "embedding", m = 8, kCent = 16)
+        graft.operators.Similarity.pqTopK(q, c, books, k = 5, rerank = 200)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      None)
   )
 }

@@ -264,6 +264,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("PQ ANN: codes bounded, full-rerank equals brute force, recall sane") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val n = c.count().toInt
+    val books = Similarity.pqTrain(c.select($"ce".as("embedding")), "embedding", 8, 16)
+    // codes are m per vector, each within [0, kCent)
+    val codes = c.select(Similarity.pqEncode("ce", books).as("codes"))
+      .collect().map(_.getSeq[Long](0))
+    assert(codes.forall(cs => cs.length == 8 && cs.forall(x => x >= 0 && x < 16)))
+    // deterministic training: same inputs, same codebooks
+    val books2 = Similarity.pqTrain(c.select($"ce".as("embedding")), "embedding", 8, 16)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+    val exact = Similarity.cosineTopK(q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a full-width shortlist makes the exact re-rank total: ADC cannot drop
+    // a candidate, so the result must equal brute force EXACTLY
+    val full = Similarity.pqTopK(q, c, books, 5, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    // tight shortlist: lossy but useful (iid vectors are PQ's worst case)
+    val approx = Similarity.pqTopK(q, c, books, 5, rerank = math.max(20, n / 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("embedding near-dup pairs finds a planted duplicate vector") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val planted = e.filter($"vec_id" === 7)
