@@ -118,6 +118,18 @@ object Soak {
             maxDocFreq = Tuning.maxShingleDocFreq(spark, nRows(dir)))
           graft.operators.Components.connectedComponents(pairs, "a_id", "b_id").count()
         },
+        // incremental near-dup gate: second half of the corpus tagged against
+        // the first half's band index — one-sided band join, fan-out bounded
+        // by the DISTINCT index (at most `bands` hits per new doc)
+        "dedup_incr_minhash" -> { dir =>
+          val d = docs(dir)
+          val mid = d.agg(expr("MAX(doc_id) DIV 2").as("mid"))
+          val withMid = d.crossJoin(broadcast(mid))
+          Dedup.tagNearDupAgainstIndex(
+            withMid.filter(col("doc_id") >= col("mid")),
+            withMid.filter(col("doc_id") < col("mid")),
+            "doc_id", "text", 4).count()
+        },
         // curation family on the same corpus: chunk-DF boilerplate accounting
         // (one chunk-key shuffle) and train/test shingle decontamination
         "curation_boilerplate" -> { dir =>

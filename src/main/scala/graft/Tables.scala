@@ -60,10 +60,19 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = (spark, s"$dir/events.parquet#ts_micros")
-    frameCache.computeIfAbsent(key, { _ =>
+    // NOT computeIfAbsent: the builder itself reads through frameCache
+    // (readCached), and a nested computeIfAbsent on the same map throws
+    // "Recursive update" whenever the two keys land in one bin. Plain
+    // get / putIfAbsent is race-safe here — frames are equivalent, so a
+    // lost race just builds one redundant frame.
+    val cached = frameCache.get(key)
+    if (cached != null) cached
+    else {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      readCached(spark, s"$dir/events.parquet")
+      val df = readCached(spark, s"$dir/events.parquet")
         .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-    })
+      frameCache.putIfAbsent(key, df)
+      frameCache.get(key)
+    }
   }
 }

@@ -232,7 +232,8 @@ object CurationQueries {
       (s, dir) => {
         val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
           "doc_id", "text", 4, 0.4)
-        Components.connectedComponents(pairs, "a_id", "b_id")
+        graft.CkptCycle.cycle("q_dedup_components",
+            Components.connectedComponents(pairs, "a_id", "b_id"))
           .orderBy(col("node"))
       },
       Some("""
@@ -270,8 +271,12 @@ object CurationQueries {
       (s, dir) => {
         val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
           "doc_id", "text", 4, 0.4)
-        Components.survivors(
-            Components.connectedComponents(pairs, "a_id", "b_id"))
+        // cycle() walks the whole analyzed tree, so the checkpoint leaf
+        // under the survivors aggregate is found and the previous
+        // invocation's blocks freed
+        graft.CkptCycle.cycle("q_dedup_survivors",
+            Components.survivors(
+              Components.connectedComponents(pairs, "a_id", "b_id")))
           .orderBy(col("survivor_id"))
       },
       Some("""
@@ -357,7 +362,9 @@ object CurationQueries {
           .select(col("doc_id"), md5(col("text")).as("text_fp"), col("split"))
           .localCheckpoint(true)
         r.unpersist()
-        out.orderBy(col("doc_id"))
+        // free the PREVIOUS invocation's checkpoint blocks (GC-driven reclaim
+        // is too late across a 2-pass bench — warm measured slower than cold)
+        graft.CkptCycle.cycle("q_corpus_pipeline", out).orderBy(col("doc_id"))
       },
       Some(s"""
         WITH t0 AS (SELECT doc_id, text,
