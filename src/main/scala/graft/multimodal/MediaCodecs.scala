@@ -3,7 +3,7 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.CRC32
 
-import graft.multimodal.Multimodal.{AudioMeta, MediaMeta}
+import graft.multimodal.Multimodal.{AudioMeta, MediaMeta, VideoMeta}
 
 /** Real byte-level media-header codecs — pure JVM, no media libraries.
   *
@@ -145,6 +145,82 @@ object MediaCodecs {
     * pixel payload (header-only fixture; the file size and data offset
     * fields are filled in as the spec defines them).
     */
+  /** Parse video metadata from an ISO BMFF (MP4) prefix: walks the top-level
+    * box list to `moov`, then its children to `mvhd` (movie header), and
+    * reads timescale + duration (version 0: 32-bit fields; version 1:
+    * 64-bit). Returns None for anything that is not a well-formed MP4
+    * prefix — never throws on arbitrary bytes.
+    */
+  def parseMp4(b: Array[Byte]): Option[VideoMeta] = {
+    if (b.length < 16) return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    // first box must be ftyp per the spec's progressive-download profile
+    if (b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return None
+    var off = 0
+    while (off + 8 <= b.length) {
+      val size = buf.getInt(off)
+      val tpe = new String(b, off + 4, 4, "US-ASCII")
+      if (size < 8) return None // size 0/1 (to-eof / 64-bit) unsupported in fixtures
+      if (tpe == "moov") {
+        var in = off + 8
+        val end = math.min(off + size, b.length)
+        while (in + 8 <= end) {
+          val s2 = buf.getInt(in)
+          val t2 = new String(b, in + 4, 4, "US-ASCII")
+          if (s2 < 8) return None
+          if (t2 == "mvhd" && in + 8 + 20 <= end) {
+            val version = b(in + 8) & 0xff
+            if (version == 0) {
+              val timescale = buf.getInt(in + 8 + 12) // after ver/flags + ctime + mtime
+              val duration = buf.getInt(in + 8 + 16).toLong & 0xffffffffL
+              if (timescale <= 0) return None
+              return Some(VideoMeta(timescale, duration, "mp4"))
+            } else if (version == 1 && in + 8 + 32 <= end) {
+              val timescale = buf.getInt(in + 8 + 20) // after ver/flags + 2×64-bit times
+              val duration = buf.getLong(in + 8 + 24)
+              if (timescale <= 0 || duration < 0) return None
+              return Some(VideoMeta(timescale, duration, "mp4"))
+            } else return None
+          }
+          in += s2
+        }
+        return None
+      }
+      off += size
+    }
+    None
+  }
+
+  /** Minimal spec-conformant MP4 prefix: `ftyp` (isom) + `moov` holding a
+    * version-0 `mvhd` with the given timescale/duration (header-only
+    * fixture; no tracks).
+    */
+  def encodeMp4(timescale: Int, duration: Long): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && duration <= 0xffffffffL, "invalid mp4 params")
+    val mvhdSize = 8 + 100 // box header + version-0 movie header body
+    val moovSize = 8 + mvhdSize
+    val buf = ByteBuffer.allocate(16 + moovSize).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+    buf.put("isom".getBytes("US-ASCII")).putInt(0x200) // major brand + minor version
+    buf.putInt(moovSize).put("moov".getBytes("US-ASCII"))
+    buf.putInt(mvhdSize).put("mvhd".getBytes("US-ASCII"))
+    buf.putInt(0)                   // version 0 + flags
+    buf.putInt(0).putInt(0)         // creation/modification time
+    buf.putInt(timescale)
+    buf.putInt(duration.toInt)
+    buf.putInt(0x00010000)          // rate 1.0
+    buf.putShort(0x0100)            // volume 1.0
+    buf.putShort(0)                 // reserved
+    buf.putInt(0).putInt(0)         // reserved
+    // unity matrix
+    buf.putInt(0x00010000).putInt(0).putInt(0)
+    buf.putInt(0).putInt(0x00010000).putInt(0)
+    buf.putInt(0).putInt(0).putInt(0x40000000)
+    (1 to 6).foreach(_ => buf.putInt(0)) // pre-defined
+    buf.putInt(0)                   // next track id
+    buf.array()
+  }
+
   /** GIF89a signature + logical screen descriptor (no GCT, no frames —
     * header-only fixture, as the image encoders above).
     */

@@ -31,6 +31,10 @@ object Multimodal {
                              n_samples: Long, codec: String)
   final case class DecodedAudioRow(doc_id: Long, n_bytes: Long, meta: AudioMeta,
                                    duration_ms: Long)
+  /** MP4 movie-header metadata: duration is in `timescale` units/second. */
+  final case class VideoMeta(timescale: Int, duration: Long, codec: String)
+  final case class DecodedVideoRow(doc_id: Long, n_bytes: Long, meta: VideoMeta,
+                                   duration_ms: Long)
 
   /** The stand-in decoder: one instance per partition (mirrors how a real
     * codec handle would be opened once per task, not per row).
@@ -87,6 +91,23 @@ object Multimodal {
         MediaCodecs.parseWav(r.media).map { meta =>
           DecodedAudioRow(r.doc_id, r.media.length.toLong, meta,
             meta.n_samples * 1000L / meta.sample_rate)
+        }
+      }
+    }
+  }
+
+  /** Batch video decode (same executor shape as [[decode]]): ISO BMFF
+    * movie headers are parsed FOR REAL ([[MediaCodecs.parseMp4]] box walk);
+    * non-MP4 payloads are dropped, as in [[decodeAudio]]. duration_ms is
+    * floor-integer math so the value is engine-exact for the oracle.
+    */
+  def decodeVideo(media: Dataset[MediaRow]): Dataset[DecodedVideoRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseMp4(r.media).map { meta =>
+          DecodedVideoRow(r.doc_id, r.media.length.toLong, meta,
+            meta.duration * 1000L / meta.timescale)
         }
       }
     }

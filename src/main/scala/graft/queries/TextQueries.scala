@@ -606,6 +606,43 @@ object TextQueries {
                      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_ms
         FROM documents ORDER BY doc_id""")),
 
+    // ----- multimodal video: REAL ISO BMFF (MP4) box-walk decode. Each doc
+    // gets a minimal ftyp+moov/mvhd prefix with timescale/duration derived
+    // from doc_id; MediaCodecs.parseMp4 must walk the box hierarchy and
+    // recover both fields exactly as DuckDB computes them arithmetically
+    // (duration_ms floor-integer on both engines).
+    Q("q_mm_decode_mp4",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val timescale = Array(600, 1000, 24000, 90000)((id % 4).toInt)
+            val duration = id * 53 % 10000000
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeMp4(timescale, duration))
+          }
+        graft.multimodal.Multimodal.decodeVideo(media)
+          .select(
+            col("doc_id"),
+            col("meta.codec").as("codec"),
+            col("meta.timescale").cast(LongType).as("timescale"),
+            col("meta.duration").as("duration"),
+            col("duration_ms"),
+            col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               'mp4' AS codec,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                    WHEN 2 THEN 24000 ELSE 90000 END AS BIGINT) AS timescale,
+               CAST(doc_id * 53 % 10000000 AS BIGINT) AS duration,
+               CAST((doc_id * 53 % 10000000) * 1000 //
+                    (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                     WHEN 2 THEN 24000 ELSE 90000 END) AS BIGINT) AS duration_ms,
+               CAST(132 AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
+
     // ----- streaming batch-equivalent: tumbling hourly window (the
     // Structured Streaming surface with watermark lives in
     // graft.streaming.Streams and is spec-tested against this result)

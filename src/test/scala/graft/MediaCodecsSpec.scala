@@ -123,6 +123,24 @@ class MediaCodecsSpec extends AnyFunSuite {
       .contains(AudioMeta(16000, 2, 16, 7L, "pcm_wav")))
   }
 
+  test("mp4 encode/parse roundtrip and box-walk robustness") {
+    import graft.multimodal.Multimodal.VideoMeta
+    for (ts <- Seq(600, 1000, 90000); dur <- Seq(0L, 1L, 123456789L)) {
+      assert(MediaCodecs.parseMp4(MediaCodecs.encodeMp4(ts, dur))
+        .contains(VideoMeta(ts, dur, "mp4")), s"mp4 $ts/$dur")
+    }
+    // a free box between ftyp and moov must be skipped by the walk
+    val base = MediaCodecs.encodeMp4(1000, 42L)
+    val free = java.nio.ByteBuffer.allocate(12)
+    free.putInt(12).put("free".getBytes("US-ASCII")).putInt(0)
+    val spliced = base.take(16) ++ free.array() ++ base.drop(16)
+    assert(MediaCodecs.parseMp4(spliced).contains(VideoMeta(1000, 42L, "mp4")))
+    // garbage, truncation, missing mvhd
+    assert(MediaCodecs.parseMp4("not a video at all, just some words".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodecs.parseMp4(base.take(20)).isEmpty)
+    assert(MediaCodecs.parseMp4(base.take(16)).isEmpty) // ftyp only, no moov
+  }
+
   test("wav rejects non-PCM, truncated, and RIFF-prefixed garbage") {
     assert(MediaCodecs.parseWav("RIFF but actually prose, not audio data!!".getBytes("UTF-8")).isEmpty)
     assert(MediaCodecs.parseWav(goldenWav.take(30)).isEmpty)
