@@ -111,6 +111,11 @@ object Soak {
         "dedup_simhash_hamming" -> { dir =>
           Dedup.simhashNearDupPairs(docs(dir), "doc_id", "text", 60, 3, 4).count()
         },
+        // the two-long 124-bit form: 31-bit bands should erase the
+        // n²/2^15-per-band incidental-collision term the row above pays
+        "dedup_simhash_hamming_wide" -> { dir =>
+          Dedup.simhashNearDupPairsWide(docs(dir), "doc_id", "text", 3).count()
+        },
         // pair generation + bounded-round label propagation: components are
         // copy-local so rounds stay constant and cost tracks the pair count
         "dedup_components" -> { dir =>

@@ -27,4 +27,9 @@ object SketchFns {
   def simhashBits(tokens: Column, bits: Int): Column =
     GraftColumnBridge.column(graft.plans.SimHashBits(
       GraftColumnBridge.expression(tokens), bits))
+
+  /** Second-family SimHash — the other long of the 124-bit wide signature. */
+  def simhashBitsAlt(tokens: Column, bits: Int): Column =
+    GraftColumnBridge.column(graft.plans.SimHashBitsAlt(
+      GraftColumnBridge.expression(tokens), bits))
 }

@@ -140,4 +140,15 @@ object TextFns {
     */
   val simhashWidenA: Long = 1000003L
   val simhashWidenB: Long = 17L
+
+  /** Second (independent) simhash family for the TWO-LONG 124-bit signature
+    * (`Dedup.simhashNearDupPairsWide`): the token hash is re-mixed with a
+    * different affine transform BEFORE the same 62-bit widening, so the
+    * second long's bits are independent of the first's:
+    * `h' = (h * AltA + AltB) % 2147483647`, then widen h' as above.
+    * Overflow-safe in both engines: h < 2^31 and AltA ~ 2^20, so every
+    * intermediate product stays under 2^52.
+    */
+  val simhashAltA: Long = 999983L
+  val simhashAltB: Long = 29L
 }

@@ -255,6 +255,61 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** [[simhashNearDupPairs]] with the TWO-LONG 124-bit signature — the
+    * documented scale path past ~1M docs, where 15-bit band keys run out of
+    * room: two independent 62-bit signatures (base + re-mixed hash family)
+    * give 4 disjoint 31-bit bands (~2·10^9 keys per band), so the incidental
+    * band-collision term n²/2^31 stays negligible to corpus sizes the
+    * one-long form cannot reach. Same plan shape as the narrow op (per-row
+    * sketch kernels, one exploded-band self-join with a reused exchange,
+    * hamming filter + first-agreeing-band dedup map-side, no distinct
+    * exchange); hamming is the popcount sum over both longs, and the
+    * pigeonhole guarantee holds because the 4 bands partition all 124 bits.
+    */
+  def simhashNearDupPairsWide(df: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"pigeonhole guarantee needs maxHamming < 4 bands, got $maxHamming")
+    val mask = (1L << 31) - 1L
+    val toks = TextFns.tokens(col(textCol))
+    val sig = df.filter(toks.isNotNull)
+      .select(col(idCol),
+        graft.functions.SketchFns.simhashBits(toks, 62).as("s1"),
+        graft.functions.SketchFns.simhashBitsAlt(toks, 62).as("s2"))
+    // band j of the concatenated 124-bit signature: two 31-bit slices from
+    // each long (bits 62/63 of each long are always clear and excluded)
+    def bandOf(s1: Column, s2: Column, j: Int): Column = j match {
+      case 0 => s1.bitwiseAND(lit(mask))
+      case 1 => shiftright(s1, 31).bitwiseAND(lit(mask))
+      case 2 => s2.bitwiseAND(lit(mask))
+      case _ => shiftright(s2, 31).bitwiseAND(lit(mask))
+    }
+    val bandStructs = (0 until 4).map { j =>
+      struct(lit(j).as("band_idx"),
+        bandOf(col("s1"), col("s2"), j).as("band_key"))
+    }
+    val banded = sig.select(col(idCol), col("s1"), col("s2"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col(idCol), col("s1"), col("s2"),
+        col("b.band_idx").as("band_idx"), col("b.band_key").as("band_key"))
+    val a = banded.select(col(idCol).as("a_id"), col("s1").as("a_s1"),
+      col("s2").as("a_s2"), col("band_idx"), col("band_key"))
+    val b = banded.select(col(idCol).as("b_id"), col("s1").as("b_s1"),
+      col("s2").as("b_s2"), col("band_idx"), col("band_key"))
+    val firstAgreeingBand = (0 until 4).foldRight(lit(4)) { (j, tail) =>
+      when(bandOf(col("a_s1"), col("a_s2"), j) ===
+           bandOf(col("b_s1"), col("b_s2"), j), lit(j))
+        .otherwise(tail)
+    }
+    a.hint("merge").join(b, Seq("band_idx", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(a_s1 ^ b_s1) + bit_count(a_s2 ^ b_s2) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .filter(col("band_idx") === firstAgreeingBand)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Incremental dedup — the operational 100 TB shape: a NEW batch is
     * checked against the fingerprint index of the already-ingested corpus
     * instead of re-deduping everything. Tags each new row `is_novel`; the

@@ -138,16 +138,28 @@ object SketchKernels {
     * i set than clear (ties → clear, matching `sum > 0`). Null tokens
     * contribute nothing (explode+sum skips nulls).
     */
-  def simhashBits(tokens: ArrayData, bits: Int): Long = {
+  def simhashBits(tokens: ArrayData, bits: Int): Long =
+    simhashBitsImpl(tokens, bits, alt = false)
+
+  /** Second-family simhash (independent bits) for the two-long wide
+    * signature: the token hash is re-mixed (TextFns.simhashAltA/B) before
+    * the same widening, so these 62 bits are independent of simhashBits's.
+    */
+  def simhashBitsAlt(tokens: ArrayData, bits: Int): Long =
+    simhashBitsImpl(tokens, bits, alt = true)
+
+  private def simhashBitsImpl(tokens: ArrayData, bits: Int, alt: Boolean): Long = {
     val n = tokens.numElements()
     val counts = new Array[Int](bits)
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h1 = polyHashCp(tokens.getUTF8String(i).toString)
-        // widen 31 → 62 informative bits (TextFns.simhashWidenA/B); bits
-        // 0..30 stay exactly h1, so narrow (<=31-bit) signatures are
-        // unchanged. h1 < 2^31 and A ~ 2^20, so h1*A + B < 2^52: no overflow.
+        val h0 = polyHashCp(tokens.getUTF8String(i).toString)
+        // family selection FIRST, then widen 31 → 62 informative bits
+        // (TextFns.simhashWidenA/B); bits 0..30 of the base family stay
+        // exactly h0, so narrow (<=31-bit) signatures are unchanged.
+        // h < 2^31 and A ~ 2^20, so every product stays < 2^52: no overflow.
+        val h1 = if (alt) (h0 * TextFns.simhashAltA + TextFns.simhashAltB) % Mod else h0
         val h = h1 |
           (((h1 * TextFns.simhashWidenA + TextFns.simhashWidenB) % Mod) << 31)
         var b = 0
@@ -233,5 +245,26 @@ case class SimHashBits(child: Expression, bits: Int)
       s"${ev.value} = graft.plans.SketchKernels.simhashBits($c, $bits);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → long SimHash from the SECOND hash family
+  * (TextFns.simhashAltA/B re-mix before widening) — the other 62 bits of
+  * the two-long 124-bit wide signature.
+  */
+case class SimHashBitsAlt(child: Expression, bits: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+  override def fnName: String = "simhash_bits_alt"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.simhashBitsAlt(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.simhashBitsAlt($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBitsAlt =
     copy(child = newChild)
 }

@@ -60,6 +60,45 @@ object TextQueries {
              SELECT doc_id, CAST($sim AS BIGINT) AS simhash FROM agg)"""
   }
 
+  /** DuckDB CTE `sims(doc_id, s1, s2)` mirroring the TWO-LONG 124-bit wide
+    * signature (Dedup.simhashNearDupPairsWide): s1 is the base family
+    * (identical arithmetic to [[simhashCte]] at 62 bits), s2 re-mixes the
+    * token hash with TextFns.simhashAltA/B before the same widening.
+    */
+  private def simhashCteWide(corpusSql: String): String = {
+    def bitSums(h: String, p: String) = (0 until 62).map(i =>
+      s"SUM(CASE WHEN (($h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS $p$i")
+      .mkString(",\n                 ")
+    def simExpr(p: String) = (0 until 62)
+      .map(i => s"CASE WHEN $p$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH corpus AS ($corpusSql),
+           tok AS (
+             SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+             FROM corpus
+           ), hashed1 AS (
+             SELECT doc_id, ${TextFns.polyHashSql("tok")} AS h1 FROM tok
+           ), mixed AS (
+             SELECT doc_id, h1,
+                    (h1 * ${TextFns.simhashAltA} + ${TextFns.simhashAltB})
+                      % 2147483647 AS hl2
+             FROM hashed1
+           ), hashed AS (
+             SELECT doc_id,
+                    h1 | (((h1 * ${TextFns.simhashWidenA} + ${TextFns.simhashWidenB})
+                           % 2147483647) << 31) AS h,
+                    hl2 | (((hl2 * ${TextFns.simhashWidenA} + ${TextFns.simhashWidenB})
+                           % 2147483647) << 31) AS h2
+             FROM mixed
+           ), agg AS (
+             SELECT doc_id,
+                 ${bitSums("h", "s")},
+                 ${bitSums("h2", "t")}
+             FROM hashed GROUP BY doc_id
+           ), sims AS (
+             SELECT doc_id, CAST(${simExpr("s")} AS BIGINT) AS s1,
+                    CAST(${simExpr("t")} AS BIGINT) AS s2 FROM agg)"""
+  }
+
   /** DuckDB CTE mirroring Dedup.shingles(_, "doc_id", "text", 4). */
   private val shingleCte: String = """
     WITH toks AS (
@@ -521,6 +560,38 @@ object TextQueries {
                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           ORDER BY a_id, b_id""")),
+
+    // ----- near-dup pairs on the TWO-LONG 124-bit signature (4×31-bit
+    // bands ≈ 2·10^9 keys per band — the scale path past ~1M docs where
+    // 15-bit bands run out of room). Hamming ≤ 3 of 124 bits is a much
+    // stricter near-dup bar, so the fixture corpus is augmented IN-QUERY
+    // with planted duplicates (exact copies and one-token-appended copies)
+    // on BOTH engines: the result provably exercises hamming 0 and the
+    // 0 < hamming ≤ 3 boundary, not just an empty intersection.
+    Q("q_dedup_simhash_hamming_wide",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val corpus = docs
+          .unionByName(docs.filter(col("doc_id") % 101 === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id") % 97 === 0)
+            .select((col("doc_id") + 2000000000L).as("doc_id"),
+              concat(col("text"), lit(" ztail")).as("text")))
+        Dedup.simhashNearDupPairsWide(corpus, "doc_id", "text", maxHamming = 3)
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some(s"""${simhashCteWide("""
+             SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 1000000000, text
+               FROM documents WHERE doc_id % 101 = 0
+             UNION ALL SELECT doc_id + 2000000000, text || ' ztail'
+               FROM documents WHERE doc_id % 97 = 0""")}
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(bit_count(xor(a.s1, b.s1)) +
+                       bit_count(xor(a.s2, b.s2)) AS BIGINT) AS hamming
+           FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
            ORDER BY a_id, b_id""")),
 
     // ----- multimodal: REAL header decode. Each doc gets a spec-conformant

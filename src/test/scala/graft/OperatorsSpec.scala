@@ -292,6 +292,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("wide (124-bit) simhash hamming pairs find planted dups, and only them") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 40)
+    // plant an exact copy (hamming 0) and a one-token-appended copy (small
+    // but usually nonzero hamming) of doc 1
+    val corpus = docs
+      .unionByName(docs.filter($"doc_id" === 1)
+        .select(lit(90001L).as("doc_id"), $"text"))
+      .unionByName(docs.filter($"doc_id" === 1)
+        .select(lit(90002L).as("doc_id"), concat($"text", lit(" ztail")).as("text")))
+    val pairs = Dedup.simhashNearDupPairsWide(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exactCopy = pairs.find(p => p._1 == 1L && p._2 == 90001L)
+    assert(exactCopy.contains((1L, 90001L, 0L)), s"got ${pairs.toSeq}")
+    // every reported pair involves doc 1 and its copies — 124-bit hamming <= 3
+    // must not fire on unrelated fixture docs
+    val clique = Set(1L, 90001L, 90002L)
+    assert(pairs.forall(p => clique.contains(p._1) && clique.contains(p._2)),
+      s"unrelated pair reported: ${pairs.toSeq}")
+  }
+
   test("embedding near-dup pairs finds a planted duplicate vector") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val planted = e.filter($"vec_id" === 7)

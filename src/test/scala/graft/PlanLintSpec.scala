@@ -54,7 +54,8 @@ class PlanLintSpec extends AnyFunSuite {
     // candidate pairs must come from shared shingles/bands/buckets — a
     // nested-loop join anywhere in these plans means the bound is gone
     Seq("q_dedup_exact", "q_dedup_ngram_jaccard", "q_dedup_minhash_lsh",
-        "q_dedup_simhash", "q_dedup_simhash_hamming", "q_dedup_embedding",
+        "q_dedup_simhash", "q_dedup_simhash_hamming",
+        "q_dedup_simhash_hamming_wide", "q_dedup_embedding",
         "q_ann_lsh_topk")
       .foreach { name =>
         val p = plan(name)
@@ -89,11 +90,13 @@ class PlanLintSpec extends AnyFunSuite {
     // kills duplicates as a pure expression — the plan must contain NO
     // aggregate (a HashAggregate here means the (a_id,b_id) distinct is
     // back, paying an exchange over the full candidate set)
-    val p = plan("q_dedup_simhash_hamming")
-    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
-      "hamming pair dedup re-grew a distinct exchange")
-    assert(p.contains("SortMergeJoin"),
-      "band self-join is no longer sort-merge — the signature pipeline runs twice")
+    Seq("q_dedup_simhash_hamming", "q_dedup_simhash_hamming_wide").foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+        s"$n pair dedup re-grew a distinct exchange")
+      assert(p.contains("SortMergeJoin"),
+        s"$n band self-join is no longer sort-merge — the signature pipeline runs twice")
+    }
   }
 
   test("decontaminate broadcasts the held-out side and shuffles hashed longs") {
