@@ -43,6 +43,21 @@ object Sources {
       .option("escape", "\"")
       .option("compression", "gzip").csv(path)
 
+  /** (beyond ref) JSONL sink — one JSON object per line, gzip: the
+    * interchange format LLM training corpora actually ship in. Spark's
+    * writer emits canonical JSON escaping that DuckDB's `read_json`
+    * (newline_delimited) re-reads exactly — the roundtrip is oracle-gated.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** (beyond ref) JSONL source with a pinned schema (schema-on-read like the
+    * csv feeds — never inference over the full corpus at scale).
+    */
+  def readJsonl(spark: SparkSession, schema: org.apache.spark.sql.types.StructType,
+                pathGlob: String): DataFrame =
+    spark.read.schema(schema).json(pathGlob)
+
   /** P2 — tolerant projection: keep expected∩actual, backfill missing
     * expected columns with NULL (modules/data_cleaner.py:87-91 +
     * modules/data_loader.py:136-145).

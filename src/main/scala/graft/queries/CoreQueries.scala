@@ -272,6 +272,29 @@ object CoreQueries {
                       delim='|', header=true, all_varchar=true)
         ORDER BY n_nationkey""")),
 
+    // ----- (beyond ref) JSONL roundtrip: the LLM-corpus interchange format.
+    // Spark writes documents as gzip'd newline-delimited JSON; Spark reads
+    // it back schema-pinned while DuckDB reads the SAME files — any
+    // escaping/encoding divergence between writer and either reader
+    // hash-mismatches.
+    Q("q_jsonl_roundtrip",
+      (s, dir) => {
+        val fixture = "/tmp/graft_fixtures/jsonl_documents"
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        graft.airbnb.Sources.writeJsonl(docs, fixture)
+        graft.airbnb.Sources.readJsonl(s, docs.schema, fixture + "/*.json.gz")
+          .select(col("doc_id"), col("lang"), col("source"),
+            length(col("text")).cast(LongType).as("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM read_json('/tmp/graft_fixtures/jsonl_documents/*.json.gz',
+                       format='newline_delimited')
+        ORDER BY doc_id""")),
+
     // ----- A13: per-group quantile binning (feature bucketing) — ntile over a
     // per-segment window with a TOTAL order, so bucket assignment is
     // deterministic and identical across engines. Partitioned window: scales
