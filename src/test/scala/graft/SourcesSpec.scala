@@ -9,6 +9,26 @@ class SourcesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("jsonl sink/source round-trips hostile content byte-exact") {
+    // quotes, backslashes, embedded newlines/tabs, non-ASCII, emoji, empty
+    // and null — everything a real web corpus throws at a JSONL writer
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/out"
+    val rows = Seq(
+      (1L, "plain ascii"),
+      (2L, "he said \"quote\" and used a \\ backslash"),
+      (3L, "line one\nline two\ttabbed"),
+      (4L, "Cécile in Zürich — naïve façade é́"),
+      (5L, "emoji 😀 and CJK 中文"),
+      (6L, ""),
+      (7L, null))
+    val df = rows.toDF("id", "t")
+    graft.airbnb.Sources.writeJsonl(df, dir)
+    val back = graft.airbnb.Sources.readJsonl(spark, df.schema, dir + "/*.json.gz")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(back.toSeq == rows.sortBy(_._1))
+  }
+
   test("pipe-separated gz sink/scan round-trips (S4/S7)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipe").toString + "/out"
     val df = Seq(("1", "a|b was escaped? no — use clean values", "x"),
