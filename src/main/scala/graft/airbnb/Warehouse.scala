@@ -79,6 +79,44 @@ final case class Warehouse(spark: SparkSession, root: String) {
     spark.read.parquet(path(name))
   }
 
+  /** (beyond ref) §2.11 maintenance — small-files compaction. Streaming
+    * sinks, incremental upserts, and over-parallel writes leave tables as
+    * thousands of KB-sized parquet files; at cluster scale that means a
+    * task (and an object-store request) per tiny file on every read. When
+    * the table's average data-file size falls below `targetBytes / 2`,
+    * rewrite it into ceil(totalBytes / targetBytes) files through the same
+    * crash-recoverable swap as [[write]] (a crash mid-compaction can
+    * never lose the table).
+    *
+    * Returns the data-file count after the call (unchanged when healthy —
+    * the rewrite is skipped, not repeated, so scheduled compaction is
+    * idempotent and cheap to run often).
+    */
+  def compactSmallFiles(name: String, targetBytes: Long = 128L << 20): Int = {
+    recover(name)
+    val dir = new Path(path(name)); val f = fs(dir)
+    def dataFiles = {
+      val it = f.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !st.getPath.getName.startsWith("_")) buf += st
+      }
+      buf.toSeq
+    }
+    val files = dataFiles
+    if (files.isEmpty) return 0
+    val total = files.map(_.getLen).sum
+    val avg = total / files.length
+    if (files.length > 1 && avg < targetBytes / 2) {
+      val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+      // coalesce, not repartition: compaction must not pay a shuffle —
+      // merging co-located small files is a narrow dependency
+      write(name, read(name).coalesce(nOut))
+      dataFiles.length
+    } else files.length
+  }
+
   def readOrEmpty(name: String, schema: StructType): DataFrame =
     if (exists(name)) read(name)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

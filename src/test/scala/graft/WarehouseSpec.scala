@@ -18,6 +18,23 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[Exception] { wh.runScript("SELECT * FROM definitely_missing_table") }
   }
 
+  test("small-files compaction merges fragments, preserves data, and is idempotent") {
+    val wh = Warehouse(spark, java.nio.file.Files.createTempDirectory("wh-compact").toString)
+    // 64 tiny files of 1000 rows
+    val df = spark.range(0, 1000).select($"id", ($"id" % 7).as("k"))
+    wh.write("frag", df.repartition(64))
+    val before = wh.read("frag")
+      .inputFiles.length
+    assert(before == 64, s"fixture should be fragmented, got $before files")
+    val after = wh.compactSmallFiles("frag", targetBytes = 512L << 20)
+    assert(after < 8, s"compaction left $after files")
+    // data identical after the rewrite
+    val back = wh.read("frag").orderBy($"id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(back.toSeq == (0L until 1000L).map(i => (i, i % 7)))
+    // healthy table: second call is a no-op at the same count
+    assert(wh.compactSmallFiles("frag", targetBytes = 512L << 20) == after)
+  }
+
   test("write swap recovers from every crash window (roll forward / roll back)") {
     import java.io.File
     val root = java.nio.file.Files.createTempDirectory("wh-crash").toString
