@@ -341,11 +341,32 @@ object Dedup {
     * — recomputing it here stands in for that read.
     */
   def tagNearDupAgainstIndex(newDf: DataFrame, indexDf: DataFrame, idCol: String,
-                             textCol: String, k: Int, bands: Int = 2): DataFrame = {
+                             textCol: String, k: Int, bands: Int = 2): DataFrame =
+    tagAgainstBandIndex(newDf, bandIndex(indexDf, idCol, textCol, k, bands),
+      idCol, textCol, k, bands)
+
+  /** The corpus's MinHash band index as a standalone frame —
+    * (band_idx, band_key), DISTINCT. PERSIST THIS (e.g.
+    * `Warehouse.write("band_index", bandIndex(...))`): the daily
+    * incremental gate then reads KBs of sketch instead of re-sketching
+    * yesterday's corpus, which is the entire point of the incremental
+    * shape. Append-merge on re-index is a distinct-union of band rows.
+    */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                k: Int, bands: Int = 2): DataFrame =
+    bandedSignatures(df, idCol, textCol, k, bands)
+      .select(col("band_idx"), col("band_key")).distinct()
+
+  /** [[tagNearDupAgainstIndex]] against a pre-built (typically persisted)
+    * [[bandIndex]] frame — the index side pays no sketch cost at all.
+    */
+  def tagAgainstBandIndex(newDf: DataFrame, index: DataFrame, idCol: String,
+                          textCol: String, k: Int, bands: Int = 2): DataFrame = {
     val newB = bandedSignatures(newDf, idCol, textCol, k, bands)
       .select(col(idCol), col("band_idx"), col("band_key"))
-    val idxB = bandedSignatures(indexDf, idCol, textCol, k, bands)
-      .select(col("band_idx"), col("band_key")).distinct()
+    // re-distinct is a cheap no-op on a clean persisted index and protects
+    // the bounded-fan-out guarantee against hand-built inputs
+    val idxB = index.select(col("band_idx"), col("band_key")).distinct()
       .withColumn("__hit", lit(1))
     newB.join(idxB, Seq("band_idx", "band_key"), "left")
       .groupBy(col(idCol))

@@ -292,6 +292,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("incremental near-dup gate: persisted band index equals recompute path") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text")
+    val old = docs.filter($"doc_id" < 200)
+    val fresh = docs.filter($"doc_id" >= 200 && $"doc_id" < 400)
+    val direct = Dedup.tagNearDupAgainstIndex(fresh, old, "doc_id", "text", 4)
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    // the production shape: index written to the warehouse, read back cold
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-bandidx").toString)
+    wh.write("band_index", Dedup.bandIndex(old, "doc_id", "text", 4))
+    val viaTable = Dedup.tagAgainstBandIndex(fresh, wh.read("band_index"),
+        "doc_id", "text", 4)
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(viaTable.toSeq == direct.toSeq)
+    assert(direct.nonEmpty)
+  }
+
   test("wide (124-bit) simhash hamming pairs find planted dups, and only them") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
       .select($"doc_id", $"text").filter($"doc_id" < 40)
