@@ -247,4 +247,63 @@ object Curation {
       .withColumn("keep", col("score") >= keepThreshold)
       .drop("__t", "__n", "__nd", "__ns")
   }
+
+  /** Token-budget corpus selection: keep the best-quality documents (score
+    * DESC, doc_id ASC) whose cumulative token count fits `budgetTokens` —
+    * "fill a 15T-token training budget best-first", the decision every
+    * corpus cut ends with.
+    *
+    * Semantics are EXACTLY the greedy ordered-prefix cut (the brute-force
+    * windowed cumsum the oracle runs), but the plan never globally sorts
+    * the corpus: (1) one narrow pass scores and token-counts each doc;
+    * (2) a per-SCORE-VALUE aggregate (shuffle on the bounded score domain)
+    * + a cumsum over that tiny frame find the threshold score s* — every
+    * doc scoring above s* is selected outright, map-side, via the broadcast
+    * threshold; (3) only the single boundary score-group pays an ordered
+    * cumsum window to spend the remaining budget (partitioned by nothing,
+    * but over ONE score-tie group — bounded by the tie width, not the
+    * corpus; a corpus whose docs all tie at the boundary degrades to the
+    * brute shape, which is the information-theoretic floor for exact
+    * greedy semantics).
+    *
+    * Returns (idCol, source?, ntok, score, selected) — all input columns
+    * preserved, `selected` boolean.
+    */
+  def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                          stopwords: Seq[String], budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
+    val scored = qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
+      .withColumn("ntok", TextFns.tokenCount(col(textCol)).cast(LongType))
+    // tiny frame: one row per distinct score value
+    val byScore = scored.groupBy(col("score").as("s"))
+      .agg(sum(col("ntok")).as("stok"))
+    val wDesc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byScore
+      .withColumn("cum_above", coalesce(sum(col("stok")).over(wDesc), lit(0L)))
+    // boundary score: the highest score whose group does NOT fully fit
+    // (monotone: once a group fails, every lower-scored group fails too)
+    val boundary = cum
+      .filter(col("cum_above") + col("stok") > budgetTokens)
+      .agg(max(col("s")).as("bscore"))
+    val bRow = cum.join(broadcast(boundary), col("s") === col("bscore"))
+      .select(col("s").as("b_s"), (lit(budgetTokens) - col("cum_above")).as("b_budget"))
+    // no boundary group (everything fits): bRow is empty and the sentinel
+    // (below every real score) selects the whole corpus
+    val sentinel = df.sparkSession.range(1)
+      .select(lit(Long.MinValue).as("b_s"), lit(0L).as("b_budget"))
+    val bOne = broadcast(bRow.unionByName(sentinel).orderBy(col("b_s").desc).limit(1))
+    val base = scored.drop("keep").crossJoin(bOne)
+    // docs strictly better than the boundary score: selected map-side
+    val offBoundary = base.filter(col("score") =!= col("b_s"))
+      .withColumn("selected", col("score") > col("b_s"))
+    // ONLY the boundary tie-group pays an ordered cumsum — bounded by the
+    // tie width, not the corpus (partitioned on the constant b_s so the
+    // plan carries an explicit partition spec)
+    val wTie = Window.partitionBy(col("b_s")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val onBoundary = base.filter(col("score") === col("b_s"))
+      .withColumn("selected", sum(col("ntok")).over(wTie) <= col("b_budget"))
+    offBoundary.unionByName(onBoundary).drop("b_s", "b_budget")
+  }
 }

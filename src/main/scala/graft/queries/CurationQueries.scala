@@ -224,6 +224,43 @@ object CurationQueries {
                CAST(SUM(score) AS DOUBLE) / COUNT(*) AS avg_score
         FROM sc GROUP BY source ORDER BY source""")),
 
+    // ----- token-budget corpus selection: greedy best-quality-first prefix
+    // under a token budget ("fill the training budget"). The oracle is the
+    // brute-force global ordered cumsum; the Spark plan reaches the SAME
+    // answer with a per-score-value histogram + broadcast threshold and an
+    // ordered window over only the boundary tie-group (never a global sort
+    // of the corpus).
+    Q("q_token_budget_select",
+      (s, dir) => {
+        Curation.selectByTokenBudget(t(s, dir, "documents"), "doc_id", "text",
+            Seq("a", "the"), budgetTokens = 30000L)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("selected"), 1)).as("n_selected"),
+            sum(when(col("selected"), col("ntok")).otherwise(lit(0L)))
+              .as("tok_selected"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH $toksCte,
+        g AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS ntok,
+                GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id, source, ntok,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g),
+        ord AS (SELECT *, SUM(ntok) OVER (ORDER BY score DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+                FROM sc)
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(CASE WHEN cum <= 30000 THEN 1 END) AS n_selected,
+               COALESCE(SUM(CASE WHEN cum <= 30000 THEN ntok END), 0) AS tok_selected
+        FROM ord GROUP BY source ORDER BY source""")),
+
     // ----- dedup-cluster closure: near-dup PAIRS (4-gram Jaccard ≥ 0.4)
     // grouped into connected components labeled by their min member — the
     // survivorship unit (a~b, b~c ⇒ one representative for {a,b,c}).

@@ -54,6 +54,29 @@ class CurationSpec extends AnyFunSuite {
     assert(exact.nonEmpty) // sanity: the planted overlap was found at all
   }
 
+  test("token-budget selection is the exact greedy prefix at every budget") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text").filter($"doc_id" < 100)
+    // brute-force greedy reference on the driver
+    val scored = Curation
+      .qualityScore(docs, "text", Seq("a", "the"), Long.MinValue)
+      .withColumn("ntok", graft.functions.TextFns.tokenCount($"text").cast("long"))
+      .select($"doc_id", $"score", $"ntok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._1))
+    for (budget <- Seq(0L, 500L, 5000L, Long.MaxValue / 2)) {
+      var cum = 0L
+      val expect = scored.filter { case (_, _, ntok) =>
+        cum += ntok; cum <= budget
+      }.map(_._1).toSet
+      val got = Curation
+        .selectByTokenBudget(docs, "doc_id", "text", Seq("a", "the"), budget)
+        .filter($"selected").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"budget=$budget")
+    }
+  }
+
   test("sequence packing: per-shard offsets, bins, and no global window") {
     val df = Seq(
       ("a", 1L, "w1 w2 w3"), ("a", 2L, "w1 w2"), ("a", 3L, "w1 w2 w3 w4"),
