@@ -126,6 +126,29 @@ object Curation {
         countDistinct(col("test_id")).as("n_test_docs_hit"))
   }
 
+  /** The eval-side mirror of [[decontaminate]]: per TEST document, the
+    * fraction of its distinct shingles that appear anywhere in the training
+    * corpus — the "is my eval clean" report an evaluation owner reads
+    * before trusting a benchmark number (decontaminate's per-train-doc view
+    * answers "what do I delete"; this answers "what is already burned").
+    * Fraction is exact-integer ppm. Scale shape identical to decontaminate:
+    * hashed shingle keys, train side reduced to DISTINCT hashes (the join
+    * fans out at most once per test shingle), shuffles move longs.
+    */
+  def contaminationReport(train: DataFrame, test: DataFrame, idCol: String,
+                          textCol: String, k: Int): DataFrame = {
+    val trainSh = Dedup.shingles(train, idCol, textCol, k)
+      .select(xxhash64(col("sh")).as("__sk")).distinct()
+      .withColumn("__hit", lit(1))
+    val testSh = Dedup.shingles(test, idCol, textCol, k)
+      .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
+    testSh.join(trainSh, Seq("__sk"), "left")
+      .groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_leaked"))
+      .withColumn("leak_ppm", expr("n_leaked * 1000000 DIV n_shingles"))
+  }
+
   /** Greedy sequence packing: documents are laid out in deterministic order
     * within each shard and cut into fixed `ctxLen`-token context windows;
     * each document is assigned to the bin its first token lands in (documents

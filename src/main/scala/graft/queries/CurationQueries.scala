@@ -121,6 +121,36 @@ object CurationQueries {
         GROUP BY train_id ORDER BY train_id"""
       }),
 
+    // ----- eval-side contamination report: per test doc, the ppm of its
+    // distinct shingles already present in train (the mirror of
+    // q_decontaminate's per-train-doc deletion view).
+    Q("q_decontaminate_report",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.contaminationReport(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"),
+            "doc_id", "text", k = 4)
+          .orderBy(col("test_id"))
+      },
+      Some {
+        val terms = (0 until 4)
+          .map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+        s"""
+        WITH $toksCte,
+        sh0 AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(t) - 2), i -> $terms)) AS sh
+                FROM toks WHERE len(t) >= 4),
+        sh AS (SELECT DISTINCT doc_id, source, sh FROM sh0),
+        tr AS (SELECT DISTINCT sh FROM sh WHERE source <> 'src0'),
+        te AS (SELECT doc_id AS test_id, sh FROM sh WHERE source = 'src0')
+        SELECT test_id, COUNT(*) AS n_shingles,
+               COUNT(tr.sh) AS n_leaked,
+               COUNT(tr.sh) * 1000000 // COUNT(*) AS leak_ppm
+        FROM te LEFT JOIN tr USING (sh)
+        GROUP BY test_id ORDER BY test_id"""
+      }),
+
     // ----- sequence packing: per-shard (source) deterministic layout,
     // 512-token context windows; documents binned by first-token offset.
     // The cumsum window is per-shard — nothing ever sorts globally.
