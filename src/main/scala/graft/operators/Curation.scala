@@ -278,7 +278,10 @@ object Curation {
     *
     * Semantics are EXACTLY the greedy ordered-prefix cut (the brute-force
     * windowed cumsum the oracle runs), but the plan never globally sorts
-    * the corpus: (1) one narrow pass scores and token-counts each doc;
+    * the corpus: (1) scoring + token-counting is a pure map-side projection
+    * — re-evaluated by each consuming branch (histogram, off-boundary,
+    * boundary: three narrow scans, zero shuffles of text; persist the
+    * scored frame upstream if the corpus READ is itself the bottleneck);
     * (2) a per-SCORE-VALUE aggregate (shuffle on the bounded score domain)
     * + a cumsum over that tiny frame find the threshold score s* — every
     * doc scoring above s* is selected outright, map-side, via the broadcast
