@@ -14,14 +14,25 @@ import org.apache.spark.sql.execution.LogicalRDD
   * frame registered under that key — each query invocation cleans up after
   * its predecessor, bounding live checkpoint storage at one invocation per
   * key without touching the frame the current caller holds.
+  *
+  * CONTRACT — single live frame per (session, key): cycling key K frees the
+  * blocks of the frame previously cycled under K, whose lineage is truncated
+  * (localCheckpoint) and CANNOT recompute. A caller that still holds the
+  * earlier frame must not re-execute it after a newer frame is cycled under
+  * the same key; use distinct keys for concurrently-live results. Keys are
+  * scoped to the owning SparkSession, so identically-named queries in
+  * different sessions (tests vs mains) never unpersist across sessions.
   */
 object CkptCycle {
 
-  private val last = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val last =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
 
   def cycle(key: String, df: DataFrame): DataFrame = {
-    val prev = last.put(key, df)
-    if (prev != null && (prev ne df)) {
+    val prev = last.put((df.sparkSession, key), df)
+    // A stopped context has already dropped all blocks — and unpersist
+    // against it throws; skip rather than crash the successor query.
+    if (prev != null && (prev ne df) && !prev.sparkSession.sparkContext.isStopped) {
       prev.queryExecution.analyzed.foreach {
         case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
         case _              => ()

@@ -10,7 +10,8 @@ object FixedCostProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    val q = SparkEntry.registry.find(_.name == "q_o1_limit").get
+    val name = args.headOption.getOrElse("q_o1_limit")
+    val q = SparkEntry.registry.find(_.name == name).get
     q.run(spark, dir).count() // warm up
     def ns[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e6, r)

@@ -147,15 +147,44 @@ object Soak {
             d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
             "doc_id", "text", 4).count()
         },
+        // Bloom-prefiltered twin: the broadcast sketch gates the train side
+        // map-side, so the exact join's input is overlap + fpp of the train
+        // shingles — the bigger the train side, the more the sketch saves
+        // (the ratio here should UNDERCUT curation_decontaminate's)
+        "curation_decontam_bloom" -> { dir =>
+          val d = docs(dir)
+          graft.operators.Curation.decontaminateBloom(
+            d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+            "doc_id", "text", 4).count()
+        },
+        // token-budget selection, budget scaled with the corpus (~half the
+        // total tokens binds at every factor): three narrow scans + a
+        // cumsum over the per-score histogram + ONE tie-group window
+        "token_budget_select" -> { dir =>
+          val d = docs(dir)
+          graft.operators.Curation.selectByTokenBudget(d, "doc_id", "text",
+              Seq("a", "the"), budgetTokens = 25L * nRows(dir))
+            .filter(col("selected")).count()
+        },
+        // worst case BY CONSTRUCTION: identical text → every doc ties at the
+        // boundary score, the whole corpus lands in the single tie-group
+        // ordered cumsum (the brute shape — the information-theoretic floor
+        // for exact greedy). Bounds the operator's degenerate cost; the row
+        // above is its typical cost.
+        "token_budget_all_tie" -> { dir =>
+          val d = docs(dir).withColumn("text",
+            lit("alpha beta gamma delta epsilon zeta eta theta"))
+          graft.operators.Curation.selectByTokenBudget(d, "doc_id", "text",
+              Seq("a", "the"), budgetTokens = 4L * nRows(dir))
+            .filter(col("selected")).count()
+        },
         // end-to-end pipeline: gate → scrub → exact dedup → near-dup (cutoff
         // self-derived from the post-dedup corpus size) → split. Includes the
         // pipeline's own accounting actions; caches cleared per run so the
         // big run can't ride the small run's blocks.
         "corpus_pipeline" -> { dir =>
-          val r = graft.operators.CorpusPipeline.prepare(docs(dir), "doc_id",
-            "text", graft.operators.CorpusPipeline.Config())
-          val n = r.corpus.count()
-          r.unpersist(); n
+          graft.operators.CorpusPipeline.withPrepared(docs(dir), "doc_id",
+            "text", graft.operators.CorpusPipeline.Config())(_.corpus.count())
         },
         // integer-exact TF-IDF: tf shuffle on (source, term), df from per-row
         // distinct, term-keyed join, heap top-k — vocabulary grows with the

@@ -43,11 +43,21 @@ object Tables {
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def readCached(spark: SparkSession, path: String): DataFrame =
+  /** Drop cached frames whose owning session has stopped — otherwise the
+    * strong (session → plan) references keep dead sessions reachable for
+    * the life of the JVM (sbt test + mains run many sessions per JVM).
+    * O(live entries) per call; the map holds ~tables × sessions entries.
+    */
+  private def evictStopped(): Unit =
+    frameCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+
+  private def readCached(spark: SparkSession, path: String): DataFrame = {
+    evictStopped()
     frameCache.computeIfAbsent((spark, path), { case (s, p) =>
       val schema = schemaCache.computeIfAbsent(p, q => s.read.parquet(q).schema)
       s.read.schema(schema).parquet(p)
     })
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)

@@ -245,6 +245,10 @@ object MediaCodecs {
     require(bitDepth % 8 == 0 && bitDepth > 0, s"bitDepth must be a byte multiple: $bitDepth")
     val blockAlign = channels * bitDepth / 8
     val dataBytes = nSamples * blockAlign
+    // the size field is u32 on disk; past it the .toInt below would wrap and
+    // parseWav would silently read back a different sample count
+    require(dataBytes <= 0xffffffffL,
+      s"data chunk $dataBytes bytes exceeds the u32 WAV size field")
     val buf = ByteBuffer.allocate(WavHeaderLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII"))
     buf.putInt((36 + dataBytes).toInt)        // RIFF chunk size

@@ -152,4 +152,17 @@ object CorpusPipeline {
 
     Result(out, nIn - nGated, nGated - nExact, nExact - nNear)(nearDeduped)
   }
+
+  /** Loan wrapper around [[prepare]]: runs `f` and ALWAYS releases the
+    * pipeline's persisted survivor stage afterwards — the un-forgettable
+    * form of the `Result.unpersist` contract (a leaked cache occupies
+    * executor storage for the rest of the session). Materialize what you
+    * need (collect / write / localCheckpoint) INSIDE `f`: after release the
+    * corpus frame recomputes from source on any later action.
+    */
+  def withPrepared[T](df: DataFrame, idCol: String, textCol: String,
+                      cfg: Config = Config())(f: Result => T): T = {
+    val r = prepare(df, idCol, textCol, cfg)
+    try f(r) finally r.unpersist()
+  }
 }

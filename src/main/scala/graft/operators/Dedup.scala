@@ -357,6 +357,19 @@ object Dedup {
     bandedSignatures(df, idCol, textCol, k, bands)
       .select(col("band_idx"), col("band_key")).distinct()
 
+  /** Append-merge re-index: the persisted [[bandIndex]] after ingesting a
+    * new batch — distinct union of the existing band rows with the batch's.
+    * Only the BATCH pays sketch cost; the existing index contributes its
+    * (band_idx, band_key) rows as-is, so the daily re-index is
+    * O(batch + index), never O(corpus). Write the result back via
+    * `Warehouse.write("band_index", …)` to complete the cycle.
+    */
+  def mergeBandIndex(index: DataFrame, newDf: DataFrame, idCol: String,
+                     textCol: String, k: Int, bands: Int = 2): DataFrame =
+    index.select(col("band_idx"), col("band_key"))
+      .unionByName(bandIndex(newDf, idCol, textCol, k, bands))
+      .distinct()
+
   /** [[tagNearDupAgainstIndex]] against a pre-built (typically persisted)
     * [[bandIndex]] frame — the index side pays no sketch cost at all.
     */

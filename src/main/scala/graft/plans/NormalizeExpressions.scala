@@ -11,12 +11,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * meaningful after the corpus agrees on one canonical byte form).
   *
   * Pipeline (mirrored exactly by the DuckDB oracle as
-  * `regexp_replace(trim(strip_accents(nfc_normalize(lower(s)))), '\s+', ' ', 'g')`):
+  * `trim(regexp_replace(strip_accents(nfc_normalize(lower(s))), '\s+', ' ', 'g'))`):
   *   1. lower-case (Locale.ROOT — locale-independent, matches engine lower()),
   *   2. NFC normalize (canonical composition; java.text.Normalizer and the
   *      engines implement the same Unicode algorithm),
   *   3. accent strip = NFD decompose + drop combining marks (category Mn),
-  *   4. collapse whitespace runs to single spaces and trim.
+  *   4. collapse whitespace runs to single spaces, THEN trim spaces.
+  *
+  * Step 4's order and character class are part of the contract: `\s` is the
+  * ASCII class in both Java regex and DuckDB's RE2, so after the collapse
+  * every edge whitespace char IS an ASCII space — trimming spaces only (not
+  * String.strip(), whose Character.isWhitespace also eats U+2028-style
+  * Unicode whitespace that DuckDB's trim would keep) makes the two engines
+  * agree on every input, not just inputs with space-only edges. Non-ASCII
+  * whitespace (NBSP, em-space…) is deliberately untouched by both.
   *
   * Cross-engine caveat pinned by the oracle: engines' accent-strip tables
   * agree on combining-mark removal (the é→e family) but can differ on
@@ -37,7 +45,13 @@ object NormalizeKernel {
     val nfc = Normalizer.normalize(lowered, Normalizer.Form.NFC)
     val stripped = marksRe.matcher(Normalizer.normalize(nfc, Normalizer.Form.NFD))
       .replaceAll("")
-    UTF8String.fromString(wsRe.matcher(stripped).replaceAll(" ").strip())
+    val collapsed = wsRe.matcher(stripped).replaceAll(" ")
+    // trim ASCII spaces only — the collapse has already turned every \s edge
+    // run into one space, and DuckDB's trim() strips exactly spaces
+    var i = 0; var j = collapsed.length
+    while (i < j && collapsed.charAt(i) == ' ') i += 1
+    while (j > i && collapsed.charAt(j - 1) == ' ') j -= 1
+    UTF8String.fromString(collapsed.substring(i, j))
   }
 }
 

@@ -104,6 +104,15 @@ object FunctionQueries {
                CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week
         FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""")),
 
+    // Cost note (the "1.4 s cold" of rounds 4-5, probed round 6): the math
+    // here is trivial, but the events fixture is ONE 2 MB parquet file with
+    // ONE row group — the scan is a single task decoding 100k rows of
+    // high-entropy int64 (~0.2-0.3 s steady, measured equal for a bare
+    // events count()). The remaining ~1.1 s appeared only in-suite (the
+    // preceding query's deferred cleanup) and is now bounded by Bench's
+    // cold>2×warm retry. At scale the same plan reads many row groups in
+    // parallel, so the single-task floor is a fixture artifact, not a design
+    // cost.
     Q("q_f5_bool_norm",
       (s, dir) => {
         val ev = t(s, dir, "events")

@@ -153,24 +153,21 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some("""
-        SELECT doc_id,
-               regexp_replace(trim(strip_accents(nfc_normalize(lower(
-                 substring(text, 1, 40) || '  ' ||
-                 CASE doc_id % 5 WHEN 0 THEN 'Cécile à Zürich'
-                                 WHEN 1 THEN 'naïve façade Ökonom'
-                                 WHEN 2 THEN 'élan ñandú Ångström'
-                                 WHEN 3 THEN 'Mëtàl übér'
-                                 ELSE 'çà et là, crème brûlée' END)))),
-                 '\s+', ' ', 'g') AS norm_text,
-               CAST(length(regexp_replace(trim(strip_accents(nfc_normalize(lower(
-                 substring(text, 1, 40) || '  ' ||
-                 CASE doc_id % 5 WHEN 0 THEN 'Cécile à Zürich'
-                                 WHEN 1 THEN 'naïve façade Ökonom'
-                                 WHEN 2 THEN 'élan ñandú Ångström'
-                                 WHEN 3 THEN 'Mëtàl übér'
-                                 ELSE 'çà et là, crème brûlée' END)))),
-                 '\s+', ' ', 'g')) AS BIGINT) AS n_chars
-        FROM documents ORDER BY doc_id""")),
+        WITH n AS (
+          -- trim OUTSIDE the collapse: \s edge runs become single spaces
+          -- first, so the space-only trim matches the kernel on every input
+          SELECT doc_id,
+                 trim(regexp_replace(strip_accents(nfc_normalize(lower(
+                   substring(text, 1, 40) || '  ' ||
+                   CASE doc_id % 5 WHEN 0 THEN 'Cécile à Zürich'
+                                   WHEN 1 THEN 'naïve façade Ökonom'
+                                   WHEN 2 THEN 'élan ñandú Ångström'
+                                   WHEN 3 THEN 'Mëtàl übér'
+                                   ELSE 'çà et là, crème brûlée' END))),
+                   '\s+', ' ', 'g')) AS norm_text
+          FROM documents)
+        SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars
+        FROM n ORDER BY doc_id""")),
 
     // ----- vocabulary build: the top-k corpus vocabulary with deterministic
     // ids (freq desc, token asc) — the table a tokenizer trainer starts
@@ -450,8 +447,15 @@ object TextQueries {
         val mid = docs.agg(expr("MAX(doc_id) DIV 2").as("mid"))
         val withMid = docs.crossJoin(broadcast(mid))
         val fresh = withMid.filter(col("doc_id") >= col("mid"))
-        val tags = Dedup.tagNearDupAgainstIndex(
-          fresh, withMid.filter(col("doc_id") < col("mid")), "doc_id", "text", 4)
+        // the PRODUCTION shape end-to-end: the corpus's band index is
+        // persisted through the warehouse (crash-recoverable swap) and the
+        // gate reads the KB-sized sketch table back instead of re-sketching
+        // yesterday's corpus — what the daily-crawl deployment actually does
+        val wh = graft.airbnb.Warehouse(s, "/tmp/graft_fixtures/wh_band_index")
+        wh.write("band_index", Dedup.bandIndex(
+          withMid.filter(col("doc_id") < col("mid")), "doc_id", "text", 4))
+        val tags = Dedup.tagAgainstBandIndex(
+          fresh, wh.read("band_index"), "doc_id", "text", 4)
         fresh.select(col("doc_id"), col("source"))
           .join(tags, Seq("doc_id"), "left")
           .groupBy(col("source"))

@@ -293,6 +293,45 @@ object VectorQueries {
           .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
           .orderBy(col("q_id"), col("rnk"))
       },
-      None)
+      None),
+
+    // ----- PQ under the hard gate via its exactness property (the IVF
+    // trick): with rerank = corpus size the ADC shortlist keeps EVERY
+    // candidate regardless of its lossy approximate score, so the exact
+    // re-rank IS brute-force cosine top-k — the same windowed-decimal
+    // oracle as q_sim_cosine_topk/q_ann_ivf_topk. This pins the whole PQ
+    // plumbing (encode → ADC lookup tables → shortlist heap → re-rank
+    // join) against DuckDB; the lossy rerank=200 row above stays
+    // rows-only and its recall floor stays spec-bounded (OperatorsSpec).
+    Q("q_ann_pq_exact",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        // bounded driver-side scalar (parquet metadata count), like the
+        // IVF/PQ training samples — never the vectors themselves
+        val n = c.count().toInt
+        val books = graft.operators.Similarity.pqTrain(
+          c.select(col("ce").as("embedding")), "embedding", m = 8, kCent = 16)
+        graft.operators.Similarity.pqTopK(q, c, books, k = 5, rerank = n)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS ce, norm AS cn FROM e),
+        p AS (
+          SELECT q_id, c_id, ${VectorFns.dotSql("qe", "ce")} / (qn * cn) AS cos
+          FROM q, c WHERE q_id <> c_id
+        ), r AS (
+          SELECT q_id, c_id,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
+          FROM p)
+        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
   )
 }

@@ -114,9 +114,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
   test("pipeline is deterministic end-to-end (same input, same output)") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
       .select($"doc_id", $"text").limit(200)
-    def run() = CorpusPipeline.prepare(docs, "doc_id", "text")
-      .corpus.select("doc_id", "split").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def run() = CorpusPipeline.withPrepared(docs, "doc_id", "text")(
+      _.corpus.select("doc_id", "split").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet)
     assert(run() == run())
+  }
+
+  test("withPrepared loan releases the cache even when the body throws") {
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+      .select($"doc_id", $"text").limit(100)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val n = CorpusPipeline.withPrepared(docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 5))(_.corpus.count())
+    assert(n > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "withPrepared leaked the survivor stage on the normal path")
+    intercept[RuntimeException] {
+      CorpusPipeline.withPrepared(docs, "doc_id", "text",
+        CorpusPipeline.Config(minTokens = 5)) { _ => throw new RuntimeException("boom") }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "withPrepared leaked the survivor stage on the exception path")
   }
 }

@@ -38,7 +38,25 @@ class LangIdSpec extends AnyFunSuite {
     assert(LangId.detect("यह एक बड़ा घर है और बगीचा सुंदर है") == "hi")
   }
 
+  test("round-6 Latin profiles close the langdetect-set gap") {
+    assert(LangId.detect("die huis is baie groot en ek het nie tyd vir als wat") == "af")
+    assert(LangId.detect("mae'r tŷ yn fawr ac mae'r ardd wedi bod yn hardd") == "cy")
+    assert(LangId.detect("som doma a už sme ste aj ako ale spolu") == "sk")
+    assert(LangId.detect("hiša je velika in vrt je tudi lep kot vedno pa ki") == "sl")
+    assert(LangId.detect("shtëpia është e madhe dhe një kopsht për të nga ne") == "sq")
+    assert(LangId.detect("guriga waa weyn yahay iyo beerta waxaa jirta oo uu ku") == "so")
+    assert(LangId.detect("nyumba ni kubwa na bustani ya maua kwa ajili ya kuwa hii") == "sw")
+    assert(LangId.detect("ang bahay ay malaki at ang mga halaman ay maganda ito") == "tl")
+  }
+
+  test("Devanagari branches on orthography: hi / mr / ne") {
+    assert(LangId.detect("यह एक बड़ा घर है और बगीचा सुंदर है") == "hi")
+    assert(LangId.detect("हे घर खूप मोठे आहे आणि बाग सुंदर आहे, मुळे आणि फळे") == "mr")
+    assert(LangId.detect("यो घर धेरै ठूलो छ र बगैंचा राम्रो छ") == "ne")
+  }
+
   test("Cyrillic and Arabic branches disambiguate by orthography") {
+    assert(LangId.detect("ова е голема куќа и градината е убава ѓубре") == "mk")
     assert(LangId.detect("это большой дом и сад очень красивый") == "ru")
     assert(LangId.detect("це великий будинок і сад дуже гарний") == "uk")
     assert(LangId.detect("това е голяма къща и градината е красива") == "bg")

@@ -308,6 +308,17 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
     assert(viaTable.toSeq == direct.toSeq)
     assert(direct.nonEmpty)
+    // append-merge re-index: old index ⊕ fresh batch == index of the union
+    // corpus (only the batch pays sketch cost), through a warehouse roundtrip
+    wh.write("band_index",
+      Dedup.mergeBandIndex(wh.read("band_index"), fresh, "doc_id", "text", 4))
+    val merged = wh.read("band_index")
+      .orderBy($"band_idx", $"band_key")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val full = Dedup.bandIndex(old.unionByName(fresh), "doc_id", "text", 4)
+      .orderBy($"band_idx", $"band_key")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(merged.toSeq == full.toSeq)
   }
 
   test("wide (124-bit) simhash hamming pairs find planted dups, and only them") {

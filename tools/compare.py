@@ -85,6 +85,8 @@ def main():
             n_fail += 1
             print(f"FAIL {name}: " + "; ".join(msgs))
     print(f"{n_pass} pass, {n_fail} fail")
+    # nonzero exit on any failure so CI / the verify workflow can gate on it
+    sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
