@@ -61,8 +61,17 @@ object Bench {
       // fake regressions — q_corpus_pipeline 24 s vs 5 s isolated). A query
       // whose cold exceeds 2× its warm is re-run once and the minimum kept:
       // the retry has compiled plans, so it bounds the query's true cold cost
-      // from above while shedding the unrelated-load pollution.
-      val cold = if (warm >= 0 && cold0 > 2 * warm) math.min(cold0, once()) else cold0
+      // from above while shedding the unrelated-load pollution. A retry that
+      // itself fails is discarded (two successful timed runs already exist —
+      // a transient third-run hiccup must not paint the round failed).
+      val cold =
+        if (warm >= 0 && cold0 > 2 * warm) {
+          val t0 = System.nanoTime()
+          val retry =
+            try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => Double.MaxValue }
+          math.min(cold0, retry)
+        } else cold0
       (q.name, cold, warm)
     }
     // Round per-query seconds to 3 decimals: keeps the one-line JSON compact

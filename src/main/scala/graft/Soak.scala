@@ -209,6 +209,83 @@ object Soak {
         println(f"$name%-24s $tSmall%10.2f $tBig%10.2f ${tBig / tSmall}%7.1f")
       }
     }
+
+    // ---- Airbnb ETL end-to-end (the reference's own workload shape) at
+    // 1× vs 10×: csv.gz feeds synthesized from the fixture tables
+    // (listings ← customer, calendar ← listings × 100 days ≈ 1.5M rows at
+    // the big scale, reviews ← orders), then the FULL warehouse pipeline
+    // (clean → typed MERGE → id map → dims → week/year-partitioned facts →
+    // enrichment) plus the one-job invariant validate, twice — the second
+    // run exercises the upsert/anti-join path against a populated
+    // warehouse. Proves the warehouse path, not just the query registry,
+    // holds at 10× fixture scale. Enable: SPARK_GRAFT_SOAK_ETL=1.
+    if (sys.env.getOrElse("SPARK_GRAFT_SOAK_ETL", "0") == "1") {
+      def synthFeeds(sfDir: String, tag: String): String = {
+        val dir = s"/tmp/graft-soak-etl-$tag"
+        if (!new java.io.File(s"$dir/reviews/_SUCCESS").exists()) {
+          val cust = Tables.load(spark, sfDir, "customer")
+          def gz(df: DataFrame, sub: String): Unit =
+            df.write.mode("overwrite").option("header", "true")
+              .option("compression", "gzip").csv(s"$dir/$sub")
+          gz(cust.select(
+              col("c_custkey").as("id"),
+              pmod(col("c_custkey"), lit(500L)).as("host_id"),
+              col("c_name").as("host_name"),
+              concat(col("c_mktsegment"), lit(", United States")).as("host_location"),
+              col("c_mktsegment").as("neighbourhood_cleansed"),
+              (lit(40.0) + pmod(col("c_custkey"), lit(100L)) / 1000.0).as("latitude"),
+              (lit(-74.0) - pmod(col("c_custkey"), lit(100L)) / 1000.0).as("longitude"),
+              concat(lit("$"), (pmod(col("c_custkey"), lit(900L)) + 50).cast("string"),
+                lit(".00")).as("price"),
+              pmod(col("c_custkey"), lit(50L)).as("number_of_reviews"),
+              round(lit(3.0) + pmod(col("c_custkey"), lit(200L)) / 100.0, 2)
+                .as("review_scores_rating"),
+              (pmod(col("c_custkey"), lit(5L)) + 1).as("calculated_host_listings_count")),
+            "listings")
+          val dates = spark.range(100).select(
+            date_add(lit("2025-01-01").cast("date"), col("id").cast("int")).as("d"))
+          gz(cust.select(col("c_custkey").as("listing_id"))
+              .crossJoin(broadcast(dates))
+              .withColumn("available",
+                when(pmod(col("listing_id") + dayofmonth(col("d")), lit(2)) === 0, "t")
+                  .otherwise("f"))
+              .withColumn("price", concat(lit("$"),
+                (pmod(col("listing_id"), lit(150L)) + 40).cast("string"), lit(".00")))
+              .select(col("listing_id"),
+                date_format(col("d"), "yyyy-MM-dd").as("date"),
+                col("available"), col("price")),
+            "calendar")
+          gz(Tables.load(spark, sfDir, "orders").select(
+              col("o_custkey").as("listing_id"),
+              col("o_orderkey").as("id"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+              pmod(col("o_custkey") * 7, lit(100000L)).as("reviewer_id"),
+              concat(lit("reviewer_"), col("o_custkey")).as("reviewer_name"),
+              concat(lit("the stay was great and the host for order "),
+                col("o_orderkey"), lit(" was very kind and the place is warm"))
+                .as("comments")),
+            "reviews")
+        }
+        dir
+      }
+      def runEtl(feeds: String, whRoot: String): Double = time {
+        val r = graft.airbnb.AirbnbEtl.run(spark, whRoot,
+          s"$feeds/listings/*.csv.gz", s"$feeds/calendar/*.csv.gz",
+          s"$feeds/reviews/*.csv.gz")
+        val bad = graft.airbnb.AirbnbEtl.validate(r.wh).filter(_._2 != 0)
+        require(bad.isEmpty, s"warehouse invariants violated: $bad")
+      }
+      val fS = synthFeeds("/root/testdata/sf0.01", "small")
+      val fB = synthFeeds("/root/testdata/sf0.1", "big")
+      val whS = java.nio.file.Files.createTempDirectory("soak-etl-wh-s").toString
+      val whB = java.nio.file.Files.createTempDirectory("soak-etl-wh-b").toString
+      println(f"${"airbnb etl"}%-24s ${"small (s)"}%10s ${"big (s)"}%10s ${"ratio"}%7s (feeds from sf0.01 vs sf0.1)")
+      val s1 = runEtl(fS, whS); val b1 = runEtl(fB, whB)
+      println(f"${"etl first load"}%-24s $s1%10.2f $b1%10.2f ${b1 / s1}%7.1f")
+      // re-run over the SAME warehouse: MERGE update path + review anti-join
+      val s2 = runEtl(fS, whS); val b2 = runEtl(fB, whB)
+      println(f"${"etl idempotent rerun"}%-24s $s2%10.2f $b2%10.2f ${b2 / s2}%7.1f")
+    }
     spark.stop()
   }
 
