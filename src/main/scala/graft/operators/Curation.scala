@@ -295,6 +295,32 @@ object Curation {
     * Returns (idCol, source?, ntok, score, selected) — all input columns
     * preserved, `selected` boolean.
     */
+  /** Diversity-preserving subsampling: keep `perBucket` documents from each
+    * sign-LSH bucket of an embedding column — the cluster-balanced "cover
+    * the semantic space, don't oversample the dense modes" selection a
+    * training-data mix needs (uniform sampling keeps duplicatey dense
+    * regions dense; this caps every region at the same budget).
+    *
+    * Within a bucket the kept rows are a deterministic pseudo-random order
+    * (a Knuth multiplicative hash of the id — engine-portable integer
+    * arithmetic, no engine RNG), so the sample is reproducible anywhere.
+    *
+    * Scale: bucketing is map-side (codegen'd quantized projections); the
+    * per-bucket cap runs on the bounded-heap TopKPerGroup operator —
+    * O(n log perBucket) with O(buckets·perBucket) state, no full sort, no
+    * window spill. Returns (idCol, bucket, rank), rank 1..perBucket.
+    */
+  def diverseSample(df: DataFrame, idCol: String, embCol: String,
+                    nBits: Int, perBucket: Int): DataFrame = {
+    val scored = df
+      .withColumn("bucket", Similarity.lshBucket(embCol, nBits))
+      .withColumn("__ord", pmod(col(idCol) * lit(2654435761L), lit(2147483647L)))
+      .select(col(idCol), col("bucket"), col("__ord"))
+    graft.plans.TopKPerGroup.topK(scored, Seq("bucket"),
+        Seq(("__ord", false), (idCol, false)), perBucket)
+      .select(col("bucket"), col(idCol), col("rank"))
+  }
+
   def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                           stopwords: Seq[String], budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")

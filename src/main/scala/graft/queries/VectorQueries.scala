@@ -332,6 +332,33 @@ object VectorQueries {
                  CAST(row_number() OVER (PARTITION BY q_id
                         ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
           FROM p)
-        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ----- diversity-preserving subsampling: cap every 6-bit LSH bucket at
+    // 3 docs (cluster-balanced selection — cover the semantic space instead
+    // of oversampling dense modes). Order within a bucket is a portable
+    // Knuth multiplicative hash of the id, so Spark's bounded-heap
+    // TopKPerGroup and the oracle's window agree row-for-row.
+    Q("q_sample_diverse",
+      (s, dir) =>
+        graft.operators.Curation.diverseSample(
+            t(s, dir, "embeddings"), "vec_id", "embedding", nBits = 6, perBucket = 3)
+          .orderBy(col("bucket"), col("rank")),
+      Some {
+        val bucketSql = (0 until 6)
+          .map(j => s"CASE WHEN ${VectorFns.signProjectionSql("embedding", j)} > 0 " +
+                    s"THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH b AS (SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket,
+                          (vec_id * 2654435761) % 2147483647 AS ord
+                   FROM embeddings),
+        r AS (SELECT bucket, vec_id,
+                     CAST(row_number() OVER (PARTITION BY bucket
+                            ORDER BY ord, vec_id) AS BIGINT) AS rank
+              FROM b)
+        SELECT bucket, vec_id, rank FROM r WHERE rank <= 3
+        ORDER BY bucket, rank"""
+      })
   )
 }

@@ -242,6 +242,100 @@ object Streams {
       }
       .start()
 
+  // ---------------------------------------------------------------------
+  // Streaming near-dup gate: the daily-crawl dedup loop as a continuous
+  // pipeline. Each micro-batch is tagged against the PERSISTED MinHash band
+  // index (Dedup.tagAgainstBandIndex — the batch twin's production shape),
+  // survivors land in the idempotent parquet sink, and the survivors' bands
+  // are merged back into the index. foreachBatch because the loop is
+  // read-index → tag → append-index — a self-referential update no
+  // declarative streaming operator expresses.
+  //
+  // Exactly-once despite at-least-once replay, WITHOUT a transaction across
+  // the index table and the sink: index rows carry the batch_id that first
+  // contributed them (min-batch-id semantics), and tagging filters the index
+  // to batch_id < currentBatchId. A replayed batch therefore never collides
+  // with its own bands (the crash-between-index-merge-and-output-commit
+  // window), and re-merging is a no-op (min over a set already containing
+  // the value). Order inside a batch: marker check → tag (prior bands only)
+  // → index merge (crash-recoverable swap) → output write → marker.
+  //
+  // Semantics match the batch gate: a doc is a near-dup iff a band collides
+  // with the INGESTED corpus; only survivors extend the index (a dropped
+  // dup's unshared bands must not disqualify future docs). Within-batch
+  // mutual near-dups are not examined — same one-sided contract as
+  // Dedup.tagNearDupAgainstIndex; compose minhashLshPairs per batch if
+  // intra-batch dedup is also required.
+  //
+  // Scale: the tag join moves (band_idx, band_key) rows only; the index
+  // rewrite is the fixture-size shape — at 100 TB the index table is
+  // partitioned by batch_id range and the merge appends a partition instead
+  // of rewriting (Warehouse.write(partitionBy) + compactSmallFiles), with
+  // identical replay semantics since batch_id still rides every row.
+  // ---------------------------------------------------------------------
+
+  /** Band-index table schema for the streaming gate. */
+  val bandIndexSchema: StructType = StructType(Seq(
+    StructField("band_idx", IntegerType), StructField("band_key", StringType),
+    StructField("batch_id", LongType)))
+
+  /** The foreachBatch body, callable directly in tests and replay drills.
+    * Returns false when `batchId` was already fully committed (pure replay).
+    */
+  def nearDupGateBatch(batch: DataFrame, wh: graft.airbnb.Warehouse,
+      indexTable: String, outDir: String, batchId: Long, idCol: String,
+      textCol: String, k: Int, bands: Int = 2): Boolean = {
+    val spark = batch.sparkSession
+    val dir = batchDir(outDir, batchId)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dir, "_COMMITTED"))) return false
+    val idx = wh.readOrEmpty(indexTable, bandIndexSchema)
+    // exclude THIS batch's own contribution (present iff this is a replay
+    // that crashed after the index merge) — the self-collision guard
+    val tags = graft.operators.Dedup.tagAgainstBandIndex(
+      batch, idx.filter(col("batch_id") < batchId), idCol, textCol, k, bands)
+    // materialize survivors BEFORE the index swap: their lazy plan reads the
+    // index table, whose files the swap below replaces — a post-swap action
+    // on the un-checkpointed frame would FILE_NOT_EXIST. Micro-batch-sized,
+    // so the checkpoint is small; blocks are freed in the finally.
+    val survivors = batch.join(tags, Seq(idCol), "left")
+      .filter(!coalesce(col("is_near_dup"), lit(false)))
+      .drop("is_near_dup")
+      .localCheckpoint(true)
+    try {
+      // survivors' bands join the index under min-batch-id semantics; the
+      // groupBy also re-distincts, so replays cannot grow the table
+      val merged = idx.unionByName(
+          graft.operators.Dedup.bandIndex(survivors, idCol, textCol, k, bands)
+            .withColumn("batch_id", lit(batchId)))
+        .groupBy(col("band_idx"), col("band_key"))
+        .agg(min(col("batch_id")).as("batch_id"))
+      wh.write(indexTable, merged)
+      writeBatchIdempotent(survivors, outDir, batchId)
+    } finally survivors.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Start the streaming near-dup gate on a documents stream. The triple
+    * (checkpointDir, outDir, index table) is the unit of exactly-once
+    * recovery.
+    */
+  def startNearDupGate(docs: DataFrame, wh: graft.airbnb.Warehouse,
+      indexTable: String, outDir: String, checkpointDir: String, idCol: String,
+      textCol: String, k: Int, bands: Int = 2,
+      queryName: String = "near_dup_gate"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        nearDupGateBatch(batch.toDF(), wh, indexTable, outDir, batchId,
+          idCol, textCol, k, bands): Unit
+      }
+      .start()
+
   /** Read the sink's committed output: only batch directories bearing the
     * _COMMITTED marker participate, so readers never observe a torn batch.
     */

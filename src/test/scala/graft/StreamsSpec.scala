@@ -200,4 +200,66 @@ class StreamsSpec extends AnyFunSuite {
     df.write.mode("overwrite").parquet(torn.toString + "/part")
     assert(Streams.readCommitted(spark, direct).count() == 1L)
   }
+
+  test("streaming near-dup gate tags across batches and survives crash-replay") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-gate-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-gate-out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-gate-ckp").toString
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-gate-wh").toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream = spark.readStream.schema(schema).parquet(src.toString)
+    def addDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-gate-one")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(name))
+    }
+    def committedIds: Set[Long] = Streams.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten eleven twelve"
+    val tC = "red orange yellow green blue indigo violet cyan magenta white"
+    val tD = "north south east west up down left right front back"
+
+    // batch 0: empty index — everything is novel and seeds the index
+    addDocs("b0.parquet", Seq(1L -> tA, 2L -> tB))
+    val q0 = Streams.startNearDupGate(stream, wh, "band_index", out, ckp,
+      "doc_id", "text", 4, queryName = "gate_0")
+    try q0.processAllAvailable() finally q0.stop()
+    assert(committedIds == Set(1L, 2L))
+
+    // batch 1: doc 3 duplicates batch 0's doc 1 → tagged out; doc 4 is novel
+    addDocs("b1.parquet", Seq(3L -> tA, 4L -> tC))
+    val q1 = Streams.startNearDupGate(stream, wh, "band_index", out, ckp,
+      "doc_id", "text", 4, queryName = "gate_1")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(committedIds == Set(1L, 2L, 4L))
+
+    // crash drill on the foreachBatch body: batch 2 runs to completion,
+    // then the crash WINDOW is simulated by deleting its committed output
+    // while LEAVING the index merge in place — exactly the state a death
+    // between the index swap and the output marker leaves behind
+    val b2 = Seq(5L -> tC, 6L -> tD).toDF("doc_id", "text")
+    assert(Streams.nearDupGateBatch(b2, wh, "band_index", out, 2L, "doc_id", "text", 4))
+    val b2dir = new org.apache.hadoop.fs.Path(out, "batch-000000002")
+    val gfs = b2dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(gfs.delete(b2dir, true), "no batch-2 output to crash")
+    // replay: doc 6's own bands are already in the index under batch_id=2,
+    // but the gate filters to batch_id < 2 — no self-collision, 6 survives
+    // again; doc 5 still collides with doc 4's batch-1 bands
+    assert(Streams.nearDupGateBatch(b2, wh, "band_index", out, 2L, "doc_id", "text", 4))
+    assert(committedIds == Set(1L, 2L, 4L, 6L))
+    // a pure replay (marker present) is a no-op
+    assert(!Streams.nearDupGateBatch(b2, wh, "band_index", out, 2L, "doc_id", "text", 4))
+    // the index holds each band once, tagged with the batch that FIRST
+    // contributed it (replays and re-merges cannot grow or re-own rows)
+    val idx = wh.read("band_index")
+    assert(idx.groupBy("band_idx", "band_key").count()
+      .filter($"count" > 1).count() == 0L)
+  }
 }
