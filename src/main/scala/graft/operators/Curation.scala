@@ -238,6 +238,34 @@ object Curation {
         col("score"))
   }
 
+  /** Mean inverse-frequency rarity score per document — the perplexity
+    * PROXY of a unigram LM without transcendental math: rarity of a token
+    * is `corpusTokens DIV count(token)` (average tokens per occurrence —
+    * high for rare vocabulary), and a document's score is the integer mean
+    * over its tokens. The standard OOV/garbage detector of a pretraining
+    * pipeline (OCR noise, codes, lorem-garbage score high; ordinary prose
+    * low), engine-exact end-to-end: every step is counting and integer
+    * division, so the DuckDB oracle reproduces it bit-for-bit where a
+    * log-space perplexity would drift in the last ulps.
+    *
+    * Scale: one token-keyed shuffle (the tf join — the same shape as TF-IDF)
+    * plus the per-doc aggregate; the 1-row token total is broadcast; text
+    * never moves after the map-side explode.
+    *
+    * Returns (idCol, n_tokens, rarity) for every doc with >= 1 token.
+    */
+  def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n_total"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("inv", expr("n_total DIV c"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n_tokens"),
+        expr("CAST(SUM(inv) DIV COUNT(1) AS BIGINT)").as("rarity"))
+  }
+
   /** Linear quality classifier over engine-exact integer features — the
     * fasttext-style quality gate of a pretraining pipeline, reduced to
     * arithmetic both engines reproduce bit-for-bit: ratios are ppm-scaled

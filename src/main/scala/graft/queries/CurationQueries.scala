@@ -254,6 +254,25 @@ object CurationQueries {
                CAST(SUM(score) AS DOUBLE) / COUNT(*) AS avg_score
         FROM sc GROUP BY source ORDER BY source""")),
 
+    // ----- unigram rarity score (perplexity proxy without logs): mean
+    // inverse token frequency per doc — the OOV/garbage detector. Every
+    // step is counting + integer DIV, bit-exact across engines.
+    Q("q_text_rarity",
+      (s, dir) =>
+        Curation.rarityScore(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH tk AS (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents),
+        c AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+        tot AS (SELECT SUM(c) AS n_total FROM c),
+        j AS (SELECT doc_id, n_total // c AS inv
+              FROM tk JOIN c USING (tok) CROSS JOIN tot)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(inv) // COUNT(*) AS BIGINT) AS rarity
+        FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
     // ----- token-budget corpus selection: greedy best-quality-first prefix
     // under a token budget ("fill the training budget"). The oracle is the
     // brute-force global ordered cumsum; the Spark plan reaches the SAME

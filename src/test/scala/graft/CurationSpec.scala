@@ -184,6 +184,21 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, -255000L, false), (2L, 510000L, true)))
   }
 
+  test("rarity score: hand-computed ints; rare vocabulary outranks common prose") {
+    // corpus: "the" ×6, "cat" ×2, "qzx" ×1, "wvk" ×1 → n_total = 10
+    // inv: the → 10 DIV 6 = 1; cat → 10 DIV 2 = 5; qzx/wvk → 10
+    val df = Seq(
+      (1L, "the the the cat"),          // (1+1+1+5) DIV 4 = 2
+      (2L, "the the the cat"),          // same again
+      (3L, "qzx wvk")).toDF("doc_id", "text") // (10+10) DIV 2 = 10
+    val rows = Curation.rarityScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 4L, 2L), (2L, 4L, 2L), (3L, 2L, 10L)))
+    // the garbage doc (unique junk vocabulary) outranks the prose docs
+    assert(rows.maxBy(_._3)._1 == 3L)
+  }
+
   test("SCD2: consecutive duplicates collapse, intervals chain, current open") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
