@@ -238,6 +238,28 @@ object Curation {
         col("score"))
   }
 
+  /** Top-k most frequent ADJACENT token pairs — one training step of a BPE
+    * tokenizer, distributed (the trainer repeatedly merges the most frequent
+    * adjacent pair; this surfaces the merge candidates over the whole
+    * corpus). Completes the tokenizer story: q_text_vocab builds the
+    * vocabulary, BpeExpressions applies a merge table, and this mines the
+    * merges. Ties at the cut rank break on the pair string, so the answer
+    * is a total order both engines reproduce.
+    *
+    * Scale: pair explosion is map-side (narrow), the count is one hash-agg
+    * shuffle with map-side partials keyed on the pair, and the top-k is a
+    * TakeOrdered (per-partition heap + driver merge of k) — never a full
+    * sort of the pair vocabulary.
+    */
+  def bpeMergeCandidates(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.withColumn("__t", TextFns.tokens(col(textCol)))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', element_at(__t, i + 2)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+
   /** Mean inverse-frequency rarity score per document — the perplexity
     * PROXY of a unigram LM without transcendental math: rarity of a token
     * is `corpusTokens DIV count(token)` (average tokens per occurrence —
@@ -255,10 +277,16 @@ object Curation {
     * Returns (idCol, n_tokens, rarity) for every doc with >= 1 token.
     */
   def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok"))
-    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // tokens are hashed to 64-bit keys map-side, so the count shuffle and
+    // the tf join move (long, long) rows, never token strings — the same
+    // discipline as the shingle family (collision odds ~vocab²/2⁻⁶⁴, and a
+    // collision at fixture scale would fail the oracle gate loudly)
+    val toks = df
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("__h"))
+    val counts = toks.groupBy(col("__h")).agg(count(lit(1)).as("c"))
     val total = counts.agg(sum(col("c")).as("n_total"))
-    toks.join(counts, "tok")
+    toks.join(counts, "__h")
       .crossJoin(broadcast(total))
       .withColumn("inv", expr("n_total DIV c"))
       .groupBy(col(idCol))

@@ -254,6 +254,22 @@ object CurationQueries {
                CAST(SUM(score) AS DOUBLE) / COUNT(*) AS avg_score
         FROM sc GROUP BY source ORDER BY source""")),
 
+    // ----- BPE merge-candidate mining: the most frequent adjacent token
+    // pairs over the corpus — one training step of a BPE tokenizer,
+    // distributed. Top-k is a TakeOrdered heap; ties break on the pair.
+    Q("q_text_bpe_merges",
+      (s, dir) =>
+        Curation.bpeMergeCandidates(t(s, dir, "documents"), "text", 20)
+          .orderBy(col("n").desc, col("pair")),
+      Some("""
+        WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+        p AS (SELECT unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1])) AS pair
+              FROM tk WHERE len(t) >= 2)
+        SELECT pair, COUNT(*) AS n FROM p
+        GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+
     // ----- unigram rarity score (perplexity proxy without logs): mean
     // inverse token frequency per doc — the OOV/garbage detector. Every
     // step is counting + integer DIV, bit-exact across engines.

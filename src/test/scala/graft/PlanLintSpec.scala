@@ -132,6 +132,21 @@ class PlanLintSpec extends AnyFunSuite {
     assert(plan("q_text_vocab").contains("TakeOrderedAndProject"))
   }
 
+  test("BPE merge mining tops-k via TakeOrdered over one hash-agg") {
+    assert(plan("q_text_bpe_merges").contains("TakeOrderedAndProject"))
+  }
+
+  test("rarity score shuffles hashed token longs, never token strings") {
+    assert(plan("q_text_rarity").contains("xxhash64"),
+      "rarity tf join keys on raw token strings")
+  }
+
+  test("diversity sample buckets map-side and caps on the heap operator") {
+    val p = plan("q_sample_diverse")
+    assert(p.toLowerCase.contains("lshbucketq"), "bucket kernel not in plan")
+    assert(p.contains("TopKPerGroup"), "per-bucket cap is not the heap operator")
+  }
+
   test("unicode normalization runs as the codegen kernel, map-side") {
     val p = plan("q_text_normalize")
     assert(p.toLowerCase.contains("normalizetext"), "kernel not in plan")
