@@ -28,7 +28,8 @@ object Soak {
     "q_asof_join",           // union+window point-in-time join
     "q_range_join",          // banded range join
     "q_sessionize_gap",      // double-window sessionization on one shuffle
-    "q_outlier_iqr")         // rank-quartiles + broadcast fence join
+    "q_outlier_iqr",         // rank-quartiles + broadcast fence join
+    "q_sample_diverse")      // map-side LSH buckets + heap cap
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
@@ -199,6 +200,14 @@ object Soak {
               Seq("a", "the"), 250000L)
             .groupBy(col("source"))
             .agg(count(when(col("keep"), 1)).as("n_keep")).count()
+        },
+        // hashed-long token shuffle + per-doc agg (the TF-IDF join shape)
+        "text_rarity" -> { dir =>
+          graft.operators.Curation.rarityScore(docs(dir), "doc_id", "text").count()
+        },
+        // map-side pair explode + one hash-agg + TakeOrdered heap
+        "text_bpe_merges" -> { dir =>
+          graft.operators.Curation.bpeMergeCandidates(docs(dir), "text", 20).count()
         })
       println(f"${"dedup op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (docs x$dedupFactor, dfcut)")
       runs.foreach { case (name, f) =>

@@ -284,6 +284,37 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
   }
 
+  /** Multiprobe LSH ANN top-k: scores the query's own bucket PLUS every
+    * bucket at Hamming distance 1 (one sign-bit flip) — the standard recall
+    * lever at zero index cost. A vector whose projection is near one
+    * hyperplane lands across that bucket boundary; probing the flip
+    * recovers it. Candidates are a strict superset of [[lshTopK]]'s, so
+    * multiprobe recall >= single-probe recall for every query (spec-pinned
+    * as an exact property, not a statistical one).
+    *
+    * Scale: the candidate side is untouched (still one bucket id per row,
+    * the write-partition key); only the broadcast-small probe side fans out
+    * ×(nBits+1). The join stays a bucket equi-join — never a distance
+    * predicate.
+    */
+  def lshMultiProbeTopK(queries: DataFrame, candidates: DataFrame,
+                        nBits: Int, k: Int): DataFrame = {
+    val probes = withNorm(queries, "qe", "qn")
+      .withColumn("__b0", lshBucket("qe", nBits))
+      .withColumn("bucket", explode(array(
+        (col("__b0") +: (0 until nBits).map(j =>
+          col("__b0").bitwiseXOR(lit(1L << j)))): _*)))
+      .drop("__b0")
+    val c = withNorm(candidates, "ce", "cn").withColumn("bucket", lshBucket("ce", nBits))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("similarity").desc, col("c_id"))
+    c.join(broadcast(probes), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates are scored only inside the query's
     * bucket. Recall < 1 by construction; nBits trades recall for speed.
     */

@@ -118,6 +118,63 @@ object VectorQueries {
         FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
       }),
 
+    // ----- multiprobe LSH ANN: the query probes its own 6-bit bucket PLUS
+    // every bucket one sign-flip away — the recall lever at zero index
+    // cost. Candidates stay single-bucketed (probe-side-only fan-out); the
+    // probe list is distinct buckets so no (q,c) pair scores twice.
+    Q("q_ann_lsh_multiprobe",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("bucket", VectorFns.lshBucketQ(col("qv"), 6))
+          .withColumn("norm", sqrt(VectorFns.dotQDouble(col("qv"), col("qv"))))
+        val q0 = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qv").as("qe"),
+                  col("norm").as("qn"), col("bucket").as("b0"))
+        val q = q0.withColumn("bucket", explode(array(
+            (col("b0") +: (0 until 6).map(j =>
+              col("b0").bitwiseXOR(lit(1L << j)))): _*)))
+          .drop("b0")
+        val c = e.select(col("vec_id").as("c_id"), col("qv").as("ce"),
+                  col("norm").as("cn"), col("bucket"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        c.join(broadcast(q), Seq("bucket"))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos", VectorFns.dotQDouble(col("qe"), col("ce")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("similarity"), col("rank"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val bucketSql = (0 until 6)
+          .map(j => s"CASE WHEN ${VectorFns.signProjectionSql("embedding", j)} > 0 " +
+                    s"THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                   FROM embeddings),
+        q0 AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn, bucket AS b0
+               FROM e WHERE vec_id < 5),
+        q AS (SELECT q_id, qe, qn,
+                     unnest([b0] || list_transform(range(0, 6),
+                       j -> xor(b0, CAST(1 << j AS BIGINT)))) AS bucket
+              FROM q0),
+        c AS (SELECT vec_id AS c_id, embedding AS ce, norm AS cn, bucket FROM e),
+        p AS (
+          SELECT q_id, c_id, ${VectorFns.dotSql("qe", "ce")} / (qn * cn) AS cos
+          FROM q JOIN c USING (bucket) WHERE q_id <> c_id
+        ), r AS (
+          SELECT q_id, c_id, cos,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rank
+          FROM p)
+        SELECT q_id, c_id, round(cos, 6) AS similarity, rank
+        FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
+      }),
+
     // ----- embedding near-dup pairs within 8-bit LSH buckets (label-0 slice:
     // near-dup detection normally runs per-shard; norms precomputed)
     Q("q_dedup_embedding",

@@ -292,6 +292,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("multiprobe LSH: strict candidate superset of single-probe, recall never lower") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(q, c, 5).select($"q_id", $"c_id"))
+    val single = pairs(Similarity.lshTopK(q, c, 6, 5).select($"q_id", $"c_id"))
+    val multi = pairs(Similarity.lshMultiProbeTopK(q, c, 6, 5).select($"q_id", $"c_id"))
+    val rs = (exact & single).size
+    val rm = (exact & multi).size
+    assert(rm >= rs, s"multiprobe recall $rm < single-probe $rs")
+    // exactness of the property, not a statistical claim: every single-probe
+    // candidate bucket is probed by multiprobe too, so any exact hit single
+    // finds, multi can only displace with a MORE similar candidate
+    assert(single.nonEmpty && multi.nonEmpty)
+  }
+
   test("incremental near-dup gate: persisted band index equals recompute path") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents")
       .select($"doc_id", $"text")
