@@ -295,6 +295,46 @@ object Soak {
       val s2 = runEtl(fS, whS); val b2 = runEtl(fB, whB)
       println(f"${"etl idempotent rerun"}%-24s $s2%10.2f $b2%10.2f ${b2 / s2}%7.1f")
     }
+
+    // ---- skewed-join remedies, measured (the 100 TB straggler case): 90%
+    // of the big side shares ONE key, broadcast is disabled (the two-big-
+    // tables scenario where skew actually bites), and the same join runs
+    // three ways — plain sort-merge (the straggler), sort-merge with AQE's
+    // skew split (thresholds lowered so it fires at fixture scale), and the
+    // planner-independent salted form (SkewJoin.saltedJoin). Enable:
+    // SPARK_GRAFT_SOAK_SKEW=1.
+    if (sys.env.getOrElse("SPARK_GRAFT_SOAK_SKEW", "0") == "1") {
+      def bigSide(dir: String) = Tables.load(spark, dir, "lineitem")
+        .select(when(pmod(col("l_orderkey"), lit(100L)) < 99, lit(1L))
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      def dimSide(dir: String) = bigSide(dir).select(col("k")).distinct()
+        .withColumn("payload", col("k") * 2 + 1)
+      def runSkew(name: String, f: String => Long): Unit = {
+        f(small); val t1 = time(f(small)); f(big); val t2 = time(f(big))
+        println(f"$name%-24s $t1%10.2f $t2%10.2f ${t2 / t1}%7.1f")
+      }
+      val conf = spark.conf
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        println(f"${"skew remedy"}%-24s ${"small (s)"}%10s ${"big (s)"}%10s ${"ratio"}%7s (99%% of rows on one key)")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        runSkew("skew_plain_smj", dir =>
+          bigSide(dir).join(dimSide(dir), "k").count())
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+        runSkew("skew_plain_aqe_split", dir =>
+          bigSide(dir).join(dimSide(dir), "k").count())
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        runSkew("skew_salted_x8", dir => graft.operators.SkewJoin.saltedJoin(
+          bigSide(dir), dimSide(dir), "k", 8).count())
+      } finally {
+        conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        conf.unset("spark.sql.adaptive.skewJoin.enabled")
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+    }
     spark.stop()
   }
 

@@ -229,28 +229,54 @@ object Similarity {
     }: _*)
   }
 
-  /** PQ + ADC ANN top-k with exact re-rank.
-    *
-    * Candidates carry only (id, codes, norm); each query builds its
-    * asymmetric-distance lookup tables (dot of the query sub-vector with
-    * every centroid — m·kCent doubles, map-side from the broadcast
-    * codebooks), approximates dot(q,c) as the sum of table lookups at the
-    * candidate's codes, heap-selects `rerank` candidates per query on the
-    * approximate cosine, and re-scores ONLY those against true embeddings
-    * for the final exact top-k ranking.
-    *
-    * Scale: the scan side touches codes+norm (bytes, not vectors); true
-    * embeddings are fetched by an equi-join on the ~queries·rerank
-    * surviving ids. Recall is a parameter (rerank/kCent trade): spec-bounded
-    * rather than oracle-gated, because ADC is lossy by construction.
+  /** The PQ index frame for a candidate set: (c_id, codes, cn) — the
+    * production index layout (bytes per vector, not floats). PERSIST THIS
+    * (with [[pqCodebooksDf]]) via `Warehouse.write`: the index is built
+    * once and served to every query session; re-encoding the corpus per
+    * query would defeat PQ's purpose.
     */
-  def pqTopK(queries: DataFrame, candidates: DataFrame,
-             codebooks: Array[Array[Array[Double]]], k: Int, rerank: Int): DataFrame = {
+  def pqIndex(candidates: DataFrame, codebooks: Array[Array[Array[Double]]]): DataFrame =
+    withNorm(candidates, "ce", "cn")
+      .select(col("c_id"), pqEncode("ce", codebooks).as("codes"), col("cn"))
+
+  /** Codebooks as a persistable frame: (subspace, centroid, dim, value) —
+    * m·kCent·subdim rows, KBs. The inverse of [[pqCodebooksFromDf]].
+    */
+  def pqCodebooksDf(spark: org.apache.spark.sql.SparkSession,
+                    codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    codebooks.indices.flatMap { j =>
+      codebooks(j).indices.flatMap { c =>
+        codebooks(j)(c).indices.map { d =>
+          (j, c, d, codebooks(j)(c)(d))
+        }
+      }
+    }.toDF("subspace", "centroid", "dim", "value")
+  }
+
+  /** Rebuild driver-side codebooks from a persisted [[pqCodebooksDf]] frame.
+    * Bounded collect by construction: the frame is m·kCent·subdim doubles.
+    */
+  def pqCodebooksFromDf(df: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = df.select(col("subspace"), col("centroid"), col("dim"), col("value"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    rows.groupBy(_._1).toArray.sortBy(_._1).map { case (_, bySub) =>
+      bySub.groupBy(_._2).toArray.sortBy(_._1).map { case (_, byCent) =>
+        byCent.sortBy(_._3).map(_._4)
+      }
+    }
+  }
+
+  /** [[pqTopK]] against a pre-built (typically warehouse-persisted) index
+    * frame — the serving path: the scan side touches codes + norm only;
+    * true embeddings are fetched for the shortlist re-rank alone.
+    */
+  def pqTopKWithIndex(queries: DataFrame, index: DataFrame, candidates: DataFrame,
+                      codebooks: Array[Array[Array[Double]]], k: Int,
+                      rerank: Int): DataFrame = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
-    // candidate side: codes + norm only (the production PQ index layout)
-    val cIdx = withNorm(candidates, "ce", "cn")
-      .select(col("c_id"), pqEncode("ce", codebooks).as("codes"), col("cn"))
+    val cIdx = index.select(col("c_id"), col("codes"), col("cn"))
     // query side: ADC tables as one flat array — lut[j*kCent + code]
     val lutCol = array(codebooks.indices.flatMap { j =>
       codebooks(j).indices.map { c =>
@@ -283,6 +309,28 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
   }
+
+  /** PQ + ADC ANN top-k with exact re-rank (index built inline).
+    *
+    * Candidates carry only (id, codes, norm); each query builds its
+    * asymmetric-distance lookup tables (dot of the query sub-vector with
+    * every centroid — m·kCent doubles, map-side from the broadcast
+    * codebooks), approximates dot(q,c) as the sum of table lookups at the
+    * candidate's codes, heap-selects `rerank` candidates per query on the
+    * approximate cosine, and re-scores ONLY those against true embeddings
+    * for the final exact top-k ranking.
+    *
+    * Scale: the scan side touches codes+norm (bytes, not vectors); true
+    * embeddings are fetched by an equi-join on the ~queries·rerank
+    * surviving ids. Recall is a parameter (rerank/kCent trade): spec-bounded
+    * rather than oracle-gated, because ADC is lossy by construction. In
+    * production, build the index once ([[pqIndex]] + [[pqCodebooksDf]]
+    * through the warehouse) and serve via [[pqTopKWithIndex]].
+    */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+             codebooks: Array[Array[Array[Double]]], k: Int, rerank: Int): DataFrame =
+    pqTopKWithIndex(queries, pqIndex(candidates, codebooks), candidates,
+      codebooks, k, rerank)
 
   /** Multiprobe LSH ANN top-k: scores the query's own bucket PLUS every
     * bucket at Hamming distance 1 (one sign-bit flip) — the standard recall

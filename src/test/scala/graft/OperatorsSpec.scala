@@ -292,6 +292,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("PQ index persists through the warehouse and serves identically") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val books = Similarity.pqTrain(c.select($"ce".as("embedding")), "embedding", 8, 16)
+    // build once, persist codes + codebooks as warehouse tables
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-pqidx").toString)
+    wh.write("pq_codes", Similarity.pqIndex(c, books))
+    wh.write("pq_codebooks", Similarity.pqCodebooksDf(spark, books))
+    // reload cold: codebooks roundtrip exactly, serving equals inline build
+    val books2 = Similarity.pqCodebooksFromDf(wh.read("pq_codebooks"))
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val inline = res(Similarity.pqTopK(q, c, books, 5, rerank = 50))
+    val served = res(Similarity.pqTopKWithIndex(q, wh.read("pq_codes"), c,
+      books2, 5, rerank = 50))
+    assert(served == inline)
+  }
+
   test("multiprobe LSH: strict candidate superset of single-probe, recall never lower") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter($"vec_id" < 10)
