@@ -336,6 +336,89 @@ object Streams {
       }
       .start()
 
+  // ---------------------------------------------------------------------
+  // Streaming corpus ingestion: the FULL crawl-intake pipeline as one
+  // continuous query — quality gate → PII scrub → intra-batch exact dedup
+  // → cross-batch exact dedup (fingerprint index) → cross-batch near-dup
+  // gate (MinHash band index) → idempotent sink — composing the
+  // oracle-gated batch operators it names. This is what a 100 TB crawl
+  // pipeline actually runs: only each day's batch pays sketch cost, the
+  // corpus is never re-deduped, and both indexes grow by survivors only.
+  //
+  // Replay safety is the near-dup gate's min-batch-id design applied to
+  // BOTH indexes: index rows carry the batch that first contributed them,
+  // tagging filters to batch_id < current, and re-merges are no-ops.
+  // Intra-batch near-dups are (deliberately) not examined — the same
+  // one-sided contract as Dedup.tagNearDupAgainstIndex.
+  // ---------------------------------------------------------------------
+
+  /** Fingerprint-index table schema for the streaming ingest. */
+  val fpIndexSchema: StructType = StructType(Seq(
+    StructField("fp", StringType), StructField("batch_id", LongType)))
+
+  /** The foreachBatch body of the corpus-ingest pipeline, callable directly.
+    * Returns false when `batchId` was already fully committed.
+    */
+  def corpusIngestBatch(batch: DataFrame, wh: graft.airbnb.Warehouse,
+      outDir: String, batchId: Long, idCol: String, textCol: String,
+      minTokens: Int, shingleK: Int, bands: Int = 2): Boolean = {
+    import graft.functions.TextFns
+    val spark = batch.sparkSession
+    val dir = batchDir(outDir, batchId)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dir, "_COMMITTED"))) return false
+    // 1-2. quality gate (map-side token floor) + PII scrub
+    val gated = batch
+      .filter(TextFns.tokenCount(col(textCol)) >= minTokens)
+      .withColumn(textCol, TextFns.piiScrub(col(textCol)))
+    // 3. intra-batch exact dedup: min-id survivor per identical content
+    val survivorsIntra = gated.join(
+      graft.operators.Dedup.exact(gated, idCol, Seq(textCol)).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    // 4. cross-batch exact dedup against the fingerprint index
+    val fpIdx = wh.readOrEmpty("fp_index", fpIndexSchema)
+    val afterExact = graft.operators.Dedup.tagAgainstIndex(
+        survivorsIntra, fpIdx.filter(col("batch_id") < batchId), textCol)
+      .filter(col("is_novel")).drop("is_novel", "fp")
+    // 5. cross-batch near-dup gate against the band index
+    val bandIdx = wh.readOrEmpty("band_index", bandIndexSchema)
+    val tags = graft.operators.Dedup.tagAgainstBandIndex(
+      afterExact, bandIdx.filter(col("batch_id") < batchId), idCol, textCol,
+      shingleK, bands)
+    val accepted = afterExact.join(tags, Seq(idCol), "left")
+      .filter(!coalesce(col("is_near_dup"), lit(false)))
+      .drop("is_near_dup")
+      .localCheckpoint(true) // both index swaps below invalidate its lineage
+    try {
+      wh.write("fp_index", fpIdx.unionByName(
+          accepted.select(md5(col(textCol)).as("fp")).withColumn("batch_id", lit(batchId)))
+        .groupBy(col("fp")).agg(min(col("batch_id")).as("batch_id")))
+      wh.write("band_index", bandIdx.unionByName(
+          graft.operators.Dedup.bandIndex(accepted, idCol, textCol, shingleK, bands)
+            .withColumn("batch_id", lit(batchId)))
+        .groupBy(col("band_idx"), col("band_key")).agg(min(col("batch_id")).as("batch_id")))
+      writeBatchIdempotent(accepted, outDir, batchId)
+    } finally accepted.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Start the streaming corpus-ingest pipeline on a documents stream. */
+  def startCorpusIngest(docs: DataFrame, wh: graft.airbnb.Warehouse,
+      outDir: String, checkpointDir: String, idCol: String, textCol: String,
+      minTokens: Int = 5, shingleK: Int = 4, bands: Int = 2,
+      queryName: String = "corpus_ingest"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        corpusIngestBatch(batch.toDF(), wh, outDir, batchId, idCol, textCol,
+          minTokens, shingleK, bands): Unit
+      }
+      .start()
+
   /** Read the sink's committed output: only batch directories bearing the
     * _COMMITTED marker participate, so readers never observe a torn batch.
     */

@@ -201,6 +201,64 @@ class StreamsSpec extends AnyFunSuite {
     assert(Streams.readCommitted(spark, direct).count() == 1L)
   }
 
+  test("streaming corpus ingest: gate, scrub, both dedup indexes, crash-replay") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-ingest-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-ingest-ckp").toString
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-ingest-wh").toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream = spark.readStream.schema(schema).parquet(src.toString)
+    def addDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-one")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(name))
+    }
+    def committed = Streams.readCommitted(spark, out)
+    def committedIds = committed.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten eleven twelve"
+    val tBnear = tB + " thirteen" // keeps all of tB's shingles: a near-dup
+    val tC = "contact someone@example.org red orange yellow green blue indigo violet cyan"
+    val tD = "north south east west up down left right front back"
+
+    // batch 0: two good docs seed both indexes; the 2-token doc is gated out
+    addDocs("b0.parquet", Seq(1L -> tA, 2L -> tB, 3L -> "too short"))
+    val q0 = Streams.startCorpusIngest(stream, wh, out, ckp, "doc_id", "text",
+      minTokens = 5, shingleK = 4, queryName = "ingest_0")
+    try q0.processAllAvailable() finally q0.stop()
+    assert(committedIds == Set(1L, 2L))
+
+    // batch 1: 4 = exact cross-batch dup (fp index); 5 = near-dup of 2
+    // (band index); 6/7 = intra-batch exact dups (min id survives, scrubbed)
+    addDocs("b1.parquet", Seq(4L -> tA, 5L -> tBnear, 6L -> tC, 7L -> tC))
+    val q1 = Streams.startCorpusIngest(stream, wh, out, ckp, "doc_id", "text",
+      minTokens = 5, shingleK = 4, queryName = "ingest_1")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(committedIds == Set(1L, 2L, 6L))
+    val scrubbed = committed.filter($"doc_id" === 6L)
+      .select("text").collect().head.getString(0)
+    assert(scrubbed.contains("[EMAIL]") && !scrubbed.contains("example.org"), scrubbed)
+
+    // crash drill: batch 2 completes, its committed output is deleted while
+    // both index merges stay — the death window between swaps and marker
+    val b2 = Seq(8L -> tD, 9L -> tA).toDF("doc_id", "text")
+    assert(Streams.corpusIngestBatch(b2, wh, out, 2L, "doc_id", "text", 5, 4))
+    val b2dir = new org.apache.hadoop.fs.Path(out, "batch-000000002")
+    val gfs = b2dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(gfs.delete(b2dir, true), "no batch-2 output to crash")
+    // replay: doc 8's fp and bands are in the indexes under batch_id=2, but
+    // both gates filter to batch_id < 2 — 8 survives again, 9 stays dropped
+    assert(Streams.corpusIngestBatch(b2, wh, out, 2L, "doc_id", "text", 5, 4))
+    assert(committedIds == Set(1L, 2L, 6L, 8L))
+    assert(!Streams.corpusIngestBatch(b2, wh, out, 2L, "doc_id", "text", 5, 4))
+  }
+
   test("streaming near-dup gate tags across batches and survives crash-replay") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val src = java.nio.file.Files.createTempDirectory("graft-gate-src")
