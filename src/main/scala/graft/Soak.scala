@@ -29,7 +29,8 @@ object Soak {
     "q_range_join",          // banded range join
     "q_sessionize_gap",      // double-window sessionization on one shuffle
     "q_outlier_iqr",         // rank-quartiles + broadcast fence join
-    "q_sample_diverse")      // map-side LSH buckets + heap cap
+    "q_sample_diverse",      // map-side LSH buckets + heap cap
+    "q_ann_lsh_multiprobe")  // probe-side-only bucket fan-out
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

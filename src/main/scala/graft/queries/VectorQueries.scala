@@ -212,6 +212,56 @@ object VectorQueries {
         ORDER BY a_id, b_id"""
       }),
 
+    // ----- SEMANTIC dedup clusters: embedding near-dup pairs (LSH-bucketed
+    // cosine) closed into connected components — the survivorship unit of
+    // embedding-space dedup, where textual dedup misses paraphrases. The
+    // same bounded-round min-label propagation as q_dedup_components, fed
+    // by vector pairs instead of shingle pairs; oracle is the recursive
+    // closure over the identical pair SQL.
+    Q("q_dedup_embedding_components",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("label") === 0)
+          .withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("bucket", VectorFns.lshBucketQ(col("qv"), 8))
+          .withColumn("norm", sqrt(VectorFns.dotQDouble(col("qv"), col("qv"))))
+        val a = e.select(col("vec_id").as("a_id"), col("qv").as("ae"),
+                         col("norm").as("an"), col("bucket"))
+        val b = e.select(col("vec_id").as("b_id"), col("qv").as("be"),
+                         col("norm").as("bn"), col("bucket"))
+        val pairs = a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+          .withColumn("cos", VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")))
+          .filter(round(col("cos"), 6) >= 0.2)
+          .select(col("a_id"), col("b_id"))
+        graft.CkptCycle.cycle("q_dedup_embedding_components",
+            graft.operators.Components.connectedComponents(pairs, "a_id", "b_id"))
+          .orderBy(col("node"))
+      },
+      Some {
+        val bucketSql = (0 until 8)
+          .map(j => s"CASE WHEN ${VectorFns.signProjectionSql("embedding", j)} > 0 " +
+                    s"THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket,
+                 sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+          FROM embeddings WHERE label = 0),
+        a AS (SELECT vec_id AS a_id, embedding AS ae, norm AS an, bucket FROM e),
+        b AS (SELECT vec_id AS b_id, embedding AS be, norm AS bn, bucket FROM e),
+        p AS (
+          SELECT a_id, b_id, ${VectorFns.dotSql("ae", "be")} / (an * bn) AS cos
+          FROM a JOIN b USING (bucket) WHERE a_id < b_id),
+        pairs AS (SELECT a_id, b_id FROM p WHERE round(cos, 6) >= 0.2),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(node, r) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT reach.node, e2.dst FROM reach JOIN edges e2 ON reach.r = e2.src)
+        SELECT node, LEAST(node, MIN(r)) AS component_id
+        FROM reach GROUP BY node ORDER BY node"""
+      }),
+
     // ----- per-label embedding norm statistics (zip_with/aggregate surface)
     // avg is over *squared* norms: those stay in exact decimal end-to-end,
     // whereas averaging sqrt() doubles would re-quantize irrational doubles
