@@ -1223,7 +1223,89 @@ object CoreQueries {
                min(us) AS start_us, max(us) AS end_us,
                ${dsumSql("value")} AS sum_value
         FROM sessed GROUP BY user_id, sess_id
-        ORDER BY user_id, sess_id"""))
+        ORDER BY user_id, sess_id""")),
+
+    // ----- (beyond ref, §2.11 family) snapshot table diff — the CDC export
+    // a warehouse emits after each load so subscribers never re-read the
+    // world. One full-outer key shuffle; null-safe column compare map-side.
+    // The new snapshot is derived in-query on both engines: %13 keys
+    // deleted, %7 prices bumped (updates), %11 keys re-inserted shifted
+    // (inserts).
+    Q("q_table_diff",
+      (s, dir) => {
+        val old = t(s, dir, "orders")
+        val upd = old.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 100)
+              .otherwise(col("o_totalprice")))
+        val ins = old.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        graft.operators.TableDiff.diff(old, upd.unionByName(ins), Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH newt AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+                      ELSE o_totalprice END AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 13 <> 0
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 11 = 0)
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+                      OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                      OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                      OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+                      OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                    THEN 'update' END AS change
+        FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+        WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+               OR (o.o_custkey IS DISTINCT FROM n.o_custkey)
+               OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+               OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+               OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+               OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority))
+        ORDER BY o_orderkey""")),
+
+    // ----- (beyond ref) declarative data-quality checks in ONE job: each
+    // row-level predicate is a conditional count in a single aggregate —
+    // adding a check costs zero extra scans. negative_balance is the
+    // deliberately nonzero row (TPC-H carries negative balances).
+    Q("q_quality_checks",
+      (s, dir) =>
+        graft.operators.QualityChecks.run(t(s, dir, "customer"), Seq(
+            "acctbal_out_of_range" -> !col("c_acctbal").between(-999.99, 9999.99),
+            "bad_segment" -> !col("c_mktsegment").isin(
+              "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+            "name_format" -> !col("c_name").startsWith("Customer#"),
+            "negative_balance" -> (col("c_acctbal") < 0),
+            "null_custkey" -> col("c_custkey").isNull))
+          .orderBy(col("check_name")),
+      Some("""
+        SELECT 'acctbal_out_of_range' AS check_name,
+               COUNT(CASE WHEN NOT (c_acctbal BETWEEN -999.99 AND 9999.99) THEN 1 END) AS n_violations
+        FROM customer
+        UNION ALL
+        SELECT 'bad_segment',
+               COUNT(CASE WHEN c_mktsegment NOT IN
+                 ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 END)
+        FROM customer
+        UNION ALL
+        SELECT 'name_format',
+               COUNT(CASE WHEN c_name NOT LIKE 'Customer#%' THEN 1 END)
+        FROM customer
+        UNION ALL
+        SELECT 'negative_balance', COUNT(CASE WHEN c_acctbal < 0 THEN 1 END)
+        FROM customer
+        UNION ALL
+        SELECT 'null_custkey', COUNT(CASE WHEN c_custkey IS NULL THEN 1 END)
+        FROM customer
+        ORDER BY check_name"""))
   )
 
   /** Shared inputs for the J7 MERGE rewrite: staging = updated balances for

@@ -292,6 +292,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("table diff: insert/delete/update classified, null-safe, unchanged dropped") {
+    val old = Seq((1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("c"), 30.0),
+        (4L, Some("d"), 40.0))
+      .toDF("k", "v", "x")
+    val neu = Seq((1L, Some("a"), 10.0),          // unchanged → no row
+        (2L, Some("b"), 20.0),                    // null → value: update
+        (4L, Some("d"), 41.0),                    // value change: update
+        (5L, None, 50.0))                         // new key (with a null): insert
+      .toDF("k", "v", "x")                        // key 3 absent: delete
+    val got = graft.operators.TableDiff.diff(old, neu, Seq("k"))
+      .orderBy($"k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((2L, "update"), (3L, "delete"), (4L, "update"), (5L, "insert")))
+  }
+
+  test("quality checks run in one aggregate and count NULL-predicate rows sanely") {
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, Double.NaN)).toDF("id", "v")
+    val got = graft.operators.QualityChecks.run(df, Seq(
+        "negative" -> ($"v" < 0), "null_id" -> $"id".isNull))
+      .orderBy($"check_name").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("negative", 1L), ("null_id", 0L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.QualityChecks.run(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
   test("PQ index persists through the warehouse and serves identically") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter($"vec_id" < 5)
