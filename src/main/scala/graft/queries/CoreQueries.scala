@@ -861,6 +861,61 @@ object CoreQueries {
           ON l.user_id = r.user_id AND l.ts >= r.ts
         ORDER BY l.event_id""")),
 
+    // ----- FORWARD as-of join: for each click, the user's NEXT purchase
+    // at-or-after it — the other half of the merge_asof surface (same
+    // union+window shape, traversal reversed). Oracle: argmin-over-window
+    // formulation (portable regardless of DuckDB ASOF direction support).
+    Q("q_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+            Seq("value", "ts"), forward = true)
+          .select(col("event_id"), col("user_id"),
+                  col("asof_value"), col("asof_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT l.event_id, l.user_id, r.value, r.ts AS rts,
+                 row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts ASC) AS rn
+          FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts)
+        SELECT event_id, user_id, value AS asof_value, rts AS asof_ts
+        FROM j WHERE rn = 1 ORDER BY event_id""")),
+
+    // ----- as-of join with a TOLERANCE: the most recent prior purchase
+    // counts only within 6 hours — the staleness bound every real
+    // point-in-time feature join carries (a quote from last week must not
+    // enrich today's trade). Map-side post-filter on the carried right time.
+    Q("q_asof_tolerance",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"))
+        graft.operators.AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+            Seq("value", "ts"), tolerance = Some(expr("INTERVAL 6 HOUR")))
+          .select(col("event_id"), col("user_id"),
+                  col("asof_value"), col("asof_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        j AS (
+          SELECT l.event_id, l.user_id, r.value, r.ts AS rts,
+                 row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC) AS rn
+          FROM l JOIN r ON l.user_id = r.user_id
+            AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 6 HOUR)
+        SELECT event_id, user_id, value AS asof_value, rts AS asof_ts
+        FROM j WHERE rn = 1 ORDER BY event_id""")),
+
     // ----- banded range join (beyond the reference): events counted inside
     // synthesized 6h–18h maintenance windows on every 3rd day. Spark joins
     // on a day band + exact filter (operators.RangeJoin — a hash join, not
