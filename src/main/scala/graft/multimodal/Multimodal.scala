@@ -113,6 +113,22 @@ object Multimodal {
     }
   }
 
+  /** Uniform frame-sample PLAN from REAL parsed movie headers: `k` sample
+    * timestamps per video at floor(i·duration_ms / k), i in [0, k) — the
+    * distributed half of frame extraction (deciding WHICH frames to pull is
+    * metadata arithmetic over the whole corpus; pulling the pixels is the
+    * out-of-container codec seam). Integer math end-to-end so the plan is
+    * engine-exact, and a narrow explode — the corpus never shuffles to be
+    * scheduled.
+    */
+  def frameSamplePlan(media: Dataset[MediaRow], k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    decodeVideo(media).toDF()
+      .select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L), lit((k - 1).toLong))).as("frame_idx"))
+      .withColumn("sample_ms", expr(s"frame_idx * duration_ms DIV $k"))
+  }
+
   /** Frame-sample stub: pick every `stride`-th byte as a "frame" digest. */
   def frameSample(media: Dataset[MediaRow], stride: Int): DataFrame = {
     // fail fast on the driver: Range.by(0) would otherwise throw per-row

@@ -718,6 +718,35 @@ object TextQueries {
                CAST(132 AS BIGINT) AS n_bytes
         FROM documents ORDER BY doc_id""")),
 
+    // ----- frame-sample plan over the same synthesized MP4 corpus: 4
+    // uniformly-spaced sample timestamps per video from the REAL parsed
+    // movie header — the distributed scheduling half of frame extraction,
+    // engine-exact integer arithmetic (the pixel pull is the codec seam).
+    Q("q_mm_frame_plan",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val timescale = Array(600, 1000, 24000, 90000)((id % 4).toInt)
+            val duration = id * 53 % 10000000
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeMp4(timescale, duration))
+          }
+        graft.multimodal.Multimodal.frameSamplePlan(media, 4)
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT doc_id,
+                 CAST((doc_id * 53 % 10000000) * 1000 //
+                      (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                       WHEN 2 THEN 24000 ELSE 90000 END) AS BIGINT) AS duration_ms
+          FROM documents)
+        SELECT doc_id, duration_ms, CAST(i AS BIGINT) AS frame_idx,
+               CAST(i * duration_ms // 4 AS BIGINT) AS sample_ms
+        FROM v, range(0, 4) t(i)
+        ORDER BY doc_id, frame_idx""")),
+
     // ----- streaming batch-equivalent: tumbling hourly window (the
     // Structured Streaming surface with watermark lives in
     // graft.streaming.Streams and is spec-tested against this result)
