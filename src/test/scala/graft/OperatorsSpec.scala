@@ -67,6 +67,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(unmatched.getAs[String]("asof_v2") == null)
   }
 
+  test("as-of join: forward direction and tolerance boundaries are exact") {
+    val left = Seq((1L, 10L, 100L), (1L, 2L, 200L), (2L, 10L, 300L)).toDF("k", "lt", "lid")
+    val right = Seq((1L, 5L, "r5"), (1L, 10L, "r10"), (1L, 20L, "r20"))
+      .toDF("k", "rt", "v")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"lid").collect().map(r => (r.getLong(2), r.getString(3))).toSeq
+    // backward: lt=10 matches rt=10 (inclusive), lt=2 has no prior → dropped
+    assert(res(AsOfJoin.asof(left, right, "k", "lt", "rt", Seq("v")))
+      == Seq((100L, "r10")))
+    // forward: lt=10 matches rt=10 (inclusive, NOT r20); lt=2 matches r5
+    assert(res(AsOfJoin.asof(left, right, "k", "lt", "rt", Seq("v"), forward = true))
+      == Seq((100L, "r10"), (200L, "r5")))
+    // tolerance: lt=2's nearest forward match r5 is 3 away — tol=3 keeps it,
+    // tol=2 drops it (boundary is inclusive <=)
+    assert(res(AsOfJoin.asof(left, right, "k", "lt", "rt", Seq("v"),
+        forward = true, tolerance = Some(lit(3L))))
+      == Seq((100L, "r10"), (200L, "r5")))
+    assert(res(AsOfJoin.asof(left, right, "k", "lt", "rt", Seq("v"),
+        forward = true, tolerance = Some(lit(2L))))
+      == Seq((100L, "r10")))
+  }
+
   test("numericProfile matches pandas describe() semantics in one pass") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
     val p = Profile.numericProfile(df, Seq("v")).collect().head
