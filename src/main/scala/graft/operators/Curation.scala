@@ -377,6 +377,66 @@ object Curation {
       .select(col("bucket"), col(idCol), col("rank"))
   }
 
+  /** Per-source quota capping (the RefinedWeb/C4 "domain cap"): keep at most
+    * `perSource` documents from each source, best-quality-first — the
+    * anti-concentration step of a corpus mix (one over-crawled domain must
+    * not dominate the training distribution). Ordering is (score DESC,
+    * idCol ASC), so the cut is a total order both engines reproduce.
+    *
+    * Scale: scoring is the map-side [[qualityScore]] projection; the cap
+    * runs on the bounded-heap TopKPerGroup operator — one hash exchange on
+    * the source key, O(n log perSource) per partition, O(sources·perSource)
+    * state, no window sort of the per-source groups (a hot domain with 10⁹
+    * docs costs the heap, not a sort-and-spill).
+    *
+    * Returns (idCol, srcCol, score, rank), rank 1..perSource.
+    */
+  def sourceCap(df: DataFrame, idCol: String, textCol: String, srcCol: String,
+                stopwords: Seq[String], perSource: Int): DataFrame = {
+    require(perSource > 0, s"perSource must be positive: $perSource")
+    val scored = qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
+      .select(col(idCol), col(srcCol), col("score"))
+    graft.plans.TopKPerGroup.topK(scored, Seq(srcCol),
+        Seq(("score", true), (idCol, false)), perSource)
+      .select(col(srcCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Bigram-LM document score — the conditional-probability upgrade of
+    * [[rarityScore]], still free of transcendental math: for every adjacent
+    * token pair (w1, w2), `cond_ppm = (10⁶·c(w1 w2)) DIV c(w1 ·)` is the
+    * integer parts-per-million estimate of P(w2|w1) under the corpus's own
+    * bigram counts (c(w1 ·) counts bigrams starting with w1, the standard
+    * conditional denominator), and a document's score is the integer mean of
+    * its bigrams' cond_ppm. Fluent text built from common transitions scores
+    * high; shuffled/garbage text scores low — the perplexity-filter decision,
+    * engine-exact (counting + integer DIV only, so the DuckDB oracle matches
+    * bit-for-bit where a log-space LM would drift in the last ulps).
+    *
+    * Scale: pair explosion is map-side and both count shuffles + both joins
+    * key on 64-bit hashes of the pair/prefix (the exchanges move (long, long)
+    * rows, never token strings — the shingle-family discipline; a collision
+    * at fixture scale would fail the oracle gate loudly).
+    *
+    * Returns (idCol, n_bigrams, lm_ppm) for every doc with >= 2 tokens.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = df
+      .withColumn("__t", TextFns.tokens(col(textCol)))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', element_at(__t, i + 2)))"))
+        .as("pair"))
+      .select(col(idCol), xxhash64(col("pair")).as("__hp"),
+        xxhash64(substring_index(col("pair"), " ", 1)).as("__hw"))
+    val pairCounts = pairs.groupBy(col("__hp")).agg(count(lit(1)).as("cp"))
+    val prefixCounts = pairs.groupBy(col("__hw")).agg(count(lit(1)).as("cw"))
+    pairs.join(pairCounts, "__hp").join(prefixCounts, "__hw")
+      .withColumn("ppm", expr("(1000000 * cp) DIV cw"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+        expr("CAST(SUM(ppm) DIV COUNT(1) AS BIGINT)").as("lm_ppm"))
+  }
+
   def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                           stopwords: Seq[String], budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")

@@ -289,6 +289,61 @@ object CurationQueries {
                CAST(SUM(inv) // COUNT(*) AS BIGINT) AS rarity
         FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ----- per-source quota cap (RefinedWeb-style domain capping): at most
+    // 10 best-quality docs per source, on the bounded-heap TopKPerGroup
+    // operator — one source-keyed exchange, no per-group sort. The sf0.01
+    // corpus has 25 docs/source, so the cap BINDS at gate scale.
+    Q("q_source_cap",
+      (s, dir) =>
+        Curation.sourceCap(t(s, dir, "documents"), "doc_id", "text", "source",
+            Seq("a", "the"), perSource = 10)
+          .select(col("source"), col("doc_id"),
+            col("score").cast(LongType).as("score"),
+            col("rank").cast(LongType).as("rank"))
+          .orderBy(col("source"), col("rank")),
+      Some(s"""
+        WITH $toksCte,
+        g AS (SELECT doc_id, source, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id, source,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g),
+        r AS (SELECT source, doc_id, score,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY score DESC, doc_id) AS rank
+              FROM sc)
+        SELECT source, doc_id, CAST(score AS BIGINT) AS score,
+               CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 10 ORDER BY source, rank""")),
+
+    // ----- bigram-LM document score: integer ppm estimate of mean
+    // P(w2|w1) under the corpus's own bigram counts — the perplexity-filter
+    // decision without transcendental math (counting + DIV only, so both
+    // engines agree bit-for-bit). Shuffles key on 64-bit pair/prefix hashes.
+    Q("q_text_bigram_lm",
+      (s, dir) =>
+        Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH tk AS (SELECT doc_id,
+                      string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+        p AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> t[i] || ' ' || t[i+1])) AS pair
+              FROM tk WHERE len(t) >= 2),
+        p2 AS (SELECT doc_id, pair, string_split(pair, ' ')[1] AS w1 FROM p),
+        cp AS (SELECT pair, COUNT(*) AS cp FROM p2 GROUP BY pair),
+        cw AS (SELECT w1, COUNT(*) AS cw FROM p2 GROUP BY w1),
+        j AS (SELECT doc_id, (1000000 * cp) // cw AS ppm
+              FROM p2 JOIN cp USING (pair) JOIN cw USING (w1))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS lm_ppm
+        FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
     // ----- token-budget corpus selection: greedy best-quality-first prefix
     // under a token budget ("fill the training budget"). The oracle is the
     // brute-force global ordered cumsum; the Spark plan reaches the SAME

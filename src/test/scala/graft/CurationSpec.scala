@@ -199,6 +199,38 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.maxBy(_._3)._1 == 3L)
   }
 
+  test("source cap keeps the best-scored docs per source, heap-ranked") {
+    // all-distinct tokens, no stopwords → score = 1000·ntok + 500000, so
+    // ordering is by token count; ties break on doc_id ascending
+    val df = Seq(
+      (1L, "one", "A"), (2L, "one two three", "A"), (3L, "x y z q r", "A"),
+      (4L, "u v", "B"), (5L, "m n o p", "B"), (6L, "k", "B"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.sourceCap(df, "doc_id", "text", "source",
+        Seq("a", "the"), perSource = 2)
+      .orderBy("source", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("A", 3L, 1L), ("A", 2L, 2L),   // 5-token then 3-token doc; 1-token cut
+      ("B", 5L, 1L), ("B", 4L, 2L)))  // 4-token then 2-token doc; 1-token cut
+  }
+
+  test("bigram LM score: hand-computed conditional ppm, garbage scores low") {
+    // bigrams: doc 1 = (a b)(b a)(a b), doc 2 = (a c); doc 3 has no bigram.
+    // c(a b)=2 c(b a)=1 c(a c)=1; prefixes: c(a ·)=3, c(b ·)=1.
+    // ppm: a b → 2000000 DIV 3 = 666666; b a → 1000000; a c → 333333.
+    val df = Seq(
+      (1L, "a b a b"), (2L, "a c"), (3L, "z")).toDF("doc_id", "text")
+    val rows = Curation.bigramLmScore(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 3L, (666666L + 1000000L + 666666L) / 3),  // 777777
+      (2L, 1L, 333333L)))
+    // the doc made of the corpus's common transition outranks the one-off
+    assert(rows.maxBy(_._3)._1 == 1L)
+  }
+
   test("SCD2: consecutive duplicates collapse, intervals chain, current open") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
