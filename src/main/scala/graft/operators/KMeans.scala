@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed Lloyd k-means over an embedding column, in FIXED-POINT
+  * arithmetic so the whole fit is engine-exact: vectors are quantized to
+  * 1e-6 units (the QuantizeVec kernel — integer longs), distances are exact
+  * integer sums of squared unit differences, and centroids are per-dim
+  * means rounded toward zero to whole units (deviation from the real mean
+  * ≤ 1e-6 per coordinate — numerically immaterial, semantically pinned so a
+  * DuckDB oracle reproduces every assignment bit-for-bit; a float k-means
+  * would drift in the last ulps of the summation order).
+  *
+  * This is the full-corpus counterpart of [[Similarity.ivfIndex]]'s sampled
+  * training: the sampled fit prices the index; THIS is the operator a
+  * pipeline runs when cluster assignments are the product (semantic data
+  * mixing, per-cluster quotas, curriculum buckets).
+  *
+  * Scale shape per pass: the assignment is a pure map-side projection (the
+  * k×dim centroid matrix rides into the plan as a literal — KBs; the corpus
+  * never shuffles to be assigned), and the update is one (cluster, dim)
+  * hash-agg — partial map-side combine, at most k·dim·partitions rows on
+  * the exchange, never the vector stream. The k×dim driver collect between
+  * passes is the same bounded scalar the IVF trainer pays. Init is the k
+  * lowest-id vectors (deterministic; a TakeOrdered heap, no sort).
+  *
+  * Empty-cluster rule: a cluster that captures no vectors keeps its previous
+  * centroid (the standard Lloyd fallback; cannot occur when init points are
+  * distinct corpus vectors and k ≪ n, which the fixture gate relies on).
+  *
+  * Reference lineage: the reference has no clustering operator; this extends
+  * its aggregate family (sql/analysis/04_summary_stats.sql) the way a
+  * training-data pipeline needs.
+  */
+object KMeans {
+
+  /** Final (idCol, cluster, dist) after `passes` assignment passes with a
+    * centroid update between consecutive passes. `dist` is the exact squared
+    * distance in units² to the winning centroid; ties go to the lowest
+    * cluster index. Requires every vector non-null and of equal dimension
+    * (the QuantizeVec contract).
+    */
+  def assignments(df: DataFrame, idCol: String, embCol: String, k: Int,
+                  passes: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(passes >= 1, s"need at least one assignment pass: $passes")
+    val q = df.select(col(idCol), VectorFns.quantize(col(embCol)).as("__u"))
+    // deterministic seeding: the k lowest-id vectors ARE the initial
+    // centroids (TakeOrderedAndProject — bounded heap, no global sort)
+    val init: Array[Array[Long]] = q.orderBy(col(idCol)).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(init.length == k, s"need >= $k vectors to seed, got ${init.length}")
+    var cents = init
+    for (_ <- 1 until passes) {
+      // one (cluster, dim) hash-agg; k×dim rows back to the driver
+      val rows = assignTo(q, cents)
+        .select(col("cluster"), posexplode(col("__u")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        // mean rounded toward zero, matching integer DIV on both engines
+        .withColumn("c", expr("CASE WHEN s >= 0 THEN s DIV n ELSE -((-s) DIV n) END"))
+        .select(col("cluster"), col("pos"), col("c"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
+      cents = next
+    }
+    assignTo(q, cents)
+      .select(col(idCol), col("cluster"), col("dist"))
+  }
+
+  /** Map-side assignment against a literal centroid matrix: exact integer
+    * squared distances to all k centroids, argmin with lowest-index ties.
+    */
+  private def assignTo(q: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val cLit = array(cents.map(cu => array(cu.map(lit(_)): _*)): _*)
+    q.withColumn("__cs", cLit)
+      .withColumn("__d", expr(
+        "transform(__cs, c -> aggregate(zip_with(__u, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"))
+      .withColumn("cluster",
+        (expr("array_position(__d, array_min(__d))") - 1).cast(LongType))
+      .withColumn("dist", expr("array_min(__d)").cast(LongType))
+      .drop("__cs", "__d")
+  }
+}

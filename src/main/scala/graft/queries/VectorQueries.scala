@@ -466,6 +466,46 @@ object VectorQueries {
               FROM b)
         SELECT bucket, vec_id, rank FROM r WHERE rank <= 3
         ORDER BY bucket, rank"""
-      })
+      }),
+
+    // ----- distributed fixed-point k-means (k=4, two assignment passes,
+    // one centroid update): vectors in exact 1e-6 units, distances exact
+    // integer sums, centroids truncated per-dim integer means — every
+    // assignment engine-exact, so the oracle replays the full Lloyd
+    // iteration and must agree bit-for-bit. Assignment is map-side (the
+    // centroid matrix is a plan literal); the update is one (cluster, dim)
+    // hash-agg that never moves the vector stream.
+    Q("q_vec_kmeans",
+      (s, dir) =>
+        graft.operators.KMeans.assignments(
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2)
+          .orderBy(col("vec_id")),
+      Some("""
+        WITH q AS (SELECT vec_id,
+                     list_transform(embedding,
+                       e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
+                   FROM embeddings),
+        ql AS (SELECT vec_id, d.g + 1 AS dim, u[d.g + 1] AS v
+               FROM q, generate_series(0, 63) d(g)),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vec_id
+               FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 4)),
+        c0l AS (SELECT c0.j, ql.dim, ql.v AS cv FROM c0 JOIN ql USING (vec_id)),
+        d1 AS (SELECT ql.vec_id, c.j, SUM((ql.v - c.cv) * (ql.v - c.cv)) AS dist
+               FROM ql JOIN c0l c USING (dim) GROUP BY ql.vec_id, c.j),
+        a1 AS (SELECT vec_id, j FROM (
+                 SELECT vec_id, j,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+                 FROM d1) WHERE rn = 1),
+        c1l AS (SELECT a1.j, ql.dim,
+                  CASE WHEN SUM(ql.v) >= 0 THEN SUM(ql.v) // COUNT(*)
+                       ELSE -((-SUM(ql.v)) // COUNT(*)) END AS cv
+                FROM a1 JOIN ql USING (vec_id) GROUP BY a1.j, ql.dim),
+        d2 AS (SELECT ql.vec_id, c.j, SUM((ql.v - c.cv) * (ql.v - c.cv)) AS dist
+               FROM ql JOIN c1l c USING (dim) GROUP BY ql.vec_id, c.j)
+        SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
+        FROM (SELECT vec_id, j, dist,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+              FROM d2) t
+        WHERE rn = 1 ORDER BY vec_id"""))
   )
 }

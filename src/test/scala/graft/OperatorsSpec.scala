@@ -463,6 +463,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("fixed-point k-means: hand-computed Lloyd pass reassigns the boundary point") {
+    // 2-D, k=2, seeds = ids 0,1 → centroids (0,0) and (0.1,0) in 1e-6 units.
+    // After one update: c0 = trunc-mean{(0,0),(0,0.1)} = (0, 50000 units),
+    // c1 = trunc-mean{(0.1,0),(10,10),(10.1,10)} = (6733333, 6666666).
+    // The second assignment pass MOVES id 1 from its own seed cluster into
+    // c0 — the spec pins a real Lloyd reassignment, not a fixed partition.
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.1f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.1f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val one = graft.operators.KMeans.assignments(df, "vec_id", "embedding", 2, 1)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one == Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L)))
+    val two = graft.operators.KMeans.assignments(df, "vec_id", "embedding", 2, 2)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(two.map(t => (t._1, t._2)) ==
+      Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+    // exact unit² distances against the updated centroids
+    assert(two(0)._3 == 50000L * 50000L)                       // (0,0) vs (0,50000)
+    assert(two(1)._3 == 100000L * 100000L + 50000L * 50000L)   // (100000,0)
+    val dx = 10000000L - 6733333L; val dy = 10000000L - 6666666L
+    assert(two(3)._3 == dx * dx + dy * dy)
+  }
+
   test("profile reports nulls, distincts and min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
     val p = Profile.profile(df).collect()
