@@ -30,7 +30,10 @@ object Soak {
     "q_sessionize_gap",      // double-window sessionization on one shuffle
     "q_outlier_iqr",         // rank-quartiles + broadcast fence join
     "q_sample_diverse",      // map-side LSH buckets + heap cap
-    "q_ann_lsh_multiprobe")  // probe-side-only bucket fan-out
+    "q_ann_lsh_multiprobe",  // probe-side-only bucket fan-out
+    "q_vec_kmeans",          // map-side assignment + (cluster, dim) agg
+    "q_source_cap",          // per-source heap cap (constant k, growing groups)
+    "q_text_bigram_lm")      // two hashed-long count shuffles + joins
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

@@ -280,4 +280,110 @@ object MediaCodecs {
     // compression, image size, ppm resolutions, palette counts: 6 x int32 = 0
     buf.array()
   }
+
+  /** BMP row stride: 24-bit rows padded to a 4-byte boundary, per the spec. */
+  def bmpStride(width: Int): Int = (width * 3 + 3) & ~3
+
+  /** Full uncompressed 24-bit BMP from a top-down RGB buffer (3 bytes per
+    * pixel, row-major). Writes the spec's layout exactly: BGR byte order
+    * within a pixel, rows bottom-up, each row padded to 4 bytes, file-size /
+    * data-offset / biSizeImage fields filled in.
+    */
+  def encodeBmpRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"dims must be positive ($width x $height)")
+    require(rgb.length == width * height * 3,
+      s"rgb must be w*h*3 = ${width * height * 3} bytes, got ${rgb.length}")
+    val stride = bmpStride(width)
+    val size = BmpHeaderLen + stride * height
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(size)
+    buf.putInt(0)
+    buf.putInt(BmpHeaderLen)
+    buf.putInt(40)
+    buf.putInt(width).putInt(height) // positive height = bottom-up rows
+    buf.putShort(1)
+    buf.putShort(24)
+    buf.putInt(0)                    // BI_RGB, uncompressed
+    buf.putInt(stride * height)      // biSizeImage
+    // ppm resolutions + palette counts: 4 x int32 = 0 (buffer default)
+    val out = buf.array()
+    var y = 0
+    while (y < height) {
+      val rowOff = BmpHeaderLen + (height - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        out(rowOff + x * 3) = rgb(p + 2)     // B
+        out(rowOff + x * 3 + 1) = rgb(p + 1) // G
+        out(rowOff + x * 3 + 2) = rgb(p)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode an uncompressed 24-bit BMP to (width, height, top-down RGB
+    * bytes). Handles both bottom-up (positive height) and top-down
+    * (negative height) row order and the 4-byte row padding. Returns None —
+    * never throws — on anything that is not a complete uncompressed 24-bit
+    * BMP (wrong magic/DIB/bpp, compressed, truncated pixel array, or
+    * dimensions over the 1 << 24-pixel sanity cap that would make a hostile
+    * header allocate GBs).
+    */
+  def parseBmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (parseBmp(b).isEmpty) return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    if (buf.getShort(28).toInt != 24) return None // pixel decode is 24-bit only
+    if (b.length >= 34 && buf.getInt(14) >= 40 && buf.getInt(30) != 0) return None // compressed
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val h = math.abs(hRaw)
+    if (w.toLong * h > (1 << 24)) return None
+    val off = buf.getInt(10)
+    val stride = bmpStride(w)
+    if (off < 0 || off.toLong + stride.toLong * h > b.length) return None
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (hRaw > 0) h - 1 - y else y // bottom-up vs top-down
+      val rowOff = off + srcRow * stride
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        rgb(p) = b(rowOff + x * 3 + 2)     // R
+        rgb(p + 1) = b(rowOff + x * 3 + 1) // G
+        rgb(p + 2) = b(rowOff + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** Nearest-neighbor resample of a top-down RGB buffer: output pixel
+    * (ox, oy) copies input pixel (ox·w DIV ow, oy·h DIV oh) — the standard
+    * floor mapping, integer math only so the result is engine-exact.
+    */
+  def resizeNearestRgb(rgb: Array[Byte], w: Int, h: Int,
+                       ow: Int, oh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && ow > 0 && oh > 0, "dims must be positive")
+    require(rgb.length == w * h * 3, s"rgb must be w*h*3, got ${rgb.length}")
+    val out = new Array[Byte](ow * oh * 3)
+    var oy = 0
+    while (oy < oh) {
+      val sy = oy * h / oh
+      var ox = 0
+      while (ox < ow) {
+        val sx = ox * w / ow
+        val s = (sy * w + sx) * 3
+        val d = (oy * ow + ox) * 3
+        out(d) = rgb(s); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s + 2)
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
 }

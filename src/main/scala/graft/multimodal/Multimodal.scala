@@ -129,6 +129,41 @@ object Multimodal {
       .withColumn("sample_ms", expr(s"frame_idx * duration_ms DIV $k"))
   }
 
+  final case class ResizedRow(doc_id: Long, in_w: Long, in_h: Long,
+                              out_w: Long, out_h: Long, out_bytes: Long,
+                              px_sum: Long)
+
+  /** REAL pixel-level image transform: decode each 24-bit BMP payload to its
+    * RGB raster ([[MediaCodecs.parseBmpPixels]] — bottom-up rows, BGR order,
+    * 4-byte padding handled for real), nearest-neighbor resample to
+    * `ow`×`oh` (floor mapping, integer math), and re-encode. Emits byte-level
+    * accounting — output size and the RGB byte sum of the RESIZED raster —
+    * so an arithmetic oracle can check the whole decode→resample→encode
+    * chain end-to-end. Non-BMP / hostile payloads are dropped (quarantine
+    * seam, as in [[decodeAudio]]).
+    *
+    * Scale: purely map-side (mapPartitions, one pass, no codec state); the
+    * raster never leaves the task — only the fixed-width accounting row
+    * shuffles. Partition memory is bounded by `maxPartitionBytes` exactly as
+    * for decode.
+    */
+  def resizeBmp(media: Dataset[MediaRow], ow: Int, oh: Int): Dataset[ResizedRow] = {
+    require(ow > 0 && oh > 0, s"output dims must be positive ($ow x $oh)")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseBmpPixels(r.media).map { case (w, h, rgb) =>
+          val rz = MediaCodecs.resizeNearestRgb(rgb, w, h, ow, oh)
+          val enc = MediaCodecs.encodeBmpRgb(ow, oh, rz)
+          var s = 0L; var i = 0
+          while (i < rz.length) { s += rz(i) & 0xff; i += 1 }
+          ResizedRow(r.doc_id, w.toLong, h.toLong, ow.toLong, oh.toLong,
+            enc.length.toLong, s)
+        }
+      }
+    }
+  }
+
   /** Frame-sample stub: pick every `stride`-th byte as a "frame" digest. */
   def frameSample(media: Dataset[MediaRow], stride: Int): DataFrame = {
     // fail fast on the driver: Range.by(0) would otherwise throw per-row

@@ -747,6 +747,58 @@ object TextQueries {
         FROM v, range(0, 4) t(i)
         ORDER BY doc_id, frame_idx""")),
 
+    // ----- multimodal image transform: REAL pixel-level BMP decode →
+    // nearest-neighbor resample → re-encode. Each doc carries a full 24-bit
+    // BMP of a closed-form gradient (r=(x+y)%256, g=(2x+3y)%256,
+    // b=(x+2y)%256) with bottom-up rows, BGR order and 4-byte padding; the
+    // operator must undo all of that byte layout, resample with the floor
+    // mapping, and re-encode — the oracle recomputes the resized raster's
+    // byte sum arithmetically from the gradient, so one misread pixel (a
+    // flipped channel, an off-by-one stride, the wrong row order) fails the
+    // gate.
+    Q("q_mm_resize_bmp",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 48 + 8).toInt
+            val h = (id * 7 % 40 + 8).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = ((x + y) % 256).toByte
+                rgb(p + 1) = ((2 * x + 3 * y) % 256).toByte
+                rgb(p + 2) = ((x + 2 * y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeBmpRgb(w, h, rgb))
+          }
+        graft.multimodal.Multimodal.resizeBmp(media, 16, 16)
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH dims AS (SELECT doc_id, doc_id % 48 + 8 AS w,
+                             (doc_id * 7) % 40 + 8 AS h
+                      FROM documents),
+        g AS (SELECT doc_id, w, h,
+                (ox.g * w) // 16 AS sx, (oy.g * h) // 16 AS sy
+              FROM dims, generate_series(0, 15) ox(g), generate_series(0, 15) oy(g)),
+        s AS (SELECT doc_id, w, h,
+                SUM((sx + sy) % 256 + (2 * sx + 3 * sy) % 256
+                    + (sx + 2 * sy) % 256) AS px_sum
+              FROM g GROUP BY doc_id, w, h)
+        SELECT doc_id, CAST(w AS BIGINT) AS in_w, CAST(h AS BIGINT) AS in_h,
+               CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+               CAST(54 + 48 * 16 AS BIGINT) AS out_bytes,
+               CAST(px_sum AS BIGINT) AS px_sum
+        FROM s ORDER BY doc_id""")),
+
     // ----- streaming batch-equivalent: tumbling hourly window (the
     // Structured Streaming surface with watermark lives in
     // graft.streaming.Streams and is spec-tested against this result)

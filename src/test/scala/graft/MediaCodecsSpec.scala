@@ -152,6 +152,63 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseWav(badAlign).isEmpty)
   }
 
+  test("pixel BMP: encode/decode roundtrip undoes BGR, bottom-up and padding") {
+    // 2x2 distinct-channel pixels: roundtrip must return EXACTLY the input
+    // (any flipped channel, wrong row order, or stride slip changes bytes)
+    val rgb = Array[Byte](
+      10, 20, 30,   40, 50, 60,   // row 0: (r g b)(r g b)
+      70, 80, 90,  100, 110, 120) // row 1
+    val bmp = MediaCodecs.encodeBmpRgb(2, 2, rgb)
+    // spec fields: 24bpp, bottom-up positive height, padded stride 8
+    assert(bmp.length == 54 + 8 * 2)
+    val buf = java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(buf.getInt(2) == bmp.length && buf.getInt(10) == 54)
+    assert(buf.getInt(18) == 2 && buf.getInt(22) == 2 && buf.getShort(28) == 24)
+    // bottom-up: first stored row is rgb row 1; BGR within a pixel
+    assert(bmp(54) == 90 && bmp(55) == 80 && bmp(56) == 70)
+    val Some((w, h, back)) = MediaCodecs.parseBmpPixels(bmp)
+    assert(w == 2 && h == 2 && back.sameElements(rgb))
+    // top-down (negative height) input decodes to the same raster
+    val neg = bmp.clone()
+    val nb = java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    nb.putInt(22, -2)
+    // rows must be swapped in the payload for the same logical image
+    Array.copy(bmp, 54, neg, 62, 8); Array.copy(bmp, 62, neg, 54, 8)
+    val Some((_, _, back2)) = MediaCodecs.parseBmpPixels(neg)
+    assert(back2.sameElements(rgb))
+  }
+
+  test("pixel BMP: hostile bytes never throw, never over-allocate") {
+    assert(MediaCodecs.parseBmpPixels("BM plain prose".getBytes("UTF-8")).isEmpty)
+    val ok = MediaCodecs.encodeBmpRgb(3, 3, Array.fill[Byte](27)(1))
+    assert(MediaCodecs.parseBmpPixels(ok).nonEmpty)
+    assert(MediaCodecs.parseBmpPixels(ok.take(40)).isEmpty)       // truncated header
+    assert(MediaCodecs.parseBmpPixels(ok.take(58)).isEmpty)       // truncated pixels
+    val huge = ok.clone()
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 1 << 20).putInt(22, 1 << 20)                    // 1 TB raster claim
+    assert(MediaCodecs.parseBmpPixels(huge).isEmpty)
+    val compressed = ok.clone()
+    java.nio.ByteBuffer.wrap(compressed).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(30, 1)                                              // BI_RLE8
+    assert(MediaCodecs.parseBmpPixels(compressed).isEmpty)
+    val headerOnly = MediaCodecs.encodeBmp(4, 4)                  // no pixel array
+    assert(MediaCodecs.parseBmpPixels(headerOnly).isEmpty)
+  }
+
+  test("nearest-neighbor resize: floor mapping, identity, and downscale") {
+    val rgb = Array.tabulate[Byte](4 * 2 * 3)(i => i.toByte) // 4x2
+    // identity resize returns the same raster
+    assert(MediaCodecs.resizeNearestRgb(rgb, 4, 2, 4, 2).sameElements(rgb))
+    // 4x2 -> 2x1: output (ox,oy) samples input (ox*4/2, oy*2/1) = (2ox, 0)
+    val half = MediaCodecs.resizeNearestRgb(rgb, 4, 2, 2, 1)
+    assert(half.sameElements(Array[Byte](0, 1, 2, 6, 7, 8)))
+    // upscale 1x1 -> 3x3 replicates the single pixel
+    val up = MediaCodecs.resizeNearestRgb(Array[Byte](5, 6, 7), 1, 1, 3, 3)
+    val expected: Array[Byte] = Array.fill(9)(Seq[Byte](5, 6, 7)).flatten
+    assert(up.sameElements(expected))
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)
