@@ -54,6 +54,38 @@ object Curation {
         count(when(col("__df") <= maxDocFreq, 1)).as("n_kept"))
   }
 
+  /** The removal half of [[boilerplateAccounting]]: drop every occurrence of
+    * a cross-document repeated chunk and REASSEMBLE each document's
+    * surviving text in original chunk order — the C4 step that actually
+    * rewrites the corpus (accounting only prices it). Documents whose every
+    * chunk is boilerplate come back with empty text, not dropped — the
+    * caller's empty-text gate decides their fate, keeping row accounting
+    * intact.
+    *
+    * Scale: same two (long, long) hashed shuffles as the accounting
+    * (chunk-DF count + join back), then one per-doc aggregate whose
+    * `sort_array(struct(pos, chunk))` sorts only WITHIN a document's
+    * surviving chunk list (array sort in the aggregate buffer — never a
+    * relational ORDER BY of the chunk stream).
+    *
+    * Returns (idCol, clean_text, n_chunks, n_kept).
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int, maxDocFreq: Long): DataFrame = {
+    val ch = chunks(df, idCol, textCol, chunkTokens)
+      .withColumn("__ck", xxhash64(col("chunk")))
+    val dfreq = ch.groupBy(col("__ck"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    ch.join(dfreq, "__ck")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", expr(
+          s"transform(sort_array(collect_list(CASE WHEN __df <= $maxDocFreq " +
+          "THEN struct(pos, chunk) END)), s -> s.chunk)")).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        count(when(col("__df") <= maxDocFreq, 1)).as("n_kept"))
+  }
+
   /** Train/test decontamination: flags training documents that share at least
     * one word `k`-gram with any test document — the standard contamination
     * check run before an evaluation split is trusted. Returns

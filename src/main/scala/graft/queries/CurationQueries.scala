@@ -61,6 +61,35 @@ object CurationQueries {
                COUNT(CASE WHEN n_kept < n_chunks THEN 1 END) AS docs_with_boilerplate
         FROM acct GROUP BY source ORDER BY source""")),
 
+    // ----- the removal half of C4 boilerplate: drop every occurrence of a
+    // cross-doc repeated chunk and REASSEMBLE the surviving text in chunk
+    // order — all-boilerplate docs come back with empty text, not dropped.
+    // The oracle rebuilds each document with an ordered string_agg, so a
+    // wrong chunk order / lost occurrence / dropped row fails the gate.
+    Q("q_text_boilerplate_clean",
+      (s, dir) =>
+        Curation.removeBoilerplate(t(s, dir, "documents"), "doc_id", "text",
+            8, maxDocFreq = 1L)
+          .select(col("doc_id"), col("clean_text"),
+            col("n_chunks").cast(LongType).as("n_chunks"),
+            col("n_kept").cast(LongType).as("n_kept"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH $toksCte,
+        st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 8)) AS st FROM toks),
+        ch AS (SELECT doc_id, st, array_to_string(t[st:st+7], ' ') AS chunk FROM st),
+        dfreq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS dfv FROM ch GROUP BY chunk),
+        clean AS (
+          SELECT ch.doc_id,
+                 COALESCE(string_agg(CASE WHEN dfv <= 1 THEN chunk END,
+                   ' ' ORDER BY st), '') AS clean_text,
+                 COUNT(*) AS n_chunks,
+                 COUNT(CASE WHEN dfv <= 1 THEN 1 END) AS n_kept
+          FROM ch JOIN dfreq USING (chunk) GROUP BY ch.doc_id)
+        SELECT doc_id, clean_text, CAST(n_chunks AS BIGINT) AS n_chunks,
+               CAST(n_kept AS BIGINT) AS n_kept
+        FROM clean ORDER BY doc_id""")),
+
     // ----- train/test decontamination: training docs sharing any word
     // 4-gram with the held-out slice (source = 'src0'). Shingle equi-join —
     // fan-out bounded by true content overlap; test side broadcast at scale.

@@ -22,6 +22,22 @@ class CurationSpec extends AnyFunSuite {
     assert(acct.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 2L)))
   }
 
+  test("boilerplate removal reassembles survivors in order; empty text kept") {
+    val df = Seq(
+      (1L, "dup dup solo text"),
+      (2L, "dup dup uniq here"),
+      (3L, "same same same same"),  // within-doc repeat: df=1, both kept
+      (4L, "dup dup")).toDF("doc_id", "text") // all boilerplate → empty text
+    val rows = Curation.removeBoilerplate(df, "doc_id", "text", 2, 1L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, "solo text", 2L, 1L),
+      (2L, "uniq here", 2L, 1L),
+      (3L, "same same same same", 2L, 2L),
+      (4L, "", 1L, 0L)))
+  }
+
   test("decontamination finds exactly the planted overlap") {
     val train = Seq(
       (10L, "alpha beta gamma delta epsilon"),
