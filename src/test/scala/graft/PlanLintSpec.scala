@@ -147,6 +147,33 @@ class PlanLintSpec extends AnyFunSuite {
     assert(p.contains("TopKPerGroup"), "per-bucket cap is not the heap operator")
   }
 
+  test("source cap runs on the heap operator, never a per-source sort") {
+    val p = plan("q_source_cap")
+    assert(p.contains("TopKPerGroup"), "per-source cap is not the heap operator")
+    assert(!p.contains("RunningWindowFunction"),
+      "source cap fell back to a window sort")
+  }
+
+  test("k-means final assignment is map-side: no join in the plan") {
+    // centroids ride as a literal matrix — any join/nested loop here means
+    // the corpus is being shuffled to meet its own cluster centers
+    val p = plan("q_vec_kmeans")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "k-means assignment plans a join against the centroids")
+    assert(p.toLowerCase.contains("quantizevec"), "assignment skips the quantize kernel")
+  }
+
+  test("bigram LM shuffles hashed pair/prefix longs, never pair strings") {
+    assert(plan("q_text_bigram_lm").contains("xxhash64"),
+      "bigram count joins key on raw pair strings")
+  }
+
+  test("BMP resize is one map-side pass (no shuffle before the accounting)") {
+    val p = plan("q_mm_resize_bmp")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "resize plan grew a shuffle/join — the raster is leaving the task")
+  }
+
   test("unicode normalization runs as the codegen kernel, map-side") {
     val p = plan("q_text_normalize")
     assert(p.toLowerCase.contains("normalizetext"), "kernel not in plan")
