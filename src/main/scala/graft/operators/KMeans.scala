@@ -72,6 +72,38 @@ object KMeans {
       .select(col(idCol), col("cluster"), col("dist"))
   }
 
+  /** Per-cluster fit report — the elbow-method statistic, engine-exact:
+    * member count, total inertia (sum of exact unit² distances), and the
+    * truncated integer mean distance. One k-row aggregate over
+    * [[assignments]]'s map-side output.
+    */
+  def inertia(df: DataFrame, idCol: String, embCol: String, k: Int,
+              passes: Int): DataFrame =
+    assignments(df, idCol, embCol, k, passes)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast(LongType).as("n_vectors"),
+        sum(col("dist")).cast(LongType).as("inertia"),
+        expr("CAST(SUM(dist) DIV COUNT(1) AS BIGINT)").as("mean_dist"))
+
+  /** Per-cluster quota cap — [[Curation.diverseSample]]'s selection with
+    * SEMANTIC clusters instead of LSH buckets: keep `perCluster` members of
+    * every k-means cluster in a portable pseudo-random order (Knuth
+    * multiplicative hash of the id), the cluster-balanced subsample a
+    * training mix draws once assignments exist. The cap runs on the
+    * bounded-heap TopKPerGroup operator: one cluster-keyed exchange,
+    * O(n log perCluster), no per-cluster sort.
+    */
+  def clusterCap(df: DataFrame, idCol: String, embCol: String, k: Int,
+                 passes: Int, perCluster: Int): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive: $perCluster")
+    val assigned = assignments(df, idCol, embCol, k, passes)
+      .withColumn("__ord", pmod(col(idCol) * lit(2654435761L), lit(2147483647L)))
+      .select(col(idCol), col("cluster"), col("__ord"))
+    graft.plans.TopKPerGroup.topK(assigned, Seq("cluster"),
+        Seq(("__ord", false), (idCol, false)), perCluster)
+      .select(col("cluster"), col(idCol), col("rank"))
+  }
+
   /** Map-side assignment against a literal centroid matrix: exact integer
     * squared distances to all k centroids, argmin with lowest-index ties.
     */

@@ -480,8 +480,56 @@ object VectorQueries {
         graft.operators.KMeans.assignments(
             t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2)
           .orderBy(col("vec_id")),
-      Some("""
-        WITH q AS (SELECT vec_id,
+      Some(s"""
+        WITH $kmeansCtes
+        SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
+        FROM a2 ORDER BY vec_id""")),
+
+    // ----- clustering-quality report (the elbow statistic): member count,
+    // exact total inertia, truncated mean distance per cluster — one k-row
+    // aggregate over the same engine-exact assignment.
+    Q("q_vec_kmeans_inertia",
+      (s, dir) =>
+        graft.operators.KMeans.inertia(
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2)
+          .orderBy(col("cluster")),
+      Some(s"""
+        WITH $kmeansCtes
+        SELECT CAST(j AS BIGINT) AS cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(dist) AS BIGINT) AS inertia,
+               CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_dist
+        FROM a2 GROUP BY j ORDER BY cluster""")),
+
+    // ----- per-cluster quota cap: diversity sampling with SEMANTIC
+    // clusters instead of LSH buckets (20 of ~125 members per cluster — the
+    // cap binds). Heap-capped on TopKPerGroup in portable Knuth-hash order.
+    Q("q_cluster_cap",
+      (s, dir) =>
+        graft.operators.KMeans.clusterCap(
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2,
+            perCluster = 20)
+          .orderBy(col("cluster"), col("rank")),
+      Some(s"""
+        WITH $kmeansCtes,
+        ordd AS (SELECT vec_id, j,
+                   (vec_id * 2654435761) % 2147483647 AS ord FROM a2),
+        r AS (SELECT j, vec_id,
+                CAST(row_number() OVER (PARTITION BY j
+                  ORDER BY ord, vec_id) AS BIGINT) AS rank
+              FROM ordd)
+        SELECT CAST(j AS BIGINT) AS cluster, vec_id, rank
+        FROM r WHERE rank <= 20 ORDER BY cluster, rank"""))
+  )
+
+  /** DuckDB replay of the fixed-point two-pass Lloyd iteration (k=4,
+    * dim 64): quantize to 1e-6-unit BIGINTs, seed with the 4 lowest ids,
+    * assign (exact integer distances, ties to the lowest cluster), update
+    * (truncated integer means), assign again. `a2` is the final
+    * (vec_id, j, dist) assignment every k-means oracle selects from.
+    */
+  private def kmeansCtes: String = """
+        q AS (SELECT vec_id,
                      list_transform(embedding,
                        e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
                    FROM embeddings),
@@ -501,11 +549,9 @@ object VectorQueries {
                        ELSE -((-SUM(ql.v)) // COUNT(*)) END AS cv
                 FROM a1 JOIN ql USING (vec_id) GROUP BY a1.j, ql.dim),
         d2 AS (SELECT ql.vec_id, c.j, SUM((ql.v - c.cv) * (ql.v - c.cv)) AS dist
-               FROM ql JOIN c1l c USING (dim) GROUP BY ql.vec_id, c.j)
-        SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
-        FROM (SELECT vec_id, j, dist,
-                row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
-              FROM d2) t
-        WHERE rn = 1 ORDER BY vec_id"""))
-  )
+               FROM ql JOIN c1l c USING (dim) GROUP BY ql.vec_id, c.j),
+        a2 AS (SELECT vec_id, j, dist FROM (
+                 SELECT vec_id, j, dist,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+                 FROM d2) WHERE rn = 1)"""
 }

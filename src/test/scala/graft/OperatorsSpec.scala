@@ -488,6 +488,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(two(3)._3 == dx * dx + dy * dy)
   }
 
+  test("k-means inertia and cluster cap agree with the assignment") {
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.1f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.1f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val inert = graft.operators.KMeans.inertia(df, "vec_id", "embedding", 2, 2)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cluster 0 = {0,1,2} vs centroid (0, 50000): 2.5e9 + 1.25e10 + 2.5e9
+    val c0inertia = 2500000000L + 12500000000L + 2500000000L
+    assert(inert(0) == (0L, 3L, c0inertia, c0inertia / 3))
+    assert(inert(1)._2 == 2L)
+    // cap at 2 per cluster: Knuth-hash order is id order here (small ids)
+    val cap = graft.operators.KMeans.clusterCap(df, "vec_id", "embedding", 2, 2, 2)
+      .orderBy("cluster", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cap.toSeq == Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 3L, 1L), (1L, 4L, 2L)))
+  }
+
   test("profile reports nulls, distincts and min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
     val p = Profile.profile(df).collect()
