@@ -146,6 +146,13 @@ object Soak {
           graft.operators.Curation.boilerplateAccounting(
             docs(dir), "doc_id", "text", 8, maxDocFreq = 1L).count()
         },
+        // the rewrite half: same two hashed shuffles plus the per-doc
+        // reassembly aggregate (sort_array over each doc's surviving
+        // chunks — cost is per-document, never a sort of the chunk stream)
+        "curation_boilerplate_rm" -> { dir =>
+          graft.operators.Curation.removeBoilerplate(
+            docs(dir), "doc_id", "text", 8, maxDocFreq = 1L).count()
+        },
         "curation_decontaminate" -> { dir =>
           val d = docs(dir)
           graft.operators.Curation.decontaminate(

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.Q._
+import graft.functions.CleanFns
 import graft.operators.Upsert
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1279,6 +1280,94 @@ object CoreQueries {
                ${dsumSql("value")} AS sum_value
         FROM sessed GROUP BY user_id, sess_id
         ORDER BY user_id, sess_id""")),
+
+    // ----- (beyond ref) ordered TIME-WINDOWED funnel: per user, the first
+    // signup, the first view within 6 h AFTER it, the first purchase within
+    // 6 h after that — the classic ordered-conversion funnel with per-step
+    // deadlines (the unwindowed form is vacuous on this fixture: every user
+    // eventually does everything; the 6 h windows make the stages BIND —
+    // 135/13/2 at gate scale). All three stage times come from chained
+    // conditional MIN windows over ONE user_id partition (the sessionize
+    // discipline: one exchange shared by every window), in integer
+    // microseconds so both engines compare exactly.
+    Q("q_funnel_steps",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+        val winUs = 6L * 3600 * 1000000 // 6 h per step
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts").cast(TimestampType)).as("us"))
+          .withColumn("t1",
+            min(when(col("event_type") === "signup", col("us"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "view" && col("us") > col("t1")
+              && col("us") <= col("t1") + winUs, col("us"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("us") > col("t2")
+              && col("us") <= col("t2") + winUs, col("us"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(min(col("t1")).as("t1_us"), min(col("t2")).as("t2_us"),
+            min(col("t3")).as("t3_us"))
+          .withColumn("reached",
+            when(col("t3_us").isNotNull, 3L).when(col("t2_us").isNotNull, 2L)
+              .when(col("t1_us").isNotNull, 1L).otherwise(0L))
+          .select(col("user_id"), col("reached"), col("t1_us"), col("t2_us"),
+            col("t3_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        s1 AS (SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN us END) AS t1
+               FROM ev GROUP BY user_id),
+        s2 AS (SELECT ev.user_id,
+                 MIN(CASE WHEN event_type = 'view' AND us > t1
+                          AND us <= t1 + 21600000000 THEN us END) AS t2
+               FROM ev JOIN s1 USING (user_id) GROUP BY ev.user_id),
+        s3 AS (SELECT ev.user_id,
+                 MIN(CASE WHEN event_type = 'purchase' AND us > t2
+                          AND us <= t2 + 21600000000 THEN us END) AS t3
+               FROM ev JOIN s2 USING (user_id) GROUP BY ev.user_id)
+        SELECT user_id,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached,
+               t1 AS t1_us, t2 AS t2_us, t3 AS t3_us
+        FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+        ORDER BY user_id""")),
+
+    // ----- (beyond ref) weekly cohort retention on the CONVERSION event:
+    // cohort = week of a user's first purchase; each (cohort, week-offset)
+    // cell counts the cohort's users purchasing that week — the
+    // product-analytics retention triangle (keying on all events is
+    // vacuous on this fixture: one cohort, flat 100%; purchase-keyed it
+    // yields two cohorts with real decay at gate scale). Two hash-aggs
+    // (per-user first week, then the cell count) plus one user-keyed join;
+    // offsets are integer day-diffs DIV 7, engine-exact.
+    Q("q_cohort_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"),
+            CleanFns.weekStart(col("ts").cast(DateType)).as("wk"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        ev.distinct().join(first, "user_id")
+          .withColumn("week_offset",
+            expr("CAST(datediff(wk, cohort) DIV 7 AS BIGINT)"))
+          .groupBy(col("cohort"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort"), col("week_offset"))
+      },
+      Some("""
+        WITH ev AS (SELECT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+                    WHERE event_type = 'purchase'),
+        f AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, wk FROM ev)
+        SELECT cohort,
+               CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM a JOIN f USING (user_id)
+        GROUP BY cohort, week_offset ORDER BY cohort, week_offset""")),
 
     // ----- (beyond ref, §2.11 family) snapshot table diff — the CDC export
     // a warehouse emits after each load so subscribers never re-read the
