@@ -266,6 +266,52 @@ object MediaCodecs {
     buf.array()
   }
 
+  /** Full 16-bit mono PCM WAV: the [[encodeWav]] header followed by the
+    * samples as little-endian int16 — a complete playable file.
+    */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val header = encodeWav(sampleRate, channels = 1, bitDepth = 16, samples.length.toLong)
+    val buf = ByteBuffer.allocate(header.length + samples.length * 2)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(header)
+    var i = 0
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** Decode the PCM payload of a 16-bit mono WAV: walks the chunk list to
+    * `data` (same walk as [[parseWav]]) and reads the little-endian int16
+    * samples. Returns None — never throws — unless the payload is a
+    * complete 16-bit mono PCM file whose data chunk is fully present
+    * (truncated sample arrays are rejected, not zero-padded) and within the
+    * 1 << 24-sample sanity cap (a hostile size field must not allocate GBs).
+    */
+  def parseWavPcm16(b: Array[Byte]): Option[(AudioMeta, Array[Short])] = {
+    val meta = parseWav(b) match {
+      case Some(m) if m.channels == 1 && m.bit_depth == 16 => m
+      case _ => return None
+    }
+    if (meta.n_samples > (1 << 24)) return None
+    // second walk to locate the data chunk's offset
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = buf.getInt(off + 4).toLong & 0xffffffffL
+      if (id == "data") {
+        val n = meta.n_samples.toInt
+        if (off + 8 + n * 2L > b.length) return None
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = buf.getShort(off + 8 + i * 2); i += 1 }
+        return Some((meta, out))
+      }
+      if (size > Int.MaxValue - 16) return None
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
   def encodeBmp(width: Int, height: Int, bitsPerPixel: Int = 24): Array[Byte] = {
     require(width > 0 && height > 0, s"dims must be positive ($width x $height)")
     val buf = ByteBuffer.allocate(BmpHeaderLen).order(ByteOrder.LITTLE_ENDIAN)

@@ -164,6 +164,43 @@ object Multimodal {
     }
   }
 
+  final case class AudioFeatureRow(doc_id: Long, n_samples: Long, peak: Long,
+                                   sum_sq: Long, zero_crossings: Long)
+
+  /** REAL sample-level audio feature extraction: decode each 16-bit mono
+    * PCM WAV payload to its sample array ([[MediaCodecs.parseWavPcm16]] —
+    * the actual chunk walk + little-endian int16 reads), then compute the
+    * standard integer signal features: peak |amplitude|, energy (sum of
+    * squared samples — the RMS numerator, exact in int64), and
+    * zero-crossing count (sign changes with 0 counted positive — the
+    * classic voiced/unvoiced + noisiness signal). All integer math, so an
+    * arithmetic oracle can verify the whole decode→feature chain; non-WAV
+    * payloads are dropped (quarantine seam, as in [[decodeAudio]]).
+    *
+    * Scale: purely map-side; the sample array never leaves the task — only
+    * the fixed-width feature row shuffles.
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseWavPcm16(r.media).map { case (_, samples) =>
+          var peak = 0L; var sumSq = 0L; var zc = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v * v
+            if (i > 0 && ((v >= 0) != (samples(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          AudioFeatureRow(r.doc_id, samples.length.toLong, peak, sumSq, zc)
+        }
+      }
+    }
+  }
+
   /** Frame-sample stub: pick every `stride`-th byte as a "frame" digest. */
   def frameSample(media: Dataset[MediaRow], stride: Int): DataFrame = {
     // fail fast on the driver: Range.by(0) would otherwise throw per-row

@@ -681,6 +681,47 @@ object TextQueries {
                      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END) AS BIGINT) AS duration_ms
         FROM documents ORDER BY doc_id""")),
 
+    // ----- multimodal audio feature extraction: REAL sample-level PCM
+    // decode. Each doc carries a complete 16-bit mono WAV of a closed-form
+    // waveform s(i) = ((doc_id·31 + 40503i) mod 65536) − 32768; the operator
+    // must walk the chunks, read the little-endian int16 samples, and
+    // compute peak / energy / zero-crossings — the oracle recomputes all
+    // three arithmetically from the waveform, so one misread sample (an
+    // endianness slip, an off-by-one in the data offset) fails the gate.
+    Q("q_mm_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 1500 + 500).toInt
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (((id * 31 + i.toLong * 40503) % 65536) - 32768).toShort
+              i += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeWavPcm16(16000, samples))
+          }
+        graft.multimodal.Multimodal.audioFeatures(media)
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH n AS (SELECT doc_id, doc_id % 1500 + 500 AS ns FROM documents),
+        s AS (SELECT doc_id, ns, i.g AS i,
+                ((doc_id * 31 + i.g * 40503) % 65536) - 32768 AS v
+              FROM n, generate_series(0, 1999) i(g) WHERE i.g < ns),
+        z AS (SELECT doc_id, ns, v,
+                lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM s)
+        SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+               CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+               CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+               CAST(COUNT(CASE WHEN pv IS NOT NULL
+                 AND ((v >= 0) <> (pv >= 0)) THEN 1 END) AS BIGINT)
+                 AS zero_crossings
+        FROM z GROUP BY doc_id, ns ORDER BY doc_id""")),
+
     // ----- multimodal video: REAL ISO BMFF (MP4) box-walk decode. Each doc
     // gets a minimal ftyp+moov/mvhd prefix with timescale/duration derived
     // from doc_id; MediaCodecs.parseMp4 must walk the box hierarchy and

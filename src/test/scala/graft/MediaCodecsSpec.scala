@@ -209,6 +209,42 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(up.sameElements(expected))
   }
 
+  test("PCM WAV: int16 roundtrip, negative samples, hostile truncation") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345)
+    val wav = MediaCodecs.encodeWavPcm16(8000, samples)
+    assert(wav.length == 44 + samples.length * 2)
+    val Some((meta, back)) = MediaCodecs.parseWavPcm16(wav)
+    assert(meta.sample_rate == 8000 && meta.channels == 1 && meta.bit_depth == 16)
+    assert(meta.n_samples == samples.length && back.sameElements(samples))
+    // LE byte order on disk: 12345 = 0x3039 stored 0x39 0x30
+    assert((wav(44 + 10 * 1) & 0xff) == 0x39 && (wav(44 + 11) & 0xff) == 0x30)
+    // truncated data chunk is rejected, not zero-padded
+    assert(MediaCodecs.parseWavPcm16(wav.take(wav.length - 2)).isEmpty)
+    // stereo/24-bit payloads fall outside the pcm16 decoder
+    assert(MediaCodecs.parseWavPcm16(MediaCodecs.encodeWav(8000, 2, 16, 4)).isEmpty)
+    assert(MediaCodecs.parseWavPcm16(MediaCodecs.encodeWav(8000, 1, 24, 4)).isEmpty)
+    assert(MediaCodecs.parseWavPcm16("RIFF garbage".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("audio features: hand-computed peak, energy, zero crossings") {
+    import graft.multimodal.Multimodal
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // signal: 3, -2, 0, -1 → peak 3, sum_sq 9+4+0+1 = 14, crossings at
+    // 3→-2, -2→0 (zero counts positive), 0→-1 = 3
+    val wav = MediaCodecs.encodeWavPcm16(16000, Array[Short](3, -2, 0, -1))
+    val rows = Multimodal.audioFeatures(
+        Seq(Multimodal.MediaRow(7L, wav)).toDS())
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.n_samples == 4 && r.peak == 3 && r.sum_sq == 14 && r.zero_crossings == 3)
+    // non-WAV payloads are dropped, not faked
+    assert(Multimodal.audioFeatures(
+      Seq(Multimodal.MediaRow(8L, "not audio".getBytes("UTF-8"))).toDS())
+      .collect().isEmpty)
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)
