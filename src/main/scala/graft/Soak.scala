@@ -33,7 +33,10 @@ object Soak {
     "q_ann_lsh_multiprobe",  // probe-side-only bucket fan-out
     "q_vec_kmeans",          // map-side assignment + (cluster, dim) agg
     "q_source_cap",          // per-source heap cap (constant k, growing groups)
-    "q_text_bigram_lm")      // two hashed-long count shuffles + joins
+    "q_text_bigram_lm",      // two hashed-long count shuffles + joins
+    "q_funnel_steps",        // chained stage windows on one user_id exchange
+    "q_cohort_retention",    // two hash-aggs + user-keyed join
+    "q_mm_audio_features")   // map-side PCM decode + feature fold
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

@@ -147,6 +147,15 @@ class PlanLintSpec extends AnyFunSuite {
     assert(p.contains("TopKPerGroup"), "per-bucket cap is not the heap operator")
   }
 
+  test("funnel shares one user_id exchange across all three stage windows") {
+    // three chained conditional MIN windows + the per-user aggregate must
+    // ride a single hashpartitioning(user_id); only the presentation
+    // ORDER BY may add a range exchange
+    val p = plan("q_funnel_steps")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"funnel plans $exchanges exchanges:\n$p")
+  }
+
   test("source cap runs on the heap operator, never a per-source sort") {
     val p = plan("q_source_cap")
     assert(p.contains("TopKPerGroup"), "per-source cap is not the heap operator")
