@@ -1369,6 +1369,83 @@ object CoreQueries {
         FROM a JOIN f USING (user_id)
         GROUP BY cohort, week_offset ORDER BY cohort, week_offset""")),
 
+    // ----- (beyond ref) event-transition matrix: per-user consecutive
+    // event-type pairs (the empirical Markov transitions behind session
+    // modeling / next-event prediction). One user_id exchange for the lag
+    // window; the 5×5 matrix aggregate is map-side-combined.
+    Q("q_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts").cast(TimestampType)).as("us"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("prev"), col("event_type"))
+      },
+      Some("""
+        WITH o AS (SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev
+                   FROM events)
+        SELECT prev, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM o WHERE prev IS NOT NULL
+        GROUP BY prev, event_type ORDER BY prev, event_type""")),
+
+    // ----- (beyond ref) time-series resample + gap fill: weekly order
+    // counts/sums per priority for the HIGH-VALUE slice (totalprice >
+    // 400000 — 290 of 1725 grid cells are empty at gate scale, so the fill
+    // paths BIND), on a complete week grid (count-fill with zero,
+    // last-observation-carried-forward for the weekly sum). The grid is a
+    // 1-row bounds aggregate crossed with the distinct groups — never a
+    // per-row explode of the span; the ffill window partitions per group.
+    Q("q_resample_ffill",
+      (s, dir) => {
+        val f = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .select(col("o_orderpriority").as("p"),
+            CleanFns.weekStart(col("o_orderdate")).as("wk"),
+            col("o_totalprice"))
+        val weekly = f.groupBy(col("p"), col("wk"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(25, 4)))
+              .cast(DoubleType).as("wsum"))
+        val bounds = f.agg(min(col("wk")).as("minw"), max(col("wk")).as("maxw"))
+        val grid = f.select(col("p")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("p"), explode(
+            expr("sequence(minw, maxw, interval 7 days)")).as("wk"))
+        val wf = Window.partitionBy(col("p")).orderBy(col("wk"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(weekly, Seq("p", "wk"), "left")
+          .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+          .withColumn("sum_ffill", last(col("wsum"), ignoreNulls = true).over(wf))
+          .select(col("p"), col("wk"), col("n_orders"), col("sum_ffill"))
+          .orderBy(col("p"), col("wk"))
+      },
+      Some("""
+        WITH f AS (SELECT o_orderpriority AS p,
+                     CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+                     o_totalprice
+                   FROM orders WHERE o_totalprice > 400000),
+        weekly AS (SELECT p, wk, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS wsum
+                   FROM f GROUP BY p, wk),
+        b AS (SELECT MIN(wk) AS minw, MAX(wk) AS maxw FROM f),
+        grid AS (SELECT p, CAST(g.wk AS DATE) AS wk
+                 FROM (SELECT DISTINCT p FROM f),
+                      (SELECT unnest(generate_series(minw, maxw, INTERVAL 7 DAY)) AS wk
+                       FROM b) g)
+        SELECT p, wk, COALESCE(weekly.n_orders, 0) AS n_orders,
+               last_value(wsum IGNORE NULLS) OVER (PARTITION BY p ORDER BY wk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_ffill
+        FROM grid LEFT JOIN weekly USING (p, wk)
+        ORDER BY p, wk""")),
+
     // ----- (beyond ref, §2.11 family) snapshot table diff — the CDC export
     // a warehouse emits after each load so subscribers never re-read the
     // world. One full-outer key shuffle; null-safe column compare map-side.

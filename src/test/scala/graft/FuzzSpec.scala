@@ -210,6 +210,58 @@ class FuzzSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("BMP pixel roundtrip and nearest-neighbor floor model (fuzz)") {
+    import graft.multimodal.MediaCodecs
+    val img = for {
+      w <- Gen.chooseNum(1, 24); h <- Gen.chooseNum(1, 24)
+      bytes <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (w, h, bytes.toArray)
+    sample(img, 60, 21L).foreach { case (w, h, rgb) =>
+      val enc = MediaCodecs.encodeBmpRgb(w, h, rgb)
+      val Some((w2, h2, back)) = MediaCodecs.parseBmpPixels(enc)
+      assert(w2 == w && h2 == h && back.sameElements(rgb),
+        s"roundtrip broke at ${w}x$h")
+      val ow = w / 2 + 1; val oh = h / 2 + 1
+      val rz = MediaCodecs.resizeNearestRgb(rgb, w, h, ow, oh)
+      for (oy <- 0 until oh; ox <- 0 until ow; c <- 0 until 3)
+        assert(rz((oy * ow + ox) * 3 + c) ==
+          rgb(((oy * h / oh) * w + (ox * w / ow)) * 3 + c),
+          s"floor mapping broke at ${w}x$h -> ${ow}x$oh ($ox,$oy,$c)")
+    }
+  }
+
+  test("PCM WAV roundtrip and audio features vs a naive model (fuzz)") {
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    val sig = for {
+      n <- Gen.chooseNum(1, 64)
+      s <- Gen.listOfN(n,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort))
+    } yield s.toArray
+    val cases = sample(sig, 80, 22L)
+    cases.foreach { s =>
+      val Some((m, back)) =
+        MediaCodecs.parseWavPcm16(MediaCodecs.encodeWavPcm16(44100, s))
+      assert(m.n_samples == s.length && back.sameElements(s))
+    }
+    // one Spark pass over the whole sample; naive model on the originals
+    val rows = Multimodal.audioFeatures(
+        cases.zipWithIndex.map { case (s, i) =>
+          Multimodal.MediaRow(i.toLong, MediaCodecs.encodeWavPcm16(8000, s))
+        }.toDS())
+      .collect().map(r => r.doc_id -> r).toMap
+    cases.zipWithIndex.foreach { case (s, i) =>
+      val r = rows(i.toLong)
+      val peak = s.map(v => math.abs(v.toLong)).max
+      val sumSq = s.map(v => v.toLong * v).sum
+      val zc = s.toSeq.sliding(2).count {
+        case Seq(a, b) => (a >= 0) != (b >= 0)
+        case _ => false
+      }
+      assert(r.n_samples == s.length && r.peak == peak &&
+        r.sum_sq == sumSq && r.zero_crossings == zc, s"sample $i")
+    }
+  }
+
   test("TopKPerGroup equals the window formulation for random data and k (fuzz)") {
     val rows = sample(
       for { g <- Gen.chooseNum(1L, 8L); v <- Gen.chooseNum(0, 1000) } yield (g, v.toDouble),
