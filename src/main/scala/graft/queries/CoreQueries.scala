@@ -1446,6 +1446,53 @@ object CoreQueries {
         FROM grid LEFT JOIN weekly USING (p, wk)
         ORDER BY p, wk""")),
 
+    // ----- (beyond ref) A/B test significance: Pearson chi-square over the
+    // variant × conversion contingency table (variant = user_id parity;
+    // conversion = any purchase with value > 150 — 36/39 vs 31/44 at gate
+    // scale, a real table). n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) is a
+    // RATIONAL in the counts: both sides are exact integer products
+    // (DECIMAL(38) against overflow at cluster scale) and the statistic is
+    // ONE division of exact values — bit-identical across engines, where
+    // the usual sqrt/normal-approx formulations would drift. Two hash-aggs
+    // (per-user conversion, then the 1-row table); no window, no join.
+    Q("q_ab_chi2",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+            .otherwise(0L)).as("conv"))
+          .withColumn("variant", pmod(col("user_id"), lit(2L)))
+          .agg(
+            count(when(col("variant") === 0 && col("conv") === 1, 1)).as("a"),
+            count(when(col("variant") === 0 && col("conv") === 0, 1)).as("b"),
+            count(when(col("variant") === 1 && col("conv") === 1, 1)).as("c"),
+            count(when(col("variant") === 1 && col("conv") === 0, 1)).as("d"))
+          .withColumn("n", expr("a + b + c + d"))
+          .withColumn("chi2", expr(
+            """CAST(CAST(n AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c) AS DOUBLE)
+               / CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) AS DOUBLE)"""))
+          .select(col("a"), col("b"), col("c"), col("d"), col("n"), col("chi2"))
+          .orderBy(col("a")),
+      Some("""
+        WITH conv AS (
+          SELECT user_id,
+                 MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                     THEN 1 ELSE 0 END) AS cv
+          FROM events GROUP BY user_id),
+        x AS (SELECT
+                COUNT(CASE WHEN user_id % 2 = 0 AND cv = 1 THEN 1 END) AS na,
+                COUNT(CASE WHEN user_id % 2 = 0 AND cv = 0 THEN 1 END) AS nb,
+                COUNT(CASE WHEN user_id % 2 = 1 AND cv = 1 THEN 1 END) AS nc,
+                COUNT(CASE WHEN user_id % 2 = 1 AND cv = 0 THEN 1 END) AS nd
+              FROM conv)
+        SELECT na AS a, nb AS b, nc AS c, nd AS d,
+               CAST(na + nb + nc + nd AS BIGINT) AS n,
+               CAST(CAST(na + nb + nc + nd AS DECIMAL(38,0))
+                    * (na*nd - nb*nc) * (na*nd - nb*nc) AS DOUBLE)
+                 / CAST(CAST(na + nb AS DECIMAL(38,0)) * (nc + nd)
+                        * (na + nc) * (nb + nd) AS DOUBLE) AS chi2
+        FROM x ORDER BY a""")),
+
     // ----- (beyond ref, §2.11 family) snapshot table diff — the CDC export
     // a warehouse emits after each load so subscribers never re-read the
     // world. One full-outer key shuffle; null-safe column compare map-side.
