@@ -36,7 +36,11 @@ object Soak {
     "q_text_bigram_lm",      // two hashed-long count shuffles + joins
     "q_funnel_steps",        // chained stage windows on one user_id exchange
     "q_cohort_retention",    // two hash-aggs + user-keyed join
-    "q_mm_audio_features")   // map-side PCM decode + feature fold
+    "q_mm_audio_features",   // map-side PCM decode + feature fold
+    "q_event_transitions",   // lag window + matrix agg on one exchange
+    "q_resample_ffill",      // bounds-agg grid + per-group ffill window
+    "q_ab_chi2",             // two hash-aggs, exact rational statistic
+    "q_mix_apply")           // broadcast budgets + per-source cumsum window
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import graft.functions.TextFns
 import graft.operators.{Components, Curation, Dedup, Scd2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -416,6 +417,70 @@ object CurationQueries {
                CAST(COALESCE(SUM(CASE WHEN cum <= 15000 THEN ntok END), 0) AS BIGINT)
                  AS tok_selected
         FROM ord GROUP BY source ORDER BY source""")),
+
+    // ----- EXECUTING the mixing plan: q_mix_weights computes per-source
+    // temperature allocations; this query materializes the mix — each
+    // source's ppm share of a 15000-token target becomes its budget, spent
+    // best-quality-first (score DESC, doc_id) by a per-source cumsum
+    // window. Per-source budgets (~750 tokens vs ~1365 available) BIND at
+    // gate scale. One source-partitioned window — partition-bounded, never
+    // a global sort; the 20-row budget table is broadcast.
+    Q("q_mix_apply",
+      (s, dir) => {
+        val scored = Curation.qualityScore(t(s, dir, "documents"), "text",
+            Seq("a", "the"), keepThreshold = Long.MinValue)
+          .withColumn("ntok", TextFns.tokenCount(col("text")).cast(LongType))
+        val per = scored.groupBy(col("source")).agg(sum(col("ntok")).as("tokens"))
+          .withColumn("weight", floor(sqrt(col("tokens"))).cast(LongType))
+        val tot = per.agg(sum(col("weight")).as("total_w"))
+        val budgets = per.crossJoin(broadcast(tot))
+          .select(col("source"), expr(
+            "CAST(((1000000 * weight) DIV total_w) * 15000 DIV 1000000 AS BIGINT)")
+            .as("budget"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        scored.join(broadcast(budgets), "source")
+          .withColumn("cum", sum(col("ntok")).over(w))
+          .withColumn("selected", col("cum") <= col("budget"))
+          .groupBy(col("source"))
+          .agg(max(col("budget")).cast(LongType).as("budget"),
+            count(lit(1)).cast(LongType).as("n_docs"),
+            count(when(col("selected"), 1)).cast(LongType).as("n_selected"),
+            sum(when(col("selected"), col("ntok")).otherwise(lit(0L)))
+              .cast(LongType).as("tok_selected"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH $toksCte,
+        g AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS ntok,
+                GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id, source, ntok,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g),
+        per AS (SELECT source, SUM(ntok) AS tokens FROM sc GROUP BY source),
+        wgt AS (SELECT source, CAST(floor(sqrt(tokens)) AS BIGINT) AS weight FROM per),
+        tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM wgt),
+        bud AS (SELECT source,
+                  CAST(((1000000 * weight) // total_w) * 15000 // 1000000 AS BIGINT)
+                    AS budget
+                FROM wgt, tot),
+        cums AS (SELECT sc.source, sc.ntok, bud.budget,
+                   SUM(sc.ntok) OVER (PARTITION BY sc.source
+                     ORDER BY sc.score DESC, sc.doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM sc JOIN bud USING (source))
+        SELECT source, CAST(MAX(budget) AS BIGINT) AS budget,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN cum <= budget THEN 1 END) AS BIGINT) AS n_selected,
+               CAST(COALESCE(SUM(CASE WHEN cum <= budget THEN ntok END), 0) AS BIGINT)
+                 AS tok_selected
+        FROM cums GROUP BY source ORDER BY source""")),
 
     // ----- dedup-cluster closure: near-dup PAIRS (4-gram Jaccard ≥ 0.4)
     // grouped into connected components labeled by their min member — the
