@@ -31,6 +31,13 @@ import org.apache.spark.sql.types._
   * centroid (the standard Lloyd fallback; cannot occur when init points are
   * distinct corpus vectors and k ≪ n, which the fixture gate relies on).
   *
+  * Scan count: `passes + 1` scans of the input (seed, one per update, one
+  * for the returned assignment) — each a narrow parquet read + the quantize
+  * projection. When the raw READ dominates (wide rows, remote storage),
+  * persist the (id, quantized) projection upstream and pass that in; the
+  * operator deliberately does not cache internally so callers keep the
+  * release responsibility explicit (the CorpusPipeline lesson).
+  *
   * Reference lineage: the reference has no clustering operator; this extends
   * its aggregate family (sql/analysis/04_summary_stats.sql) the way a
   * training-data pipeline needs.
