@@ -174,6 +174,54 @@ object Streams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, us: Long, event_id: Long,
+      event_type: String)
+  final case class FunnelProgress(stage: Int, t1_us: Long, t2_us: Long)
+  final case class FunnelConversion(user_id: Long, t1_us: Long, t2_us: Long,
+      t3_us: Long)
+
+  /** Streaming funnel: the stateful twin of `q_funnel_steps` — a per-user
+    * state MACHINE (stage + the stage times) advanced event by event:
+    * the first signup opens the funnel, the first view within `windowUs`
+    * of it advances, the first purchase within `windowUs` of that view
+    * EMITS the conversion (append mode) and parks the user terminal. A
+    * user whose deadline lapses simply never advances — identical to the
+    * batch query's min-within-window semantics, so over any in-order
+    * prefix the emitted conversions equal the batch answer's reached=3
+    * rows (the StreamsSpec contract; cross-batch ordering carries the
+    * same in-order-source caveat as [[scd2Stream]]).
+    *
+    * Scale: state is ONE small tuple per user — stage and two longs —
+    * regardless of event volume; conversions emit exactly once.
+    */
+  def funnelStream(events: Dataset[FunnelEvent], windowUs: Long): Dataset[FunnelConversion] = {
+    require(windowUs > 0, s"windowUs must be positive: $windowUs")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelConversion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(0, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelConversion]
+          batch.toArray.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            st.stage match {
+              case 0 if e.event_type == "signup" =>
+                st = FunnelProgress(1, e.us, 0L)
+              case 1 if e.event_type == "view" && e.us > st.t1_us &&
+                        e.us <= st.t1_us + windowUs =>
+                st = FunnelProgress(2, st.t1_us, e.us)
+              case 2 if e.event_type == "purchase" && e.us > st.t2_us &&
+                        e.us <= st.t2_us + windowUs =>
+                out += FunnelConversion(uid, st.t1_us, st.t2_us, e.us)
+                st = FunnelProgress(3, st.t1_us, st.t2_us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Drive a streaming frame to completion against a memory sink and return
     * the materialized result (for specs and local smoke). Default mode is
     * Complete — right for the aggregation helpers; pass Append for

@@ -320,4 +320,70 @@ class StreamsSpec extends AnyFunSuite {
     assert(idx.groupBy("band_idx", "band_key").count()
       .filter($"count" > 1).count() == 0L)
   }
+
+  test("streaming funnel equals batch min-within-window semantics at sf0.001") {
+    val evs = Tables.events(spark, TestSpark.sfDir)
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"event_id", $"event_type")
+      .as[Streams.FunnelEvent]
+    val W = 72L * 3600 * 1000000 // 72 h per step: 8 conversions at sf0.001
+    val got = Streams.funnelStream(evs, W).collect()
+      .map(c => (c.user_id, c.t1_us, c.t2_us, c.t3_us)).toSet
+    // independent model: t1 = min signup, t2 = min view in (t1, t1+W],
+    // t3 = min purchase in (t2, t2+W]
+    val model = evs.collect().groupBy(_.user_id).flatMap { case (u, es) =>
+      val signups = es.filter(_.event_type == "signup").map(_.us)
+      if (signups.isEmpty) None
+      else {
+        val t1 = signups.min
+        val vs = es.filter(e => e.event_type == "view" && e.us > t1 &&
+          e.us <= t1 + W).map(_.us)
+        if (vs.isEmpty) None
+        else {
+          val t2 = vs.min
+          val ps = es.filter(e => e.event_type == "purchase" && e.us > t2 &&
+            e.us <= t2 + W).map(_.us)
+          if (ps.isEmpty) None else Some((u, t1, t2, ps.min))
+        }
+      }
+    }.toSet
+    assert(got == model)
+    assert(got.size == 8)
+  }
+
+  test("streaming funnel carries state across micro-batches and emits once") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-funnel-src")
+    def drop(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-funnel-one")
+      rows.toDF("user_id", "us", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(name))
+    }
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("us", LongType), StructField("event_id", LongType),
+      StructField("event_type", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(src.toString)
+      .as[Streams.FunnelEvent]
+    drop("b0.parquet", Seq((1L, 100L, 1L, "signup"), (2L, 100L, 2L, "signup")))
+    val q = Streams.funnelStream(stream, 1000L).toDF().writeStream
+      .outputMode("append").format("memory").queryName("t_funnel_x").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_funnel_x").isEmpty) // funnel open, nothing emitted
+      // user 1 completes ACROSS the batch boundary; user 2's view misses
+      // the 1000 us deadline and must never convert
+      drop("b1.parquet", Seq((1L, 200L, 3L, "view"), (1L, 300L, 4L, "purchase"),
+        (2L, 5000L, 5L, "view")))
+      q.processAllAvailable()
+      // a terminal user's later purchases must not emit a second conversion
+      drop("b2.parquet", Seq((1L, 400L, 6L, "purchase"), (2L, 5100L, 7L, "purchase")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_funnel_x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1L, 100L, 200L, 300L)))
+  }
 }
