@@ -418,6 +418,25 @@ object CurationQueries {
                  AS tok_selected
         FROM ord GROUP BY source ORDER BY source""")),
 
+    // ----- bounded-memory heavy hitters: exact top-20 tokens via the
+    // Misra–Gries sketch-then-verify two-phase plan — the same answer as a
+    // full token-shuffle top-k, but the exchange carries only candidate
+    // occurrences (the 100 TB shape; see HeavyHitters scaladoc). At gate
+    // scale the 31-token vocabulary fits the 4096-counter summary, so the
+    // gate checks the sketch→merge→verify plumbing end-to-end against the
+    // exact oracle; the eviction path + the n/capacity guarantee are
+    // pinned by OperatorsSpec on a corpus built to exercise them.
+    Q("q_text_heavy_hitters",
+      (s, dir) =>
+        graft.operators.HeavyHitters.topTokens(
+            t(s, dir, "documents"), "text", k = 20, capacity = 4096)
+          .orderBy(col("n").desc, col("tok")),
+      Some("""
+        WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                    FROM documents)
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tk GROUP BY tok ORDER BY n DESC, tok LIMIT 20""")),
+
     // ----- EXECUTING the mixing plan: q_mix_weights computes per-source
     // temperature allocations; this query materializes the mix — each
     // source's ppm share of a 15000-token target becomes its budget, spent

@@ -507,6 +507,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cap.toSeq == Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 3L, 1L), (1L, 4L, 2L)))
   }
 
+  test("heavy hitters: eviction path, MG superset guarantee, partition independence") {
+    import graft.operators.HeavyHitters
+    // 3 hot tokens + 50 singletons, capacity 8 << 53 distinct tokens: the
+    // decrement-all eviction fires constantly. n = 290, n/capacity ≈ 36,
+    // and every hot count (100/80/60) exceeds it — the MG guarantee holds,
+    // so the top-3 must be EXACT under any partitioning.
+    val words = Seq.fill(100)("hot1") ++ Seq.fill(80)("hot2") ++
+      Seq.fill(60)("hot3") ++ (0 until 50).map(i => s"junk$i")
+    val df = new scala.util.Random(7).shuffle(words)
+      .grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val expected = Seq(("hot1", 100L), ("hot2", 80L), ("hot3", 60L))
+    for (parts <- Seq(2, 7)) {
+      val got = HeavyHitters.topTokens(df.repartition(parts), "text", 3, 8)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+    // the candidate union is a superset of every token above n/capacity
+    import spark.implicits._
+    val toks = df.select(explode(graft.functions.TextFns.tokens($"text")).as("t"))
+      .as[String]
+    val cands = HeavyHitters.mgCandidates(toks.repartition(5), 8).toSet
+    assert(Set("hot1", "hot2", "hot3").subsetOf(cands))
+    assert(cands.size <= 8 * 5 + 3)
+  }
+
   test("profile reports nulls, distincts and min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
     val p = Profile.profile(df).collect()
