@@ -292,6 +292,45 @@ object Curation {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(k)
 
+  /** Collocation (phrase) mining: adjacent token pairs ranked by integer
+    * LIFT — `10⁶·c(ab)·N DIV (c(a)·c(b))`, the log-free PMI proxy (lift ≈
+    * 10⁶ under independence, far above it for true phrases) — the
+    * word2vec-style phrase-detection step of a tokenization pipeline,
+    * engine-exact: counts, DECIMAL(38) products (c(ab)·N can pass 2⁶³ on a
+    * real corpus) and one integral division.
+    *
+    * `minCount` kills the noise tail BEFORE the join (a pair seen twice
+    * with two rare words has huge lift and no value — the standard phrase
+    * filter); top-k is a TakeOrdered heap with ties on the pair string.
+    *
+    * Scale: pair/unigram counts are hash-aggs with map-side partials; the
+    * two unigram joins run on the minCount-filtered pair vocabulary (tiny),
+    * and the 1-row total is broadcast.
+    */
+  def collocations(df: DataFrame, textCol: String, k: Int, minCount: Long): DataFrame = {
+    require(k > 0 && minCount >= 1, s"bad k=$k / minCount=$minCount")
+    val toks = df.withColumn("__t", TextFns.tokens(col(textCol)))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = uni.agg(sum(col("cw")).cast(LongType).as("n_total"))
+    toks.filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', element_at(__t, i + 2)))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift_ppm", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * cab * n_total)
+           DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"""))
+      .select(col("pair"), col("cab").cast(LongType).as("cab"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("pair")).limit(k)
+  }
+
   /** Mean inverse-frequency rarity score per document — the perplexity
     * PROXY of a unigram LM without transcendental math: rarity of a token
     * is `corpusTokens DIV count(token)` (average tokens per occurrence —

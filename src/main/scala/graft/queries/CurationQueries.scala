@@ -418,6 +418,36 @@ object CurationQueries {
                  AS tok_selected
         FROM ord GROUP BY source ORDER BY source""")),
 
+    // ----- collocation mining: top-20 adjacent pairs by integer lift
+    // (10⁶·c(ab)·N DIV c(a)c(b) — the log-free PMI), min pair count 20.
+    // The phrase-detection step of a tokenizer pipeline; every quantity is
+    // a count or an integral division, bit-exact across engines.
+    Q("q_text_collocations",
+      (s, dir) =>
+        Curation.collocations(t(s, dir, "documents"), "text", k = 20,
+            minCount = 20L)
+          .orderBy(col("lift_ppm").desc, col("pair")),
+      Some("""
+        WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+                    FROM documents),
+        uni AS (SELECT w, COUNT(*) AS cw
+                FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+        tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total FROM uni),
+        p AS (SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS pair
+              FROM tk WHERE len(t) >= 2),
+        pc AS (SELECT pair, COUNT(*) AS cab FROM p GROUP BY pair
+               HAVING COUNT(*) >= 20),
+        j AS (SELECT pair, cab, string_split(pair, ' ')[1] AS w1,
+                string_split(pair, ' ')[2] AS w2
+              FROM pc)
+        SELECT pair, CAST(cab AS BIGINT) AS cab,
+               CAST((CAST(1000000 AS HUGEINT) * cab * n_total)
+                    // (CAST(u1.cw AS HUGEINT) * u2.cw) AS BIGINT) AS lift_ppm
+        FROM j JOIN uni u1 ON j.w1 = u1.w JOIN uni u2 ON j.w2 = u2.w
+        CROSS JOIN tot
+        ORDER BY lift_ppm DESC, pair LIMIT 20""")),
+
     // ----- bounded-memory heavy hitters: exact top-20 tokens via the
     // Misra–Gries sketch-then-verify two-phase plan — the same answer as a
     // full token-shuffle top-k, but the exchange carries only candidate

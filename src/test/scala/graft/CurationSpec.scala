@@ -215,6 +215,20 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.maxBy(_._3)._1 == 3L)
   }
 
+  test("collocations: hand-computed lift, minCount kills the noise tail") {
+    // tokens: x2 y2 z1, N=5; pairs: "x y"x2, "y x"x1, "y z"x1.
+    // minCount=2 keeps only "x y": lift = 1e6*2*5 / (2*2) = 2500000
+    val df = Seq((1L, "x y x y z")).toDF("doc_id", "text")
+    val rows = Curation.collocations(df, "text", k = 5, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("x y", 2L, 2500000L)))
+    // minCount=1 admits the singletons; "y z" pairs a bigram with a hapax:
+    // lift = 1e6*1*5 / (2*1) = 2500000; "y x" = 1e6*5/(2*2) = 1250000
+    val all = Curation.collocations(df, "text", k = 5, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(all == Seq(("x y", 2500000L), ("y z", 2500000L), ("y x", 1250000L)))
+  }
+
   test("source cap keeps the best-scored docs per source, heap-ranked") {
     // all-distinct tokens, no stopwords → score = 1000·ntok + 500000, so
     // ordering is by token count; ties break on doc_id ascending
