@@ -41,7 +41,8 @@ object Soak {
     "q_resample_ffill",      // bounds-agg grid + per-group ffill window
     "q_ab_chi2",             // two hash-aggs, exact rational statistic
     "q_mix_apply",           // broadcast budgets + per-source cumsum window
-    "q_text_heavy_hitters")  // map-side MG sketch + candidate-only count
+    "q_text_heavy_hitters",  // map-side MG sketch + candidate-only count
+    "q_text_collocations")   // pair/unigram hash-aggs + filtered joins
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

@@ -164,6 +164,39 @@ object Multimodal {
     }
   }
 
+  final case class ImageStatsRow(doc_id: Long, width: Long, height: Long,
+                                 sum_r: Long, sum_g: Long, sum_b: Long,
+                                 max_luma: Long)
+
+  /** REAL raster-level image feature extraction: decode each 24-bit BMP to
+    * its RGB raster and compute integer channel statistics — per-channel
+    * byte sums (the mean numerators) and the peak integer luma
+    * ((299·R + 587·G + 114·B) DIV 1000, the ITU-R 601 weights in
+    * parts-per-thousand) — the normalize/threshold decisions an image
+    * pipeline makes before a model sees pixels. All integer math, so an
+    * arithmetic oracle verifies the full byte-layout decode; non-BMP
+    * payloads are dropped (quarantine seam). Purely map-side.
+    */
+  def imageStats(media: Dataset[MediaRow]): Dataset[ImageStatsRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseBmpPixels(r.media).map { case (w, h, rgb) =>
+          var sr = 0L; var sg = 0L; var sb = 0L; var maxLuma = 0L
+          var i = 0
+          while (i < rgb.length) {
+            val cr = rgb(i) & 0xff; val cg = rgb(i + 1) & 0xff; val cb = rgb(i + 2) & 0xff
+            sr += cr; sg += cg; sb += cb
+            val luma = (299L * cr + 587L * cg + 114L * cb) / 1000L
+            if (luma > maxLuma) maxLuma = luma
+            i += 3
+          }
+          ImageStatsRow(r.doc_id, w.toLong, h.toLong, sr, sg, sb, maxLuma)
+        }
+      }
+    }
+  }
+
   final case class AudioFeatureRow(doc_id: Long, n_samples: Long, peak: Long,
                                    sum_sq: Long, zero_crossings: Long)
 

@@ -245,6 +245,26 @@ class MediaCodecsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("image stats: hand-computed channel sums and peak integer luma") {
+    import graft.multimodal.Multimodal
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // pixels (10,20,30) and (200,100,50): sums 210/120/80;
+    // lumas 18150//1000=18 and 124200//1000=124 → max 124
+    val rgb = Array[Byte](10, 20, 30, 200.toByte, 100, 50)
+    val bmp = MediaCodecs.encodeBmpRgb(2, 1, rgb)
+    val rows = Multimodal.imageStats(
+      Seq(Multimodal.MediaRow(3L, bmp)).toDS()).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.width == 2 && r.height == 1)
+    assert(r.sum_r == 210 && r.sum_g == 120 && r.sum_b == 80 && r.max_luma == 124)
+    // non-BMP payloads drop out
+    assert(Multimodal.imageStats(
+      Seq(Multimodal.MediaRow(4L, "nope".getBytes("UTF-8"))).toDS())
+      .collect().isEmpty)
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)
