@@ -327,6 +327,123 @@ object MediaCodecs {
     buf.array()
   }
 
+  /** Full truecolor PNG (RFC 2083): signature, IHDR (8-bit, color type 2,
+    * no interlace), ONE IDAT holding the zlib-deflated scanline stream
+    * (each row: filter byte 0 + RGB bytes), IEND — every chunk CRC'd as
+    * the spec requires. A complete, viewer-openable file.
+    */
+  def encodePngRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"dims must be positive ($width x $height)")
+    require(rgb.length == width * height * 3,
+      s"rgb must be w*h*3 = ${width * height * 3} bytes, got ${rgb.length}")
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      val off = y * (1 + width * 3)
+      raw(off) = 0 // filter: None
+      System.arraycopy(rgb, y * width * 3, raw, off + 1, width * 3)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = zbuf.toByteArray
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+      out.putInt(data.length)
+      out.put(tpe.getBytes("US-ASCII")).put(data)
+      val crc = new CRC32
+      crc.update(out.array(), 4, 4 + data.length)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte).put(2.toByte) // bit depth 8, truecolor
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    PngSig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** Decode a truecolor PNG to (width, height, top-down RGB): walks the
+    * chunk list, concatenates every IDAT, inflates the scanline stream, and
+    * UNDOES all five per-row filters (None/Sub/Up/Average/Paeth — the part
+    * of PNG a header parse never touches). 8-bit color type 2,
+    * non-interlaced only; returns None — never throws — on anything else
+    * (bad magic/IHDR, hostile dims past the 1 << 24-pixel cap, truncated or
+    * corrupt deflate stream, short pixel data, unknown filter byte).
+    */
+  def parsePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (parsePng(b).isEmpty || b.length < PngHeaderLen) return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    val w = buf.getInt(16); val h = buf.getInt(20)
+    if (w.toLong * h > (1 << 24)) return None
+    if (b(24) != 8 || b(25) != 2 || b(28) != 0) return None // 8-bit RGB, no interlace
+    // walk chunks from after IHDR, concatenating IDAT payloads
+    val z = new java.io.ByteArrayOutputStream()
+    var off = 8 + 12 + 13 // sig + IHDR chunk
+    var done = false
+    while (!done && off + 12 <= b.length) {
+      val len = buf.getInt(off)
+      if (len < 0 || off + 12L + len > b.length) return None
+      val tpe = new String(b, off + 4, 4, "US-ASCII")
+      if (tpe == "IDAT") z.write(b, off + 8, len)
+      else if (tpe == "IEND") done = true
+      off += 12 + len
+    }
+    if (z.size() == 0) return None
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(z.toByteArray)
+    val n = try {
+      var total = 0
+      var stuck = false
+      while (total < raw.length && !inflater.finished() && !stuck) {
+        val k = inflater.inflate(raw, total, raw.length - total)
+        if (k == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+          stuck = true // truncated / preset-dictionary stream
+        else total += k
+      }
+      total
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (n < raw.length) return None
+    // defilter in place into the output raster
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val rOff = y * (1 + stride) // filter byte position
+      val oOff = y * stride
+      val filter = raw(rOff) & 0xff
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rOff + 1 + x) & 0xff
+        val a = if (x >= 3) out(oOff + x - 3) & 0xff else 0      // left
+        val up = if (y > 0) out(oOff - stride + x) & 0xff else 0 // above
+        val c = if (x >= 3 && y > 0) out(oOff - stride + x - 3) & 0xff else 0
+        val v = filter match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + up
+          case 3 => cur + (a + up) / 2
+          case 4 =>
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+          case _ => return None
+        }
+        out(oOff + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
   /** BMP row stride: 24-bit rows padded to a 4-byte boundary, per the spec. */
   def bmpStride(width: Int): Int = (width * 3 + 3) & ~3
 

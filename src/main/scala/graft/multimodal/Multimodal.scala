@@ -181,7 +181,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        MediaCodecs.parseBmpPixels(r.media).map { case (w, h, rgb) =>
+        // raster decode: uncompressed BMP or deflate+defilter PNG
+        MediaCodecs.parseBmpPixels(r.media)
+          .orElse(MediaCodecs.parsePngPixels(r.media)).map { case (w, h, rgb) =>
           var sr = 0L; var sg = 0L; var sb = 0L; var maxLuma = 0L
           var i = 0
           while (i < rgb.length) {

@@ -728,6 +728,53 @@ object TextQueries {
                CAST(MAX((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS max_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // ----- the SAME raster statistics through the PNG path: gradient
+    // rasters zlib-DEFLATED into real truecolor PNGs, decoded by the full
+    // inflate + defilter pipeline (MediaCodecs.parsePngPixels). The oracle
+    // is identical arithmetic to the BMP row — if inflate, scanline
+    // walking, or any filter handling misreads one byte, the channel sums
+    // diverge and the gate fails.
+    Q("q_mm_image_stats_png",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 48 + 8).toInt
+            val h = (id * 7 % 40 + 8).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = ((x + y) % 256).toByte
+                rgb(p + 1) = ((2 * x + 3 * y) % 256).toByte
+                rgb(p + 2) = ((x + 2 * y) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodePngRgb(w, h, rgb))
+          }
+        graft.multimodal.Multimodal.imageStats(media)
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH dims AS (SELECT doc_id, doc_id % 48 + 8 AS w,
+                             (doc_id * 7) % 40 + 8 AS h
+                      FROM documents),
+        px AS (SELECT doc_id, w, h,
+                 (x.g + y.g) % 256 AS r, (2 * x.g + 3 * y.g) % 256 AS g,
+                 (x.g + 2 * y.g) % 256 AS b
+               FROM dims, generate_series(0, 54) x(g), generate_series(0, 46) y(g)
+               WHERE x.g < w AND y.g < h)
+        SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(MAX((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS max_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // ----- multimodal audio feature extraction: REAL sample-level PCM
     // decode. Each doc carries a complete 16-bit mono WAV of a closed-form
     // waveform s(i) = ((doc_id·31 + 40503i) mod 65536) − 32768; the operator

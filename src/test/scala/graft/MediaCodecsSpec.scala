@@ -245,6 +245,59 @@ class MediaCodecsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("PNG raster: deflate roundtrip through the real inflate + defilter path") {
+    val rgb = Array.tabulate[Byte](6 * 4 * 3)(i => ((i * 37) % 256).toByte)
+    val png = MediaCodecs.encodePngRgb(6, 4, rgb)
+    // it is a real spec-conformant file the header parser also accepts
+    assert(MediaCodecs.parseMeta(png).exists(m => m.width == 6 && m.height == 4))
+    val Some((w, h, back)) = MediaCodecs.parsePngPixels(png)
+    assert(w == 6 && h == 4 && back.sameElements(rgb))
+    // hostile: truncated IDAT, corrupt deflate byte, hostile dims
+    assert(MediaCodecs.parsePngPixels(png.take(png.length - 20)).isEmpty)
+    val corrupt = png.clone(); corrupt(8 + 25 + 12) = 0x55 // inside IDAT data
+    assert(MediaCodecs.parsePngPixels(corrupt).isEmpty ||
+      !MediaCodecs.parsePngPixels(corrupt).get._3.sameElements(rgb))
+    assert(MediaCodecs.parsePngPixels("not a png".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("PNG defilter: Sub, Up, Average and Paeth rows, hand-computed") {
+    // 2x4 truecolor PNG built by hand, one row per filter type
+    val raw = Array[Byte](
+      1, 10, 20, 30, 5, 6, 7,    // Sub
+      2, 1, 2, 3, 4, 5, 6,       // Up
+      3, 10, 10, 10, 10, 10, 10, // Average
+      4, 1, 1, 1, 2, 2, 2)       // Paeth
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zb = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) zb.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      out.putInt(data.length).put(tpe.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(out.array(), 4, 4 + data.length)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
+    ihdr.putInt(2).putInt(4).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val png = sig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", zb.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+    val Some((w, h, px)) = MediaCodecs.parsePngPixels(png)
+    assert(w == 2 && h == 4)
+    val expected = Array[Byte](
+      10, 20, 30, 15, 26, 37, // Sub: px1 = px0 + delta
+      11, 22, 33, 19, 31, 43, // Up: row0 + raw
+      15, 21, 26, 27, 36, 44, // Average of left/up
+      16, 22, 27, 29, 38, 46) // Paeth picks up both times here
+    assert(px.sameElements(expected))
+  }
+
   test("image stats: hand-computed channel sums and peak integer luma") {
     import graft.multimodal.Multimodal
     val spark = TestSpark.spark
