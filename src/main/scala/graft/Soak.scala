@@ -42,7 +42,9 @@ object Soak {
     "q_ab_chi2",             // two hash-aggs, exact rational statistic
     "q_mix_apply",           // broadcast budgets + per-source cumsum window
     "q_text_heavy_hitters",  // map-side MG sketch + candidate-only count
-    "q_text_collocations")   // pair/unigram hash-aggs + filtered joins
+    "q_text_collocations",   // pair/unigram hash-aggs + filtered joins
+    "q_mm_image_stats",      // map-side BMP raster decode + channel fold
+    "q_mm_image_stats_png")  // map-side inflate + defilter + channel fold
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
