@@ -230,6 +230,22 @@ object Soak {
         // map-side pair explode + one hash-agg + TakeOrdered heap
         "text_bpe_merges" -> { dir =>
           graft.operators.Curation.bpeMergeCandidates(docs(dir), "text", 20).count()
+        },
+        // hashed pair/prefix count shuffles + joins; the pair vocabulary
+        // grows with the copy-tagging, the stream with the factor
+        "text_bigram_lm" -> { dir =>
+          graft.operators.Curation.bigramLmScore(docs(dir), "doc_id", "text").count()
+        },
+        // map-side MG summaries + candidate-only exact count: the candidate
+        // union grows with partitions x capacity, never with the corpus
+        "text_heavy_hitters" -> { dir =>
+          graft.operators.HeavyHitters.topTokens(docs(dir), "text", 20, 4096).count()
+        },
+        // pair + unigram hash-aggs, minCount filter before the joins
+        // (scaled with the corpus so the filtered vocabulary stays bounded)
+        "text_collocations" -> { dir =>
+          graft.operators.Curation.collocations(docs(dir), "text", 20,
+            minCount = 20L * (nRows(dir) / 5000L).max(1L)).count()
         })
       println(f"${"dedup op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (docs x$dedupFactor, dfcut)")
       runs.foreach { case (name, f) =>
