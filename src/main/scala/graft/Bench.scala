@@ -64,15 +64,21 @@ object Bench {
       // from above while shedding the unrelated-load pollution. A retry that
       // itself fails is discarded (two successful timed runs already exist —
       // a transient third-run hiccup must not paint the round failed).
-      val cold =
-        if (warm >= 0 && cold0 > 2 * warm) {
-          val t0 = System.nanoTime()
-          val retry =
-            try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => Double.MaxValue }
-          math.min(cold0, retry)
-        } else cold0
-      (q.name, cold, warm)
+      def retryMin(base: Double): Double = {
+        val t0 = System.nanoTime()
+        val retry =
+          try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
+        math.min(base, retry)
+      }
+      val cold = if (warm >= 0 && cold0 > 2 * warm) retryMin(cold0) else cold0
+      // Same rule, symmetric: a warm run can absorb suite pollution too
+      // (round 6 shipped warm > cold inversions — q_text_bpe_merges 2.56 s
+      // warm vs 0.65 s cold). Warm exceeding 2× the (de-noised) cold is
+      // physically impossible for a compiled-plan rerun, so re-run once and
+      // keep the minimum.
+      val warmD = if (cold >= 0 && warm > 2 * cold) retryMin(warm) else warm
+      (q.name, cold, warmD)
     }
     // Round per-query seconds to 3 decimals: keeps the one-line JSON compact
     // so the driver's output-tail capture never clips it (BENCH_r01 parsed:null).

@@ -69,7 +69,9 @@ object MediaCodecs {
     if (!BmpBpp.contains(buf.getShort(28).toInt)) return None
     val w = buf.getInt(18)
     val h = buf.getInt(22) // negative = top-down row order; magnitude is the height
-    if (w <= 0 || h == 0) return None
+    // abs(Int.MinValue) stays negative — a hostile 0x80000000 height field
+    // must be rejected here, not surface as a negative "height" downstream.
+    if (w <= 0 || h == 0 || h == Int.MinValue) return None
     Some(MediaMeta(w, math.abs(h), 1, "bmp"))
   }
 
@@ -110,7 +112,10 @@ object MediaCodecs {
         blockAlign = buf.getShort(off + 20).toInt
         depth = buf.getShort(off + 22).toInt
         sawFmt = true
-      } else if (id == "data") {
+      } else if (id == "data" && dataBytes < 0) {
+        // first data chunk only: a crafted file with two data chunks before
+        // fmt must not report one chunk's size while readers consume the
+        // other (parseWavPcm16 re-walks and stops at the FIRST data chunk).
         dataBytes = size
       }
       if (size > Int.MaxValue - 16) return None // u32 size would overflow the walk
@@ -381,7 +386,10 @@ object MediaCodecs {
     val buf = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
     val w = buf.getInt(16); val h = buf.getInt(20)
     if (w.toLong * h > (1 << 24)) return None
-    if (b(24) != 8 || b(25) != 2 || b(28) != 0) return None // 8-bit RGB, no interlace
+    // 8-bit RGB, compression method 0, filter method 0, no interlace: a PNG
+    // declaring a nonzero filter method must be rejected, not defiltered
+    // with the method-0 filters.
+    if (b(24) != 8 || b(25) != 2 || b(26) != 0 || b(27) != 0 || b(28) != 0) return None
     // walk chunks from after IHDR, concatenating IDAT payloads
     val z = new java.io.ByteArrayOutputStream()
     var off = 8 + 12 + 13 // sig + IHDR chunk
@@ -503,7 +511,9 @@ object MediaCodecs {
     val w = buf.getInt(18)
     val hRaw = buf.getInt(22)
     val h = math.abs(hRaw)
-    if (w.toLong * h > (1 << 24)) return None
+    // parseBmp already rejects hRaw == Int.MinValue; keep a local guard so
+    // this function's never-throws contract doesn't depend on call order.
+    if (h <= 0 || w.toLong * h > (1 << 24)) return None
     val off = buf.getInt(10)
     val stride = bmpStride(w)
     if (off < 0 || off.toLong + stride.toLong * h > b.length) return None

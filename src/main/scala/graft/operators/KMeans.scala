@@ -104,7 +104,11 @@ object KMeans {
                  passes: Int, perCluster: Int): DataFrame = {
     require(perCluster > 0, s"perCluster must be positive: $perCluster")
     val assigned = assignments(df, idCol, embCol, k, passes)
-      .withColumn("__ord", pmod(col(idCol) * lit(2654435761L), lit(2147483647L)))
+      // id is reduced mod 2^31-1 BEFORE the Knuth multiply so the product
+      // stays under Long.MaxValue for any id (a raw id above ~3.5e9 would
+      // wrap Spark's multiply and diverge from the oracle's arithmetic).
+      .withColumn("__ord", pmod(pmod(col(idCol), lit(2147483647L)) * lit(2654435761L),
+        lit(2147483647L)))
       .select(col(idCol), col("cluster"), col("__ord"))
     graft.plans.TopKPerGroup.topK(assigned, Seq("cluster"),
         Seq(("__ord", false), (idCol, false)), perCluster)
