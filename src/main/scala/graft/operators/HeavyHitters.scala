@@ -32,11 +32,26 @@ import scala.jdk.CollectionConverters._
   */
 object HeavyHitters {
 
+  /** Hard ceiling on `capacity · partitions` for the candidate collect:
+    * beyond this the "bounded" driver set stops being bounded in practice
+    * (10⁵ partitions × capacity 10⁴ would be 10⁹ strings — a driver OOM).
+    */
+  val MaxCandidates: Long = 4L * 1000 * 1000
+
   /** Per-partition Misra–Gries survivors, unioned (distinct, bounded by
-    * capacity · partitions) and collected to the driver.
+    * capacity · partitions) and collected to the driver. The collect is
+    * guarded: `capacity · partitions` must stay under [[MaxCandidates]] or
+    * the worst case no longer fits driver memory.
     */
   def mgCandidates(tokens: Dataset[String], capacity: Int): Array[String] = {
     require(capacity > 0, s"capacity must be positive: $capacity")
+    val parts = tokens.rdd.getNumPartitions.max(1)
+    require(capacity.toLong * parts <= MaxCandidates,
+      s"mgCandidates would collect up to capacity*partitions = $capacity*$parts = " +
+      s"${capacity.toLong * parts} candidate strings to the driver (cap: " +
+      s"$MaxCandidates). Lower `capacity` (it only needs to exceed " +
+      "k / heavy-hitter-threshold), or coalesce the token stream to fewer " +
+      "partitions before the candidate phase.")
     import tokens.sparkSession.implicits._
     tokens.mapPartitions { it =>
       val m = new java.util.HashMap[String, Long]()

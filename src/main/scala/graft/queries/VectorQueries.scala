@@ -458,7 +458,8 @@ object VectorQueries {
           .mkString(" + ")
         s"""
         WITH b AS (SELECT vec_id, CAST($bucketSql AS BIGINT) AS bucket,
-                          ((vec_id % 2147483647) * 2654435761) % 2147483647 AS ord
+                          (((vec_id % 2147483647 + 2147483647) % 2147483647)
+                           * 2654435761) % 2147483647 AS ord
                    FROM embeddings),
         r AS (SELECT bucket, vec_id,
                      CAST(row_number() OVER (PARTITION BY bucket
@@ -513,7 +514,8 @@ object VectorQueries {
       Some(s"""
         WITH $kmeansCtes,
         ordd AS (SELECT vec_id, j,
-                   ((vec_id % 2147483647) * 2654435761) % 2147483647 AS ord FROM a2),
+                   (((vec_id % 2147483647 + 2147483647) % 2147483647)
+                    * 2654435761) % 2147483647 AS ord FROM a2),
         r AS (SELECT j, vec_id,
                 CAST(row_number() OVER (PARTITION BY j
                   ORDER BY ord, vec_id) AS BIGINT) AS rank
