@@ -55,48 +55,48 @@ object Bench {
         }
       }
       val cold0 = once(); val warm = once()
-      // De-noise the cold number: in a 120-query suite the first run of a
-      // query can absorb another query's deferred cleanup / GC / page-cache
-      // misses and read 2-5× its true cost (rounds 4 and 5 both shipped such
-      // fake regressions — q_corpus_pipeline 24 s vs 5 s isolated). A query
-      // whose cold exceeds 2× its warm is re-run once and the minimum kept:
-      // the retry has compiled plans, so it bounds the query's true cold cost
-      // from above while shedding the unrelated-load pollution. A retry that
-      // itself fails is discarded (two successful timed runs already exist —
-      // a transient third-run hiccup must not paint the round failed).
-      // Retry while still >2× the reference bound, up to `attempts` extra
-      // runs, keeping the minimum: a single retry can itself draw a polluted
-      // run (round 7 shipped q_cluster_cap 2.14 s warm vs 0.82 s cold
-      // through the one-retry rule).
-      def retryMin(base: Double, bound: Double, attempts: Int): Double = {
-        var v = base; var i = 0
-        while (i < attempts && v > 2 * bound) {
-          val t0 = System.nanoTime()
-          val retry =
-            try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => Double.MaxValue }
-          v = math.min(v, retry)
-          i += 1
-        }
+      // De-noise, conservatively (round-8 advice): a SINGLE retry per side —
+      // retries run with codegen/plan caches hot, so looping retries would
+      // systematically convert legitimate codegen-dominated cold times into
+      // warm times and bias the scored cold total downward. One retry sheds
+      // suite pollution (deferred cleanup / GC / page-cache misses — rounds
+      // 4 and 5 shipped 2-5× fake regressions) while keeping real compile
+      // cost visible. Every replacement is logged to stderr so a diff of
+      // bench rounds can tell de-noising from genuine movement. A retry that
+      // throws is discarded (two successful timed runs already exist).
+      def retryOnce(side: String, base: Double, bound: Double): Double = {
+        val t0 = System.nanoTime()
+        val retry =
+          try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
+        val v = math.min(base, retry)
+        if (v < base) System.err.println(
+          f"BENCH DENOISE ${q.name} $side: $base%.3f -> $v%.3f (bound $bound%.3f)")
         v
       }
-      val cold = if (warm >= 0 && cold0 > 2 * warm) retryMin(cold0, warm, 2) else cold0
-      // Same rule, symmetric: a warm run can absorb suite pollution too
-      // (round 6 shipped warm > cold inversions — q_text_bpe_merges 2.56 s
-      // warm vs 0.65 s cold). Warm exceeding the (de-noised) cold is
-      // physically impossible for a compiled-plan rerun of the same plan, so
-      // retry, then bound by cold: min(warm, cold) is a true upper bound on
-      // the warm cost even when every drawn run was polluted.
-      val warmR = if (cold >= 0 && warm > 2 * cold) retryMin(warm, cold, 2) else warm
-      val warmD = if (cold >= 0 && warmR > cold) math.min(warmR, cold) else warmR
-      (q.name, cold, warmD)
+      val cold = if (warm >= 0 && cold0 > 2 * warm) retryOnce("cold", cold0, warm) else cold0
+      // Warm side, same single-retry rule (round 6 shipped warm > cold
+      // inversions — q_text_bpe_merges 2.56 s warm vs 0.65 s cold). The raw
+      // warm is PUBLISHED (queries_warm_raw in bench.json) so genuine
+      // warm-path regressions stay visible; the headline warm map only clamps
+      // pathological inversions (warm > 1.5× cold — physically impossible for
+      // a compiled-plan rerun, so necessarily pollution), per round-8 advice.
+      val warmR = if (cold >= 0 && warm > 2 * cold) retryOnce("warm", warm, cold) else warm
+      val warmD = if (cold >= 0 && warmR > 1.5 * cold) {
+        System.err.println(
+          f"BENCH CLAMP ${q.name} warm: $warmR%.3f -> $cold%.3f (pathological inversion)")
+        cold
+      } else warmR
+      (q.name, cold, warmD, warmR)
     }
     // Round per-query seconds to 3 decimals: keeps the one-line JSON compact
     // so the driver's output-tail capture never clips it (BENCH_r01 parsed:null).
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val qsWarm = results.map { case (k, _, w) => "\"" + k + "\":" + fmt(w) }
+    val qsWarm = results.map { case (k, _, w, _) => "\"" + k + "\":" + fmt(w) }
+      .mkString("{", ",", "}")
+    val qsWarmRaw = results.map { case (k, _, _, r) => "\"" + k + "\":" + fmt(r) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     val warmTotal = if (results.nonEmpty) results.map(_._3).filter(_ >= 0).sum else 0.0
@@ -114,6 +114,7 @@ object Bench {
     // bench.json only, so stdout carries a single short JSON line.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""warm_total":${fmt(warmTotal)},"queries_warm":$qsWarm,""" +
+      s""""queries_warm_raw":$qsWarmRaw,""" +
       s""""failed":$failedArr,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("bench.json"), "UTF-8")

@@ -14,6 +14,7 @@ object SparkEntry {
     _root_.graft.queries.CoreQueries.qs ++
     _root_.graft.queries.FunctionQueries.qs ++
     _root_.graft.queries.TextQueries.qs ++
+    _root_.graft.queries.MarkupQueries.qs ++
     _root_.graft.queries.VectorQueries.qs ++
     _root_.graft.queries.CurationQueries.qs
 

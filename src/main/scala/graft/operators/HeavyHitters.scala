@@ -35,25 +35,28 @@ object HeavyHitters {
   /** Hard ceiling on `capacity · partitions` for the candidate collect:
     * beyond this the "bounded" driver set stops being bounded in practice
     * (10⁵ partitions × capacity 10⁴ would be 10⁹ strings — a driver OOM).
+    * Inputs wider than `MaxCandidates / capacity` partitions are coalesced
+    * down to fit, not rejected: the MG result is partition-layout-independent
+    * under the exactness condition (HeavyHittersSpec pins this), so the
+    * coalesce changes cost shape only, never the answer.
     */
   val MaxCandidates: Long = 4L * 1000 * 1000
 
   /** Per-partition Misra–Gries survivors, unioned (distinct, bounded by
-    * capacity · partitions) and collected to the driver. The collect is
-    * guarded: `capacity · partitions` must stay under [[MaxCandidates]] or
-    * the worst case no longer fits driver memory.
+    * capacity · partitions) and collected to the driver. When the input has
+    * more than `MaxCandidates / capacity` partitions the candidate phase runs
+    * on a coalesced (narrower, no-shuffle) copy so the worst-case collect
+    * stays bounded — each coalesced task streams more rows through the same
+    * O(capacity) summary, trading task parallelism for a bounded driver set.
     */
   def mgCandidates(tokens: Dataset[String], capacity: Int): Array[String] = {
     require(capacity > 0, s"capacity must be positive: $capacity")
-    val parts = tokens.rdd.getNumPartitions.max(1)
-    require(capacity.toLong * parts <= MaxCandidates,
-      s"mgCandidates would collect up to capacity*partitions = $capacity*$parts = " +
-      s"${capacity.toLong * parts} candidate strings to the driver (cap: " +
-      s"$MaxCandidates). Lower `capacity` (it only needs to exceed " +
-      "k / heavy-hitter-threshold), or coalesce the token stream to fewer " +
-      "partitions before the candidate phase.")
+    val maxParts = (MaxCandidates / capacity).toInt.max(1)
     import tokens.sparkSession.implicits._
-    tokens.mapPartitions { it =>
+    // coalesce(n) with n >= current partition count is a no-op, so the common
+    // (narrow-input) case pays nothing and we never materialize an RDD just
+    // to inspect the partition count.
+    tokens.coalesce(maxParts).mapPartitions { it =>
       val m = new java.util.HashMap[String, Long]()
       it.foreach { t =>
         val c = m.getOrDefault(t, 0L) // tracked items always have count >= 1
