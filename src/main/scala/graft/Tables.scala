@@ -63,10 +63,13 @@ object Tables {
     if (name == "events") events(spark, dir)
     else readCached(spark, s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot read natively
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to micros —
-    * exactly what DuckDB does when casting ns → TIMESTAMP — then expose as
-    * TIMESTAMP_NTZ so it behaves like the other fixture timestamps.
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which Spark
+    * cannot read natively (PARQUET_TYPE_ILLEGAL) — and plain timestamp[us],
+    * depending on the fixture generation. Normalize both to TIMESTAMP_NTZ:
+    * with `nanosAsLong` set (harmless for micros files) a nanos column
+    * infers as LongType and is truncated to micros — exactly what DuckDB
+    * does when casting ns → TIMESTAMP; a micros column infers as a
+    * timestamp and only needs the NTZ cast.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = (spark, s"$dir/events.parquet#ts_micros")
@@ -78,9 +81,17 @@ object Tables {
     val cached = frameCache.get(key)
     if (cached != null) cached
     else {
+      // Must be set before the read: schema inference on a nanos file fails
+      // outright without it; for a micros file it is a no-op.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = readCached(spark, s"$dir/events.parquet")
-        .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      val base = readCached(spark, s"$dir/events.parquet")
+      val tsExpr = base.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        case _ =>
+          col("ts").cast("timestamp_ntz")
+      }
+      val df = base.withColumn("ts", tsExpr)
       frameCache.putIfAbsent(key, df)
       frameCache.get(key)
     }

@@ -18,23 +18,52 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Post-conversion schema of the events stream (ts already micros NTZ). */
+  /** File schema of a legacy nanos-fixture events stream (ts read as long
+    * via nanosAsLong). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Streaming read of an events directory (nanos → micros). Unlike
-    * graft.Tables.events this keeps ts as TIMESTAMP (local-tz): watermarks
-    * require it — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on TIMESTAMP_NTZ.
-    * Session tz is UTC so wall-clock values match the batch reader.
+  /** File schema of a micros-fixture events stream (ts a real timestamp). */
+  val microsSchema: StructType = StructType(rawSchema.map(f =>
+    if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+
+  /** True iff the parquet files at `dir` carry ts as nanos-as-long (the
+    * legacy fixture shape). Streaming reads REQUIRE an explicit schema, so
+    * one batch footer inference up front decides which one — the same
+    * type-branch `graft.Tables.events` applies on the batch side (the
+    * fixture has shipped as both TIMESTAMP(NANOS) and timestamp[us]).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  private def tsIsNanosLong(spark: SparkSession, dir: String): Boolean = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    spark.read.parquet(dir).schema("ts").dataType == LongType
   }
+
+  /** Streaming read of an events directory (either fixture shape → micros).
+    * Unlike graft.Tables.events this exposes ts as TIMESTAMP (local-tz):
+    * watermarks require it — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    * TIMESTAMP_NTZ. Session tz is UTC so wall-clock values match the batch
+    * reader.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    if (tsIsNanosLong(spark, dir))
+      spark.readStream.schema(rawSchema).parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.readStream.schema(microsSchema).parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Batch twin of [[readEvents]]: identical ts rendering (TIMESTAMP,
+    * local-tz), for batch-vs-stream parity checks.
+    */
+  def readEventsBatch(spark: SparkSession, dir: String): DataFrame =
+    if (tsIsNanosLong(spark, dir))
+      spark.read.schema(rawSchema).parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else
+      spark.read.schema(microsSchema).parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Tumbling-window counts/sums with a watermark for late data. */
   def tumblingAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =

@@ -116,10 +116,7 @@ class StreamsSpec extends AnyFunSuite {
         r.getTimestamp(3), r.getLong(4)))
       .toSet
     // batch twin on the SAME (local-tz) timestamp rendering as the stream
-    // (nanosAsLong is already session-set by Streams.readEvents above)
-    val batchEvents = spark.read.schema(Streams.rawSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchEvents = Streams.readEventsBatch(spark, eventsDir)
     val batch = graft.operators.Scd2
       .fromChangeLog(batchEvents, "user_id", "ts", "event_id", "event_type")
       .filter($"valid_to".isNotNull)
