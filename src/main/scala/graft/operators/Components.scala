@@ -63,43 +63,125 @@ object Components {
       case _              => ()
     }
 
+  /** Edge-count threshold below which closure runs as driver union-find
+    * instead of the distributed loop — the broadcast-join pattern applied
+    * to graph closure. After LSH banding the pair set is orders of
+    * magnitude smaller than the corpus (pairs exist only where content
+    * overlaps), so the common case even at 100 TB is an edge set that fits
+    * comfortably on the driver: 1M edges × 16 bytes = 16 MB, far under any
+    * sane driver heap, collected only AFTER the count proves it's small —
+    * the collect is bounded by construction. The distributed loop remains
+    * the automatic fallback above the threshold.
+    */
+  val LocalEdgeThreshold: Long = 1L << 20
+
+  /** Rounds propagated per checkpoint in the distributed loop. Each lazy
+    * round references the label set twice (join + union), so the analyzed
+    * plan grows 2^k between checkpoints — k=3 bounds that at 8 plan copies
+    * while cutting the loop's job count (and its per-round scheduling
+    * overhead, the measured cost at small scale) by 3×. Convergence is
+    * still exact: labels only decrease, so "no change in the batch's LAST
+    * round" is a fixpoint regardless of what earlier rounds in the batch
+    * did.
+    */
+  private val RoundsPerCheckpoint = 3
+
   /** @return (node, component_id) for every node appearing in `pairs`,
     *         component_id = minimum node id of the component. Deterministic.
-    *         The result reads from the final round's checkpoint.
+    *         Small edge sets (≤ `localThreshold` directed edges) close via
+    *         driver union-find in one pass; larger ones run bounded-round
+    *         min-label propagation and read from the final checkpoint.
     *         Throws if the label set has not converged after `maxIters`
     *         rounds (rounds needed = component diameter).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20,
+                          localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     val edges = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // One job sizes the edge set (and materializes the persist for either
+    // path); the size decides the strategy, exactly like a broadcast
+    // threshold decides a join's.
+    val nDirected = edges.count()
+    if (nDirected <= localThreshold) {
+      val result = localClosure(pairs.sparkSession, edges)
+      edges.unpersist()
+      result
+    } else distributedClosure(edges, maxIters)
+  }
+
+  /** Driver union-find over a proven-small edge set: one collect (bounded
+    * by the caller's threshold check), path-halving find, union by min id
+    * so the representative IS the component minimum. O(E α(E)).
+    */
+  private def localClosure(spark: org.apache.spark.sql.SparkSession,
+                           edges: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r)))
+        r = parent.get(r)
+      }
+      r
+    }
+    // One job; the array is ≤ threshold × 16 bytes by the caller's count
+    // check (toLocalIterator would be smaller-footprint but runs one job
+    // PER PARTITION — 32 sequential jobs of scheduling overhead).
+    edges.select(col("src"), col("dst")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // Union by min id: the surviving root is the smaller id, which
+        // makes the final root per component its minimum member directly.
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet.forEach(n => labels += ((n, find(n))))
+    import spark.implicits._
+    spark.createDataset(labels.toSeq).toDF("node", "component_id")
+  }
+
+  /** Bounded-round min-label propagation, checkpointing (and observing
+    * convergence) every [[RoundsPerCheckpoint]] rounds.
+    */
+  private def distributedClosure(edges: DataFrame, maxIters: Int): DataFrame = {
     var labels = truncate(
       edges.select(col("src").as("node")).distinct().withColumn("label", col("node")))
     var prevRound = labels
     var converged = false
     var iters = 0
     while (!converged && iters < maxIters) {
+      val k = math.min(RoundsPerCheckpoint, maxIters - iters)
       // Neighbors' labels flow along edges; the node's OWN previous label
       // rides along tagged (__own) so convergence needs no join against the
       // previous round: after the min-aggregate, a row changed iff
-      // min-over-all < min-over-own. One shuffle per round; the observed
-      // changed-count is computed inside the checkpoint job itself.
+      // min-over-all < min-over-own. k lazy rounds stack into ONE
+      // checkpoint job; the observed changed-count of the LAST round rides
+      // on it (labels are monotone, so 0 changes there = global fixpoint).
       val obs = Observation()
-      val prop = truncate(
-        edges.join(labels, col("src") === col("node"))
+      var prop: DataFrame = null
+      for (r <- 1 to k) {
+        val round = edges.join(labels, col("src") === col("node"))
           .select(col("dst").as("node"), col("label"), lit(0).as("__own"))
           .union(labels.withColumn("__own", lit(1)))
           .groupBy(col("node"))
           .agg(min(col("label")).as("label"),
             min(when(col("__own") === 1, col("label"))).as("__prev"))
-          .observe(obs, count(when(col("label") < col("__prev"), 1)).as("changed")))
+        prop = if (r == k)
+          truncate(round.observe(obs, count(when(col("label") < col("__prev"), 1)).as("changed")))
+        else null
+        labels =
+          (if (r == k) prop else round).select(col("node"), col("label"))
+      }
       converged = obs.get("changed").asInstanceOf[Long] == 0L
       free(prevRound)
       prevRound = prop
-      labels = prop.select(col("node"), col("label"))
-      iters += 1
+      iters += k
     }
     edges.unpersist()
     // Fail loudly rather than return silently split components: an

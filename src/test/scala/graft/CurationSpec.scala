@@ -138,11 +138,41 @@ class CurationSpec extends AnyFunSuite {
 
   test("connected components: long path needs multiple propagation rounds") {
     // diameter-7 path: labels must walk the whole chain — catches any
-    // one-round-only implementation
+    // one-round-only implementation. localThreshold = 0 forces the
+    // distributed loop (the default would take the union-find path here).
     val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val cc = graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
+    val cc = graft.operators.Components
+      .connectedComponents(pairs, "a_id", "b_id", localThreshold = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cc.length == 8 && cc.forall(_._2 == 1L))
+  }
+
+  test("connected components: local union-find and distributed loop agree") {
+    // A mix of chains, stars and islands, plus duplicate + self-referencing
+    // shaped input; both strategies must produce identical labelings.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (9L, 4L),            // chain + tail merge
+      (20L, 21L), (20L, 22L), (20L, 23L),                  // star
+      (30L, 31L), (31L, 30L),                              // duplicate both ways
+      (40L, 41L)).toDF("a_id", "b_id")
+    val local = graft.operators.Components
+      .connectedComponents(edges, "a_id", "b_id")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = graft.operators.Components
+      .connectedComponents(edges, "a_id", "b_id", localThreshold = 0L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(local == dist)
+    assert(local.filter(_._2 == 1L).map(_._1) == Seq(1L, 2L, 3L, 4L, 9L))
+  }
+
+  test("connected components: distributed convergence detects fixpoint mid-batch") {
+    // Diameter 1 (single edge): converges on round 1 of a 3-round batch —
+    // the batched-checkpoint loop must still terminate and label correctly.
+    val pairs = Seq((5L, 6L)).toDF("a_id", "b_id")
+    val cc = graft.operators.Components
+      .connectedComponents(pairs, "a_id", "b_id", localThreshold = 0L)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.toSeq == Seq((5L, 5L), (6L, 5L)))
   }
 
   test("connected components: reliable-checkpoint mode when a checkpoint dir is set") {
@@ -152,7 +182,8 @@ class CurationSpec extends AnyFunSuite {
     spark.sparkContext.setCheckpointDir(dir)
     try {
       val pairs = (1L to 5L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-      val cc = graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
+      val cc = graft.operators.Components
+        .connectedComponents(pairs, "a_id", "b_id", localThreshold = 0L)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(cc.length == 6 && cc.forall(_._2 == 1L))
       // reliable checkpoint files actually landed

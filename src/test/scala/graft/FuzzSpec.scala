@@ -204,10 +204,16 @@ class FuzzSpec extends AnyFunSuite {
     }
     val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
       .map(n => n -> find(n)).toMap
+    // both closure strategies against the model: default (local union-find
+    // under the size threshold) and forced distributed label propagation
     val got = graft.operators.Components.connectedComponents(
         edges.toDF("a_id", "b_id"), "a_id", "b_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
+    val gotDist = graft.operators.Components.connectedComponents(
+        edges.toDF("a_id", "b_id"), "a_id", "b_id", localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == want)
   }
 
   test("BMP pixel roundtrip and nearest-neighbor floor model (fuzz)") {
