@@ -332,6 +332,128 @@ object Similarity {
     pqTopKWithIndex(queries, pqIndex(candidates, codebooks), candidates,
       codebooks, k, rerank)
 
+  /** FIXED-POINT PQ training — the k-means discipline applied to codebook
+    * fitting so a DuckDB oracle replays every centroid bit-for-bit:
+    * vectors quantize to 1e-6-unit longs, the training sample is the
+    * `sampleSize` LOWEST ids (deterministic; `ORDER BY id LIMIT n` on both
+    * engines — a bounded heap, not a sort), each subspace seeds with its
+    * first `kCent` sample slices, assignment is exact integer squared
+    * distance with ties to the lowest centroid, and the update is the
+    * truncated-toward-zero integer mean (matching SQL's sign-adjusted `//`;
+    * an empty centroid keeps its previous value). Codebooks are unit-long
+    * counts (values × 1e6).
+    *
+    * Float [[pqTrain]] remains the throughput path (float accumulation,
+    * hashed sampling); THIS is the auditable one — same scale shape (one
+    * bounded driver sample, KB-sized codebooks).
+    */
+  def pqTrainUnits(candidates: DataFrame, idCol: String, embCol: String,
+                   m: Int, kCent: Int, sampleSize: Int = 256,
+                   iters: Int = 2): Array[Array[Array[Long]]] = {
+    val sample: Array[Array[Long]] = candidates
+      .select(col(idCol), VectorFns.quantize(col(embCol)).as("__u"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      val slice = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      require(slice.length >= kCent, s"need >= $kCent vectors to train subspace $j")
+      var cents: Array[Array[Long]] = slice.take(kCent).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(kCent)(new Array[Long](sub))
+        val counts = new Array[Long](kCent)
+        slice.foreach { v =>
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < kCent) {
+            var d = 0L; var i = 0
+            while (i < sub) { val x = v(i) - cents(c)(i); d += x * x; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0; while (i < sub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          // Long division truncates toward zero — the oracle renders it as
+          // CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) (DuckDB // floors)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** PQ code assignment against unit-long codebooks: per subspace, argmin
+    * of EXACT integer squared distance (CellDistsQ kernel), ties to the
+    * lowest centroid id — replayable as BIGINT arithmetic in SQL.
+    * `quantCol` must be a [[VectorFns.quantize]]d column.
+    */
+  def pqEncodeUnits(quantCol: Column, codebooks: Array[Array[Array[Long]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    array((0 until m).map { j =>
+      val dists = org.apache.spark.sql.GraftColumnBridge.column(graft.plans.CellDistsQ(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          slice(quantCol, j * sub + 1, sub)),
+        codebooks(j).toIndexedSeq.map(_.toIndexedSeq)))
+      (array_position(dists, array_min(dists)) - 1).cast(LongType)
+    }: _*)
+  }
+
+  /** Oracle-replayable PQ ANN top-k: integer ADC-dot shortlist + exact
+    * cosine re-rank.
+    *
+    * The shortlist is selected on the APPROXIMATE INNER PRODUCT — the sum
+    * over subspaces of dot(query-slice, centroid-at-code), all in exact
+    * unit-long arithmetic (CellDotsQ lookup tables, map-side from the
+    * broadcast codebooks) — ordered (dot DESC, c_id ASC). Integer scores
+    * mean the shortlist cut is bit-deterministic, so the WHOLE pipeline
+    * (train → encode → ADC → shortlist → exact re-rank) replays in a
+    * DuckDB oracle; the float path's shortlist ([[pqTopK]]) is
+    * approximate-cosine and only spec-bounded. Same scale shape: the scan
+    * side carries codes only; true embeddings join back for the ~q·rerank
+    * shortlist rows alone.
+    */
+  def pqTopKUnits(queries: DataFrame, candidates: DataFrame,
+                  codebooks: Array[Array[Array[Long]]], k: Int,
+                  rerank: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val kCent = codebooks(0).length
+    val cIdx = candidates
+      .select(col("c_id"), pqEncodeUnits(VectorFns.quantize(col("ce")), codebooks).as("codes"))
+    // query side: per-subspace integer ADC tables concatenated into one
+    // flat lut — lut[j*kCent + code]
+    val lutCol = concat((0 until m).map { j =>
+      org.apache.spark.sql.GraftColumnBridge.column(graft.plans.CellDotsQ(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          slice(VectorFns.quantize(col("qe")), j * sub + 1, sub)),
+        codebooks(j).toIndexedSeq.map(_.toIndexedSeq)))
+    }: _*)
+    val q = queries.select(col("q_id"), col("qe")).withColumn("lut", lutCol)
+    val adcTerms = (0 until m).map(j =>
+      element_at(col("lut"), (col("codes").getItem(j) + lit(j.toLong * kCent) + 1L).cast(IntegerType)))
+    val approx = cIdx.crossJoin(broadcast(q.select(col("q_id"), col("lut"))))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_dot", adcTerms.reduce(_ + _))
+      .select(col("q_id"), col("c_id"), col("approx_dot"))
+    val shortlist = graft.plans.TopKPerGroup.topK(approx, Seq("q_id"),
+      Seq(("approx_dot", true), ("c_id", false)), rerank)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("similarity").desc, col("c_id"))
+    shortlist
+      .join(withNorm(candidates, "ce", "cn"), Seq("c_id"))
+      .join(broadcast(withNorm(queries, "qe", "qn")), Seq("q_id"))
+      .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
+  }
+
   /** Multiprobe LSH ANN top-k: scores the query's own bucket PLUS every
     * bucket at Hamming distance 1 (one sign-bit flip) — the standard recall
     * lever at zero index cost. A vector whose projection is near one

@@ -130,6 +130,62 @@ object VectorKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Exact integer squared L2 distance of a QUANTIZED (unit-long) vector to
+    * each of k unit-long centroids (flattened row-major). Every term is an
+    * exact product of 1e-6-unit counts, so the distance — and any argmin
+    * over it — replays bit-for-bit in a BIGINT SQL oracle (the PQ analog of
+    * the k-means fixed-point discipline). Null on dimension mismatch or
+    * null element; overflow throws (unit diffs would need |v| ≳ 2e9 units =
+    * 2000.0 to overflow, far outside the DECIMAL(12,6) domain).
+    */
+  def cellDistsQ(a: ArrayData, cents: Array[Long], dim: Int): ArrayData = {
+    val n = a.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    val k = cents.length / dim
+    val out = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      var s = 0L
+      i = 0
+      while (i < dim) {
+        val d = a.getLong(i) - cents(c * dim + i)
+        s = Math.addExact(s, Math.multiplyExact(d, d))
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Exact integer dot of a QUANTIZED vector with each of k unit-long
+    * centroids (flattened row-major) — the ADC lookup-table kernel: one
+    * call computes the query's whole table for a subspace. Same exactness
+    * and null contract as [[cellDistsQ]].
+    */
+  def cellDotsQ(a: ArrayData, cents: Array[Long], dim: Int): ArrayData = {
+    val n = a.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return null; i += 1 }
+    val k = cents.length / dim
+    val out = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      var s = 0L
+      i = 0
+      while (i < dim) {
+        s = Math.addExact(s, Math.multiplyExact(a.getLong(i), cents(c * dim + i)))
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sign-random-projection LSH bucket over a quantized vector: bit j is set
     * iff sum_i q_i·s(i,j) > 0 with s = ±1 from ((i+1)·7919 + j·104729) % 97 % 2
     * (i 0-based). The projection sum of scale-6 longs is exact, so its sign —
@@ -292,6 +348,76 @@ case class CellDists(child: Expression, centroids: Seq[Seq[Double]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): CellDists =
+    copy(child = newChild)
+}
+
+/** array<long> (quantized) → array<long>: exact integer squared distance to
+  * each centroid ([[VectorKernels.cellDistsQ]]) — the oracle-replayable PQ
+  * encode/train kernel.
+  */
+case class CellDistsQ(child: Expression, centroids: Seq[Seq[Long]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+    "centroids must be non-empty and rectangular")
+  private val dim = centroids.head.length
+  @transient private lazy val flat: Array[Long] = centroids.flatten.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_dists_q requires array<long> (quantized), got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.cellDistsQ(input.asInstanceOf[ArrayData], flat, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cellDistsQCents", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.VectorKernels.cellDistsQ($c, $centsRef, $dim);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellDistsQ =
+    copy(child = newChild)
+}
+
+/** array<long> (quantized) → array<long>: exact integer dot with each
+  * centroid ([[VectorKernels.cellDotsQ]]) — the per-subspace ADC lookup
+  * table of the oracle-replayable PQ path.
+  */
+case class CellDotsQ(child: Expression, centroids: Seq[Seq[Long]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+    "centroids must be non-empty and rectangular")
+  private val dim = centroids.head.length
+  @transient private lazy val flat: Array[Long] = centroids.flatten.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cell_dots_q requires array<long> (quantized), got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.cellDotsQ(input.asInstanceOf[ArrayData], flat, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cellDotsQCents", flat, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.plans.VectorKernels.cellDotsQ($c, $centsRef, $dim);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellDotsQ =
     copy(child = newChild)
 }
 

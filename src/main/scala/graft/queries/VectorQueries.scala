@@ -380,27 +380,105 @@ object VectorQueries {
           FROM p)
         SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
 
-    // ----- PQ (product-quantization) ANN: the MEMORY half of the ANN scale
-    // story — candidates carry m=8 codes + a norm (~16 bytes) instead of 64
-    // floats; queries ADC-score codes, heap-select a rerank shortlist, and
-    // re-rank it exactly. ADC is lossy by construction (iid fixture vectors
-    // have no cluster structure, the hardest case for PQ), so this row is
-    // rows-only in the driver gate; OperatorsSpec pins the machinery with
-    // (a) full-rerank ≡ brute force exactly and (b) a recall floor at the
-    // tight rerank below.
+    // ----- PQ (product-quantization) ANN, ORACLE-GATED end to end: the
+    // MEMORY half of the ANN scale story — candidates carry m=8 codes
+    // (~bytes) instead of 64 floats. The whole pipeline is fixed-point
+    // deterministic (the k-means discipline): codebooks train on the 256
+    // lowest-id vectors in unit-long Lloyd iterations (exact integer
+    // distances, truncated integer means), codes are integer argmins, and
+    // the rerank shortlist is cut on the exact integer ADC DOT — so DuckDB
+    // replays train → encode → ADC → shortlist → exact cosine re-rank
+    // bit-for-bit. The float pqTrain/pqTopK path stays as the
+    // recall/throughput variant, spec-bounded (OperatorsSpec); this row is
+    // the auditable one. rerank=50 binds at every fixture SF (corpus ≥ 100).
     Q("q_ann_pq_topk",
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        val books = graft.operators.Similarity.pqTrain(
-          c.select(col("ce").as("embedding")), "embedding", m = 8, kCent = 16)
-        graft.operators.Similarity.pqTopK(q, c, books, k = 5, rerank = 200)
+        val books = graft.operators.Similarity.pqTrainUnits(
+          c.select(col("c_id"), col("ce").as("embedding")), "c_id", "embedding",
+          m = 8, kCent = 16, sampleSize = 256, iters = 2)
+        graft.operators.Similarity.pqTopKUnits(q, c, books, k = 5, rerank = 50)
           .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
           .orderBy(col("q_id"), col("rnk"))
       },
-      None),
+      Some(s"""
+        WITH qv AS (
+          SELECT vec_id, list_transform(embedding,
+                   e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
+          FROM embeddings),
+        samp AS (SELECT vec_id, u, row_number() OVER (ORDER BY vec_id) AS rn
+                 FROM qv ORDER BY vec_id LIMIT 256),
+        sv AS (SELECT rn, d.g // 8 AS j, d.g % 8 AS sd, u[d.g + 1] AS v
+               FROM samp, generate_series(0, 63) d(g)),
+        c0 AS (SELECT j, rn - 1 AS cent, sd, v FROM sv WHERE rn <= 16),
+        d1 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+               FROM sv s JOIN c0 c ON s.j = c.j AND s.sd = c.sd
+               GROUP BY s.rn, s.j, c.cent),
+        a1 AS (SELECT rn, j, cent FROM (
+                 SELECT rn, j, cent,
+                        row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
+                 FROM d1) t WHERE rk = 1),
+        u1 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
+               FROM sv s JOIN a1 a ON s.rn = a.rn AND s.j = a.j
+               GROUP BY s.j, a.cent, s.sd),
+        c1 AS (SELECT c.j, c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM c0 c LEFT JOIN u1 u
+                 ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
+        d2 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+               FROM sv s JOIN c1 c ON s.j = c.j AND s.sd = c.sd
+               GROUP BY s.rn, s.j, c.cent),
+        a2 AS (SELECT rn, j, cent FROM (
+                 SELECT rn, j, cent,
+                        row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
+                 FROM d2) t WHERE rk = 1),
+        u2 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
+               FROM sv s JOIN a2 a ON s.rn = a.rn AND s.j = a.j
+               GROUP BY s.j, a.cent, s.sd),
+        c2 AS (SELECT c.j, c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM c1 c LEFT JOIN u2 u
+                 ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
+        ev AS (SELECT vec_id, d.g // 8 AS j, d.g % 8 AS sd, u[d.g + 1] AS v
+               FROM qv, generate_series(0, 63) d(g)),
+        ed AS (SELECT e.vec_id, e.j, c.cent, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+               FROM ev e JOIN c2 c ON e.j = c.j AND e.sd = c.sd
+               GROUP BY e.vec_id, e.j, c.cent),
+        codes AS (SELECT vec_id, j, cent FROM (
+                    SELECT vec_id, j, cent,
+                           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent) AS rk
+                    FROM ed) t WHERE rk = 1),
+        lut AS (SELECT e.vec_id AS q_id, e.j, c.cent, SUM(e.v * c.v) AS dp
+                FROM ev e JOIN c2 c ON e.j = c.j AND e.sd = c.sd
+                WHERE e.vec_id < 5
+                GROUP BY e.vec_id, e.j, c.cent),
+        ax AS (SELECT l.q_id, co.vec_id AS c_id, SUM(l.dp) AS approx_dot
+               FROM codes co JOIN lut l ON co.j = l.j AND co.cent = l.cent
+               WHERE co.vec_id <> l.q_id
+               GROUP BY l.q_id, co.vec_id),
+        short AS (SELECT q_id, c_id FROM (
+                    SELECT q_id, c_id,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY approx_dot DESC, c_id) AS rk
+                    FROM ax) t WHERE rk <= 50),
+        en AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        p AS (SELECT s.q_id, s.c_id,
+                     ${VectorFns.dotSql("qq.embedding", "cc.embedding")} / (qq.norm * cc.norm) AS cos
+              FROM short s
+              JOIN en qq ON qq.vec_id = s.q_id
+              JOIN en cc ON cc.vec_id = s.c_id),
+        r AS (SELECT q_id, c_id,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
+              FROM p)
+        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
 
     // ----- PQ under the hard gate via its exactness property (the IVF
     // trick): with rerank = corpus size the ADC shortlist keeps EVERY

@@ -43,6 +43,50 @@ class KernelParitySpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("CellDistsQ / CellDotsQ == integer HOF folds over unit-long centroids") {
+    // fixed centroids in unit-longs (values ±2.0 at 1e-6 scale and an
+    // asymmetric one), 64-dim like the fixture embeddings
+    val cents: Seq[Seq[Long]] = Seq(
+      Seq.fill(64)(2000000L),
+      Seq.fill(64)(-1500000L),
+      (0 until 64).map(i => (i - 32) * 100000L))
+    def arrLit(c: Seq[Long]): String = s"array(${c.map(v => v + "L").mkString(",")})"
+    def hofDist(c: Seq[Long]): org.apache.spark.sql.Column =
+      expr(s"aggregate(zip_with(qv, ${arrLit(c)}, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+    def hofDot(c: Seq[Long]): org.apache.spark.sql.Column =
+      expr(s"aggregate(zip_with(qv, ${arrLit(c)}, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+    val df = emb.withColumn("qv", VectorFns.quantize(col("embedding")))
+      .withColumn("kdists", GraftColumnBridge.column(
+        graft.plans.CellDistsQ(GraftColumnBridge.expression(col("qv")), cents)))
+      .withColumn("kdots", GraftColumnBridge.column(
+        graft.plans.CellDotsQ(GraftColumnBridge.expression(col("qv")), cents)))
+    val badD = df.filter(cents.indices.map(i =>
+        !(element_at(col("kdists"), i + 1) <=> hofDist(cents(i)))).reduce(_ || _))
+      .count()
+    val badP = df.filter(cents.indices.map(i =>
+        !(element_at(col("kdots"), i + 1) <=> hofDot(cents(i)))).reduce(_ || _))
+      .count()
+    assert(badD == 0L && badP == 0L)
+  }
+
+  test("CellDistsQ / CellDotsQ null on dimension mismatch or null element") {
+    val cents: Seq[Seq[Long]] = Seq(Seq(1L, 2L))
+    val df = Seq(1L, 2L, 3L).toDF("id").selectExpr("id",
+      """CASE WHEN id = 1 THEN array(1L, 2L, 3L)
+              WHEN id = 2 THEN array(5L, 6L)
+              ELSE array(7L, CAST(NULL AS BIGINT)) END AS qv""")
+    val out = df.select(col("id"),
+        GraftColumnBridge.column(graft.plans.CellDistsQ(
+          GraftColumnBridge.expression(col("qv")), cents)).as("d"),
+        GraftColumnBridge.column(graft.plans.CellDotsQ(
+          GraftColumnBridge.expression(col("qv")), cents)).as("p"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))   // dim mismatch → null
+    assert(out(1).getSeq[Long](1) == Seq((5L-1L)*(5L-1L) + (6L-2L)*(6L-2L)))
+    assert(out(1).getSeq[Long](2) == Seq(5L*1L + 6L*2L))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))   // null element → null
+  }
+
   test("DotFloat == double zip_with/aggregate fold, bit for bit") {
     val hof = expr("aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")

@@ -314,6 +314,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("PQ units path: codes bounded, deterministic, full-rerank equals brute force") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val n = c.count().toInt
+    def train() = Similarity.pqTrainUnits(
+      c.select($"c_id", $"ce".as("embedding")), "c_id", "embedding",
+      m = 8, kCent = 16, sampleSize = 256, iters = 2)
+    val books = train()
+    // codebooks: m=8 subspaces × 16 centroids × 8 unit-long dims, repeatable
+    assert(books.length == 8 && books.forall(b => b.length == 16 && b.forall(_.length == 8)))
+    assert(books.flatten.flatten.toSeq == train().flatten.flatten.toSeq)
+    // codes bounded to [0, kCent)
+    val codes = c.select(Similarity.pqEncodeUnits(
+        graft.functions.VectorFns.quantize($"ce"), books).as("codes"))
+      .collect().map(_.getSeq[Long](0))
+    assert(codes.forall(cs => cs.length == 8 && cs.forall(x => x >= 0 && x < 16)))
+    // full-width shortlist: the integer-ADC cut cannot drop anyone, so the
+    // exact re-rank must equal brute-force cosine top-k exactly
+    val exact = Similarity.cosineTopK(q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.pqTopKUnits(q, c, books, 5, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    // tight shortlist keeps exactly rerank candidates per query pre-rank
+    val tight = Similarity.pqTopKUnits(q, c, books, 5, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & tight).size.toDouble / exact.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("table diff: insert/delete/update classified, null-safe, unchanged dropped") {
     val old = Seq((1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("c"), 30.0),
         (4L, Some("d"), 40.0))
