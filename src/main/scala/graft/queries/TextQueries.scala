@@ -640,6 +640,44 @@ object TextQueries {
                CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 13 END AS BIGINT) AS n_bytes
         FROM documents ORDER BY doc_id""")),
 
+    // ----- multimodal: REAL JPEG marker-walk decode — the dominant
+    // real-world image format. Each doc gets a spec-conformant JPEG header
+    // prefix (SOI + JFIF APP0 + COM + DQT + SOF), baseline SOF0 for even
+    // ids and progressive SOF2 for odd, with dims derived from doc_id; the
+    // executor-side parser must walk the variable-length segment list past
+    // APP0/COM/DQT to the frame header and read the big-endian u16
+    // height/width exactly as DuckDB computes them arithmetically. A parser
+    // that mis-reads a segment length, misses the fill-byte rule, or swaps
+    // the h-before-w field order hash-mismatches immediately.
+    Q("q_mm_decode_jpeg",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 640 + 1).toInt
+            val h = (id * 7 % 480 + 1).toInt
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeJpeg(w, h, progressive = id % 2 == 1))
+          }
+        graft.multimodal.Multimodal.decode(media)
+          .select(
+            col("doc_id"),
+            col("meta.codec").as("codec"),
+            col("meta.width").cast(LongType).as("width"),
+            col("meta.height").cast(LongType).as("height"),
+            col("meta.n_frames").cast(LongType).as("n_frames"),
+            col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               'jpeg' AS codec,
+               CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+               CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(118 AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
+
     // ----- multimodal audio: REAL RIFF/WAVE chunk-walk decode. Each doc
     // gets a canonical 44-byte PCM WAV header with rate/channels/depth/
     // sample-count derived from doc_id; MediaCodecs.parseWav must walk the

@@ -318,6 +318,64 @@ class MediaCodecsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("JPEG: marker walk recovers SOF dims; baseline and progressive") {
+    for (w <- Seq(1, 7, 640, 65535); h <- Seq(1, 13, 480, 4096)) {
+      assert(MediaCodecs.parseMeta(MediaCodecs.encodeJpeg(w, h))
+        .contains(MediaMeta(w, h, 1, "jpeg")), s"jpeg ${w}x$h")
+      assert(MediaCodecs.parseMeta(MediaCodecs.encodeJpeg(w, h, progressive = true))
+        .contains(MediaMeta(w, h, 1, "jpeg")), s"jpeg-prog ${w}x$h")
+    }
+    assert(MediaCodecs.encodeJpeg(640, 480).length == MediaCodecs.JpegHeaderLen)
+  }
+
+  test("JPEG: hand-written golden header, fill bytes, and RST/TEM skip") {
+    // minimal golden: SOI, APP0(JFIF), SOF0 3x5 — built by hand, not via
+    // the encoder, so the parser is pinned against the spec layout itself
+    val golden = Array[Int](
+      0xff, 0xd8,                                                 // SOI
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, 0x01,
+      0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,             // APP0 len16
+      0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x05, 0x00, 0x03,
+      0x01, 0x01, 0x11, 0x00                                      // SOF0 1-comp h=5 w=3
+    ).map(_.toByte)
+    assert(MediaCodecs.parseMeta(golden).contains(MediaMeta(3, 5, 1, "jpeg")))
+    // fill bytes before a marker (FF FF FF C0 ...) are legal padding
+    val filled = Array[Int](0xff, 0xd8, 0xff, 0xff, 0xff, 0xc0, 0x00, 0x0b,
+      0x08, 0x00, 0x02, 0x00, 0x04, 0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(MediaCodecs.parseMeta(filled).contains(MediaMeta(4, 2, 1, "jpeg")))
+    // standalone TEM/RST markers (no length field) are skipped
+    val withRst = Array[Int](0xff, 0xd8, 0xff, 0x01, 0xff, 0xd5, 0xff, 0xc2,
+      0x00, 0x0b, 0x08, 0x00, 0x07, 0x00, 0x06, 0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(MediaCodecs.parseMeta(withRst).contains(MediaMeta(6, 7, 1, "jpeg")))
+  }
+
+  test("JPEG: hostile bytes never parse and never throw") {
+    // SOS before SOF (dims unreadable), EOI-only, zero dims, bad lengths,
+    // DHT masquerading as SOF, truncation at every prefix of a real header
+    val sosFirst = Array[Int](0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
+    assert(MediaCodecs.parseMeta(sosFirst).isEmpty)
+    assert(MediaCodecs.parseMeta(Array[Int](0xff, 0xd8, 0xff, 0xd9).map(_.toByte)).isEmpty)
+    val zeroW = MediaCodecs.encodeJpeg(1, 1).clone
+    zeroW(107) = 0x00 // width low byte of the 1x1 header
+    assert(MediaCodecs.parseMeta(zeroW).isEmpty)
+    val badLen = Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x01).map(_.toByte)
+    assert(MediaCodecs.parseMeta(badLen).isEmpty)
+    val dht = Array[Int](0xff, 0xd8, 0xff, 0xc4, 0x00, 0x0b, 0x08, 0x00, 0x05,
+      0x00, 0x03, 0x01, 0x01, 0x11, 0x00).map(_.toByte)
+    assert(MediaCodecs.parseMeta(dht).isEmpty) // DHT is not a frame header
+    val full = MediaCodecs.encodeJpeg(33, 44)
+    (0 until full.length).foreach { n =>
+      MediaCodecs.parseMeta(full.take(n)) // must not throw at any truncation
+    }
+    // random bytes after a JPEG SOI must never throw
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(64) + 2)(rnd.nextInt(256).toByte)
+      junk(0) = 0xff.toByte; junk(1) = 0xd8.toByte
+      MediaCodecs.parseMeta(junk)
+    }
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)
