@@ -133,6 +133,52 @@ object MarkupQueries {
           FROM h)
         SELECT doc_id, anchor_chars, text_chars,
                anchor_chars * 1000000 // greatest(text_chars, 1) AS density_ppm
-        FROM d ORDER BY density_ppm DESC, doc_id LIMIT 25"""))
+        FROM d ORDER BY density_ppm DESC, doc_id LIMIT 25""")),
+
+    // ----- crawl ingest end-to-end: documents → spec-conformant .warc.gz
+    // files (one gzip member per response record, 8 docs-per-bucket crawl
+    // files — the Multimodal.asMedia stand-in pattern at the FILE level) →
+    // Warc.records byte parse in executors → HtmlFns clean-text extraction.
+    // The oracle never sees the bytes: it recomputes title/clean-text
+    // arithmetically from `documents`, so the WARC framing (gzip members,
+    // header block, Content-Length, HTTP split) and the extraction are both
+    // what the hash-compare checks. A parser that misread a length, lost a
+    // member boundary, or mangled UTF-8 through the byte roundtrip
+    // mismatches immediately.
+    Q("q_warc_extract",
+      (s, dir) => {
+        import s.implicits._
+        val files = t(s, dir, "documents")
+          .withColumn("html", synthHtml)
+          .select(col("doc_id"), col("html")).as[(Long, String)]
+          .groupByKey(_._1 % 8)
+          .mapGroups { (bucket, it) =>
+            val members = it.toSeq.sortBy(_._1).map { case (id, html) =>
+              graft.sources.Warc.encodeResponse(
+                f"doc-$id%08d", s"http://crawl.test/doc/$id",
+                "2024-01-01T00:00:00Z", html)
+            }
+            (s"part-$bucket.warc.gz", graft.sources.Warc.warcGzFile(members))
+          }
+        graft.sources.Warc.records(files)
+          .filter(col("reject_reason").isNull)
+          .withColumn("doc_id",
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast(LongType))
+          .select(
+            col("doc_id"),
+            col("http_status").cast(LongType).as("http_status"),
+            HtmlFns.title(col("body")).as("title"),
+            length(HtmlFns.cleanText(col("body"))).cast(LongType).as("clean_chars"),
+            TextFns.tokenCount(HtmlFns.cleanText(col("body"))).cast(LongType).as("ntok"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        $htmlCte
+        SELECT doc_id,
+               CAST(200 AS BIGINT) AS http_status,
+               ${HtmlFns.titleSql("html")} AS title,
+               CAST(length(${HtmlFns.cleanTextSql("html")}) AS BIGINT) AS clean_chars,
+               CAST(len(string_split_regex(trim(${HtmlFns.cleanTextSql("html")}), '\\s+')) AS BIGINT) AS ntok
+        FROM h ORDER BY doc_id"""))
   )
 }
