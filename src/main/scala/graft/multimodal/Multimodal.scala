@@ -181,9 +181,11 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        // raster decode: uncompressed BMP or deflate+defilter PNG
+        // raster decode: uncompressed BMP, deflate+defilter PNG, or
+        // LZW+palette GIF
         MediaCodecs.parseBmpPixels(r.media)
-          .orElse(MediaCodecs.parsePngPixels(r.media)).map { case (w, h, rgb) =>
+          .orElse(MediaCodecs.parsePngPixels(r.media))
+          .orElse(MediaCodecs.parseGifPixels(r.media)).map { case (w, h, rgb) =>
           var sr = 0L; var sg = 0L; var sb = 0L; var maxLuma = 0L
           var i = 0
           while (i < rgb.length) {

@@ -813,6 +813,56 @@ object TextQueries {
                CAST(MAX((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS max_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // ----- the SAME raster statistics through the GIF path: palette-
+    // bounded gradients (≤ 200 distinct colors — GIF is indexed) encoded as
+    // complete GIFs with REAL LZW compression, decoded by the full
+    // sub-block + LZW + palette pipeline (MediaCodecs.parseGifPixels). The
+    // oracle is identical arithmetic over the gradient — a one-bit slip in
+    // the variable-width code reader or a palette off-by-one diverges the
+    // channel sums immediately.
+    Q("q_mm_decode_gif",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 48 + 8).toInt
+            val h = (id * 7 % 40 + 8).toInt
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = (x + 2 * y) % 200
+                val p = (y * w + x) * 3
+                rgb(p) = v.toByte
+                rgb(p + 1) = (2 * v % 256).toByte
+                rgb(p + 2) = (3 * v % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeGifRgb(w, h, rgb))
+          }
+        graft.multimodal.Multimodal.imageStats(media)
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH dims AS (SELECT doc_id, doc_id % 48 + 8 AS w,
+                             (doc_id * 7) % 40 + 8 AS h
+                      FROM documents),
+        px AS (SELECT doc_id, w, h,
+                 (x.g + 2 * y.g) % 200 AS v
+               FROM dims, generate_series(0, 54) x(g), generate_series(0, 46) y(g)
+               WHERE x.g < w AND y.g < h),
+        ch AS (SELECT doc_id, w, h, v AS r, (2 * v) % 256 AS g, (3 * v) % 256 AS b
+               FROM px)
+        SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+               CAST(SUM(b) AS BIGINT) AS sum_b,
+               CAST(MAX((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS max_luma
+        FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // ----- multimodal audio feature extraction: REAL sample-level PCM
     // decode. Each doc carries a complete 16-bit mono WAV of a closed-form
     // waveform s(i) = ((doc_id·31 + 40503i) mod 65536) − 32768; the operator

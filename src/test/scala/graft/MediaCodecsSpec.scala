@@ -318,6 +318,70 @@ class MediaCodecsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("GIF raster: LZW roundtrip over gradients, palettes, and dict resets") {
+    // palette-bounded gradient (<= 200 colors)
+    def gradient(w: Int, h: Int): Array[Byte] = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x + 2 * y) % 200
+        val p = (y * w + x) * 3
+        rgb(p) = v.toByte; rgb(p + 1) = (2 * v % 256).toByte; rgb(p + 2) = (3 * v % 256).toByte
+      }
+      rgb
+    }
+    for ((w, h) <- Seq((1, 1), (3, 2), (13, 7), (64, 48), (100, 90))) {
+      val rgb = gradient(w, h)
+      val dec = MediaCodecs.parseGifPixels(MediaCodecs.encodeGifRgb(w, h, rgb))
+      assert(dec.isDefined, s"gif ${w}x$h")
+      val (dw, dh, drgb) = dec.get
+      assert(dw == w && dh == h && drgb.sameElements(rgb), s"gif ${w}x$h raster")
+    }
+    // 256-color noise, large enough to fill the 4096-entry dictionary and
+    // force a mid-stream clear-code reset
+    val rnd = new scala.util.Random(42)
+    val noise = Array.fill(120 * 80 * 3)(rnd.nextInt(256).toByte)
+    // clamp to 256 distinct colors by quantizing each pixel to its red byte
+    for (p <- 0 until 120 * 80) {
+      noise(p * 3 + 1) = noise(p * 3); noise(p * 3 + 2) = ((noise(p * 3) & 0xff) / 2).toByte
+    }
+    val dec = MediaCodecs.parseGifPixels(MediaCodecs.encodeGifRgb(120, 80, noise))
+    assert(dec.isDefined && dec.get._3.sameElements(noise))
+    // two-color minimum palette (minCode floor of 2)
+    val bw = Array.tabulate(10 * 10 * 3)(i => if ((i / 3) % 2 == 0) 0.toByte else 255.toByte)
+    val decBw = MediaCodecs.parseGifPixels(MediaCodecs.encodeGifRgb(10, 10, bw))
+    assert(decBw.isDefined && decBw.get._3.sameElements(bw))
+  }
+
+  test("GIF raster: header meta still parses; hostile bytes never throw") {
+    val rgb = Array.tabulate(8 * 5 * 3)(i => ((i / 3) % 100).toByte)
+    val file = MediaCodecs.encodeGifRgb(8, 5, rgb)
+    // the meta parser sees the same file (dims from the screen descriptor)
+    assert(MediaCodecs.parseMeta(file).contains(MediaMeta(8, 5, 1, "gif")))
+    // truncation at every prefix must not throw; any prefix that cuts into
+    // the pixel framing (everything before the block terminator) must not
+    // decode — only the trailer byte is droppable with the raster whole
+    (0 until file.length).foreach { n =>
+      val dec = MediaCodecs.parseGifPixels(file.take(n))
+      if (n < file.length - 1) assert(dec.isEmpty, s"decoded at truncation $n")
+    }
+    // interlace flag set -> rejected (flag lives in the image descriptor)
+    val interlaced = file.clone
+    val idOff = file.indexOfSlice(Seq(0x2c.toByte))
+    interlaced(idOff + 9) = (interlaced(idOff + 9) | 0x40).toByte
+    assert(MediaCodecs.parseGifPixels(interlaced).isEmpty)
+    // corrupt LZW payload byte: decode fails cleanly (None), never throws
+    val corrupt = file.clone
+    corrupt(file.length - 5) = 0x7f.toByte
+    MediaCodecs.parseGifPixels(corrupt)
+    // random bytes behind a GIF signature never throw
+    val rnd = new scala.util.Random(99)
+    (0 until 300).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(120) + 13)(rnd.nextInt(256).toByte)
+      "GIF89a".getBytes("US-ASCII").copyToArray(junk)
+      MediaCodecs.parseGifPixels(junk)
+    }
+  }
+
   test("JPEG: marker walk recovers SOF dims; baseline and progressive") {
     for (w <- Seq(1, 7, 640, 65535); h <- Seq(1, 13, 480, 4096)) {
       assert(MediaCodecs.parseMeta(MediaCodecs.encodeJpeg(w, h))
