@@ -378,6 +378,62 @@ object Curation {
     * Returns (input columns…, score: long, keep: boolean). Purely map-side:
     * no shuffle, no UDF — one projection the optimizer can push around.
     */
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the standard
+    * pre-training repetition filters; also RefinedWeb/Dolma): documents
+    * dominated by repeated content — boilerplate loops, scraped templates,
+    * listing spam — are the single biggest quality leak exact dedup cannot
+    * catch (the repetition is WITHIN the document). Per document, over its
+    * token stream:
+    *   - duplicate-line fraction (ppm): lines are fixed `lineLen`-token
+    *     windows (the fixture corpus carries no newlines; real corpora
+    *     would split on them first — the signals are line-source agnostic);
+    *   - duplicate-line CHARACTER fraction (ppm): chars inside repeat
+    *     occurrences — a few long duplicated lines matter more than many
+    *     short ones;
+    *   - top-bigram fraction (ppm): occurrences of the most frequent token
+    *     bigram over all bigrams — the "of the of the" template signal.
+    * `keep` = both duplicate-line and top-bigram ppm within thresholds.
+    *
+    * All integer arithmetic (engine-exact), pure map-side HOF projection —
+    * no shuffle, no UDF. The per-doc bigram mode is O(distinct·n) HOF work;
+    * documents are KB-bounded so this is fine at any corpus scale (work is
+    * per-row, embarrassingly parallel); a custom codegen kernel is the
+    * upgrade path if profiles ever show it hot.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        lineLen: Int = 10,
+                        maxDupLinePpm: Long = 150000L,
+                        maxTopBigramPpm: Long = 180000L): DataFrame = {
+    require(lineLen > 0, s"lineLen must be positive: $lineLen")
+    df.withColumn("__t", TextFns.tokens(col(textCol)))
+      .withColumn("__lines", TextFns.chunkExpr("__t", lineLen, lineLen))
+      .withColumn("__dl", array_distinct(col("__lines")))
+      .withColumn("n_tokens", size(col("__t")).cast(LongType))
+      .withColumn("n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("dup_line_ppm", expr(
+        "(n_lines - size(__dl)) * 1000000L DIV greatest(n_lines, 1L)"))
+      .withColumn("dup_line_char_ppm", expr(
+        """aggregate(__dl, 0L, (a, l) ->
+             a + CAST(size(filter(__lines, x -> x = l)) - 1 AS BIGINT) * length(l))
+           * 1000000L DIV
+           greatest(aggregate(__lines, 0L, (a, l) -> a + CAST(length(l) AS BIGINT)), 1L)"""))
+      .withColumn("__bg", expr(
+        """CASE WHEN size(__t) < 2 THEN CAST(array() AS ARRAY<STRING>)
+                ELSE transform(sequence(1, size(__t) - 1),
+                       i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))
+           END"""))
+      .withColumn("top_bigram_ppm", expr(
+        """CASE WHEN size(__bg) = 0 THEN 0L
+                ELSE array_max(transform(array_distinct(__bg),
+                       b -> CAST(size(filter(__bg, x -> x = b)) AS BIGINT)))
+                     * 1000000L DIV size(__bg)
+           END"""))
+      .withColumn("keep",
+        col("dup_line_ppm") <= maxDupLinePpm &&
+        col("top_bigram_ppm") <= maxTopBigramPpm)
+      .drop("__t", "__lines", "__dl", "__bg")
+  }
+
   def qualityScore(df: DataFrame, textCol: String, stopwords: Seq[String],
                    keepThreshold: Long): DataFrame = {
     require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),

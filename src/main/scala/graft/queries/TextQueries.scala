@@ -1150,6 +1150,74 @@ object TextQueries {
                 FROM documents WHERE doc_id < 20) toks) x
         ORDER BY doc_id, chunk_idx""")),
 
+    // ----- Gopher-style repetition filters (Rae et al. 2021 §A1.1 — the
+    // standard within-document repetition signals exact dedup cannot see):
+    // duplicate-line fraction, duplicate-line CHARACTER fraction, and
+    // top-bigram fraction, all integer ppm. The fixture corpus is augmented
+    // IN-QUERY on BOTH engines: every 7th document gets its own first
+    // 10-token line planted twice up front, so the duplicate-line signals
+    // provably fire (~200000+ ppm ≥ the 150000 threshold → keep=false)
+    // while unplanted documents provably don't — the thresholds BIND both
+    // ways at every fixture SF.
+    Q("q_text_repetition",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("__t0", TextFns.tokens(col("text")))
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+              concat(
+                array_join(slice(col("__t0"), 1, 10), " "), lit(" "),
+                array_join(slice(col("__t0"), 1, 10), " "), lit(" "),
+                col("text")))
+            .otherwise(col("text")))
+          .drop("__t0")
+        graft.operators.Curation.repetitionSignals(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("n_lines"),
+            col("dup_line_ppm"), col("dup_line_char_ppm"),
+            col("top_bigram_ppm"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t0, text
+          FROM documents),
+        aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN array_to_string(t0[1:10], ' ') || ' ' ||
+                           array_to_string(t0[1:10], ' ') || ' ' || text
+                      ELSE text END AS text
+          FROM base),
+        toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM aug),
+        feat AS (
+          SELECT doc_id, t,
+                 list_transform(range(1, len(t) + 1, 10),
+                                s -> array_to_string(t[s:s+9], ' ')) AS ls,
+                 CASE WHEN len(t) < 2 THEN []
+                      ELSE list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1]) END AS bg
+          FROM toks),
+        sig AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(ls) AS BIGINT) AS n_lines,
+                 CAST((len(ls) - len(list_distinct(ls))) * 1000000
+                      // greatest(len(ls), 1) AS BIGINT) AS dup_line_ppm,
+                 CAST(list_sum(list_transform(list_distinct(ls),
+                        l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l)))
+                      * 1000000
+                      // greatest(list_sum(list_transform(ls, l -> length(l))), 1)
+                      AS BIGINT) AS dup_line_char_ppm,
+                 CAST(CASE WHEN len(bg) = 0 THEN 0
+                           ELSE list_max(list_transform(list_distinct(bg),
+                                  b -> len(list_filter(bg, x -> x = b))))
+                                * 1000000 // len(bg) END AS BIGINT) AS top_bigram_ppm
+          FROM feat)
+        SELECT doc_id, n_tokens, n_lines, dup_line_ppm, dup_line_char_ppm,
+               top_bigram_ppm,
+               (dup_line_ppm <= 150000 AND top_bigram_ppm <= 180000) AS keep
+        FROM sig ORDER BY doc_id""")),
+
     // ----- PII scrubbing (training-data hygiene): identical RE2-safe regexes
     // on both engines; the synthetic contact line plants one email and one
     // phone per document.

@@ -125,6 +125,30 @@ class CurationSpec extends AnyFunSuite {
     assert(none == 0L)
   }
 
+  test("repetition signals: hand-computed dup-line and top-bigram ppm") {
+    // doc 1: 2-token lines; "a b" appears twice of 3 lines -> dup 1/3;
+    //        bigrams of [a b c d a b]: "a b"x2, "b c", "c d", "d a" -> top 2/5
+    // doc 2: no repetition at all
+    // doc 3: one token — no bigrams, one line
+    val df = Seq(
+      (1L, "a b c d a b"),
+      (2L, "p q r s t u"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = graft.operators.Curation
+      .repetitionSignals(df, "doc_id", "text", lineLen = 2,
+        maxDupLinePpm = 300000L, maxTopBigramPpm = 350000L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_lines", "dup_line_ppm",
+        "dup_line_char_ppm", "top_bigram_ppm", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    // doc 1: dup_line = 1*1e6/3 = 333333; dup chars: "a b" repeats once ->
+    // 3 extra chars of 9 total line chars = 333333; top bigram 2/5 = 400000
+    assert(got(0) == (1L, 6L, 3L, 333333L, 333333L, 400000L, false))
+    assert(got(1) == (2L, 6L, 3L, 0L, 0L, 200000L, true))
+    assert(got(2) == (3L, 1L, 1L, 0L, 0L, 0L, true))
+  }
+
   test("connected components: chains merge transitively, islands stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val cc = graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
