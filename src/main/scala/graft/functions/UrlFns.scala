@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** URL analysis for the crawl family (sources/Warc → HtmlFns → here): the
+  * per-URL primitives a crawl pipeline needs before any per-domain policy
+  * can run — host extraction, registered-domain reduction (the public-
+  * suffix rule, abbreviated to the common two-level suffixes), path depth,
+  * and tracking-parameter stripping (the canonicalization step before URL
+  * dedup). Compositions of codegen'd built-ins (regexp_extract /
+  * regexp_replace) with adjacent DuckDB renderers, the HtmlFns discipline —
+  * all regexes RE2-safe so both engines run identical patterns.
+  *
+  * Scale: pure map-side projections; per-domain aggregation downstream
+  * shuffles on the registered domain — the policy key (source caps, crawl
+  * budgets, robots grouping) — never on the raw URL.
+  */
+object UrlFns {
+
+  private val hostRe = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+  /** Common two-level public suffixes (abbreviated PSL: the full list is a
+    * data file, not logic — swap in the real one the same way).
+    */
+  private val sufRe2 = "([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.(?:uk|jp|au|nz|za|br|in))$"
+  private val sufRe1 = "([^.]+\\.[^.]+)$"
+  private val pathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
+  private val trackRe = "(utm_[a-z]+|gclid|fbclid)=[^&#]*"
+
+  /** Authority host, lowercased; userinfo and port stripped; empty string
+    * for non-URLs (schemeless strings are not guessed at).
+    */
+  def host(c: Column): Column = regexp_extract(lower(c), hostRe, 1)
+
+  def hostSql(c: String): String = s"regexp_extract(lower($c), '$hostRe', 1)"
+
+  /** Registered domain of a [[host]]: the last two labels, or three when
+    * the two-level suffix is one of the common country pairs (co.uk,
+    * com.au, …). A bare TLD or empty host yields the empty string.
+    */
+  def registeredDomain(h: Column): Column =
+    when(regexp_extract(h, sufRe2, 1) =!= "", regexp_extract(h, sufRe2, 1))
+      .otherwise(regexp_extract(h, sufRe1, 1))
+
+  def registeredDomainSql(h: String): String =
+    s"CASE WHEN regexp_extract($h, '$sufRe2', 1) <> '' " +
+    s"THEN regexp_extract($h, '$sufRe2', 1) " +
+    s"ELSE regexp_extract($h, '$sufRe1', 1) END"
+
+  /** Number of non-empty path segments (0 for no path or "/"). */
+  def pathDepth(c: Column): Column =
+    size(filter(split(regexp_extract(lower(c), pathRe, 1), "/"),
+      x => x =!= "")).cast(LongType)
+
+  def pathDepthSql(c: String): String =
+    s"CAST(len(list_filter(string_split(regexp_extract(lower($c), '$pathRe', 1), '/'), " +
+    s"x -> x <> '')) AS BIGINT)"
+
+  /** Canonicalize away tracking parameters (utm_*, gclid, fbclid): the
+    * parameter assignments are removed, then dangling separators repaired
+    * (`?&` runs, `&&` runs, trailing `?`/`&`). Chained global
+    * regexp_replace on both engines, identical patterns.
+    */
+  def stripTracking(c: Column): Column = {
+    val r1 = regexp_replace(c, trackRe, "")
+    val r2 = regexp_replace(r1, "\\?&+", "?")
+    val r3 = regexp_replace(r2, "&&+", "&")
+    regexp_replace(r3, "[?&]+$", "")
+  }
+
+  def stripTrackingSql(c: String): String = {
+    val r1 = s"regexp_replace($c, '$trackRe', '', 'g')"
+    val r2 = s"regexp_replace($r1, '\\?&+', '?', 'g')"
+    val r3 = s"regexp_replace($r2, '&&+', '&', 'g')"
+    s"regexp_replace($r3, '[?&]+$$', '', 'g')"
+  }
+}

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.UrlFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** URL analysis queries — the per-URL canonicalization + per-domain policy
+  * steps of the crawl family (Warc → HtmlFns → UrlFns → domain policy).
+  * The fixtures carry no URL column, so each query synthesizes a
+  * deterministic URL per document — schemes, userinfo, subdomains,
+  * two-level public suffixes, ports, path depths and tracking parameters
+  * all exercised by construction — and the DuckDB oracle rebuilds the
+  * IDENTICAL string (the MarkupQueries stand-in pattern), so parsing
+  * itself is what the hash-compare checks.
+  */
+object UrlQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The synthesized per-row URL. Kept adjacent to [[synthUrlSql]] so the
+    * two engines cannot drift.
+    */
+  private def synthUrl: Column = concat(
+    expr("CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END"),
+    expr("CASE WHEN doc_id % 10 = 0 THEN 'user:pw@' ELSE '' END"),
+    expr("CASE doc_id % 3 WHEN 1 THEN 'www.' WHEN 2 THEN 'news.en.' ELSE '' END"),
+    lit("site"), (col("doc_id") % 20).cast(StringType),
+    expr("CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' WHEN 2 THEN '.org' ELSE '.io' END"),
+    expr("CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END"),
+    expr("repeat('/seg', CAST(doc_id % 4 AS INT))"),
+    expr("CASE WHEN doc_id % 2 = 0 " +
+         "THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x' " +
+         "ELSE '?id=' || doc_id || '&fbclid=abc' || doc_id END"))
+
+  /** DuckDB rendering of [[synthUrl]]. */
+  private val synthUrlSql: String =
+    "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END" +
+    " || CASE WHEN doc_id % 10 = 0 THEN 'user:pw@' ELSE '' END" +
+    " || CASE doc_id % 3 WHEN 1 THEN 'www.' WHEN 2 THEN 'news.en.' ELSE '' END" +
+    " || 'site' || CAST(doc_id % 20 AS VARCHAR)" +
+    " || CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' WHEN 2 THEN '.org' ELSE '.io' END" +
+    " || CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END" +
+    " || repeat('/seg', CAST(doc_id % 4 AS INT))" +
+    " || CASE WHEN doc_id % 2 = 0" +
+    " THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'" +
+    " ELSE '?id=' || doc_id || '&fbclid=abc' || doc_id END"
+
+  private val urlCte =
+    s"WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents)"
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- per-URL parse + canonicalization: host (userinfo/port
+    // stripped), registered domain (two-level suffix rule), path depth,
+    // tracking-free canonical form — the row every URL-dedup / domain-
+    // policy step starts from.
+    Q("q_url_parse",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("url", synthUrl)
+          .select(
+            col("doc_id"),
+            UrlFns.host(col("url")).as("host"),
+            UrlFns.registeredDomain(UrlFns.host(col("url"))).as("domain"),
+            UrlFns.pathDepth(col("url")).as("path_depth"),
+            UrlFns.stripTracking(col("url")).as("canonical_url"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        $urlCte
+        SELECT doc_id,
+               ${UrlFns.hostSql("url")} AS host,
+               ${UrlFns.registeredDomainSql(UrlFns.hostSql("url"))} AS domain,
+               ${UrlFns.pathDepthSql("url")} AS path_depth,
+               ${UrlFns.stripTrackingSql("url")} AS canonical_url
+        FROM u ORDER BY doc_id""")),
+
+    // ----- per-domain crawl accounting: the policy aggregation (crawl
+    // budgets, source caps, robots grouping) shuffles on the REGISTERED
+    // domain — subdomains and ports collapse into the policy key. One
+    // hash-agg; map-side partials; top-k by volume.
+    Q("q_url_domain_stats",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("url", synthUrl)
+          .withColumn("domain", UrlFns.registeredDomain(UrlFns.host(col("url"))))
+          .groupBy(col("domain"))
+          .agg(
+            count(lit(1)).cast(LongType).as("n_urls"),
+            countDistinct(UrlFns.host(col("url"))).cast(LongType).as("n_hosts"),
+            sum(UrlFns.pathDepth(col("url"))).cast(LongType).as("sum_depth"),
+            max(UrlFns.pathDepth(col("url"))).cast(LongType).as("max_depth"))
+          .orderBy(col("n_urls").desc, col("domain"))
+          .limit(20),
+      Some(s"""
+        $urlCte,
+        p AS (SELECT doc_id,
+                     ${UrlFns.hostSql("url")} AS host,
+                     ${UrlFns.registeredDomainSql(UrlFns.hostSql("url"))} AS domain,
+                     ${UrlFns.pathDepthSql("url")} AS path_depth
+              FROM u)
+        SELECT domain,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(SUM(path_depth) AS BIGINT) AS sum_depth,
+               CAST(MAX(path_depth) AS BIGINT) AS max_depth
+        FROM p GROUP BY domain
+        ORDER BY n_urls DESC, domain LIMIT 20"""))
+  )
+}

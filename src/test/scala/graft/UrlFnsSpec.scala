@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.UrlFns
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlFnsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(url: String): (String, String, Long, String) = {
+    val r = Seq(url).toDF("url")
+      .select(
+        UrlFns.host(col("url")).as("h"),
+        UrlFns.registeredDomain(UrlFns.host(col("url"))).as("d"),
+        UrlFns.pathDepth(col("url")).as("p"),
+        UrlFns.stripTracking(col("url")).as("c"))
+      .head()
+    (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))
+  }
+
+  test("host: scheme, userinfo, port, case") {
+    assert(one("https://www.Example.COM/a")._1 == "www.example.com")
+    assert(one("http://user:pw@news.site.co.uk:8080/x/y")._1 == "news.site.co.uk")
+    assert(one("ftp://plain.host")._1 == "plain.host")
+    assert(one("not a url")._1 == "")           // schemeless: not guessed at
+    assert(one("https://host?q=1")._1 == "host") // query right after host
+  }
+
+  test("registered domain: two-level suffixes and bare hosts") {
+    assert(one("https://a.b.site.co.uk/")._2 == "site.co.uk")
+    assert(one("https://www.example.com/")._2 == "example.com")
+    assert(one("https://deep.sub.example.org/")._2 == "example.org")
+    assert(one("https://example.com.au/")._2 == "example.com.au")
+    assert(one("https://localhost/")._2 == "")   // single label: no domain
+  }
+
+  test("path depth: segments only, query/fragment excluded") {
+    assert(one("https://h/a/b/c")._3 == 3L)
+    assert(one("https://h/a/b/?q=/x/y")._3 == 2L)
+    assert(one("https://h")._3 == 0L)
+    assert(one("https://h/")._3 == 0L)
+    assert(one("https://h/a//b")._3 == 2L)       // empty segment collapses
+  }
+
+  test("strip tracking: removal plus separator repair") {
+    assert(one("https://h/p?utm_source=x&id=5")._4 == "https://h/p?id=5")
+    assert(one("https://h/p?id=5&utm_campaign=c")._4 == "https://h/p?id=5")
+    assert(one("https://h/p?utm_a=1&utm_b=2")._4 == "https://h/p")
+    assert(one("https://h/p?fbclid=zz")._4 == "https://h/p")
+    assert(one("https://h/p?gclid=1&id=2&utm_x=3")._4 == "https://h/p?id=2")
+    assert(one("https://h/p?id=9")._4 == "https://h/p?id=9") // untouched
+  }
+}
