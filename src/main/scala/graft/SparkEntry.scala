@@ -25,8 +25,14 @@ object SparkEntry {
       .run(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // A duplicate name would silently SHADOW the earlier query in this map
+    // (and its oracle) — the earlier operator would vanish from the
+    // correctness gate with every row still green. Fail loudly instead.
+    val dups = registry.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names in registry: ${dups.mkString(", ")}")
     ListMap(registry.map(q => q.name -> q.run): _*)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -1159,7 +1159,7 @@ object TextQueries {
     // provably fire (~200000+ ppm ≥ the 150000 threshold → keep=false)
     // while unplanted documents provably don't — the thresholds BIND both
     // ways at every fixture SF.
-    Q("q_text_repetition",
+    Q("q_text_gopher_repetition",
       (s, dir) => {
         val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
           .withColumn("__t0", TextFns.tokens(col("text")))
