@@ -481,6 +481,83 @@ object Streams {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming crawl intake: a WARC spool directory (crawlers drop
+  // .warc.gz files; the file source delivers each file exactly once) →
+  // executor-side record parse (sources.Warc) → rejects quarantined to
+  // their own idempotent batch dirs → HTML responses reduced to clean
+  // text (HtmlFns) → the corpusIngestBatch discipline (gate → scrub →
+  // both dedup indexes → idempotent sink). The continuous version of
+  // q_warc_extract + q_corpus_pipeline composed.
+
+  /** Fixed schema of Spark's binaryFile source (streaming reads REQUIRE an
+    * explicit schema).
+    */
+  private val binaryFileSchema: StructType = StructType(Seq(
+    StructField("path", StringType), StructField("modificationTime", TimestampType),
+    StructField("length", LongType), StructField("content", BinaryType)))
+
+  /** Streaming read of a crawl spool: every .warc.gz landing in `dir`
+    * becomes parsed WARC rows in some micro-batch. One file = one parse
+    * unit, memory bounded by one decompressed file (the batch reader's
+    * contract, sources.Warc.parseFile).
+    */
+  def readWarc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile").schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc.gz")
+      .load(dir)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, b) => graft.sources.Warc.parseFile(p, b) }
+      .toDF()
+  }
+
+  /** One crawl micro-batch. Rejects append to `outDir/rejects/batch-<id>`
+    * under their own _COMMITTED marker (replay-safe independently of the
+    * docs half — a crash between the two writes must not double the
+    * quarantine on replay). Valid 200-status HTML responses become
+    * (doc_id, url, text) — doc_id the 64-bit hash of the WARC record id,
+    * stable across replays — and flow through [[corpusIngestBatch]].
+    * Returns true iff the docs half wrote (false = replay no-op).
+    */
+  def crawlIngestBatch(records: DataFrame, wh: graft.airbnb.Warehouse,
+      outDir: String, batchId: Long, minTokens: Int = 5, shingleK: Int = 4,
+      bands: Int = 2): Boolean = {
+    val spark = records.sparkSession
+    val rdir = new Path(s"$outDir/rejects", f"batch-$batchId%09d")
+    val fs = rdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(rdir, "_COMMITTED")
+    if (!fs.exists(marker)) {
+      records.filter(col("reject_reason").isNotNull)
+        .select(col("file"), col("offset"), col("reject_reason"))
+        .write.mode("overwrite").parquet(rdir.toString)
+      fs.create(marker).close()
+    }
+    val docs = records.filter(col("reject_reason").isNull &&
+        col("warc_type") === "response" && col("http_status") === 200)
+      .select(
+        xxhash64(col("record_id")).as("doc_id"),
+        col("target_uri").as("url"),
+        graft.functions.HtmlFns.cleanText(col("body")).as("text"))
+    corpusIngestBatch(docs, wh, outDir, batchId, "doc_id", "text",
+      minTokens, shingleK, bands)
+  }
+
+  /** Start the streaming crawl-intake pipeline on a [[readWarc]] stream. */
+  def startCrawlIngest(records: DataFrame, wh: graft.airbnb.Warehouse,
+      outDir: String, checkpointDir: String, minTokens: Int = 5,
+      shingleK: Int = 4, bands: Int = 2,
+      queryName: String = "crawl_ingest"): StreamingQuery =
+    records.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        crawlIngestBatch(batch.toDF(), wh, outDir, batchId,
+          minTokens, shingleK, bands): Unit
+      }
+      .start()
+
   /** Start the streaming corpus-ingest pipeline on a documents stream. */
   def startCorpusIngest(docs: DataFrame, wh: graft.airbnb.Warehouse,
       outDir: String, checkpointDir: String, idCol: String, textCol: String,

@@ -198,6 +198,61 @@ class StreamsSpec extends AnyFunSuite {
     assert(Streams.readCommitted(spark, direct).count() == 1L)
   }
 
+  test("streaming crawl intake: warc spool -> clean text -> indexes, rejects quarantined, replay-safe") {
+    import graft.sources.Warc
+    val spool = java.nio.file.Files.createTempDirectory("graft-crawl-spool")
+    val out = java.nio.file.Files.createTempDirectory("graft-crawl-out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-crawl-ckp").toString
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-crawl-wh").toString)
+    def resp(id: Long, html: String, status: Int = 200): Array[Byte] =
+      Warc.encodeResponse(f"doc-$id%08d", s"http://crawl.test/doc/$id",
+        "2024-01-01T00:00:00Z", html, status)
+    def docIdOf(id: Long): Long = {
+      import org.apache.spark.sql.functions.xxhash64
+      Seq(f"<urn:uuid:doc-$id%08d>").toDF("r").select(xxhash64($"r")).head().getLong(0)
+    }
+
+    // file 1: two good HTML docs, one 404 (dropped), one garbage member
+    // (quarantined); file 2: an exact dup of doc 1's text (cross-file fp
+    // index) and a fresh doc
+    val html1 = "<html><body><p>alpha beta gamma delta epsilon zeta</p></body></html>"
+    val html2 = "<html><body><p>one two three four five six seven</p></body></html>"
+    val html3 = "<html><body><p>north south east west up down left</p></body></html>"
+    java.nio.file.Files.write(spool.resolve("a.warc.gz"), Warc.warcGzFile(
+      Seq(resp(1, html1), resp(2, html2), resp(3, html1, status = 404))) ++
+      Warc.gzipMember("NOT A WARC RECORD".getBytes("UTF-8")))
+    val q0 = Streams.startCrawlIngest(Streams.readWarc(spark, spool.toString),
+      wh, out, ckp, minTokens = 5, shingleK = 4, queryName = "crawl_0")
+    try q0.processAllAvailable() finally q0.stop()
+    val committed0 = Streams.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(committed0 == Set(docIdOf(1), docIdOf(2)))
+    val rejects = spark.read.parquet(s"$out/rejects/batch-000000000")
+    assert(rejects.count() == 1L)
+    assert(rejects.head().getString(2).nonEmpty)
+
+    // file 2 lands later: exact-dup body of doc 1 is gated by the fp
+    // index; the fresh doc commits
+    java.nio.file.Files.write(spool.resolve("b.warc.gz"),
+      Warc.warcGzFile(Seq(resp(10, html1), resp(11, html3))))
+    val q1 = Streams.startCrawlIngest(Streams.readWarc(spark, spool.toString),
+      wh, out, ckp, minTokens = 5, shingleK = 4, queryName = "crawl_1")
+    try q1.processAllAvailable() finally q1.stop()
+    val committed1 = Streams.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(committed1 == Set(docIdOf(1), docIdOf(2), docIdOf(11)))
+
+    // replay drill: re-running the last batch id must change nothing —
+    // not the docs, not the rejects
+    val replayRecords = Warc.parseFile("b.warc.gz",
+      java.nio.file.Files.readAllBytes(spool.resolve("b.warc.gz"))).toDF()
+    val wrote = Streams.crawlIngestBatch(replayRecords, wh, out, batchId = 1L)
+    assert(!wrote)
+    assert(Streams.readCommitted(spark, out).count() == 3L)
+    assert(spark.read.parquet(s"$out/rejects/batch-000000000").count() == 1L)
+  }
+
   test("streaming corpus ingest: gate, scrub, both dedup indexes, crash-replay") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val src = java.nio.file.Files.createTempDirectory("graft-ingest-src")
