@@ -586,23 +586,28 @@ object Curation {
       .filter(col("cum_above") + col("stok") > budgetTokens)
       .agg(max(col("s")).as("bscore"))
     val bRow = cum.join(broadcast(boundary), col("s") === col("bscore"))
-      .select(col("s").as("b_s"), (lit(budgetTokens) - col("cum_above")).as("b_budget"))
-    // no boundary group (everything fits): bRow is empty and the sentinel
-    // (below every real score) selects the whole corpus
-    val sentinel = df.sparkSession.range(1)
-      .select(lit(Long.MinValue).as("b_s"), lit(0L).as("b_budget"))
-    val bOne = broadcast(bRow.unionByName(sentinel).orderBy(col("b_s").desc).limit(1))
-    val base = scored.drop("keep").crossJoin(bOne)
+      .select(col("s"), (lit(budgetTokens) - col("cum_above")).as("b_budget"))
+    // ONE row by construction (bscore is a max over unique histogram
+    // scores), or empty when the whole corpus fits. COLLECT it and inline
+    // the two longs as literals — the same bounded driver scalar the
+    // k-means/IVF trainers pay. Carrying it as a lazy broadcast subplan
+    // instead made Spark re-derive the entire histogram subtree inside
+    // BOTH output branches (measured: 6 full scoring scans of the corpus
+    // at sf0.1, 3.4 s; with literals it is 3 scans, ~1 s).
+    val b = bRow.collect()
+    val (bS, bBudget) =
+      if (b.isEmpty) (Long.MinValue, 0L) else (b(0).getLong(0), b(0).getLong(1))
+    val base = scored.drop("keep")
     // docs strictly better than the boundary score: selected map-side
-    val offBoundary = base.filter(col("score") =!= col("b_s"))
-      .withColumn("selected", col("score") > col("b_s"))
+    val offBoundary = base.filter(col("score") =!= bS)
+      .withColumn("selected", col("score") > lit(bS))
     // ONLY the boundary tie-group pays an ordered cumsum — bounded by the
-    // tie width, not the corpus (partitioned on the constant b_s so the
-    // plan carries an explicit partition spec)
-    val wTie = Window.partitionBy(col("b_s")).orderBy(col(idCol))
+    // tie width, not the corpus (constant partition key: the tie group is
+    // one window partition by design)
+    val wTie = Window.partitionBy(lit(1)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val onBoundary = base.filter(col("score") === col("b_s"))
-      .withColumn("selected", sum(col("ntok")).over(wTie) <= col("b_budget"))
-    offBoundary.unionByName(onBoundary).drop("b_s", "b_budget")
+    val onBoundary = base.filter(col("score") === bS)
+      .withColumn("selected", sum(col("ntok")).over(wTie) <= lit(bBudget))
+    offBoundary.unionByName(onBoundary)
   }
 }
