@@ -44,7 +44,15 @@ object Soak {
     "q_text_heavy_hitters",  // map-side MG sketch + candidate-only count
     "q_text_collocations",   // pair/unigram hash-aggs + filtered joins
     "q_mm_image_stats",      // map-side BMP raster decode + channel fold
-    "q_mm_image_stats_png")  // map-side inflate + defilter + channel fold
+    "q_mm_image_stats_png",  // map-side inflate + defilter + channel fold
+    "q_mm_decode_gif",       // map-side LZW decompress + palette fold (r10)
+    "q_mm_decode_jpeg",      // map-side marker walk (r10)
+    "q_warc_extract",        // crawl-file synth + record parse + HtmlFns (r10)
+    "q_url_domain_stats",    // URL parse + domain-keyed policy agg (r10)
+    "q_text_gopher_repetition", // map-side repetition HOFs (r10)
+    "q_ann_pq_topk",         // fixed-point PQ train/encode/ADC (r10)
+    "q_dedup_components",    // pair gen + closure (r10 local/dist strategy)
+    "q_corpus_pipeline")     // end-to-end gate→dedup→split composition
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
