@@ -179,6 +179,169 @@ object MarkupQueries {
                ${HtmlFns.titleSql("html")} AS title,
                CAST(length(${HtmlFns.cleanTextSql("html")}) AS BIGINT) AS clean_chars,
                CAST(len(string_split_regex(trim(${HtmlFns.cleanTextSql("html")}), '\\s+')) AS BIGINT) AS ntok
-        FROM h ORDER BY doc_id"""))
+        FROM h ORDER BY doc_id""")),
+
+    // ----- THE CRAWL PIPELINE CAPSTONE: every crawl-family operator
+    // composed end to end under ONE oracle — documents → (planted exact
+    // dups + planted repetition, replayed on both engines so every gate
+    // BINDS) → .warc.gz crawl files → Warc record parse → HtmlFns clean
+    // text → UrlFns registered-domain policy key → per-domain quality cap
+    // (bounded-heap TopKPerGroup) → Gopher repetition gate → quality-score
+    // gate → exact-dedup survivorship → per-domain accounting. Flags are
+    // conjunctive over the full parsed set (each gate judged independently
+    // — the policy a real pipeline audits gate-by-gate). The oracle
+    // replays everything arithmetically from `documents`; the WARC byte
+    // roundtrip is covered by the Spark side alone (oracle equality proves
+    // it lossless).
+    //
+    // Binding at sf0.01: ~11 planted dup docs (doc_id % 44 = 5 — modulus
+    // divisible by 4 so the nav-block repeat count matches and their clean
+    // text is IDENTICAL) → dedup binds; every 7th doc carries a planted
+    // duplicate line → repetition binds; 20 domains × ~25 docs vs cap 4 →
+    // cap binds; threshold 250000 splits the score distribution → quality
+    // binds.
+    Q("q_crawl_pipeline",
+      (s, dir) => {
+        import s.implicits._
+        val dupText = "shared boilerplate landing page with many distinct " +
+          "words alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        val dupCond = col("doc_id") % 44 === 5
+        val docs = t(s, dir, "documents")
+          .withColumn("lang", when(dupCond, lit("xx")).otherwise(col("lang")))
+          .withColumn("source", when(dupCond, lit("dup")).otherwise(col("source")))
+          .withColumn("text", when(dupCond, lit(dupText)).otherwise(col("text")))
+          .withColumn("__t0", TextFns.tokens(col("text")))
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+              concat(
+                array_join(slice(col("__t0"), 1, 10), " "), lit(" "),
+                array_join(slice(col("__t0"), 1, 10), " "), lit(" "),
+                col("text")))
+            .otherwise(col("text")))
+          .drop("__t0")
+        val urlCol = concat(lit("https://"),
+          expr("CASE doc_id % 3 WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.' ELSE '' END"),
+          lit("site"), (col("doc_id") % 20).cast(StringType),
+          expr("CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' " +
+               "WHEN 2 THEN '.org' ELSE '.io' END"),
+          lit("/doc/"), col("doc_id").cast(StringType))
+        val files = docs.withColumn("html", synthHtml).withColumn("url", urlCol)
+          .select(col("doc_id"), col("url"), col("html")).as[(Long, String, String)]
+          .groupByKey(_._1 % 8)
+          .mapGroups { (bucket, it) =>
+            val members = it.toSeq.sortBy(_._1).map { case (id, url, html) =>
+              graft.sources.Warc.encodeResponse(f"doc-$id%08d", url,
+                "2024-01-01T00:00:00Z", html)
+            }
+            (s"part-$bucket.warc.gz", graft.sources.Warc.warcGzFile(members))
+          }
+        val parsed = graft.sources.Warc.records(files)
+          .filter(col("reject_reason").isNull && col("http_status") === 200)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast(LongType).as("doc_id"),
+            col("target_uri").as("url"),
+            graft.functions.HtmlFns.cleanText(col("body")).as("txt"))
+          .withColumn("domain",
+            graft.functions.UrlFns.registeredDomain(
+              graft.functions.UrlFns.host(col("url"))))
+        val rep = graft.operators.Curation.repetitionSignals(parsed, "doc_id", "txt")
+          .withColumnRenamed("keep", "rep_keep")
+        val scored = graft.operators.Curation
+          .qualityScore(rep, "txt", Seq("a", "the"), keepThreshold = 250000L)
+          .withColumnRenamed("keep", "q_keep")
+        val ranked = graft.plans.TopKPerGroup.topK(
+          scored.select(col("doc_id"), col("domain"), col("score")),
+          Seq("domain"), Seq(("score", true), ("doc_id", false)), 4)
+        val survivors = graft.operators.Dedup.exact(scored, "doc_id", Seq("txt"))
+          .select(col("doc_id"), lit(true).as("surv"))
+        scored
+          .join(ranked.select(col("doc_id"), lit(true).as("cap_keep")), Seq("doc_id"), "left")
+          .join(survivors, Seq("doc_id"), "left")
+          .withColumn("kept",
+            col("rep_keep") && col("q_keep") &&
+            coalesce(col("cap_keep"), lit(false)) &&
+            coalesce(col("surv"), lit(false)))
+          .groupBy(col("domain"))
+          .agg(
+            count(lit(1)).cast(LongType).as("n_in"),
+            count(when(col("kept"), 1)).cast(LongType).as("n_kept"),
+            sum(when(col("kept"), col("n_tokens")).otherwise(lit(0L)))
+              .cast(LongType).as("tok_kept"))
+          .orderBy(col("domain"))
+      },
+      Some {
+        val dupText = "shared boilerplate landing page with many distinct " +
+          "words alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lambda mu nu xi omicron pi rho sigma tau upsilon"
+        s"""
+        WITH b0 AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 44 = 5 THEN 'xx' ELSE lang END AS lang,
+                 CASE WHEN doc_id % 44 = 5 THEN 'dup' ELSE source END AS source,
+                 CASE WHEN doc_id % 44 = 5 THEN '$dupText' ELSE text END AS text
+          FROM documents),
+        aug AS (
+          SELECT doc_id, lang, source,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN array_to_string(t0[1:10], ' ') || ' ' ||
+                           array_to_string(t0[1:10], ' ') || ' ' || text
+                      ELSE text END AS text
+          FROM (SELECT *, string_split_regex(lower(trim(text)), '\\s+') AS t0
+                FROM b0) bb),
+        h AS (SELECT doc_id, lang, source, $synthHtmlSql AS html,
+                     'https://' ||
+                     CASE doc_id % 3 WHEN 1 THEN 'www.' WHEN 2 THEN 'cdn.' ELSE '' END ||
+                     'site' || CAST(doc_id % 20 AS VARCHAR) ||
+                     CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+                          WHEN 2 THEN '.org' ELSE '.io' END ||
+                     '/doc/' || doc_id AS url
+              FROM aug),
+        p AS (SELECT doc_id, url, ${HtmlFns.cleanTextSql("html")} AS txt FROM h),
+        d AS (SELECT doc_id, txt,
+                     ${graft.functions.UrlFns.registeredDomainSql(
+                       graft.functions.UrlFns.hostSql("url"))} AS domain
+              FROM p),
+        tk AS (SELECT doc_id, domain, txt,
+                      string_split_regex(lower(trim(txt)), '\\s+') AS t
+               FROM d),
+        feat AS (
+          SELECT doc_id, domain, txt, t,
+                 list_transform(range(1, len(t) + 1, 10),
+                                s2 -> array_to_string(t[s2:s2+9], ' ')) AS ls,
+                 CASE WHEN len(t) < 2 THEN []
+                      ELSE list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i+1]) END AS bg
+          FROM tk),
+        sig AS (
+          SELECT doc_id, domain, txt,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 (len(ls) - len(list_distinct(ls))) * 1000000
+                   // greatest(len(ls), 1) AS dup_line_ppm,
+                 CASE WHEN len(bg) = 0 THEN 0
+                      ELSE list_max(list_transform(list_distinct(bg),
+                             b2 -> len(list_filter(bg, x -> x = b2))))
+                           * 1000000 // len(bg) END AS top_bigram_ppm,
+                 1000 * LEAST(GREATEST(len(t), 1), 200)
+                   + (500 * ((len(list_distinct(t)) * 1000000)
+                             // GREATEST(len(t), 1))) // 1000
+                   - (300 * ((len(list_filter(t, x -> x = 'a' OR x = 'the'))
+                              * 1000000) // GREATEST(len(t), 1))) // 1000 AS score
+          FROM feat),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY domain
+                       ORDER BY score DESC, doc_id) AS rk,
+                     MIN(doc_id) OVER (PARTITION BY txt) AS min_dup_id
+              FROM sig),
+        k AS (SELECT domain, n_tokens,
+                     (dup_line_ppm <= 150000 AND top_bigram_ppm <= 180000
+                      AND score >= 250000 AND rk <= 4
+                      AND doc_id = min_dup_id) AS kept
+              FROM r)
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_in,
+               CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN kept THEN n_tokens END), 0) AS BIGINT)
+                 AS tok_kept
+        FROM k GROUP BY domain ORDER BY domain"""
+      })
   )
 }
