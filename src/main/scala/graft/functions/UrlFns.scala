@@ -19,17 +19,26 @@ import org.apache.spark.sql.types.LongType
   */
 object UrlFns {
 
-  private val hostRe = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+  private val hostRe = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:\\[\\]]+)"
   /** Common two-level public suffixes (abbreviated PSL: the full list is a
     * data file, not logic — swap in the real one the same way).
     */
   private val sufRe2 = "([^.]+\\.(?:co|com|net|org|gov|ac|edu)\\.(?:uk|jp|au|nz|za|br|in))$"
   private val sufRe1 = "([^.]+\\.[^.]+)$"
+  /** A host that IS a bare two-level public suffix — not a registered
+    * domain of anything.
+    */
+  private val bareSufRe = "^(?:co|com|net|org|gov|ac|edu)\\.(?:uk|jp|au|nz|za|br|in)$"
   private val pathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)"
-  private val trackRe = "(utm_[a-z]+|gclid|fbclid)=[^&#]*"
+  /** Anchored to a parameter boundary: only an assignment whose NAME is a
+    * tracking key matches — a parameter or value merely CONTAINING
+    * "gclid=" (e.g. `?xgclid=5`, `?redirect=gclid=…`) is untouched.
+    */
+  private val trackRe = "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*"
 
   /** Authority host, lowercased; userinfo and port stripped; empty string
-    * for non-URLs (schemeless strings are not guessed at).
+    * for non-URLs (schemeless strings and IPv6 bracket literals are not
+    * guessed at).
     */
   def host(c: Column): Column = regexp_extract(lower(c), hostRe, 1)
 
@@ -37,14 +46,18 @@ object UrlFns {
 
   /** Registered domain of a [[host]]: the last two labels, or three when
     * the two-level suffix is one of the common country pairs (co.uk,
-    * com.au, …). A bare TLD or empty host yields the empty string.
+    * com.au, …). A bare TLD, a bare two-level suffix (a host "co.uk" is
+    * nobody's registered domain), or an empty host yields the empty
+    * string.
     */
   def registeredDomain(h: Column): Column =
-    when(regexp_extract(h, sufRe2, 1) =!= "", regexp_extract(h, sufRe2, 1))
+    when(h.rlike(bareSufRe), lit(""))
+      .when(regexp_extract(h, sufRe2, 1) =!= "", regexp_extract(h, sufRe2, 1))
       .otherwise(regexp_extract(h, sufRe1, 1))
 
   def registeredDomainSql(h: String): String =
-    s"CASE WHEN regexp_extract($h, '$sufRe2', 1) <> '' " +
+    s"CASE WHEN regexp_matches($h, '$bareSufRe') THEN '' " +
+    s"WHEN regexp_extract($h, '$sufRe2', 1) <> '' " +
     s"THEN regexp_extract($h, '$sufRe2', 1) " +
     s"ELSE regexp_extract($h, '$sufRe1', 1) END"
 
@@ -57,22 +70,26 @@ object UrlFns {
     s"CAST(len(list_filter(string_split(regexp_extract(lower($c), '$pathRe', 1), '/'), " +
     s"x -> x <> '')) AS BIGINT)"
 
-  /** Canonicalize away tracking parameters (utm_*, gclid, fbclid): the
-    * parameter assignments are removed, then dangling separators repaired
-    * (`?&` runs, `&&` runs, trailing `?`/`&`). Chained global
-    * regexp_replace on both engines, identical patterns.
+  /** Canonicalize away tracking parameters (utm_*, gclid, fbclid): each
+    * boundary-anchored assignment is removed (its leading separator kept),
+    * then dangling separators repaired — `?&` runs, `&&` runs, a `?`/`&`
+    * run left hanging before a `#fragment`, and a trailing run. Chained
+    * global regexp_replace on both engines, identical patterns (only the
+    * backreference syntax differs: `$1` Spark, `\\1` DuckDB).
     */
   def stripTracking(c: Column): Column = {
-    val r1 = regexp_replace(c, trackRe, "")
+    val r1 = regexp_replace(c, trackRe, "$1")
     val r2 = regexp_replace(r1, "\\?&+", "?")
     val r3 = regexp_replace(r2, "&&+", "&")
-    regexp_replace(r3, "[?&]+$", "")
+    val r4 = regexp_replace(r3, "[?&]+#", "#")
+    regexp_replace(r4, "[?&]+$", "")
   }
 
   def stripTrackingSql(c: String): String = {
-    val r1 = s"regexp_replace($c, '$trackRe', '', 'g')"
+    val r1 = s"regexp_replace($c, '$trackRe', '\\1', 'g')"
     val r2 = s"regexp_replace($r1, '\\?&+', '?', 'g')"
     val r3 = s"regexp_replace($r2, '&&+', '&', 'g')"
-    s"regexp_replace($r3, '[?&]+$$', '', 'g')"
+    val r4 = s"regexp_replace($r3, '[?&]+#', '#', 'g')"
+    s"regexp_replace($r4, '[?&]+$$', '', 'g')"
   }
 }

@@ -225,9 +225,11 @@ object MarkupQueries {
           expr("CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' " +
                "WHEN 2 THEN '.org' ELSE '.io' END"),
           lit("/doc/"), col("doc_id").cast(StringType))
+        // 64 crawl files: the gzip encode is the dominant CPU cost and
+        // parallelizes per file (8 buckets left 24 of 32 cores idle)
         val files = docs.withColumn("html", synthHtml).withColumn("url", urlCol)
           .select(col("doc_id"), col("url"), col("html")).as[(Long, String, String)]
-          .groupByKey(_._1 % 8)
+          .groupByKey(_._1 % 64)
           .mapGroups { (bucket, it) =>
             val members = it.toSeq.sortBy(_._1).map { case (id, url, html) =>
               graft.sources.Warc.encodeResponse(f"doc-$id%08d", url,
@@ -246,9 +248,17 @@ object MarkupQueries {
               graft.functions.UrlFns.host(col("url"))))
         val rep = graft.operators.Curation.repetitionSignals(parsed, "doc_id", "txt")
           .withColumnRenamed("keep", "rep_keep")
-        val scored = graft.operators.Curation
-          .qualityScore(rep, "txt", Seq("a", "the"), keepThreshold = 250000L)
-          .withColumnRenamed("keep", "q_keep")
+        // scored feeds THREE branches (cap rank, dedup survivors, the
+        // final join's left side) — without materialization each branch
+        // re-runs the dominant encode→parse→extract→score subtree. One
+        // eager checkpoint bounds it to a single evaluation; CkptCycle
+        // frees the previous invocation's blocks (the corpus-pipeline
+        // discipline).
+        val scored = graft.CkptCycle.cycle("q_crawl_pipeline_scored",
+          graft.operators.Curation
+            .qualityScore(rep, "txt", Seq("a", "the"), keepThreshold = 250000L)
+            .withColumnRenamed("keep", "q_keep")
+            .localCheckpoint(true))
         val ranked = graft.plans.TopKPerGroup.topK(
           scored.select(col("doc_id"), col("domain"), col("score")),
           Seq("domain"), Seq(("score", true), ("doc_id", false)), 4)

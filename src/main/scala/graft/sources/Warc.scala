@@ -2,7 +2,7 @@ package graft.sources
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.{CRC32, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -81,13 +81,80 @@ object Warc {
 
   // ----------------------------------------------------------------- parse
 
-  private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 8192)
+  /** Decompress MEMBER BY MEMBER (not with one multi-member
+    * GZIPInputStream): Java's reader silently treats an unreadable next
+    * member header as end-of-stream — a corrupt member mid-file would make
+    * every later record VANISH with no reject row — and a deflate error
+    * anywhere would discard the good members already decompressed. Each
+    * member's RFC 1952 header is parsed directly (fixed 10 bytes plus the
+    * optional FEXTRA/FNAME/FCOMMENT/FHCRC fields) and its body inflated
+    * with a raw Inflater, so byte accounting is exact and a bad member
+    * salvages everything before it while quarantining the rest (the next
+    * member boundary after corrupt deflate data is unrecoverable — gzip
+    * members carry no length field).
+    *
+    * @return (decompressed bytes of the good prefix, error description of
+    *         the first bad member or null)
+    */
+  private def gunzipMembers(bytes: Array[Byte]): (Array[Byte], String) = {
     val out = new ByteArrayOutputStream(bytes.length * 4)
     val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+    var off = 0
+    while (off < bytes.length) {
+      def fail(msg: String): (Array[Byte], String) =
+        (out.toByteArray, s"$msg at compressed offset $off (remaining bytes skipped)")
+      // ---- RFC 1952 member header
+      if (off + 10 > bytes.length ||
+          bytes(off) != GzMagic(0) || bytes(off + 1) != GzMagic(1))
+        return fail("not a gzip member")
+      if (bytes(off + 2) != 8) return fail("unsupported gzip compression method")
+      val flg = bytes(off + 3) & 0xff
+      var p = off + 10
+      if ((flg & 0x04) != 0) {              // FEXTRA: u16 LE length + data
+        if (p + 2 > bytes.length) return fail("truncated gzip FEXTRA")
+        val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2 + xlen
+      }
+      if ((flg & 0x08) != 0) {              // FNAME: zero-terminated
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 0x10) != 0) {              // FCOMMENT: zero-terminated
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 0x02) != 0) p += 2         // FHCRC
+      if (p > bytes.length) return fail("truncated gzip header")
+      // ---- raw deflate body
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val crc = new CRC32
+        var isize = 0L
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException =>
+              return fail("corrupt gzip member")
+            }
+          if (n == 0 && !inf.finished()) return fail("truncated gzip member")
+          crc.update(buf, 0, n)
+          isize += n
+          out.write(buf, 0, n)
+        }
+        val used = (bytes.length - p) - inf.getRemaining
+        val trailerAt = p + used
+        if (trailerAt + 8 > bytes.length) return fail("truncated gzip trailer")
+        def u32(i: Int): Long =
+          (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+          ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+        if (u32(trailerAt) != crc.getValue) return fail("gzip member CRC mismatch")
+        if (u32(trailerAt + 4) != (isize & 0xffffffffL))
+          return fail("gzip member length mismatch")
+        off = trailerAt + 8
+      } finally inf.end()
+    }
+    (out.toByteArray, null)
   }
 
   private val GzMagic = Array[Byte](0x1f, 0x8b.toByte)
@@ -97,15 +164,17 @@ object Warc {
     * malformed ones as quarantine rows. A record whose Content-Length is
     * unreadable makes the REMAINING bytes unparseable (framing is length-
     * delimited), so that tail is one reject row — never an exception:
-    * executors see whatever the crawl wrote.
+    * executors see whatever the crawl wrote. A corrupt gzip member
+    * likewise quarantines the file's TAIL while every record from earlier
+    * members survives.
     */
   def parseFile(file: String, raw: Array[Byte]): Seq[WarcRow] = {
+    var gzError: String = null
     val bytes =
       if (raw.length >= 2 && raw(0) == GzMagic(0) && raw(1) == GzMagic(1)) {
-        try gunzipAll(raw)
-        catch { case _: java.io.IOException =>
-          return Seq(reject(file, 0, "corrupt gzip stream"))
-        }
+        val (b, err) = gunzipMembers(raw)
+        gzError = err
+        b
       } else raw
     val out = Seq.newBuilder[WarcRow]
     var off = 0
@@ -119,6 +188,9 @@ object Warc {
         }
       }
     }
+    // a bad gzip member quarantines the file's compressed tail — records
+    // from the good members above still stand
+    if (gzError != null) out += reject(file, bytes.length, gzError)
     out.result()
   }
 

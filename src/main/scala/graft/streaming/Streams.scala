@@ -524,23 +524,29 @@ object Streams {
       outDir: String, batchId: Long, minTokens: Int = 5, shingleK: Int = 4,
       bands: Int = 2): Boolean = {
     val spark = records.sparkSession
-    val rdir = new Path(s"$outDir/rejects", f"batch-$batchId%09d")
-    val fs = rdir.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(rdir, "_COMMITTED")
-    if (!fs.exists(marker)) {
-      records.filter(col("reject_reason").isNotNull)
-        .select(col("file"), col("offset"), col("reject_reason"))
-        .write.mode("overwrite").parquet(rdir.toString)
-      fs.create(marker).close()
-    }
-    val docs = records.filter(col("reject_reason").isNull &&
-        col("warc_type") === "response" && col("http_status") === 200)
-      .select(
-        xxhash64(col("record_id")).as("doc_id"),
-        col("target_uri").as("url"),
-        graft.functions.HtmlFns.cleanText(col("body")).as("text"))
-    corpusIngestBatch(docs, wh, outDir, batchId, "doc_id", "text",
-      minTokens, shingleK, bands)
+    // the rejects write and the ingest half each run actions over this
+    // lineage — unpersisted, every action would re-read and re-parse the
+    // whole spool batch (binaryFile read + gunzip + record codec)
+    records.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rdir = new Path(s"$outDir/rejects", f"batch-$batchId%09d")
+      val fs = rdir.getFileSystem(spark.sessionState.newHadoopConf())
+      val marker = new Path(rdir, "_COMMITTED")
+      if (!fs.exists(marker)) {
+        records.filter(col("reject_reason").isNotNull)
+          .select(col("file"), col("offset"), col("reject_reason"))
+          .write.mode("overwrite").parquet(rdir.toString)
+        fs.create(marker).close()
+      }
+      val docs = records.filter(col("reject_reason").isNull &&
+          col("warc_type") === "response" && col("http_status") === 200)
+        .select(
+          xxhash64(col("record_id")).as("doc_id"),
+          col("target_uri").as("url"),
+          graft.functions.HtmlFns.cleanText(col("body")).as("text"))
+      corpusIngestBatch(docs, wh, outDir, batchId, "doc_id", "text",
+        minTokens, shingleK, bands)
+    } finally records.unpersist(false)
   }
 
   /** Start the streaming crawl-intake pipeline on a [[readWarc]] stream. */

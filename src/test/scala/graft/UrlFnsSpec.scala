@@ -51,4 +51,25 @@ class UrlFnsSpec extends AnyFunSuite {
     assert(one("https://h/p?gclid=1&id=2&utm_x=3")._4 == "https://h/p?id=2")
     assert(one("https://h/p?id=9")._4 == "https://h/p?id=9") // untouched
   }
+
+  test("strip tracking: boundary anchoring and fragment repair") {
+    // a param NAME merely containing a tracking key is NOT a tracking param
+    assert(one("https://h/p?xgclid=5&q=2")._4 == "https://h/p?xgclid=5&q=2")
+    // a VALUE containing 'gclid=' is untouched
+    assert(one("https://h/p?redirect=gclid=1")._4 == "https://h/p?redirect=gclid=1")
+    // dangling separators before a fragment are repaired
+    assert(one("https://h/p?gclid=1#top")._4 == "https://h/p#top")
+    assert(one("https://h/p?a=1&gclid=2#f")._4 == "https://h/p?a=1#f")
+  }
+
+  test("host: IPv6 bracket literals are not guessed at") {
+    assert(one("http://[2001:db8::1]/x")._1 == "")
+    assert(one("http://[::1]:8080/")._1 == "")
+  }
+
+  test("registered domain: a bare two-level public suffix is no domain") {
+    assert(one("https://co.uk/")._2 == "")
+    assert(one("https://com.au/x")._2 == "")
+    assert(one("https://real.co.uk/")._2 == "real.co.uk") // still works
+  }
 }

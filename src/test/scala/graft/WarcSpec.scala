@@ -72,6 +72,32 @@ class WarcSpec extends AnyFunSuite {
     assert(rows2(1).reject_reason == null)
   }
 
+  test("corrupt gzip member mid-file salvages earlier records, quarantines tail") {
+    val good1 = Warc.gzipMember(resp(1, "<p>one</p>"))
+    val good2 = Warc.gzipMember(resp(2, "<p>two</p>"))
+    // member 2's deflate data corrupted: records from member 1 survive,
+    // the rest of the file is one quarantine row
+    val corrupt2 = good2.clone
+    corrupt2(good2.length / 2) = (corrupt2(good2.length / 2) ^ 0x55).toByte
+    val rows = Warc.parseFile("f", good1 ++ corrupt2 ++ good1)
+    assert(rows.count(_.reject_reason == null) >= 1)
+    assert(rows.head.target_uri == "http://crawl.test/doc/1")
+    assert(rows.exists(r => r.reject_reason != null && r.reject_reason.contains("gzip")))
+    // a valid member followed by a corrupted MAGIC (the case Java's
+    // multi-member GZIPInputStream silently swallows): earlier records
+    // survive AND the tail is visibly quarantined, never silently dropped
+    val badMagic = good2.clone
+    badMagic(0) = 0x00
+    val rows2 = Warc.parseFile("f", good1 ++ badMagic)
+    assert(rows2.count(_.reject_reason == null) == 1)
+    assert(rows2.head.target_uri == "http://crawl.test/doc/1")
+    assert(rows2.exists(r => r.reject_reason != null && r.reject_reason.contains("gzip")))
+    // truncated last member: same salvage discipline
+    val rows3 = Warc.parseFile("f", good1 ++ good2.take(good2.length - 3))
+    assert(rows3.count(_.reject_reason == null) >= 1)
+    assert(rows3.exists(_.reject_reason != null))
+  }
+
   test("arbitrary bytes never throw") {
     val rnd = new scala.util.Random(13)
     (0 until 300).foreach { _ =>
