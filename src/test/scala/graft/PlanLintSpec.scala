@@ -13,6 +13,21 @@ class PlanLintSpec extends AnyFunSuite {
     q.run(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
   }
 
+  test("no query's plan scans a table more than 7 times (subtree-duplication backstop)") {
+    // A lazy one-row frame carried as a broadcast subplan can silently
+    // re-derive its whole upstream subtree inside every consumer branch —
+    // round 10 measured selectByTokenBudget at SIX full scoring scans
+    // before its boundary row was collected to literals. The widest
+    // legitimate plan today is 6 scans (q_dedup_simhash_hamming_wide:
+    // 3-way in-query corpus augmentation, both sides of a self-join); a
+    // count past 7 means a new duplication bug, not a new query shape.
+    SparkEntry.registry.foreach { q =>
+      val p = q.run(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+      val n = "Scan parquet".r.findAllIn(p).size
+      assert(n <= 7, s"${q.name} plans $n parquet scans — duplicated subtree?")
+    }
+  }
+
   test("no query plans a CartesianProduct (unbroadcast cross join)") {
     SparkEntry.registry.foreach { q =>
       assert(!plan(q.name).contains("CartesianProduct"),
