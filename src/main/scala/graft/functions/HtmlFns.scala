@@ -104,18 +104,39 @@ object HtmlFns {
 
   def bodySql(c: String): String = s"coalesce(regexp_extract($c, '$bodyRe', 1), '')"
 
+  /** Body with comments/script/style stripped — the input to block
+    * splitting, factored so the block COUNT can be computed without
+    * depending on any engine's split-on-trailing-separator semantics.
+    */
+  private def strippedBody(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(body(c), commentRe, " "), scriptRe, " "), styleRe, " ")
+
+  private def strippedBodySql(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace(${bodySql(c)}, " +
+    s"'$commentRe', ' ', 'g'), '$scriptRe', ' ', 'g'), '$styleRe', ' ', 'g')"
+
   /** Body split into boilerplate-decision blocks at closing block-tags.
     * Comments/script/style are stripped BEFORE the split so a `</p>` inside
     * a comment or script cannot fabricate a block boundary.
     */
-  def bodyBlocks(c: Column): Column =
-    split(
-      regexp_replace(regexp_replace(regexp_replace(body(c), commentRe, " "), scriptRe, " "), styleRe, " "),
-      blockSplitRe)
+  def bodyBlocks(c: Column): Column = split(strippedBody(c), blockSplitRe)
 
   def bodyBlocksSql(c: String): String =
-    s"string_split_regex(regexp_replace(regexp_replace(regexp_replace(${bodySql(c)}, " +
-    s"'$commentRe', ' ', 'g'), '$scriptRe', ' ', 'g'), '$styleRe', ' ', 'g'), '$blockSplitRe')"
+    s"string_split_regex(${strippedBodySql(c)}, '$blockSplitRe')"
+
+  /** Number of boilerplate-decision blocks, defined as (closing-block-tag
+    * count + 1) — algebraically identical to `size(bodyBlocks)` under
+    * keep-trailing-empty split semantics (Spark's `split` limit=-1), but
+    * independent of how any engine's split treats trailing empty fields or
+    * empty input. String-split trailing behavior is exactly the kind of
+    * detail that drifts between DuckDB releases, and a count must not hang
+    * on it.
+    */
+  def blockCount(c: Column): Column =
+    (size(regexp_extract_all(strippedBody(c), lit(blockSplitRe), lit(0))) + 1).cast(LongType)
+
+  def blockCountSql(c: String): String =
+    s"CAST(len(regexp_extract_all(${strippedBodySql(c)}, '$blockSplitRe')) + 1 AS BIGINT)"
 
   /** jusText-style keep rule on one block fragment: non-empty visible text
     * with anchor text at most 1/3 of it (exact integer compare).

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.{HtmlFns, TextFns}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -78,7 +79,14 @@ object MarkupQueries {
                CAST(length(${HtmlFns.cleanTextSql("html")}) AS BIGINT) AS clean_chars
         FROM h ORDER BY doc_id""")),
 
-    // ----- jusText-style boilerplate accounting per language
+    // ----- jusText-style boilerplate accounting per language.
+    // n_blocks uses [[HtmlFns.blockCount]] (separator count + 1) on BOTH
+    // engines rather than len(split): the synthesized body ends in `</p>`,
+    // so a split yields a trailing empty field, and whether a split
+    // function keeps trailing empties is engine-/version-dependent (this
+    // query was hash-red in the driver environment for two rounds while
+    // passing the local DuckDB 1.0.0 oracle — n_blocks is the only output
+    // column sensitive to that semantics; nk/cc ignore empty blocks).
     Q("q_html_boilerplate",
       (s, dir) =>
         t(s, dir, "documents")
@@ -86,7 +94,7 @@ object MarkupQueries {
           .withColumn("blocks", HtmlFns.bodyBlocks(col("html")))
           .select(
             col("lang"),
-            size(col("blocks")).cast(LongType).as("nb"),
+            HtmlFns.blockCount(col("html")).as("nb"),
             aggregate(transform(col("blocks"),
                 b => when(HtmlFns.blockKept(b), lit(1L)).otherwise(lit(0L))),
               lit(0L), (a, x) => a + x).as("nk"),
@@ -101,7 +109,7 @@ object MarkupQueries {
         $htmlCte,
         perdoc AS (
           SELECT lang,
-                 CAST(len(${HtmlFns.bodyBlocksSql("html")}) AS BIGINT) AS nb,
+                 ${HtmlFns.blockCountSql("html")} AS nb,
                  CAST(coalesce(list_sum(list_transform(${HtmlFns.bodyBlocksSql("html")},
                    b -> CASE WHEN ${HtmlFns.blockKeptSql("b")} THEN 1 ELSE 0 END)), 0) AS BIGINT) AS nk,
                  CAST(length(${HtmlFns.cleanTextSql("html")}) AS BIGINT) AS cc
@@ -109,6 +117,71 @@ object MarkupQueries {
         SELECT lang, count(*) AS n_docs, SUM(nb) AS n_blocks, SUM(nk) AS n_kept,
                SUM(cc) AS clean_chars
         FROM perdoc GROUP BY lang ORDER BY lang""")),
+
+    // ----- single-metric diagnostic siblings of q_html_boilerplate (round-10
+    // verdict #1): if the composite ever reds again in the driver
+    // environment, these isolate WHICH column drifts. Excluded from the
+    // bench headline (diagnostics, not production plans).
+    Q("q_html_boilerplate_nb",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("html", synthHtml)
+          .groupBy(col("lang"))
+          .agg(sum(HtmlFns.blockCount(col("html"))).as("n_blocks"))
+          .orderBy(col("lang")),
+      Some(s"""
+        $htmlCte
+        SELECT lang, SUM(${HtmlFns.blockCountSql("html")}) AS n_blocks
+        FROM h GROUP BY lang ORDER BY lang"""),
+      bench = false),
+
+    // Canary for the trailing-empty-split hypothesis: the LEGACY len(split)
+    // block count. If this row alone is red in the driver's correctness
+    // gate while _nb above is green, the driver's DuckDB drops trailing
+    // empty split fields (version drift) and the main query's blockCount
+    // migration is confirmed as the right fix.
+    Q("q_html_boilerplate_nb_split",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("html", synthHtml)
+          .groupBy(col("lang"))
+          .agg(sum(size(HtmlFns.bodyBlocks(col("html"))).cast(LongType)).as("n_blocks"))
+          .orderBy(col("lang")),
+      Some(s"""
+        $htmlCte
+        SELECT lang, SUM(CAST(len(${HtmlFns.bodyBlocksSql("html")}) AS BIGINT)) AS n_blocks
+        FROM h GROUP BY lang ORDER BY lang"""),
+      bench = false),
+
+    Q("q_html_boilerplate_nk",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("html", synthHtml)
+          .groupBy(col("lang"))
+          .agg(sum(aggregate(transform(HtmlFns.bodyBlocks(col("html")),
+                b => when(HtmlFns.blockKept(b), lit(1L)).otherwise(lit(0L))),
+              lit(0L), (a, x) => a + x)).as("n_kept"))
+          .orderBy(col("lang")),
+      Some(s"""
+        $htmlCte
+        SELECT lang,
+               SUM(CAST(coalesce(list_sum(list_transform(${HtmlFns.bodyBlocksSql("html")},
+                 b -> CASE WHEN ${HtmlFns.blockKeptSql("b")} THEN 1 ELSE 0 END)), 0) AS BIGINT)) AS n_kept
+        FROM h GROUP BY lang ORDER BY lang"""),
+      bench = false),
+
+    Q("q_html_boilerplate_cc",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("html", synthHtml)
+          .groupBy(col("lang"))
+          .agg(sum(length(HtmlFns.cleanText(col("html"))).cast(LongType)).as("clean_chars"))
+          .orderBy(col("lang")),
+      Some(s"""
+        $htmlCte
+        SELECT lang, SUM(CAST(length(${HtmlFns.cleanTextSql("html")}) AS BIGINT)) AS clean_chars
+        FROM h GROUP BY lang ORDER BY lang"""),
+      bench = false),
 
     // ----- top-k by link density (the boilerplate-heavy pages a curation
     // pass would drop first); density in ppm by exact integer division
@@ -186,10 +259,11 @@ object MarkupQueries {
     // dups + planted repetition, replayed on both engines so every gate
     // BINDS) → .warc.gz crawl files → Warc record parse → HtmlFns clean
     // text → UrlFns registered-domain policy key → per-domain quality cap
-    // (bounded-heap TopKPerGroup) → Gopher repetition gate → quality-score
-    // gate → exact-dedup survivorship → per-domain accounting. Flags are
-    // conjunctive over the full parsed set (each gate judged independently
-    // — the policy a real pipeline audits gate-by-gate). The oracle
+    // (rank window flag) → Gopher repetition gate → quality-score gate →
+    // exact-dedup survivorship (min-id window flag) → per-domain
+    // accounting. Flags are conjunctive over the full parsed set (each
+    // gate judged independently — the policy a real pipeline audits
+    // gate-by-gate), computed in ONE pass over the stream. The oracle
     // replays everything arithmetically from `documents`; the WARC byte
     // roundtrip is covered by the Spark side alone (oracle equality proves
     // it lossless).
@@ -248,29 +322,27 @@ object MarkupQueries {
               graft.functions.UrlFns.host(col("url"))))
         val rep = graft.operators.Curation.repetitionSignals(parsed, "doc_id", "txt")
           .withColumnRenamed("keep", "rep_keep")
-        // scored feeds THREE branches (cap rank, dedup survivors, the
-        // final join's left side) — without materialization each branch
-        // re-runs the dominant encode→parse→extract→score subtree. One
-        // eager checkpoint bounds it to a single evaluation; CkptCycle
-        // frees the previous invocation's blocks (the corpus-pipeline
-        // discipline).
-        val scored = graft.CkptCycle.cycle("q_crawl_pipeline_scored",
-          graft.operators.Curation
-            .qualityScore(rep, "txt", Seq("a", "the"), keepThreshold = 250000L)
-            .withColumnRenamed("keep", "q_keep")
-            .localCheckpoint(true))
-        val ranked = graft.plans.TopKPerGroup.topK(
-          scored.select(col("doc_id"), col("domain"), col("score")),
-          Seq("domain"), Seq(("score", true), ("doc_id", false)), 4)
-        val survivors = graft.operators.Dedup.exact(scored, "doc_id", Seq("txt"))
-          .select(col("doc_id"), lit(true).as("surv"))
+        val scored = graft.operators.Curation
+          .qualityScore(rep, "txt", Seq("a", "the"), keepThreshold = 250000L)
+          .withColumnRenamed("keep", "q_keep")
+        // Gate accounting in ONE pass (r10 verdict #2): the per-domain cap
+        // and the exact-dup survivorship are WINDOW flags over the scored
+        // stream, not joins — so the dominant encode→parse→extract→score
+        // subtree is consumed exactly once and needs no checkpoint. The
+        // dup window partitions on (fingerprint, txt): the 64-bit hash
+        // leads the shuffle key and the sort comparisons, the raw text
+        // only breaks hash collisions — the shingle-family discipline.
+        // (TopKPerGroup remains the right cap operator when the capped
+        // stream is the OUTPUT; here every row survives to the accounting,
+        // so a rank flag is strictly less work than a rank-filter + join.)
+        val wCap = Window.partitionBy(col("domain"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val wDup = Window.partitionBy(xxhash64(col("txt")), col("txt"))
         scored
-          .join(ranked.select(col("doc_id"), lit(true).as("cap_keep")), Seq("doc_id"), "left")
-          .join(survivors, Seq("doc_id"), "left")
+          .withColumn("cap_keep", row_number().over(wCap) <= 4)
+          .withColumn("surv", min(col("doc_id")).over(wDup) === col("doc_id"))
           .withColumn("kept",
-            col("rep_keep") && col("q_keep") &&
-            coalesce(col("cap_keep"), lit(false)) &&
-            coalesce(col("surv"), lit(false)))
+            col("rep_keep") && col("q_keep") && col("cap_keep") && col("surv"))
           .groupBy(col("domain"))
           .agg(
             count(lit(1)).cast(LongType).as("n_in"),
