@@ -91,26 +91,37 @@ object CorpusPipeline {
     // 2. PII scrub (narrow). Persisted: every downstream stage (exact-dedup
     // survivors join reads it on BOTH sides, the near-dup pair join, the
     // final corpus) would otherwise re-run the gate + scrub lineage once per
-    // consumer — the counts alone would pay it 3×.
+    // consumer — the counts alone would pay it 3×. Scrub is 1:1 with the
+    // gate's survivors, so the gate-survivor count rides the cache
+    // materialization as a second observation (r10 verdict #2: a separate
+    // scrubbed.count() job paid one more full pass just for accounting).
     val scrubbed0 =
       if (cfg.scrubPii) gated.withColumn(textCol, TextFns.piiScrub(col(textCol)))
       else gated
+    val obsGated = org.apache.spark.sql.Observation()
     val scrubbed = scrubbed0
+      .observe(obsGated, count(lit(1)).as("n_gated"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Scrub is 1:1, so counting the persisted frame materializes the cache,
-    // yields the gate's survivor count, AND completes the input-count
-    // observation — one pass, one job, both numbers.
-    val nGated = scrubbed.count()
-    val nIn = obsIn.get("n_in").asInstanceOf[Long]
 
     // 3. exact dedup: min-id survivor per identical content (one shuffle).
     // Persist reused stages: the drop-count actions and the final consumer
     // would otherwise re-execute the whole upstream lineage (the pair join —
     // the most expensive shuffle here — must run exactly once).
+    //
+    // This count is the ONE accounting action that cannot ride a consumer
+    // as an observation: the near-dup stage's document-frequency cutoff
+    // (Tuning.maxShingleDocFreq, mirrored by the oracle) needs nExact to
+    // BUILD its plan. The same job also materializes the scrub cache —
+    // firing obsIn/obsGated — and the exact-dedup cache: one job, four
+    // numbers. (Both observations sit below a persist consumed twice in
+    // this plan; block-level write locking computes each cached partition
+    // exactly once, so the metrics don't double-fire.)
     val exactSurvivors = Dedup.exact(scrubbed, idCol, Seq(textCol)).select(id)
     val exactDeduped = scrubbed.join(exactSurvivors, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exactDeduped.count()
+    val nIn = obsIn.get("n_in").asInstanceOf[Long]
+    val nGated = obsGated.get("n_gated").asInstanceOf[Long]
     scrubbed.unpersist(blocking = false)
 
     // 4. near-dup removal: bounded shared-shingle pair join, lower id wins.

@@ -138,10 +138,19 @@ object Curation {
     val spark = train.sparkSession
     val trainSh = Dedup.shingles(train, idCol, textCol, k)
       .select(col(idCol).as("train_id"), xxhash64(col("sh")).as("__sk"))
-    val testSh = Dedup.shingles(test, idCol, textCol, k)
-      .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
-    // one small pass over the eval side sizes the sketch; the sketch build
-    // itself is a treeAggregate (partial filters OR-merged executor-side)
+    // The hashed eval side is consumed THREE times (sizing count, sketch
+    // build, exact join) — checkpoint it once so the test corpus is
+    // shingled in one pass, not three (r10 verdict #7: the family paid
+    // redundant scans). Bounded by assumption: the held-out side is the
+    // small one (MBs of eval against TBs of train). CkptCycle frees the
+    // previous invocation's blocks — single-live-frame-per-key contract.
+    val testSh = graft.CkptCycle.cycle("decontaminateBloom_test",
+      Dedup.shingles(test, idCol, textCol, k)
+        .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
+        .localCheckpoint(true))
+    // the sizing pass and sketch build now read checkpoint blocks; the
+    // sketch itself is a treeAggregate (partial filters OR-merged
+    // executor-side)
     val nTest = testSh.count()
     val bloom = testSh.stat.bloomFilter("__sk", math.max(nTest, 64L), fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
@@ -454,30 +463,6 @@ object Curation {
       .drop("__t", "__n", "__nd", "__ns")
   }
 
-  /** Token-budget corpus selection: keep the best-quality documents (score
-    * DESC, doc_id ASC) whose cumulative token count fits `budgetTokens` —
-    * "fill a 15T-token training budget best-first", the decision every
-    * corpus cut ends with.
-    *
-    * Semantics are EXACTLY the greedy ordered-prefix cut (the brute-force
-    * windowed cumsum the oracle runs), but the plan never globally sorts
-    * the corpus: (1) scoring + token-counting is a pure map-side projection
-    * — re-evaluated by each consuming branch (histogram, off-boundary,
-    * boundary: three narrow scans, zero shuffles of text; persist the
-    * scored frame upstream if the corpus READ is itself the bottleneck);
-    * (2) a per-SCORE-VALUE aggregate (shuffle on the bounded score domain)
-    * + a cumsum over that tiny frame find the threshold score s* — every
-    * doc scoring above s* is selected outright, map-side, via the broadcast
-    * threshold; (3) only the single boundary score-group pays an ordered
-    * cumsum window to spend the remaining budget (partitioned by nothing,
-    * but over ONE score-tie group — bounded by the tie width, not the
-    * corpus; a corpus whose docs all tie at the boundary degrades to the
-    * brute shape, which is the information-theoretic floor for exact
-    * greedy semantics).
-    *
-    * Returns (idCol, source?, ntok, score, selected) — all input columns
-    * preserved, `selected` boolean.
-    */
   /** Diversity-preserving subsampling: keep `perBucket` documents from each
     * sign-LSH bucket of an embedding column — the cluster-balanced "cover
     * the semantic space, don't oversample the dense modes" selection a
@@ -568,14 +553,45 @@ object Curation {
         expr("CAST(SUM(ppm) DIV COUNT(1) AS BIGINT)").as("lm_ppm"))
   }
 
+  /** Tie-groups larger than this pay the sharded cumsum path in
+    * [[selectByTokenBudget]] instead of a single ordered window. 2^20 rows
+    * of (id, ntok) is a few tens of MB on one window partition — safely
+    * inside an executor; anything bigger is a real skew risk.
+    */
+  val TieWindowMaxRows: Long = 1L << 20
+
+  /** Greedy token-budget selection: whole score groups are taken in
+    * descending-score order while they fit; the boundary score group fills
+    * the remaining budget in ascending `idCol` order.
+    *
+    * EAGER CONTRACT: construction runs bounded Spark jobs (the one-row
+    * score-histogram boundary collect, plus — only for a boundary
+    * tie-group past [[TieWindowMaxRows]] — a ≤4K-row bucket-offset
+    * collect); it is not a pure lazy plan builder, so do not construct it
+    * speculatively. The eager collect is the measured-cheaper design: a
+    * lazy broadcast subplan re-derived the whole histogram subtree in both
+    * output branches (6 full scoring scans at sf0.1 vs 3 with literals).
+    *
+    * The tie-group cumsum is data-dependent in size — score granularity is
+    * caller-controlled, so one popular score value can be a large fraction
+    * of the corpus. Small groups use one ordered window; large groups use
+    * a monotone id-bucket shard: bucket = (id - min) DIV width is
+    * nondecreasing in id, so per-bucket windows plus an exclusive
+    * bucket-prefix offset reproduce the global id-ordered cumsum exactly,
+    * with every window partition bounded by the bucket width.
+    */
   def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
-                          stopwords: Seq[String], budgetTokens: Long): DataFrame = {
+                          stopwords: Seq[String], budgetTokens: Long,
+                          tieWindowMaxRows: Long = TieWindowMaxRows): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
     val scored = qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
       .withColumn("ntok", TextFns.tokenCount(col(textCol)).cast(LongType))
-    // tiny frame: one row per distinct score value
+    // tiny frame: one row per distinct score value (count + id span ride
+    // along so the boundary collect also sizes the tie group)
     val byScore = scored.groupBy(col("score").as("s"))
-      .agg(sum(col("ntok")).as("stok"))
+      .agg(sum(col("ntok")).as("stok"), count(lit(1)).as("snum"),
+           min(col(idCol).cast(LongType)).as("smin"),
+           max(col(idCol).cast(LongType)).as("smax"))
     val wDesc = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = byScore
@@ -586,28 +602,56 @@ object Curation {
       .filter(col("cum_above") + col("stok") > budgetTokens)
       .agg(max(col("s")).as("bscore"))
     val bRow = cum.join(broadcast(boundary), col("s") === col("bscore"))
-      .select(col("s"), (lit(budgetTokens) - col("cum_above")).as("b_budget"))
+      .select(col("s"), (lit(budgetTokens) - col("cum_above")).as("b_budget"),
+        col("snum"), col("smin"), col("smax"))
     // ONE row by construction (bscore is a max over unique histogram
     // scores), or empty when the whole corpus fits. COLLECT it and inline
-    // the two longs as literals — the same bounded driver scalar the
-    // k-means/IVF trainers pay. Carrying it as a lazy broadcast subplan
-    // instead made Spark re-derive the entire histogram subtree inside
-    // BOTH output branches (measured: 6 full scoring scans of the corpus
-    // at sf0.1, 3.4 s; with literals it is 3 scans, ~1 s).
+    // the longs as literals — the same bounded driver scalar the
+    // k-means/IVF trainers pay (see the eager-contract scaladoc).
     val b = bRow.collect()
-    val (bS, bBudget) =
-      if (b.isEmpty) (Long.MinValue, 0L) else (b(0).getLong(0), b(0).getLong(1))
+    val (bS, bBudget, bN, bMin, bMax) =
+      if (b.isEmpty) (Long.MinValue, 0L, 0L, 0L, 0L)
+      else (b(0).getLong(0), b(0).getLong(1), b(0).getLong(2),
+            b(0).getLong(3), b(0).getLong(4))
     val base = scored.drop("keep")
     // docs strictly better than the boundary score: selected map-side
     val offBoundary = base.filter(col("score") =!= bS)
       .withColumn("selected", col("score") > lit(bS))
-    // ONLY the boundary tie-group pays an ordered cumsum — bounded by the
-    // tie width, not the corpus (constant partition key: the tie group is
-    // one window partition by design)
-    val wTie = Window.partitionBy(lit(1)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val onBoundary = base.filter(col("score") === bS)
-      .withColumn("selected", sum(col("ntok")).over(wTie) <= lit(bBudget))
+    val tie = base.filter(col("score") === bS)
+    val onBoundary =
+      if (bN <= tieWindowMaxRows) {
+        // small tie group: one ordered cumsum over the GROUP (not the
+        // corpus) — the constant partition key is bounded by bN
+        val wTie = Window.partitionBy(lit(1)).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        tie.withColumn("selected", sum(col("ntok")).over(wTie) <= lit(bBudget))
+      } else {
+        // large tie group: monotone id-bucket shard (scaladoc). 4096
+        // buckets over the group's actual id span keeps the offset frame
+        // trivially collectable while dividing the window partitions.
+        val nBuckets = 4096L
+        val w = math.max(1L, (bMax - bMin) / nBuckets + 1L)
+        val bucket = expr(
+          s"CAST((CAST(`$idCol` AS BIGINT) - CAST($bMin AS BIGINT)) DIV CAST($w AS BIGINT) AS BIGINT)")
+        val sharded = tie.withColumn("__bkt", bucket)
+        // exclusive bucket-prefix offsets: ≤ nBuckets+1 rows, computed on
+        // the driver in bucket order (bounded collect, as above)
+        val totals = sharded.groupBy(col("__bkt")).agg(sum(col("ntok")).as("t"))
+          .orderBy(col("__bkt")).collect()
+        var acc = 0L
+        val offRows = totals.toSeq.map { r =>
+          val pair = (r.getLong(0), acc); acc += r.getLong(1); pair
+        }
+        val spark = df.sparkSession
+        import spark.implicits._
+        val offsets = offRows.toDF("__bkt", "__off")
+        val wLoc = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        sharded.join(broadcast(offsets), Seq("__bkt"))
+          .withColumn("selected",
+            col("__off") + sum(col("ntok")).over(wLoc) <= lit(bBudget))
+          .drop("__bkt", "__off")
+      }
     offBoundary.unionByName(onBoundary)
   }
 }

@@ -517,7 +517,12 @@ object VectorQueries {
                  CAST(row_number() OVER (PARTITION BY q_id
                         ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
           FROM p)
-        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      // oracle-exactness twin of q_ann_pq_topk: brute-force rerank over the
+      // whole corpus BY CONSTRUCTION (it exists to prove the PQ path's ADC
+      // ranking against exact cosine). Intentionally unscalable -- excluded
+      // from the bench headline, which scores only plans meant to be run.
+      bench = false),
 
     // ----- diversity-preserving subsampling: cap every 6-bit LSH bucket at
     // 3 docs (cluster-balanced selection — cover the semantic space instead

@@ -93,6 +93,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget sharded tie cumsum matches the single-window path") {
+    // one-score-value corpus: EVERY doc ties at the boundary — the shape
+    // that makes an unsharded tie window data-dependent (r10 verdict #4).
+    // tieWindowMaxRows=1 forces the monotone id-bucket shard path; it must
+    // agree with the single-window path and with the greedy id-prefix.
+    val docs = (1L to 200L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    for (budget <- Seq(0L, 30L, 397L, 800L, 100000L)) {
+      def selected(maxRows: Long): Set[Long] = Curation
+        .selectByTokenBudget(docs, "doc_id", "text", Seq("a", "the"), budget,
+          tieWindowMaxRows = maxRows)
+        .filter($"selected").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val single = selected(Long.MaxValue)
+      val sharded = selected(1L)
+      assert(sharded == single, s"budget=$budget")
+      // identical 4-token docs: the greedy prefix is the first budget/4 ids
+      val expectN = math.min(200L, budget / 4)
+      assert(single == (1L to expectN).toSet, s"budget=$budget")
+    }
+  }
+
   test("sequence packing: per-shard offsets, bins, and no global window") {
     val df = Seq(
       ("a", 1L, "w1 w2 w3"), ("a", 2L, "w1 w2"), ("a", 3L, "w1 w2 w3 w4"),
