@@ -103,6 +103,17 @@ object Bench {
           f"BENCH CLAMP ${q.name} warm: $warmR%.3f -> $cold%.3f (pathological inversion)")
         cold
       } else warmR
+      // Inter-query hygiene, OUTSIDE any timing (round-10 verdict #3): a
+      // heavy query's debris — leaked cache entries, this query's live
+      // CkptCycle checkpoint blocks, deferred garbage the ContextCleaner
+      // hasn't processed — polluted the NEXT query's cold run (raw colds
+      // 49.9 s / 8.8 s vs 17.7 / 0.36 on immediate retry in r10). Caches
+      // and checkpoint registrations are cleared after every query; the GC
+      // + settle pause is paid only after non-trivial ones, so the 160-run
+      // suite doesn't spend minutes collecting a 128 GB heap for free.
+      spark.catalog.clearCache()
+      graft.CkptCycle.releaseAll(spark)
+      if (math.max(cold, warmD) > 0.5) { System.gc(); Thread.sleep(150) }
       (q.name, cold, warmD, warmR)
     }
     // Round per-query seconds to 3 decimals: keeps the one-line JSON compact

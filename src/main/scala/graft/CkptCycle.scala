@@ -28,6 +28,28 @@ object CkptCycle {
   private val last =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
 
+  /** Free the blocks of EVERY frame registered for `spark` and forget the
+    * keys — inter-query hygiene for a harness (Bench) that knows no cycled
+    * frame will be re-executed. Same single-live-frame contract as [[cycle]]:
+    * after release, a previously returned frame cannot recompute; the next
+    * invocation of its query builds and registers a fresh one.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val it = last.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        val df = e.getValue
+        if (!spark.sparkContext.isStopped)
+          df.queryExecution.analyzed.foreach {
+            case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+            case _              => ()
+          }
+        it.remove()
+      }
+    }
+  }
+
   def cycle(key: String, df: DataFrame): DataFrame = {
     val prev = last.put((df.sparkSession, key), df)
     // A stopped context has already dropped all blocks — and unpersist
