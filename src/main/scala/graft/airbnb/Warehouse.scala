@@ -140,6 +140,64 @@ final case class Warehouse(spark: SparkSession, root: String) {
         }
       }
 
+  /** Schema/type migration (scripts/maintenance/convert_ids_to_bigint.py:
+    * 119-135 — widen INT→BIGINT across FK-dependent tables): rewrite the
+    * table with the named columns re-typed via `try_cast`, preserving
+    * column order and every unnamed column. Where the reference's server-
+    * side ALTER would abort on an unconvertible value, this quarantines the
+    * offending ROWS to `<name>__rejects` (original schema — triage sees
+    * the raw values) and migrates the rest; a purely-widening migration
+    * quarantines nothing.
+    *
+    * Both rewrites go through the crash-recoverable swap ([[write]]): the
+    * rejects table materializes FIRST, while the original table is still in
+    * place, so no crash point can lose rows. Returns the quarantined count.
+    * Scale: two scans of the table plus the rewrite — the same order of
+    * work the reference's ALTER pays server-side, all distributed.
+    */
+  def migrateColumnTypes(name: String, casts: Map[String, String],
+                         quarantineTo: String = ""): Long = {
+    val df = read(name)
+    val missing = casts.keySet -- df.columns.toSet
+    require(missing.isEmpty, s"migrateColumnTypes: no such column(s) $missing in $name")
+    val rejName = if (quarantineTo.nonEmpty) quarantineTo else s"${name}__rejects"
+    // a row fails iff some migrated column is non-null but its cast is null
+    // (P4's try_cast validity gate, applied per migrated column)
+    val bad = casts.map { case (c, t) =>
+      col(c).isNotNull && expr(s"try_cast(`$c` AS $t)").isNull
+    }.reduce(_ || _)
+    write(rejName, df.filter(bad))
+    val nBad = read(rejName).count()
+    val migrated = df.filter(!bad).select(df.columns.toSeq.map { c =>
+      casts.get(c) match {
+        case Some(t) => expr(s"try_cast(`$c` AS $t)").as(c)
+        case None    => col(c)
+      }
+    }: _*)
+    write(name, migrated)
+    nBad
+  }
+
+  /** Archive-then-truncate (scripts/maintenance/
+    * archive_and_truncate_staging.py:29-32): park the table's rows in a
+    * stamped archive table AND a pipe-gz csv export (the S7 sink — what the
+    * reference writes to logs/), then truncate the original. The archive
+    * writes complete BEFORE the truncate, so no crash point loses rows.
+    * `stamp` is caller-supplied (the reference uses a UTC timestamp);
+    * returns the archive table name.
+    */
+  def archiveAndTruncate(name: String, stamp: String, csvDir: String): String = {
+    val archiveName = s"${name}_archive_$stamp"
+    val df = read(name)
+    write(archiveName, df)
+    Sources.writePipeCsv(read(archiveName), s"$csvDir/${name}_$stamp")
+    Seq(path(name), path(name) + "__tmp", path(name) + "__old").foreach { s =>
+      val p = new Path(s); val f = fs(p)
+      if (f.exists(p)) f.delete(p, true)
+    }
+    archiveName
+  }
+
   /** Z-ordered write: rows are clustered along the Morton curve of `zCols`
     * so parquet min/max stats data-skip on EVERY z dimension (multi-column
     * B-tree index intent, sql/schema/04_create_indexes.sql, re-expressed for

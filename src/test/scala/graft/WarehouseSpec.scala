@@ -66,6 +66,56 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read("t").count() == 7)
   }
 
+  test("migrateColumnTypes widens in place, quarantines unconvertible rows") {
+    val wh = Warehouse(spark, java.nio.file.Files.createTempDirectory("wh-mig").toString)
+    // staging-shaped table: all-string ids, one non-numeric (the exact case
+    // convert_ids_to_bigint.py exists for)
+    val df = Seq(
+      ("1", "h1", "x"), ("2", "h2", "y"), ("oops", "h3", "z"),
+      (null.asInstanceOf[String], "h4", "w"))
+      .toDF("listing_id", "host_id", "payload")
+    wh.write("staging", df)
+    val nBad = wh.migrateColumnTypes("staging", Map("listing_id" -> "BIGINT"))
+    assert(nBad == 1L)
+    val out = wh.read("staging")
+    // column order and unnamed columns preserved; type actually widened
+    assert(out.columns.toSeq == Seq("listing_id", "host_id", "payload"))
+    assert(out.schema("listing_id").dataType == org.apache.spark.sql.types.LongType)
+    // NULL source survives (null is not a cast failure); bad row removed
+    assert(out.orderBy("host_id").collect().map(r => (r.get(0), r.getString(1))).toSeq ==
+      Seq((1L, "h1"), (2L, "h2"), (null, "h4")))
+    // quarantine carries the ORIGINAL (string) values for triage
+    val rej = wh.read("staging__rejects")
+    assert(rej.schema("listing_id").dataType == org.apache.spark.sql.types.StringType)
+    assert(rej.collect().map(_.getString(0)).toSeq == Seq("oops"))
+    // widening-only second migration quarantines nothing and keeps the data
+    assert(wh.migrateColumnTypes("staging", Map("listing_id" -> "BIGINT")) == 0L)
+    assert(wh.read("staging").count() == 3L)
+    // unknown column fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      wh.migrateColumnTypes("staging", Map("nope" -> "BIGINT"))
+    }
+  }
+
+  test("archiveAndTruncate parks rows in table + csv before clearing") {
+    val root = java.nio.file.Files.createTempDirectory("wh-arch").toString
+    val wh = Warehouse(spark, root)
+    val df = Seq((1L, "a|b"), (2L, "plain")).toDF("id", "v")
+    wh.write("staging", df)
+    val csvDir = java.nio.file.Files.createTempDirectory("wh-arch-csv").toString
+    val arch = wh.archiveAndTruncate("staging", "20240101T000000Z", csvDir)
+    assert(arch == "staging_archive_20240101T000000Z")
+    // original gone, archive table has the rows
+    assert(!wh.exists("staging"))
+    assert(wh.read(arch).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a|b"), (2L, "plain")))
+    // csv export roundtrips through the S7/S4 pipe-gz reader (quoting intact)
+    val back = graft.airbnb.Sources.readPipeCsv(spark,
+        s"$csvDir/staging_20240101T000000Z")
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq == Seq(("1", "a|b"), ("2", "plain")))
+  }
+
   test("truncateAll clears swap strays so recover() cannot resurrect data") {
     import java.io.File
     val root = java.nio.file.Files.createTempDirectory("wh-trunc").toString
