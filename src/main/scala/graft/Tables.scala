@@ -82,15 +82,23 @@ object Tables {
     if (cached != null) cached
     else {
       // Must be set before the read: schema inference on a nanos file fails
-      // outright without it; for a micros file it is a no-op.
+      // outright without it; for a micros file it is a no-op. Scoped: when
+      // the file turns out to be micros the previous value is RESTORED, so
+      // the probe doesn't leak a session-wide behavior change (an unrelated
+      // nanos read would then silently infer LongType instead of failing
+      // loudly). When the file IS nanos the flag must stay set — the lazy
+      // frame's parquet scan re-reads it at every action.
+      val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val base = readCached(spark, s"$dir/events.parquet")
-      val tsExpr = base.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        case _ =>
-          col("ts").cast("timestamp_ntz")
+      val isNanos = base.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      if (!isNanos) prevNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
       }
+      val tsExpr =
+        if (isNanos) expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        else col("ts").cast("timestamp_ntz")
       val df = base.withColumn("ts", tsExpr)
       frameCache.putIfAbsent(key, df)
       frameCache.get(key)

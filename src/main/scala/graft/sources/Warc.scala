@@ -33,6 +33,15 @@ object Warc {
   /** One parsed record. `body` is the HTTP message body for response
     * records (the HTML), the raw payload otherwise. `rejectReason` is null
     * for well-formed records — quarantine on it (Sources.quarantine shape).
+    *
+    * `offset` is ALWAYS in the DECOMPRESSED-stream domain (bytes into the
+    * gunzipped record stream, or into the file itself when it is not
+    * gzipped) — including on reject rows, where it marks how far the parser
+    * got. The one place a compressed-domain position exists — a corrupt
+    * gzip member — is carried INSIDE the reject reason text, explicitly
+    * labeled "at compressed offset N", never in this column; triage against
+    * the on-disk file should use the reason's compressed offset, and triage
+    * against a gunzipped copy should use this column.
     */
   final case class WarcRow(
       file: String, offset: Long, warc_type: String, record_id: String,

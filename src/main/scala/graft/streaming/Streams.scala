@@ -36,8 +36,19 @@ object Streams {
     * fixture has shipped as both TIMESTAMP(NANOS) and timestamp[us]).
     */
   private def tsIsNanosLong(spark: SparkSession, dir: String): Boolean = {
+    // Scoped probe: restore the previous conf when the fixture is micros so
+    // the check doesn't leak a session-wide behavior change (an unrelated
+    // nanos read would silently infer LongType). For a nanos fixture the
+    // flag must STAY set — the explicit-schema streaming scan needs it at
+    // every microbatch to admit TIMESTAMP(NANOS) as LongType.
+    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(dir).schema("ts").dataType == LongType
+    val isNanos = spark.read.parquet(dir).schema("ts").dataType == LongType
+    if (!isNanos) prev match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+    isNanos
   }
 
   /** Streaming read of an events directory (either fixture shape → micros).
