@@ -32,4 +32,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 160 codegen'd queries × (cold + warm) load thousands of generated
+  // classes in one JVM; the default 240 MB reserved code cache fills
+  // mid-suite and the JIT stops compiling the tail's hot loops — measured
+  // +7 s on the sf0.1 bench total (80.2/81.2 s at default vs 74.2 s with
+  // headroom, same code, back-to-back runs). Irrelevant on a real cluster
+  // (one long-lived session, executors JIT their own paths); this keeps
+  // the LOCAL suite measuring query cost, not code-cache eviction.
+  "-XX:ReservedCodeCacheSize=512m",
 )
