@@ -52,7 +52,9 @@ object Soak {
     "q_text_gopher_repetition", // map-side repetition HOFs (r10)
     "q_ann_pq_topk",         // fixed-point PQ train/encode/ADC (r10)
     "q_dedup_components",    // pair gen + closure (r10 local/dist strategy)
-    "q_corpus_pipeline")     // end-to-end gate→dedup→split composition
+    "q_corpus_pipeline",     // end-to-end gate→dedup→split composition
+    "q_crawl_pipeline",      // one-pass window-flag gate accounting (r11)
+    "q_token_budget_select") // histogram cut + boundary cumsum (r11 shard)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
