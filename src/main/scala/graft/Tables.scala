@@ -43,6 +43,14 @@ object Tables {
   private val frameCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Serializes every nanosAsLong probe-then-maybe-restore across the JVM
+    * (here and Streams.tsIsNanosLong): the conf is session-global, so an
+    * unsynchronized restore could land between another probe's set and its
+    * footer read. Genuinely-nanos reads keep the flag set on exit — the
+    * lock scopes the PROBE, not the scan-time requirement.
+    */
+  private[graft] val nanosProbeLock = new Object
+
   /** Drop cached frames whose owning session has stopped — otherwise the
     * strong (session → plan) references keep dead sessions reachable for
     * the life of the JVM (sbt test + mains run many sessions per JVM).
@@ -87,15 +95,22 @@ object Tables {
       // the probe doesn't leak a session-wide behavior change (an unrelated
       // nanos read would then silently infer LongType instead of failing
       // loudly). When the file IS nanos the flag must stay set — the lazy
-      // frame's parquet scan re-reads it at every action.
-      val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val base = readCached(spark, s"$dir/events.parquet")
-      val isNanos = base.schema("ts").dataType == org.apache.spark.sql.types.LongType
-      if (!isNanos) prevNanos match {
-        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      // frame's parquet scan re-reads it at every action. The probe+restore
+      // is serialized under nanosProbeLock: two concurrent probes (tests
+      // and mains share sessions per JVM) could otherwise interleave one
+      // probe's restore between the other's set and read.
+      val base = Tables.nanosProbeLock.synchronized {
+        val prevNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val b = readCached(spark, s"$dir/events.parquet")
+        if (b.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+          prevNanos match {
+            case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+            case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          }
+        b
       }
+      val isNanos = base.schema("ts").dataType == org.apache.spark.sql.types.LongType
       val tsExpr =
         if (isNanos) expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
         else col("ts").cast("timestamp_ntz")

@@ -126,19 +126,20 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val p = new Path(path(name)); fs(p).exists(p)
   }
 
-  /** S10 — clear in FK order (facts → dims), like 00_prepare_tables.sql:5-10.
-    * Also removes __tmp/__old swap strays: leaving them would let a later
-    * recover() roll a truncated table FORWARD from a pre-truncate __tmp.
+  /** Remove a table AND its __tmp/__old swap strays: leaving strays would
+    * let a later recover() roll the dropped table FORWARD from a pre-drop
+    * __tmp. The one shared deletion path for every truncate-like operation.
     */
+  private def dropTable(name: String): Unit =
+    Seq(path(name), path(name) + "__tmp", path(name) + "__old").foreach { s =>
+      val p = new Path(s); val f = fs(p)
+      if (f.exists(p)) f.delete(p, true)
+    }
+
+  /** S10 — clear in FK order (facts → dims), like 00_prepare_tables.sql:5-10. */
   def truncateAll(): Unit =
     Seq("fact_calendar", "fact_reviews", "dim_listing_id_map", "dim_hosts",
-        "dim_dates", "dim_listings")
-      .foreach { t =>
-        Seq(path(t), path(t) + "__tmp", path(t) + "__old").foreach { s =>
-          val p = new Path(s); val f = fs(p)
-          if (f.exists(p)) f.delete(p, true)
-        }
-      }
+        "dim_dates", "dim_listings").foreach(dropTable)
 
   /** Schema/type migration (scripts/maintenance/convert_ids_to_bigint.py:
     * 119-135 — widen INT→BIGINT across FK-dependent tables): rewrite the
@@ -161,13 +162,30 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val missing = casts.keySet -- df.columns.toSet
     require(missing.isEmpty, s"migrateColumnTypes: no such column(s) $missing in $name")
     val rejName = if (quarantineTo.nonEmpty) quarantineTo else s"${name}__rejects"
+    // the quarantine target must not alias the source (or its swap dirs):
+    // writing rejects over `name` would replace the table under the lazy
+    // `df`, and the migration rewrite would then read back only the
+    // rejects — total data loss from one typo. Fail loudly instead.
+    require(rejName != name && rejName != s"${name}__tmp" && rejName != s"${name}__old",
+      s"migrateColumnTypes: quarantine target $rejName aliases the source table")
     // a row fails iff some migrated column is non-null but its cast is null
     // (P4's try_cast validity gate, applied per migrated column)
     val bad = casts.map { case (c, t) =>
       col(c).isNotNull && expr(s"try_cast(`$c` AS $t)").isNull
     }.reduce(_ || _)
-    write(rejName, df.filter(bad))
-    val nBad = read(rejName).count()
+    // Quarantine is APPEND-ONLY and only touched when rows actually fail:
+    // an overwrite would let a clean re-run (the idempotent-maintenance
+    // case) replace the rejects table with an empty frame and destroy the
+    // only remaining copy of previously quarantined rows. Schema drift
+    // between runs (the original schema changes once a migration lands)
+    // fails the unionByName loudly rather than silently coercing.
+    val nBad = df.filter(bad).count()
+    if (nBad > 0) {
+      val rejects =
+        if (exists(rejName)) read(rejName).unionByName(df.filter(bad))
+        else df.filter(bad)
+      write(rejName, rejects)
+    }
     val migrated = df.filter(!bad).select(df.columns.toSeq.map { c =>
       casts.get(c) match {
         case Some(t) => expr(s"try_cast(`$c` AS $t)").as(c)
@@ -191,10 +209,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val df = read(name)
     write(archiveName, df)
     Sources.writePipeCsv(read(archiveName), s"$csvDir/${name}_$stamp")
-    Seq(path(name), path(name) + "__tmp", path(name) + "__old").foreach { s =>
-      val p = new Path(s); val f = fs(p)
-      if (f.exists(p)) f.delete(p, true)
-    }
+    dropTable(name)
     archiveName
   }
 

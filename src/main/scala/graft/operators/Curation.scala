@@ -578,7 +578,10 @@ object Curation {
     * a monotone id-bucket shard: bucket = (id - min) DIV width is
     * nondecreasing in id, so per-bucket windows plus an exclusive
     * bucket-prefix offset reproduce the global id-ordered cumsum exactly,
-    * with every window partition bounded by the bucket width.
+    * with every window partition bounded by the bucket width. The shard
+    * path needs INTEGRAL ids (bucket arithmetic); a non-integral `idCol`
+    * keeps the operator fully legal — it just always takes the
+    * single-window path, whose partition is bounded only by tie width.
     */
   def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                           stopwords: Seq[String], budgetTokens: Long,
@@ -586,12 +589,21 @@ object Curation {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
     val scored = qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
       .withColumn("ntok", TextFns.tokenCount(col(textCol)).cast(LongType))
+    // Integral ids get the sharded tie path; anything else (string ids are
+    // legal and order lexicographically) sticks to the single window — a
+    // CAST on a string id would order numerically (disagreeing with the
+    // window path) and NULL out uncastable values into silent row drops.
+    val idIsIntegral = scored.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     // tiny frame: one row per distinct score value (count + id span ride
     // along so the boundary collect also sizes the tie group)
     val byScore = scored.groupBy(col("score").as("s"))
       .agg(sum(col("ntok")).as("stok"), count(lit(1)).as("snum"),
-           min(col(idCol).cast(LongType)).as("smin"),
-           max(col(idCol).cast(LongType)).as("smax"))
+           (if (idIsIntegral) min(col(idCol).cast(LongType)) else lit(0L)).as("smin"),
+           (if (idIsIntegral) max(col(idCol).cast(LongType)) else lit(0L)).as("smax"))
     val wDesc = Window.orderBy(col("s").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = byScore
@@ -619,7 +631,7 @@ object Curation {
       .withColumn("selected", col("score") > lit(bS))
     val tie = base.filter(col("score") === bS)
     val onBoundary =
-      if (bN <= tieWindowMaxRows) {
+      if (bN <= tieWindowMaxRows || !idIsIntegral) {
         // small tie group: one ordered cumsum over the GROUP (not the
         // corpus) — the constant partition key is bounded by bN
         val wTie = Window.partitionBy(lit(1)).orderBy(col(idCol))

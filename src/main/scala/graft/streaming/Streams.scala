@@ -35,21 +35,23 @@ object Streams {
     * type-branch `graft.Tables.events` applies on the batch side (the
     * fixture has shipped as both TIMESTAMP(NANOS) and timestamp[us]).
     */
-  private def tsIsNanosLong(spark: SparkSession, dir: String): Boolean = {
+  private def tsIsNanosLong(spark: SparkSession, dir: String): Boolean =
     // Scoped probe: restore the previous conf when the fixture is micros so
     // the check doesn't leak a session-wide behavior change (an unrelated
     // nanos read would silently infer LongType). For a nanos fixture the
     // flag must STAY set — the explicit-schema streaming scan needs it at
-    // every microbatch to admit TIMESTAMP(NANOS) as LongType.
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val isNanos = spark.read.parquet(dir).schema("ts").dataType == LongType
-    if (!isNanos) prev match {
-      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    // every microbatch to admit TIMESTAMP(NANOS) as LongType. Serialized
+    // under the shared probe lock (see Tables.nanosProbeLock).
+    graft.Tables.nanosProbeLock.synchronized {
+      val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val isNanos = spark.read.parquet(dir).schema("ts").dataType == LongType
+      if (!isNanos) prev match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+      isNanos
     }
-    isNanos
-  }
 
   /** Streaming read of an events directory (either fixture shape → micros).
     * Unlike graft.Tables.events this exposes ts as TIMESTAMP (local-tz):

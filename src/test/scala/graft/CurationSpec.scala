@@ -98,9 +98,13 @@ class CurationSpec extends AnyFunSuite {
     // that makes an unsharded tie window data-dependent (r10 verdict #4).
     // tieWindowMaxRows=1 forces the monotone id-bucket shard path; it must
     // agree with the single-window path and with the greedy id-prefix.
-    val docs = (1L to 200L).map(i => (i, "alpha beta gamma delta"))
+    // 5000 rows over a 5000-id span → bucket width 2: buckets hold MORE
+    // than one row, so the within-bucket running sum composes with the
+    // broadcast exclusive-prefix offset (an off-by-one in either part, or
+    // in their sum, moves the cut id and fails the prefix assert).
+    val docs = (1L to 5000L).map(i => (i, "alpha beta gamma delta"))
       .toDF("doc_id", "text")
-    for (budget <- Seq(0L, 30L, 397L, 800L, 100000L)) {
+    for (budget <- Seq(0L, 30L, 9999L, 100000L)) {
       def selected(maxRows: Long): Set[Long] = Curation
         .selectByTokenBudget(docs, "doc_id", "text", Seq("a", "the"), budget,
           tieWindowMaxRows = maxRows)
@@ -110,9 +114,19 @@ class CurationSpec extends AnyFunSuite {
       val sharded = selected(1L)
       assert(sharded == single, s"budget=$budget")
       // identical 4-token docs: the greedy prefix is the first budget/4 ids
-      val expectN = math.min(200L, budget / 4)
+      val expectN = math.min(5000L, budget / 4)
       assert(single == (1L to expectN).toSet, s"budget=$budget")
     }
+    // non-integral ids stay legal and take the single-window path (the
+    // shard arithmetic needs integral ids; a cast would reorder or drop)
+    val sdocs = Seq(("doc-b", "alpha beta gamma delta"),
+      ("doc-a", "alpha beta gamma delta"), ("doc-c", "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val got = Curation
+      .selectByTokenBudget(sdocs, "doc_id", "text", Seq("a", "the"), 8L,
+        tieWindowMaxRows = 1L)
+      .filter($"selected").select($"doc_id").collect().map(_.getString(0)).toSet
+    assert(got == Set("doc-a", "doc-b")) // lexicographic id order, 2 fit
   }
 
   test("sequence packing: per-shard offsets, bins, and no global window") {

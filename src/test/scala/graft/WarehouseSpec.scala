@@ -88,12 +88,20 @@ class WarehouseSpec extends AnyFunSuite {
     val rej = wh.read("staging__rejects")
     assert(rej.schema("listing_id").dataType == org.apache.spark.sql.types.StringType)
     assert(rej.collect().map(_.getString(0)).toSeq == Seq("oops"))
-    // widening-only second migration quarantines nothing and keeps the data
+    // widening-only second migration quarantines nothing, keeps the data,
+    // and leaves the PREVIOUS quarantine intact (append-only: an overwrite
+    // here would destroy the only remaining copy of the bad row)
     assert(wh.migrateColumnTypes("staging", Map("listing_id" -> "BIGINT")) == 0L)
     assert(wh.read("staging").count() == 3L)
+    assert(wh.read("staging__rejects").collect().map(_.getString(0)).toSeq == Seq("oops"))
     // unknown column fails loudly, not silently
     intercept[IllegalArgumentException] {
       wh.migrateColumnTypes("staging", Map("nope" -> "BIGINT"))
+    }
+    // quarantine target aliasing the source is a data-loss typo — refused
+    intercept[IllegalArgumentException] {
+      wh.migrateColumnTypes("staging", Map("host_id" -> "BIGINT"),
+        quarantineTo = "staging")
     }
   }
 
