@@ -443,6 +443,67 @@ object Curation {
       .drop("__t", "__lines", "__dl", "__bg")
   }
 
+  /** The full Gopher document-quality ruleset (Rae et al. 2021 §A1.1) —
+    * the structural filters beyond [[repetitionSignals]]: token-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio ('#' tokens and
+    * '...' runs), bullet-start and ellipsis-end line fractions, the
+    * alphabetic-word floor, and the required-stopword presence count (a
+    * document with fewer than `minStopHits` of the eight English function
+    * words is flagged as non-prose). All thresholds are exact-integer
+    * (milli / ppm) so both engines agree bit-for-bit.
+    *
+    * Lines are the document's real newline lines (`split(text, '\n')`) —
+    * the unit the bullet/ellipsis rules are defined over; token features
+    * use the whitespace tokenizer, which sees newlines as separators.
+    *
+    * Pure map-side HOF projection: no shuffle, no UDF — at 100 TB this is
+    * an embarrassingly parallel scan gated per row, the same posture as
+    * [[repetitionSignals]].
+    */
+  def gopherQualitySignals(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that",
+        "have", "with"),
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanWordLenMilli: Long = 3000L, maxMeanWordLenMilli: Long = 10000L,
+      maxSymbolPpm: Long = 100000L, maxBulletPpm: Long = 500000L,
+      maxEllipsisPpm: Long = 300000L, minAlphaPpm: Long = 800000L,
+      minStopHits: Long = 2L): DataFrame = {
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),
+      "stopwords must be non-empty lowercase words")
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    df.withColumn("__t", TextFns.tokens(col(textCol)))
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("n_tokens", size(col("__t")).cast(LongType))
+      .withColumn("n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("mean_word_len_milli", expr(
+        """aggregate(__t, 0L, (a, x) -> a + CAST(length(x) AS BIGINT)) * 1000L
+           DIV greatest(n_tokens, 1L)"""))
+      .withColumn("symbol_ppm", expr(
+        """CAST(size(filter(__t, x -> x = '#' OR contains(x, '...'))) AS BIGINT)
+           * 1000000L DIV greatest(n_tokens, 1L)"""))
+      .withColumn("alpha_ppm", expr(
+        """CAST(size(filter(__t, x -> x rlike '[a-z]')) AS BIGINT)
+           * 1000000L DIV greatest(n_tokens, 1L)"""))
+      .withColumn("bullet_ppm", expr(
+        """CAST(size(filter(__lines, l -> startswith(ltrim(l), '- ')
+                                       OR startswith(ltrim(l), '* '))) AS BIGINT)
+           * 1000000L DIV greatest(n_lines, 1L)"""))
+      .withColumn("ellipsis_ppm", expr(
+        """CAST(size(filter(__lines, l -> endswith(rtrim(l), '...'))) AS BIGINT)
+           * 1000000L DIV greatest(n_lines, 1L)"""))
+      .withColumn("stop_hits", expr(
+        s"CAST(size(filter($stopArr, w -> array_contains(__t, w))) AS BIGINT)"))
+      .withColumn("keep",
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("mean_word_len_milli").between(minMeanWordLenMilli, maxMeanWordLenMilli) &&
+        col("symbol_ppm") <= maxSymbolPpm &&
+        col("bullet_ppm") <= maxBulletPpm &&
+        col("ellipsis_ppm") <= maxEllipsisPpm &&
+        col("alpha_ppm") >= minAlphaPpm &&
+        col("stop_hits") >= minStopHits)
+      .drop("__t", "__lines")
+  }
+
   def qualityScore(df: DataFrame, textCol: String, stopwords: Seq[String],
                    keepThreshold: Long): DataFrame = {
     require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),

@@ -615,6 +615,64 @@ object CurationQueries {
         SELECT component_id AS survivor_id, COUNT(*) AS n_members
         FROM comp GROUP BY component_id ORDER BY survivor_id""")),
 
+    // ----- leakage-safe train/test split: a naive per-document hash split
+    // puts near-duplicates on BOTH sides of the cut — the eval set then
+    // scores memorization, not generalization. Here the split unit is the
+    // near-dup CLUSTER: every document in a connected component shares its
+    // component's fate (singletons are their own group), assigned by the
+    // same engine-portable Knuth multiplicative hash the sampling operators
+    // use — deterministic, reproducible anywhere, no RNG. Scale shape =
+    // q_dedup_components (banded pair gen + closure) plus one broadcast-able
+    // left join of the component map against the corpus.
+    Q("q_split_leakage_safe",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 4, 0.4)
+        val comp = graft.CkptCycle.cycle("q_split_leakage_safe",
+          Components.connectedComponents(pairs, "a_id", "b_id"))
+        docs.select(col("doc_id"))
+          .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("group_id", coalesce(col("component_id"), col("doc_id")))
+          .withColumn("split",
+            when(pmod(pmod(col("group_id"), lit(2147483647L)) * lit(2654435761L),
+                      lit(2147483647L)) % 10 < 8, "train").otherwise("test"))
+          .select(col("doc_id"), col("group_id"), col("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+                FROM toks WHERE len(t) >= 4),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a_id, b_id FROM cand
+          JOIN sizes sa ON a_id = sa.doc_id
+          JOIN sizes sb ON b_id = sb.doc_id
+          WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.4),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(node, r) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        comp AS (SELECT node, LEAST(node, MIN(r)) AS component_id
+                 FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               COALESCE(comp.component_id, d.doc_id) AS group_id,
+               CASE WHEN (COALESCE(comp.component_id, d.doc_id) % 2147483647)
+                         * 2654435761 % 2147483647 % 10 < 8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+        ORDER BY d.doc_id""")),
+
     // ----- temperature-style domain mixing weights (α = 0.5): weight each
     // source by isqrt(tokens) — exact integer arithmetic end-to-end (IEEE
     // sqrt is correctly rounded, floor makes it an integer in both engines),

@@ -1218,6 +1218,185 @@ object TextQueries {
                (dup_line_ppm <= 150000 AND top_bigram_ppm <= 180000) AS keep
         FROM sig ORDER BY doc_id""")),
 
+    // ----- the FULL Gopher quality ruleset (Rae et al. 2021 §A1.1 — the
+    // structural rules beyond repetition): token bounds, mean word length,
+    // symbol ratio, bullet/ellipsis line fractions, alpha-word floor,
+    // required-stopword presence. The fixture corpus is augmented IN-QUERY
+    // on both engines so every rule BINDS both ways: every 5th doc gets two
+    // planted bullet lines (bullet_ppm fires), every 7th two trailing
+    // ellipsis lines (ellipsis_ppm fires), every 3rd a stopword tail
+    // (stop_hits >= 4 — unplanted docs have <= 1 and fail the prose rule),
+    // and the fixture's natural 10..99 token counts straddle minTokens=30.
+    Q("q_text_gopher_quality",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("text", concat(
+            when(col("doc_id") % 5 === 0,
+              lit("- planted bullet item\n* second planted item\n"))
+              .otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 7 === 0,
+              lit("\nto be continued...\nread the next part..."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 3 === 0, lit(" the and of that"))
+              .otherwise(lit(""))))
+        graft.operators.Curation.gopherQualitySignals(docs, "doc_id", "text",
+            minTokens = 30L)
+          .select(col("doc_id"), col("n_tokens"), col("n_lines"),
+            col("mean_word_len_milli"), col("symbol_ppm"), col("alpha_ppm"),
+            col("bullet_ppm"), col("ellipsis_ppm"), col("stop_hits"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN '- planted bullet item' || chr(10) ||
+                           '* second planted item' || chr(10) ELSE '' END
+                 || text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN chr(10) || 'to be continued...' || chr(10) ||
+                              'read the next part...' ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0 THEN ' the and of that' ELSE '' END
+                   AS text
+          FROM documents),
+        feat AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS t,
+                 string_split(text, chr(10)) AS ls
+          FROM aug),
+        sig AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_tokens,
+                 CAST(len(ls) AS BIGINT) AS n_lines,
+                 CAST(list_sum(list_transform(t, x -> length(x))) * 1000
+                      // greatest(len(t), 1) AS BIGINT) AS mean_word_len_milli,
+                 CAST(len(list_filter(t, x -> x = '#' OR contains(x, '...')))
+                      * 1000000 // greatest(len(t), 1) AS BIGINT) AS symbol_ppm,
+                 CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                      * 1000000 // greatest(len(t), 1) AS BIGINT) AS alpha_ppm,
+                 CAST(len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+                                            OR starts_with(ltrim(l), '* ')))
+                      * 1000000 // greatest(len(ls), 1) AS BIGINT) AS bullet_ppm,
+                 CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
+                      * 1000000 // greatest(len(ls), 1) AS BIGINT) AS ellipsis_ppm,
+                 CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                        w -> list_contains(t, w))) AS BIGINT) AS stop_hits
+          FROM feat)
+        SELECT doc_id, n_tokens, n_lines, mean_word_len_milli, symbol_ppm,
+               alpha_ppm, bullet_ppm, ellipsis_ppm, stop_hits,
+               (n_tokens BETWEEN 30 AND 100000
+                AND mean_word_len_milli BETWEEN 3000 AND 10000
+                AND symbol_ppm <= 100000 AND bullet_ppm <= 500000
+                AND ellipsis_ppm <= 300000 AND alpha_ppm >= 800000
+                AND stop_hits >= 2) AS keep
+        FROM sig ORDER BY doc_id""")),
+
+    // ----- encoding-damage audit (crawl hygiene): count U+FFFD replacement
+    // characters, the U+00C3 double-encoded-UTF-8 signature, and C0 control
+    // characters, then classify. Damage is planted IN-QUERY on both engines
+    // (every 4th doc gets mojibake, every 6th a control char) so every
+    // branch of the classifier fires at every fixture SF. Counting is pure
+    // length/replace arithmetic — engine-exact, map-side, no shuffle.
+    Q("q_text_mojibake",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("text", concat(
+            when(col("doc_id") % 4 === 0,
+              lit("caf\u00c3\u00a9 \ufffd na\u00c3\u00afve "))
+              .otherwise(lit("")),
+            when(col("doc_id") % 6 === 0, lit("\u0001")).otherwise(lit("")),
+            col("text")))
+        docs
+          .withColumn("n_replacement",
+            (length(col("text")) - length(replace(col("text"), lit("\ufffd"))))
+              .cast(LongType))
+          .withColumn("n_double_utf8",
+            (length(col("text")) - length(replace(col("text"), lit("\u00c3"))))
+              .cast(LongType))
+          .withColumn("n_control",
+            (length(col("text")) - length(replace(col("text"), lit("\u0001"))))
+              .cast(LongType))
+          .withColumn("enc_status",
+            when(col("n_replacement") > 0, "replacement")
+              .when(col("n_double_utf8") > 0, "double_encoded")
+              .when(col("n_control") > 0, "control")
+              .otherwise("clean"))
+          .select(col("doc_id"), col("n_replacement"), col("n_double_utf8"),
+            col("n_control"), col("enc_status"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN 'caf' || chr(195) || chr(169) || ' ' || chr(65533)
+                           || ' na' || chr(195) || chr(175) || 've ' ELSE '' END
+                 || CASE WHEN doc_id % 6 = 0 THEN chr(1) ELSE '' END
+                 || text AS text
+          FROM documents),
+        sig AS (
+          SELECT doc_id,
+                 CAST(length(text) - length(replace(text, chr(65533), ''))
+                      AS BIGINT) AS n_replacement,
+                 CAST(length(text) - length(replace(text, chr(195), ''))
+                      AS BIGINT) AS n_double_utf8,
+                 CAST(length(text) - length(replace(text, chr(1), ''))
+                      AS BIGINT) AS n_control
+          FROM aug)
+        SELECT doc_id, n_replacement, n_double_utf8, n_control,
+               CASE WHEN n_replacement > 0 THEN 'replacement'
+                    WHEN n_double_utf8 > 0 THEN 'double_encoded'
+                    WHEN n_control > 0 THEN 'control'
+                    ELSE 'clean' END AS enc_status
+        FROM sig ORDER BY doc_id""")),
+
+    // ----- word-blocklist safety gate (the CCNet/C4 "badwords" stage):
+    // whole-word matching against two category lists over the tokenizer's
+    // output — never substring matching (a blocklist entry must not fire
+    // inside a longer clean word). The fixture vocabulary contains 'slow'
+    // (category A fires naturally); category B terms are planted on every
+    // 9th doc, so both categories and the keep gate BIND both ways.
+    Q("q_text_blocklist",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("text", concat(col("text"),
+            when(col("doc_id") % 9 === 0, lit(" click here to buy spam now free"))
+              .otherwise(lit(""))))
+          .withColumn("__t", graft.functions.TextFns.tokens(col("text")))
+        docs
+          .withColumn("n_unsafe_hits", expr(
+            """CAST(size(filter(__t, x -> x IN ('slow', 'spam', 'crash')))
+               AS BIGINT)"""))
+          .withColumn("n_ad_hits", expr(
+            """CAST(size(filter(__t, x -> x IN ('click', 'buy', 'free')))
+               AS BIGINT)"""))
+          .withColumn("keep", col("n_unsafe_hits") === 0 && col("n_ad_hits") === 0)
+          .select(col("doc_id"), col("n_unsafe_hits"), col("n_ad_hits"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 9 = 0
+                              THEN ' click here to buy spam now free'
+                              ELSE '' END AS text
+          FROM documents),
+        toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                 FROM aug),
+        sig AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(t, x ->
+                   list_contains(['slow', 'spam', 'crash'], x))) AS BIGINT)
+                   AS n_unsafe_hits,
+                 CAST(len(list_filter(t, x ->
+                   list_contains(['click', 'buy', 'free'], x))) AS BIGINT)
+                   AS n_ad_hits
+          FROM toks)
+        SELECT doc_id, n_unsafe_hits, n_ad_hits,
+               (n_unsafe_hits = 0 AND n_ad_hits = 0) AS keep
+        FROM sig ORDER BY doc_id""")),
+
     // ----- PII scrubbing (training-data hygiene): identical RE2-safe regexes
     // on both engines; the synthetic contact line plants one email and one
     // phone per document.

@@ -118,6 +118,84 @@ object VectorQueries {
         FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
       }),
 
+    // ----- ANN recall evaluation ("measure, don't guess"): recall@5 of the
+    // 4-bit-bucket LSH path against the exact brute-force top-5, per query —
+    // the acceptance test an ANN index must pass before it replaces exact
+    // search in a production pipeline. The exact side runs over a SAMPLED
+    // query set (here vec_id < 5) — on a cluster the eval cost is
+    // Q_sample × N with the query side broadcast, never N²; the candidate
+    // scan is shared by both sides via one common subplan.
+    Q("q_ann_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("bucket", VectorFns.lshBucketQ(col("qv"), 4))
+          .withColumn("norm", sqrt(VectorFns.dotQDouble(col("qv"), col("qv"))))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qv").as("qe"),
+                  col("norm").as("qn"), col("bucket").as("qb"))
+        val c = e.select(col("vec_id").as("c_id"), col("qv").as("ce"),
+                  col("norm").as("cn"), col("bucket").as("cb"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        // one scored pair stream serves both sides: the exact top-5 comes
+        // from all pairs, the LSH top-5 from the bucket-filtered subset —
+        // the candidate side is scanned once, not twice
+        val scored = c.crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos",
+            VectorFns.dotQDouble(col("qe"), col("ce")) / (col("qn") * col("cn")))
+        val exact = scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("c_id"))
+        val approx = scored.filter(col("qb") === col("cb"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
+        exact.join(approx,
+            exact("q_id") === approx("a_q") && exact("c_id") === approx("a_c"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("a_c")).as("n_hits"),
+               expr("count(a_c) * 1000000L DIV 5").as("recall_ppm"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val bucketSql = (0 until 4)
+          .map(j => s"CASE WHEN ${VectorFns.signProjectionSql("embedding", j)} > 0 " +
+                    s"THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn, bucket AS qb
+              FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS ce, norm AS cn, bucket AS cb FROM e),
+        p AS (
+          SELECT q_id, c_id, qb, cb,
+                 ${VectorFns.dotSql("qe", "ce")} / (qn * cn) AS cos
+          FROM q, c WHERE q_id <> c_id
+        ), exact AS (
+          SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(cos, 9) DESC, c_id) AS rank
+            FROM p) x WHERE rank <= 5
+        ), approx AS (
+          SELECT q_id AS a_q, c_id AS a_c FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY round(cos, 9) DESC, c_id) AS rank
+            FROM p WHERE qb = cb) x WHERE rank <= 5
+        )
+        SELECT q_id, COUNT(a_c) AS n_hits,
+               COUNT(a_c) * 1000000 // 5 AS recall_ppm
+        FROM exact LEFT JOIN approx ON q_id = a_q AND c_id = a_c
+        GROUP BY q_id ORDER BY q_id"""
+      }),
+
     // ----- multiprobe LSH ANN: the query probes its own 6-bit bucket PLUS
     // every bucket one sign-flip away — the recall lever at zero index
     // cost. Candidates stay single-bucketed (probe-side-only fan-out); the

@@ -185,6 +185,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2) == (3L, 1L, 1L, 0L, 0L, 0L, true))
   }
 
+  test("gopher quality signals: every structural rule fires on its own doc") {
+    val df = Seq(
+      // clean prose: passes everything (token floor relaxed to 5 below)
+      (1L, "the quick brown fox jumps over that lazy dog with zeal"),
+      // bullet list: 2 of 3 lines bullet-led -> 666666 ppm > 500000
+      (2L, "- first item\n- second item\nthe closing line of that list with prose"),
+      // ellipsis spam: 2 of 3 lines end '...' -> 666666 ppm > 300000;
+      // the two '...'-bearing TOKENS also trip the symbol rule (2/10)
+      (3L, "the opening line\nto be continued...\nread more of that..."),
+      // symbol soup: 3 '#' of 8 tokens -> symbol, alpha AND word-length fail
+      (4L, "# # # tag1 tag2 tag3 42 99"),
+      // numerals only: alpha_ppm 0, stop_hits 0
+      (5L, "1 2 3 4 5 6 7 8 9 10")).toDF("doc_id", "text")
+    val got = Curation.gopherQualitySignals(df, "doc_id", "text", minTokens = 5L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_lines", "mean_word_len_milli",
+        "symbol_ppm", "alpha_ppm", "bullet_ppm", "ellipsis_ppm", "stop_hits", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getBoolean(9)))
+    assert(got(0) == (1L, 11L, 1L, 4000L, 0L, 1000000L, 0L, 0L, 3L, true))
+    assert(got(1) == (2L, 14L, 3L, 3857L, 0L, 857142L, 666666L, 0L, 4L, false))
+    assert(got(2) == (3L, 10L, 3L, 4700L, 200000L, 1000000L, 0L, 666666L, 4L, false))
+    assert(got(3) == (4L, 8L, 1L, 2375L, 375000L, 375000L, 0L, 0L, 0L, false))
+    assert(got(4) == (5L, 10L, 1L, 1100L, 0L, 0L, 0L, 0L, 0L, false))
+  }
+
   test("connected components: chains merge transitively, islands stay apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val cc = graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
