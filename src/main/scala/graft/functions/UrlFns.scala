@@ -92,4 +92,50 @@ object UrlFns {
     val r4 = s"regexp_replace($r3, '[?&]+#', '#', 'g')"
     s"regexp_replace($r4, '[?&]+$$', '', 'g')"
   }
+
+  // ----- robots.txt evaluation (RFC 9309 longest-match) -----------------
+  //
+  // The crawl-politeness primitive: given a path and the applicable
+  // user-agent section's body, a URL is fetchable when no Disallow prefix
+  // matches, or when an Allow prefix AT LEAST AS LONG as the longest
+  // matching Disallow overrides it (the RFC/Google tie rule: Allow wins on
+  // equal length). Empty `Disallow:` lines (the allow-all idiom) are
+  // dropped at parse time. Multi-agent bodies should be pre-filtered to
+  // the applicable section; the fixture uses single '*' sections.
+  // Pure map-side HOF compositions — the robots body rides the domain
+  // policy table (one row per domain, broadcast-joined onto the frontier
+  // at scale), never a per-URL fetch.
+
+  /** Non-empty prefix values of one directive kind ("Disallow"/"Allow"). */
+  def robotsPrefixes(robots: Column, directive: String): Column = {
+    val tag = directive + ":"
+    filter(
+      transform(
+        filter(split(robots, "\n"), l => l.startsWith(tag)),
+        l => trim(substring(l, tag.length + 1, 1 << 20))),
+      p => p =!= "")
+  }
+
+  def robotsPrefixesSql(robots: String, directive: String): String =
+    s"list_filter(list_transform(list_filter(string_split($robots, chr(10)), " +
+    s"l -> starts_with(l, '$directive:')), " +
+    s"l -> trim(substring(l, ${directive.length + 2}, ${1 << 20}))), p -> p <> '')"
+
+  /** Length of the longest prefix in `prefixes` that matches `path`
+    * (NULL when none matches) — the RFC 9309 specificity measure.
+    */
+  def robotsMatchLen(path: Column, prefixes: Column): Column =
+    array_max(transform(
+      filter(prefixes, p => path.startsWith(p)), p => length(p))).cast(LongType)
+
+  def robotsMatchLenSql(path: String, prefixes: String): String =
+    s"CAST(list_max(list_transform(list_filter($prefixes, " +
+    s"p -> starts_with($path, p)), p -> length(p))) AS BIGINT)"
+
+  /** Fetchability of `path` under a robots section body. */
+  def robotsAllowed(path: Column, robots: Column): Column = {
+    val dmax = robotsMatchLen(path, robotsPrefixes(robots, "Disallow"))
+    val amax = robotsMatchLen(path, robotsPrefixes(robots, "Allow"))
+    when(dmax.isNull, lit(true)).otherwise(coalesce(amax, lit(-1L)) >= dmax)
+  }
 }

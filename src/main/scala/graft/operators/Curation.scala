@@ -148,11 +148,21 @@ object Curation {
       Dedup.shingles(test, idCol, textCol, k)
         .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
         .localCheckpoint(true))
-    // the sizing pass and sketch build now read checkpoint blocks; the
-    // sketch itself is a treeAggregate (partial filters OR-merged
-    // executor-side)
-    val nTest = testSh.count()
-    val bloom = testSh.stat.bloomFilter("__sk", math.max(nTest, 64L), fpp)
+    // Sketch sizing comes from the checkpointed frame's planner stats, not
+    // an exact count() job: a checkpoint's sizeInBytes is the materialized
+    // block size, so rows ≈ bytes/16 (two longs) is an OVER-estimate (row
+    // overhead inflates bytes) — and over-sizing a Bloom filter only lowers
+    // its fpp. The result cannot change either way: false positives are
+    // removed by the exact join below, so sizing affects prefilter
+    // selectivity only. This saves one full job per invocation.
+    // (localCheckpoint propagates originStats from the pre-checkpoint plan,
+    // which bottoms out in real parquet file sizes — never the unknown-stats
+    // default; the 2^30 clamp bounds the filter at ~1.2 GB even if a future
+    // Spark changes that, matching the 10^9-shingle example above.)
+    val estBytes = testSh.queryExecution.optimizedPlan.stats.sizeInBytes / 16
+    val estRows =
+      if (estBytes > BigInt(1L << 30)) 1L << 30 else math.max(estBytes.toLong, 64L)
+    val bloom = testSh.stat.bloomFilter("__sk", estRows, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
     // no broadcast hint on purpose: this path exists precisely because the

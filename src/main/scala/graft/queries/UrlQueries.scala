@@ -107,6 +107,73 @@ object UrlQueries {
                CAST(SUM(path_depth) AS BIGINT) AS sum_depth,
                CAST(MAX(path_depth) AS BIGINT) AS max_depth
         FROM p GROUP BY domain
-        ORDER BY n_urls DESC, domain LIMIT 20"""))
+        ORDER BY n_urls DESC, domain LIMIT 20""")),
+
+    // ----- robots.txt fetchability (RFC 9309 longest-match): per URL, the
+    // longest matching Disallow and Allow prefixes from the domain's robots
+    // section decide the crawl-politeness gate. Domains rotate through
+    // three robots shapes (prefix rules + Allow override / block-all with
+    // an Allow carve-out / the empty-Disallow allow-all idiom) and paths
+    // through five shapes, so every rule interaction BINDS both ways —
+    // including the Allow-overrides-Disallow tie case (/private/ok under
+    // 'Disallow: /private' + 'Allow: /private/ok').
+    Q("q_url_robots",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("n", (col("doc_id") % 20).cast(LongType))
+          .withColumn("domain",
+            concat(lit("site"), col("n").cast(StringType), lit(".com")))
+          .withColumn("path", expr(
+            """CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN '/private/data' || doc_id
+                 WHEN 1 THEN '/public/page' || doc_id
+                 WHEN 2 THEN '/tmp/x'
+                 WHEN 3 THEN '/private/ok/page'
+                 ELSE '/' END"""))
+          .withColumn("robots",
+            when(col("n") % 3 === 0, lit(
+              "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp"))
+            .when(col("n") % 3 === 1, lit(
+              "User-agent: *\nDisallow: /\nAllow: /public"))
+            .otherwise(lit("User-agent: *\nDisallow:")))
+        d.select(col("doc_id"), col("domain"), col("path"),
+            UrlFns.robotsMatchLen(col("path"),
+              UrlFns.robotsPrefixes(col("robots"), "Disallow")).as("disallow_len"),
+            UrlFns.robotsMatchLen(col("path"),
+              UrlFns.robotsPrefixes(col("robots"), "Allow")).as("allow_len"),
+            UrlFns.robotsAllowed(col("path"), col("robots")).as("fetchable"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id,
+                 'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain,
+                 CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN '/private/data' || doc_id
+                   WHEN 1 THEN '/public/page' || doc_id
+                   WHEN 2 THEN '/tmp/x'
+                   WHEN 3 THEN '/private/ok/page'
+                   ELSE '/' END AS path,
+                 CASE CAST((doc_id % 20) % 3 AS INT)
+                   WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
+                        || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp'
+                   WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+                        || chr(10) || 'Allow: /public'
+                   ELSE 'User-agent: *' || chr(10) || 'Disallow:' END AS robots
+          FROM documents),
+        p AS (
+          SELECT doc_id, domain, path,
+                 ${UrlFns.robotsPrefixesSql("robots", "Disallow")} AS dis,
+                 ${UrlFns.robotsPrefixesSql("robots", "Allow")} AS alw
+          FROM d),
+        m AS (
+          SELECT doc_id, domain, path,
+                 ${UrlFns.robotsMatchLenSql("path", "dis")} AS disallow_len,
+                 ${UrlFns.robotsMatchLenSql("path", "alw")} AS allow_len
+          FROM p)
+        SELECT doc_id, domain, path, disallow_len, allow_len,
+               CASE WHEN disallow_len IS NULL THEN true
+                    ELSE COALESCE(allow_len, -1) >= disallow_len END AS fetchable
+        FROM m ORDER BY doc_id"""))
   )
 }

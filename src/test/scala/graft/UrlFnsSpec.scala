@@ -72,4 +72,32 @@ class UrlFnsSpec extends AnyFunSuite {
     assert(one("https://com.au/x")._2 == "")
     assert(one("https://real.co.uk/")._2 == "real.co.uk") // still works
   }
+
+  test("robots.txt: RFC 9309 longest-match with Allow override") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val robots = "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp"
+    def eval(path: String): (Option[Long], Option[Long], Boolean) = {
+      val r = spark.range(1).select(
+        graft.functions.UrlFns.robotsMatchLen(lit(path),
+          graft.functions.UrlFns.robotsPrefixes(lit(robots), "Disallow")).as("d"),
+        graft.functions.UrlFns.robotsMatchLen(lit(path),
+          graft.functions.UrlFns.robotsPrefixes(lit(robots), "Allow")).as("a"),
+        graft.functions.UrlFns.robotsAllowed(lit(path), lit(robots)).as("f"))
+        .collect()(0)
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+       if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2))
+    }
+    assert(eval("/private/data") == (Some(8L), None, false))       // blocked
+    assert(eval("/private/ok/x") == (Some(8L), Some(11L), true))   // Allow overrides
+    assert(eval("/tmp/x") == (Some(4L), None, false))
+    assert(eval("/public/x") == (None, None, true))                // no rule
+    // empty Disallow (allow-all idiom) contributes no blocking rule
+    val r2 = spark.range(1).select(graft.functions.UrlFns.robotsAllowed(
+      lit("/anything"), lit("User-agent: *\nDisallow:")).as("f")).collect()(0)
+    assert(r2.getBoolean(0))
+    // Allow of EQUAL length wins the tie (the RFC rule)
+    val r3 = spark.range(1).select(graft.functions.UrlFns.robotsAllowed(
+      lit("/abc/x"), lit("Disallow: /abc\nAllow: /abc")).as("f")).collect()(0)
+    assert(r3.getBoolean(0))
+  }
 }
