@@ -174,6 +174,53 @@ object UrlQueries {
         SELECT doc_id, domain, path, disallow_len, allow_len,
                CASE WHEN disallow_len IS NULL THEN true
                     ELSE COALESCE(allow_len, -1) >= disallow_len END AS fetchable
-        FROM m ORDER BY doc_id"""))
+        FROM m ORDER BY doc_id""")),
+
+    // ----- domain link-graph PageRank (crawl prioritization): 3 fixed
+    // iterations of exact integer-ppm PageRank over a synthesized domain
+    // link graph (src = doc_id mod 20, dst = (7·doc_id + 3) mod 20 —
+    // residue arithmetic gives every node both in- and out-edges with
+    // uneven degrees, so ranks genuinely differentiate). The oracle
+    // replays all three iterations bit-for-bit as chained CTEs.
+    Q("q_link_pagerank",
+      (s, dir) => {
+        val edges = t(s, dir, "documents").select(
+          (col("doc_id") % 20).as("src"),
+          ((col("doc_id") * 7 + 3) % 20).as("dst"))
+        graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3)
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH e0 AS (
+          SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
+          FROM documents WHERE doc_id % 20 <> (doc_id * 7 + 3) % 20),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+        nodes AS (SELECT DISTINCT node
+                  FROM (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)),
+        cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS r
+               FROM nodes CROSS JOIN cnt),
+        it1 AS (
+          SELECT nd.node,
+                 CAST(150000 // n + 850 * COALESCE(s.c, 0) // 1000 AS BIGINT) AS r
+          FROM nodes nd CROSS JOIN cnt LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.r // d.deg) AS c
+            FROM e0 e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
+            GROUP BY e.dst) s ON nd.node = s.node),
+        it2 AS (
+          SELECT nd.node,
+                 CAST(150000 // n + 850 * COALESCE(s.c, 0) // 1000 AS BIGINT) AS r
+          FROM nodes nd CROSS JOIN cnt LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.r // d.deg) AS c
+            FROM e0 e JOIN deg d ON e.src = d.src JOIN it1 r ON e.src = r.node
+            GROUP BY e.dst) s ON nd.node = s.node),
+        it3 AS (
+          SELECT nd.node,
+                 CAST(150000 // n + 850 * COALESCE(s.c, 0) // 1000 AS BIGINT) AS r
+          FROM nodes nd CROSS JOIN cnt LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.r // d.deg) AS c
+            FROM e0 e JOIN deg d ON e.src = d.src JOIN it2 r ON e.src = r.node
+            GROUP BY e.dst) s ON nd.node = s.node)
+        SELECT node, r AS rank_ppm FROM it3 ORDER BY node"""))
   )
 }

@@ -8,6 +8,21 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("pagerank: hand-computed two-iteration ranks on a 3-node cycle+chord") {
+    // nodes {1,2,3}; edges 1->2, 1->3, 2->3, 3->1; outdeg 1:2, 2:1, 3:1;
+    // n=3, r0=333333, base=150000 DIV 3=50000, damping 850/1000.
+    // it1: r1=50000+850*333333 DIV 1000=333333
+    //      r2=50000+850*(333333 DIV 2) DIV 1000=191666
+    //      r3=50000+850*(166666+333333) DIV 1000=474999
+    // it2: r1=50000+850*474999 DIV 1000=453749
+    //      r2=191666 (unchanged input), r3=50000+850*(166666+191666) DIV 1000=354582
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (1L, 1L), (1L, 2L))
+      .toDF("src", "dst") // self-loop + duplicate edge must be dropped
+    val got = graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 453749L), (2L, 191666L), (3L, 354582L)))
+  }
+
   test("J7 upsert: latest-wins with insert/update/keep action tags") {
     val current = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "bal")
