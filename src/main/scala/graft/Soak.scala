@@ -54,7 +54,11 @@ object Soak {
     "q_dedup_components",    // pair gen + closure (r10 local/dist strategy)
     "q_corpus_pipeline",     // end-to-end gate→dedup→split composition
     "q_crawl_pipeline",      // one-pass window-flag gate accounting (r11)
-    "q_token_budget_select") // histogram cut + boundary cumsum (r11 shard)
+    "q_token_budget_select", // histogram cut + boundary cumsum (r11 shard)
+    "q_text_gopher_quality", // map-side structural-quality HOFs (r11)
+    "q_url_robots",          // map-side robots longest-match HOFs (r11)
+    "q_link_pagerank",       // 3 iterations of join+agg on node ids (r11)
+    "q_split_leakage_safe")  // pair gen + closure + split assignment (r11)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

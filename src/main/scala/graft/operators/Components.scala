@@ -45,7 +45,7 @@ object Components {
     * (cluster posture: survives executor loss); local checkpoint otherwise
     * (fastest; single-process testing).
     */
-  private def truncate(df: DataFrame): DataFrame =
+  private[operators] def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
@@ -57,7 +57,7 @@ object Components {
     * O(rounds). Reliable-checkpoint RDDs are files, not blocks; unpersist
     * on them is a harmless no-op.
     */
-  private def free(df: DataFrame): Unit =
+  private[operators] def free(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _              => ()

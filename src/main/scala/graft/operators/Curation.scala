@@ -615,9 +615,17 @@ object Curation {
         .as("pair"))
       .select(col(idCol), xxhash64(col("pair")).as("__hp"),
         xxhash64(substring_index(col("pair"), " ", 1)).as("__hw"))
-    val pairCounts = pairs.groupBy(col("__hp")).agg(count(lit(1)).as("cp"))
-    val prefixCounts = pairs.groupBy(col("__hw")).agg(count(lit(1)).as("cw"))
-    pairs.join(pairCounts, "__hp").join(prefixCounts, "__hw")
+    // Prefix counts derive from the PAIR aggregate, not the raw pair
+    // stream: c(w1) = Σ_{pairs starting w1} c(pair), so the second
+    // aggregation runs over the distinct-pair vocabulary (≪ corpus) —
+    // at 100 TB this deletes a corpus-wide shuffle on the prefix hash,
+    // and locally the shared pairCounts subtree is computed once
+    // (identical canonicalized exchange → ReusedExchange). first(__hw)
+    // is well-defined: every row of an __hp group carries the same pair.
+    val pairCounts = pairs.groupBy(col("__hp"))
+      .agg(count(lit(1)).as("cp"), first(col("__hw")).as("__hw"))
+    val prefixCounts = pairCounts.groupBy(col("__hw")).agg(sum(col("cp")).as("cw"))
+    pairs.join(pairCounts.drop("__hw"), "__hp").join(prefixCounts, "__hw")
       .withColumn("ppm", expr("(1000000 * cp) DIV cw"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast(LongType).as("n_bigrams"),

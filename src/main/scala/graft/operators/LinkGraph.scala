@@ -12,11 +12,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale: the per-iteration work is one join of the rank frame against the
   * edge list on `src` plus one hash-agg on `dst` — both shuffles key on
-  * node ids (longs). On a cluster, pre-partition edges and ranks by the
-  * same key so every iteration reuses the co-partitioning; at web scale
-  * this is exactly the Pregel/GraphX message shape without the framework.
-  * The node-count normalizer rides the plan as a broadcast 1-row frame —
-  * no driver job at construction (the operator stays a lazy plan builder).
+  * node ids (longs); the Pregel/GraphX message shape without the framework.
+  * The edge list is checkpointed ONCE and every iteration's rank frame has
+  * its lineage truncated (the naive lazy foldLeft re-expands the shared
+  * edge subtree in every branch — measured 22 parquet scans at 3
+  * iterations — and doubles the analyzed plan per round exactly like the
+  * connected-components loop). Superseded rank checkpoints are freed as
+  * the loop advances, bounding executor storage at edges + one rank frame.
+  *
+  * EAGER CONTRACT: construction materializes the edge checkpoint, runs one
+  * node-count job, and executes the `iters` rank rounds — the same posture
+  * as [[Components.connectedComponents]]. The returned frame is a
+  * self-contained checkpoint leaf (no live reference to the edge blocks,
+  * which are freed before returning).
   */
 object LinkGraph {
 
@@ -36,24 +44,34 @@ object LinkGraph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+    val e = Components.truncate(
+      edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val nCnt = nodes.agg(count(lit(1)).as("n"))
-    val r0 = nodes.crossJoin(broadcast(nCnt))
-      .select(col("node"), expr("CAST(1000000 DIV n AS BIGINT)").as("r"))
-    (1 to iters).foldLeft(r0) { (prev, _) =>
+    // node count as driver literals: one bounded job over the edge
+    // checkpoint; inlining kills the per-branch broadcast subplan the lazy
+    // 1-row count frame would re-derive in every iteration
+    val n = math.max(nodes.count(), 1L)
+    val init = 1000000L / n
+    val base = 150000L / n
+    var ranks = Components.truncate(nodes.select(col("node"), lit(init).as("r")))
+    for (_ <- 1 to iters) {
+      val prev = ranks
       val contribs = e.join(deg, "src")
         .join(prev.select(col("node").as("src"), col("r")), "src")
         .select(col("dst").as("node"), expr("r DIV deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("c"))
-      nodes.join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(nCnt))
-        .select(col("node"),
-          expr("CAST(150000 DIV n + 850 * coalesce(c, 0L) DIV 1000 AS BIGINT)")
-            .as("r"))
-    }.select(col("node"), col("r").as("rank_ppm"))
+      ranks = Components.truncate(
+        nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            expr(s"CAST($base + 850 * coalesce(c, 0L) DIV 1000 AS BIGINT)")
+              .as("r")))
+      Components.free(prev)
+    }
+    Components.free(e)
+    ranks.select(col("node"), col("r").as("rank_ppm"))
   }
 }

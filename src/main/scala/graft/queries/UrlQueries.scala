@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.UrlFns
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -187,7 +188,8 @@ object UrlQueries {
         val edges = t(s, dir, "documents").select(
           (col("doc_id") % 20).as("src"),
           ((col("doc_id") * 7 + 3) % 20).as("dst"))
-        graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3)
+        graft.CkptCycle.cycle("q_link_pagerank",
+            graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3))
           .orderBy(col("node"))
       },
       Some("""
@@ -221,6 +223,121 @@ object UrlQueries {
             SELECT e.dst AS node, SUM(r.r // d.deg) AS c
             FROM e0 e JOIN deg d ON e.src = d.src JOIN it2 r ON e.src = r.node
             GROUP BY e.dst) s ON nd.node = s.node)
-        SELECT node, r AS rank_ppm FROM it3 ORDER BY node"""))
+        SELECT node, r AS rank_ppm FROM it3 ORDER BY node""")),
+
+    // ----- crawl-frontier scheduling capstone: compose the three politeness
+    // / prioritization primitives into the queue a crawler actually pops —
+    // robots-fetchable URLs only, domains prioritized by link-graph
+    // PageRank, a per-domain budget (politeness cap) taken shallowest-first.
+    // The budget of 5 BINDS against ~15 eligible URLs/domain at sf0.01; the
+    // domain-rank join is broadcast (a domain-rank table is KBs against a
+    // frontier of billions); the per-domain cut runs on the bounded-heap
+    // TopKPerGroup operator via the row_number rewrite rule.
+    Q("q_crawl_frontier",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("n", (col("doc_id") % 20).cast(LongType))
+          .withColumn("domain",
+            concat(lit("site"), col("n").cast(StringType), lit(".com")))
+          .withColumn("path", expr(
+            """CASE CAST(doc_id % 5 AS INT)
+                 WHEN 0 THEN '/private/data' || doc_id
+                 WHEN 1 THEN '/public/page' || doc_id
+                 WHEN 2 THEN '/tmp/x'
+                 WHEN 3 THEN '/private/ok/page'
+                 ELSE '/' END"""))
+          .withColumn("robots",
+            when(col("n") % 3 === 0, lit(
+              "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp"))
+            .when(col("n") % 3 === 1, lit(
+              "User-agent: *\nDisallow: /\nAllow: /public"))
+            .otherwise(lit("User-agent: *\nDisallow:")))
+        val edges = t(s, dir, "documents").select(
+          (col("doc_id") % 20).as("src"),
+          ((col("doc_id") * 7 + 3) % 20).as("dst"))
+        val pr = graft.CkptCycle.cycle("q_crawl_frontier_pr",
+          graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3))
+        val w = Window.partitionBy(col("domain"))
+          .orderBy(col("depth"), col("doc_id"))
+        d.filter(UrlFns.robotsAllowed(col("path"), col("robots")))
+          .withColumn("depth",
+            size(filter(split(col("path"), "/"), x => x =!= "")).cast(LongType))
+          .join(broadcast(pr), col("n") === col("node"))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 5)
+          .select(col("domain"), col("rank_ppm"), col("rank"), col("doc_id"),
+            col("path"), col("depth"))
+          .orderBy(col("rank_ppm").desc, col("domain"), col("rank"))
+      },
+      Some(s"""
+        WITH e0 AS (
+          SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
+          FROM documents WHERE doc_id % 20 <> (doc_id * 7 + 3) % 20),
+        deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
+        nodes AS (SELECT DISTINCT node
+                  FROM (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)),
+        cnt AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS r
+               FROM nodes CROSS JOIN cnt),
+        it1 AS (
+          SELECT nd.node,
+                 CAST(150000 // n + 850 * COALESCE(s.c, 0) // 1000 AS BIGINT) AS r
+          FROM nodes nd CROSS JOIN cnt LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.r // d.deg) AS c
+            FROM e0 e JOIN deg d ON e.src = d.src JOIN r0 r ON e.src = r.node
+            GROUP BY e.dst) s ON nd.node = s.node),
+        it2 AS (
+          SELECT nd.node,
+                 CAST(150000 // n + 850 * COALESCE(s.c, 0) // 1000 AS BIGINT) AS r
+          FROM nodes nd CROSS JOIN cnt LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.r // d.deg) AS c
+            FROM e0 e JOIN deg d ON e.src = d.src JOIN it1 r ON e.src = r.node
+            GROUP BY e.dst) s ON nd.node = s.node),
+        it3 AS (
+          SELECT nd.node,
+                 CAST(150000 // n + 850 * COALESCE(s.c, 0) // 1000 AS BIGINT) AS r
+          FROM nodes nd CROSS JOIN cnt LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.r // d.deg) AS c
+            FROM e0 e JOIN deg d ON e.src = d.src JOIN it2 r ON e.src = r.node
+            GROUP BY e.dst) s ON nd.node = s.node),
+        u AS (
+          SELECT doc_id, doc_id % 20 AS n,
+                 'site' || CAST(doc_id % 20 AS VARCHAR) || '.com' AS domain,
+                 CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN '/private/data' || doc_id
+                   WHEN 1 THEN '/public/page' || doc_id
+                   WHEN 2 THEN '/tmp/x'
+                   WHEN 3 THEN '/private/ok/page'
+                   ELSE '/' END AS path,
+                 CASE CAST((doc_id % 20) % 3 AS INT)
+                   WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private'
+                        || chr(10) || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp'
+                   WHEN 1 THEN 'User-agent: *' || chr(10) || 'Disallow: /'
+                        || chr(10) || 'Allow: /public'
+                   ELSE 'User-agent: *' || chr(10) || 'Disallow:' END AS robots
+          FROM documents),
+        p AS (
+          SELECT doc_id, n, domain, path,
+                 ${UrlFns.robotsPrefixesSql("robots", "Disallow")} AS dis,
+                 ${UrlFns.robotsPrefixesSql("robots", "Allow")} AS alw
+          FROM u),
+        f AS (
+          SELECT doc_id, n, domain, path,
+                 CAST(len(list_filter(string_split(path, '/'), x -> x <> ''))
+                      AS BIGINT) AS depth
+          FROM p
+          WHERE CASE WHEN ${UrlFns.robotsMatchLenSql("path", "dis")} IS NULL
+                     THEN true
+                     ELSE COALESCE(${UrlFns.robotsMatchLenSql("path", "alw")}, -1)
+                          >= ${UrlFns.robotsMatchLenSql("path", "dis")} END),
+        ranked AS (
+          SELECT f.domain, it3.r AS rank_ppm,
+                 CAST(row_number() OVER (PARTITION BY f.domain
+                        ORDER BY f.depth, f.doc_id) AS BIGINT) AS rank,
+                 f.doc_id, f.path, f.depth
+          FROM f JOIN it3 ON f.n = it3.node)
+        SELECT domain, rank_ppm, rank, doc_id, path, depth
+        FROM ranked WHERE rank <= 5
+        ORDER BY rank_ppm DESC, domain, rank"""))
   )
 }
