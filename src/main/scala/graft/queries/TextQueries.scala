@@ -198,6 +198,39 @@ object TextQueries {
                token, freq
         FROM cnt ORDER BY rank LIMIT 200""")),
 
+    // ----- sketched distinct counting (HyperLogLog++): per-source distinct
+    // token cardinality via Spark's approx_count_distinct at rsd=0.01 — THE
+    // way distinct counts run at 100 TB (the exact countDistinct shuffles
+    // every distinct value; the sketch shuffles 2^14 registers per group and
+    // merges order-independently, so the estimate is deterministic). The
+    // oracle is a PROPERTY GATE, stated openly: DuckDB cannot replay Spark's
+    // HLL++ register layout, so the oracle pins the EXACT side bit-for-bit
+    // and asserts the sketch's documented error bound as a literal — if the
+    // estimate ever drifts past ±3% of exact (3× the 1% rsd), within_3pct
+    // flips false and the row hash-mismatches loudly. OperatorsSpec asserts
+    // the same bound plus determinism under repartitioning.
+    Q("q_text_hll_distinct",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+        toks.groupBy(col("source"))
+          .agg(countDistinct(col("token")).cast(LongType).as("n_exact"),
+            approx_count_distinct(col("token"), 0.01).cast(LongType).as("__est"))
+          .withColumn("within_3pct",
+            abs(col("__est") - col("n_exact")) * 100 <= col("n_exact") * 3)
+          .select(col("source"), col("n_exact"), col("within_3pct"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+        SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_exact,
+               true AS within_3pct
+        FROM tok WHERE token <> ''
+        GROUP BY source ORDER BY source""")),
+
     // ----- vocabulary coverage (Zipf head mass): what fraction of all
     // corpus tokens the top-k vocabulary explains — the number that decides
     // a tokenizer's OOV rate. Exact-integer arithmetic end to end (counts

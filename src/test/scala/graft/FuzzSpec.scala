@@ -284,4 +284,42 @@ class FuzzSpec extends AnyFunSuite {
       assert(got == model, s"k=$k")
     }
   }
+
+  test("robots longest-match agrees with an in-memory RFC model (fuzz)") {
+    val prefixPool = Seq("", "/", "/a", "/ab", "/a/b", "/priv", "/priv/ok", "/x")
+    val ruleGen = for {
+      kind <- Gen.oneOf("Disallow", "Allow")
+      p <- Gen.oneOf(prefixPool)
+    } yield (kind, p)
+    val caseGen = for {
+      n <- Gen.chooseNum(0, 6)
+      rules <- Gen.listOfN(n, ruleGen)
+      path <- Gen.oneOf("/a", "/ab", "/abc", "/a/b", "/priv", "/priv/ok",
+        "/priv/okx", "/priv/ok/deep", "/x/y", "/")
+    } yield (rules, path)
+    val cases = sample(caseGen, 400, 17L)
+    def model(rules: List[(String, String)], path: String)
+        : (Option[Long], Option[Long], Boolean) = {
+      val dm = rules.collect { case ("Disallow", p) if p.nonEmpty && path.startsWith(p) => p.length.toLong }
+        .maxOption
+      val am = rules.collect { case ("Allow", p) if p.nonEmpty && path.startsWith(p) => p.length.toLong }
+        .maxOption
+      (dm, am, dm.isEmpty || am.getOrElse(-1L) >= dm.get)
+    }
+    val df = cases.map { case (rules, path) =>
+      (rules.map { case (k, p) => s"$k: $p" }.mkString("\n"), path)
+    }.toDF("robots", "path")
+    val got = df.select(
+        graft.functions.UrlFns.robotsMatchLen($"path",
+          graft.functions.UrlFns.robotsPrefixes($"robots", "Disallow")).as("d"),
+        graft.functions.UrlFns.robotsMatchLen($"path",
+          graft.functions.UrlFns.robotsPrefixes($"robots", "Allow")).as("a"),
+        graft.functions.UrlFns.robotsAllowed($"path", $"robots").as("f"))
+      .collect().map(r => (
+        if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+    cases.zip(got).foreach { case ((rules, path), g) =>
+      assert(g == model(rules, path), s"rules=$rules path=$path")
+    }
+  }
 }

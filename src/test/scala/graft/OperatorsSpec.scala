@@ -8,6 +8,25 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("HLL distinct sketch: within 3% of exact, deterministic under repartitioning") {
+    // 20k rows over ~7.5k distinct values — enough cardinality for the
+    // sketch to be genuinely estimating, not exact-small-set counting
+    val df = spark.range(20000)
+      .selectExpr("CAST(id % 2 AS INT) AS g", "concat('v', id % 7513) AS v")
+    def est(d: org.apache.spark.sql.DataFrame): Map[Int, (Long, Long)] =
+      d.groupBy("g").agg(
+          countDistinct(col("v")).as("ex"),
+          approx_count_distinct(col("v"), 0.01).as("ap"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = est(df)
+    a.values.foreach { case (ex, ap) =>
+      assert(math.abs(ap - ex) * 100 <= ex * 3, s"estimate $ap vs exact $ex drifts >3%")
+    }
+    // HLL merge is a per-register max — order- and partitioning-independent
+    val b = est(df.repartition(17, col("v")))
+    assert(a == b, "sketch estimate changed under repartitioning")
+  }
+
   test("pagerank: hand-computed two-iteration ranks on a 3-node cycle+chord") {
     // nodes {1,2,3}; edges 1->2, 1->3, 2->3, 3->1; outdeg 1:2, 2:1, 3:1;
     // n=3, r0=333333, base=150000 DIV 3=50000, damping 850/1000.
