@@ -106,20 +106,26 @@ object UrlFns {
   // policy table (one row per domain, broadcast-joined onto the frontier
   // at scale), never a per-URL fetch.
 
-  /** Non-empty prefix values of one directive kind ("Disallow"/"Allow"). */
+  /** Non-empty prefix values of one directive kind ("Disallow"/"Allow").
+    * Real robots.txt files are frequently CRLF — each line's trailing \r is
+    * stripped before the value is taken, so a CRLF file parses identically
+    * to its LF twin (spec-pinned in UrlFnsSpec).
+    */
   def robotsPrefixes(robots: Column, directive: String): Column = {
     val tag = directive + ":"
     filter(
       transform(
         filter(split(robots, "\n"), l => l.startsWith(tag)),
-        l => trim(substring(l, tag.length + 1, 1 << 20))),
+        l => trim(regexp_replace(substring(l, tag.length + 1, 1 << 20),
+          "\r$", ""))),
       p => p =!= "")
   }
 
   def robotsPrefixesSql(robots: String, directive: String): String =
     s"list_filter(list_transform(list_filter(string_split($robots, chr(10)), " +
     s"l -> starts_with(l, '$directive:')), " +
-    s"l -> trim(substring(l, ${directive.length + 2}, ${1 << 20}))), p -> p <> '')"
+    s"l -> trim(regexp_replace(substring(l, ${directive.length + 2}, ${1 << 20}), " +
+    s"chr(13) || '$$', ''))), p -> p <> '')"
 
   /** Length of the longest prefix in `prefixes` that matches `path`
     * (NULL when none matches) — the RFC 9309 specificity measure.

@@ -118,6 +118,34 @@ object VectorQueries {
         FROM r WHERE rank <= 3 ORDER BY q_id, rank"""
       }),
 
+    // ----- Johnson-Lindenstrauss random projection (dimensionality
+    // reduction): project 64-dim embeddings to 8 dims with the
+    // deterministic ±1 sign matrix the LSH family already uses — the
+    // UN-thresholded projections (lshBucketQ thresholds these same values
+    // into bucket bits). ±1-sign JL preserves pairwise distances in
+    // expectation (Achlioptas 2003), making it the cheap pre-step before
+    // clustering / ANN when the raw dimension is large; exact decimal
+    // arithmetic end-to-end so both engines agree bit-for-bit (only the
+    // final display round is double). Map-side projection; the kernel
+    // upgrade path is the LshBucketQ codegen family.
+    Q("q_vec_random_projection",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings").filter(col("vec_id") < 50)
+        e.select(col("vec_id") +: (0 until 8).map(j =>
+            round(VectorFns.signProjection("embedding", j).cast(DoubleType), 6)
+              .as(s"y$j")): _*)
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        val cols = (0 until 8).map(j =>
+          s"round(CAST(${VectorFns.signProjectionSql("embedding", j)} AS DOUBLE), 6) AS y$j")
+          .mkString(",\n               ")
+        s"""
+        SELECT vec_id,
+               $cols
+        FROM embeddings WHERE vec_id < 50 ORDER BY vec_id"""
+      }),
+
     // ----- ANN recall evaluation ("measure, don't guess"): recall@5 of the
     // 4-bit-bucket LSH path against the exact brute-force top-5, per query —
     // the acceptance test an ANN index must pass before it replaces exact

@@ -8,6 +8,30 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("JL sign projection roughly preserves pairwise squared distances") {
+    // E[||ya-yb||^2] = m * ||a-b||^2 for a ±1 sign matrix (Achlioptas 2003);
+    // deterministic fixture, so the mean ratio over all 45 pairs is a fixed
+    // number — bounds are generous (the variance at m=8 is real).
+    val vecs = (0 until 10).map { i =>
+      (i.toLong, Array.tabulate(16)(d => ((i * 31 + d * 7) % 11 - 5) / 5.0f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val m = 8
+    val proj = df.select(col("vec_id") +: (0 until m).map(j =>
+        graft.functions.VectorFns.signProjection("embedding", j)
+          .cast(org.apache.spark.sql.types.DoubleType).as(s"y$j")): _*)
+      .collect().map(r => r.getLong(0) -> (0 until m).map(j => r.getDouble(j + 1)))
+      .toMap
+    val ratios = for {
+      a <- 0 until 10; b <- (a + 1) until 10
+      dx = vecs(a)._2.zip(vecs(b)._2).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      if dx > 0
+      dy = proj(a.toLong).zip(proj(b.toLong)).map { case (x, y) => (x - y) * (x - y) }.sum
+    } yield dy / (m * dx)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.4 && mean < 1.6, s"mean distance ratio $mean outside [0.4, 1.6]")
+  }
+
   test("HLL distinct sketch: within 3% of exact, deterministic under repartitioning") {
     // 20k rows over ~7.5k distinct values — enough cardinality for the
     // sketch to be genuinely estimating, not exact-small-set counting

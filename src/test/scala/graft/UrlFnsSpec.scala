@@ -99,5 +99,14 @@ class UrlFnsSpec extends AnyFunSuite {
     val r3 = spark.range(1).select(graft.functions.UrlFns.robotsAllowed(
       lit("/abc/x"), lit("Disallow: /abc\nAllow: /abc")).as("f")).collect()(0)
     assert(r3.getBoolean(0))
+    // a CRLF robots file parses identically to its LF twin
+    val r4 = spark.range(1).select(
+      graft.functions.UrlFns.robotsMatchLen(lit("/private/x"),
+        graft.functions.UrlFns.robotsPrefixes(
+          lit("User-agent: *\r\nDisallow: /private\r\nAllow: /pub\r\n"),
+          "Disallow")).as("d"),
+      graft.functions.UrlFns.robotsAllowed(lit("/private/x"),
+        lit("User-agent: *\r\nDisallow: /private\r\n")).as("f")).collect()(0)
+    assert(r4.getLong(0) == 8L && !r4.getBoolean(1))
   }
 }
