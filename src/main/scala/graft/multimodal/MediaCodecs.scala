@@ -39,7 +39,7 @@ object MediaCodecs {
     */
   def parseMeta(bytes: Array[Byte]): Option[MediaMeta] =
     parsePng(bytes).orElse(parseBmp(bytes)).orElse(parseGif(bytes))
-      .orElse(parseJpeg(bytes))
+      .orElse(parseJpeg(bytes)).orElse(parseWebp(bytes))
 
   private def parsePng(b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 26) return None
@@ -163,6 +163,103 @@ object MediaCodecs {
     while (comp <= 3) {                                // id, 1x1 sampling, table 0
       out.put(comp.toByte).put(0x11.toByte).put(0.toByte); comp += 1
     }
+    out.array()
+  }
+
+  /** WebP container lengths: RIFF header(12) + chunk header(8) + payload
+    * (+1 RIFF pad byte for the odd-sized lossless payload).
+    */
+  val WebpLossyLen = 30
+  val WebpLosslessLen = 26
+  val WebpExtendedLen = 30
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+    ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private def u24le(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16))
+
+  /** WebP dimensions via the RIFF walk (the container spec): "RIFF" size
+    * "WEBP", then the FIRST chunk decides the variant — "VP8 " (lossy:
+    * 3-byte frame tag, 9D 01 2A sync code, 14-bit LE dims with 2 scale
+    * bits masked off), "VP8L" (lossless: 0x2F signature, dims-minus-one
+    * packed as 14+14 bits of a u32 LE), or "VP8X" (extended: canvas
+    * dims-minus-one as u24 LE). The web's third image format after
+    * JPEG/PNG — a crawl pipeline meets it constantly. Never throws on
+    * arbitrary bytes; truncated payloads and a wrong sync/signature byte
+    * are rejected, not guessed at.
+    */
+  private def parseWebp(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 25) return None
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
+    if (b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P') return None
+    val size = u32le(b, 16)
+    val p = 20
+    val cc = new String(Array(b(12), b(13), b(14), b(15)).map(x => (x & 0xff).toByte), "US-ASCII")
+    cc match {
+      case "VP8 " =>
+        if (size < 10 || b.length < p + 10) return None
+        if ((b(p + 3) & 0xff) != 0x9d || (b(p + 4) & 0xff) != 0x01 ||
+            (b(p + 5) & 0xff) != 0x2a) return None
+        val w = ((b(p + 6) & 0xff) | ((b(p + 7) & 0xff) << 8)) & 0x3fff
+        val h = ((b(p + 8) & 0xff) | ((b(p + 9) & 0xff) << 8)) & 0x3fff
+        if (w == 0 || h == 0) None else Some(MediaMeta(w, h, 1, "webp"))
+      case "VP8L" =>
+        if (size < 5 || b.length < p + 5) return None
+        if ((b(p) & 0xff) != 0x2f) return None
+        val bits = u32le(b, p + 1)
+        Some(MediaMeta(((bits & 0x3fff) + 1).toInt,
+          (((bits >> 14) & 0x3fff) + 1).toInt, 1, "webp"))
+      case "VP8X" =>
+        if (size < 10 || b.length < p + 10) return None
+        Some(MediaMeta(u24le(b, p + 4) + 1, u24le(b, p + 7) + 1, 1, "webp"))
+      case _ => None
+    }
+  }
+
+  /** Minimal spec-conformant WebP fixtures, one per variant. Like the other
+    * encoders these emit exactly the container bytes the parser family
+    * consumes, laid out as a real muxer would (including the RIFF pad byte
+    * after the odd-sized lossless payload).
+    */
+  def encodeWebpLossy(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= 0x3fff && height >= 1 && height <= 0x3fff,
+      s"VP8 dims are 14-bit: ${width}x$height")
+    val out = ByteBuffer.allocate(WebpLossyLen).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(22)
+    out.put("WEBP".getBytes("US-ASCII"))
+    out.put("VP8 ".getBytes("US-ASCII")).putInt(10)
+    out.put(0.toByte).put(0.toByte).put(0.toByte)       // frame tag (key frame)
+    out.put(0x9d.toByte).put(0x01.toByte).put(0x2a.toByte) // sync code
+    out.putShort(width.toShort).putShort(height.toShort)   // 14-bit dims, scale 0
+    out.array()
+  }
+
+  def encodeWebpLossless(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= 0x4000 && height >= 1 && height <= 0x4000,
+      s"VP8L dims are 14-bit+1: ${width}x$height")
+    val out = ByteBuffer.allocate(WebpLosslessLen).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(18)      // incl. pad byte
+    out.put("WEBP".getBytes("US-ASCII"))
+    out.put("VP8L".getBytes("US-ASCII")).putInt(5)
+    out.put(0x2f.toByte)
+    out.putInt((((height - 1) & 0x3fff) << 14 | ((width - 1) & 0x3fff)))
+    out.put(0.toByte)                                    // RIFF pad (odd payload)
+    out.array()
+  }
+
+  def encodeWebpExtended(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= 0x1000000 && height >= 1 && height <= 0x1000000,
+      s"VP8X canvas dims are 24-bit+1: ${width}x$height")
+    val out = ByteBuffer.allocate(WebpExtendedLen).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(22)
+    out.put("WEBP".getBytes("US-ASCII"))
+    out.put("VP8X".getBytes("US-ASCII")).putInt(10)
+    out.putInt(0)                                        // flags + reserved
+    val w1 = width - 1; val h1 = height - 1
+    out.put((w1 & 0xff).toByte).put(((w1 >> 8) & 0xff).toByte).put(((w1 >> 16) & 0xff).toByte)
+    out.put((h1 & 0xff).toByte).put(((h1 >> 8) & 0xff).toByte).put(((h1 >> 16) & 0xff).toByte)
     out.array()
   }
 

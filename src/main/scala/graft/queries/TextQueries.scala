@@ -711,6 +711,46 @@ object TextQueries {
                CAST(118 AS BIGINT) AS n_bytes
         FROM documents ORDER BY doc_id""")),
 
+    // ----- multimodal: REAL WebP RIFF-walk decode — the web's third image
+    // format after JPEG/PNG. Docs rotate through all three container
+    // variants (VP8 lossy frame-tag+sync, VP8L lossless packed 14+14-bit
+    // dims, VP8X extended u24 canvas); the executor-side parser must
+    // dispatch on the first chunk's fourcc and read each variant's
+    // dimension encoding exactly as DuckDB computes it arithmetically.
+    Q("q_mm_decode_webp",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 640 + 1).toInt
+            val h = (id * 7 % 480 + 1).toInt
+            val bytes = (id % 3) match {
+              case 0 => graft.multimodal.MediaCodecs.encodeWebpLossy(w, h)
+              case 1 => graft.multimodal.MediaCodecs.encodeWebpLossless(w, h)
+              case _ => graft.multimodal.MediaCodecs.encodeWebpExtended(w, h)
+            }
+            graft.multimodal.Multimodal.MediaRow(id, bytes)
+          }
+        graft.multimodal.Multimodal.decode(media)
+          .select(
+            col("doc_id"),
+            col("meta.codec").as("codec"),
+            col("meta.width").cast(LongType).as("width"),
+            col("meta.height").cast(LongType).as("height"),
+            col("meta.n_frames").cast(LongType).as("n_frames"),
+            col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               'webp' AS codec,
+               CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+               CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 26 ELSE 30 END
+                    AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
+
     // ----- multimodal audio: REAL RIFF/WAVE chunk-walk decode. Each doc
     // gets a canonical 44-byte PCM WAV header with rate/channels/depth/
     // sample-count derived from doc_id; MediaCodecs.parseWav must walk the

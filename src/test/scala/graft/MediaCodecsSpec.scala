@@ -440,6 +440,45 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("WebP: all three variants roundtrip; sync/signature and truncation reject") {
+    // dimension sweep through each container variant
+    for ((w, h) <- Seq((1, 1), (2, 3), (640, 480), (16383, 16383))) {
+      assert(MediaCodecs.parseMeta(MediaCodecs.encodeWebpLossy(w, h))
+        .contains(MediaMeta(w, h, 1, "webp")), s"lossy ${w}x$h")
+      assert(MediaCodecs.parseMeta(MediaCodecs.encodeWebpLossless(w, h))
+        .contains(MediaMeta(w, h, 1, "webp")), s"lossless ${w}x$h")
+      assert(MediaCodecs.parseMeta(MediaCodecs.encodeWebpExtended(w, h))
+        .contains(MediaMeta(w, h, 1, "webp")), s"extended ${w}x$h")
+    }
+    // VP8X goes past the 14-bit frame limit (canvas dims are 24-bit)
+    assert(MediaCodecs.parseMeta(MediaCodecs.encodeWebpExtended(100000, 70000))
+      .contains(MediaMeta(100000, 70000, 1, "webp")))
+    // wrong VP8 sync code rejects
+    val badSync = MediaCodecs.encodeWebpLossy(4, 5).clone
+    badSync(23) = 0x00
+    assert(MediaCodecs.parseMeta(badSync).isEmpty)
+    // wrong VP8L signature byte rejects
+    val badSig = MediaCodecs.encodeWebpLossless(4, 5).clone
+    badSig(20) = 0x00
+    assert(MediaCodecs.parseMeta(badSig).isEmpty)
+    // a WAV (also RIFF) must not parse as WebP, and vice versa
+    assert(MediaCodecs.parseMeta(MediaCodecs.encodeWav(8000, 1, 16, 10)).isEmpty)
+    assert(MediaCodecs.parseWav(MediaCodecs.encodeWebpLossy(4, 5)).isEmpty)
+    // truncation at every prefix must never throw
+    Seq(MediaCodecs.encodeWebpLossy(33, 44), MediaCodecs.encodeWebpLossless(33, 44),
+        MediaCodecs.encodeWebpExtended(33, 44)).foreach { full =>
+      (0 until full.length).foreach(n => MediaCodecs.parseMeta(full.take(n)))
+    }
+    // random bytes after a RIFF....WEBP prefix must never throw
+    val rnd = new scala.util.Random(13)
+    (0 until 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(48) + 12)(rnd.nextInt(256).toByte)
+      "RIFF".getBytes.copyToArray(junk, 0)
+      if (junk.length >= 12) "WEBP".getBytes.copyToArray(junk, 8)
+      MediaCodecs.parseMeta(junk)
+    }
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)
