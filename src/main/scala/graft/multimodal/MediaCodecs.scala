@@ -39,7 +39,7 @@ object MediaCodecs {
     */
   def parseMeta(bytes: Array[Byte]): Option[MediaMeta] =
     parsePng(bytes).orElse(parseBmp(bytes)).orElse(parseGif(bytes))
-      .orElse(parseJpeg(bytes)).orElse(parseWebp(bytes))
+      .orElse(parseJpeg(bytes)).orElse(parseWebp(bytes)).orElse(parseTiff(bytes))
 
   private def parsePng(b: Array[Byte]): Option[MediaMeta] = {
     if (b.length < 26) return None
@@ -260,6 +260,76 @@ object MediaCodecs {
     val w1 = width - 1; val h1 = height - 1
     out.put((w1 & 0xff).toByte).put(((w1 >> 8) & 0xff).toByte).put(((w1 >> 16) & 0xff).toByte)
     out.put((h1 & 0xff).toByte).put(((h1 >> 8) & 0xff).toByte).put(((h1 >> 16) & 0xff).toByte)
+    out.array()
+  }
+
+  /** TIFF fixture length: 8-byte header + IFD (2-byte count + 3 entries ×
+    * 12 + 4-byte next-IFD pointer).
+    */
+  val TiffHeaderLen = 50
+
+  /** TIFF dimensions via the IFD walk (TIFF 6.0): "II"/"MM" byte-order
+    * mark, magic 42, first-IFD offset, then the entry scan for ImageWidth
+    * (256) / ImageLength (257) in SHORT or LONG form — the value is
+    * left-justified in the 4-byte field, so a SHORT reads the first two
+    * bytes in the file's endianness. The container under EXIF (and most
+    * scanned-document corpora). Entry count is capped so a hostile count
+    * cannot drive a near-2^16-entry scan of garbage. Never throws.
+    */
+  private def parseTiff(b: Array[Byte]): Option[MediaMeta] = {
+    if (b.length < 26) return None
+    val le = b(0) == 'I' && b(1) == 'I'
+    val be = b(0) == 'M' && b(1) == 'M'
+    if (!le && !be) return None
+    def u16(i: Int): Int =
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (le) u32le(b, i)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+           ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd > b.length - 2L) return None
+    val off = ifd.toInt
+    val n = math.min(u16(off), 512)
+    var w = 0L; var h = 0L
+    var e = 0
+    while (e < n) {
+      val ei = off + 2 + e * 12
+      if (ei + 12 > b.length) return None
+      val tag = u16(ei)
+      val typ = u16(ei + 2)
+      if (tag == 256 || tag == 257) {
+        val v = typ match {
+          case 3 => u16(ei + 8).toLong // SHORT, left-justified
+          case 4 => u32(ei + 8)        // LONG
+          case _ => return None
+        }
+        if (tag == 256) w = v else h = v
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some(MediaMeta(w.toInt, h.toInt, 1, "tiff"))
+  }
+
+  /** Minimal spec-conformant TIFF fixture in either byte order: header,
+    * one IFD with ImageWidth/ImageLength (LONG) plus a BitsPerSample entry
+    * (exercises the scan-past path), zero next-IFD pointer.
+    */
+  def encodeTiff(width: Int, height: Int, bigEndian: Boolean = false): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"dims must be positive: ${width}x$height")
+    val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val out = ByteBuffer.allocate(TiffHeaderLen).order(order)
+    out.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    out.putShort(42).putInt(8)                     // magic + first IFD at 8
+    out.putShort(3)                                // 3 entries, tag-sorted
+    out.putShort(256).putShort(4).putInt(1).putInt(width)   // ImageWidth LONG
+    out.putShort(257).putShort(4).putInt(1).putInt(height)  // ImageLength LONG
+    out.putShort(258).putShort(3).putInt(1)        // BitsPerSample SHORT 8
+    out.putShort(8).putShort(0)                    // left-justified SHORT value
+    out.putInt(0)                                  // no next IFD
     out.array()
   }
 

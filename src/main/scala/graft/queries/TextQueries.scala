@@ -751,6 +751,41 @@ object TextQueries {
                     AS BIGINT) AS n_bytes
         FROM documents ORDER BY doc_id""")),
 
+    // ----- multimodal: REAL TIFF IFD-walk decode in BOTH byte orders —
+    // the container under EXIF and most scanned-document corpora. Even ids
+    // little-endian ("II"), odd big-endian ("MM"); the parser must honor
+    // the byte-order mark for the magic, the IFD offset, the entry fields
+    // AND the left-justified value rule, or the dims come out byte-swapped
+    // and the hash gate catches it.
+    Q("q_mm_decode_tiff",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 640 + 1).toInt
+            val h = (id * 7 % 480 + 1).toInt
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeTiff(w, h, bigEndian = id % 2 == 1))
+          }
+        graft.multimodal.Multimodal.decode(media)
+          .select(
+            col("doc_id"),
+            col("meta.codec").as("codec"),
+            col("meta.width").cast(LongType).as("width"),
+            col("meta.height").cast(LongType).as("height"),
+            col("meta.n_frames").cast(LongType).as("n_frames"),
+            col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               'tiff' AS codec,
+               CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+               CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS n_frames,
+               CAST(50 AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
+
     // ----- multimodal audio: REAL RIFF/WAVE chunk-walk decode. Each doc
     // gets a canonical 44-byte PCM WAV header with rate/channels/depth/
     // sample-count derived from doc_id; MediaCodecs.parseWav must walk the

@@ -479,6 +479,35 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("TIFF: both byte orders roundtrip; malformed IFDs reject, never throw") {
+    for ((w, h) <- Seq((1, 1), (2, 3), (640, 480), (70000, 90000))) {
+      assert(MediaCodecs.parseMeta(MediaCodecs.encodeTiff(w, h))
+        .contains(MediaMeta(w, h, 1, "tiff")), s"LE ${w}x$h")
+      assert(MediaCodecs.parseMeta(MediaCodecs.encodeTiff(w, h, bigEndian = true))
+        .contains(MediaMeta(w, h, 1, "tiff")), s"BE ${w}x$h")
+    }
+    // wrong magic (43) rejects
+    val badMagic = MediaCodecs.encodeTiff(4, 5).clone
+    badMagic(2) = 43
+    assert(MediaCodecs.parseMeta(badMagic).isEmpty)
+    // IFD offset pointing past the buffer rejects
+    val badIfd = MediaCodecs.encodeTiff(4, 5).clone
+    badIfd(4) = 0xf0.toByte
+    assert(MediaCodecs.parseMeta(badIfd).isEmpty)
+    // "II" prose must not parse (magic check), truncations never throw
+    assert(MediaCodecs.parseMeta(
+      "III: a roman numeral, not an image file at all.".getBytes("UTF-8")).isEmpty)
+    val full = MediaCodecs.encodeTiff(33, 44, bigEndian = true)
+    (0 until full.length).foreach(n => MediaCodecs.parseMeta(full.take(n)))
+    // hostile entry-count fuzz after a valid header must never throw
+    val rnd = new scala.util.Random(29)
+    (0 until 200).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(56) + 8)(rnd.nextInt(256).toByte)
+      junk(0) = 'I'; junk(1) = 'I'; junk(2) = 42; junk(3) = 0
+      MediaCodecs.parseMeta(junk)
+    }
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)
