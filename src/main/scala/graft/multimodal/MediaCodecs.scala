@@ -3,7 +3,7 @@ package graft.multimodal
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.CRC32
 
-import graft.multimodal.Multimodal.{AudioMeta, MediaMeta, VideoMeta}
+import graft.multimodal.Multimodal.{AudioMeta, ExifMeta, MediaMeta, VideoMeta}
 
 /** Real byte-level media-header codecs — pure JVM, no media libraries.
   *
@@ -312,6 +312,85 @@ object MediaCodecs {
     }
     if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
     else Some(MediaMeta(w.toInt, h.toInt, 1, "tiff"))
+  }
+
+  /** EXIF privacy/layout audit over a TIFF container: dimensions,
+    * Orientation (tag 274, default 1 when absent — the field that decides
+    * whether a raster needs rotating before features are extracted), and
+    * whether a GPSInfo IFD pointer (tag 34853) is PRESENT — the image-PII
+    * flag a training-data pipeline gates on (a crawl corpus full of phone
+    * photos carries location data until something strips it). Same IFD
+    * walk and hostile-byte posture as [[parseMeta]]'s TIFF path.
+    */
+  def parseExif(b: Array[Byte]): Option[ExifMeta] = {
+    if (b.length < 26) return None
+    val le = b(0) == 'I' && b(1) == 'I'
+    val be = b(0) == 'M' && b(1) == 'M'
+    if (!le && !be) return None
+    def u16(i: Int): Int =
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (le) u32le(b, i)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+           ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd > b.length - 2L) return None
+    val off = ifd.toInt
+    val n = math.min(u16(off), 512)
+    var w = 0L; var h = 0L; var orient = 1; var gps = false
+    var e = 0
+    while (e < n) {
+      val ei = off + 2 + e * 12
+      if (ei + 12 > b.length) return None
+      val tag = u16(ei)
+      val typ = u16(ei + 2)
+      tag match {
+        case 256 | 257 =>
+          val v = typ match {
+            case 3 => u16(ei + 8).toLong
+            case 4 => u32(ei + 8)
+            case _ => return None
+          }
+          if (tag == 256) w = v else h = v
+        case 274 if typ == 3 =>
+          val o = u16(ei + 8)
+          if (o >= 1 && o <= 8) orient = o
+        case 34853 => gps = true
+        case _ => ()
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some(ExifMeta(w.toInt, h.toInt, orient, gps))
+  }
+
+  /** [[encodeTiff]] with an Orientation entry and (optionally) a minimal
+    * GPSInfo IFD — the EXIF-audit fixture.
+    */
+  def encodeTiffExif(width: Int, height: Int, orientation: Int,
+                     withGps: Boolean, bigEndian: Boolean = false): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"dims must be positive: ${width}x$height")
+    require(orientation >= 1 && orientation <= 8, s"EXIF orientation is 1..8: $orientation")
+    val nEntries = if (withGps) 5 else 4
+    val ifdLen = 2 + nEntries * 12 + 4
+    val total = 8 + ifdLen + (if (withGps) 6 else 0)
+    val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val out = ByteBuffer.allocate(total).order(order)
+    out.put((if (bigEndian) "MM" else "II").getBytes("US-ASCII"))
+    out.putShort(42).putInt(8)
+    out.putShort(nEntries.toShort)                 // entries, tag-sorted
+    out.putShort(256).putShort(4).putInt(1).putInt(width)
+    out.putShort(257).putShort(4).putInt(1).putInt(height)
+    out.putShort(258).putShort(3).putInt(1).putShort(8).putShort(0)
+    out.putShort(274).putShort(3).putInt(1).putShort(orientation.toShort).putShort(0)
+    if (withGps) {
+      out.putShort(34853.toShort).putShort(4).putInt(1).putInt(8 + ifdLen)
+    }
+    out.putInt(0)                                  // no next IFD
+    if (withGps) { out.putShort(0); out.putInt(0) } // minimal empty GPS IFD
+    out.array()
   }
 
   /** Minimal spec-conformant TIFF fixture in either byte order: header,

@@ -35,6 +35,12 @@ object Multimodal {
   final case class VideoMeta(timescale: Int, duration: Long, codec: String)
   final case class DecodedVideoRow(doc_id: Long, n_bytes: Long, meta: VideoMeta,
                                    duration_ms: Long)
+  /** EXIF audit: orientation 1..8 (1 when absent), has_gps = a GPSInfo IFD
+    * pointer exists — the image-location-PII flag.
+    */
+  final case class ExifMeta(width: Int, height: Int, orientation: Int,
+                            has_gps: Boolean)
+  final case class ExifRow(doc_id: Long, n_bytes: Long, meta: ExifMeta)
 
   /** The stand-in decoder: one instance per partition (mirrors how a real
     * codec handle would be opened once per task, not per row).
@@ -92,6 +98,21 @@ object Multimodal {
           DecodedAudioRow(r.doc_id, r.media.length.toLong, meta,
             meta.n_samples * 1000L / meta.sample_rate)
         }
+      }
+    }
+  }
+
+  /** Batch EXIF privacy audit (same executor shape as [[decode]]): TIFF
+    * containers yield dimensions, orientation, and the GPS-presence flag a
+    * training-data pipeline gates location-PII on; non-TIFF payloads drop
+    * out (audit what can carry EXIF, don't guess about the rest).
+    */
+  def exifAudit(media: Dataset[MediaRow]): Dataset[ExifRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseExif(r.media).map(m =>
+          ExifRow(r.doc_id, r.media.length.toLong, m))
       }
     }
   }

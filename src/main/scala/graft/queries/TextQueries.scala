@@ -786,6 +786,43 @@ object TextQueries {
                CAST(50 AS BIGINT) AS n_bytes
         FROM documents ORDER BY doc_id""")),
 
+    // ----- EXIF privacy audit: orientation + GPS-presence over TIFF
+    // containers — the image-location-PII gate (phone photos carry GPS
+    // until something strips it; a pipeline must FIND them first). Every
+    // 3rd doc gets a GPSInfo IFD pointer, orientations rotate 1..8, byte
+    // order alternates — the parser must read tag 274's SHORT and detect
+    // tag 34853 in both endiannesses.
+    Q("q_mm_exif_audit",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 640 + 1).toInt
+            val h = (id * 7 % 480 + 1).toInt
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeTiffExif(w, h,
+                orientation = (id % 8 + 1).toInt, withGps = id % 3 == 0,
+                bigEndian = id % 2 == 1))
+          }
+        graft.multimodal.Multimodal.exifAudit(media)
+          .select(
+            col("doc_id"),
+            col("meta.width").cast(LongType).as("width"),
+            col("meta.height").cast(LongType).as("height"),
+            col("meta.orientation").cast(LongType).as("orientation"),
+            col("meta.has_gps").as("has_gps"),
+            col("n_bytes"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+               CAST((doc_id * 7) % 480 + 1 AS BIGINT) AS height,
+               CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+               (doc_id % 3 = 0) AS has_gps,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 80 ELSE 62 END AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id""")),
+
     // ----- multimodal audio: REAL RIFF/WAVE chunk-walk decode. Each doc
     // gets a canonical 44-byte PCM WAV header with rate/channels/depth/
     // sample-count derived from doc_id; MediaCodecs.parseWav must walk the

@@ -508,6 +508,28 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("EXIF audit: orientation + GPS flag in both byte orders; default orientation") {
+    import graft.multimodal.Multimodal.ExifMeta
+    for (be <- Seq(false, true); o <- Seq(1, 3, 6, 8); gps <- Seq(false, true)) {
+      val b = MediaCodecs.encodeTiffExif(11, 22, o, gps, be)
+      assert(MediaCodecs.parseExif(b).contains(ExifMeta(11, 22, o, gps)),
+        s"be=$be o=$o gps=$gps")
+      // the plain decode path still reads the same container's dims
+      assert(MediaCodecs.parseMeta(b).contains(MediaMeta(11, 22, 1, "tiff")))
+    }
+    // a TIFF without an orientation entry audits as orientation 1, no GPS
+    assert(MediaCodecs.parseExif(MediaCodecs.encodeTiff(5, 6))
+      .contains(ExifMeta(5, 6, 1, false)))
+    // out-of-range orientation value falls back to 1 (never propagates junk)
+    val bad = MediaCodecs.encodeTiffExif(5, 6, 2, withGps = false).clone
+    bad(54) = 99.toByte // orientation SHORT low byte (LE: entry 4's value field)
+    assert(MediaCodecs.parseExif(bad).contains(ExifMeta(5, 6, 1, false)))
+    // non-TIFF payloads do not audit
+    assert(MediaCodecs.parseExif(MediaCodecs.encodeWebpLossy(3, 3)).isEmpty)
+    (0 until 80).foreach(n =>
+      MediaCodecs.parseExif(MediaCodecs.encodeTiffExif(9, 9, 5, withGps = true).take(n)))
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)
