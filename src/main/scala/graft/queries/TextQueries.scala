@@ -823,6 +823,73 @@ object TextQueries {
                CAST(CASE WHEN doc_id % 3 = 0 THEN 80 ELSE 62 END AS BIGINT) AS n_bytes
         FROM documents ORDER BY doc_id""")),
 
+    // ----- image-corpus curation capstone: the standard multimodal intake
+    // gates over a SIX-format mixed corpus (png/bmp/gif/jpeg/webp/tiff,
+    // every decoder in the family on one stream) — minimum-dimension gate,
+    // aspect-ratio bound (≤4:1 either way), format allowlist, then
+    // distinct-dimension accounting among survivors (the exact-dedup unit
+    // for synthetic fixtures). Dims are drawn from small residue ranges so
+    // every gate binds BOTH ways and cross-doc duplicates provably exist.
+    Q("q_mm_curation",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            // dims derive from id DIV 6 (the codec class index) with SHORT
+            // cycles (10/8), so duplicate (w,h) pairs provably exist WITHIN
+            // each codec at any SF; every 11th doc is an 8x-wide banner so
+            // the aspect gate fires; base widths 25..31 / heights 30..31
+            // fail the 32-minimum both ways
+            val k = id / 6
+            val w = ((k % 10 + 25) * (if (id % 11 == 0) 8 else 1)).toInt
+            val h = (k * 3 % 8 + 30).toInt
+            import graft.multimodal.MediaCodecs._
+            val bytes = (id % 6) match {
+              case 0 => encodePng(w, h)
+              case 1 => encodeBmp(w, h)
+              case 2 => encodeGif(w, h)
+              case 3 => encodeJpeg(w, h)
+              case 4 => encodeWebpLossy(w, h)
+              case _ => encodeTiff(w, h)
+            }
+            graft.multimodal.Multimodal.MediaRow(id, bytes)
+          }
+        graft.multimodal.Multimodal.decode(media)
+          .select(col("doc_id"), col("meta.codec").as("codec"),
+            col("meta.width").as("w"), col("meta.height").as("h"))
+          .withColumn("pass",
+            col("w") >= 32 && col("h") >= 32 &&
+            col("w") <= col("h") * 4 && col("h") <= col("w") * 4 &&
+            col("codec").isin("jpeg", "png", "webp"))
+          .groupBy(col("codec"))
+          .agg(count(lit(1)).cast(LongType).as("n_total"),
+            count(when(col("pass"), 1)).cast(LongType).as("n_pass"),
+            countDistinct(when(col("pass"),
+              col("w").cast(LongType) * 100000 + col("h"))).cast(LongType)
+              .as("n_unique"))
+          .orderBy(col("codec"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 6 AS INT)
+                   WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'gif'
+                   WHEN 3 THEN 'jpeg' WHEN 4 THEN 'webp' ELSE 'tiff' END AS codec,
+                 ((doc_id // 6) % 10 + 25)
+                   * (CASE WHEN doc_id % 11 = 0 THEN 8 ELSE 1 END) AS w,
+                 ((doc_id // 6) * 3) % 8 + 30 AS h
+          FROM documents),
+        g AS (
+          SELECT *, (w >= 32 AND h >= 32 AND w <= h * 4 AND h <= w * 4
+                     AND codec IN ('jpeg', 'png', 'webp')) AS pass
+          FROM m)
+        SELECT codec,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(CASE WHEN pass THEN 1 END) AS BIGINT) AS n_pass,
+               CAST(COUNT(DISTINCT CASE WHEN pass THEN w * 100000 + h END)
+                    AS BIGINT) AS n_unique
+        FROM g GROUP BY codec ORDER BY codec""")),
+
     // ----- multimodal audio: REAL RIFF/WAVE chunk-walk decode. Each doc
     // gets a canonical 44-byte PCM WAV header with rate/channels/depth/
     // sample-count derived from doc_id; MediaCodecs.parseWav must walk the
