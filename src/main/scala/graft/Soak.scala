@@ -58,7 +58,9 @@ object Soak {
     "q_text_gopher_quality", // map-side structural-quality HOFs (r11)
     "q_url_robots",          // map-side robots longest-match HOFs (r11)
     "q_link_pagerank",       // 3 iterations of join+agg on node ids (r11)
-    "q_split_leakage_safe")  // pair gen + closure + split assignment (r11)
+    "q_split_leakage_safe",  // pair gen + closure + split assignment (r11)
+    "q_mm_curation",         // six-format decode + gates + distinct (r11)
+    "q_text_hll_distinct")   // HLL registers vs exact distinct (r11)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
