@@ -13,18 +13,20 @@ import org.apache.spark.sql.functions._
   * Scale: the per-iteration work is one join of the rank frame against the
   * edge list on `src` plus one hash-agg on `dst` — both shuffles key on
   * node ids (longs); the Pregel/GraphX message shape without the framework.
-  * The edge list is checkpointed ONCE and every iteration's rank frame has
-  * its lineage truncated (the naive lazy foldLeft re-expands the shared
-  * edge subtree in every branch — measured 22 parquet scans at 3
-  * iterations — and doubles the analyzed plan per round exactly like the
-  * connected-components loop). Superseded rank checkpoints are freed as
-  * the loop advances, bounding executor storage at edges + one rank frame.
+  * The edge list is checkpointed ONCE (the naive lazy foldLeft re-expanded
+  * the shared edge/degree subtrees into 22 parquet scans at 3 iterations);
+  * the rank lineage between checkpoints grows LINEARLY (unlike the
+  * components loop, `prev` feeds exactly one branch per round), so rank
+  * frames are truncated only every `truncateEvery` rounds — enough to
+  * bound analysis depth and fault-recovery cost on long runs without
+  * paying a materialization job per round. Superseded rank checkpoints are
+  * freed as newer ones land.
   *
-  * EAGER CONTRACT: construction materializes the edge checkpoint, runs one
-  * node-count job, and executes the `iters` rank rounds — the same posture
-  * as [[Components.connectedComponents]]. The returned frame is a
-  * self-contained checkpoint leaf (no live reference to the edge blocks,
-  * which are freed before returning).
+  * EAGER CONTRACT: construction materializes the edge checkpoint and runs
+  * one node-count job (plus one rank materialization per `truncateEvery`
+  * rounds). The returned frame's plan references the edge-checkpoint
+  * blocks — callers that manage storage deterministically should register
+  * it with [[graft.CkptCycle]] (the queries do) or unpersist when done.
   */
 object LinkGraph {
 
@@ -42,8 +44,9 @@ object LinkGraph {
     * that appears in any surviving edge.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int): DataFrame = {
+               iters: Int, truncateEvery: Int = 8): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
+    require(truncateEvery >= 1, s"truncateEvery must be >= 1: $truncateEvery")
     val e = Components.truncate(
       edges.select(col(srcCol).cast("long").as("src"),
                    col(dstCol).cast("long").as("dst"))
@@ -57,21 +60,27 @@ object LinkGraph {
     val n = math.max(nodes.count(), 1L)
     val init = 1000000L / n
     val base = 150000L / n
-    var ranks = Components.truncate(nodes.select(col("node"), lit(init).as("r")))
-    for (_ <- 1 to iters) {
-      val prev = ranks
+    var ranks = nodes.select(col("node"), lit(init).as("r"))
+    var lastCkpt: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contribs = e.join(deg, "src")
-        .join(prev.select(col("node").as("src"), col("r")), "src")
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
         .select(col("dst").as("node"), expr("r DIV deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("c"))
-      ranks = Components.truncate(
-        nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            expr(s"CAST($base + 850 * coalesce(c, 0L) DIV 1000 AS BIGINT)")
-              .as("r")))
-      Components.free(prev)
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST($base + 850 * coalesce(c, 0L) DIV 1000 AS BIGINT)")
+            .as("r"))
+      ranks =
+        if (i % truncateEvery == 0 && i < iters) {
+          // a newer checkpoint cuts every plan's lineage to it — the
+          // previously checkpointed rank frame is unreachable, free it
+          val t = Components.truncate(next)
+          lastCkpt.foreach(Components.free)
+          lastCkpt = Some(t)
+          t
+        } else next
     }
-    Components.free(e)
     ranks.select(col("node"), col("r").as("rank_ppm"))
   }
 }

@@ -64,6 +64,15 @@ class OperatorsSpec extends AnyFunSuite {
     val got = graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 2)
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 453749L), (2L, 191666L), (3L, 354582L)))
+    // the periodic-truncation path computes identical ranks (5 rounds,
+    // checkpoints firing at rounds 2 and 4 vs never)
+    val lazy5 = graft.operators.LinkGraph
+      .pageRank(edges, "src", "dst", iters = 5, truncateEvery = 1000)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ckpt5 = graft.operators.LinkGraph
+      .pageRank(edges, "src", "dst", iters = 5, truncateEvery = 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lazy5 == ckpt5)
   }
 
   test("J7 upsert: latest-wins with insert/update/keep action tags") {
