@@ -273,46 +273,12 @@ object MediaCodecs {
     * (256) / ImageLength (257) in SHORT or LONG form — the value is
     * left-justified in the 4-byte field, so a SHORT reads the first two
     * bytes in the file's endianness. The container under EXIF (and most
-    * scanned-document corpora). Entry count is capped so a hostile count
-    * cannot drive a near-2^16-entry scan of garbage. Never throws.
+    * scanned-document corpora). ONE walker serves both this and
+    * [[parseExif]] (a bounds-check fix applied to one cannot silently
+    * diverge the other's view of the same container). Never throws.
     */
-  private def parseTiff(b: Array[Byte]): Option[MediaMeta] = {
-    if (b.length < 26) return None
-    val le = b(0) == 'I' && b(1) == 'I'
-    val be = b(0) == 'M' && b(1) == 'M'
-    if (!le && !be) return None
-    def u16(i: Int): Int =
-      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-    def u32(i: Int): Long =
-      if (le) u32le(b, i)
-      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
-           ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
-    if (u16(2) != 42) return None
-    val ifd = u32(4)
-    if (ifd < 8 || ifd > b.length - 2L) return None
-    val off = ifd.toInt
-    val n = math.min(u16(off), 512)
-    var w = 0L; var h = 0L
-    var e = 0
-    while (e < n) {
-      val ei = off + 2 + e * 12
-      if (ei + 12 > b.length) return None
-      val tag = u16(ei)
-      val typ = u16(ei + 2)
-      if (tag == 256 || tag == 257) {
-        val v = typ match {
-          case 3 => u16(ei + 8).toLong // SHORT, left-justified
-          case 4 => u32(ei + 8)        // LONG
-          case _ => return None
-        }
-        if (tag == 256) w = v else h = v
-      }
-      e += 1
-    }
-    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
-    else Some(MediaMeta(w.toInt, h.toInt, 1, "tiff"))
-  }
+  private def parseTiff(b: Array[Byte]): Option[MediaMeta] =
+    parseExif(b).map(m => MediaMeta(m.width, m.height, 1, "tiff"))
 
   /** EXIF privacy/layout audit over a TIFF container: dimensions,
     * Orientation (tag 274, default 1 when absent — the field that decides

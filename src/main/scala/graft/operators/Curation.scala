@@ -148,21 +148,16 @@ object Curation {
       Dedup.shingles(test, idCol, textCol, k)
         .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
         .localCheckpoint(true))
-    // Sketch sizing comes from the checkpointed frame's planner stats, not
-    // an exact count() job: a checkpoint's sizeInBytes is the materialized
-    // block size, so rows ≈ bytes/16 (two longs) is an OVER-estimate (row
-    // overhead inflates bytes) — and over-sizing a Bloom filter only lowers
-    // its fpp. The result cannot change either way: false positives are
-    // removed by the exact join below, so sizing affects prefilter
-    // selectivity only. This saves one full job per invocation.
-    // (localCheckpoint propagates originStats from the pre-checkpoint plan,
-    // which bottoms out in real parquet file sizes — never the unknown-stats
-    // default; the 2^30 clamp bounds the filter at ~1.2 GB even if a future
-    // Spark changes that, matching the 10^9-shingle example above.)
-    val estBytes = testSh.queryExecution.optimizedPlan.stats.sizeInBytes / 16
-    val estRows =
-      if (estBytes > BigInt(1L << 30)) 1L << 30 else math.max(estBytes.toLong, 64L)
-    val bloom = testSh.stat.bloomFilter("__sk", estRows, fpp)
+    // Sketch sizing uses an EXACT count over the checkpointed blocks (a
+    // cheap in-memory scan): planner stats here are pre-checkpoint
+    // ESTIMATES (originStats) that can under-estimate the shingle count by
+    // the compressed-parquet/row-width ratio — an under-sized Bloom filter
+    // silently degenerates the map-side prefilter toward fpp≈1 at exactly
+    // the 100 TB scale this path exists for (results stay correct via the
+    // exact join; the optimization doesn't). One bounded job is the honest
+    // price of a correctly-sized sketch.
+    val nTest = testSh.count()
+    val bloom = testSh.stat.bloomFilter("__sk", math.max(nTest, 64L), fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
     // no broadcast hint on purpose: this path exists precisely because the

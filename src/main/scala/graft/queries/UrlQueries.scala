@@ -52,6 +52,41 @@ object UrlQueries {
   private val urlCte =
     s"WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents)"
 
+  /** Synthesized crawl-frontier fixture shared by q_url_robots and
+    * q_crawl_frontier — the robots bodies and path shapes are the contract
+    * BOTH queries' oracles encode, so the Spark builder exists exactly
+    * once (editing one query's notion of the frontier cannot desync the
+    * other's).
+    */
+  private def synthFrontier(docs: DataFrame): DataFrame = docs
+    .withColumn("n", (col("doc_id") % 20).cast(LongType))
+    .withColumn("domain",
+      concat(lit("site"), col("n").cast(StringType), lit(".com")))
+    .withColumn("path", expr(
+      """CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN '/private/data' || doc_id
+           WHEN 1 THEN '/public/page' || doc_id
+           WHEN 2 THEN '/tmp/x'
+           WHEN 3 THEN '/private/ok/page'
+           ELSE '/' END"""))
+    .withColumn("robots",
+      when(col("n") % 3 === 0, lit(
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp"))
+      .when(col("n") % 3 === 1, lit(
+        "User-agent: *\nDisallow: /\nAllow: /public"))
+      .otherwise(lit("User-agent: *\nDisallow:")))
+
+  /** Synthesized domain link graph shared by q_link_pagerank and
+    * q_crawl_frontier: the DIV-20 term varies dst within a src's residue
+    * class and the src-dependent modulus (1 + src%5) gives out-degrees
+    * 1..5 — ranks genuinely differentiate, and residues 0/10 end up
+    * dangling (no out-edges), exercising the documented mass-leak path.
+    */
+  private def synthEdges(docs: DataFrame): DataFrame = docs.select(
+    (col("doc_id") % 20).as("src"),
+    expr("((doc_id DIV 20) % (1 + (doc_id % 20) % 5) + 3 * (doc_id % 20)) % 20")
+      .as("dst"))
+
   val qs: Seq[Q] = Seq(
 
     // ----- per-URL parse + canonicalization: host (userinfo/port
@@ -120,29 +155,18 @@ object UrlQueries {
     // 'Disallow: /private' + 'Allow: /private/ok').
     Q("q_url_robots",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-          .withColumn("n", (col("doc_id") % 20).cast(LongType))
-          .withColumn("domain",
-            concat(lit("site"), col("n").cast(StringType), lit(".com")))
-          .withColumn("path", expr(
-            """CASE CAST(doc_id % 5 AS INT)
-                 WHEN 0 THEN '/private/data' || doc_id
-                 WHEN 1 THEN '/public/page' || doc_id
-                 WHEN 2 THEN '/tmp/x'
-                 WHEN 3 THEN '/private/ok/page'
-                 ELSE '/' END"""))
-          .withColumn("robots",
-            when(col("n") % 3 === 0, lit(
-              "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp"))
-            .when(col("n") % 3 === 1, lit(
-              "User-agent: *\nDisallow: /\nAllow: /public"))
-            .otherwise(lit("User-agent: *\nDisallow:")))
-        d.select(col("doc_id"), col("domain"), col("path"),
+        // fetchable derives from the two already-computed match lengths
+        // (the RFC decision is a pure function of them) — robotsAllowed
+        // would re-run the whole parse per row for the same answer
+        synthFrontier(t(s, dir, "documents"))
+          .select(col("doc_id"), col("domain"), col("path"),
             UrlFns.robotsMatchLen(col("path"),
               UrlFns.robotsPrefixes(col("robots"), "Disallow")).as("disallow_len"),
             UrlFns.robotsMatchLen(col("path"),
-              UrlFns.robotsPrefixes(col("robots"), "Allow")).as("allow_len"),
-            UrlFns.robotsAllowed(col("path"), col("robots")).as("fetchable"))
+              UrlFns.robotsPrefixes(col("robots"), "Allow")).as("allow_len"))
+          .withColumn("fetchable",
+            when(col("disallow_len").isNull, lit(true))
+              .otherwise(coalesce(col("allow_len"), lit(-1L)) >= col("disallow_len")))
           .orderBy(col("doc_id"))
       },
       Some(s"""
@@ -178,24 +202,29 @@ object UrlQueries {
         FROM m ORDER BY doc_id""")),
 
     // ----- domain link-graph PageRank (crawl prioritization): 3 fixed
-    // iterations of exact integer-ppm PageRank over a synthesized domain
-    // link graph (src = doc_id mod 20, dst = (7·doc_id + 3) mod 20 —
-    // residue arithmetic gives every node both in- and out-edges with
-    // uneven degrees, so ranks genuinely differentiate). The oracle
-    // replays all three iterations bit-for-bit as chained CTEs.
+    // iterations of exact integer-ppm PageRank over [[synthEdges]], whose
+    // out-degrees range 1..5 and whose residues 0/10 are dangling — ranks
+    // GENUINELY differentiate, so a degree-divisor, src/dst-swap, or
+    // damping bug cannot hide behind a uniform fixed point (the original
+    // (7·id+3) mod 20 fixture was a permutation graph: every rank stayed
+    // 50000 and the gate was vacuous for rank values). The oracle replays
+    // all three iterations bit-for-bit as chained CTEs.
     Q("q_link_pagerank",
       (s, dir) => {
-        val edges = t(s, dir, "documents").select(
-          (col("doc_id") % 20).as("src"),
-          ((col("doc_id") * 7 + 3) % 20).as("dst"))
         graft.CkptCycle.cycle("q_link_pagerank",
-            graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3))
+            graft.operators.LinkGraph.pageRank(
+              synthEdges(t(s, dir, "documents")), "src", "dst", iters = 3))
           .orderBy(col("node"))
       },
       Some("""
         WITH e0 AS (
-          SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
-          FROM documents WHERE doc_id % 20 <> (doc_id * 7 + 3) % 20),
+          SELECT DISTINCT doc_id % 20 AS src,
+                 ((doc_id // 20) % (1 + (doc_id % 20) % 5)
+                  + 3 * (doc_id % 20)) % 20 AS dst
+          FROM documents
+          WHERE doc_id % 20 <>
+                ((doc_id // 20) % (1 + (doc_id % 20) % 5)
+                 + 3 * (doc_id % 20)) % 20),
         deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
         nodes AS (SELECT DISTINCT node
                   FROM (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)),
@@ -235,28 +264,10 @@ object UrlQueries {
     // TopKPerGroup operator via the row_number rewrite rule.
     Q("q_crawl_frontier",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-          .withColumn("n", (col("doc_id") % 20).cast(LongType))
-          .withColumn("domain",
-            concat(lit("site"), col("n").cast(StringType), lit(".com")))
-          .withColumn("path", expr(
-            """CASE CAST(doc_id % 5 AS INT)
-                 WHEN 0 THEN '/private/data' || doc_id
-                 WHEN 1 THEN '/public/page' || doc_id
-                 WHEN 2 THEN '/tmp/x'
-                 WHEN 3 THEN '/private/ok/page'
-                 ELSE '/' END"""))
-          .withColumn("robots",
-            when(col("n") % 3 === 0, lit(
-              "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp"))
-            .when(col("n") % 3 === 1, lit(
-              "User-agent: *\nDisallow: /\nAllow: /public"))
-            .otherwise(lit("User-agent: *\nDisallow:")))
-        val edges = t(s, dir, "documents").select(
-          (col("doc_id") % 20).as("src"),
-          ((col("doc_id") * 7 + 3) % 20).as("dst"))
+        val d = synthFrontier(t(s, dir, "documents"))
         val pr = graft.CkptCycle.cycle("q_crawl_frontier_pr",
-          graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3))
+          graft.operators.LinkGraph.pageRank(
+            synthEdges(t(s, dir, "documents")), "src", "dst", iters = 3))
         val w = Window.partitionBy(col("domain"))
           .orderBy(col("depth"), col("doc_id"))
         d.filter(UrlFns.robotsAllowed(col("path"), col("robots")))
@@ -271,8 +282,13 @@ object UrlQueries {
       },
       Some(s"""
         WITH e0 AS (
-          SELECT DISTINCT doc_id % 20 AS src, (doc_id * 7 + 3) % 20 AS dst
-          FROM documents WHERE doc_id % 20 <> (doc_id * 7 + 3) % 20),
+          SELECT DISTINCT doc_id % 20 AS src,
+                 ((doc_id // 20) % (1 + (doc_id % 20) % 5)
+                  + 3 * (doc_id % 20)) % 20 AS dst
+          FROM documents
+          WHERE doc_id % 20 <>
+                ((doc_id // 20) % (1 + (doc_id % 20) % 5)
+                 + 3 * (doc_id % 20)) % 20),
         deg AS (SELECT src, COUNT(*) AS deg FROM e0 GROUP BY src),
         nodes AS (SELECT DISTINCT node
                   FROM (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)),
