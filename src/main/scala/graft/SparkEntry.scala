@@ -17,7 +17,8 @@ object SparkEntry {
     _root_.graft.queries.MarkupQueries.qs ++
     _root_.graft.queries.VectorQueries.qs ++
     _root_.graft.queries.CurationQueries.qs ++
-    _root_.graft.queries.UrlQueries.qs
+    _root_.graft.queries.UrlQueries.qs ++
+    _root_.graft.queries.CorpusQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

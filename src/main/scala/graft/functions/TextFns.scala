@@ -124,6 +124,47 @@ object TextFns {
     }
   }
 
+  /** Per-element [[polyHash]] over a string-array column (one portable
+    * 31-bit hash per element) — the rolling-hash stream winnowing and
+    * Count-Min sketches consume.
+    */
+  def polyHashEach(arrCol: String): Column =
+    expr(s"transform($arrCol, e -> aggregate(split(e, ''), 7L, " +
+         s"(acc, x) -> (acc * 31 + ascii(x)) % 2147483647))")
+
+  /** DuckDB rendering of [[polyHashEach]] — kept adjacent so the two cannot
+    * drift (`arr` is a DuckDB list expression).
+    */
+  def polyHashEachSql(arr: String): String =
+    s"list_transform($arr, e -> ${polyHashSql("e")})"
+
+  /** Winnowing fingerprint selection (Schleimer et al. 2003): the set of
+    * window minima over `w` consecutive k-gram hashes. Documents shorter
+    * than one full window contribute their global minimum (the paper's
+    * boundary rule), so every non-empty hash stream yields >= 1
+    * fingerprint. Returns the DISTINCT fingerprint array (set semantics —
+    * guarantee: any shared substring of length >= w + k - 1 tokens shares
+    * at least one fingerprint). Pure map-side array arithmetic.
+    */
+  def winnowExpr(hashesCol: String, w: Int): Column = {
+    require(w >= 1, s"window must be >= 1: $w")
+    expr(s"""CASE
+        WHEN size($hashesCol) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+        WHEN size($hashesCol) < $w THEN array(array_min($hashesCol))
+        ELSE array_distinct(transform(sequence(1, size($hashesCol) - ${w - 1}),
+               j -> array_min(slice($hashesCol, j, $w))))
+      END""")
+  }
+
+  /** DuckDB rendering of [[winnowExpr]] over a list expression `hs`. */
+  def winnowSql(hs: String, w: Int): String =
+    s"""CASE
+        WHEN len($hs) = 0 THEN CAST([] AS BIGINT[])
+        WHEN len($hs) < $w THEN [list_min($hs)]
+        ELSE list_distinct(list_transform(range(1, len($hs) - ${w - 2}),
+               j -> list_min(($hs)[j:j+${w - 1}])))
+      END"""
+
   /** Minhash permutation constants (a, b) for h' = (a*h + b) mod P. */
   val minhashPerms: Seq[(Long, Long)] = Seq(
     (131L, 101L), (523L, 9L), (2029L, 37L), (3571L, 3L),

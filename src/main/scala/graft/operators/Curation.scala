@@ -509,6 +509,46 @@ object Curation {
       .drop("__t", "__lines")
   }
 
+  /** The C4 structural ruleset (Raffel et al. 2020 §2.2) — the OTHER
+    * canonical web-corpus filter, complementary to
+    * [[gopherQualitySignals]]: line-wise, a line is retained only when it
+    * ends in a terminal punctuation mark AND carries at least
+    * `minLineWords` words; document-wise, the page must contain at least
+    * `minSentences` sentences and must not contain the "lorem ipsum"
+    * placeholder or a curly brace (the code/JS tell). The per-line word
+    * minimum uses the whitespace tokenizer; sentences are counted as
+    * terminal-punctuation occurrences over the whole text.
+    *
+    * Output: n_lines, n_kept_lines (lines surviving the line rules),
+    * kept_line_ppm, n_sentences, has_lorem, has_brace, keep. All counters
+    * exact-integer BIGINT so oracles hash-match; keep mirrors C4: every
+    * document rule passes and at least one line survives.
+    *
+    * Pure map-side HOF projection — no shuffle, no UDF; the same
+    * embarrassingly-parallel 100 TB posture as [[gopherQualitySignals]].
+    */
+  def c4QualitySignals(df: DataFrame, idCol: String, textCol: String,
+      minLineWords: Long = 5L, minSentences: Long = 3L): DataFrame =
+    df.withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("n_kept_lines", expr(
+        s"""CAST(size(filter(__lines, l ->
+              (endswith(rtrim(l), '.') OR endswith(rtrim(l), '!')
+               OR endswith(rtrim(l), '?') OR endswith(rtrim(l), '"'))
+              AND size(split(trim(l), '\\\\s+')) >= ${minLineWords}L
+              AND trim(l) != '')) AS BIGINT)"""))
+      .withColumn("kept_line_ppm",
+        expr("n_kept_lines * 1000000L DIV greatest(n_lines, 1L)"))
+      .withColumn("n_sentences",
+        (length(col(textCol)) -
+          length(translate(col(textCol), ".!?", ""))).cast(LongType))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences && !col("has_lorem") &&
+        !col("has_brace") && col("n_kept_lines") >= 1L)
+      .drop("__lines")
+
   def qualityScore(df: DataFrame, textCol: String, stopwords: Seq[String],
                    keepThreshold: Long): DataFrame = {
     require(stopwords.nonEmpty && stopwords.forall(_.matches("[a-z]+")),

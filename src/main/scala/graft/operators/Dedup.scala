@@ -42,6 +42,75 @@ object Dedup {
       .select(col(idCol), col("n_copies"))
   }
 
+  /** Cross-document exact LINE dedup — the C4 sentence-dedup shape (Raffel
+    * et al. 2020 §2.2 dedupe "any three-sentence span occurring more than
+    * once"): the corpus keeps only the globally-FIRST occurrence of every
+    * distinct line; later occurrences anywhere (same doc or another doc)
+    * are dropped. "First" is total and deterministic: minimum (id, pos).
+    *
+    * Input: one row per (id, pos, line). Output: the input plus a `kept`
+    * flag.
+    *
+    * Scale: the first-occurrence tag is a groupBy-min on the line key —
+    * partial aggregation combines map-side, so a line duplicated a million
+    * times ships ONE candidate row per map partition (a window over the
+    * line key would ship all of them to one reducer). The tag re-join is a
+    * plain equi-join on the same key, so AQE can reuse the exchange.
+    */
+  def dedupLines(lines: DataFrame, idCol: String, posCol: String,
+                 lineCol: String): DataFrame = {
+    val firsts = lines.groupBy(col(lineCol))
+      .agg(min(struct(col(idCol), col(posCol))).as("__first"))
+    lines.join(firsts, lineCol)
+      .withColumn("kept",
+        col(idCol) === col("__first")(idCol) &&
+        col(posCol) === col("__first")(posCol))
+      .drop("__first")
+  }
+
+  /** Duplicated-substring coverage (the measurement behind suffix-array
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): for every token position, is the k-gram
+    * starting there also present in ANOTHER document? Returns per-document
+    * (id, n_pos, dup_pos, dup_ppm) — the fraction of a document covered by
+    * cross-document repeated spans, the score substring-dedup gates on.
+    *
+    * Scale: positions and the cross-document shingle set join on the
+    * 64-bit shingle hash only (strings never leave the map side); the
+    * document-frequency aggregate is a groupBy (map-side combine), and the
+    * join fan-out is 1:1 per position (each position probes one key). No
+    * pair explosion exists anywhere — this is strictly cheaper than any
+    * pairing dedup at the same k.
+    */
+  def duplicatedShingleCoverage(df: DataFrame, idCol: String, textCol: String,
+                                k: Int): DataFrame = {
+    val toks = df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+    // document frequency over DISTINCT per-doc shingles (the sketch kernel
+    // distincts inside the row — no distinct() exchange)
+    val docShingles = toks
+      .select(col(idCol), explode(graft.functions.SketchFns
+        .shinglesDistinct(col("t"), k)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("shh"))
+    // every position's shingle (duplicates within a doc each count a position)
+    val allPos = toks
+      .select(col(idCol), explode(TextFns.shingleExpr("t", k)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("shh"))
+    val crossDoc = docShingles.groupBy(col("shh"))
+      .agg(count(lit(1)).as("__ndocs"))
+      .filter(col("__ndocs") >= 2L)
+      .select(col("shh"))
+    val dupCounts = allPos.join(crossDoc, "shh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("dup_pos"))
+    toks.select(col(idCol),
+        (size(col("t")) - (k - 1)).cast(LongType).as("n_pos"))
+      .join(dupCounts, Seq(idCol), "left")
+      .withColumn("dup_pos", coalesce(col("dup_pos"), lit(0L)))
+      .withColumn("dup_ppm",
+        expr("dup_pos * 1000000L DIV greatest(n_pos, 1L)"))
+  }
+
   /** Distinct shingle ARRAY per document (plus the token array pre-check) —
     * the per-row sketch kernel: distinctness is established inside the row,
     * so no `distinct()` exchange of the exploded shingle set is ever paid.

@@ -1,0 +1,305 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.TextFns
+import graft.operators.{CountMin, Curation, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-hygiene operators rounding out the training-data pipeline:
+  * the C4 structural ruleset, cross-document line dedup (the C4
+  * sentence-dedup shape), duplicated-substring coverage (the suffix-array
+  * dedup measurement), Count-Min frequency sketching, and winnowing
+  * fingerprints (the MOSS document-fingerprint selection).
+  *
+  * Scale posture mirrors the rest of the dedup family: map-side HOF
+  * feature extraction, shuffles keyed only on content hashes / line keys
+  * with map-side partial aggregation, and no pair explosion anywhere.
+  * All arithmetic is engine-portable integers so every query is
+  * hash-compared against its DuckDB oracle.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** The fixture corpus has no newline structure, so line-rule queries
+    * rebuild each document as 8-token lines IN-QUERY on both engines —
+    * odd lines get a terminal period (the C4 line rule binds both ways),
+    * and doc-level violations are planted by doc_id residue.
+    */
+  private val lineifySparkSql =
+    """transform(sequence(1, size(__t0), 8),
+         st -> concat(array_join(slice(__t0, st, 8), ' '),
+                      IF(((st DIV 8) % 2) = 0, '.', '')))"""
+  private val lineifyDuckSql =
+    """list_transform(range(1, len(t0) + 1, 8),
+         st -> array_to_string(t0[st:st+7], ' ')
+               || CASE WHEN (st // 8) % 2 = 0 THEN '.' ELSE '' END)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // ----- the C4 structural ruleset (Raffel et al. 2020 §2.2): terminal
+    // punctuation + >=5 words per line, >=3 sentences per doc, lorem-ipsum
+    // and curly-brace rejection. Lines are synthesized in-query on both
+    // engines (see lineify*) so the line rules BIND at every fixture SF:
+    // odd lines end in '.', even lines don't; every 11th doc gets a planted
+    // lorem-ipsum line, every 13th a code line with a brace; natural short
+    // docs fall under the 3-sentence floor.
+    Q("q_text_c4_quality",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("__t0", TextFns.tokens(col("text")))
+          .withColumn("__ls", expr(lineifySparkSql))
+          .withColumn("text", concat(
+            when(col("doc_id") % 11 === 0,
+              lit("lorem ipsum dolor sit amet consectetur.\n")).otherwise(lit("")),
+            array_join(col("__ls"), "\n"),
+            when(col("doc_id") % 13 === 0,
+              lit("\nfunction f() { return 1; }")).otherwise(lit(""))))
+          .drop("__t0", "__ls")
+        Curation.c4QualitySignals(docs, "doc_id", "text",
+            minLineWords = 5L, minSentences = 3L)
+          .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+            col("kept_line_ppm"), col("n_sentences"), col("has_lorem"),
+            col("has_brace"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t0
+          FROM documents),
+        aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN 'lorem ipsum dolor sit amet consectetur.' || chr(10)
+                      ELSE '' END
+                 || array_to_string($lineifyDuckSql, chr(10))
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN chr(10) || 'function f() {{ return 1; }}'
+                         ELSE '' END AS text
+          FROM base),
+        feat AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM aug),
+        sig AS (
+          SELECT doc_id,
+                 CAST(len(ls) AS BIGINT) AS n_lines,
+                 CAST(len(list_filter(ls, l ->
+                        (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                         OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+                        AND len(string_split_regex(trim(l), '\\s+')) >= 5
+                        AND trim(l) != '')) AS BIGINT) AS n_kept_lines,
+                 CAST(length(text)
+                      - length(replace(replace(replace(text, '.', ''),
+                                               '!', ''), '?', ''))
+                      AS BIGINT) AS n_sentences,
+                 contains(lower(text), 'lorem ipsum') AS has_lorem,
+                 contains(text, '{{') AS has_brace
+          FROM feat)
+        SELECT doc_id, n_lines, n_kept_lines,
+               n_kept_lines * 1000000 // greatest(n_lines, 1) AS kept_line_ppm,
+               n_sentences, has_lorem, has_brace,
+               (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+                AND n_kept_lines >= 1) AS keep
+        FROM sig ORDER BY doc_id""")),
+
+    // ----- cross-document exact line dedup (the C4 sentence-dedup shape):
+    // keep only the globally-first occurrence of every distinct line.
+    // Lines are 3-token chunks (the tiny fixture vocabulary makes 3-token
+    // lines collide across documents naturally, so the dedup BINDS).
+    // Spark tags first occurrences via groupBy-min (map-side combine — a
+    // hot line ships one candidate per map partition, where a window
+    // would ship every copy to one reducer); the oracle uses the
+    // equivalent row_number formulation.
+    Q("q_text_line_dedup",
+      (s, dir) => {
+        val lines = t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+          .filter(size(col("__t")) >= 1)
+          .select(col("doc_id"),
+            posexplode(TextFns.chunkExpr("__t", 3, 3)).as(Seq("pos", "line")))
+        Dedup.dedupLines(lines, "doc_id", "pos", "line")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_lines"),
+            count(when(col("kept"), lit(1))).as("n_kept"))
+          .withColumn("removed_ppm",
+            expr("(n_lines - n_kept) * 1000000L DIV greatest(n_lines, 1L)"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 1),
+        lines AS (
+          SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) + 1, 3),
+                     st -> struct_pack(pos := st,
+                                       line := array_to_string(t[st:st+2], ' ')))) AS u
+            FROM base) q),
+        marked AS (
+          SELECT doc_id,
+                 CASE WHEN row_number() OVER (PARTITION BY line
+                                              ORDER BY doc_id, pos) = 1
+                      THEN 1 END AS first_occ
+          FROM lines)
+        SELECT doc_id, COUNT(*) AS n_lines, COUNT(first_occ) AS n_kept,
+               (COUNT(*) - COUNT(first_occ)) * 1000000
+                 // greatest(COUNT(*), 1) AS removed_ppm
+        FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ----- duplicated-substring coverage (Lee et al. 2022): per document,
+    // the fraction of token positions whose 3-gram also occurs in ANOTHER
+    // document — the score substring-dedup gates on. No pair join exists:
+    // positions probe the cross-document shingle set 1:1 on a 64-bit hash.
+    Q("q_dedup_substring",
+      (s, dir) =>
+        Dedup.duplicatedShingleCoverage(t(s, dir, "documents"),
+            "doc_id", "text", k = 3)
+          .withColumn("keep", col("dup_ppm") <= lit(500000L))
+          .select(col("doc_id"), col("n_pos"), col("dup_pos"),
+            col("dup_ppm"), col("keep"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+        shg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+2], ' '))) AS sh
+          FROM base),
+        crossdoc AS (
+          SELECT sh FROM (
+            SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM shg GROUP BY sh) q
+          WHERE nd >= 2),
+        dup AS (
+          SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS dup_pos
+          FROM shg s JOIN crossdoc USING (sh) GROUP BY s.doc_id)
+        SELECT b.doc_id, CAST(len(b.t) - 2 AS BIGINT) AS n_pos,
+               COALESCE(d.dup_pos, 0) AS dup_pos,
+               COALESCE(d.dup_pos, 0) * 1000000
+                 // greatest(len(b.t) - 2, 1) AS dup_ppm,
+               (COALESCE(d.dup_pos, 0) * 1000000
+                 // greatest(len(b.t) - 2, 1)) <= 500000 AS keep
+        FROM base b LEFT JOIN dup d USING (doc_id)
+        ORDER BY b.doc_id""")),
+
+    // ----- Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    // 2005): depth-4 × width-64 sketch over the token stream, then every
+    // distinct token's estimate vs its exact count. The oracle replays the
+    // sketch bit-for-bit (portable affine hash family), and the row-wise
+    // est_ge_exact asserts the sketch's structural one-sided-error
+    // guarantee — if the estimate ever under-counts, the row reds loudly.
+    // The 16-bucket width vs the fixture's ~31-token vocabulary forces real
+    // collisions, so overcount > 0 rows exist at every SF.
+    Q("q_sketch_cms",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+        CountMin.estimateAll(toks, "token", depth = 4, width = 16)
+          .withColumn("est_ge_exact", col("est") >= col("exact"))
+          .select(col("token"), col("exact"), col("est"),
+            col("overcount"), col("est_ge_exact"))
+          .orderBy(col("token"))
+      },
+      Some {
+        val h = "h"
+        val cells = (0 until 4).map(r =>
+          s"""SELECT $r AS r, ${CountMin.bucketSql(h, r, 16)} AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM hashed GROUP BY 2""").mkString("\n          UNION ALL\n          ")
+        val probes = (0 until 4).map(r =>
+          s"""SELECT token, exact, $r AS r,
+                     ${CountMin.bucketSql(h, r, 16)} AS bucket
+              FROM exact""").mkString("\n          UNION ALL\n          ")
+        s"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          FROM documents),
+        hashed AS (
+          SELECT token, ${TextFns.polyHashSql("token")} AS h FROM tok
+          WHERE token <> ''),
+        cells AS (
+          $cells),
+        exact AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS exact, min(h) AS h
+          FROM hashed GROUP BY token),
+        probes AS (
+          $probes),
+        est AS (
+          SELECT token, exact, MIN(cnt) AS est
+          FROM probes JOIN cells USING (r, bucket) GROUP BY token, exact)
+        SELECT token, exact, est, est - exact AS overcount,
+               est >= exact AS est_ge_exact
+        FROM est ORDER BY token"""
+      }),
+
+    // ----- winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // selection): per document, the set of window minima over w=4
+    // consecutive 3-gram hashes — guaranteed to catch any shared run of
+    // >= w+k-1 = 6 tokens — then the cross-document shared-fingerprint
+    // fraction. The selection is pure map-side array arithmetic; only the
+    // fingerprint sets (not text, not grams) reach the shuffle.
+    Q("q_text_winnow",
+      (s, dir) => {
+        val (k, w) = (3, 4)
+        val fps = t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+          .filter(size(col("__t")) >= k)
+          .withColumn("__sh", TextFns.shingleExpr("__t", k))
+          .withColumn("__hs", TextFns.polyHashEach("__sh"))
+          .withColumn("__fp", TextFns.winnowExpr("__hs", w))
+          .select(col("doc_id"),
+            size(col("__hs")).cast(LongType).as("n_grams"),
+            size(col("__fp")).cast(LongType).as("n_fp"), col("__fp"))
+        val ex = fps.select(col("doc_id"), explode(col("__fp")).as("fp"))
+        val sharedSet = ex.groupBy(col("fp"))
+          .agg(count(lit(1)).as("__nd")).filter(col("__nd") >= 2L)
+          .select(col("fp"))
+        val perDoc = ex.join(sharedSet, "fp")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_fp"))
+        fps.select(col("doc_id"), col("n_grams"), col("n_fp"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .withColumn("n_shared_fp", coalesce(col("n_shared_fp"), lit(0L)))
+          .withColumn("shared_ppm",
+            expr("n_shared_fp * 1000000L DIV greatest(n_fp, 1L)"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3),
+        g AS (
+          SELECT doc_id, list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+2], ' ')) AS sh
+          FROM base),
+        hs AS (
+          SELECT doc_id, ${TextFns.polyHashEachSql("sh")} AS hl FROM g),
+        fp AS (
+          SELECT doc_id, CAST(len(hl) AS BIGINT) AS n_grams,
+                 ${TextFns.winnowSql("hl", 4)} AS f
+          FROM hs),
+        ex AS (
+          SELECT doc_id, n_grams, CAST(len(f) AS BIGINT) AS n_fp,
+                 unnest(f) AS fpv
+          FROM fp),
+        sharedset AS (
+          SELECT fpv FROM (
+            SELECT fpv, COUNT(*) AS nd FROM ex GROUP BY fpv) q
+          WHERE nd >= 2),
+        perdoc AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+          FROM ex JOIN sharedset USING (fpv) GROUP BY doc_id),
+        docs AS (
+          SELECT DISTINCT doc_id, n_grams, n_fp FROM ex)
+        SELECT d.doc_id, d.n_grams, d.n_fp,
+               COALESCE(p.n_shared_fp, 0) AS n_shared_fp,
+               COALESCE(p.n_shared_fp, 0) * 1000000
+                 // greatest(d.n_fp, 1) AS shared_ppm
+        FROM docs d LEFT JOIN perdoc p USING (doc_id)
+        ORDER BY d.doc_id"""))
+  )
+}
