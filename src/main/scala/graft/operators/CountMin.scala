@@ -57,7 +57,6 @@ object CountMin {
     * the sketch's structural guarantee.
     */
   def estimateAll(tokens: DataFrame, tokenCol: String, depth: Int, width: Int): DataFrame = {
-    val cells = sketch(tokens, tokenCol, depth, width)
     val exact = tokens.groupBy(col(tokenCol).as("token"))
       .agg(count(lit(1)).as("exact"))
       .withColumn("__h", TextFns.polyHash("token"))
@@ -67,6 +66,12 @@ object CountMin {
         .as("__c"))
       .select(col("token"), col("exact"),
         col("__c")("r").as("r"), col("__c")("bucket").as("bucket"))
+    // Cells derived from the exact vocab aggregate: cell(r,b) = Σ exact over
+    // tokens landing there — identical to [[sketch]] by construction
+    // (CorpusOpsSpec pins the parity), but the CORPUS is aggregated exactly
+    // once; everything after the per-token groupBy is vocabulary-scale.
+    val cells = probes.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("exact")).as("cnt"))
     probes.join(broadcast(cells), Seq("r", "bucket"))
       .groupBy(col("token"), col("exact"))
       .agg(min(col("cnt")).as("est"))

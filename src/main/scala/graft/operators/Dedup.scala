@@ -59,13 +59,41 @@ object Dedup {
     */
   def dedupLines(lines: DataFrame, idCol: String, posCol: String,
                  lineCol: String): DataFrame = {
-    val firsts = lines.groupBy(col(lineCol))
-      .agg(min(struct(col(idCol), col(posCol))).as("__first"))
-    lines.join(firsts, lineCol)
+    // Lines are keyed by 64-bit hash before either shuffle, so the agg and
+    // the tag re-join move (long, long, long) rows, never line text. A
+    // collision can only merge two distinct lines into one dedup group
+    // (dropping a unique line as if duplicated) — vanishing at any
+    // realistic corpus size, same trade ngramJaccardPairs documents.
+    val keyed = lines.withColumn("__lh", xxhash64(col(lineCol)))
+    val firsts = keyed
+      .select(col("__lh"), struct(col(idCol), col(posCol)).as("__p"))
+      .groupBy(col("__lh")).agg(min(col("__p")).as("__first"))
+    keyed.join(firsts, "__lh")
       .withColumn("kept",
         col(idCol) === col("__first")(idCol) &&
         col(posCol) === col("__first")(posCol))
-      .drop("__first")
+      .drop("__first", "__lh")
+  }
+
+  /** Per-document survivor counts of [[dedupLines]] — (id, n_lines, n_kept)
+    * — WITHOUT the row-level tag re-join: a document's kept count is the
+    * number of distinct lines whose global first occurrence lands in it,
+    * so two hash-keyed aggregations (both with map-side combine) replace
+    * the join. Use this when only the accounting is needed; use
+    * [[dedupLines]] when the surviving rows themselves are.
+    */
+  def dedupLineStats(lines: DataFrame, idCol: String, posCol: String,
+                     lineCol: String): DataFrame = {
+    val keyed = lines.select(col(idCol), col(posCol),
+      xxhash64(col(lineCol)).as("__lh"))
+    val perDoc = keyed.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val keptPerDoc = keyed
+      .groupBy(col("__lh"))
+      .agg(min(struct(col(idCol), col(posCol))).as("__first"))
+      .groupBy(col("__first")(idCol).as(idCol))
+      .agg(count(lit(1)).as("n_kept"))
+    perDoc.join(keptPerDoc, Seq(idCol), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
   }
 
   /** Duplicated-substring coverage (the measurement behind suffix-array

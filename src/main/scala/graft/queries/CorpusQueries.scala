@@ -119,10 +119,7 @@ object CorpusQueries {
           .filter(size(col("__t")) >= 1)
           .select(col("doc_id"),
             posexplode(TextFns.chunkExpr("__t", 3, 3)).as(Seq("pos", "line")))
-        Dedup.dedupLines(lines, "doc_id", "pos", "line")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_lines"),
-            count(when(col("kept"), lit(1))).as("n_kept"))
+        Dedup.dedupLineStats(lines, "doc_id", "pos", "line")
           .withColumn("removed_ppm",
             expr("(n_lines - n_kept) * 1000000L DIV greatest(n_lines, 1L)"))
           .orderBy(col("doc_id"))

@@ -74,6 +74,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.size == 13)
   }
 
+  test("dedupLineStats matches the row-level dedupLines accounting") {
+    val lines = (0L until 300L)
+      .map(i => (i % 9, i, s"line ${i % 17}")).toDF("doc_id", "pos", "line")
+    val viaRows = Dedup.dedupLines(lines, "doc_id", "pos", "line")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("kept"), lit(1))).as("n_kept"))
+      .orderBy("doc_id").collect().toSeq
+    val viaStats = Dedup.dedupLineStats(lines, "doc_id", "pos", "line")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaRows == viaStats)
+    // a doc whose every line first occurred elsewhere reports n_kept = 0
+    val allDup = Seq((1L, 0L, "x"), (2L, 0L, "x")).toDF("doc_id", "pos", "line")
+    val stats = Dedup.dedupLineStats(allDup, "doc_id", "pos", "line")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 0L)))
+  }
+
   // ---------- duplicated-substring coverage ----------
 
   test("substring coverage counts positions whose k-gram crosses documents") {
@@ -121,6 +139,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     val perRow = cells.groupBy("r").agg(sum("cnt").as("n"))
       .orderBy("r").collect().map(r => r.getLong(1))
     assert(perRow.toSeq == Seq(9L, 9L))
+  }
+
+  test("estimateAll's derived cells match the one-pass sketch bit-for-bit") {
+    // estimateAll aggregates the corpus once and DERIVES the cells from the
+    // per-token exact counts; this pins that its estimates equal min over
+    // the streaming sketch's real cells.
+    def polyhash(s: String): Long =
+      s.foldLeft(7L)((acc, c) => (acc * 31 + c.toInt) % 2147483647L)
+    val toks = (0 until 400).map(i => s"w${i % 23}").toDF("token")
+    val cellMap = CountMin.sketch(toks, "token", 3, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ests = CountMin.estimateAll(toks, "token", 3, 8).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val viaSketch = ests.keys.map { tok =>
+      val h = polyhash(tok)
+      tok -> (0 until 3).map { r =>
+        val (a, b) = TextFns.minhashPerms(r)
+        cellMap((r.toLong, (h * a + b) % TextFns.minhashP % 8))
+      }.min
+    }.toMap
+    assert(ests == viaSketch)
   }
 
   test("count-min estimates are deterministic under repartitioning") {
