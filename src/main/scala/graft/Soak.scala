@@ -60,7 +60,14 @@ object Soak {
     "q_link_pagerank",       // 3 iterations of join+agg on node ids (r11)
     "q_split_leakage_safe",  // pair gen + closure + split assignment (r11)
     "q_mm_curation",         // six-format decode + gates + distinct (r11)
-    "q_text_hll_distinct")   // HLL registers vs exact distinct (r11)
+    "q_text_hll_distinct",   // HLL registers vs exact distinct (r11)
+    "q_text_c4_quality",     // map-side C4 structural rules (r11)
+    "q_text_line_dedup",     // hashed-line first-occurrence aggs (r11)
+    "q_dedup_substring",     // per-position cross-doc shingle probe (r11)
+    "q_sketch_cms",          // one-pass vocab agg + derived cells (r11)
+    "q_text_winnow_pairs",   // winnow fp pair join, DF-bounded (r11)
+    "q_zorder_locality",     // min/max collect + map-side interleave (r11)
+    "q_sketch_quantile")     // GK sketch + exact rank verification (r11)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

@@ -52,6 +52,17 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge sketches built over disjoint corpus slices (same depth/width and
+    * hash family): cells add. This distributivity is WHY a 1000-executor /
+    * multi-day pipeline can keep one sketch per shard or per ingest batch
+    * and combine them later without touching the data again —
+    * sketch(A ∪ B) = merge(sketch(A), sketch(B)) exactly (spec'd).
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).cast(LongType).as("cnt"))
+
   /** Point estimates for each distinct token in `tokens`, alongside the
     * exact count: (token, exact, est, over). `over = est - exact >= 0` is
     * the sketch's structural guarantee.

@@ -1573,7 +1573,82 @@ object CoreQueries {
         UNION ALL
         SELECT 'null_custkey', COUNT(CASE WHEN c_custkey IS NULL THEN 1 END)
         FROM customer
-        ORDER BY check_name"""))
+        ORDER BY check_name""")),
+
+    // ----- quantile-sketch error bound: percentile_approx (Greenwald-Khanna
+    // in Spark) vs the exact rank, per group, at accuracy 1000. The sketch's
+    // contract is rank error <= n/accuracy; the query computes the approx
+    // median's EXACT rank window (n_lt, n_le) with a second pass and asserts
+    // the bound in exact integer arithmetic — the HLL treatment
+    // (q_text_hll_distinct) applied to quantiles. The oracle pins group
+    // sizes exactly and the bound as a literal: if Spark's sketch ever
+    // drifts past its contract, within_bound flips false and reds the row.
+    Q("q_sketch_quantile",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            col("l_quantity").cast(DoubleType).as("v"))
+        val est = li.groupBy(col("flag"))
+          .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("__m"),
+            count(lit(1)).as("n"))
+        li.join(broadcast(est), "flag")
+          .groupBy(col("flag"), col("n"))
+          .agg(count(when(col("v") < col("__m"), lit(1))).as("__n_lt"),
+            count(when(col("v") <= col("__m"), lit(1))).as("__n_le"))
+          // rank(med) in (n_lt, n_le]; require overlap with
+          // [n/2 - n/1000 - 1, n/2 + n/1000 + 1] — all integer, scaled x2000
+          .withColumn("within_bound",
+            (col("__n_lt") * 2000 <= col("n") * 1002 + 2000) &&
+            (col("__n_le") * 2000 >= col("n") * 998 - 2000))
+          .select(col("flag"), col("n"), col("within_bound"))
+          .orderBy(col("flag"))
+      },
+      Some("""
+        SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+               true AS within_bound
+        FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // ----- z-order (Morton) clustering arithmetic, oracle-checked: bin two
+    // event dimensions to 8 bits each from their global min/max, interleave
+    // the bits, and aggregate per curve segment. Both engines replay the
+    // identical IEEE-double binning ((x-lo)/((hi-lo)/256), floor, clamp) and
+    // integer interleave, so the z values — the data-skipping sort key
+    // ZOrder.cluster writes by — are pinned bit-for-bit. The per-segment
+    // row counts show the curve's balance; the write path itself is spec'd
+    // in ZOrderSpec (file layout isn't DuckDB-expressible).
+    Q("q_zorder_locality",
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.withColumn("__z",
+            graft.operators.ZOrder.zValue(ev, Seq("user_id", "value"), 8))
+          .groupBy(expr("__z DIV 1024").as("z_bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("__z")).as("min_z"), max(col("__z")).as("max_z"))
+          .orderBy(col("z_bucket"))
+      },
+      Some {
+        val interleave = (0 until 8).flatMap { b =>
+          Seq(s"(((ub >> $b) & 1) << ${2 * b})",
+              s"(((vb >> $b) & 1) << ${2 * b + 1})")
+        }.mkString(" + ")
+        s"""
+        WITH mm AS (
+          SELECT CAST(min(user_id) AS DOUBLE) AS ulo,
+                 CAST(max(user_id) AS DOUBLE) AS uhi,
+                 min(value) AS vlo, max(value) AS vhi
+          FROM events),
+        binned AS (
+          SELECT least(255, greatest(0, CAST(floor(
+                   (CAST(user_id AS DOUBLE) - ulo) / ((uhi - ulo) / 256))
+                   AS BIGINT))) AS ub,
+                 least(255, greatest(0, CAST(floor(
+                   (value - vlo) / ((vhi - vlo) / 256)) AS BIGINT))) AS vb
+          FROM events, mm),
+        z AS (SELECT CAST($interleave AS BIGINT) AS z FROM binned)
+        SELECT z // 1024 AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               min(z) AS min_z, max(z) AS max_z
+        FROM z GROUP BY 1 ORDER BY 1"""
+      })
   )
 
   /** Shared inputs for the J7 MERGE rewrite: staging = updated balances for

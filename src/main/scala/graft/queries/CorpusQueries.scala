@@ -297,6 +297,60 @@ object CorpusQueries {
                COALESCE(p.n_shared_fp, 0) * 1000000
                  // greatest(d.n_fp, 1) AS shared_ppm
         FROM docs d LEFT JOIN perdoc p USING (doc_id)
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ----- winnowing PAIR detection (the MOSS use of the fingerprints):
+    // rank document pairs by shared-fingerprint count. Pairs come ONLY from
+    // shared fingerprints with document frequency in [2, 8] — the same
+    // bounded-fan-out discipline as ngramJaccardPairs (a fingerprint in d
+    // docs contributes d·(d-1)/2 pair rows; the cutoff is the scale lever,
+    // and ubiquitous fingerprints carry no ranking signal anyway). Top-100
+    // under a total order keeps the output bounded at any SF.
+    Q("q_text_winnow_pairs",
+      (s, dir) => {
+        val (k, w) = (3, 4)
+        val ex = t(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
+          .filter(size(col("__t")) >= k)
+          .withColumn("__sh", TextFns.shingleExpr("__t", k))
+          .withColumn("__hs", TextFns.polyHashEach("__sh"))
+          .select(col("doc_id"),
+            explode(TextFns.winnowExpr("__hs", w)).as("fp"))
+        val bounded = ex.join(
+          ex.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
+            .filter(col("__nd").between(2L, 8L)).select(col("fp")), "fp")
+        bounded.select(col("doc_id").as("a_id"), col("fp"))
+          .join(bounded.select(col("doc_id").as("b_id"), col("fp")), "fp")
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2L)
+          .orderBy(col("n_shared").desc, col("a_id"), col("b_id"))
+          .limit(100)
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3),
+        g AS (
+          SELECT doc_id, list_transform(range(1, len(t) - 1),
+                   i -> array_to_string(t[i:i+2], ' ')) AS sh
+          FROM base),
+        hs AS (
+          SELECT doc_id, ${TextFns.polyHashEachSql("sh")} AS hl FROM g),
+        ex AS (
+          SELECT doc_id, unnest(${TextFns.winnowSql("hl", 4)}) AS fpv
+          FROM hs),
+        bounded AS (
+          SELECT doc_id, fpv FROM ex
+          WHERE fpv IN (SELECT fpv FROM (
+                          SELECT fpv, COUNT(*) AS nd FROM ex GROUP BY fpv) q
+                        WHERE nd BETWEEN 2 AND 8))
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM bounded a JOIN bounded b
+          ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ORDER BY n_shared DESC, a_id, b_id LIMIT 100"""))
   )
 }

@@ -162,6 +162,17 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ests == viaSketch)
   }
 
+  test("count-min sketches merge distributively: merge(sk(A), sk(B)) = sk(A u B)") {
+    val a = (0 until 120).map(i => s"w${i % 11}").toDF("token")
+    val b = (0 until 80).map(i => s"w${i % 7}").toDF("token")
+    val merged = CountMin.merge(
+        CountMin.sketch(a, "token", 3, 8), CountMin.sketch(b, "token", 3, 8))
+      .orderBy("r", "bucket").collect().toSeq
+    val whole = CountMin.sketch(a.unionByName(b), "token", 3, 8)
+      .orderBy("r", "bucket").collect().toSeq
+    assert(merged == whole)
+  }
+
   test("count-min estimates are deterministic under repartitioning") {
     val toks = (0 until 500).map(i => s"tok${i % 37}").toDF("token")
     val a = CountMin.estimateAll(toks, "token", 4, 16)
