@@ -1648,7 +1648,37 @@ object CoreQueries {
         SELECT z // 1024 AS z_bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
                min(z) AS min_z, max(z) AS max_z
         FROM z GROUP BY 1 ORDER BY 1"""
-      })
+      }),
+
+    // ----- incremental aggregate maintenance: the orders rollup is built
+    // from two disjoint ingest slices as mergeable partial states (count /
+    // decimal-sum / min / max), merged, and finalized — and must equal the
+    // direct full-table aggregate the oracle computes. There is no
+    // "matches" boolean: the VALUES are the check. This is the
+    // materialized-rollup upkeep path (IncrementalAgg) a 100 TB warehouse
+    // uses instead of nightly rescans.
+    Q("q_agg_incremental",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        val base = o.filter(col("o_orderkey") % 10 =!= 9)
+        val late = o.filter(col("o_orderkey") % 10 === 9)
+        val merged = IncrementalAgg.merge(
+          IncrementalAgg.partials(base, Seq("o_orderpriority"), "o_totalprice"),
+          IncrementalAgg.partials(late, Seq("o_orderpriority"), "o_totalprice"),
+          Seq("o_orderpriority"))
+        IncrementalAgg.finalize(merged)
+          .select(col("o_orderpriority"), col("n"), col("sum_v"),
+            col("avg_v"), col("mn"), col("mx"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""
+        SELECT o_orderpriority, CAST(COUNT(o_totalprice) AS BIGINT) AS n,
+               ${dsumSql("o_totalprice")} AS sum_v,
+               ${davgSql("o_totalprice")} AS avg_v,
+               min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        FROM orders GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Shared inputs for the J7 MERGE rewrite: staging = updated balances for

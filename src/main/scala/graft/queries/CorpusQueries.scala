@@ -234,6 +234,47 @@ object CorpusQueries {
         FROM est ORDER BY token"""
       }),
 
+    // ----- HLL sketch MERGE across corpus shards (Apache DataSketches via
+    // Spark's hll_sketch_agg / hll_union_agg): one sketch per source,
+    // unioned into the corpus-wide distinct estimate — the sharded
+    // counterpart of q_text_hll_distinct, and the reason sketches (not
+    // exact distincts) survive a 1000-executor multi-day pipeline: shards
+    // combine without re-reading data. The oracle pins the exact side and
+    // the subadditivity/bound columns; if the union ever drifts past ±3%
+    // of exact, within_3pct reds the row.
+    Q("q_sketch_hll_merge",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+          .filter(col("token") =!= "")
+        val perSource = toks.groupBy(col("source"))
+          .agg(hll_sketch_agg(col("token"), lit(12)).as("__sk"),
+            countDistinct(col("token")).as("__n_src"))
+        val est = perSource.agg(
+          count(lit(1)).as("n_sources"),
+          sum(col("__n_src")).cast(LongType).as("sum_source_exact"),
+          hll_sketch_estimate(hll_union_agg(col("__sk"))).cast(LongType).as("__est"))
+        val exact = toks.agg(countDistinct(col("token")).cast(LongType).as("n_exact"))
+        est.crossJoin(exact)
+          .select(col("n_sources"), col("n_exact"), col("sum_source_exact"),
+            // per-shard distincts can only over-count the union
+            (col("sum_source_exact") >= col("n_exact")).as("subadditive"),
+            (abs(col("__est") - col("n_exact")) * 100 <= col("n_exact") * 3)
+              .as("within_3pct"))
+      },
+      Some("""
+        WITH tok AS (
+          SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        tk AS (SELECT source, token FROM tok WHERE token <> ''),
+        per_src AS (
+          SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS n_src
+          FROM tk GROUP BY source)
+        SELECT CAST((SELECT COUNT(*) FROM per_src) AS BIGINT) AS n_sources,
+               CAST((SELECT COUNT(DISTINCT token) FROM tk) AS BIGINT) AS n_exact,
+               CAST((SELECT SUM(n_src) FROM per_src) AS BIGINT) AS sum_source_exact,
+               true AS subadditive, true AS within_3pct""")),
+
     // ----- winnowing fingerprints (Schleimer et al. 2003, the MOSS
     // selection): per document, the set of window minima over w=4
     // consecutive 3-gram hashes — guaranteed to catch any shared run of
