@@ -592,6 +592,67 @@ object Streams {
       }
       .start()
 
+  // ---------------------------------------------------------------------
+  // Streaming sketch maintenance: fold each micro-batch's Count-Min cells
+  // into a persisted per-batch cells table — the streaming face of
+  // CountMin.merge. The corpus-wide sketch is ONE tiny groupBy over the
+  // table at read time; history is never re-scanned, and the per-batch
+  // row key makes replay after any crash a detectable no-op (the same
+  // idempotence discipline as the dedup indexes, without needing
+  // min-batch-id semantics: a batch's cells either all landed — the swap
+  // is atomic — or none did).
+  // ---------------------------------------------------------------------
+
+  /** Per-batch Count-Min cells table schema for streaming sketch upkeep. */
+  val cmsCellsSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType), StructField("r", LongType),
+    StructField("bucket", LongType), StructField("cnt", LongType)))
+
+  /** The foreachBatch body, callable directly in tests and replay drills.
+    * Returns false when `batchId` was already folded in (pure replay).
+    */
+  def sketchMaintainBatch(batch: DataFrame, wh: graft.airbnb.Warehouse,
+      table: String, batchId: Long, tokenCol: String,
+      depth: Int, width: Int): Boolean = {
+    val cur = wh.readOrEmpty(table, cmsCellsSchema)
+    if (!cur.filter(col("batch_id") === batchId).isEmpty) return false
+    val cells = graft.operators.CountMin.sketch(batch, tokenCol, depth, width)
+      .withColumn("batch_id", lit(batchId))
+      .select(col("batch_id"), col("r"), col("bucket"), col("cnt"))
+    // materialize BEFORE the swap: `cur`'s lineage reads the table files the
+    // write below replaces (depth×width + history rows — tiny)
+    val merged = cur.unionByName(cells).localCheckpoint(true)
+    try { wh.write(table, merged); true }
+    finally merged.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** The corpus-wide sketch maintained so far: cells summed across batches
+    * — exactly CountMin.sketch over every token ever folded (distributive
+    * merge, spec'd in CorpusOpsSpec/StreamsSpec).
+    */
+  def corpusSketch(wh: graft.airbnb.Warehouse, table: String): DataFrame =
+    wh.readOrEmpty(table, cmsCellsSchema)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).cast(LongType).as("cnt"))
+
+  /** Start streaming sketch maintenance over a token stream. */
+  def startSketchMaintenance(tokens: DataFrame, wh: graft.airbnb.Warehouse,
+      table: String, checkpointDir: String, tokenCol: String,
+      depth: Int = 4, width: Int = 64,
+      queryName: String = "sketch_maintenance"): StreamingQuery =
+    tokens.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sketchMaintainBatch(batch.toDF(), wh, table, batchId,
+          tokenCol, depth, width): Unit
+      }
+      .start()
+
   /** Read the sink's committed output: only batch directories bearing the
     * _COMMITTED marker participate, so readers never observe a torn batch.
     */
