@@ -63,6 +63,22 @@ object CountMin {
       .groupBy(col("r"), col("bucket"))
       .agg(sum(col("cnt")).cast(LongType).as("cnt"))
 
+  /** Equi-join cardinality estimation from two sketches (Cormode &
+    * Muthukrishnan 2005 §4.2): |A ⋈ B| = Σ_k fA(k)·fB(k), estimated as the
+    * MINIMUM over rows of the cell-wise inner product Σ_b A_r[b]·B_r[b].
+    * Every product is non-negative and the true diagonal terms are all
+    * present, so the estimate can only OVER-count — the planner-side
+    * "how big is this join" question answered from two fixed-size
+    * summaries without touching either table.
+    */
+  def joinCardinality(aCells: DataFrame, bCells: DataFrame): DataFrame =
+    aCells.select(col("r"), col("bucket"), col("cnt").as("__ca"))
+      .join(bCells.select(col("r"), col("bucket"), col("cnt").as("__cb")),
+        Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("__ca") * col("__cb")).cast(LongType).as("__ip"))
+      .agg(min(col("__ip")).cast(LongType).as("est"))
+
   /** Point estimates for each distinct token in `tokens`, alongside the
     * exact count: (token, exact, est, over). `over = est - exact >= 0` is
     * the sketch's structural guarantee.

@@ -83,4 +83,48 @@ object LinkGraph {
     }
     ranks.select(col("node"), col("r").as("rank_ppm"))
   }
+
+  /** Multi-source BFS hop distance over a directed edge list: for every
+    * node reachable from `seeds` within `maxHops`, the MINIMUM hop count
+    * (seeds are 0). Unreachable nodes are absent from the output — the
+    * crawl-depth / "how far is this domain from the trusted frontier"
+    * signal, and the bounded-depth reachability query schedulers gate on.
+    *
+    * Scale: classic frontier BFS — each round joins the CURRENT frontier
+    * (not the whole distance table) against the edge checkpoint on src,
+    * then anti-joins the known set; both shuffles key on node ids. The
+    * distance table is re-checkpointed every round (it feeds two branches
+    * per round, so lineage would otherwise double per hop — the components
+    * loop's lesson); superseded checkpoints are freed as newer ones land.
+    *
+    * EAGER CONTRACT: like [[pageRank]] — the edge list and each round's
+    * distance table materialize at construction; callers register the
+    * result with [[graft.CkptCycle]] (the query does) or unpersist.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    val e = Components.truncate(
+      edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+    var dist = Components.truncate(
+      seeds.select(col(seedCol).cast("long").as("node"),
+        lit(0L).as("hops")).distinct())
+    var prev = dist
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1).toLong)
+      val discovered = frontier.select(col("node").as("src"))
+        .join(e, "src").select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+      dist = Components.truncate(dist.unionByName(discovered))
+      Components.free(prev)
+      prev = dist
+    }
+    // the returned table is its own checkpoint — the edge blocks are no
+    // longer reachable from it
+    Components.free(e)
+    dist
+  }
 }

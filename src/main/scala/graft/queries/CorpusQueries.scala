@@ -234,6 +234,56 @@ object CorpusQueries {
         FROM est ORDER BY token"""
       }),
 
+    // ----- join-cardinality estimation from sketches (Cormode &
+    // Muthukrishnan 2005 §4.2): the size of orders ⋈ customer predicted
+    // from two Count-Min summaries as the min-over-rows cell inner
+    // product, next to the exact join count. Every diagonal term is
+    // present and every product non-negative, so est >= exact is
+    // structural (asserted per run); the estimate itself is deterministic
+    // integer arithmetic the oracle replays bit-for-bit. This is the
+    // planner-side "how big is this join" answer a 100 TB engine keeps
+    // per column at a few KB, instead of scanning either side.
+    Q("q_sketch_join_card",
+      (s, dir) => {
+        val a = t(s, dir, "orders")
+          .select(col("o_custkey").cast(StringType).as("token"))
+        val b = t(s, dir, "customer")
+          .select(col("c_custkey").cast(StringType).as("token"))
+        val est = CountMin.joinCardinality(
+          CountMin.sketch(a, "token", depth = 4, width = 16384),
+          CountMin.sketch(b, "token", depth = 4, width = 16384))
+        val exact = t(s, dir, "orders").join(t(s, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .agg(count(lit(1)).as("exact"))
+        est.crossJoin(exact)
+          .select(col("exact"), col("est"),
+            (col("est") >= col("exact")).as("est_ge_exact"))
+      },
+      Some {
+        def cellsCte(src: String, keyExpr: String) = {
+          val h = TextFns.polyHashSql(s"CAST($keyExpr AS VARCHAR)")
+          (0 until 4).map(r =>
+            s"""SELECT $r AS r, ${CountMin.bucketSql("h", r, 16384)} AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT $h AS h FROM $src) GROUP BY 2""")
+            .mkString("\n          UNION ALL\n          ")
+        }
+        s"""
+        WITH ca AS (
+          ${cellsCte("orders", "o_custkey")}),
+        cb AS (
+          ${cellsCte("customer", "c_custkey")}),
+        ip AS (
+          SELECT ca.r, SUM(ca.cnt * cb.cnt) AS ip
+          FROM ca JOIN cb ON ca.r = cb.r AND ca.bucket = cb.bucket
+          GROUP BY ca.r),
+        est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est FROM ip),
+        ex AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS exact
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT exact, est, est >= exact AS est_ge_exact FROM est, ex"""
+      }),
+
     // ----- HLL sketch MERGE across corpus shards (Apache DataSketches via
     // Spark's hll_sketch_agg / hll_union_agg): one sketch per source,
     // unioned into the corpus-wide distinct estimate — the sharded

@@ -254,6 +254,49 @@ object UrlQueries {
             GROUP BY e.dst) s ON nd.node = s.node)
         SELECT node, r AS rank_ppm FROM it3 ORDER BY node""")),
 
+    // ----- multi-source BFS hop distance over the same link graph: how
+    // many hops each domain sits from the trusted seed set {0, 7, 14}
+    // (crawl-depth gating / frontier distance). Frontier-only expansion
+    // per round, hop cap 3; unreachable domains are absent by contract.
+    // The oracle replays all three frontier rounds as chained CTEs.
+    Q("q_link_hops",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val seeds = docs.select((col("doc_id") % 20).as("node"))
+          .filter(col("node") % 7 === 0)
+        graft.CkptCycle.cycle("q_link_hops",
+            graft.operators.LinkGraph.bfsHops(
+              synthEdges(docs), "src", "dst", seeds, "node", maxHops = 3))
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH e0 AS (
+          SELECT DISTINCT doc_id % 20 AS src,
+                 ((doc_id // 20) % (1 + (doc_id % 20) % 5)
+                  + 3 * (doc_id % 20)) % 20 AS dst
+          FROM documents
+          WHERE doc_id % 20 <>
+                ((doc_id // 20) % (1 + (doc_id % 20) % 5)
+                 + 3 * (doc_id % 20)) % 20),
+        d0 AS (SELECT DISTINCT doc_id % 20 AS node, 0 AS hops
+               FROM documents WHERE (doc_id % 20) % 7 = 0),
+        f1 AS (SELECT DISTINCT e.dst AS node
+               FROM e0 e JOIN d0 ON e.src = d0.node
+               WHERE e.dst NOT IN (SELECT node FROM d0)),
+        d1 AS (SELECT node, hops FROM d0
+               UNION ALL SELECT node, 1 FROM f1),
+        f2 AS (SELECT DISTINCT e.dst AS node
+               FROM e0 e JOIN d1 ON e.src = d1.node AND d1.hops = 1
+               WHERE e.dst NOT IN (SELECT node FROM d1)),
+        d2 AS (SELECT node, hops FROM d1
+               UNION ALL SELECT node, 2 FROM f2),
+        f3 AS (SELECT DISTINCT e.dst AS node
+               FROM e0 e JOIN d2 ON e.src = d2.node AND d2.hops = 2
+               WHERE e.dst NOT IN (SELECT node FROM d2)),
+        d3 AS (SELECT node, hops FROM d2
+               UNION ALL SELECT node, 3 FROM f3)
+        SELECT node, CAST(hops AS BIGINT) AS hops FROM d3 ORDER BY node""")),
+
     // ----- crawl-frontier scheduling capstone: compose the three politeness
     // / prioritization primitives into the queue a crawler actually pops —
     // robots-fetchable URLs only, domains prioritized by link-graph

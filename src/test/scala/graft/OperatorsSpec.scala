@@ -75,6 +75,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lazy5 == ckpt5)
   }
 
+  test("BFS hops: min distance from a multi-source seed set, hop-capped, unreachable absent") {
+    // chain 1->2->3->4->5, plus 9->3 (shorter path to 3 from second seed 9),
+    // and isolated 7->8 unreachable from seeds {1, 9}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 3L), (7L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 9L).toDF("node")
+    val got = graft.operators.LinkGraph
+      .bfsHops(edges, "src", "dst", seeds, "node", maxHops = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 3 is 1 hop from seed 9 (not 2 from seed 1); 5 is 3 hops via 9->3->4->5;
+    // 7/8 unreachable; hop cap already satisfied by the 9-path
+    assert(got.toSeq == Seq(
+      (1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 3L), (9L, 0L)))
+    // cap cuts the frontier: maxHops=1 stops after the first ring
+    val capped = graft.operators.LinkGraph
+      .bfsHops(edges, "src", "dst", seeds, "node", maxHops = 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 1L), (9L, 0L)))
+  }
+
   test("J7 upsert: latest-wins with insert/update/keep action tags") {
     val current = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("id", "name", "bal")
