@@ -67,7 +67,11 @@ object Soak {
     "q_sketch_cms",          // one-pass vocab agg + derived cells (r11)
     "q_text_winnow_pairs",   // winnow fp pair join, DF-bounded (r11)
     "q_zorder_locality",     // min/max collect + map-side interleave (r11)
-    "q_sketch_quantile")     // GK sketch + exact rank verification (r11)
+    "q_sketch_quantile",     // GK sketch + exact rank verification (r11)
+    "q_sketch_join_card",    // CMS inner-product join-size estimate (r11)
+    "q_sketch_hll_merge",    // per-source HLL union (r11)
+    "q_agg_incremental",     // mergeable partials vs direct rollup (r11)
+    "q_link_hops")           // frontier BFS, 3 rounds (r11)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

@@ -407,9 +407,14 @@ object CorpusQueries {
           .withColumn("__hs", TextFns.polyHashEach("__sh"))
           .select(col("doc_id"),
             explode(TextFns.winnowExpr("__hs", w)).as("fp"))
-        val bounded = ex.join(
-          ex.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
-            .filter(col("__nd").between(2L, 8L)).select(col("fp")), "fp")
+        // materialize the bounded (doc_id, fp) set ONCE: without it each
+        // self-join side re-runs the winnow map work — the plan audit
+        // showed 4 documents scans. Long pairs only; micro-frame-sized.
+        val bounded = graft.CkptCycle.cycle("q_text_winnow_pairs",
+          ex.join(
+            ex.groupBy(col("fp")).agg(count(lit(1)).as("__nd"))
+              .filter(col("__nd").between(2L, 8L)).select(col("fp")), "fp")
+            .localCheckpoint(true))
         bounded.select(col("doc_id").as("a_id"), col("fp"))
           .join(bounded.select(col("doc_id").as("b_id"), col("fp")), "fp")
           .filter(col("a_id") < col("b_id"))

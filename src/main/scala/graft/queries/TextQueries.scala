@@ -335,6 +335,55 @@ object TextQueries {
         FROM documents d LEFT JOIN perdoc p USING (doc_id)
         GROUP BY d.source ORDER BY d.source""")),
 
+    // ----- tokenizer FERTILITY per language (BPE tokens per whitespace
+    // word, milli-units) — the standard tokenizer-evaluation metric: a
+    // language whose fertility is high pays more sequence length per word
+    // of content, which shifts its effective mixing weight in a token
+    // budget. Exact integer ratio of two sums the oracle replays through
+    // the same merge chain.
+    Q("q_text_fertility",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("bpe", TextFns.bpeCount(TextFns.preTokens(col("text"))))
+          .withColumn("words", TextFns.tokenCount(col("text")).cast(LongType))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("bpe")).cast(LongType).as("bpe_tokens"),
+            sum(col("words")).cast(LongType).as("words"))
+          .withColumn("fertility_milli",
+            expr("bpe_tokens * 1000L DIV greatest(words, 1L)"))
+          .orderBy(col("lang")),
+      Some(s"""
+        WITH pre AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                   '${TextFns.preTokenRe}')) AS w
+          FROM documents),
+        m AS (
+          SELECT doc_id, w,
+                 CASE WHEN regexp_matches(w, '^[a-z]+${"$"}')
+                      THEN ${TextFns.bpeMergeChainSql("w")} END AS s
+          FROM pre),
+        cnt AS (
+          SELECT doc_id,
+                 CASE WHEN s IS NOT NULL
+                        THEN length(s) - length(replace(s, '..', '.')) + 1
+                      WHEN regexp_matches(w, '^[0-9]+${"$"}') THEN length(w)
+                      ELSE 1 END AS ntok
+          FROM m),
+        perdoc AS (
+          SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS ntok
+          FROM cnt GROUP BY doc_id),
+        agg AS (
+          SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(COALESCE(p.ntok, 0)) AS BIGINT) AS bpe_tokens,
+                 CAST(SUM(len(string_split_regex(lower(trim(d.text)), '\\s+')))
+                      AS BIGINT) AS words
+          FROM documents d LEFT JOIN perdoc p USING (doc_id)
+          GROUP BY d.lang)
+        SELECT lang, n_docs, bpe_tokens, words,
+               bpe_tokens * 1000 // greatest(words, 1) AS fertility_milli
+        FROM agg ORDER BY lang""")),
+
     // ----- quality scoring (length / stopword / word-length heuristics)
     Q("q_text_quality",
       (s, dir) => {

@@ -217,6 +217,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("winnow matches a reference model on random hash streams (fixed seed)") {
+    val rnd = new scala.util.Random(20260814L)
+    def reference(hs: Seq[Long], w: Int): Seq[Long] =
+      if (hs.isEmpty) Seq.empty
+      else if (hs.size < w) Seq(hs.min)
+      else hs.sliding(w).map(_.min).toSeq.distinct
+    val cases = (0 until 40).map { _ =>
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => rnd.nextInt(50).toLong)
+    } :+ Seq.fill(6)(7L) // all-equal stream: one fingerprint
+    for (w <- Seq(1, 3, 4)) {
+      val df = cases.zipWithIndex.map { case (hs, i) => (i.toLong, hs) }
+        .toDF("id", "hs")
+      val got = df.select(col("id"), TextFns.winnowExpr("hs", w).as("f"))
+        .orderBy("id").collect()
+        .map(r => r.getSeq[Long](1).toList).toList
+      val want = cases.map(hs => reference(hs, w).toList).toList
+      assert(got == want, s"w=$w")
+    }
+  }
+
   test("winnow guarantee: docs sharing a >= w+k-1 token run share a fingerprint") {
     val k = 3; val w = 4
     // the shared run is exactly w+k-1 = 6 tokens
