@@ -222,6 +222,54 @@ object Multimodal {
     }
   }
 
+  final case class PHashRow(doc_id: Long, width: Long, height: Long, dhash: Long)
+
+  /** Perceptual difference-hash (dHash) over a decoded raster: the image
+    * is nearest-neighbor-sampled onto a 9×8 integer-luma grid (sample at
+    * (x·w DIV 9, y·h DIV 8)) and each of the 64 bits records whether luma
+    * rises between horizontal grid neighbors. Uniform brightness shifts
+    * drop out EXACTLY (the 299/587/114 luma weights sum to 1000, so +b on
+    * every channel adds precisely b to the integer luma and leaves every
+    * comparison unchanged) — the content key image-dedup pipelines bucket
+    * on, robust to re-encoding and exposure tweaks where a byte hash is
+    * not. All-integer arithmetic, so a SQL oracle replays the 64 bits.
+    * Map-side decode+fold like [[imageStats]]; undecodable media dropped.
+    */
+  def dHash(media: Dataset[MediaRow]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseBmpPixels(r.media)
+          .orElse(MediaCodecs.parsePngPixels(r.media))
+          .orElse(MediaCodecs.parseGifPixels(r.media)).map { case (w, h, rgb) =>
+          val g = Array.ofDim[Long](8, 9)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val p = ((y * h / 8) * w + (x * w / 9)) * 3
+              g(y)(x) = (299L * (rgb(p) & 0xff) + 587L * (rgb(p + 1) & 0xff) +
+                114L * (rgb(p + 2) & 0xff)) / 1000L
+              x += 1
+            }
+            y += 1
+          }
+          var hash = 0L
+          y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (g(y)(x + 1) > g(y)(x)) hash |= 1L << (y * 8 + x)
+              x += 1
+            }
+            y += 1
+          }
+          PHashRow(r.doc_id, w.toLong, h.toLong, hash)
+        }
+      }
+    }
+  }
+
   final case class AudioFeatureRow(doc_id: Long, n_samples: Long, peak: Long,
                                    sum_sq: Long, zero_crossings: Long)
 

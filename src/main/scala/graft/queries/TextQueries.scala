@@ -1027,6 +1027,87 @@ object TextQueries {
                CAST(MAX((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS max_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // ----- perceptual-hash image dedup (dHash): byte-distinct images
+    // collapse into one perceptual group when only exposure differs. Each
+    // doc synthesizes a BMP whose pattern+dims derive from its content
+    // class (doc_id % 25) and whose BRIGHTNESS derives from doc_id DIV 25
+    // — so every class yields 3 byte-distinct variants (the md5-distinct
+    // count pins that) that share one dHash exactly (the 299/587/114 luma
+    // weights sum to 1000, so a uniform +b shift cancels in integer
+    // arithmetic). The oracle replays the 9×8 sampling grid and all 64
+    // comparison bits from the pixel formula — the REAL decode path runs
+    // only on the Spark side and must land on the same integers.
+    Q("q_mm_phash_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val c = (id % 25).toInt
+            val w = c % 12 + 9
+            val h = (c * 3) % 10 + 8
+            val bright = ((id / 25) % 3).toInt * 10
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = ((x * (c % 9 + 2) * 13 + y * 3) % 150 + bright).toByte
+                rgb(p + 1) = ((2 * x + y * (c % 5 + 3) * 11) % 150 + bright).toByte
+                rgb(p + 2) = ((3 * x + y) % 150 + bright).toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeBmpRgb(w, h, rgb))
+          }
+        val ph = graft.multimodal.Multimodal.dHash(media).toDF()
+        media.toDF()
+          .join(ph.select(col("doc_id"), col("dhash")), "doc_id")
+          .groupBy(col("dhash"))
+          .agg(count(lit(1)).as("n_images"),
+            countDistinct(md5(col("media"))).cast(LongType).as("n_exact_variants"),
+            min(col("doc_id")).as("survivor"))
+          .orderBy(col("survivor"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT doc_id, (doc_id % 25) % 12 + 9 AS w,
+                 ((doc_id % 25) * 3) % 10 + 8 AS h
+          FROM documents),
+        grid AS (
+          SELECT doc_id, x.g AS x, y.g AS y,
+                 (x.g * w) // 9 AS sx, (y.g * h) // 8 AS sy
+          FROM dims, generate_series(0, 8) x(g), generate_series(0, 7) y(g)),
+        luma AS (
+          SELECT doc_id, x, y,
+                 (299 * ((sx * ((doc_id % 25) % 9 + 2) * 13 + sy * 3) % 150)
+                  + 587 * ((2 * sx + sy * ((doc_id % 25) % 5 + 3) * 11) % 150)
+                  + 114 * ((3 * sx + sy) % 150)) // 1000 AS l
+          FROM grid),
+        bits AS (
+          SELECT a.doc_id,
+                 -- bit 63 as the signed minimum: DuckDB raises on 1 << 63,
+                 -- Spark's 1L << 63 wraps to -2^63; summing the signed
+                 -- value reproduces the two's-complement hash exactly
+                 SUM(CASE WHEN b.l > a.l
+                          THEN CASE WHEN a.y * 8 + a.x = 63
+                                    THEN -9223372036854775807 - 1
+                                    ELSE CAST(1 AS BIGINT) << (a.y * 8 + a.x)
+                               END
+                          ELSE 0 END) AS dhash
+          FROM luma a JOIN luma b
+            ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+          WHERE a.x < 8
+          GROUP BY a.doc_id)
+        SELECT CAST(dhash AS BIGINT) AS dhash,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               CAST(COUNT(DISTINCT (doc_id % 25) * 10 + (doc_id // 25) % 3)
+                    AS BIGINT) AS n_exact_variants,
+               min(doc_id) AS survivor
+        FROM bits GROUP BY dhash ORDER BY survivor""")),
+
     // ----- the SAME raster statistics through the PNG path: gradient
     // rasters zlib-DEFLATED into real truecolor PNGs, decoded by the full
     // inflate + defilter pipeline (MediaCodecs.parsePngPixels). The oracle

@@ -27,6 +27,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("dHash: exact brightness invariance, content sensitivity, hostile bytes dropped") {
+    import spark.implicits._
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    def bmp(id: Long, w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Multimodal.MediaRow = {
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = px(x, y); val p = (y * w + x) * 3
+        rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = b.toByte
+      }
+      Multimodal.MediaRow(id, MediaCodecs.encodeBmpRgb(w, h, rgb))
+    }
+    val base = bmp(1L, 18, 12, (x, y) => ((x * 7) % 140, (y * 5) % 140, (x + y) % 140))
+    val brighter = bmp(2L, 18, 12, (x, y) => ((x * 7) % 140 + 40, (y * 5) % 140 + 40, (x + y) % 140 + 40))
+    val different = bmp(3L, 18, 12, (x, y) => ((y * 7) % 140, (x * 5) % 140, (x * y) % 140))
+    val hostile = Multimodal.MediaRow(4L, Array[Byte](1, 2, 3))
+    val out = Multimodal.dHash(spark.createDataset(Seq(base, brighter, different, hostile)))
+      .collect().map(r => r.doc_id -> r.dhash).toMap
+    assert(out.size == 3)                 // hostile bytes dropped, no throw
+    assert(out(1L) == out(2L))            // +40 on every channel: exact invariance
+    assert(out(1L) != out(3L))            // different content flips bits
+  }
+
   test("frame sampling yields ceil(len/stride) frames") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(5)
     val media = Multimodal.asMedia(docs, "doc_id", "text")
