@@ -270,6 +270,44 @@ object Multimodal {
     }
   }
 
+  final case class AudioFpRow(doc_id: Long, n_samples: Long, fp: Long)
+
+  /** Gain-invariant audio fingerprint (the dHash idea on the time axis):
+    * decode the 16-bit PCM payload, split it into `windows` equal windows
+    * (tail remainder ignored), take integer energy Σv² per window, and
+    * record a rise bit per adjacent window pair — uniform gain scales
+    * every energy by g² and leaves all comparisons unchanged EXACTLY, so
+    * re-mastered volume variants of a clip share one fingerprint while a
+    * byte hash separates them. Map-side decode+fold; clips shorter than
+    * one sample per window are dropped.
+    */
+  def audioFingerprint(media: Dataset[MediaRow], windows: Int = 32): Dataset[AudioFpRow] = {
+    require(windows >= 2 && windows <= 64, s"windows must be in [2, 64]: $windows")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseWavPcm16(r.media)
+          .filter(_._2.length >= windows).map { case (_, samples) =>
+          val n = samples.length
+          val wlen = n / windows
+          val e = new Array[Long](windows)
+          var k = 0
+          while (k < windows) {
+            var i = k * wlen; val end = i + wlen; var s = 0L
+            while (i < end) { val v = samples(i).toLong; s += v * v; i += 1 }
+            e(k) = s; k += 1
+          }
+          var fp = 0L; k = 0
+          while (k < windows - 1) {
+            if (e(k + 1) > e(k)) fp |= 1L << k
+            k += 1
+          }
+          AudioFpRow(r.doc_id, n.toLong, fp)
+        }
+      }
+    }
+  }
+
   final case class AudioFeatureRow(doc_id: Long, n_samples: Long, peak: Long,
                                    sum_sq: Long, zero_crossings: Long)
 

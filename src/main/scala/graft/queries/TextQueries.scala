@@ -1246,6 +1246,70 @@ object TextQueries {
                  AS zero_crossings
         FROM z GROUP BY doc_id, ns ORDER BY doc_id""")),
 
+    // ----- perceptual audio dedup (the dHash idea on the time axis): each
+    // doc synthesizes a PCM clip whose waveform+length derive from its
+    // content class (doc_id % 20) and whose GAIN (x1..x3) from
+    // doc_id DIV 20 — gain scales every window energy by g^2 exactly, so
+    // the 31 rise bits are invariant and each class's 3 byte-distinct
+    // masters collapse into one fingerprint group. The real WAV chunk-walk
+    // decode runs only on the Spark side; the oracle replays windows,
+    // energies, and bits from the sample formula (gain omitted — it
+    // cancels).
+    Q("q_mm_audio_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val c = (id % 20).toInt
+            val n = c * 40 + 640
+            val gain = ((id / 20) % 3).toInt + 1
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = ((((c * 31 + i.toLong * 40503) % 10000) - 5000)
+                * gain).toShort
+              i += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeWavPcm16(16000, samples))
+          }
+        val fps = graft.multimodal.Multimodal.audioFingerprint(media).toDF()
+        media.toDF()
+          .join(fps.select(col("doc_id"), col("fp")), "doc_id")
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_clips"),
+            countDistinct(md5(col("media"))).cast(LongType).as("n_exact_variants"),
+            min(col("doc_id")).as("survivor"))
+          .orderBy(col("survivor"))
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id, doc_id % 20 AS c, (doc_id % 20) * 40 + 640 AS ns
+          FROM documents),
+        s AS (
+          SELECT doc_id, ns, i.g AS i,
+                 ((c * 31 + i.g * 40503) % 10000) - 5000 AS v
+          FROM n, generate_series(0, 1399) i(g)
+          WHERE i.g < (ns // 32) * 32),
+        e AS (
+          SELECT doc_id, i // (ns // 32) AS k, SUM(v * v) AS e
+          FROM s GROUP BY doc_id, k),
+        b AS (
+          SELECT doc_id, k, e,
+                 lead(e) OVER (PARTITION BY doc_id ORDER BY k) AS ne
+          FROM e),
+        fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN ne > e
+                               THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+                      AS BIGINT) AS fp
+          FROM b WHERE k < 31 GROUP BY doc_id)
+        SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_clips,
+               CAST(COUNT(DISTINCT (doc_id % 20) * 10 + (doc_id // 20) % 3)
+                    AS BIGINT) AS n_exact_variants,
+               min(doc_id) AS survivor
+        FROM fp GROUP BY fp ORDER BY survivor""")),
+
     // ----- multimodal video: REAL ISO BMFF (MP4) box-walk decode. Each doc
     // gets a minimal ftyp+moov/mvhd prefix with timescale/duration derived
     // from doc_id; MediaCodecs.parseMp4 must walk the box hierarchy and

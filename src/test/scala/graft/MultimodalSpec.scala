@@ -49,6 +49,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) != out(3L))            // different content flips bits
   }
 
+  test("audio fingerprint: exact gain invariance, content sensitivity, short clips dropped") {
+    import spark.implicits._
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    def wav(id: Long, n: Int, f: Int => Int): Multimodal.MediaRow =
+      Multimodal.MediaRow(id,
+        MediaCodecs.encodeWavPcm16(16000, Array.tabulate(n)(i => f(i).toShort)))
+    val base = wav(1L, 800, i => (i * 37) % 8000 - 4000)
+    val louder = wav(2L, 800, i => ((i * 37) % 8000 - 4000) * 2)
+    val other = wav(3L, 800, i => (i * 91) % 8000 - 4000)
+    val short0 = wav(4L, 8, _ => 100) // < one sample per window at 32 windows
+    val out = Multimodal.audioFingerprint(
+        spark.createDataset(Seq(base, louder, other, short0)))
+      .collect().map(r => r.doc_id -> r.fp).toMap
+    assert(out.size == 3)
+    assert(out(1L) == out(2L)) // x2 gain: energies x4 uniformly, bits identical
+    assert(out(1L) != out(3L)) // different waveform flips bits
+  }
+
   test("frame sampling yields ceil(len/stride) frames") {
     val docs = Tables.load(spark, TestSpark.sfDir, "documents").limit(5)
     val media = Multimodal.asMedia(docs, "doc_id", "text")
