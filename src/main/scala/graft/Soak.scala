@@ -71,7 +71,11 @@ object Soak {
     "q_sketch_join_card",    // CMS inner-product join-size estimate (r11)
     "q_sketch_hll_merge",    // per-source HLL union (r11)
     "q_agg_incremental",     // mergeable partials vs direct rollup (r11)
-    "q_link_hops")           // frontier BFS, 3 rounds (r11)
+    "q_link_hops",           // frontier BFS, 3 rounds (r11)
+    "q_dedup_semantic",      // SemDeDup cell-bounded pair prune (r11)
+    "q_text_dsir_select",    // DSIR bucket counts + map-side scoring (r11)
+    "q_dedup_source_overlap", // fp-keyed self-join, source-bounded fan-out (r11)
+    "q_text_bpe_train")      // vocab-sized training rounds (r11)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

@@ -667,6 +667,151 @@ object Curation {
         expr("CAST(SUM(ppm) DIV COUNT(1) AS BIGINT)").as("lm_ppm"))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023, arXiv:2302.03169):
+    * score every RAW document by how much its hashed-unigram profile looks
+    * like a TARGET sample — the data-selection step that tilts a 100 TB
+    * crawl toward a quality/domain distribution without training a model.
+    *
+    * Mechanics, integer-exact so a DuckDB oracle replays every score:
+    * tokens hash into `nBuckets` buckets (portable polyHash); bucket counts
+    * over target and raw give each bucket an add-one-smoothed weight
+    * `w(b) = (tc(b)+1)·1e6 DIV (rc(b)+1)` — a truncated-ppm proxy for the
+    * paper's log-likelihood ratio that is monotone in p_target/p_raw per
+    * bucket (the total-count normalizers are bucket-constant and cannot
+    * reorder single-bucket comparisons, and the log is dropped in favor of
+    * the raw ratio: Σ-of-ratios ranks dup-heavy targets slightly more
+    * aggressively than Σ-of-logs, an accepted, documented deviation that
+    * buys bit-exactness). A document's `score` is the sum of its tokens'
+    * bucket weights; `mean_w = score DIV n_tokens` is the length-normalized
+    * selection key.
+    *
+    * Scale shape: two (token → bucket) hash-aggs whose exchanges carry at
+    * most `nBuckets` rows, ONE bounded driver collect (the ≤nBuckets weight
+    * table — same contract as the k-means centroid literal), then scoring
+    * is a pure map-side HOF over the token array with the weight table as a
+    * plan literal: the corpus never shuffles to be scored. EAGER CONTRACT:
+    * construction runs the two count jobs (the selectByTokenBudget
+    * precedent) — don't build speculatively.
+    *
+    * Overflow: each weight ≤ (target tokens + 1)·1e6; with the intended
+    * target ≪ raw and nBuckets ≥ 64 the per-doc sum sits orders of
+    * magnitude under Long range (a 1e6-token target, ALL in one bucket,
+    * with a 1e6-token doc still sums to 1e18 only in the degenerate
+    * rc(b)=0 case, which cannot occur when target ⊆ raw).
+    *
+    * Returns (idCol, n_tokens, score, mean_w) for every raw row.
+    */
+  def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= 65536, s"nBuckets out of range: $nBuckets")
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      df.select(TextFns.polyHashEach("__t").as("__h"))
+        .select(explode(expr(s"transform(__h, h -> h % $nBuckets)")).as("b"))
+        .groupBy(col("b")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tokenized = (df: DataFrame) =>
+      df.withColumn("__t", TextFns.tokens(col(textCol)))
+    val rc = bucketCounts(tokenized(raw))
+    val tc = bucketCounts(tokenized(target))
+    val weights: Array[Long] = Array.tabulate(nBuckets) { b =>
+      ((tc.getOrElse(b.toLong, 0L) + 1L) * 1000000L) / (rc.getOrElse(b.toLong, 0L) + 1L)
+    }
+    tokenized(raw)
+      .withColumn("__wl", array(weights.map(lit(_)): _*))
+      .withColumn("__h", TextFns.polyHashEach("__t"))
+      .withColumn("score", expr(
+        s"aggregate(transform(__h, h -> element_at(__wl, CAST(h % $nBuckets AS INT) + 1)), " +
+        "0L, (a, x) -> a + x)"))
+      .withColumn("n_tokens", size(col("__t")).cast(LongType))
+      .withColumn("mean_w", expr("score DIV n_tokens"))
+      .select(col(idCol), col("n_tokens"), col("score"), col("mean_w"))
+  }
+
+  /** Distributed BPE merge-table TRAINING (Sennrich et al. 2016) — the
+    * other half of the engine's BPE surface: `plans.BpeExpressions` encodes
+    * with a fixed table; this LEARNS the table from the corpus. Classic
+    * algorithm, distributed shape: build the word-frequency dictionary
+    * (ONE corpus-scale shuffle — training never touches the corpus again),
+    * then each round (a) counts adjacent symbol pairs over the dictionary
+    * weighted by word frequency (a vocab-sized agg, ≪ corpus), (b) takes
+    * the 1-row argmax to the driver — ties broken (count DESC, pair ASC)
+    * so training is deterministic — and (c) applies the merge map-side.
+    *
+    * Symbol sequences are stored DELIMITED — each symbol wrapped as
+    * `(sym)` — so applying merge (a,b) is a plain `replace(seq,
+    * "(a)(b)", "(ab)")`: string replace is leftmost non-overlapping in
+    * both engines, which IS the BPE merge-pass rule, and the wrapping
+    * makes cross-symbol false matches impossible ("(a)(bc)" does not
+    * contain "(a)(b)"). That one representation choice is what makes the
+    * whole training loop DuckDB-replayable bit-for-bit, unrolled round by
+    * round. Only purely-alphabetic words train (the BpeKernel contract;
+    * also keeps '(' and ')' out of symbol text).
+    *
+    * EAGER CONTRACT: construction runs `nMerges` bounded 1-row argmax
+    * jobs plus the dictionary materialization (the selectByTokenBudget
+    * precedent). Training state (the dictionary) is persisted once and
+    * released before return; rounds after a pair-less dictionary (every
+    * word a single symbol) stop early.
+    *
+    * Returns the rank-ordered merge table (round, lhs, rhs, freq) —
+    * KB-scale by definition; feed it to a BpeKernel-style encoder.
+    */
+  def trainBpe(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64, s"nMerges out of range: $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v0 = df.withColumn("__t", TextFns.tokens(col(textCol)))
+      .select(explode(col("__t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq",
+        expr("array_join(transform(split(w, ''), c -> concat('(', c, ')')), '')"))
+      .select(col("seq"), col("freq"))
+      .persist()
+    try {
+      var cur = v0
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      var round = 1
+      var exhausted = false
+      while (round <= nMerges && !exhausted) {
+        val top = cur
+          .withColumn("__s", expr("regexp_extract_all(seq, '\\\\(([^)]*)\\\\)', 1)"))
+          .filter(size(col("__s")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(slice(__s, 1, size(__s) - 1), (x, i) -> concat(x, ' ', element_at(__s, i + 2)))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val Array(a, b) = top(0).getString(0).split(" ", 2)
+          merges += ((round.toLong, a, b, top(0).getLong(1)))
+          // lineage, not persist: each round is one map-side replace over
+          // the cached dictionary — nMerges replaces stay trivially cheap
+          cur = cur.withColumn("seq",
+            replace(col("seq"), lit(s"($a)($b)"), lit(s"($a$b)")))
+          round += 1
+        }
+      }
+      merges.result().toDF("round", "lhs", "rhs", "freq")
+    } finally v0.unpersist(blocking = false)
+  }
+
+  /** Deterministic DSIR selection: the top `keep` raw documents by
+    * length-normalized importance (`mean_w` DESC, `idCol` ascending ties) —
+    * a TakeOrdered heap over [[importanceScores]]'s map-side output, where
+    * the paper samples proportionally (determinism is what makes the
+    * selection oracle-checkable and re-runnable).
+    */
+  def importanceSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                       textCol: String, nBuckets: Int, keep: Int): DataFrame = {
+    require(keep > 0, s"keep must be positive: $keep")
+    importanceScores(raw, target, idCol, textCol, nBuckets)
+      .orderBy(col("mean_w").desc, col(idCol))
+      .limit(keep)
+  }
+
   /** Tie-groups larger than this pay the sharded cumsum path in
     * [[selectByTokenBudget]] instead of a single ordered window. 2^20 rows
     * of (id, ntok) is a few tens of MB on one window partition — safely

@@ -483,6 +483,79 @@ object Dedup {
       .agg((count(col("__hit")) > 0).as("is_near_dup"))
   }
 
+  /** Cross-source duplication matrix: for every pair of sources, how many
+    * DISTINCT normalized-content fingerprints they share — the diagnostic a
+    * mixing plan consults before weighting sources (a crawl snapshot that
+    * substantially contains a curated source would otherwise be
+    * double-counted by per-source token budgets).
+    *
+    * Scale shape: one distinct on (fp, source) — the exchange carries a
+    * 16-byte hash plus a low-cardinality label, never text — then a
+    * fingerprint-keyed self-join whose fan-out per fp is bounded by the
+    * SOURCE COUNT (a content shared by all s sources yields s·(s−1)/2 pair
+    * rows, independent of how many documents carry it), and a pair-keyed
+    * count whose result is at most s² rows.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String): DataFrame = {
+    val fps = df.select(TextFns.fingerprint(col(textCol)).as("fp"),
+      col(srcCol).as("__src")).distinct()
+    val a = fps.select(col("fp"), col("__src").as("src_a"))
+    val b = fps.select(col("fp"), col("__src").as("src_b"))
+    a.join(b, Seq("fp")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast(LongType).as("n_shared"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup where
+    * k-means cells bound the pair search instead of LSH buckets — cluster
+    * the embeddings, score cosine only WITHIN a cell, and for every pair at
+    * or above `threshold` drop the member NEARER its centroid (the paper's
+    * keep-lowest-centroid-similarity rule: of a duplicate group the
+    * outlying phrasing survives, preserving diversity). Ties on distance
+    * drop the higher id, so survivorship is total-ordered and engine-exact.
+    *
+    * Returns the surviving (idCol, cluster, dist) rows — `dist` the exact
+    * unit² distance to the winning centroid from the fixed-point Lloyd fit,
+    * which is also the drop-rule key, so the decision is auditable per row.
+    *
+    * Engine-exact arithmetic end to end: assignments come from the
+    * fixed-point [[KMeans.assignments]]; pair cosine is the exact decimal
+    * quantized dot over correctly-rounded norms, thresholded after a
+    * round-to-6 (the q_dedup_embedding discipline), so a DuckDB oracle
+    * replays every drop decision bit-for-bit.
+    *
+    * Scale shape: one id-keyed join (assignment ⋈ quantized vectors), one
+    * cluster-keyed self-join bounded by cell population, one distinct on
+    * drop ids, one left-anti. This is WHY SemDeDup exists at 100 TB: k
+    * grows with the corpus (the paper runs 50k clusters on LAION), holding
+    * cell size — and thus pair fan-out — constant, where all-pairs cosine
+    * is quadratic and LSH banding cannot rank within a collision group.
+    * The k×dim centroid matrix stays a plan literal; the corpus never
+    * shuffles to be assigned, only to pair within its cell.
+    */
+  def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
+               passes: Int, threshold: Double): DataFrame = {
+    import graft.functions.VectorFns
+    val assigned = KMeans.assignments(df, idCol, embCol, k, passes)
+    val qn = df.select(col(idCol), VectorFns.quantize(col(embCol)).as("__qv"))
+      .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__qv"), col("__qv"))))
+    val m = assigned.join(qn, Seq(idCol))
+    val a = m.select(col(idCol).as("a_id"), col("cluster"),
+      col("dist").as("a_dist"), col("__qv").as("ae"), col("__n").as("an"))
+    val b = m.select(col(idCol).as("b_id"), col("cluster"),
+      col("dist").as("b_dist"), col("__qv").as("be"), col("__n").as("bn"))
+    val dropped = a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(when(col("a_dist") < col("b_dist") ||
+          (col("a_dist") === col("b_dist") && col("a_id") > col("b_id")),
+          col("a_id")).otherwise(col("b_id")).as("__drop_id"))
+      .distinct()
+    m.join(dropped, col(idCol) === col("__drop_id"), "left_anti")
+      .select(col(idCol), col("cluster"), col("dist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: vectors are
     * sign-random-projection bucketed (Similarity.lshBucket) and only
     * same-bucket pairs are scored — the scale path for embedding dedup.

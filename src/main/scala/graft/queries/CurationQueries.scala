@@ -802,6 +802,89 @@ object CurationQueries {
           FROM versions)
         SELECT user_id, event_type, valid_from, valid_to,
                (valid_to IS NULL) AS is_current, event_id
-        FROM hist ORDER BY user_id, valid_from, event_id"""))
+        FROM hist ORDER BY user_id, valid_from, event_id""")),
+
+    // ----- DSIR-style importance selection (Xie et al. 2023): hashed
+    // unigram bucket counts (256 buckets, portable polyHash) for the
+    // English subset as TARGET vs the whole corpus as RAW; every doc scores
+    // the integer sum of its tokens' add-one-smoothed ppm target/raw
+    // ratios; top 64 by length-normalized mean selected deterministically.
+    // The oracle replays buckets, counts, weights, scores, and the
+    // (mean_w DESC, doc_id) cut bit-for-bit — the selection a 100 TB crawl
+    // runs map-side with the ≤256-entry weight table as a plan literal.
+    Q("q_text_dsir_select",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Curation.importanceSelect(docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text", nBuckets = 256, keep = 64)
+          .orderBy(col("mean_w").desc, col("doc_id"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, lang,
+                            string_split_regex(lower(trim(text)), '\\s+') AS t
+                     FROM documents),
+        tl AS (SELECT doc_id, lang, unnest(t) AS w FROM tok),
+        hb AS (SELECT doc_id, lang, ${TextFns.polyHashSql("w")} % 256 AS b FROM tl),
+        rc AS (SELECT b, COUNT(*) AS rcnt FROM hb GROUP BY b),
+        tcx AS (SELECT b, COUNT(*) AS tcnt FROM hb WHERE lang = 'en' GROUP BY b),
+        g AS (SELECT CAST(gs.g AS BIGINT) AS b FROM generate_series(0, 255) gs(g)),
+        wt AS (SELECT g.b,
+                      ((COALESCE(tcnt, 0) + 1) * 1000000)
+                        // (COALESCE(rcnt, 0) + 1) AS w
+               FROM g LEFT JOIN rc ON g.b = rc.b LEFT JOIN tcx ON g.b = tcx.b),
+        sc AS (SELECT hb.doc_id, SUM(wt.w) AS score, COUNT(*) AS n
+               FROM hb JOIN wt ON hb.b = wt.b GROUP BY hb.doc_id)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(score AS BIGINT) AS score,
+               CAST(score // n AS BIGINT) AS mean_w
+        FROM sc ORDER BY mean_w DESC, doc_id LIMIT 64""")),
+
+    // ----- distributed BPE merge-table TRAINING (Sennrich et al. 2016),
+    // 4 rounds: word-frequency dictionary (one corpus shuffle), then each
+    // round a vocab-sized weighted pair count + deterministic argmax +
+    // map-side merge apply. The delimited `(sym)` representation makes the
+    // merge pass a plain leftmost-non-overlapping `replace` on BOTH
+    // engines, so the oracle unrolls all 4 data-dependent rounds and must
+    // reproduce the learned table bit-for-bit.
+    Q("q_text_bpe_train",
+      (s, dir) =>
+        Curation.trainBpe(t(s, dir, "documents"), "text", nMerges = 4)
+          .orderBy(col("round")),
+      Some {
+        def sCte(i: Int) =
+          s"s$i AS (SELECT freq, regexp_extract_all(seq, '\\(([^)]*)\\)', 1) AS s FROM v${i - 1})"
+        def pCte(i: Int) =
+          s"""p$i AS (SELECT u.pair, SUM(u.freq) AS n FROM (
+                SELECT freq, unnest(list_transform(range(1, len(s)),
+                  i2 -> s[i2] || ' ' || s[i2 + 1])) AS pair
+                FROM s$i WHERE len(s) >= 2) u GROUP BY u.pair)"""
+        def wCte(i: Int) =
+          s"w$i AS (SELECT split_part(pair, ' ', 1) AS a, " +
+          s"split_part(pair, ' ', 2) AS b, n FROM p$i ORDER BY n DESC, pair LIMIT 1)"
+        def vCte(i: Int) =
+          s"""v$i AS (SELECT replace(seq,
+                '(' || (SELECT a FROM w$i) || ')(' || (SELECT b FROM w$i) || ')',
+                '(' || (SELECT a FROM w$i) || (SELECT b FROM w$i) || ')') AS seq,
+                freq FROM v${i - 1})"""
+        val rounds = (1 to 4).flatMap(i =>
+          Seq(sCte(i), pCte(i), wCte(i)) ++ (if (i < 4) Seq(vCte(i)) else Nil))
+          .mkString(",\n        ")
+        s"""
+        WITH toks2 AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+                       FROM documents),
+        words AS (SELECT unnest(t) AS w FROM toks2),
+        vocab AS (SELECT w, COUNT(*) AS freq FROM words
+                  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+        v0 AS (SELECT list_aggregate(list_transform(string_split(w, ''),
+                 c -> '(' || c || ')'), 'string_agg', '') AS seq, freq
+               FROM vocab),
+        $rounds
+        SELECT CAST(1 AS BIGINT) AS round, a AS lhs, b AS rhs,
+               CAST(n AS BIGINT) AS freq FROM w1
+        UNION ALL SELECT CAST(2 AS BIGINT), a, b, CAST(n AS BIGINT) FROM w2
+        UNION ALL SELECT CAST(3 AS BIGINT), a, b, CAST(n AS BIGINT) FROM w3
+        UNION ALL SELECT CAST(4 AS BIGINT), a, b, CAST(n AS BIGINT) FROM w4
+        ORDER BY round"""
+      })
   )
 }

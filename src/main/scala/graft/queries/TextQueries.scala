@@ -475,6 +475,37 @@ object TextQueries {
         FROM (SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
               FROM documents) t""")),
 
+    // ----- cross-source duplication matrix: distinct shared fingerprints
+    // per source pair — the double-counting diagnostic a mixing plan runs
+    // before weighting sources. The fixture has no natural cross-source
+    // dups, so ~21 docs (doc_id % 23 = 7) are planted with 5 syndicated
+    // content classes spread across the 20 sources — every count binds.
+    Q("q_dedup_source_overlap",
+      (s, dir) => {
+        val planted = t(s, dir, "documents")
+          .withColumn("text", when(col("doc_id") % 23 === 7,
+              concat(lit("syndicated wire story "),
+                (col("doc_id") % 5).cast(StringType)))
+            .otherwise(col("text")))
+        Dedup.sourceOverlap(planted, "text", "source")
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""
+        WITH planted AS (
+          SELECT CASE WHEN doc_id % 23 = 7
+                      THEN 'syndicated wire story ' || CAST(doc_id % 5 AS VARCHAR)
+                      ELSE text END AS text,
+                 source
+          FROM documents),
+        f AS (SELECT DISTINCT
+                md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                source
+              FROM planted)
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY src_a, src_b""")),
+
     // ----- exact dedup: hash-groupBy, min-id survivor
     Q("q_dedup_exact",
       (s, dir) =>

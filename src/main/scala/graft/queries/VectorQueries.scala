@@ -710,7 +710,38 @@ object VectorQueries {
                   ORDER BY ord, vec_id) AS BIGINT) AS rank
               FROM ordd)
         SELECT CAST(j AS BIGINT) AS cluster, vec_id, rank
-        FROM r WHERE rank <= 20 ORDER BY cluster, rank"""))
+        FROM r WHERE rank <= 20 ORDER BY cluster, rank""")),
+
+    // ----- SemDeDup (Abbas et al. 2023): k-means cells bound the pair
+    // search, within-cell cosine pairs >= 0.2 are pruned keeping the member
+    // FARTHEST from its centroid (diversity-preserving survivorship). The
+    // whole decision chain — fixed-point Lloyd fit, exact decimal pair
+    // cosine, (dist, id) drop order — is engine-exact, so the oracle
+    // replays every drop bit-for-bit. The 0.2 threshold binds on the
+    // fixture (same cosine spread q_dedup_embedding gates on).
+    Q("q_dedup_semantic",
+      (s, dir) =>
+        graft.operators.Dedup.semDedup(
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2,
+            threshold = 0.2)
+          .orderBy(col("vec_id")),
+      Some(s"""
+        WITH $kmeansCtes,
+        qn AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        m AS (SELECT a2.vec_id, a2.j, a2.dist, qn.embedding, qn.norm
+              FROM a2 JOIN qn USING (vec_id)),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN a.dist < b.dist
+                                 OR (a.dist = b.dist AND a.vec_id > b.vec_id)
+                               THEN a.vec_id ELSE b.vec_id END AS drop_id
+          FROM m a JOIN m b ON a.j = b.j AND a.vec_id < b.vec_id
+          WHERE round(${VectorFns.dotSql("a.embedding", "b.embedding")}
+                      / (a.norm * b.norm), 6) >= 0.2)
+        SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
+        FROM m WHERE vec_id NOT IN (SELECT drop_id FROM dropped)
+        ORDER BY vec_id"""))
   )
 
   /** DuckDB replay of the fixed-point two-pass Lloyd iteration (k=4,

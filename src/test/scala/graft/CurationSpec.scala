@@ -379,6 +379,50 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.maxBy(_._3)._1 == 1L)
   }
 
+  test("DSIR importance scores match a local replay; target=raw is the unit weight") {
+    // Local replay of the operator's exact arithmetic (polyHash mod 64):
+    // alpha→55, beta→55 (same bucket), gamma→0, delta→17. rc = {55:6, 0:1,
+    // 17:1}, tc(target="alpha beta") = {55:2} → w(55) = 3e6/7 = 428571,
+    // w(0) = w(17) = 1e6/2 = 500000. Buckets COLLIDE (alpha/beta) and the
+    // smoothed rare-bucket boost wins for the disjoint doc — the replay
+    // reproduces both, so the assert pins the real DSIR mechanics, not a
+    // convenient no-collision case.
+    val raw = Seq((1L, "alpha beta alpha"), (2L, "gamma delta"),
+      (3L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta")).toDF("doc_id", "text")
+    val got = Curation.importanceScores(raw, target, "doc_id", "text", nBuckets = 64)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 3L * 428571L, 428571L),
+      (2L, 2L, 1000000L, 500000L),
+      (3L, 3L, 3L * 428571L, 428571L)))
+    // selection: top-2 by (mean_w DESC, id) = doc 2 then doc 1
+    val sel = Curation.importanceSelect(raw, target, "doc_id", "text",
+        nBuckets = 64, keep = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel == Set(2L, 1L))
+    // target == raw: every bucket weight is exactly (c+1)e6/(c+1) = 1e6,
+    // so mean_w is the unit 1000000 for every document
+    val unit = Curation.importanceScores(raw, raw, "doc_id", "text", nBuckets = 64)
+      .select("mean_w").collect().map(_.getLong(0)).toSet
+    assert(unit == Set(1000000L))
+  }
+
+  test("BPE training learns the hand-computed merge table and stops when pairs exhaust") {
+    // vocab: aaab×2, ab×1 (x1/a9 fail the alphabetic gate). Round 1:
+    // 'a a' = 4 (two overlapping pairs per aaab) beats 'a b' = 3 → merge
+    // (a,a); aaab becomes (aa)(a)(b). Round 2: 'a b' = 3 beats 'aa a' = 2
+    // → merge (a,b). Round 3: only 'aa ab' = 2 remains. Round 4 finds no
+    // pairs (both words are single symbols) → early stop at 3 merges.
+    val df = Seq((1L, "aaab aaab ab"), (2L, "x1 A9")).toDF("doc_id", "text")
+    val got = Curation.trainBpe(df, "text", nMerges = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)))
+  }
+
   test("SCD2: consecutive duplicates collapse, intervals chain, current open") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")

@@ -626,6 +626,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cap.toSeq == Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 3L, 1L), (1L, 4L, 2L)))
   }
 
+  test("source overlap counts distinct shared fingerprints per source pair") {
+    // content X in s1 (twice — must count once) and s2; content Y in all
+    // three; content Z only in s3. Whitespace variants of X must collapse
+    // (fingerprint normalizes). Expected: (s1,s2)=2, (s1,s3)=1, (s2,s3)=1.
+    val df = Seq(
+      (1L, "X alpha", "s1"), (2L, "X  alpha ", "s1"), (3L, "X alpha", "s2"),
+      (4L, "Y beta", "s1"), (5L, "Y beta", "s2"), (6L, "Y beta", "s3"),
+      (7L, "Z gamma", "s3")).toDF("doc_id", "text", "source")
+    val got = graft.operators.Dedup.sourceOverlap(df, "text", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
+  test("SemDeDup keeps the pair member farthest from its centroid") {
+    // k=2, passes=1 → centroids ARE the two lowest-id vectors. Cell 0 holds
+    // {0 (1,0), 2 (0.99,0.1), 4 (2,0)} — all pairwise cosine ≥ 0.99 — and
+    // cell 1 holds {1 (10,10), 3 (10.1,10)} at cosine ≈ 0.99997. Every pair
+    // is above the 0.9 threshold, so each cell collapses to ONE survivor:
+    // the member farthest from its centroid (id 4 at 1e12 units², id 3 at
+    // 1e10). A min-id survivorship would have kept {0, 1} — this pins the
+    // keep-lowest-centroid-similarity rule, not just dedup.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.99f, 0.1f)), (3L, Array(10.1f, 10.0f)),
+      (4L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup.semDedup(df, "vec_id", "embedding",
+        k = 2, passes = 1, threshold = 0.9)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3L, 1L), (4L, 0L)))
+    // raise the threshold past any possible cosine: nothing drops
+    val all = graft.operators.Dedup.semDedup(df, "vec_id", "embedding",
+        k = 2, passes = 1, threshold = 1.1)
+      .count()
+    assert(all == 5L)
+  }
+
   test("heavy hitters: eviction path, MG superset guarantee, partition independence") {
     import graft.operators.HeavyHitters
     // 3 hot tokens + 50 singletons, capacity 8 << 53 distinct tokens: the
