@@ -704,15 +704,22 @@ object Curation {
   def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
                        textCol: String, nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0 && nBuckets <= 65536, s"nBuckets out of range: $nBuckets")
-    def bucketCounts(df: DataFrame): Map[Long, Long] =
-      df.select(TextFns.polyHashEach("__t").as("__h"))
-        .select(explode(expr(s"transform(__h, h -> h % $nBuckets)")).as("b"))
-        .groupBy(col("b")).count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val tokenized = (df: DataFrame) =>
       df.withColumn("__t", TextFns.tokens(col(textCol)))
-    val rc = bucketCounts(tokenized(raw))
-    val tc = bucketCounts(tokenized(target))
+    // ONE counting job for both sides: raw and target union under a side
+    // tag, so the whole weight table comes back from a single
+    // (bucket, side) agg — at 100 TB this halves the count passes, and
+    // the exchange still carries at most 2·nBuckets rows.
+    def bucketed(df: DataFrame, side: Int): DataFrame =
+      tokenized(df)
+        .select(TextFns.polyHashEach("__t").as("__h"))
+        .select(explode(expr(s"transform(__h, h -> h % $nBuckets)")).as("b"),
+          lit(side).as("side"))
+    val counts = bucketed(raw, 0).unionByName(bucketed(target, 1))
+      .groupBy(col("b"), col("side")).count()
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rc = counts.collect { case ((b, 0), n) => b -> n }
+    val tc = counts.collect { case ((b, 1), n) => b -> n }
     val weights: Array[Long] = Array.tabulate(nBuckets) { b =>
       ((tc.getOrElse(b.toLong, 0L) + 1L) * 1000000L) / (rc.getOrElse(b.toLong, 0L) + 1L)
     }

@@ -536,15 +536,24 @@ object Dedup {
   def semDedup(df: DataFrame, idCol: String, embCol: String, k: Int,
                passes: Int, threshold: Double): DataFrame = {
     import graft.functions.VectorFns
-    val assigned = KMeans.assignments(df, idCol, embCol, k, passes)
-    val qn = df.select(col(idCol), VectorFns.quantize(col(embCol)).as("__qv"))
-      .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__qv"), col("__qv"))))
-    val m = assigned.join(qn, Seq(idCol))
+    // assignmentsQ keeps the quantized vector: everything up to the pair
+    // join is map-side off one scan — no id-keyed re-join of the corpus
+    val m = KMeans.assignmentsQ(df, idCol, embCol, k, passes)
+      .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
     val a = m.select(col(idCol).as("a_id"), col("cluster"),
-      col("dist").as("a_dist"), col("__qv").as("ae"), col("__n").as("an"))
+      col("dist").as("a_dist"), col("__u").as("ae"), col("__n").as("an"))
     val b = m.select(col(idCol).as("b_id"), col("cluster"),
-      col("dist").as("b_dist"), col("__qv").as("be"), col("__n").as("bn"))
-    val dropped = a.join(b, Seq("cluster")).filter(col("a_id") < col("b_id"))
+      col("dist").as("b_dist"), col("__u").as("be"), col("__n").as("bn"))
+    // Salt the cell self-join: with k below the core count (toy fixtures,
+    // coarse clusterings) a bare cluster key parks each cell's O(|cell|²)
+    // cosine work on ONE task. The b side shards by id, the a side
+    // replicates per shard — same pairs, `pairSalt`× the (tiny) a-side
+    // rows, parallelism k·pairSalt. At production k (paper-scale: tens of
+    // thousands of cells) the salt is a harmless constant.
+    val pairSalt = 8
+    val aS = a.withColumn("__salt", explode(lit((0 until pairSalt).toArray)))
+    val bS = b.withColumn("__salt", pmod(col("b_id"), lit(pairSalt)).cast(IntegerType))
+    val dropped = aS.join(bS, Seq("cluster", "__salt")).filter(col("a_id") < col("b_id"))
       .withColumn("cos",
         VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")))
       .filter(round(col("cos"), 6) >= threshold)

@@ -51,7 +51,17 @@ object KMeans {
     * (the QuantizeVec contract).
     */
   def assignments(df: DataFrame, idCol: String, embCol: String, k: Int,
-                  passes: Int): DataFrame = {
+                  passes: Int): DataFrame =
+    assignmentsQ(df, idCol, embCol, k, passes).drop("__u")
+
+  /** [[assignments]] retaining the quantized vector as `__u` — callers
+    * that need the vector alongside the assignment (SemDeDup's pair
+    * cosines) stay map-side instead of re-joining the corpus on id.
+    * Column pruning removes `__u` for callers that drop it, so
+    * [[assignments]] pays nothing for the wider intermediate.
+    */
+  def assignmentsQ(df: DataFrame, idCol: String, embCol: String, k: Int,
+                   passes: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
     require(passes >= 1, s"need at least one assignment pass: $passes")
     val q = df.select(col(idCol), VectorFns.quantize(col(embCol)).as("__u"))
@@ -76,7 +86,7 @@ object KMeans {
       cents = next
     }
     assignTo(q, cents)
-      .select(col(idCol), col("cluster"), col("dist"))
+      .select(col(idCol), col("cluster"), col("dist"), col("__u"))
   }
 
   /** Per-cluster fit report — the elbow-method statistic, engine-exact:
