@@ -75,7 +75,8 @@ object Soak {
     "q_dedup_semantic",      // SemDeDup cell-bounded pair prune (r11)
     "q_text_dsir_select",    // DSIR bucket counts + map-side scoring (r11)
     "q_dedup_source_overlap", // fp-keyed self-join, source-bounded fan-out (r11)
-    "q_text_bpe_train")      // vocab-sized training rounds (r11)
+    "q_text_bpe_train",      // vocab-sized training rounds (r11)
+    "q_vec_contrastive")     // shared pair subplan + two bounded heaps (r11)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

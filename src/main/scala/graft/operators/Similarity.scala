@@ -485,6 +485,55 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
   }
 
+  /** Contrastive triplet mining — training data FOR embedding models
+    * (the SimCSE/E5 preparation shape): every vector becomes an anchor
+    * with its best same-cell POSITIVE (cosine ≥ `posThreshold`) and its
+    * hardest same-cell NEGATIVE (highest cosine inside [`negLo`, `negHi`)
+    * — similar enough to be hard, dissimilar enough to be wrong). Anchors
+    * missing either side drop out (inner join), so every emitted row is a
+    * complete (anchor, pos, neg) triplet.
+    *
+    * Same scale spine as [[graft.operators.Dedup.semDedup]]: the k-means
+    * cell bounds the pair search, the pair join is salted, the cosine is
+    * the exact decimal quantized dot rounded to 6 (cross-engine-total
+    * ordering with id tie-breaks), and both top-1 selections run on the
+    * bounded-heap TopKPerGroup operator over ONE shared directed-pair
+    * subplan — no all-pairs anywhere.
+    */
+  def contrastiveTriplets(df: DataFrame, idCol: String, embCol: String,
+                          k: Int, passes: Int, posThreshold: Double,
+                          negLo: Double, negHi: Double): DataFrame = {
+    require(negLo < negHi && negHi <= posThreshold,
+      s"need negLo < negHi <= posThreshold: $negLo, $negHi, $posThreshold")
+    import graft.functions.VectorFns
+    val m = KMeans.assignmentsQ(df, idCol, embCol, k, passes)
+      .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
+    val a = m.select(col(idCol).as("anchor"), col("cluster"),
+      col("__u").as("ae"), col("__n").as("an"))
+    val b = m.select(col(idCol).as("other"), col("cluster"),
+      col("__u").as("be"), col("__n").as("bn"))
+    val pairSalt = 8
+    val aS = a.withColumn("__salt", explode(lit((0 until pairSalt).toArray)))
+    val bS = b.withColumn("__salt",
+      pmod(col("other"), lit(pairSalt)).cast(org.apache.spark.sql.types.IntegerType))
+    val pairs = aS.join(bS, Seq("cluster", "__salt"))
+      .filter(col("anchor") =!= col("other"))
+      .withColumn("cos",
+        round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))
+      .select(col("anchor"), col("other"), col("cos"))
+    val pos = graft.plans.TopKPerGroup.topK(
+        pairs.filter(col("cos") >= posThreshold), Seq("anchor"),
+        Seq(("cos", true), ("other", false)), 1)
+      .select(col("anchor"), col("other").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = graft.plans.TopKPerGroup.topK(
+        pairs.filter(col("cos") >= negLo && col("cos") < negHi), Seq("anchor"),
+        Seq(("cos", true), ("other", false)), 1)
+      .select(col("anchor"), col("other").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("anchor"))
+      .select(col("anchor"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates are scored only inside the query's
     * bucket. Recall < 1 by construction; nBits trades recall for speed.
     */

@@ -741,7 +741,44 @@ object VectorQueries {
                       / (a.norm * b.norm), 6) >= 0.2)
         SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
         FROM m WHERE vec_id NOT IN (SELECT drop_id FROM dropped)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ----- contrastive triplet mining (SimCSE/E5 data prep): per anchor,
+    // the best same-cell positive (cos >= 0.25) and the HARDEST same-cell
+    // negative (highest cos inside [0.05, 0.15)); anchors missing either
+    // side drop. Both thresholds bind on the fixture (824 directed pairs
+    // >= 0.3, ~12k in the 0.1-0.2 band at sf0.01). One shared pair subplan
+    // feeds both TopKPerGroup heaps; the oracle replays the Lloyd fit,
+    // rounded cosines, and both (cos DESC, other) top-1 cuts.
+    Q("q_vec_contrastive",
+      (s, dir) =>
+        graft.operators.Similarity.contrastiveTriplets(
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2,
+            posThreshold = 0.25, negLo = 0.05, negHi = 0.15)
+          .orderBy(col("anchor")),
+      Some(s"""
+        WITH $kmeansCtes,
+        qn AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        m AS (SELECT a2.vec_id, a2.j, qn.embedding, qn.norm
+              FROM a2 JOIN qn USING (vec_id)),
+        p AS (SELECT a.vec_id AS anchor, b.vec_id AS other,
+                     round(${VectorFns.dotSql("a.embedding", "b.embedding")}
+                           / (a.norm * b.norm), 6) AS cos
+              FROM m a JOIN m b ON a.j = b.j AND a.vec_id <> b.vec_id),
+        pos AS (SELECT anchor, other AS pos_id, cos AS pos_cos FROM (
+                  SELECT anchor, other, cos,
+                         row_number() OVER (PARTITION BY anchor
+                           ORDER BY cos DESC, other) AS rk
+                  FROM p WHERE cos >= 0.25) t WHERE rk = 1),
+        neg AS (SELECT anchor, other AS neg_id, cos AS neg_cos FROM (
+                  SELECT anchor, other, cos,
+                         row_number() OVER (PARTITION BY anchor
+                           ORDER BY cos DESC, other) AS rk
+                  FROM p WHERE cos >= 0.05 AND cos < 0.15) t WHERE rk = 1)
+        SELECT anchor, pos_id, pos_cos, neg_id, neg_cos
+        FROM pos JOIN neg USING (anchor) ORDER BY anchor"""))
   )
 
   /** DuckDB replay of the fixed-point two-pass Lloyd iteration (k=4,

@@ -664,6 +664,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == 5L)
   }
 
+  test("contrastive triplets pick best positive and hardest in-band negative per anchor") {
+    // Same cells as the SemDeDup fixture. Cell 0 cosines: (0,4) = 1.0
+    // exactly (collinear), (0,2) = (2,4) ≈ 0.9949. With pos >= 0.999 and
+    // neg in [0.9, 0.999): anchors 0 and 4 pair as positives and take 2 as
+    // the hard negative; anchor 2 has no positive (both its pairs are in
+    // the neg band) and drops; cell 1's only pair (1,3) ≈ 0.99997 is above
+    // the neg band, so those anchors have no negative and drop too.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.99f, 0.1f)), (3L, Array(10.1f, 10.0f)),
+      (4L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.contrastiveTriplets(df, "vec_id",
+        "embedding", k = 2, passes = 1,
+        posThreshold = 0.999, negLo = 0.9, negHi = 0.999)
+      .orderBy("anchor").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._4)).toSeq == Seq((0L, 4L, 2L), (4L, 0L, 2L)))
+    assert(got.forall(_._3 == 1.0)) // the collinear positive scores exactly 1
+  }
+
   test("heavy hitters: eviction path, MG superset guarantee, partition independence") {
     import graft.operators.HeavyHitters
     // 3 hot tokens + 50 singletons, capacity 8 << 53 distinct tokens: the
