@@ -98,14 +98,18 @@ object Soak {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    println(f"${"query"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (data x$factor)")
-    soakQueries.foreach { name =>
-      val q = SparkEntry.registry.find(_.name == name).get
-      time(q.run(spark, small).count()) // cold: codegen+JIT, discarded
-      val tSmall = time(q.run(spark, small).count())
-      time(q.run(spark, big).count())
-      val tBig = time(q.run(spark, big).count())
-      println(f"$name%-24s $tSmall%10.2f $tBig%10.2f ${tBig / tSmall}%7.1f")
+    // SPARK_GRAFT_SOAK_SKIP_MAIN=1 skips the registry sweep so the gated
+    // sections below can be re-measured alone after a targeted change
+    if (!sys.env.get("SPARK_GRAFT_SOAK_SKIP_MAIN").contains("1")) {
+      println(f"${"query"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (data x$factor)")
+      soakQueries.foreach { name =>
+        val q = SparkEntry.registry.find(_.name == name).get
+        time(q.run(spark, small).count()) // cold: codegen+JIT, discarded
+        val tSmall = time(q.run(spark, small).count())
+        time(q.run(spark, big).count())
+        val tBig = time(q.run(spark, big).count())
+        println(f"$name%-24s $tSmall%10.2f $tBig%10.2f ${tBig / tSmall}%7.1f")
+      }
     }
 
     // Dedup-family soak at an independently larger factor, with the
@@ -403,6 +407,36 @@ object Soak {
         conf.unset("spark.sql.adaptive.skewJoin.enabled")
         conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+    }
+
+    // ---- SemDeDup/contrastive cell-size scaling: their pair joins are
+    // quadratic in CELL population by design, so the operator contract is
+    // that k scales with the corpus (constant cell size — the SemDeDup
+    // paper runs 50k cells on LAION). The registry queries hold k=4 for
+    // oracle reuse, which makes their x10 soak ratio ~quadratic BY
+    // CONSTRUCTION; this section measures the contract instead: x10 data
+    // with k=4 (cells 10×) vs k=40 (cells back at 1× size). The k=40
+    // column landing near the small-corpus column (× the data factor for
+    // the map-side passes) is the linearity evidence.
+    // Enable: SPARK_GRAFT_SOAK_SEMK=1.
+    if (sys.env.get("SPARK_GRAFT_SOAK_SEMK").contains("1")) {
+      def emb(dir: String) = Tables.load(spark, dir, "embeddings")
+      def sd(dir: String, k: Int): Long =
+        graft.operators.Dedup.semDedup(emb(dir), "vec_id", "embedding",
+          k, passes = 2, threshold = 0.2).count()
+      def ct(dir: String, k: Int): Long =
+        graft.operators.Similarity.contrastiveTriplets(emb(dir), "vec_id",
+          "embedding", k, passes = 2,
+          posThreshold = 0.25, negLo = 0.05, negHi = 0.15).count()
+      val cellRuns: Seq[(String, (String, Int) => Long)] =
+        Seq("semdedup" -> (sd _), "contrastive" -> (ct _))
+      println(f"${"cell op"}%-24s ${"small k4"}%10s ${"big k4"}%10s ${"big k40"}%10s (data x$factor)")
+      cellRuns.foreach { case (name, f) =>
+        f(small, 4); val tS = time(f(small, 4))
+        f(big, 4); val tB4 = time(f(big, 4))
+        f(big, 40); val tB40 = time(f(big, 40))
+        println(f"$name%-24s $tS%10.2f $tB4%10.2f $tB40%10.2f")
       }
     }
     spark.stop()

@@ -125,17 +125,22 @@ object KMeans {
       .select(col("cluster"), col(idCol), col("rank"))
   }
 
-  /** Map-side assignment against a literal centroid matrix: exact integer
-    * squared distances to all k centroids, argmin with lowest-index ties.
+  /** Map-side assignment against the centroid matrix: exact integer
+    * squared distances to all k centroids (the CellDistsQ codegen kernel —
+    * a reference-object array walk, so per-row cost is k·dim long ops, not
+    * k·dim HOF closure calls; same arithmetic bit-for-bit as the
+    * `aggregate(zip_with(...))` lattice it replaces), argmin with
+    * lowest-index ties.
     */
   private def assignTo(q: DataFrame, cents: Array[Array[Long]]): DataFrame = {
-    val cLit = array(cents.map(cu => array(cu.map(lit(_)): _*)): _*)
-    q.withColumn("__cs", cLit)
-      .withColumn("__d", expr(
-        "transform(__cs, c -> aggregate(zip_with(__u, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))"))
+    val dists = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.CellDistsQ(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__u")),
+        cents.map(_.toSeq).toSeq))
+    q.withColumn("__d", dists)
       .withColumn("cluster",
         (expr("array_position(__d, array_min(__d))") - 1).cast(LongType))
       .withColumn("dist", expr("array_min(__d)").cast(LongType))
-      .drop("__cs", "__d")
+      .drop("__d")
   }
 }

@@ -34,4 +34,27 @@ object Tuning {
     spark.conf.getOption("spark.graft.dedup.maxDocFreq").map(_.toLong).getOrElse {
       math.max(16L, math.sqrt(2.0 * corpusRows).toLong)
     }
+
+  /** MinHash LSH band plan: among all factorizations b·r = `permutations`,
+    * the (bands, rowsPerBand) whose S-curve threshold (1/b)^(1/r) sits
+    * closest to `targetJaccard` — the sizing a 100 TB dedup run does ONCE
+    * before committing to a banding (re-banding later re-sketches the
+    * corpus). Collision probability at similarity s is 1 − (1 − s^r)^b;
+    * the returned threshold is the curve's steepest point, so pairs above
+    * it are likely candidates and pairs below mostly are not. Ties between
+    * factorizations (equidistant thresholds) go to the SMALLER band count:
+    * fewer bands → fewer candidate pairs for the same sketch budget, the
+    * cheaper side of the tie at scale. Driver-side closed-form arithmetic;
+    * feed the result to `Dedup.bandedSignatures`.
+    */
+  def bandPlan(permutations: Int, targetJaccard: Double): (Int, Int, Double) = {
+    require(permutations >= 1, s"need >= 1 permutation: $permutations")
+    require(targetJaccard > 0.0 && targetJaccard < 1.0,
+      s"targetJaccard must be in (0, 1): $targetJaccard")
+    val plans = for {
+      b <- 1 to permutations if permutations % b == 0
+      r = permutations / b
+    } yield (b, r, math.pow(1.0 / b, 1.0 / r))
+    plans.minBy { case (b, _, t) => (math.abs(t - targetJaccard), b) }
+  }
 }

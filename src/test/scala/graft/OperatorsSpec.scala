@@ -626,6 +626,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cap.toSeq == Seq((0L, 0L, 1L), (0L, 1L, 2L), (1L, 3L, 1L), (1L, 4L, 2L)))
   }
 
+  test("band plan picks the factorization whose S-curve threshold is nearest the target") {
+    import graft.operators.Tuning
+    // 16 permutations: thresholds are 1@b=1, .917@b=2, .707@b=4, .354@b=8,
+    // .0625@b=16 — each target below has one unambiguous nearest plan
+    assert(Tuning.bandPlan(16, 0.9)._1 == 2)
+    assert(Tuning.bandPlan(16, 0.7) == ((4, 4, math.pow(0.25, 0.25))))
+    assert(Tuning.bandPlan(16, 0.5)._1 == 8) // .354 beats .707 for 0.5
+    val (b, r, t) = Tuning.bandPlan(20, 0.85)
+    assert(b * r == 20 && t > 0 && t < 1)
+    intercept[IllegalArgumentException](Tuning.bandPlan(16, 1.0))
+  }
+
   test("source overlap counts distinct shared fingerprints per source pair") {
     // content X in s1 (twice — must count once) and s2; content Y in all
     // three; content Z only in s3. Whitespace variants of X must collapse
