@@ -702,16 +702,23 @@ object Curation {
     * Returns (idCol, n_tokens, score, mean_w) for every raw row.
     */
   def importanceScores(raw: DataFrame, target: DataFrame, idCol: String,
-                       textCol: String, nBuckets: Int = 1024): DataFrame = {
+                       textCol: String, nBuckets: Int = 1024): DataFrame =
+    scoreWithWeights(raw, idCol, textCol,
+      importanceWeights(raw, target, textCol, nBuckets))
+
+  /** The DSIR training step alone: the add-one-smoothed per-bucket weight
+    * table (see [[importanceScores]]). EAGER — runs one counting job: raw
+    * and target union under a side tag, so the whole table comes back
+    * from a single (bucket, side) agg; at 100 TB this halves the count
+    * passes, and the exchange still carries at most 2·nBuckets rows.
+    * Persist via [[weightsToDf]] and score later batches with
+    * [[scoreWithWeights]] — training never reruns per batch.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                        nBuckets: Int = 1024): Array[Long] = {
     require(nBuckets > 0 && nBuckets <= 65536, s"nBuckets out of range: $nBuckets")
-    val tokenized = (df: DataFrame) =>
-      df.withColumn("__t", TextFns.tokens(col(textCol)))
-    // ONE counting job for both sides: raw and target union under a side
-    // tag, so the whole weight table comes back from a single
-    // (bucket, side) agg — at 100 TB this halves the count passes, and
-    // the exchange still carries at most 2·nBuckets rows.
     def bucketed(df: DataFrame, side: Int): DataFrame =
-      tokenized(df)
+      df.withColumn("__t", TextFns.tokens(col(textCol)))
         .select(TextFns.polyHashEach("__t").as("__h"))
         .select(explode(expr(s"transform(__h, h -> h % $nBuckets)")).as("b"),
           lit(side).as("side"))
@@ -720,10 +727,23 @@ object Curation {
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     val rc = counts.collect { case ((b, 0), n) => b -> n }
     val tc = counts.collect { case ((b, 1), n) => b -> n }
-    val weights: Array[Long] = Array.tabulate(nBuckets) { b =>
+    Array.tabulate(nBuckets) { b =>
       ((tc.getOrElse(b.toLong, 0L) + 1L) * 1000000L) / (rc.getOrElse(b.toLong, 0L) + 1L)
     }
-    tokenized(raw)
+  }
+
+  /** Score documents against an ALREADY-TRAINED DSIR weight table — the
+    * operational half of [[importanceScores]]: train the table once on a
+    * reference crawl snapshot, persist it (`weightsToDf` ↔ `weightsFromDf`
+    * roundtrip through any warehouse table), then score every incoming
+    * batch map-side with zero counting jobs. Pure lazy plan builder — the
+    * eager contract above belongs to training only.
+    */
+  def scoreWithWeights(df: DataFrame, idCol: String, textCol: String,
+                       weights: Array[Long]): DataFrame = {
+    val nBuckets = weights.length
+    require(nBuckets > 0 && nBuckets <= 65536, s"bad weight table size: $nBuckets")
+    df.withColumn("__t", TextFns.tokens(col(textCol)))
       .withColumn("__wl", array(weights.map(lit(_)): _*))
       .withColumn("__h", TextFns.polyHashEach("__t"))
       .withColumn("score", expr(
@@ -732,6 +752,30 @@ object Curation {
       .withColumn("n_tokens", size(col("__t")).cast(LongType))
       .withColumn("mean_w", expr("score DIV n_tokens"))
       .select(col(idCol), col("n_tokens"), col("score"), col("mean_w"))
+  }
+
+  /** The trained weight table as a (bucket, w) frame for warehouse
+    * persistence; [[weightsFromDf]] inverts it. */
+  def weightsToDf(spark: org.apache.spark.sql.SparkSession,
+                  weights: Array[Long]): DataFrame = {
+    import spark.implicits._
+    weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq
+      .toDF("bucket", "w")
+  }
+
+  /** Rebuild the scoring table from a persisted (bucket, w) frame —
+    * bounded collect (≤65536 rows by the [[scoreWithWeights]] contract).
+    * Missing buckets fail loudly: a partial table would silently mis-score
+    * every document hashing into the hole.
+    */
+  def weightsFromDf(df: DataFrame): Array[Long] = {
+    val rows = df.select(col("bucket").cast(LongType), col("w").cast(LongType))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(rows.nonEmpty && rows.size <= 65536, s"bad weight table: ${rows.size} rows")
+    Array.tabulate(rows.size) { b =>
+      rows.getOrElse(b.toLong,
+        throw new IllegalArgumentException(s"weight table missing bucket $b"))
+    }
   }
 
   /** Distributed BPE merge-table TRAINING (Sennrich et al. 2016) — the

@@ -409,6 +409,26 @@ class CurationSpec extends AnyFunSuite {
     assert(unit == Set(1000000L))
   }
 
+  test("DSIR weight table roundtrips through a frame and scores batches identically") {
+    val raw = Seq((1L, "alpha beta alpha"), (2L, "gamma delta"),
+      (3L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta")).toDF("doc_id", "text")
+    // train once → persistable frame → reload → score: must equal the
+    // single-shot path exactly (the operational daily-crawl shape, where
+    // training never reruns per batch)
+    val trained = Curation.importanceWeights(raw, target, "text", nBuckets = 64)
+    val reloaded = Curation.weightsFromDf(Curation.weightsToDf(spark, trained))
+    assert(reloaded.toSeq == trained.toSeq)
+    val viaTable = Curation.scoreWithWeights(raw, "doc_id", "text", reloaded)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val direct = Curation.importanceScores(raw, target, "doc_id", "text", 64)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaTable.toSeq == direct.toSeq)
+    // a table with a hole fails loudly instead of mis-scoring
+    val holed = Curation.weightsToDf(spark, trained).filter(col("bucket") =!= 7L)
+    intercept[IllegalArgumentException](Curation.weightsFromDf(holed))
+  }
+
   test("BPE training learns the hand-computed merge table and stops when pairs exhaust") {
     // vocab: aaab×2, ab×1 (x1/a9 fail the alphabetic gate). Round 1:
     // 'a a' = 4 (two overlapping pairs per aaab) beats 'a b' = 3 → merge
