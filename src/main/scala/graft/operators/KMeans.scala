@@ -61,7 +61,18 @@ object KMeans {
     * [[assignments]] pays nothing for the wider intermediate.
     */
   def assignmentsQ(df: DataFrame, idCol: String, embCol: String, k: Int,
-                   passes: Int): DataFrame = {
+                   passes: Int): DataFrame =
+    assignWith(df, idCol, embCol, train(df, idCol, embCol, k, passes))
+
+  /** The Lloyd TRAINING step alone: the fitted k×dim unit-long centroid
+    * matrix after `passes − 1` update rounds (EAGER — the seed heap and
+    * one bounded k×dim collect per round). Persist via [[centroidsToDf]]
+    * and assign later batches with [[assignWith]] — the incremental shape
+    * for the semantic family: a daily crawl is clustered map-side against
+    * yesterday's fit, never re-trained per batch.
+    */
+  def train(df: DataFrame, idCol: String, embCol: String, k: Int,
+            passes: Int): Array[Array[Long]] = {
     require(k > 0, s"k must be positive: $k")
     require(passes >= 1, s"need at least one assignment pass: $passes")
     val q = df.select(col(idCol), VectorFns.quantize(col(embCol)).as("__u"))
@@ -85,8 +96,42 @@ object KMeans {
       rows.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
       cents = next
     }
+    cents
+  }
+
+  /** Assign a batch against an ALREADY-TRAINED centroid matrix — a pure
+    * LAZY map-side plan (quantize + CellDistsQ kernel; the matrix rides as
+    * a codegen reference object). Returns (idCol, cluster, dist, __u).
+    */
+  def assignWith(df: DataFrame, idCol: String, embCol: String,
+                 cents: Array[Array[Long]]): DataFrame = {
+    require(cents.nonEmpty, "empty centroid matrix")
+    val q = df.select(col(idCol), VectorFns.quantize(col(embCol)).as("__u"))
     assignTo(q, cents)
       .select(col(idCol), col("cluster"), col("dist"), col("__u"))
+  }
+
+  /** The fitted centroid matrix as a (cluster, pos, c) frame for warehouse
+    * persistence; [[centroidsFromDf]] inverts it, failing loudly on holes
+    * (a partial matrix would silently mis-assign every vector).
+    */
+  def centroidsToDf(spark: org.apache.spark.sql.SparkSession,
+                    cents: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (cu, j) =>
+      cu.zipWithIndex.map { case (c, p) => (j.toLong, p.toLong, c) }
+    }.toSeq.toDF("cluster", "pos", "c")
+  }
+
+  def centroidsFromDf(df: DataFrame): Array[Array[Long]] = {
+    val rows = df.select(col("cluster").cast(LongType), col("pos").cast(LongType),
+        col("c").cast(LongType))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    require(rows.nonEmpty, "empty centroid frame")
+    val k = rows.keys.map(_._1).max.toInt + 1
+    val dim = rows.keys.map(_._2).max.toInt + 1
+    require(rows.size == k * dim, s"centroid frame has holes: ${rows.size} of ${k * dim}")
+    Array.tabulate(k, dim)((j, p) => rows((j.toLong, p.toLong)))
   }
 
   /** Per-cluster fit report — the elbow-method statistic, engine-exact:

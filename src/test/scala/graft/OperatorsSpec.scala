@@ -697,6 +697,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.forall(_._3 == 1.0)) // the collinear positive scores exactly 1
   }
 
+  test("k-means centroids roundtrip through a frame; assignWith matches assignments") {
+    val df = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)), (2L, Array(0.0f, 0.1f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.1f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.KMeans.train(df, "vec_id", "embedding", 2, 2)
+    val back = graft.operators.KMeans.centroidsFromDf(
+      graft.operators.KMeans.centroidsToDf(spark, cents))
+    assert(back.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    // the persisted-fit path assigns a "new batch" (here: the same rows)
+    // exactly as the single-shot training path does
+    val viaFit = graft.operators.KMeans.assignWith(df, "vec_id", "embedding", back)
+      .select("vec_id", "cluster", "dist").orderBy("vec_id").collect().map(_.toSeq)
+    val direct = graft.operators.KMeans.assignments(df, "vec_id", "embedding", 2, 2)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(viaFit.toSeq == direct.toSeq)
+    // a frame with a hole fails loudly instead of mis-assigning
+    val holed = graft.operators.KMeans.centroidsToDf(spark, cents)
+      .filter(!(col("cluster") === 1L && col("pos") === 0L))
+    intercept[IllegalArgumentException](graft.operators.KMeans.centroidsFromDf(holed))
+  }
+
   test("heavy hitters: eviction path, MG superset guarantee, partition independence") {
     import graft.operators.HeavyHitters
     // 3 hot tokens + 50 singletons, capacity 8 << 53 distinct tokens: the
