@@ -671,7 +671,7 @@ object VectorQueries {
             t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2)
           .orderBy(col("vec_id")),
       Some(s"""
-        WITH $kmeansCtes
+        WITH ${kmeansCtes()}
         SELECT vec_id, CAST(j AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
         FROM a2 ORDER BY vec_id""")),
 
@@ -684,7 +684,7 @@ object VectorQueries {
             t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2)
           .orderBy(col("cluster")),
       Some(s"""
-        WITH $kmeansCtes
+        WITH ${kmeansCtes()}
         SELECT CAST(j AS BIGINT) AS cluster,
                CAST(COUNT(*) AS BIGINT) AS n_vectors,
                CAST(SUM(dist) AS BIGINT) AS inertia,
@@ -701,7 +701,7 @@ object VectorQueries {
             perCluster = 20)
           .orderBy(col("cluster"), col("rank")),
       Some(s"""
-        WITH $kmeansCtes,
+        WITH ${kmeansCtes()},
         ordd AS (SELECT vec_id, j,
                    (((vec_id % 2147483647 + 2147483647) % 2147483647)
                     * 2654435761) % 2147483647 AS ord FROM a2),
@@ -726,7 +726,7 @@ object VectorQueries {
             threshold = 0.2)
           .orderBy(col("vec_id")),
       Some(s"""
-        WITH $kmeansCtes,
+        WITH ${kmeansCtes()},
         qn AS (SELECT vec_id, embedding,
                       sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
                FROM embeddings),
@@ -757,7 +757,7 @@ object VectorQueries {
             posThreshold = 0.25, negLo = 0.05, negHi = 0.15)
           .orderBy(col("anchor")),
       Some(s"""
-        WITH $kmeansCtes,
+        WITH ${kmeansCtes()},
         qn AS (SELECT vec_id, embedding,
                       sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
                FROM embeddings),
@@ -778,20 +778,92 @@ object VectorQueries {
                            ORDER BY cos DESC, other) AS rk
                   FROM p WHERE cos >= 0.05 AND cos < 0.15) t WHERE rk = 1)
         SELECT anchor, pos_id, pos_cos, neg_id, neg_cos
-        FROM pos JOIN neg USING (anchor) ORDER BY anchor"""))
+        FROM pos JOIN neg USING (anchor) ORDER BY anchor""")),
+
+    // ----- SEMANTIC CURATION CAPSTONE: the text family and the vector
+    // family composed under ONE oracle — integer quality gate over
+    // `documents` → inner join to the embedded subset (`embeddings`; at
+    // sf0.1 only ids < 2000 carry vectors — the realistic partial-coverage
+    // shape) → SemDeDup over the gated embedded docs (Lloyd fit SEEDED ON
+    // THE GATED SUBSET, so the gate changes the clustering and the oracle
+    // must replay the whole chain) → per-source survivorship accounting.
+    // The gated frame is checkpointed once: SemDeDup's eager training jobs
+    // and its four plan branches otherwise re-run the quality HOFs + join
+    // subtree each time.
+    Q("q_semantic_curation_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = graft.operators.Curation
+          .qualityScore(docs, "text", Seq("a", "the"), keepThreshold = 250000L)
+          .withColumn("n_tokens",
+            graft.functions.TextFns.tokenCount(col("text")).cast(LongType))
+        val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val gated = graft.CkptCycle.cycle("q_semantic_curation_pipeline",
+          scored.filter(col("keep"))
+            .join(emb, col("doc_id") === col("vec_id"))
+            .select(col("doc_id"), col("source"), col("n_tokens"), col("embedding"))
+            .localCheckpoint(true))
+        val surv = graft.operators.Dedup.semDedup(
+            gated, "doc_id", "embedding", k = 4, passes = 2, threshold = 0.2)
+          .select(col("doc_id"), lit(true).as("surv"))
+        gated.join(surv, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).cast(LongType).as("n_in"),
+            count(col("surv")).cast(LongType).as("n_kept"),
+            sum(when(col("surv"), col("n_tokens")).otherwise(lit(0L)))
+              .cast(LongType).as("tok_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH sc AS (SELECT doc_id, source,
+                           string_split_regex(lower(trim(text)), '\\s+') AS t
+                    FROM documents),
+        q0 AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens,
+                      1000 * LEAST(GREATEST(len(t), 1), 200)
+                        + (500 * ((len(list_distinct(t)) * 1000000)
+                                  // GREATEST(len(t), 1))) // 1000
+                        - (300 * ((len(list_filter(t, x -> x = 'a' OR x = 'the'))
+                                   * 1000000) // GREATEST(len(t), 1))) // 1000 AS score
+               FROM sc),
+        g AS (SELECT q0.doc_id AS vec_id, q0.source, q0.n_tokens, e.embedding
+              FROM q0 JOIN embeddings e ON e.vec_id = q0.doc_id
+              WHERE q0.score >= 250000),
+        ${kmeansCtes("g")},
+        qn AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM g),
+        m AS (SELECT a2.vec_id, a2.j, a2.dist, qn.embedding, qn.norm
+              FROM a2 JOIN qn USING (vec_id)),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN a.dist < b.dist
+                                 OR (a.dist = b.dist AND a.vec_id > b.vec_id)
+                               THEN a.vec_id ELSE b.vec_id END AS drop_id
+          FROM m a JOIN m b ON a.j = b.j AND a.vec_id < b.vec_id
+          WHERE round(${VectorFns.dotSql("a.embedding", "b.embedding")}
+                      / (a.norm * b.norm), 6) >= 0.2),
+        k2 AS (SELECT g.source, g.n_tokens,
+                      g.vec_id NOT IN (SELECT drop_id FROM dropped) AS kept
+               FROM g)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in,
+               CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN kept THEN n_tokens END), 0) AS BIGINT)
+                 AS tok_kept
+        FROM k2 GROUP BY source ORDER BY source"""))
   )
 
   /** DuckDB replay of the fixed-point two-pass Lloyd iteration (k=4,
-    * dim 64): quantize to 1e-6-unit BIGINTs, seed with the 4 lowest ids,
-    * assign (exact integer distances, ties to the lowest cluster), update
+    * dim 64) over `src` (any CTE/table exposing vec_id + embedding):
+    * quantize to 1e-6-unit BIGINTs, seed with the 4 lowest ids, assign
+    * (exact integer distances, ties to the lowest cluster), update
     * (truncated integer means), assign again. `a2` is the final
     * (vec_id, j, dist) assignment every k-means oracle selects from.
     */
-  private def kmeansCtes: String = """
+  private def kmeansCtes(src: String = "embeddings"): String = s"""
         q AS (SELECT vec_id,
                      list_transform(embedding,
                        e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
-                   FROM embeddings),
+                   FROM $src),
         ql AS (SELECT vec_id, d.g + 1 AS dim, u[d.g + 1] AS v
                FROM q, generate_series(0, 63) d(g)),
         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vec_id
