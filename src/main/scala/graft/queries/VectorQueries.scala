@@ -780,6 +780,47 @@ object VectorQueries {
         SELECT anchor, pos_id, pos_cos, neg_id, neg_cos
         FROM pos JOIN neg USING (anchor) ORDER BY anchor""")),
 
+    // ----- semantic-dedup threshold-selection curve: within-cell pair
+    // cosines histogrammed into 0.05 bands (band = floor(20·cos) over
+    // non-negative cosines) — the measurement you read τ from BEFORE
+    // committing a SemDeDup run (a threshold below the curve's knee
+    // deletes real content; above it, misses paraphrases). Same salted
+    // cell pair join as the dedup itself; identical rounded doubles on
+    // both engines make the banding engine-exact.
+    Q("q_dedup_semantic_curve",
+      (s, dir) => {
+        val m = graft.operators.KMeans.assignmentsQ(
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2)
+          .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
+        val a = m.select(col("vec_id").as("a_id"), col("cluster"),
+          col("__u").as("ae"), col("__n").as("an"))
+        val b = m.select(col("vec_id").as("b_id"), col("cluster"),
+          col("__u").as("be"), col("__n").as("bn"))
+        val aS = a.withColumn("__salt", explode(lit((0 until 8).toArray)))
+        val bS = b.withColumn("__salt", pmod(col("b_id"), lit(8)).cast(IntegerType))
+        aS.join(bS, Seq("cluster", "__salt")).filter(col("a_id") < col("b_id"))
+          .withColumn("cos",
+            round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))
+          .filter(col("cos") >= 0.0)
+          .withColumn("band", floor(col("cos") * 20).cast(LongType))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).cast(LongType).as("n_pairs"))
+          .orderBy(col("band"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        qn AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        m AS (SELECT a2.vec_id, a2.j, qn.embedding, qn.norm
+              FROM a2 JOIN qn USING (vec_id)),
+        p AS (SELECT round(${VectorFns.dotSql("a.embedding", "b.embedding")}
+                           / (a.norm * b.norm), 6) AS cos
+              FROM m a JOIN m b ON a.j = b.j AND a.vec_id < b.vec_id)
+        SELECT CAST(floor(cos * 20) AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM p WHERE cos >= 0.0 GROUP BY 1 ORDER BY band""")),
+
     // ----- SEMANTIC CURATION CAPSTONE: the text family and the vector
     // family composed under ONE oracle — integer quality gate over
     // `documents` → inner join to the embedded subset (`embeddings`; at
