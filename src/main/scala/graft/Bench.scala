@@ -70,7 +70,22 @@ object Bench {
           -1.0
         }
       }
-      val cold0 = once(); val warm = once()
+      // Hygiene between EVERY pair of timed runs, outside any timing
+      // (round-10 verdict #3, extended by round-11 verdict #3): a run's
+      // debris — leaked cache entries, live CkptCycle checkpoint blocks,
+      // deferred garbage the ContextCleaner hasn't processed — pollutes the
+      // NEXT timed run. Round 11 scrubbed only after the cold+warm pair, so
+      // the warm run of a checkpoint-heavy query executed while the cold
+      // run's localCheckpoint blocks still occupied executor storage
+      // (q_dedup_embedding_components warm-raw 6.38 s vs 2.49 cold). The GC
+      // + settle pause is paid only after non-trivial runs, so the suite
+      // doesn't spend minutes collecting a 128 GB heap for free.
+      def scrub(prev: Double): Unit = {
+        spark.catalog.clearCache()
+        graft.CkptCycle.releaseAll(spark)
+        if (prev > 0.5) { System.gc(); Thread.sleep(150) }
+      }
+      val cold0 = once(); scrub(cold0); val warm = once(); scrub(warm)
       // De-noise, conservatively (round-8 advice): a SINGLE retry per side —
       // retries run with codegen/plan caches hot, so looping retries would
       // systematically convert legitimate codegen-dominated cold times into
@@ -85,6 +100,7 @@ object Bench {
         val retry =
           try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => Double.MaxValue }
+        scrub(if (retry == Double.MaxValue) base else retry)
         val v = math.min(base, retry)
         if (v < base) System.err.println(
           f"BENCH DENOISE ${q.name} $side: $base%.3f -> $v%.3f (bound $bound%.3f)")
@@ -103,17 +119,9 @@ object Bench {
           f"BENCH CLAMP ${q.name} warm: $warmR%.3f -> $cold%.3f (pathological inversion)")
         cold
       } else warmR
-      // Inter-query hygiene, OUTSIDE any timing (round-10 verdict #3): a
-      // heavy query's debris — leaked cache entries, this query's live
-      // CkptCycle checkpoint blocks, deferred garbage the ContextCleaner
-      // hasn't processed — polluted the NEXT query's cold run (raw colds
-      // 49.9 s / 8.8 s vs 17.7 / 0.36 on immediate retry in r10). Caches
-      // and checkpoint registrations are cleared after every query; the GC
-      // + settle pause is paid only after non-trivial ones, so the 160-run
-      // suite doesn't spend minutes collecting a 128 GB heap for free.
-      spark.catalog.clearCache()
-      graft.CkptCycle.releaseAll(spark)
-      if (math.max(cold, warmD) > 0.5) { System.gc(); Thread.sleep(150) }
+      // Every timed run above is followed by a scrub(), so the next query
+      // always starts from a clean cache/checkpoint/GC state — no trailing
+      // hygiene block needed here.
       (q.name, cold, warmD, warmR)
     }
     // Round per-query seconds to 3 decimals: keeps the one-line JSON compact

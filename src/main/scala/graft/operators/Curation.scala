@@ -317,21 +317,35 @@ object Curation {
     * with two rare words has huge lift and no value — the standard phrase
     * filter); top-k is a TakeOrdered heap with ties on the pair string.
     *
-    * Scale: pair/unigram counts are hash-aggs with map-side partials; the
-    * two unigram joins run on the minCount-filtered pair vocabulary (tiny),
-    * and the 1-row total is broadcast.
+    * Scale: ONE corpus-wide shuffle. Each document's last token emits a
+    * sentinel terminal pair (the standard LM end-marker), so every token
+    * starts exactly one pair and the TRUE unigram counts derive from the
+    * pair table — c(w) = Σ cab over pairs starting with w — exactly the
+    * prefix-count derivation [[bigramLmScore]] uses. The unigram side
+    * previously re-exploded and re-shuffled the whole corpus a second
+    * time; now everything past the single pair hash-agg (map-side
+    * partials) is vocab-sized, the unigram joins run on the
+    * minCount-filtered pair vocabulary, and the 1-row total is broadcast.
+    * The sentinel is U+0001, which whitespace tokenization cannot emit
+    * from any plausible corpus text; results are bit-identical to the
+    * explicit two-shuffle form and gated by the same oracle.
     */
   def collocations(df: DataFrame, textCol: String, k: Int, minCount: Long): DataFrame = {
     require(k > 0 && minCount >= 1, s"bad k=$k / minCount=$minCount")
-    val toks = df.withColumn("__t", TextFns.tokens(col(textCol)))
-    val uni = toks.select(explode(col("__t")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
-    val total = uni.agg(sum(col("cw")).cast(LongType).as("n_total"))
-    toks.filter(size(col("__t")) >= 2)
+    val sent = "\u0001"
+    val allPairs = df.withColumn("__t", TextFns.tokens(col(textCol)))
+      .filter(size(col("__t")) >= 1)
       .select(explode(expr(
-        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', element_at(__t, i + 2)))"))
-        .as("pair"))
+        "concat(transform(slice(__t, 1, size(__t) - 1), " +
+          "(x, i) -> concat(x, ' ', element_at(__t, i + 2))), " +
+          s"array(concat(element_at(__t, -1), ' $sent')))")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cab"))
+    val uni = allPairs
+      .groupBy(substring_index(col("pair"), " ", 1).as("w"))
+      .agg(sum(col("cab")).as("cw"))
+    val total = uni.agg(sum(col("cw")).cast(LongType).as("n_total"))
+    allPairs
+      .filter(substring_index(col("pair"), " ", -1) =!= sent)
       .filter(col("cab") >= minCount)
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .withColumn("w2", substring_index(col("pair"), " ", -1))
@@ -659,8 +673,16 @@ object Curation {
     // is well-defined: every row of an __hp group carries the same pair.
     val pairCounts = pairs.groupBy(col("__hp"))
       .agg(count(lit(1)).as("cp"), first(col("__hw")).as("__hw"))
-    val prefixCounts = pairCounts.groupBy(col("__hw")).agg(sum(col("cp")).as("cw"))
-    pairs.join(pairCounts.drop("__hw"), "__hp").join(prefixCounts, "__hw")
+    // The conditional denominator rides a vocab-sized WINDOW over the pair
+    // table (partition by prefix hash), so the corpus joins ONCE, on __hp,
+    // where the join's exchange is the pair-count exchange reused. Round
+    // 11 joined a separate prefixCounts frame on __hw, which re-shuffled
+    // every corpus pair row a second time.
+    val wPre = Window.partitionBy(col("__hw"))
+    val enriched = pairCounts
+      .withColumn("cw", sum(col("cp")).over(wPre))
+      .select(col("__hp"), col("cp"), col("cw"))
+    pairs.drop("__hw").join(enriched, "__hp")
       .withColumn("ppm", expr("(1000000 * cp) DIV cw"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
@@ -754,25 +776,44 @@ object Curation {
       .select(col(idCol), col("n_tokens"), col("score"), col("mean_w"))
   }
 
-  /** The trained weight table as a (bucket, w) frame for warehouse
-    * persistence; [[weightsFromDf]] inverts it. */
+  /** The trained weight table as a (bucket, w, n_buckets) frame for
+    * warehouse persistence; [[weightsFromDf]] inverts it. `n_buckets` is
+    * the declared table size carried IN the data: without it a table that
+    * lost its TRAILING buckets (e.g. bucket 255 of 256) is
+    * indistinguishable from a complete 255-bucket table, and scoring would
+    * silently bucket with the wrong modulus. */
   def weightsToDf(spark: org.apache.spark.sql.SparkSession,
                   weights: Array[Long]): DataFrame = {
     import spark.implicits._
-    weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq
-      .toDF("bucket", "w")
+    weights.zipWithIndex.map { case (w, b) => (b.toLong, w, weights.length.toLong) }
+      .toSeq.toDF("bucket", "w", "n_buckets")
   }
 
-  /** Rebuild the scoring table from a persisted (bucket, w) frame —
-    * bounded collect (≤65536 rows by the [[scoreWithWeights]] contract).
-    * Missing buckets fail loudly: a partial table would silently mis-score
-    * every document hashing into the hole.
+  /** Rebuild the scoring table from a persisted (bucket, w[, n_buckets])
+    * frame — bounded collect (≤65536 rows by the [[scoreWithWeights]]
+    * contract). Missing buckets fail loudly — INCLUDING trailing holes: a
+    * partial table would silently mis-score every document hashing into
+    * the hole, and a trailing hole additionally shrinks the modulus. The
+    * expected size comes from the frame's `n_buckets` column (written by
+    * [[weightsToDf]]) or an explicit `expectedSize`; a legacy frame with
+    * neither still rejects interior holes but cannot detect trailing ones.
     */
-  def weightsFromDf(df: DataFrame): Array[Long] = {
+  def weightsFromDf(df: DataFrame, expectedSize: Int = -1): Array[Long] = {
+    val hasN = df.columns.contains("n_buckets")
     val rows = df.select(col("bucket").cast(LongType), col("w").cast(LongType))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     require(rows.nonEmpty && rows.size <= 65536, s"bad weight table: ${rows.size} rows")
-    Array.tabulate(rows.size) { b =>
+    val declared: Int =
+      if (expectedSize > 0) expectedSize
+      else if (hasN) {
+        val ns = df.select(col("n_buckets").cast(LongType)).distinct().collect()
+        require(ns.length == 1, s"inconsistent n_buckets: ${ns.length} values")
+        ns.head.getLong(0).toInt
+      } else rows.size
+    require(rows.size == declared && rows.keys.max.toInt + 1 == declared,
+      s"weight table holes: ${rows.size} rows, max bucket ${rows.keys.max}, " +
+        s"expected $declared")
+    Array.tabulate(declared) { b =>
       rows.getOrElse(b.toLong,
         throw new IllegalArgumentException(s"weight table missing bucket $b"))
     }
@@ -874,13 +915,15 @@ object Curation {
     * descending-score order while they fit; the boundary score group fills
     * the remaining budget in ascending `idCol` order.
     *
-    * EAGER CONTRACT: construction runs bounded Spark jobs (the one-row
-    * score-histogram boundary collect, plus — only for a boundary
-    * tie-group past [[TieWindowMaxRows]] — a ≤4K-row bucket-offset
-    * collect); it is not a pure lazy plan builder, so do not construct it
+    * EAGER CONTRACT: construction runs ONE bounded Spark job — the 1-row
+    * score-histogram boundary max_by collect — so do not construct it
     * speculatively. The eager collect is the measured-cheaper design: a
     * lazy broadcast subplan re-derived the whole histogram subtree in both
     * output branches (6 full scoring scans at sf0.1 vs 3 with literals).
+    * The sharded-tie bucket offsets, by contrast, ARE a lazy broadcast
+    * subplan (a ≤4097-row windowed prefix) — they feed exactly one branch,
+    * so laziness folds their scan into the execution job instead of paying
+    * a second construction-time job.
     *
     * The tie-group cumsum is data-dependent in size — score granularity is
     * caller-controlled, so one popular score value can be a large fraction
@@ -918,21 +961,27 @@ object Curation {
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = byScore
       .withColumn("cum_above", coalesce(sum(col("stok")).over(wDesc), lit(0L)))
-    // boundary score: the highest score whose group does NOT fully fit
-    // (monotone: once a group fails, every lower-scored group fails too)
-    val boundary = cum
+    // Boundary score: the highest score whose group does NOT fully fit
+    // (monotone: once a group fails, every lower-scored group fails too).
+    // The whole boundary row comes back from ONE 1-row max_by aggregate
+    // over the failing histogram rows — round 11 derived it with a
+    // broadcast self-join of the histogram, which executed the scoring
+    // subtree twice (once to build the broadcast, once for the joined
+    // collect) and regressed the bench cold 1.54 → 1.97 s.
+    val bRow = cum
       .filter(col("cum_above") + col("stok") > budgetTokens)
-      .agg(max(col("s")).as("bscore"))
-    val bRow = cum.join(broadcast(boundary), col("s") === col("bscore"))
-      .select(col("s"), (lit(budgetTokens) - col("cum_above")).as("b_budget"),
-        col("snum"), col("smin"), col("smax"))
-    // ONE row by construction (bscore is a max over unique histogram
-    // scores), or empty when the whole corpus fits. COLLECT it and inline
-    // the longs as literals — the same bounded driver scalar the
-    // k-means/IVF trainers pay (see the eager-contract scaladoc).
+      .agg(max_by(struct(col("s"),
+        (lit(budgetTokens) - col("cum_above")).as("b_budget"),
+        col("snum"), col("smin"), col("smax")), col("s")).as("r"))
+      .select(col("r.s"), col("r.b_budget"), col("r.snum"), col("r.smin"),
+        col("r.smax"))
+    // ONE row by construction (a global aggregate), with a NULL struct when
+    // the whole corpus fits. COLLECT it and inline the longs as literals —
+    // the same bounded driver scalar the k-means/IVF trainers pay (see the
+    // eager-contract scaladoc).
     val b = bRow.collect()
     val (bS, bBudget, bN, bMin, bMax) =
-      if (b.isEmpty) (Long.MinValue, 0L, 0L, 0L, 0L)
+      if (b.isEmpty || b(0).isNullAt(0)) (Long.MinValue, 0L, 0L, 0L, 0L)
       else (b(0).getLong(0), b(0).getLong(1), b(0).getLong(2),
             b(0).getLong(3), b(0).getLong(4))
     val base = scored.drop("keep")
@@ -956,17 +1005,19 @@ object Curation {
         val bucket = expr(
           s"CAST((CAST(`$idCol` AS BIGINT) - CAST($bMin AS BIGINT)) DIV CAST($w AS BIGINT) AS BIGINT)")
         val sharded = tie.withColumn("__bkt", bucket)
-        // exclusive bucket-prefix offsets: ≤ nBuckets+1 rows, computed on
-        // the driver in bucket order (bounded collect, as above)
-        val totals = sharded.groupBy(col("__bkt")).agg(sum(col("ntok")).as("t"))
-          .orderBy(col("__bkt")).collect()
-        var acc = 0L
-        val offRows = totals.toSeq.map { r =>
-          val pair = (r.getLong(0), acc); acc += r.getLong(1); pair
-        }
-        val spark = df.sparkSession
-        import spark.implicits._
-        val offsets = offRows.toDF("__bkt", "__off")
+        // Exclusive bucket-prefix offsets: ≤ nBuckets+1 rows, derived
+        // LAZILY with a single-partition window over the tiny per-bucket
+        // totals frame and broadcast into the shard join. Round 11
+        // collected the totals eagerly and replayed the prefix sum on the
+        // driver — a whole extra construction-time job scanning the tie
+        // group; as a broadcast subplan the same scan folds into the one
+        // execution job. The 1-partition window is safe by construction:
+        // its input is the ≤4097-row totals frame, never the corpus.
+        val wOff = Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = sharded.groupBy(col("__bkt")).agg(sum(col("ntok")).as("__t"))
+          .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+          .drop("__t")
         val wLoc = Window.partitionBy(col("__bkt")).orderBy(col(idCol))
           .rowsBetween(Window.unboundedPreceding, 0)
         sharded.join(broadcast(offsets), Seq("__bkt"))

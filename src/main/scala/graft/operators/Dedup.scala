@@ -514,6 +514,16 @@ object Dedup {
     * outlying phrasing survives, preserving diversity). Ties on distance
     * drop the higher id, so survivorship is total-ordered and engine-exact.
     *
+    * PRECONDITION — normalized embeddings: the drop key is squared L2
+    * distance to the centroid, which ranks identically to (descending)
+    * centroid cosine only when all embeddings share a norm (for unit
+    * vectors, ‖x−c‖² = ‖c‖² + 1 − 2·cos·‖c‖ is monotone in cos per cell).
+    * On unnormalized inputs survivorship deviates from the paper's
+    * cosine rule — e.g. a vector collinear with its centroid but twice as
+    * long has cosine 1.0 yet a large L2 distance. Embedding pipelines
+    * L2-normalize before SemDeDup (the paper's own setup); feed this
+    * operator normalized vectors.
+    *
     * Returns the surviving (idCol, cluster, dist) rows — `dist` the exact
     * unit² distance to the winning centroid from the fixed-point Lloyd fit,
     * which is also the drop-rule key, so the decision is auditable per row.
@@ -549,10 +559,13 @@ object Dedup {
     // cosine work on ONE task. The b side shards by id, the a side
     // replicates per shard — same pairs, `pairSalt`× the (tiny) a-side
     // rows, parallelism k·pairSalt. At production k (paper-scale: tens of
-    // thousands of cells) the salt is a harmless constant.
+    // thousands of cells) the salt is a harmless constant. The shard key
+    // hashes the id (not a raw modulus): hash() is total over any id type,
+    // where pmod(id, n) on a string/UUID id would fail the implicit cast
+    // under ANSI or null out and silently drop every b-side row.
     val pairSalt = 8
     val aS = a.withColumn("__salt", explode(lit((0 until pairSalt).toArray)))
-    val bS = b.withColumn("__salt", pmod(col("b_id"), lit(pairSalt)).cast(IntegerType))
+    val bS = b.withColumn("__salt", pmod(hash(col("b_id")), lit(pairSalt)))
     val dropped = aS.join(bS, Seq("cluster", "__salt")).filter(col("a_id") < col("b_id"))
       .withColumn("cos",
         VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")))

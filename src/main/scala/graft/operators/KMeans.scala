@@ -111,26 +111,48 @@ object KMeans {
       .select(col(idCol), col("cluster"), col("dist"), col("__u"))
   }
 
-  /** The fitted centroid matrix as a (cluster, pos, c) frame for warehouse
-    * persistence; [[centroidsFromDf]] inverts it, failing loudly on holes
-    * (a partial matrix would silently mis-assign every vector).
+  /** The fitted centroid matrix as a (cluster, pos, c, k, dim) frame for
+    * warehouse persistence; [[centroidsFromDf]] inverts it, failing loudly
+    * on holes (a partial matrix would silently mis-assign every vector).
+    * `k` and `dim` are the declared matrix shape carried IN the data:
+    * deriving both from max()+1 has a tail blind spot — a frame that lost
+    * ALL rows of the highest cluster id still satisfies
+    * rows.size == k*dim with the shrunken k.
     */
   def centroidsToDf(spark: org.apache.spark.sql.SparkSession,
                     cents: Array[Array[Long]]): DataFrame = {
     import spark.implicits._
+    val (k, dim) = (cents.length.toLong, cents.head.length.toLong)
     cents.zipWithIndex.flatMap { case (cu, j) =>
-      cu.zipWithIndex.map { case (c, p) => (j.toLong, p.toLong, c) }
-    }.toSeq.toDF("cluster", "pos", "c")
+      cu.zipWithIndex.map { case (c, p) => (j.toLong, p.toLong, c, k, dim) }
+    }.toSeq.toDF("cluster", "pos", "c", "k", "dim")
   }
 
-  def centroidsFromDf(df: DataFrame): Array[Array[Long]] = {
+  /** Inverse of [[centroidsToDf]]. The expected shape comes from the
+    * frame's (k, dim) columns or the explicit parameters; a legacy frame
+    * with neither still rejects interior holes but cannot detect the loss
+    * of an entire trailing cluster (or trailing dimension).
+    */
+  def centroidsFromDf(df: DataFrame, expectedK: Int = -1,
+                      expectedDim: Int = -1): Array[Array[Long]] = {
     val rows = df.select(col("cluster").cast(LongType), col("pos").cast(LongType),
         col("c").cast(LongType))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     require(rows.nonEmpty, "empty centroid frame")
-    val k = rows.keys.map(_._1).max.toInt + 1
-    val dim = rows.keys.map(_._2).max.toInt + 1
-    require(rows.size == k * dim, s"centroid frame has holes: ${rows.size} of ${k * dim}")
+    def declared(colName: String, expl: Int, derived: Int): Int =
+      if (expl > 0) expl
+      else if (df.columns.contains(colName)) {
+        val vs = df.select(col(colName).cast(LongType)).distinct().collect()
+        require(vs.length == 1, s"inconsistent $colName: ${vs.length} values")
+        vs.head.getLong(0).toInt
+      } else derived
+    val k = declared("k", expectedK, rows.keys.map(_._1).max.toInt + 1)
+    val dim = declared("dim", expectedDim, rows.keys.map(_._2).max.toInt + 1)
+    require(rows.keys.map(_._1).max.toInt + 1 == k &&
+        rows.keys.map(_._2).max.toInt + 1 == dim && rows.size == k * dim,
+      s"centroid frame holes: ${rows.size} rows, max cluster " +
+        s"${rows.keys.map(_._1).max}, max pos ${rows.keys.map(_._2).max}, " +
+        s"expected ${k}x$dim")
     Array.tabulate(k, dim)((j, p) => rows((j.toLong, p.toLong)))
   }
 

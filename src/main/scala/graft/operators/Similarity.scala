@@ -512,10 +512,12 @@ object Similarity {
       col("__u").as("ae"), col("__n").as("an"))
     val b = m.select(col(idCol).as("other"), col("cluster"),
       col("__u").as("be"), col("__n").as("bn"))
+    // Shard key hashes the id (not a raw modulus): total over any id
+    // type, where pmod(id, n) on a string/UUID id would fail the cast
+    // under ANSI or null out, silently dropping every b-side row.
     val pairSalt = 8
     val aS = a.withColumn("__salt", explode(lit((0 until pairSalt).toArray)))
-    val bS = b.withColumn("__salt",
-      pmod(col("other"), lit(pairSalt)).cast(org.apache.spark.sql.types.IntegerType))
+    val bS = b.withColumn("__salt", pmod(hash(col("other")), lit(pairSalt)))
     val pairs = aS.join(bS, Seq("cluster", "__salt"))
       .filter(col("anchor") =!= col("other"))
       .withColumn("cos",

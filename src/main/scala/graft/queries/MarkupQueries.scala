@@ -81,12 +81,14 @@ object MarkupQueries {
 
     // ----- jusText-style boilerplate accounting per language.
     // n_blocks uses [[HtmlFns.blockCount]] (separator count + 1) on BOTH
-    // engines rather than len(split): the synthesized body ends in `</p>`,
-    // so a split yields a trailing empty field, and whether a split
-    // function keeps trailing empties is engine-/version-dependent (this
-    // query was hash-red in the driver environment for two rounds while
-    // passing the local DuckDB 1.0.0 oracle — n_blocks is the only output
-    // column sensitive to that semantics; nk/cc ignore empty blocks).
+    // engines rather than len(split), which is robust to engine-dependent
+    // trailing-empty split semantics. The three-round driver-gate red on
+    // this family, however, was NOT split drift: every final integer SUM
+    // must be CAST(... AS BIGINT) because DuckDB's SUM(BIGINT) returns
+    // HUGEINT, which the driver's hash layer canonicalizes differently
+    // from BIGINT (the round-5 failure mode; `_cc` redding without ever
+    // touching the split proved it). tools/compare.py now reds HUGEINT
+    // outputs locally, so this class can no longer pass the local gate.
     Q("q_html_boilerplate",
       (s, dir) =>
         t(s, dir, "documents")
@@ -114,8 +116,10 @@ object MarkupQueries {
                    b -> CASE WHEN ${HtmlFns.blockKeptSql("b")} THEN 1 ELSE 0 END)), 0) AS BIGINT) AS nk,
                  CAST(length(${HtmlFns.cleanTextSql("html")}) AS BIGINT) AS cc
           FROM h)
-        SELECT lang, count(*) AS n_docs, SUM(nb) AS n_blocks, SUM(nk) AS n_kept,
-               SUM(cc) AS clean_chars
+        SELECT lang, count(*) AS n_docs,
+               CAST(SUM(nb) AS BIGINT) AS n_blocks,
+               CAST(SUM(nk) AS BIGINT) AS n_kept,
+               CAST(SUM(cc) AS BIGINT) AS clean_chars
         FROM perdoc GROUP BY lang ORDER BY lang""")),
 
     // ----- single-metric diagnostic siblings of q_html_boilerplate (round-10
@@ -131,7 +135,7 @@ object MarkupQueries {
           .orderBy(col("lang")),
       Some(s"""
         $htmlCte
-        SELECT lang, SUM(${HtmlFns.blockCountSql("html")}) AS n_blocks
+        SELECT lang, CAST(SUM(${HtmlFns.blockCountSql("html")}) AS BIGINT) AS n_blocks
         FROM h GROUP BY lang ORDER BY lang"""),
       bench = false),
 
@@ -152,8 +156,8 @@ object MarkupQueries {
       Some(s"""
         $htmlCte
         SELECT lang,
-               SUM(CAST(coalesce(list_sum(list_transform(${HtmlFns.bodyBlocksSql("html")},
-                 b -> CASE WHEN ${HtmlFns.blockKeptSql("b")} THEN 1 ELSE 0 END)), 0) AS BIGINT)) AS n_kept
+               CAST(SUM(CAST(coalesce(list_sum(list_transform(${HtmlFns.bodyBlocksSql("html")},
+                 b -> CASE WHEN ${HtmlFns.blockKeptSql("b")} THEN 1 ELSE 0 END)), 0) AS BIGINT)) AS BIGINT) AS n_kept
         FROM h GROUP BY lang ORDER BY lang"""),
       bench = false),
 
@@ -166,7 +170,7 @@ object MarkupQueries {
           .orderBy(col("lang")),
       Some(s"""
         $htmlCte
-        SELECT lang, SUM(CAST(length(${HtmlFns.cleanTextSql("html")}) AS BIGINT)) AS clean_chars
+        SELECT lang, CAST(SUM(CAST(length(${HtmlFns.cleanTextSql("html")}) AS BIGINT)) AS BIGINT) AS clean_chars
         FROM h GROUP BY lang ORDER BY lang"""),
       bench = false),
 

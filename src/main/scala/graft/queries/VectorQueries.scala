@@ -797,7 +797,7 @@ object VectorQueries {
         val b = m.select(col("vec_id").as("b_id"), col("cluster"),
           col("__u").as("be"), col("__n").as("bn"))
         val aS = a.withColumn("__salt", explode(lit((0 until 8).toArray)))
-        val bS = b.withColumn("__salt", pmod(col("b_id"), lit(8)).cast(IntegerType))
+        val bS = b.withColumn("__salt", pmod(hash(col("b_id")), lit(8)))
         aS.join(bS, Seq("cluster", "__salt")).filter(col("a_id") < col("b_id"))
           .withColumn("cos",
             round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))

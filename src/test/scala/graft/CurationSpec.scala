@@ -427,6 +427,14 @@ class CurationSpec extends AnyFunSuite {
     // a table with a hole fails loudly instead of mis-scoring
     val holed = Curation.weightsToDf(spark, trained).filter(col("bucket") =!= 7L)
     intercept[IllegalArgumentException](Curation.weightsFromDf(holed))
+    // ... including a TRAILING hole (bucket 63 of 64), which max(bucket)+1
+    // cannot see — it would silently shrink the scoring modulus 64 → 63
+    val tail = Curation.weightsToDf(spark, trained).filter(col("bucket") =!= 63L)
+    intercept[IllegalArgumentException](Curation.weightsFromDf(tail))
+    // an explicit expectedSize overrides and also catches it on a legacy
+    // frame that never persisted n_buckets
+    val legacyTail = tail.drop("n_buckets")
+    intercept[IllegalArgumentException](Curation.weightsFromDf(legacyTail, expectedSize = 64))
   }
 
   test("BPE training learns the hand-computed merge table and stops when pairs exhaust") {

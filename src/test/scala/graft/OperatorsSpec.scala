@@ -717,6 +717,16 @@ class OperatorsSpec extends AnyFunSuite {
     val holed = graft.operators.KMeans.centroidsToDf(spark, cents)
       .filter(!(col("cluster") === 1L && col("pos") === 0L))
     intercept[IllegalArgumentException](graft.operators.KMeans.centroidsFromDf(holed))
+    // ... including the loss of the ENTIRE trailing cluster, invisible to
+    // max(cluster)+1 derivation (rows.size == k*dim still holds with the
+    // shrunken k) — the persisted (k, dim) columns catch it
+    val tailLost = graft.operators.KMeans.centroidsToDf(spark, cents)
+      .filter(col("cluster") =!= (cents.length - 1).toLong)
+    intercept[IllegalArgumentException](graft.operators.KMeans.centroidsFromDf(tailLost))
+    // explicit shape parameters catch it on a legacy frame without k/dim
+    val legacy = tailLost.drop("k", "dim")
+    intercept[IllegalArgumentException](graft.operators.KMeans.centroidsFromDf(
+      legacy, expectedK = cents.length, expectedDim = cents.head.length))
   }
 
   test("heavy hitters: eviction path, MG superset guarantee, partition independence") {

@@ -15,6 +15,51 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+INT_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+
+
+def type_class(t):
+    """Coarse result-type class for the driver's hash canonicalization.
+
+    The driver hashes typed values, so a DuckDB oracle whose output column is
+    HUGEINT (what SUM(BIGINT) returns) canonicalizes differently from the
+    Spark dump's BIGINT even though str() makes them look identical — the
+    exact blind spot that kept q_html_boilerplate red for three rounds while
+    this script passed it. HUGEINT gets its own class so it can never alias
+    an int; DECIMAL and FLOAT/DOUBLE share a class (value canon already
+    distinguishes them when it matters)."""
+    t = str(t).upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t in INT_TYPES:
+        return "int"
+    if t.startswith("DECIMAL") or t in ("FLOAT", "DOUBLE", "REAL"):
+        return "numeric"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "text"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.endswith("[]") or t.startswith(("LIST", "STRUCT", "MAP", "ARRAY")):
+        return "nested"
+    return t.lower()  # BOOLEAN, DATE, BLOB, ...
+
+
+def type_check(name, s_cols, s_types, o_cols, o_types):
+    """Red on result-type drift the value canon cannot see. Returns msgs."""
+    msgs = []
+    o_by = {c: type_class(t) for c, t in zip(o_cols, o_types)}
+    s_by = {c: type_class(t) for c, t in zip(s_cols, s_types)}
+    for c, tc in sorted(o_by.items()):
+        if tc == "hugeint":
+            msgs.append(f"oracle col {c} is HUGEINT — CAST(... AS BIGINT) "
+                        "the final SUM (driver hash canonicalizes "
+                        "HUGEINT != BIGINT)")
+        elif c in s_by and s_by[c] != tc:
+            msgs.append(f"col {c} type class spark={s_by[c]} oracle={tc}")
+    return msgs
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -56,12 +101,14 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_rel = con.execute(
+            spark_rel = con.sql(
                 f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
-            s_cols = [d[0] for d in spark_rel.description]
+            s_cols = list(spark_rel.columns)
+            s_types = [str(t) for t in spark_rel.types]
             s_rows = spark_rel.fetchall()
-            o_rel = con.execute(sql)
-            o_cols = [d[0] for d in o_rel.description]
+            o_rel = con.sql(sql)
+            o_cols = list(o_rel.columns)
+            o_types = [str(t) for t in o_rel.types]
             o_rows = o_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
@@ -73,6 +120,10 @@ def main():
             ok, _ = False, msgs.append(f"rows {len(s_rows)} vs {len(o_rows)}")
         if sorted(s_cols) != sorted(o_cols):
             ok, _ = False, msgs.append(f"cols {sorted(s_cols)} vs {sorted(o_cols)}")
+        tmsgs = type_check(name, s_cols, s_types, o_cols, o_types)
+        if tmsgs:
+            ok = False
+            msgs += tmsgs
         if ok and canon(s_rows, s_cols) != canon(o_rows, o_cols):
             ok = False
             sc, oc = canon(s_rows, s_cols), canon(o_rows, o_cols)
