@@ -32,12 +32,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 160 codegen'd queries × (cold + warm) load thousands of generated
+  // 195 codegen'd queries × (cold + warm) load thousands of generated
   // classes in one JVM; the default 240 MB reserved code cache fills
   // mid-suite and the JIT stops compiling the tail's hot loops — measured
-  // +7 s on the sf0.1 bench total (80.2/81.2 s at default vs 74.2 s with
-  // headroom, same code, back-to-back runs). Irrelevant on a real cluster
+  // +7 s on the sf0.1 bench total at 240 MB vs 512 MB in round 6, and in
+  // round 12 a 240 MB standalone run showed 10-19 s deopt-storm spikes on
+  // q_corpus_pipeline (watchdog stack dumps caught Pattern.compile and the
+  // shingle kernel running INTERPRETED) that 1 GB eliminates. Reservation
+  // is virtual — headroom costs nothing. Irrelevant on a real cluster
   // (one long-lived session, executors JIT their own paths); this keeps
   // the LOCAL suite measuring query cost, not code-cache eviction.
-  "-XX:ReservedCodeCacheSize=512m",
+  // Standalone `java -cp` invocations MUST pass the same flag or their
+  // numbers are not comparable to the driver's sbt-forked runs.
+  "-XX:ReservedCodeCacheSize=1g",
 )

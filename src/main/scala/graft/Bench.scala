@@ -77,15 +77,26 @@ object Bench {
       // NEXT timed run. Round 11 scrubbed only after the cold+warm pair, so
       // the warm run of a checkpoint-heavy query executed while the cold
       // run's localCheckpoint blocks still occupied executor storage
-      // (q_dedup_embedding_components warm-raw 6.38 s vs 2.49 cold). The GC
-      // + settle pause is paid only after non-trivial runs, so the suite
+      // (q_dedup_embedding_components warm-raw 6.38 s vs 2.49 cold).
+      //
+      // BETWEEN the cold and warm run of the SAME query, only caches and
+      // checkpoint registrations are released — no System.gc(): a full GC
+      // there can unload the cold run's freshly generated (and freshly
+      // JIT-compiled) codegen classes, forcing the warm run to recompile
+      // the very code whose reuse the warm number is defined to measure
+      // (codegen-heavy pipelines measured 5.1 s warm vs a 2.9 s hot
+      // retry under an intra-pair GC). The full GC + settle runs AFTER
+      // the pair, and only after non-trivial runs, so the 195-query suite
       // doesn't spend minutes collecting a 128 GB heap for free.
-      def scrub(prev: Double): Unit = {
+      def release(): Unit = {
         spark.catalog.clearCache()
         graft.CkptCycle.releaseAll(spark)
+      }
+      def scrub(prev: Double): Unit = {
+        release()
         if (prev > 0.5) { System.gc(); Thread.sleep(150) }
       }
-      val cold0 = once(); scrub(cold0); val warm = once(); scrub(warm)
+      val cold0 = once(); release(); val warm = once(); scrub(warm)
       // De-noise, conservatively (round-8 advice): a SINGLE retry per side —
       // retries run with codegen/plan caches hot, so looping retries would
       // systematically convert legitimate codegen-dominated cold times into

@@ -76,7 +76,10 @@ object Soak {
     "q_text_dsir_select",    // DSIR bucket counts + map-side scoring (r11)
     "q_dedup_source_overlap", // fp-keyed self-join, source-bounded fan-out (r11)
     "q_text_bpe_train",      // vocab-sized training rounds (r11)
-    "q_vec_contrastive")     // shared pair subplan + two bounded heaps (r11)
+    "q_vec_contrastive",     // shared pair subplan + two bounded heaps (r11)
+    "q_decontaminate_bloom", // ckpt'd eval shingles + bloom prefilter (r12)
+    "q_stream_semdedup_batch", // unrolled persisted-fit gate, cell-bounded (r12)
+    "q_crawl_frontier")      // robots gate + broadcast rank + heap cap (r12)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

@@ -16,6 +16,13 @@ object SketchFns {
     GraftColumnBridge.column(graft.plans.ShinglesDistinct(
       GraftColumnBridge.expression(tokens), k))
 
+  /** Distinct 64-bit shingle hashes of a token-array column — internal
+    * join keys for operators that never surface the shingle text.
+    */
+  def shingleHashes(tokens: Column, k: Int): Column =
+    GraftColumnBridge.column(graft.plans.ShingleHashes(
+      GraftColumnBridge.expression(tokens), k))
+
   /** Full MinHash signature (one long per permutation) of a token-array
     * column; null below k tokens.
     */

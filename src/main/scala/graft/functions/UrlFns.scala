@@ -138,10 +138,24 @@ object UrlFns {
     s"CAST(list_max(list_transform(list_filter($prefixes, " +
     s"p -> starts_with($path, p)), p -> length(p))) AS BIGINT)"
 
-  /** Fetchability of `path` under a robots section body. */
-  def robotsAllowed(path: Column, robots: Column): Column = {
-    val dmax = robotsMatchLen(path, robotsPrefixes(robots, "Disallow"))
-    val amax = robotsMatchLen(path, robotsPrefixes(robots, "Allow"))
+  /** Fetchability of `path` against ALREADY-PARSED Disallow/Allow prefix
+    * arrays — the scale form of [[robotsAllowed]]: a crawl frontier carries
+    * billions of URLs but only one robots body per domain, so the parse
+    * (split + regex per directive) belongs on a distinct (domain, robots)
+    * table joined broadcast, not in the per-URL row pipeline. Only the
+    * prefix match (a startsWith scan over a handful of prefixes) runs per
+    * URL.
+    */
+  def robotsAllowedPre(path: Column, disallow: Column, allow: Column): Column = {
+    val dmax = robotsMatchLen(path, disallow)
+    val amax = robotsMatchLen(path, allow)
     when(dmax.isNull, lit(true)).otherwise(coalesce(amax, lit(-1L)) >= dmax)
   }
+
+  /** Fetchability of `path` under a robots section body (parses per row —
+    * prefer [[robotsAllowedPre]] over a per-domain rule table at scale).
+    */
+  def robotsAllowed(path: Column, robots: Column): Column =
+    robotsAllowedPre(path, robotsPrefixes(robots, "Disallow"),
+      robotsPrefixes(robots, "Allow"))
 }

@@ -104,10 +104,10 @@ object Curation {
     */
   def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
                     textCol: String, k: Int): DataFrame = {
-    val trainSh = Dedup.shingles(train, idCol, textCol, k)
-      .select(col(idCol).as("train_id"), xxhash64(col("sh")).as("__sk"))
-    val testShRaw = Dedup.shingles(test, idCol, textCol, k)
-      .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
+    val trainSh = Dedup.shingleHashes(train, idCol, textCol, k)
+      .select(col(idCol).as("train_id"), col("__sk"))
+    val testShRaw = Dedup.shingleHashes(test, idCol, textCol, k)
+      .select(col(idCol).as("test_id"), col("__sk"))
     val maxBytes = test.sparkSession.conf
       .get("spark.graft.decontaminate.broadcastMaxBytes", (32L << 20).toString).toLong
     val testSh =
@@ -136,27 +136,29 @@ object Curation {
   def decontaminateBloom(train: DataFrame, test: DataFrame, idCol: String,
                          textCol: String, k: Int, fpp: Double = 0.01): DataFrame = {
     val spark = train.sparkSession
-    val trainSh = Dedup.shingles(train, idCol, textCol, k)
-      .select(col(idCol).as("train_id"), xxhash64(col("sh")).as("__sk"))
+    val trainSh = Dedup.shingleHashes(train, idCol, textCol, k)
+      .select(col(idCol).as("train_id"), col("__sk"))
     // The hashed eval side is consumed THREE times (sizing count, sketch
     // build, exact join) — checkpoint it once so the test corpus is
     // shingled in one pass, not three (r10 verdict #7: the family paid
     // redundant scans). Bounded by assumption: the held-out side is the
     // small one (MBs of eval against TBs of train). CkptCycle frees the
     // previous invocation's blocks — single-live-frame-per-key contract.
+    //
+    // Sketch sizing needs an EXACT row count BEFORE the sketch can be
+    // allocated (an under-sized Bloom filter silently degenerates the
+    // map-side prefilter toward fpp≈1 at exactly the 100 TB scale this
+    // path exists for, and planner stats are pre-checkpoint estimates that
+    // can be off by the compressed-parquet/row-width ratio). The count
+    // RIDES the checkpoint materialization as an observed metric — the
+    // CorpusPipeline accounting trick — so sizing costs zero extra jobs.
+    val obsN = org.apache.spark.sql.Observation()
     val testSh = graft.CkptCycle.cycle("decontaminateBloom_test",
-      Dedup.shingles(test, idCol, textCol, k)
-        .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
+      Dedup.shingleHashes(test, idCol, textCol, k)
+        .select(col(idCol).as("test_id"), col("__sk"))
+        .observe(obsN, count(lit(1)).as("n"))
         .localCheckpoint(true))
-    // Sketch sizing uses an EXACT count over the checkpointed blocks (a
-    // cheap in-memory scan): planner stats here are pre-checkpoint
-    // ESTIMATES (originStats) that can under-estimate the shingle count by
-    // the compressed-parquet/row-width ratio — an under-sized Bloom filter
-    // silently degenerates the map-side prefilter toward fpp≈1 at exactly
-    // the 100 TB scale this path exists for (results stay correct via the
-    // exact join; the optimization doesn't). One bounded job is the honest
-    // price of a correctly-sized sketch.
-    val nTest = testSh.count()
+    val nTest = obsN.get("n").asInstanceOf[Long]
     val bloom = testSh.stat.bloomFilter("__sk", math.max(nTest, 64L), fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
@@ -183,11 +185,11 @@ object Curation {
     */
   def contaminationReport(train: DataFrame, test: DataFrame, idCol: String,
                           textCol: String, k: Int): DataFrame = {
-    val trainSh = Dedup.shingles(train, idCol, textCol, k)
-      .select(xxhash64(col("sh")).as("__sk")).distinct()
+    val trainSh = Dedup.shingleHashes(train, idCol, textCol, k)
+      .select(col("__sk")).distinct()
       .withColumn("__hit", lit(1))
-    val testSh = Dedup.shingles(test, idCol, textCol, k)
-      .select(col(idCol).as("test_id"), xxhash64(col("sh")).as("__sk"))
+    val testSh = Dedup.shingleHashes(test, idCol, textCol, k)
+      .select(col(idCol).as("test_id"), col("__sk"))
     testSh.join(trainSh, Seq("__sk"), "left")
       .groupBy(col("test_id"))
       .agg(count(lit(1)).as("n_shingles"),
@@ -333,13 +335,22 @@ object Curation {
   def collocations(df: DataFrame, textCol: String, k: Int, minCount: Long): DataFrame = {
     require(k > 0 && minCount >= 1, s"bad k=$k / minCount=$minCount")
     val sent = "\u0001"
-    val allPairs = df.withColumn("__t", TextFns.tokens(col(textCol)))
-      .filter(size(col("__t")) >= 1)
-      .select(explode(expr(
-        "concat(transform(slice(__t, 1, size(__t) - 1), " +
-          "(x, i) -> concat(x, ' ', element_at(__t, i + 2))), " +
-          s"array(concat(element_at(__t, -1), ' $sent')))")).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("cab"))
+    // EAGER: the pair-count table feeds FOUR consumers (unigram
+    // derivation, two unigram joins, the 1-row total, the filtered pair
+    // branch); exchange reuse alone re-ran the pair-vocabulary hash
+    // aggregate per consumer — pair strings barely compress in map-side
+    // partials, so that re-aggregation was the measured dominant cost.
+    // One localCheckpoint (pair-vocab-sized, ≪ corpus) under the
+    // CkptCycle single-live-frame contract; don't construct speculatively.
+    val allPairs = graft.CkptCycle.cycle("collocations_paircounts",
+      df.withColumn("__t", TextFns.tokens(col(textCol)))
+        .filter(size(col("__t")) >= 1)
+        .select(explode(expr(
+          "concat(transform(slice(__t, 1, size(__t) - 1), " +
+            "(x, i) -> concat(x, ' ', element_at(__t, i + 2))), " +
+            s"array(concat(element_at(__t, -1), ' $sent')))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cab"))
+        .localCheckpoint(true))
     val uni = allPairs
       .groupBy(substring_index(col("pair"), " ", 1).as("w"))
       .agg(sum(col("cab")).as("cw"))

@@ -154,6 +154,18 @@ object Dedup {
     shingleArr(df, idCol, textCol, k)
       .select(col(idCol), explode(col("sha")).as("sh"))
 
+  /** Distinct (id, 64-bit shingle hash) pairs — the join-key-only twin of
+    * [[shingles]] for operators that never surface the shingle text (the
+    * decontamination family): the ShingleHashes kernel hashes each k-gram
+    * in place, so no shingle string is ever built and no downstream
+    * xxhash64 pass over string bytes is paid. Column `__sk`.
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col(idCol),
+        explode(graft.functions.SketchFns.shingleHashes(col("t"), k)).as("__sk"))
+
   /** Candidate pairs with exact n-gram Jaccard similarity >= threshold.
     * Output: (a_id, b_id, jaccard), a_id < b_id.
     *
@@ -178,9 +190,17 @@ object Dedup {
     // ~5-10× for typical 4-gram lengths. A 64-bit collision can only ADD a
     // spurious shared shingle between two documents (never remove one), a
     // vanishing overestimate of Jaccard at any realistic corpus size.
-    val base = shingleArr(df, idCol, textCol, k)
+    // The hashes come from the ShingleHashes KERNEL, not
+    // explode(transform(sha, xxhash64)): a higher-order function never
+    // code-generates, and a generator's child is evaluated INTERPRETED per
+    // row inside GenerateExec — jstack during q_corpus_pipeline's stalled
+    // runs showed one executor thread alone in ArrayTransform.nullSafeEval
+    // re-materializing shingle strings while 31 sat idle.
+    val base = df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col(idCol), graft.functions.SketchFns.shingleHashes(col("t"), k).as("sha"))
       .select(col(idCol), size(col("sha")).cast(LongType).as("nsh"),
-        explode(transform(col("sha"), s => xxhash64(s))).as("sh"))
+        explode(col("sha")).as("sh"))
     val shN =
       if (maxDocFreq <= 0L) base
       else {

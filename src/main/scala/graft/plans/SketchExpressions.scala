@@ -84,6 +84,62 @@ object SketchKernels {
     if (nChars == 0) 217L else acc
   }
 
+  /** 64-bit hash of the k-token shingle at position p, walking UTF-8 bytes
+    * directly — no StringBuilder, no String, no UTF8String allocation.
+    * INTERNAL equality key only, never oracle-replayed: callers join or
+    * aggregate on it exactly where they previously joined on
+    * xxhash64(shingle string), so any well-mixed 64-bit hash is
+    * interchangeable (the [[polyHashCp]]-family hashes are NOT — at 31
+    * bits, a corpus past ~50k distinct shingles hits birthday collisions).
+    * FNV-1a over bytes with a single-space separator between emitted
+    * tokens (concat_ws semantics: null tokens skipped), finished with the
+    * murmur fmix64 avalanche.
+    */
+  private def shingleHash64(tokens: ArrayData, p: Int, k: Int): Long = {
+    var acc = 0xcbf29ce484222325L
+    var emitted = 0
+    var t = p
+    while (t < p + k) {
+      if (!tokens.isNullAt(t)) {
+        if (emitted > 0) acc = (acc ^ 32L) * 0x100000001b3L
+        val s = tokens.getUTF8String(t)
+        val nb = s.numBytes()
+        var i = 0
+        while (i < nb) {
+          acc = (acc ^ (s.getByte(i) & 0xffL)) * 0x100000001b3L
+          i += 1
+        }
+        emitted += 1
+      }
+      t += 1
+    }
+    var h = acc
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+    h
+  }
+
+  /** Distinct 64-bit shingle hashes in first-occurrence order; empty array
+    * below k tokens. The hashed twin of [[shinglesDistinct]] for operators
+    * that only ever JOIN on the shingle (the decontamination family): the
+    * k-gram strings are never materialized, which halves the allocation
+    * bill of the corpus-side scan.
+    */
+  def shingleHashes(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    var cnt = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var p = 0
+    while (p <= n - k) {
+      val h = shingleHash64(tokens, p, k)
+      if (seen.add(h)) { out(cnt) = h; cnt += 1 }
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
+  }
+
   /** Distinct k-gram shingle strings in first-occurrence order; empty array
     * when the document has fewer than k tokens.
     */
@@ -190,6 +246,26 @@ private[plans] trait TokenArrayInput { self: UnaryExpression =>
 }
 
 /** array<string> tokens → array<string> distinct k-gram shingles. */
+/** array<string> tokens → array<long> distinct 64-bit shingle hashes —
+  * internal join keys only (see SketchKernels.shingleHashes).
+  */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def fnName: String = "shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.shingleHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.shingleHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 case class ShinglesDistinct(child: Expression, k: Int)
     extends UnaryExpression with TokenArrayInput {
   require(k >= 1, s"k must be >= 1, got $k")

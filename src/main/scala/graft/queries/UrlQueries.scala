@@ -313,6 +313,13 @@ object UrlQueries {
             synthEdges(t(s, dir, "documents")), "src", "dst", iters = 3))
         val w = Window.partitionBy(col("domain"))
           .orderBy(col("depth"), col("doc_id"))
+        // Robots gate stays FUSED in the scan's codegen stage (measured:
+        // the per-row parse costs ~0.1 s at sf0.1 — building a distinct
+        // rule table here added a whole extra scan+shuffle for nothing,
+        // because this fixture carries the body per row). When robots
+        // bodies arrive keyed by domain — the real 100 TB frontier shape —
+        // parse them once per domain and broadcast-join via
+        // [[UrlFns.robotsAllowedPre]] instead.
         d.filter(UrlFns.robotsAllowed(col("path"), col("robots")))
           .withColumn("depth",
             size(filter(split(col("path"), "/"), x => x =!= "")).cast(LongType))

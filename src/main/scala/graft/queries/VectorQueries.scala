@@ -890,7 +890,80 @@ object VectorQueries {
                CAST(COUNT(CASE WHEN kept THEN 1 END) AS BIGINT) AS n_kept,
                CAST(COALESCE(SUM(CASE WHEN kept THEN n_tokens END), 0) AS BIGINT)
                  AS tok_kept
-        FROM k2 GROUP BY source ORDER BY source"""))
+        FROM k2 GROUP BY source ORDER BY source""")),
+
+    // ----- batch-equivalent streaming SemDeDup gate (Streams.
+    // semDedupGateBatch): arrivals split into three micro-batches
+    // (vec_id % 3) flow through the persisted-fit gate sequentially — an
+    // arrival is dropped iff some SURVIVOR of an EARLIER batch shares its
+    // k-means cell with rounded cosine >= 0.2 (the one-sided contract:
+    // committed history cannot be retracted, within-batch pairs are not
+    // examined). The unrolled three-step recursion is expressed
+    // identically here and in the oracle, so the gate's survivorship
+    // semantics — assignment, cosine, threshold, batch ordering — are
+    // DuckDB-replayed bit-for-bit; StreamsSpec's crash drill pins the
+    // foreachBatch plumbing (markers, min-batch-id merges, self-collision
+    // guard) to these same semantics.
+    Q("q_stream_semdedup_batch",
+      (s, dir) => {
+        // The assigned frame feeds seven consumers across the unrolled
+        // batches (each gate stage joins arrivals against accumulated
+        // survivors); materialize it ONCE — faithful to the real gate,
+        // which checkpoints each micro-batch's survivors anyway.
+        val m = graft.CkptCycle.cycle("q_stream_semdedup_batch_m",
+          graft.operators.KMeans.assignmentsQ(
+              t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2)
+            .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
+            .withColumn("batch", pmod(col("vec_id"), lit(3L)))
+            .select(col("vec_id"), col("batch"), col("cluster"), col("__u"), col("__n"))
+            .localCheckpoint(true))
+        def arriving(df: DataFrame): DataFrame = df.select(
+          col("vec_id").as("a_id"), col("cluster"),
+          col("__u").as("a_u"), col("__n").as("a_n"))
+        def ingested(df: DataFrame): DataFrame = df.select(
+          col("cluster"), col("__u").as("b_u"), col("__n").as("b_n"))
+        def droppedIds(in: DataFrame, idx: DataFrame): DataFrame =
+          arriving(in).join(ingested(idx), Seq("cluster"))
+            .withColumn("cos", VectorFns.dotQDouble(col("a_u"), col("b_u"))
+              / (col("a_n") * col("b_n")))
+            .filter(round(col("cos"), 6) >= 0.2)
+            .select(col("a_id").as("vec_id")).distinct()
+        val b0 = m.filter(col("batch") === 0)
+        val b1 = m.filter(col("batch") === 1)
+        val b2 = m.filter(col("batch") === 2)
+        val s1 = b1.join(droppedIds(b1, b0), Seq("vec_id"), "left_anti")
+        val s2 = b2.join(droppedIds(b2, b0.unionByName(s1)), Seq("vec_id"), "left_anti")
+        b0.unionByName(s1).unionByName(s2)
+          .select(col("vec_id"), col("batch"), col("cluster"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        qn AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        m AS (SELECT a2.vec_id, a2.j, qn.embedding, qn.norm,
+                     a2.vec_id % 3 AS batch
+              FROM a2 JOIN qn USING (vec_id)),
+        gs0 AS (SELECT * FROM m WHERE batch = 0),
+        gd1 AS (SELECT DISTINCT a.vec_id
+                FROM m a JOIN gs0 b ON a.j = b.j
+                WHERE a.batch = 1
+                  AND round(${VectorFns.dotSql("a.embedding", "b.embedding")}
+                            / (a.norm * b.norm), 6) >= 0.2),
+        gs1 AS (SELECT * FROM m WHERE batch = 1
+                  AND vec_id NOT IN (SELECT vec_id FROM gd1)),
+        gs01 AS (SELECT * FROM gs0 UNION ALL SELECT * FROM gs1),
+        gd2 AS (SELECT DISTINCT a.vec_id
+                FROM m a JOIN gs01 b ON a.j = b.j
+                WHERE a.batch = 2
+                  AND round(${VectorFns.dotSql("a.embedding", "b.embedding")}
+                            / (a.norm * b.norm), 6) >= 0.2),
+        gs2 AS (SELECT * FROM m WHERE batch = 2
+                  AND vec_id NOT IN (SELECT vec_id FROM gd2))
+        SELECT vec_id, CAST(batch AS BIGINT) AS batch, CAST(j AS BIGINT) AS cluster
+        FROM (SELECT * FROM gs01 UNION ALL SELECT * FROM gs2)
+        ORDER BY vec_id"""))
   )
 
   /** DuckDB replay of the fixed-point two-pass Lloyd iteration (k=4,

@@ -427,6 +427,112 @@ object Streams {
       .start()
 
   // ---------------------------------------------------------------------
+  // Streaming SemDeDup gate: assign each arriving micro-batch against a
+  // PERSISTED k-means fit (KMeans.train → centroidsToDf → centroidsFromDf,
+  // the train/persist/assign split) and drop arrivals whose cosine against
+  // any INGESTED member of their cell reaches the threshold — the semantic
+  // twin of the MinHash band-index gate above, with the same replay
+  // design: cell rows carry the batch_id that first contributed them,
+  // tagging filters to batch_id < current, and re-merges are no-ops (min
+  // over a set already containing the value).
+  //
+  // One-sided contract, like tagNearDupAgainstIndex: the INCOMING vector
+  // is the one dropped on a collision — the ingested corpus is committed
+  // history a stream cannot retract — so survivorship deviates from batch
+  // semDedup's keep-farthest-from-centroid rule exactly where retraction
+  // would be required. Within-batch mutual near-dups are not examined;
+  // run Dedup.semDedup on the batch first if intra-batch dedup is needed.
+  // Same normalized-embedding precondition as Dedup.semDedup.
+  //
+  // Scale: assignment is map-side (the k×dim centroid matrix rides as a
+  // codegen reference object — the corpus never shuffles to be assigned);
+  // the only shuffle is the cluster-keyed join against the cell table,
+  // bounded by cell population — k grows with the corpus to hold cell
+  // size constant (the SemDeDup scale argument) — and at 100 TB the cell
+  // table partitions by cluster range with batch-append merges, exactly
+  // like the band index above.
+  // ---------------------------------------------------------------------
+
+  /** Cell-index table schema for the streaming SemDeDup gate. */
+  val cellIndexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType), StructField("cluster", LongType),
+    StructField("u", ArrayType(LongType, containsNull = false)),
+    StructField("batch_id", LongType)))
+
+  /** The foreachBatch body of the SemDeDup gate, callable directly in tests
+    * and replay drills. `cents` is the persisted fit (load once via
+    * [[graft.operators.KMeans.centroidsFromDf]] — training never reruns per
+    * batch). Returns false when `batchId` was already fully committed.
+    */
+  def semDedupGateBatch(batch: DataFrame, wh: graft.airbnb.Warehouse,
+      cents: Array[Array[Long]], cellTable: String, outDir: String,
+      batchId: Long, idCol: String, embCol: String,
+      threshold: Double): Boolean = {
+    val spark = batch.sparkSession
+    val dir = batchDir(outDir, batchId)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dir, "_COMMITTED"))) return false
+    import graft.functions.VectorFns
+    val assigned = graft.operators.KMeans.assignWith(batch, idCol, embCol, cents)
+      .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
+    // exclude THIS batch's own contribution (present iff this is a replay
+    // that crashed after the cell merge) — the self-collision guard
+    val idx = wh.readOrEmpty(cellTable, cellIndexSchema)
+      .filter(col("batch_id") < batchId)
+      .select(col("cluster"), col("u").as("__iu"))
+      .withColumn("__in", sqrt(VectorFns.dotQDouble(col("__iu"), col("__iu"))))
+    // cosine identical to Dedup.semDedup: exact quantized dot over
+    // correctly-rounded norms, thresholded after round-to-6 — so a batch
+    // oracle replays every drop decision bit-for-bit
+    val dropped = assigned.join(idx, Seq("cluster"))
+      .withColumn("cos",
+        VectorFns.dotQDouble(col("__u"), col("__iu")) / (col("__n") * col("__in")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col(idCol)).distinct()
+    // materialize survivors BEFORE the cell-table swap (same
+    // FILE_NOT_EXIST hazard as the band gate); micro-batch-sized
+    val survivors = batch.join(
+        assigned.join(dropped, Seq(idCol), "left_anti")
+          .select(col(idCol), col("cluster"), col("__u")), Seq(idCol))
+      .localCheckpoint(true)
+    try {
+      // survivors' cells merge under min-batch-id semantics; the groupBy
+      // also re-distincts, so replays cannot grow the table
+      val merged = wh.readOrEmpty(cellTable, cellIndexSchema).unionByName(
+          survivors.select(col(idCol).cast(LongType).as("vec_id"),
+            col("cluster"), col("__u").as("u"), lit(batchId).as("batch_id")))
+        .groupBy(col("vec_id"), col("cluster"), col("u"))
+        .agg(min(col("batch_id")).as("batch_id"))
+      wh.write(cellTable, merged)
+      writeBatchIdempotent(survivors.drop("cluster", "__u"), outDir, batchId)
+    } finally survivors.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Start the streaming SemDeDup gate on an embeddings stream. The fit is
+    * loaded ONCE from `centroidTable` at start (the persisted-fit path);
+    * the triple (checkpointDir, outDir, cell table) is the unit of
+    * exactly-once recovery.
+    */
+  def startSemDedupGate(docs: DataFrame, wh: graft.airbnb.Warehouse,
+      centroidTable: String, cellTable: String, outDir: String,
+      checkpointDir: String, idCol: String, embCol: String, threshold: Double,
+      queryName: String = "semdedup_gate"): StreamingQuery = {
+    val cents = graft.operators.KMeans.centroidsFromDf(wh.read(centroidTable))
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        semDedupGateBatch(batch.toDF(), wh, cents, cellTable, outDir, batchId,
+          idCol, embCol, threshold): Unit
+      }
+      .start()
+  }
+
+  // ---------------------------------------------------------------------
   // Streaming corpus ingestion: the FULL crawl-intake pipeline as one
   // continuous query — quality gate → PII scrub → intra-batch exact dedup
   // → cross-batch exact dedup (fingerprint index) → cross-batch near-dup

@@ -127,6 +127,39 @@ class KernelParitySpec extends AnyFunSuite {
     assert(viaHof.exceptAll(viaKernel).count() == 0L)
   }
 
+  test("ShingleHashes: one distinct hash per distinct shingle, same join equalities") {
+    val k = 4
+    // the hashed twin must agree with the string kernel on per-doc shingle
+    // multiplicity (injective on this corpus — a collision would collapse
+    // two distinct shingles and fail the count parity)...
+    val viaStr = Dedup.shingles(docs, "doc_id", "text", k)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val viaHash = Dedup.shingleHashes(docs, "doc_id", "text", k)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    assert(viaHash.exceptAll(viaStr).count() == 0L)
+    assert(viaStr.exceptAll(viaHash).count() == 0L)
+    // ...and on the CROSS-DOCUMENT equality structure a decontamination
+    // join consumes: equal shingle strings ⇒ equal hashes, distinct
+    // strings ⇒ distinct hashes, doc pair by doc pair
+    val s1 = Dedup.shingles(docs, "doc_id", "text", k)
+      .select(col("doc_id").as("a"), col("sh"))
+    val s2 = Dedup.shingles(docs, "doc_id", "text", k)
+      .select(col("doc_id").as("b"), col("sh"))
+    val strPairs = s1.join(s2, "sh").filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val h1 = Dedup.shingleHashes(docs, "doc_id", "text", k)
+      .select(col("doc_id").as("a"), col("__sk"))
+    val h2 = Dedup.shingleHashes(docs, "doc_id", "text", k)
+      .select(col("doc_id").as("b"), col("__sk"))
+    val hashPairs = h1.join(h2, "__sk").filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    assert(hashPairs.exceptAll(strPairs).count() == 0L)
+    assert(strPairs.exceptAll(hashPairs).count() == 0L)
+    // below k tokens → empty, like the string kernel
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.shingleHashes(tiny, "doc_id", "text", k).count() == 0L)
+  }
+
   test("MinHashSig == groupBy-min over hashed distinct shingles") {
     val k = 4
     val viaKernel = Dedup.minhashSignatures(docs, "doc_id", "text", k)

@@ -118,13 +118,20 @@ class PlanLintSpec extends AnyFunSuite {
     val p = plan("q_decontaminate")
     assert(p.contains("BroadcastHashJoin"),
       "held-out shingle side is not broadcast — a 100 TB train side would sort-merge")
-    assert(p.contains("xxhash64"), "shingle join key is not hashed to 64-bit")
+    // since round 12 the shingle hashes come from the ShingleHashes kernel,
+    // not xxhash64 over materialized shingle strings
+    assert(p.toLowerCase.contains("shinglehashes"),
+      "shingle join key is not kernel-hashed to 64-bit")
   }
 
   test("boilerplate/ngram joins key on 64-bit hashes, not chunk/shingle strings") {
-    Seq("q_text_boilerplate", "q_dedup_ngram_jaccard").foreach { n =>
-      assert(plan(n).contains("xxhash64"), s"$n shuffles raw strings")
-    }
+    // boilerplate hashes its chunks with xxhash64; the jaccard base moved
+    // to the ShingleHashes kernel in round 12 (no shingle string, no
+    // interpreted transform inside GenerateExec)
+    assert(plan("q_text_boilerplate").contains("xxhash64"),
+      "q_text_boilerplate shuffles raw strings")
+    assert(plan("q_dedup_ngram_jaccard").toLowerCase.contains("shinglehashes"),
+      "q_dedup_ngram_jaccard shuffles raw strings")
   }
 
   test("IQR outlier fences broadcast back onto the detail table") {

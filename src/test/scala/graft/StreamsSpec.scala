@@ -373,6 +373,82 @@ class StreamsSpec extends AnyFunSuite {
       .filter($"count" > 1).count() == 0L)
   }
 
+  test("streaming SemDeDup gate drops near-dups against persisted cells, crash-replay safe") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-sem-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-sem-out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-sem-ckp").toString
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-sem-wh").toString)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    def stream = spark.readStream.schema(schema).parquet(src.toString)
+    def addVecs(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sem-one")
+      rows.toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(name))
+    }
+    def committedIds: Set[Long] = Streams.readCommitted(spark, out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // offline training on a seed sample, persisted fit (train/persist/
+    // assign split): seeds 100/101 are the 2 lowest ids, so the centroids
+    // land near (0.98, 0.02) and (0.02, 0.98)
+    val seed = Seq(
+      100L -> Array(1.0f, 0.0f), 101L -> Array(0.0f, 1.0f),
+      102L -> Array(0.96f, 0.04f), 103L -> Array(0.04f, 0.96f))
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.KMeans.train(seed, "vec_id", "embedding", 2, 2)
+    wh.write("sem_centroids", graft.operators.KMeans.centroidsToDf(spark, cents))
+
+    // batch 0: empty cell table — both arrivals are novel and seed cells
+    addVecs("b0.parquet", Seq(1L -> Array(1.0f, 0.0f), 2L -> Array(0.0f, 1.0f)))
+    val q0 = Streams.startSemDedupGate(stream, wh, "sem_centroids", "sem_cells",
+      out, ckp, "vec_id", "embedding", threshold = 0.99, queryName = "sem_0")
+    try q0.processAllAvailable() finally q0.stop()
+    assert(committedIds == Set(1L, 2L))
+
+    // batch 1: vec 3 is near-collinear with vec 1 (cos ~0.9996, same cell)
+    // -> dropped; vec 4 shares vec 1's cell at cos ~0.71 -> survives
+    addVecs("b1.parquet", Seq(
+      3L -> Array(0.9998f, 0.02f), 4L -> Array(0.71f, 0.70f)))
+    val q1 = Streams.startSemDedupGate(stream, wh, "sem_centroids", "sem_cells",
+      out, ckp, "vec_id", "embedding", threshold = 0.99, queryName = "sem_1")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(committedIds == Set(1L, 2L, 4L))
+
+    // crash drill on the foreachBatch body: batch 2 completes, then the
+    // crash window is simulated by deleting its committed output while
+    // LEAVING the cell merge in place — the state a death between the cell
+    // swap and the output marker leaves behind
+    val b2 = Seq(5L -> Array(0.7102f, 0.7001f), 6L -> Array(0.3f, 0.92f))
+      .toDF("vec_id", "embedding")
+    assert(Streams.semDedupGateBatch(b2, wh, cents, "sem_cells", out, 2L,
+      "vec_id", "embedding", 0.99))
+    val b2dir = new org.apache.hadoop.fs.Path(out, "batch-000000002")
+    val gfs = b2dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(gfs.delete(b2dir, true), "no batch-2 output to crash")
+    // replay: vec 6's own cell row is already in the table under
+    // batch_id=2, but the gate filters to batch_id < 2 — no
+    // self-collision, 6 survives again; vec 5 still collides with vec 4's
+    // batch-1 cell row (cos ~1.0)
+    assert(Streams.semDedupGateBatch(b2, wh, cents, "sem_cells", out, 2L,
+      "vec_id", "embedding", 0.99))
+    assert(committedIds == Set(1L, 2L, 4L, 6L))
+    // a pure replay (marker present) is a no-op
+    assert(!Streams.semDedupGateBatch(b2, wh, cents, "sem_cells", out, 2L,
+      "vec_id", "embedding", 0.99))
+    // the cell table holds each survivor once, owned by the batch that
+    // FIRST contributed it (replays and re-merges cannot grow the table)
+    val cells = wh.read("sem_cells")
+    assert(cells.groupBy("vec_id").count().filter($"count" > 1).count() == 0L)
+    assert(cells.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L, 6L))
+  }
+
   test("streaming funnel equals batch min-within-window semantics at sf0.001") {
     val evs = Tables.events(spark, TestSpark.sfDir)
       .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
