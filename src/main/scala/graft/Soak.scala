@@ -93,6 +93,14 @@ object Soak {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle/spill files on tmpfs: /tmp here is a virtio ext4 disk, and
+      // thread dumps during stalled suite runs showed executor threads
+      // blocked in per-shuffle-file FileOutputStream flushes (the machine
+      // has 128 GB RAM sitting idle). A real cluster writes shuffle to
+      // local SSDs; locally tmpfs is the honest equivalent, and DuckDB's
+      // oracle runs fully in memory on the same host anyway.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

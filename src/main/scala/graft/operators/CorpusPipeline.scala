@@ -76,6 +76,13 @@ object CorpusPipeline {
       lit(1.0) - size(graft.functions.SketchFns.shinglesDistinct(col("__tk"), 3))
         .cast(DoubleType) / (size(col("__tk")) - 2))
       .otherwise(lit(0.0))
+    // (A conditional small-input repartition was tried here in round 12 —
+    // the sf0.1 corpus arrives as ONE parquet split, so the gate/scrub
+    // chain runs on one core — and MEASURED WORSE: fanning the tiny input
+    // to 32 partitions multiplied every downstream stage's task count
+    // (65 → 845 tasks) and the scheduling overhead exceeded the
+    // single-core compute it saved. At 100 TB the input has thousands of
+    // natural splits and the question is moot.)
     // The raw-input row count rides the gate pass as an observed metric —
     // a separate df.count() would re-scan the whole input once more just
     // for the droppedQuality accounting.

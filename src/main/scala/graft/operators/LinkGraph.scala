@@ -47,11 +47,16 @@ object LinkGraph {
                iters: Int, truncateEvery: Int = 8): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(truncateEvery >= 1, s"truncateEvery must be >= 1: $truncateEvery")
-    val e = Components.truncate(
-      edges.select(col(srcCol).cast("long").as("src"),
+    // The out-degree is LOOP-INVARIANT: computing it once and checkpointing
+    // it WITH the edge list (src, dst, deg) deletes one join — a shuffle
+    // stage — from every iteration (3 stages at iters=3; at toy scale each
+    // materialized AQE stage costs ~30 ms of launch overhead, and at 100 TB
+    // each is a full edge-list shuffle).
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
                    col(dstCol).cast("long").as("dst"))
-        .filter(col("src") =!= col("dst")).distinct())
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("src") =!= col("dst")).distinct()
+    val e = Components.truncate(
+      e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // node count as driver literals: one bounded job over the edge
@@ -63,7 +68,7 @@ object LinkGraph {
     var ranks = nodes.select(col("node"), lit(init).as("r"))
     var lastCkpt: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      val contribs = e.join(deg, "src")
+      val contribs = e
         .join(ranks.select(col("node").as("src"), col("r")), "src")
         .select(col("dst").as("node"), expr("r DIV deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("c"))

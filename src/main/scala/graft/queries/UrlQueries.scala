@@ -308,6 +308,16 @@ object UrlQueries {
     Q("q_crawl_frontier",
       (s, dir) => {
         val d = synthFrontier(t(s, dir, "documents"))
+        // The rank plan stays LAZY: this query runs one action, so the
+        // 3-iteration rank subplan evaluates exactly once inside the
+        // broadcast build either way, and an eager checkpoint of it was
+        // measured to only ADD its materialization overhead (a production
+        // crawler serving MANY scheduling queries per rank build would
+        // checkpoint/persist the rank table first — that multi-consumer
+        // shape is what localCheckpoint buys; a single-action query is not
+        // it). The deg-join hoist inside pageRank (loop-invariant
+        // out-degree rides the edge checkpoint) cut one shuffle stage per
+        // iteration for every caller.
         val pr = graft.CkptCycle.cycle("q_crawl_frontier_pr",
           graft.operators.LinkGraph.pageRank(
             synthEdges(t(s, dir, "documents")), "src", "dst", iters = 3))
