@@ -427,6 +427,80 @@ object Streams {
       .start()
 
   // ---------------------------------------------------------------------
+  // Streaming decontamination gate: the operational half of the
+  // Curation.decontaminate family — an evaluation suite is shingled ONCE
+  // into a persisted hash table (buildEvalShingleIndex), and every
+  // arriving TRAINING micro-batch is checked against it map-side: clean
+  // docs flow to the idempotent sink, contaminated docs land in a
+  // batch-keyed quarantine with their evidence counts (the eval owner
+  // audits the quarantine; silently dropping rows would hide systematic
+  // contamination). The index is STATIC by contract — an eval suite does
+  // not grow with the stream — so unlike the dedup gates there is no
+  // merge step and no min-batch-id machinery: idempotence is the sink
+  // marker alone, and a replayed batch re-derives exactly the same
+  // partition of clean/contaminated rows.
+  //
+  // Scale: the batch side shingles at ShingleHashes-kernel speed and the
+  // index side is a distinct hashed-long table (MBs for a real eval
+  // suite) joined broadcast; the only per-batch aggregate is over the
+  // contaminated subset. At the scale where even the hashed index no
+  // longer broadcasts, prefilter with the Bloom path exactly as
+  // decontaminateBloom does — the gate body composes either way.
+  // ---------------------------------------------------------------------
+
+  /** Shingle the held-out suite once into a distinct (sk) hash table —
+    * persist via `wh.write(table, ...)` and serve every batch from it.
+    */
+  def buildEvalShingleIndex(test: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    graft.operators.Dedup.shingleHashes(test, idCol, textCol, k)
+      .select(col("__sk")).distinct()
+
+  /** The foreachBatch body of the decontamination gate, callable directly.
+    * Returns false when `batchId` was already fully committed.
+    */
+  def decontaminateGateBatch(batch: DataFrame, wh: graft.airbnb.Warehouse,
+      indexTable: String, outDir: String, quarantineDir: String,
+      batchId: Long, idCol: String, textCol: String, k: Int): Boolean = {
+    val spark = batch.sparkSession
+    val dir = batchDir(outDir, batchId)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dir, "_COMMITTED"))) return false
+    val idx = wh.readOrEmpty(indexTable,
+      StructType(Seq(StructField("__sk", LongType))))
+    val hits = graft.operators.Dedup.shingleHashes(batch, idCol, textCol, k)
+      .join(broadcast(idx), "__sk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+    val tagged = batch.join(hits, Seq(idCol), "left")
+    val contaminated = tagged.filter(col("n_shared_shingles").isNotNull)
+    val clean = tagged.filter(col("n_shared_shingles").isNull)
+      .drop("n_shared_shingles")
+    // quarantine first (evidence must exist before the sink marker says
+    // the batch is done), then the marker-bearing clean write; a crash
+    // between the two replays both — the quarantine write is a plain
+    // batch-keyed overwrite, so the replay converges
+    contaminated.write.mode("overwrite")
+      .parquet(new Path(quarantineDir, f"batch-$batchId%09d").toString)
+    writeBatchIdempotent(clean, outDir, batchId)
+  }
+
+  /** Start the streaming decontamination gate on a documents stream. */
+  def startDecontaminateGate(docs: DataFrame, wh: graft.airbnb.Warehouse,
+      indexTable: String, outDir: String, quarantineDir: String,
+      checkpointDir: String, idCol: String, textCol: String, k: Int,
+      queryName: String = "decontaminate_gate"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        decontaminateGateBatch(batch.toDF(), wh, indexTable, outDir,
+          quarantineDir, batchId, idCol, textCol, k): Unit
+      }
+      .start()
+
+  // ---------------------------------------------------------------------
   // Streaming SemDeDup gate: assign each arriving micro-batch against a
   // PERSISTED k-means fit (KMeans.train → centroidsToDf → centroidsFromDf,
   // the train/persist/assign split) and drop arrivals whose cosine against

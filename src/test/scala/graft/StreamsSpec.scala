@@ -373,6 +373,71 @@ class StreamsSpec extends AnyFunSuite {
       .filter($"count" > 1).count() == 0L)
   }
 
+  test("streaming decontamination gate quarantines eval overlap, replay-safe") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-dec-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-dec-out").toString
+    val qua = java.nio.file.Files.createTempDirectory("graft-dec-qua").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-dec-ckp").toString
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-dec-wh").toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream = spark.readStream.schema(schema).parquet(src.toString)
+    def addDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dec-one")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(name))
+    }
+
+    // the eval suite, shingled ONCE into the static index (k=4)
+    val eval = Seq(
+      900L -> "the quick brown fox jumps over the lazy dog",
+      901L -> "pack my box with five dozen liquor jugs").toDF("doc_id", "text")
+    wh.write("eval_shingles",
+      Streams.buildEvalShingleIndex(eval, "doc_id", "text", 4))
+
+    // batch 0: doc 1 contains an eval 4-gram ("quick brown fox jumps") ->
+    // quarantined; doc 2 is clean
+    addDocs("b0.parquet", Seq(
+      1L -> "we saw the quick brown fox jumps over fences daily",
+      2L -> "completely unrelated training text about other things entirely"))
+    val q0 = Streams.startDecontaminateGate(stream, wh, "eval_shingles", out,
+      qua, ckp, "doc_id", "text", 4, queryName = "dec_0")
+    try q0.processAllAvailable() finally q0.stop()
+    def committedIds: Set[Long] = Streams.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(committedIds == Set(2L))
+    val quar0 = spark.read.parquet(s"$qua/batch-000000000")
+    assert(quar0.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // evidence counts ride the quarantine row (three eval 4-grams overlap:
+    // "the quick brown fox", "quick brown fox jumps", "brown fox jumps over")
+    assert(quar0.filter($"doc_id" === 1L)
+      .select("n_shared_shingles").head().getLong(0) == 3L)
+
+    // crash drill: batch 1 completes, its committed output is deleted
+    // (crash between quarantine write and sink marker); the replay must
+    // converge to the same clean/contaminated partition
+    val b1 = Seq(
+      3L -> "pack my box with five dozen eggs instead",
+      4L -> "novel clean sentence with no overlap whatsoever here").toDF("doc_id", "text")
+    assert(Streams.decontaminateGateBatch(b1, wh, "eval_shingles", out, qua,
+      1L, "doc_id", "text", 4))
+    val b1dir = new org.apache.hadoop.fs.Path(out, "batch-000000001")
+    val gfs = b1dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(gfs.delete(b1dir, true), "no batch-1 output to crash")
+    assert(Streams.decontaminateGateBatch(b1, wh, "eval_shingles", out, qua,
+      1L, "doc_id", "text", 4))
+    assert(committedIds == Set(2L, 4L))
+    assert(spark.read.parquet(s"$qua/batch-000000001")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+    // a pure replay (marker present) is a no-op
+    assert(!Streams.decontaminateGateBatch(b1, wh, "eval_shingles", out, qua,
+      1L, "doc_id", "text", 4))
+  }
+
   test("streaming SemDeDup gate drops near-dups against persisted cells, crash-replay safe") {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val src = java.nio.file.Files.createTempDirectory("graft-sem-src")
