@@ -152,12 +152,63 @@ object Similarity {
     array_position(dists, array_min(dists)).cast("long") - 1
   }
 
+  /** The trained IVF coarse quantizer as a (list, pos, c, n_lists, dim)
+    * frame for warehouse persistence; [[ivfCentroidsFromDf]] inverts it.
+    * The declared shape rides IN the data: deriving it from max()+1 cannot
+    * see the loss of an entire trailing list or dimension (the same
+    * contract as `KMeans.centroidsToDf` and `Curation.weightsToDf`).
+    */
+  def ivfCentroidsToDf(spark: org.apache.spark.sql.SparkSession,
+                       cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val (nl, dim) = (cents.length.toLong, cents.head.length.toLong)
+    cents.zipWithIndex.flatMap { case (cu, j) =>
+      cu.zipWithIndex.map { case (c, p) => (j.toLong, p.toLong, c, nl, dim) }
+    }.toSeq.toDF("list", "pos", "c", "n_lists", "dim")
+  }
+
+  /** Inverse of [[ivfCentroidsToDf]] — bounded collect (nLists·dim
+    * doubles), failing loudly on ANY hole including trailing ones.
+    */
+  def ivfCentroidsFromDf(df: DataFrame, expectedLists: Int = -1,
+                         expectedDim: Int = -1): Array[Array[Double]] = {
+    val rows = df.select(col("list").cast(LongType), col("pos").cast(LongType),
+        col("c").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    require(rows.nonEmpty, "empty IVF centroid frame")
+    def declared(colName: String, expl: Int, derived: Int): Int =
+      if (expl > 0) expl
+      else if (df.columns.contains(colName)) {
+        val vs = df.select(col(colName).cast(LongType)).distinct().collect()
+        require(vs.length == 1, s"inconsistent $colName: ${vs.length} values")
+        vs.head.getLong(0).toInt
+      } else derived
+    val nl = declared("n_lists", expectedLists, rows.keys.map(_._1).max.toInt + 1)
+    val dim = declared("dim", expectedDim, rows.keys.map(_._2).max.toInt + 1)
+    require(rows.keys.map(_._1).max.toInt + 1 == nl &&
+        rows.keys.map(_._2).max.toInt + 1 == dim && rows.size == nl * dim,
+      s"IVF centroid frame holes: ${rows.size} rows, expected ${nl}x$dim")
+    Array.tabulate(nl, dim)((j, p) => rows((j.toLong, p.toLong)))
+  }
+
   /** IVF ANN top-k: probes score only candidates in their `nProbe` nearest
-    * cells.
+    * cells. Trains the coarse quantizer inline — the one-shot form; the
+    * operational daily-batch shape trains once ([[ivfIndex]]), persists
+    * ([[ivfCentroidsToDf]] through any warehouse table), and serves every
+    * query batch via [[ivfTopKWith]] with zero training jobs.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, nLists: Int,
-              nProbe: Int, k: Int): DataFrame = {
-    val cents = ivfIndex(candidates.select(col("ce").as("embedding")), "embedding", nLists)
+              nProbe: Int, k: Int): DataFrame =
+    ivfTopKWith(queries, candidates,
+      ivfIndex(candidates.select(col("ce").as("embedding")), "embedding", nLists),
+      nProbe, k)
+
+  /** [[ivfTopK]] against an ALREADY-TRAINED coarse quantizer — the serving
+    * half of the train/persist/serve split. Pure lazy plan builder.
+    */
+  def ivfTopKWith(queries: DataFrame, candidates: DataFrame,
+                  cents: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+    require(cents.nonEmpty, "empty IVF centroid matrix")
     val c = candidates.withColumn("cell", ivfCell("ce", cents))
     // probe lists: the nProbe nearest cells per query
     val qq = queries.withColumn("qd", cellDists("qe", cents))
@@ -245,21 +296,48 @@ object Similarity {
   def pqCodebooksDf(spark: org.apache.spark.sql.SparkSession,
                     codebooks: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
+    // declared shape rides IN the data (m, k_cent, subdim): a frame that
+    // lost its trailing subspace/centroid/dim rows is otherwise
+    // indistinguishable from a smaller complete codebook (the round-12
+    // persisted-state contract, same as the k-means/DSIR/IVF frames)
+    val (m, kc, sd) = (codebooks.length, codebooks.head.length,
+      codebooks.head.head.length)
     codebooks.indices.flatMap { j =>
       codebooks(j).indices.flatMap { c =>
         codebooks(j)(c).indices.map { d =>
-          (j, c, d, codebooks(j)(c)(d))
+          (j, c, d, codebooks(j)(c)(d), m, kc, sd)
         }
       }
-    }.toDF("subspace", "centroid", "dim", "value")
+    }.toDF("subspace", "centroid", "dim", "value", "m", "k_cent", "subdim")
   }
 
   /** Rebuild driver-side codebooks from a persisted [[pqCodebooksDf]] frame.
     * Bounded collect by construction: the frame is m·kCent·subdim doubles.
+    * Holes — INCLUDING trailing ones — fail loudly against the frame's
+    * declared (m, k_cent, subdim) shape (or the explicit parameters for a
+    * legacy frame without those columns, which otherwise only rejects
+    * interior holes).
     */
-  def pqCodebooksFromDf(df: DataFrame): Array[Array[Array[Double]]] = {
+  def pqCodebooksFromDf(df: DataFrame, expectedM: Int = -1,
+                        expectedKCent: Int = -1,
+                        expectedSubdim: Int = -1): Array[Array[Array[Double]]] = {
     val rows = df.select(col("subspace"), col("centroid"), col("dim"), col("value"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    require(rows.nonEmpty, "empty PQ codebook frame")
+    def declared(colName: String, expl: Int, derived: Int): Int =
+      if (expl > 0) expl
+      else if (df.columns.contains(colName)) {
+        val vs = df.select(col(colName).cast(LongType)).distinct().collect()
+        require(vs.length == 1, s"inconsistent $colName: ${vs.length} values")
+        vs.head.getLong(0).toInt
+      } else derived
+    val m = declared("m", expectedM, rows.map(_._1).max + 1)
+    val kc = declared("k_cent", expectedKCent, rows.map(_._2).max + 1)
+    val sd = declared("subdim", expectedSubdim, rows.map(_._3).max + 1)
+    require(rows.map(_._1).max + 1 == m && rows.map(_._2).max + 1 == kc &&
+        rows.map(_._3).max + 1 == sd && rows.length == m * kc * sd &&
+        rows.map(t => (t._1, t._2, t._3)).distinct.length == rows.length,
+      s"PQ codebook frame holes: ${rows.length} rows, expected ${m}x${kc}x$sd")
     rows.groupBy(_._1).toArray.sortBy(_._1).map { case (_, bySub) =>
       bySub.groupBy(_._2).toArray.sortBy(_._1).map { case (_, byCent) =>
         byCent.sortBy(_._3).map(_._4)

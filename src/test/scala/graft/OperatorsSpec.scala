@@ -373,6 +373,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("IVF coarse quantizer persists through a frame; served top-k equals inline") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val cents = Similarity.ivfIndex(c.select($"ce".as("embedding")), "embedding", 8)
+    // persist → reload: bit-identical matrix
+    val back = Similarity.ivfCentroidsFromDf(Similarity.ivfCentroidsToDf(spark, cents))
+    assert(back.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    // the serving path (persisted fit) returns exactly the inline result
+    val inline = Similarity.ivfTopK(q, c, 8, 3, 5)
+      .collect().map(_.toSeq).toSeq
+    val served = Similarity.ivfTopKWith(q, c, back, 3, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(served == inline)
+    // trailing-list loss is invisible to max()+1 derivation; the declared
+    // (n_lists, dim) columns catch it
+    val tailLost = Similarity.ivfCentroidsToDf(spark, cents)
+      .filter($"list" =!= (cents.length - 1).toLong)
+    intercept[IllegalArgumentException](Similarity.ivfCentroidsFromDf(tailLost))
+    // explicit shape parameters catch it on a legacy frame without them
+    intercept[IllegalArgumentException](Similarity.ivfCentroidsFromDf(
+      tailLost.drop("n_lists", "dim"),
+      expectedLists = cents.length, expectedDim = cents.head.length))
+  }
+
   test("PQ ANN: codes bounded, full-rerank equals brute force, recall sane") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter($"vec_id" < 5)
@@ -478,6 +503,14 @@ class OperatorsSpec extends AnyFunSuite {
     val served = res(Similarity.pqTopKWithIndex(q, wh.read("pq_codes"), c,
       books2, 5, rerank = 50))
     assert(served == inline)
+    // a codebook frame that lost its entire trailing subspace would
+    // silently rebuild as a 7-subspace codebook under max()+1 derivation;
+    // the declared (m, k_cent, subdim) columns catch it
+    val tailLost = wh.read("pq_codebooks").filter($"subspace" =!= 7)
+    intercept[IllegalArgumentException](Similarity.pqCodebooksFromDf(tailLost))
+    intercept[IllegalArgumentException](Similarity.pqCodebooksFromDf(
+      tailLost.drop("m", "k_cent", "subdim"),
+      expectedM = 8, expectedKCent = 16, expectedSubdim = 8))
   }
 
   test("multiprobe LSH: strict candidate superset of single-probe, recall never lower") {
