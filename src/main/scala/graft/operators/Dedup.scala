@@ -204,11 +204,17 @@ object Dedup {
     val shN =
       if (maxDocFreq <= 0L) base
       else {
-        val wSh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-        val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-        base.withColumn("__df", count(lit(1)).over(wSh))
-          .filter(col("__df") <= maxDocFreq).drop("__df", "nsh")
-          .withColumn("nsh", count(lit(1)).over(wDoc))
+        // Hash-aggregates + joins instead of two whole-partition windows:
+        // count(*) OVER (PARTITION BY ...) buffers and SORTS every
+        // partition of the exploded shingle set twice (ExternalAppendOnly
+        // row buffering showed up in stalled-run thread dumps); the
+        // aggregate forms reduce map-side and their exchanges hash on the
+        // same keys the downstream joins need.
+        val dfreq = base.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFreq).select(col("sh"))
+        val kept = base.drop("nsh").join(dfreq, "sh")
+        val nshPost = kept.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
+        kept.join(nshPost, Seq(idCol))
       }
     shN.select(col(idCol).as("a_id"), col("sh"), col("nsh").as("na"))
       .join(shN.select(col(idCol).as("b_id"), col("sh"), col("nsh").as("nb")), "sh")
