@@ -16,6 +16,13 @@ object SketchFns {
     GraftColumnBridge.column(graft.plans.ShinglesDistinct(
       GraftColumnBridge.expression(tokens), k))
 
+  /** Winnowing fingerprints of a token-array column (k-gram polyHash
+    * window minima — oracle-portable values).
+    */
+  def winnowFingerprints(tokens: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(graft.plans.WinnowFingerprints(
+      GraftColumnBridge.expression(tokens), k, w))
+
   /** Distinct 64-bit shingle hashes of a token-array column — internal
     * join keys for operators that never surface the shingle text.
     */

@@ -140,6 +140,44 @@ object SketchKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003) in ONE pass:
+    * k-gram shingle hashes ([[shingleHash]] — identical arithmetic to
+    * polyHash over the concat_ws-joined shingle string, so values
+    * cross-check against the DuckDB oracle) then the distinct window
+    * minima over `w` consecutive hashes in first-occurrence order.
+    * Replaces a three-stage interpreted HOF lattice (shingleExpr →
+    * polyHashEach, whose per-CHARACTER split allocates an array element
+    * per character → winnowExpr's transform of array_min slices) with one
+    * codegen kernel call. Empty below k tokens; a document shorter than
+    * one full window contributes its global minimum (the paper's
+    * short-document rule, matching TextFns.winnowExpr's CASE).
+    */
+  def winnowFingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var p = 0
+    while (p < m) { hs(p) = shingleHash(tokens, p, k); p += 1 }
+    if (m < w) {
+      var mn = hs(0); var i = 1
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      return UnsafeArrayData.fromPrimitiveArray(Array(mn))
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= m - w) {
+      var mn = hs(j); var i = j + 1
+      while (i < j + w) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      seen.add(mn)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var c = 0
+    while (it.hasNext) { out(c) = it.next(); c += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Distinct k-gram shingle strings in first-occurrence order; empty array
     * when the document has fewer than k tokens.
     */
@@ -246,6 +284,26 @@ private[plans] trait TokenArrayInput { self: UnaryExpression =>
 }
 
 /** array<string> tokens → array<string> distinct k-gram shingles. */
+/** array<string> tokens → array<long> winnowing fingerprints (oracle-
+  * portable polyHash values; see SketchKernels.winnowFingerprints).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+  override def fnName: String = "winnow_fingerprints"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.winnowFingerprints(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.winnowFingerprints($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** array<string> tokens → array<long> distinct 64-bit shingle hashes —
   * internal join keys only (see SketchKernels.shingleHashes).
   */

@@ -334,14 +334,17 @@ object CorpusQueries {
     Q("q_text_winnow",
       (s, dir) => {
         val (k, w) = (3, 4)
+        // WinnowFingerprints kernel: one codegen call per row in place of
+        // the interpreted shingleExpr → polyHashEach → winnowExpr lattice
+        // (KernelParitySpec pins value equality against the HOF form);
+        // n_grams = n_tokens − (k−1) is a row-local fact
         val fps = t(s, dir, "documents")
           .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
           .filter(size(col("__t")) >= k)
-          .withColumn("__sh", TextFns.shingleExpr("__t", k))
-          .withColumn("__hs", TextFns.polyHashEach("__sh"))
-          .withColumn("__fp", TextFns.winnowExpr("__hs", w))
+          .withColumn("__fp",
+            graft.functions.SketchFns.winnowFingerprints(col("__t"), k, w))
           .select(col("doc_id"),
-            size(col("__hs")).cast(LongType).as("n_grams"),
+            (size(col("__t")) - (k - 1)).cast(LongType).as("n_grams"),
             size(col("__fp")).cast(LongType).as("n_fp"), col("__fp"))
         val ex = fps.select(col("doc_id"), explode(col("__fp")).as("fp"))
         val sharedSet = ex.groupBy(col("fp"))
@@ -400,13 +403,14 @@ object CorpusQueries {
     Q("q_text_winnow_pairs",
       (s, dir) => {
         val (k, w) = (3, 4)
+        // WinnowFingerprints kernel (see q_text_winnow): the pair query's
+        // map side was the interpreted HOF lattice, paid inside the
+        // checkpoint materialization
         val ex = t(s, dir, "documents")
           .select(col("doc_id"), TextFns.tokens(col("text")).as("__t"))
           .filter(size(col("__t")) >= k)
-          .withColumn("__sh", TextFns.shingleExpr("__t", k))
-          .withColumn("__hs", TextFns.polyHashEach("__sh"))
           .select(col("doc_id"),
-            explode(TextFns.winnowExpr("__hs", w)).as("fp"))
+            explode(graft.functions.SketchFns.winnowFingerprints(col("__t"), k, w)).as("fp"))
         // materialize the bounded (doc_id, fp) set ONCE: without it each
         // self-join side re-runs the winnow map work — the plan audit
         // showed 4 documents scans. Long pairs only; micro-frame-sized.

@@ -160,6 +160,35 @@ class KernelParitySpec extends AnyFunSuite {
     assert(Dedup.shingleHashes(tiny, "doc_id", "text", k).count() == 0L)
   }
 
+  test("WinnowFingerprints == shingleExpr -> polyHashEach -> winnowExpr HOF lattice") {
+    val (k, w) = (3, 4)
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+    val viaKernel = base.select(col("doc_id"),
+      graft.functions.SketchFns.winnowFingerprints(col("t"), k, w).as("fp"))
+    val viaHof = base
+      .withColumn("sh", TextFns.shingleExpr("t", k))
+      .withColumn("hs", TextFns.polyHashEach("sh"))
+      .select(col("doc_id"), TextFns.winnowExpr("hs", w).as("fp"))
+    // exact per-document fingerprint ARRAYS (values + first-occurrence
+    // order) — the values cross the engine boundary in the winnow oracles,
+    // so this parity must be bit-exact, not just set-equal
+    assert(viaKernel.exceptAll(viaHof).count() == 0L)
+    assert(viaHof.exceptAll(viaKernel).count() == 0L)
+    // short-document rule: below one full window -> the global minimum
+    val tiny = Seq((1L, "a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val kTiny = tiny.select(col("doc_id"),
+      graft.functions.SketchFns.winnowFingerprints(col("t"), k, w).as("fp"))
+    val hTiny = tiny
+      .withColumn("sh", TextFns.shingleExpr("t", k))
+      .withColumn("hs", TextFns.polyHashEach("sh"))
+      .select(col("doc_id"), TextFns.winnowExpr("hs", w).as("fp"))
+    assert(kTiny.exceptAll(hTiny).count() == 0L)
+    assert(hTiny.exceptAll(kTiny).count() == 0L)
+    assert(kTiny.filter(col("doc_id") === 1L).head().getSeq[Long](1).length == 1)
+  }
+
   test("MinHashSig == groupBy-min over hashed distinct shingles") {
     val k = 4
     val viaKernel = Dedup.minhashSignatures(docs, "doc_id", "text", k)
