@@ -16,6 +16,13 @@ object SketchFns {
     GraftColumnBridge.column(graft.plans.ShinglesDistinct(
       GraftColumnBridge.expression(tokens), k))
 
+  /** Per-token polyHash values of a token-array column (oracle-portable —
+    * the kernel form of TextFns.polyHashEach).
+    */
+  def polyHashEach(tokens: Column): Column =
+    GraftColumnBridge.column(graft.plans.PolyHashEach(
+      GraftColumnBridge.expression(tokens)))
+
   /** Winnowing fingerprints of a token-array column (k-gram polyHash
     * window minima — oracle-portable values).
     */

@@ -752,7 +752,7 @@ object Curation {
     require(nBuckets > 0 && nBuckets <= 65536, s"nBuckets out of range: $nBuckets")
     def bucketed(df: DataFrame, side: Int): DataFrame =
       df.withColumn("__t", TextFns.tokens(col(textCol)))
-        .select(TextFns.polyHashEach("__t").as("__h"))
+        .select(graft.functions.SketchFns.polyHashEach(col("__t")).as("__h"))
         .select(explode(expr(s"transform(__h, h -> h % $nBuckets)")).as("b"),
           lit(side).as("side"))
     val counts = bucketed(raw, 0).unionByName(bucketed(target, 1))
@@ -778,7 +778,7 @@ object Curation {
     require(nBuckets > 0 && nBuckets <= 65536, s"bad weight table size: $nBuckets")
     df.withColumn("__t", TextFns.tokens(col(textCol)))
       .withColumn("__wl", array(weights.map(lit(_)): _*))
-      .withColumn("__h", TextFns.polyHashEach("__t"))
+      .withColumn("__h", graft.functions.SketchFns.polyHashEach(col("__t")))
       .withColumn("score", expr(
         s"aggregate(transform(__h, h -> element_at(__wl, CAST(h % $nBuckets AS INT) + 1)), " +
         "0L, (a, x) -> a + x)"))

@@ -140,6 +140,25 @@ object SketchKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** Per-token [[polyHashCp]] values — the kernel form of
+    * TextFns.polyHashEach, whose interpreted HOF allocates an array
+    * element PER CHARACTER (aggregate over split(e, '')). Null tokens
+    * hash like the empty string (ascii('') = 0 fold — the HOF's
+    * behavior on the empty-split piece).
+    */
+  def polyHashEach(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (tokens.isNullAt(i)) 217L
+        else polyHashCp(tokens.getUTF8String(i).toString)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al. 2003) in ONE pass:
     * k-gram shingle hashes ([[shingleHash]] — identical arithmetic to
     * polyHash over the concat_ws-joined shingle string, so values
@@ -284,6 +303,25 @@ private[plans] trait TokenArrayInput { self: UnaryExpression =>
 }
 
 /** array<string> tokens → array<string> distinct k-gram shingles. */
+/** array<string> tokens → array<long> per-token polyHash values (oracle-
+  * portable; see SketchKernels.polyHashEach).
+  */
+case class PolyHashEach(child: Expression)
+    extends UnaryExpression with TokenArrayInput {
+  override def fnName: String = "poly_hash_each"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.polyHashEach(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.polyHashEach($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHashEach =
+    copy(child = newChild)
+}
+
 /** array<string> tokens → array<long> winnowing fingerprints (oracle-
   * portable polyHash values; see SketchKernels.winnowFingerprints).
   */

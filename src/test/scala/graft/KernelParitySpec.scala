@@ -189,6 +189,15 @@ class KernelParitySpec extends AnyFunSuite {
     assert(kTiny.filter(col("doc_id") === 1L).head().getSeq[Long](1).length == 1)
   }
 
+  test("PolyHashEach kernel == per-token aggregate/split HOF fold") {
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val viaKernel = base.select(col("doc_id"),
+      graft.functions.SketchFns.polyHashEach(col("t")).as("h"))
+    val viaHof = base.select(col("doc_id"), TextFns.polyHashEach("t").as("h"))
+    assert(viaKernel.exceptAll(viaHof).count() == 0L)
+    assert(viaHof.exceptAll(viaKernel).count() == 0L)
+  }
+
   test("MinHashSig == groupBy-min over hashed distinct shingles") {
     val k = 4
     val viaKernel = Dedup.minhashSignatures(docs, "doc_id", "text", k)
