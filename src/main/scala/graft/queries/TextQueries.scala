@@ -1541,10 +1541,12 @@ object TextQueries {
         t(s, dir, "documents")
           .select(col("source"), TextFns.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 3)
-          .withColumn("sh3", TextFns.shingleExpr("tk", 3))
+          // ShinglesDistinct kernel in place of the interpreted
+          // shingleExpr + array_distinct pair (size(sh3) = n_tokens − 2
+          // is a row-local fact) — the CorpusPipeline gate's form
           .withColumn("rep",
-            lit(1.0) - size(array_distinct(col("sh3"))).cast(DoubleType)
-              / size(col("sh3")))
+            lit(1.0) - size(graft.functions.SketchFns.shinglesDistinct(col("tk"), 3))
+              .cast(DoubleType) / (size(col("tk")) - 2))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), dravg(col("rep")).as("avg_repetition"),
                max(col("rep")).as("max_repetition"))
