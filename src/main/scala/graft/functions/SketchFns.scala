@@ -16,6 +16,13 @@ object SketchFns {
     GraftColumnBridge.column(graft.plans.ShinglesDistinct(
       GraftColumnBridge.expression(tokens), k))
 
+  /** Strided chunk hashes of a token-array column — internal join keys
+    * for chunk-granular accounting that never surfaces chunk text.
+    */
+  def chunkHashes(tokens: Column, k: Int, stride: Int): Column =
+    GraftColumnBridge.column(graft.plans.ChunkHashes(
+      GraftColumnBridge.expression(tokens), k, stride))
+
   /** Per-token polyHash values of a token-array column (oracle-portable —
     * the kernel form of TextFns.polyHashEach).
     */

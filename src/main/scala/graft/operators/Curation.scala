@@ -44,8 +44,13 @@ object Curation {
     */
   def boilerplateAccounting(df: DataFrame, idCol: String, textCol: String,
                             chunkTokens: Int, maxDocFreq: Long): DataFrame = {
-    val ch = chunks(df, idCol, textCol, chunkTokens)
-      .select(col(idCol), xxhash64(col("chunk")).as("__ck"))
+    // Accounting never surfaces chunk text, so the chunks hash in place
+    // via the ChunkHashes kernel — no chunk string is ever built and no
+    // interpreted chunkExpr HOF runs inside the explode (the GenerateExec
+    // single-thread stall pattern round 12 root-caused).
+    val ch = df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
+      .select(col(idCol), explode(
+        graft.functions.SketchFns.chunkHashes(col("t"), chunkTokens, chunkTokens)).as("__ck"))
     val dfreq = ch.groupBy(col("__ck"))
       .agg(countDistinct(col(idCol)).as("__df"))
     ch.join(dfreq, "__ck")

@@ -140,6 +140,31 @@ object SketchKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, cnt))
   }
 
+  /** 64-bit hashes of `stride`-stepped `k`-token chunks — NOT distinct
+    * (multiplicity is the point for boilerplate accounting), one hash per
+    * chunk start position 0, stride, 2·stride… < n, the final partial
+    * chunk included — matching chunkExpr's sequence(1, n, stride) +
+    * slice semantics. INTERNAL join keys only ([[shingleHash64]] family):
+    * callers previously hashed the chunk STRING with xxhash64, and
+    * whitespace tokens make the space-joined chunk string injective in
+    * the token slice, so any well-mixed 64-bit hash of the slice is
+    * equivalent.
+    */
+  def chunkHashes(tokens: ArrayData, k: Int, stride: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val m = (n + stride - 1) / stride
+    val out = new Array[Long](m)
+    var c = 0
+    var p = 0
+    while (p < n) {
+      out(c) = shingleHash64(tokens, p, math.min(k, n - p))
+      c += 1
+      p += stride
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, c))
+  }
+
   /** Per-token [[polyHashCp]] values — the kernel form of
     * TextFns.polyHashEach, whose interpreted HOF allocates an array
     * element PER CHARACTER (aggregate over split(e, '')). Null tokens
@@ -303,6 +328,26 @@ private[plans] trait TokenArrayInput { self: UnaryExpression =>
 }
 
 /** array<string> tokens → array<string> distinct k-gram shingles. */
+/** array<string> tokens → array<long> strided chunk hashes (internal join
+  * keys; see SketchKernels.chunkHashes).
+  */
+case class ChunkHashes(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(k >= 1 && stride >= 1, s"k and stride must be >= 1, got k=$k stride=$stride")
+  override def fnName: String = "chunk_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.chunkHashes(input.asInstanceOf[ArrayData], k, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.chunkHashes($c, $k, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+}
+
 /** array<string> tokens → array<long> per-token polyHash values (oracle-
   * portable; see SketchKernels.polyHashEach).
   */

@@ -189,6 +189,32 @@ class KernelParitySpec extends AnyFunSuite {
     assert(kTiny.filter(col("doc_id") === 1L).head().getSeq[Long](1).length == 1)
   }
 
+  test("ChunkHashes: same per-doc multiplicity and equality structure as chunkExpr") {
+    val k = 5
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    // per-doc chunk counts match the HOF form exactly (incl. the final
+    // partial chunk)
+    val viaStr = base.select(col("doc_id"),
+        explode(TextFns.chunkExpr("t", k, k)).as("c"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val viaHash = base.select(col("doc_id"),
+        explode(graft.functions.SketchFns.chunkHashes(col("t"), k, k)).as("c"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    assert(viaHash.exceptAll(viaStr).count() == 0L)
+    assert(viaStr.exceptAll(viaHash).count() == 0L)
+    // cross-document document-frequency structure (what boilerplate
+    // accounting consumes): equal chunk strings <=> equal hashes
+    val dfStr = base.select(col("doc_id"), explode(TextFns.chunkExpr("t", k, k)).as("c"))
+      .groupBy(col("c")).agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n"))
+    val dfHash = base.select(col("doc_id"),
+        explode(graft.functions.SketchFns.chunkHashes(col("t"), k, k)).as("c"))
+      .groupBy(col("c")).agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("df")).agg(count(lit(1)).as("n"))
+    assert(dfHash.exceptAll(dfStr).count() == 0L)
+    assert(dfStr.exceptAll(dfHash).count() == 0L)
+  }
+
   test("PolyHashEach kernel == per-token aggregate/split HOF fold") {
     val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
     val viaKernel = base.select(col("doc_id"),
