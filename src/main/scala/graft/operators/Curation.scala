@@ -816,8 +816,13 @@ object Curation {
     */
   def weightsFromDf(df: DataFrame, expectedSize: Int = -1): Array[Long] = {
     val hasN = df.columns.contains("n_buckets")
-    val rows = df.select(col("bucket").cast(LongType), col("w").cast(LongType))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = df.select(col("bucket").cast(LongType), col("w").cast(LongType))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val rows = raw.toMap
+    // duplicate bucket rows (e.g. a double append) would otherwise collapse
+    // silently in the map, keeping an arbitrary conflicting value
+    require(raw.length == rows.size,
+      s"weight table has duplicate bucket rows: ${raw.length} rows, ${rows.size} buckets")
     require(rows.nonEmpty && rows.size <= 65536, s"bad weight table: ${rows.size} rows")
     val declared: Int =
       if (expectedSize > 0) expectedSize

@@ -135,9 +135,15 @@ object KMeans {
     */
   def centroidsFromDf(df: DataFrame, expectedK: Int = -1,
                       expectedDim: Int = -1): Array[Array[Long]] = {
-    val rows = df.select(col("cluster").cast(LongType), col("pos").cast(LongType),
+    val rows0 = df.select(col("cluster").cast(LongType), col("pos").cast(LongType),
         col("c").cast(LongType))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+    val dup = rows0.length
+    val rows = rows0.toMap
+    // duplicate (cluster, pos) rows would otherwise collapse silently,
+    // keeping an arbitrary conflicting value
+    require(dup == rows.size,
+      s"centroid frame has duplicate (cluster, pos) rows: $dup rows, ${rows.size} cells")
     require(rows.nonEmpty, "empty centroid frame")
     def declared(colName: String, expl: Int, derived: Int): Int =
       if (expl > 0) expl

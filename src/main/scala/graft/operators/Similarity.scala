@@ -172,9 +172,13 @@ object Similarity {
     */
   def ivfCentroidsFromDf(df: DataFrame, expectedLists: Int = -1,
                          expectedDim: Int = -1): Array[Array[Double]] = {
-    val rows = df.select(col("list").cast(LongType), col("pos").cast(LongType),
+    val rows0 = df.select(col("list").cast(LongType), col("pos").cast(LongType),
         col("c").cast("double"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    val dupIvf = rows0.length
+    val rows = rows0.toMap
+    require(dupIvf == rows.size,
+      s"IVF centroid frame has duplicate (list, pos) rows: $dupIvf rows, ${rows.size} cells")
     require(rows.nonEmpty, "empty IVF centroid frame")
     def declared(colName: String, expl: Int, derived: Int): Int =
       if (expl > 0) expl
