@@ -100,11 +100,17 @@ object Bench {
         spark.catalog.clearCache()
         graft.CkptCycle.releaseAll(spark)
       }
+      // scrub keys on the MOST EXPENSIVE run of the pair, not the last
+      // one: a heavy-cold/cheap-warm query must still pay the GC + settle
+      // before the next query, or the next cold runs against the heavy
+      // run's deferred garbage (the round-10 pathology: raw colds 49.9 s
+      // vs 17.7 s on immediate retry).
       def scrub(prev: Double): Unit = {
         release()
         if (prev > 0.5) { System.gc(); Thread.sleep(150) }
       }
-      val cold0 = once(); release(); val warm = once(); scrub(warm)
+      val cold0 = once(); release(); val warm = once()
+      scrub(math.max(cold0, warm))
       // De-noise, conservatively (round-8 advice): a SINGLE retry per side —
       // retries run with codegen/plan caches hot, so looping retries would
       // systematically convert legitimate codegen-dominated cold times into
@@ -119,7 +125,7 @@ object Bench {
         val retry =
           try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => Double.MaxValue }
-        scrub(if (retry == Double.MaxValue) base else retry)
+        scrub(if (retry == Double.MaxValue) base else math.max(base, retry))
         val v = math.min(base, retry)
         if (v < base) System.err.println(
           f"BENCH DENOISE ${q.name} $side: $base%.3f -> $v%.3f (bound $bound%.3f)")

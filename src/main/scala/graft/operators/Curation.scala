@@ -815,22 +815,17 @@ object Curation {
     * neither still rejects interior holes but cannot detect trailing ones.
     */
   def weightsFromDf(df: DataFrame, expectedSize: Int = -1): Array[Long] = {
+    // the n_buckets column rides the ONE bounded collect (FitFrames contract)
     val hasN = df.columns.contains("n_buckets")
-    val raw = df.select(col("bucket").cast(LongType), col("w").cast(LongType))
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
-    val rows = raw.toMap
-    // duplicate bucket rows (e.g. a double append) would otherwise collapse
-    // silently in the map, keeping an arbitrary conflicting value
-    require(raw.length == rows.size,
-      s"weight table has duplicate bucket rows: ${raw.length} rows, ${rows.size} buckets")
-    require(rows.nonEmpty && rows.size <= 65536, s"bad weight table: ${rows.size} rows")
-    val declared: Int =
-      if (expectedSize > 0) expectedSize
-      else if (hasN) {
-        val ns = df.select(col("n_buckets").cast(LongType)).distinct().collect()
-        require(ns.length == 1, s"inconsistent n_buckets: ${ns.length} values")
-        ns.head.getLong(0).toInt
-      } else rows.size
+    val base = Seq(col("bucket").cast(LongType), col("w").cast(LongType))
+    val sel = if (hasN) base :+ col("n_buckets").cast(LongType) else base
+    val collected = df.select(sel: _*).collect()
+    require(collected.nonEmpty, "empty weight table")
+    val rows = collected.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    FitFrames.requireNoDuplicates("weight table", collected.length, rows.size)
+    require(rows.size <= 65536, s"bad weight table: ${rows.size} rows")
+    val declared = FitFrames.declared("n_buckets", expectedSize,
+      if (hasN) Some(collected.map(_.getLong(2))) else None, rows.size)
     require(rows.size == declared && rows.keys.max.toInt + 1 == declared,
       s"weight table holes: ${rows.size} rows, max bucket ${rows.keys.max}, " +
         s"expected $declared")

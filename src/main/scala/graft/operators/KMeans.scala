@@ -135,25 +135,22 @@ object KMeans {
     */
   def centroidsFromDf(df: DataFrame, expectedK: Int = -1,
                       expectedDim: Int = -1): Array[Array[Long]] = {
-    val rows0 = df.select(col("cluster").cast(LongType), col("pos").cast(LongType),
-        col("c").cast(LongType))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
-    val dup = rows0.length
-    val rows = rows0.toMap
-    // duplicate (cluster, pos) rows would otherwise collapse silently,
-    // keeping an arbitrary conflicting value
-    require(dup == rows.size,
-      s"centroid frame has duplicate (cluster, pos) rows: $dup rows, ${rows.size} cells")
-    require(rows.nonEmpty, "empty centroid frame")
-    def declared(colName: String, expl: Int, derived: Int): Int =
-      if (expl > 0) expl
-      else if (df.columns.contains(colName)) {
-        val vs = df.select(col(colName).cast(LongType)).distinct().collect()
-        require(vs.length == 1, s"inconsistent $colName: ${vs.length} values")
-        vs.head.getLong(0).toInt
-      } else derived
-    val k = declared("k", expectedK, rows.keys.map(_._1).max.toInt + 1)
-    val dim = declared("dim", expectedDim, rows.keys.map(_._2).max.toInt + 1)
+    // the shape columns ride the ONE bounded collect (FitFrames contract)
+    val hasShape = df.columns.contains("k") && df.columns.contains("dim")
+    val base = Seq(col("cluster").cast(LongType), col("pos").cast(LongType),
+      col("c").cast(LongType))
+    val sel = if (hasShape)
+      base ++ Seq(col("k").cast(LongType), col("dim").cast(LongType)) else base
+    val collected = df.select(sel: _*).collect()
+    require(collected.nonEmpty, "empty centroid frame")
+    val rows = collected.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    FitFrames.requireNoDuplicates("centroid frame", collected.length, rows.size)
+    val k = FitFrames.declared("k", expectedK,
+      if (hasShape) Some(collected.map(_.getLong(3))) else None,
+      rows.keys.map(_._1).max.toInt + 1)
+    val dim = FitFrames.declared("dim", expectedDim,
+      if (hasShape) Some(collected.map(_.getLong(4))) else None,
+      rows.keys.map(_._2).max.toInt + 1)
     require(rows.keys.map(_._1).max.toInt + 1 == k &&
         rows.keys.map(_._2).max.toInt + 1 == dim && rows.size == k * dim,
       s"centroid frame holes: ${rows.size} rows, max cluster " +

@@ -172,23 +172,22 @@ object Similarity {
     */
   def ivfCentroidsFromDf(df: DataFrame, expectedLists: Int = -1,
                          expectedDim: Int = -1): Array[Array[Double]] = {
-    val rows0 = df.select(col("list").cast(LongType), col("pos").cast(LongType),
-        col("c").cast("double"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
-    val dupIvf = rows0.length
-    val rows = rows0.toMap
-    require(dupIvf == rows.size,
-      s"IVF centroid frame has duplicate (list, pos) rows: $dupIvf rows, ${rows.size} cells")
-    require(rows.nonEmpty, "empty IVF centroid frame")
-    def declared(colName: String, expl: Int, derived: Int): Int =
-      if (expl > 0) expl
-      else if (df.columns.contains(colName)) {
-        val vs = df.select(col(colName).cast(LongType)).distinct().collect()
-        require(vs.length == 1, s"inconsistent $colName: ${vs.length} values")
-        vs.head.getLong(0).toInt
-      } else derived
-    val nl = declared("n_lists", expectedLists, rows.keys.map(_._1).max.toInt + 1)
-    val dim = declared("dim", expectedDim, rows.keys.map(_._2).max.toInt + 1)
+    // the shape columns ride the ONE bounded collect (FitFrames contract)
+    val hasShape = df.columns.contains("n_lists") && df.columns.contains("dim")
+    val base = Seq(col("list").cast(LongType), col("pos").cast(LongType),
+      col("c").cast("double"))
+    val sel = if (hasShape)
+      base ++ Seq(col("n_lists").cast(LongType), col("dim").cast(LongType)) else base
+    val collected = df.select(sel: _*).collect()
+    require(collected.nonEmpty, "empty IVF centroid frame")
+    val rows = collected.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    FitFrames.requireNoDuplicates("IVF centroid frame", collected.length, rows.size)
+    val nl = FitFrames.declared("n_lists", expectedLists,
+      if (hasShape) Some(collected.map(_.getLong(3))) else None,
+      rows.keys.map(_._1).max.toInt + 1)
+    val dim = FitFrames.declared("dim", expectedDim,
+      if (hasShape) Some(collected.map(_.getLong(4))) else None,
+      rows.keys.map(_._2).max.toInt + 1)
     require(rows.keys.map(_._1).max.toInt + 1 == nl &&
         rows.keys.map(_._2).max.toInt + 1 == dim && rows.size == nl * dim,
       s"IVF centroid frame holes: ${rows.size} rows, expected ${nl}x$dim")
@@ -325,19 +324,25 @@ object Similarity {
   def pqCodebooksFromDf(df: DataFrame, expectedM: Int = -1,
                         expectedKCent: Int = -1,
                         expectedSubdim: Int = -1): Array[Array[Array[Double]]] = {
-    val rows = df.select(col("subspace"), col("centroid"), col("dim"), col("value"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    require(rows.nonEmpty, "empty PQ codebook frame")
-    def declared(colName: String, expl: Int, derived: Int): Int =
-      if (expl > 0) expl
-      else if (df.columns.contains(colName)) {
-        val vs = df.select(col(colName).cast(LongType)).distinct().collect()
-        require(vs.length == 1, s"inconsistent $colName: ${vs.length} values")
-        vs.head.getLong(0).toInt
-      } else derived
-    val m = declared("m", expectedM, rows.map(_._1).max + 1)
-    val kc = declared("k_cent", expectedKCent, rows.map(_._2).max + 1)
-    val sd = declared("subdim", expectedSubdim, rows.map(_._3).max + 1)
+    // the shape columns ride the ONE bounded collect (FitFrames contract)
+    val hasShape = df.columns.contains("m") && df.columns.contains("k_cent") &&
+      df.columns.contains("subdim")
+    val base = Seq(col("subspace"), col("centroid"), col("dim"), col("value"))
+    val sel = if (hasShape)
+      base ++ Seq(col("m").cast(LongType), col("k_cent").cast(LongType),
+        col("subdim").cast(LongType)) else base
+    val collected = df.select(sel: _*).collect()
+    require(collected.nonEmpty, "empty PQ codebook frame")
+    val rows = collected.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val m = FitFrames.declared("m", expectedM,
+      if (hasShape) Some(collected.map(_.getLong(4))) else None,
+      rows.map(_._1).max + 1)
+    val kc = FitFrames.declared("k_cent", expectedKCent,
+      if (hasShape) Some(collected.map(_.getLong(5))) else None,
+      rows.map(_._2).max + 1)
+    val sd = FitFrames.declared("subdim", expectedSubdim,
+      if (hasShape) Some(collected.map(_.getLong(6))) else None,
+      rows.map(_._3).max + 1)
     require(rows.map(_._1).max + 1 == m && rows.map(_._2).max + 1 == kc &&
         rows.map(_._3).max + 1 == sd && rows.length == m * kc * sd &&
         rows.map(t => (t._1, t._2, t._3)).distinct.length == rows.length,

@@ -457,17 +457,19 @@ object Streams {
       .select(col("__sk")).distinct()
 
   /** The foreachBatch body of the decontamination gate, callable directly.
+    * `idx` is the persisted eval-shingle index, loaded ONCE by the caller
+    * (see [[startDecontaminateGate]]) — the index is static by contract,
+    * so re-reading the warehouse table per micro-batch would pay a parquet
+    * scan + broadcast build forever for a table that never changes.
     * Returns false when `batchId` was already fully committed.
     */
-  def decontaminateGateBatch(batch: DataFrame, wh: graft.airbnb.Warehouse,
-      indexTable: String, outDir: String, quarantineDir: String,
+  def decontaminateGateBatch(batch: DataFrame, idx: DataFrame,
+      outDir: String, quarantineDir: String,
       batchId: Long, idCol: String, textCol: String, k: Int): Boolean = {
     val spark = batch.sparkSession
     val dir = batchDir(outDir, batchId)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new Path(dir, "_COMMITTED"))) return false
-    val idx = wh.readOrEmpty(indexTable,
-      StructType(Seq(StructField("__sk", LongType))))
     val hits = graft.operators.Dedup.shingleHashes(batch, idCol, textCol, k)
       .join(broadcast(idx), "__sk")
       .groupBy(col(idCol))
@@ -485,20 +487,28 @@ object Streams {
     writeBatchIdempotent(clean, outDir, batchId)
   }
 
-  /** Start the streaming decontamination gate on a documents stream. */
+  /** Start the streaming decontamination gate on a documents stream. The
+    * eval-shingle index is loaded and MATERIALIZED once at start
+    * (localCheckpoint — the static-index twin of startSemDedupGate's
+    * centroid load); every micro-batch joins against the in-memory blocks
+    * instead of re-scanning the warehouse table.
+    */
   def startDecontaminateGate(docs: DataFrame, wh: graft.airbnb.Warehouse,
       indexTable: String, outDir: String, quarantineDir: String,
       checkpointDir: String, idCol: String, textCol: String, k: Int,
-      queryName: String = "decontaminate_gate"): StreamingQuery =
+      queryName: String = "decontaminate_gate"): StreamingQuery = {
+    val idx = wh.readOrEmpty(indexTable,
+      StructType(Seq(StructField("__sk", LongType)))).localCheckpoint(true)
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .queryName(queryName)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        decontaminateGateBatch(batch.toDF(), wh, indexTable, outDir,
+        decontaminateGateBatch(batch.toDF(), idx, outDir,
           quarantineDir, batchId, idCol, textCol, k): Unit
       }
       .start()
+  }
 
   // ---------------------------------------------------------------------
   // Streaming SemDeDup gate: assign each arriving micro-batch against a
@@ -527,9 +537,15 @@ object Streams {
   // like the band index above.
   // ---------------------------------------------------------------------
 
-  /** Cell-index table schema for the streaming SemDeDup gate. */
+  /** Cell-index table schema for the streaming SemDeDup gate. `vec_id` is
+    * STRING: the audit column must survive any caller id type, and a
+    * LongType cast of a string/UUID id would throw under ANSI mode (the
+    * Spark 4 default) or silently null the whole audit trail without it —
+    * the exact failure class the pair-join salt fix removed from
+    * Dedup.semDedup. String cast is total and injective per source type.
+    */
   val cellIndexSchema: StructType = StructType(Seq(
-    StructField("vec_id", LongType), StructField("cluster", LongType),
+    StructField("vec_id", StringType), StructField("cluster", LongType),
     StructField("u", ArrayType(LongType, containsNull = false)),
     StructField("batch_id", LongType)))
 
@@ -573,7 +589,7 @@ object Streams {
       // survivors' cells merge under min-batch-id semantics; the groupBy
       // also re-distincts, so replays cannot grow the table
       val merged = wh.readOrEmpty(cellTable, cellIndexSchema).unionByName(
-          survivors.select(col(idCol).cast(LongType).as("vec_id"),
+          survivors.select(col(idCol).cast(StringType).as("vec_id"),
             col("cluster"), col("__u").as("u"), lit(batchId).as("batch_id")))
         .groupBy(col("vec_id"), col("cluster"), col("u"))
         .agg(min(col("batch_id")).as("batch_id"))

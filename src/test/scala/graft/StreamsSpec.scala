@@ -423,18 +423,19 @@ class StreamsSpec extends AnyFunSuite {
     val b1 = Seq(
       3L -> "pack my box with five dozen eggs instead",
       4L -> "novel clean sentence with no overlap whatsoever here").toDF("doc_id", "text")
-    assert(Streams.decontaminateGateBatch(b1, wh, "eval_shingles", out, qua,
+    val idx = wh.read("eval_shingles")
+    assert(Streams.decontaminateGateBatch(b1, idx, out, qua,
       1L, "doc_id", "text", 4))
     val b1dir = new org.apache.hadoop.fs.Path(out, "batch-000000001")
     val gfs = b1dir.getFileSystem(spark.sessionState.newHadoopConf())
     assert(gfs.delete(b1dir, true), "no batch-1 output to crash")
-    assert(Streams.decontaminateGateBatch(b1, wh, "eval_shingles", out, qua,
+    assert(Streams.decontaminateGateBatch(b1, idx, out, qua,
       1L, "doc_id", "text", 4))
     assert(committedIds == Set(2L, 4L))
     assert(spark.read.parquet(s"$qua/batch-000000001")
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
     // a pure replay (marker present) is a no-op
-    assert(!Streams.decontaminateGateBatch(b1, wh, "eval_shingles", out, qua,
+    assert(!Streams.decontaminateGateBatch(b1, idx, out, qua,
       1L, "doc_id", "text", 4))
   }
 
@@ -510,8 +511,8 @@ class StreamsSpec extends AnyFunSuite {
     // FIRST contributed it (replays and re-merges cannot grow the table)
     val cells = wh.read("sem_cells")
     assert(cells.groupBy("vec_id").count().filter($"count" > 1).count() == 0L)
-    assert(cells.select("vec_id").collect().map(_.getLong(0)).toSet ==
-      Set(1L, 2L, 4L, 6L))
+    assert(cells.select("vec_id").collect().map(_.getString(0)).toSet ==
+      Set("1", "2", "4", "6"))
   }
 
   test("streaming funnel equals batch min-within-window semantics at sf0.001") {
