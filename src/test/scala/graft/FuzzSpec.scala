@@ -183,6 +183,65 @@ class FuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("round-12 sketch kernels match HOF forms on hostile token arrays (fuzz)") {
+    // generators cover empty arrays, empty-string tokens, whitespace-free
+    // unicode (incl. astral plane), and degenerate one-token docs — the
+    // input space the public Column API admits even though TextFns.tokens
+    // never produces some of it
+    val token: Gen[String] = Gen.oneOf(
+      Gen.const(""),
+      Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+      Gen.oneOf("é", "中文", "😀x", "ß"),
+      Gen.listOf(Gen.alphaChar).map(_.mkString))
+    val arr: Gen[List[String]] = Gen.chooseNum(0, 12).flatMap(Gen.listOfN(_, token))
+    val cases = sample(arr, 250, 11L)
+    import graft.functions.{SketchFns, TextFns}
+    val df = cases.map(Tuple1(_)).toDF("t")
+    val (k, w) = (3, 4)
+    // winnowFingerprints == the HOF lattice, including short/empty docs
+    val hof = df.filter(size(col("t")) >= k)
+      .withColumn("sh", TextFns.shingleExpr("t", k))
+      .withColumn("hs", TextFns.polyHashEach("sh"))
+      .select(col("t"), TextFns.winnowExpr("hs", w).as("fp"))
+      .collect().map(r => r.getSeq[String](0).toList -> r.getSeq[Long](1).toList).toMap
+    val kern = df.select(col("t"), SketchFns.winnowFingerprints(col("t"), k, w).as("fp"))
+      .collect().map(r => r.getSeq[String](0).toList -> r.getSeq[Long](1).toList).toMap
+    cases.foreach { t =>
+      if (t.length >= k) assert(kern(t) == hof(t), s"winnow mismatch on $t")
+      else assert(kern(t).isEmpty, s"short doc must yield no fingerprints: $t")
+    }
+    // polyHashEach kernel == HOF per-token fold
+    val phHof = df.select(col("t"), TextFns.polyHashEach("t").as("h"))
+      .collect().map(r => r.getSeq[String](0).toList -> r.getSeq[Long](1).toList).toMap
+    val phKern = df.select(col("t"), SketchFns.polyHashEach(col("t")).as("h"))
+      .collect().map(r => r.getSeq[String](0).toList -> r.getSeq[Long](1).toList).toMap
+    cases.foreach(t => assert(phKern(t) == phHof(t), s"polyHashEach mismatch on $t"))
+    // chunkHashes: multiplicity == chunkExpr's chunk count; equal chunk
+    // strings <=> equal hashes within a doc
+    val ckHof = df.filter(size(col("t")) >= 1)
+      .select(col("t"), TextFns.chunkExpr("t", k, k).as("c"))
+      .collect().map(r => r.getSeq[String](0).toList -> r.getSeq[String](1).toList).toMap
+    val ckKern = df.filter(size(col("t")) >= 1)
+      .select(col("t"), SketchFns.chunkHashes(col("t"), k, k).as("c"))
+      .collect().map(r => r.getSeq[String](0).toList -> r.getSeq[Long](1).toList).toMap
+    ckHof.foreach { case (t, chunks) =>
+      val hashes = ckKern(t)
+      assert(hashes.length == chunks.length, s"chunk count mismatch on $t")
+      // equality structure within the doc
+      val strGroups = chunks.zipWithIndex.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+      val hashGroups = hashes.zipWithIndex.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+      assert(strGroups == hashGroups, s"chunk equality structure mismatch on $t")
+    }
+    // shingleHashes: distinct-count parity with the string kernel
+    val shStr = df.filter(size(col("t")) >= k)
+      .select(col("t"), size(SketchFns.shinglesDistinct(col("t"), k)).as("n"))
+      .collect().map(r => r.getSeq[String](0).toList -> r.getInt(1)).toMap
+    val shHash = df.filter(size(col("t")) >= k)
+      .select(col("t"), size(SketchFns.shingleHashes(col("t"), k)).as("n"))
+      .collect().map(r => r.getSeq[String](0).toList -> r.getInt(1)).toMap
+    shStr.foreach { case (t, n) => assert(shHash(t) == n, s"shingle distinct-count mismatch on $t") }
+  }
+
   test("connected components equal a union-find model on random graphs (fuzz)") {
     // structurally a != b (no generator filter to exhaust): b = a + offset
     val edgeGen = for {
