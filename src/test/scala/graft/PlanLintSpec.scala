@@ -125,10 +125,10 @@ class PlanLintSpec extends AnyFunSuite {
   }
 
   test("boilerplate/ngram joins key on 64-bit hashes, not chunk/shingle strings") {
-    // boilerplate hashes its chunks with xxhash64; the jaccard base moved
-    // to the ShingleHashes kernel in round 12 (no shingle string, no
-    // interpreted transform inside GenerateExec)
-    assert(plan("q_text_boilerplate").contains("xxhash64"),
+    // both moved to hash KERNELS in round 12 (no chunk/shingle string, no
+    // interpreted transform inside GenerateExec): boilerplate accounting
+    // hashes chunks via ChunkHashes, the jaccard base via ShingleHashes
+    assert(plan("q_text_boilerplate").toLowerCase.contains("chunkhashes"),
       "q_text_boilerplate shuffles raw strings")
     assert(plan("q_dedup_ngram_jaccard").toLowerCase.contains("shinglehashes"),
       "q_dedup_ngram_jaccard shuffles raw strings")
