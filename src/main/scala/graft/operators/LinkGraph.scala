@@ -89,6 +89,74 @@ object LinkGraph {
     ranks.select(col("node"), col("r").as("rank_ppm"))
   }
 
+  /** Graphs whose distinct edge list fits under this row count take the
+    * driver fast path in [[pageRankAuto]]. 2^20 (src, dst, deg) triples is
+    * ~24 MB on the driver — the same bound the gated union-find in
+    * [[Components.connected]] uses for collecting an edge list.
+    */
+  val MaxDriverEdges: Long = 1L << 20
+
+  /** [[pageRank]] with a count-gated driver fast path for NODE-SCALE
+    * graphs — the crawl-scheduling shape, where nodes are domains (or
+    * hosts), never pages: the distinct domain-to-domain edge list of even a
+    * 100 TB frontier is a few million rows, while the distributed loop pays
+    * iters × (join + agg) Spark jobs regardless of graph size.
+    *
+    * The gate costs ONE Spark job: the distinct edge pairs come back
+    * through a `LIMIT maxDriverEdges+1` collect — a full result within the
+    * gate, a cheap over-the-limit tripwire beyond it (no count job, no
+    * checkpoint). Within the gate, out-degrees and the fixed-point
+    * iterations run as plain driver arithmetic over the collected pairs —
+    * bit-identical to the distributed loop, which is pure integer DIV/sum
+    * over exactly these rows — and the result returns as a broadcastable
+    * LOCAL relation (zero further jobs, and the scheduling join against it
+    * needs no shuffle), with no storage for the caller to manage. Beyond
+    * the gate it falls back to [[pageRank]] unchanged (one re-scan of
+    * `edges` — negligible against the iteration cost that dominates the
+    * corpus-scale path), keeping pageRank's eager contract.
+    */
+  def pageRankAuto(edges: DataFrame, srcCol: String, dstCol: String,
+                   iters: Int, maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(maxDriverEdges < Int.MaxValue, s"gate must fit an array: $maxDriverEdges")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    val rows = e0.limit(maxDriverEdges.toInt + 1).collect()
+    if (rows.length > maxDriverEdges) {
+      pageRank(edges, srcCol, dstCol, iters)
+    } else {
+      val deg = new java.util.HashMap[Long, Long]()
+      val nodes = new java.util.TreeSet[java.lang.Long]()
+      rows.foreach { r =>
+        deg.merge(r.getLong(0), 1L, (a, b) => a + b)
+        nodes.add(r.getLong(0)); nodes.add(r.getLong(1))
+      }
+      val n = math.max(nodes.size.toLong, 1L)
+      val init = 1000000L / n
+      val base = 150000L / n
+      val ranks = new java.util.HashMap[Long, Long]()
+      nodes.forEach(nd => ranks.put(nd, init))
+      for (_ <- 1 to iters) {
+        // same recurrence as the distributed loop: all Longs nonnegative,
+        // so Scala / == SQL DIV on every step
+        val contribs = new java.util.HashMap[Long, Long]()
+        rows.foreach { r =>
+          val c = ranks.get(r.getLong(0)) / deg.get(r.getLong(0))
+          contribs.merge(r.getLong(1), c, (a, b) => a + b)
+        }
+        nodes.forEach { nd =>
+          ranks.put(nd, base + 850L * contribs.getOrDefault(nd, 0L) / 1000L)
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+      nodes.forEach(nd => out += ((nd.longValue, ranks.get(nd.longValue))))
+      import spark.implicits._
+      out.toSeq.toDF("node", "rank_ppm")
+    }
+  }
+
   /** Multi-source BFS hop distance over a directed edge list: for every
     * node reachable from `seeds` within `maxHops`, the MINIMUM hop count
     * (seeds are 0). Unreachable nodes are absent from the output — the

@@ -308,19 +308,16 @@ object UrlQueries {
     Q("q_crawl_frontier",
       (s, dir) => {
         val d = synthFrontier(t(s, dir, "documents"))
-        // The rank plan stays LAZY: this query runs one action, so the
-        // 3-iteration rank subplan evaluates exactly once inside the
-        // broadcast build either way, and an eager checkpoint of it was
-        // measured to only ADD its materialization overhead (a production
-        // crawler serving MANY scheduling queries per rank build would
-        // checkpoint/persist the rank table first — that multi-consumer
-        // shape is what localCheckpoint buys; a single-action query is not
-        // it). The deg-join hoist inside pageRank (loop-invariant
-        // out-degree rides the edge checkpoint) cut one shuffle stage per
-        // iteration for every caller.
-        val pr = graft.CkptCycle.cycle("q_crawl_frontier_pr",
-          graft.operators.LinkGraph.pageRank(
-            synthEdges(t(s, dir, "documents")), "src", "dst", iters = 3))
+        // pageRankAuto: the rank graph here is DOMAIN-scale (nodes are the
+        // 20 synthetic domains; a real frontier's domain graph is a few
+        // million rows against a frontier of billions), so the count-gated
+        // driver fast path turns the former 3-iteration join+agg subplan —
+        // whose per-iteration job launches dominated this query's cold
+        // time — into one edge-materialization job plus driver arithmetic,
+        // and the rank table arrives as a LOCAL relation that broadcasts
+        // for free into the scheduling join.
+        val pr = graft.operators.LinkGraph.pageRankAuto(
+          synthEdges(t(s, dir, "documents")), "src", "dst", iters = 3)
         val w = Window.partitionBy(col("domain"))
           .orderBy(col("depth"), col("doc_id"))
         // Robots gate stays FUSED in the scan's codegen stage (measured:

@@ -75,6 +75,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lazy5 == ckpt5)
   }
 
+  test("pagerankAuto: driver fast path is bit-identical to the distributed loop both sides of the gate") {
+    // denser random-ish graph than the hand-checked fixture: 40 nodes,
+    // deterministic synthetic edges with out-degrees 1..5 and dangling nodes
+    val edges = spark.range(4000).selectExpr(
+      "id % 40 AS src",
+      "((id DIV 40) % (1 + (id % 40) % 5) + 7 * (id % 40)) % 40 AS dst")
+    def ranks(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = ranks(graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3))
+    val fast = ranks(graft.operators.LinkGraph.pageRankAuto(edges, "src", "dst", iters = 3))
+    assert(fast == dist, "driver fast path diverged from the distributed loop")
+    // a gate smaller than the distinct edge count must route to the
+    // distributed loop (still identical output)
+    val gated = ranks(graft.operators.LinkGraph
+      .pageRankAuto(edges, "src", "dst", iters = 3, maxDriverEdges = 5))
+    assert(gated == dist, "over-gate fallback diverged")
+    // the fast path returns a LOCAL relation: no exchanges, broadcastable
+    val plan = graft.operators.LinkGraph.pageRankAuto(edges, "src", "dst", iters = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fast path should be shuffle-free:\n$plan")
+  }
+
   test("BFS hops: min distance from a multi-source seed set, hop-capped, unreachable absent") {
     // chain 1->2->3->4->5, plus 9->3 (shorter path to 3 from second seed 9),
     // and isolated 7->8 unreachable from seeds {1, 9}
