@@ -134,17 +134,33 @@ object CorpusPipeline {
     // 4. near-dup removal: bounded shared-shingle pair join, lower id wins.
     // With near-dup off the exact-dedup frame IS the output — keep its cache
     // (unpersisting the alias would uncache the returned corpus).
+    var shingleStage: Option[DataFrame] = None
     val nearDeduped =
       if (cfg.nearDupK <= 0) exactDeduped
       else {
         val maxDf = Tuning.maxShingleDocFreq(spark, nExact)
-        val losers = Dedup.ngramJaccardPairs(exactDeduped, idCol, textCol,
-            cfg.nearDupK, cfg.nearDupJaccard, maxDocFreq = maxDf)
+        // The exploded shingle stage is PERSISTED for the pair join's many
+        // consumers: unshared, the tokenize→ShingleHashes chain re-evaluates
+        // inside every exchange it feeds — the stage profile measured eight
+        // ~600 ms single-task evaluations per run, the whole pipeline's
+        // dominant cost and its variance source (each evaluation spills
+        // independently). Cached it is (long, long, long) rows, a few MB
+        // per million positions; lineage stays intact (plain persist, no
+        // checkpoint), so Result's recompute-from-source contract holds.
+        // Unpersisted right after the survivor count below materializes
+        // `nearDeduped` — the cache never outlives the one job that
+        // consumes it.
+        val shN = Dedup.ngramShingleStage(exactDeduped, idCol, textCol,
+            cfg.nearDupK, maxDocFreq = maxDf)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        shingleStage = Some(shN)
+        val losers = Dedup.ngramJaccardPairsFrom(shN, idCol, cfg.nearDupJaccard)
           .select(col("b_id").as(idCol)).distinct()
         exactDeduped.join(losers, Seq(idCol), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val nNear = nearDeduped.count()
+    shingleStage.foreach(_.unpersist(blocking = false))
     if (!(nearDeduped eq exactDeduped)) exactDeduped.unpersist(blocking = false)
 
     // 5. deterministic split (pure expression — reproducible on any engine)

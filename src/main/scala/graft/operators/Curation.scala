@@ -931,15 +931,31 @@ object Curation {
     * descending-score order while they fit; the boundary score group fills
     * the remaining budget in ascending `idCol` order.
     *
-    * EAGER CONTRACT: construction runs ONE bounded Spark job — the 1-row
-    * score-histogram boundary max_by collect — so do not construct it
-    * speculatively. The eager collect is the measured-cheaper design: a
-    * lazy broadcast subplan re-derived the whole histogram subtree in both
-    * output branches (6 full scoring scans at sf0.1 vs 3 with literals).
-    * The sharded-tie bucket offsets, by contrast, ARE a lazy broadcast
-    * subplan (a ≤4097-row windowed prefix) — they feed exactly one branch,
-    * so laziness folds their scan into the execution job instead of paying
-    * a second construction-time job.
+    * EAGER CONTRACT: construction runs TWO Spark jobs — the scored-corpus
+    * localCheckpoint materialization and the 1-row score-histogram
+    * boundary max_by collect over it — so do not construct it
+    * speculatively. The checkpoint is the measured-cheaper design: the
+    * scoring subtree (tokenize + distinct-shingle + stopword HOFs over the
+    * full text) feeds the histogram AND both output branches, so without
+    * it the corpus is re-tokenized three times per run (six with a lazy
+    * broadcast histogram — the round-11 regression); with it the corpus
+    * pays tokenization once and every consumer reads the materialized
+    * (columns, score, ntok) blocks. The boundary max_by rides the
+    * checkpoint as the second, trivially-cheap job. The sharded-tie bucket
+    * offsets, by contrast, ARE a lazy broadcast subplan (a ≤4097-row
+    * windowed prefix) — they feed exactly one branch, so laziness folds
+    * their scan into the execution job instead of paying a third
+    * construction-time job.
+    *
+    * STORAGE CONTRACT — single live result per `shareKey`: the returned
+    * frame reads the internal checkpoint's blocks, which are registered
+    * with [[graft.CkptCycle]] under `shareKey`; the NEXT invocation with
+    * the same key frees them (and a freed frame cannot recompute — its
+    * lineage is truncated). Callers holding several concurrently-live
+    * selections pass distinct keys. At 100 TB the checkpoint holds the
+    * corpus once in executor memory-and-disk — the deliberate trade
+    * against re-tokenizing the corpus once per consumer, and the same
+    * posture as the corpus-pipeline operator.
     *
     * The tie-group cumsum is data-dependent in size — score granularity is
     * caller-controlled, so one popular score value can be a large fraction
@@ -954,10 +970,13 @@ object Curation {
     */
   def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                           stopwords: Seq[String], budgetTokens: Long,
-                          tieWindowMaxRows: Long = TieWindowMaxRows): DataFrame = {
+                          tieWindowMaxRows: Long = TieWindowMaxRows,
+                          shareKey: String = "Curation.selectByTokenBudget"): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
-    val scored = qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
-      .withColumn("ntok", TextFns.tokenCount(col(textCol)).cast(LongType))
+    val scored = graft.CkptCycle.cycle(shareKey,
+      qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
+        .withColumn("ntok", TextFns.tokenCount(col(textCol)).cast(LongType))
+        .localCheckpoint(true))
     // Integral ids get the sharded tie path; anything else (string ids are
     // legal and order lexicographically) sticks to the single window — a
     // CAST on a string id would order numerically (disagreeing with the

@@ -176,7 +176,24 @@ object Dedup {
     *        ubiquitous shingles barely moves Jaccard for true near-dups.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+                        k: Int, threshold: Double, maxDocFreq: Long = 0L): DataFrame =
+    ngramJaccardPairsFrom(
+      ngramShingleStage(df, idCol, textCol, k, maxDocFreq), idCol, threshold)
+
+  /** The exploded, cutoff-filtered (idCol, nsh, sh) shingle stage of
+    * [[ngramJaccardPairs]] — exposed so a multi-consumer pipeline can
+    * `persist` it ONCE before pairing: the tokenize→ShingleHashes chain is
+    * the operator's dominant map cost and, unshared, it re-evaluates
+    * inside every exchange the stage feeds (the corpus pipeline measured
+    * EIGHT ~600 ms evaluations of it per run — the dfreq partial, the
+    * cutoff-join probe, both nshPost branches, and both pair-join sides).
+    *
+    * Scale note: the persisted stage is (long, long, long) rows — the
+    * shingle TEXT never materializes — so caching it costs ~24 bytes per
+    * position versus re-tokenizing the corpus once per consumer.
+    */
+  def ngramShingleStage(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, maxDocFreq: Long = 0L): DataFrame = {
     // Per-doc shingle counts are free row-local facts (size of the distinct
     // shingle array) — no window pass, no sizes re-join. Only the optional
     // document-frequency cutoff pays a shuffle (its count is inherently
@@ -201,22 +218,36 @@ object Dedup {
       .select(col(idCol), graft.functions.SketchFns.shingleHashes(col("t"), k).as("sha"))
       .select(col(idCol), size(col("sha")).cast(LongType).as("nsh"),
         explode(col("sha")).as("sh"))
-    val shN =
-      if (maxDocFreq <= 0L) base
-      else {
-        // Hash-aggregates + joins instead of two whole-partition windows:
-        // count(*) OVER (PARTITION BY ...) buffers and SORTS every
-        // partition of the exploded shingle set twice (ExternalAppendOnly
-        // row buffering showed up in stalled-run thread dumps); the
-        // aggregate forms reduce map-side and their exchanges hash on the
-        // same keys the downstream joins need.
-        val dfreq = base.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFreq).select(col("sh"))
-        val kept = base.drop("nsh").join(dfreq, "sh")
-        val nshPost = kept.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-        kept.join(nshPost, Seq(idCol))
-      }
-    shN.select(col(idCol).as("a_id"), col("sh"), col("nsh").as("na"))
+    if (maxDocFreq <= 0L) base
+    else {
+      // Hash-aggregates + joins instead of two whole-partition windows:
+      // count(*) OVER (PARTITION BY ...) buffers and SORTS every
+      // partition of the exploded shingle set twice (ExternalAppendOnly
+      // row buffering showed up in stalled-run thread dumps); the
+      // aggregate forms reduce map-side and their exchanges hash on the
+      // same keys the downstream joins need.
+      val dfreq = base.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDocFreq).select(col("sh"))
+      val kept = base.drop("nsh").join(dfreq, "sh")
+      val nshPost = kept.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
+      kept.join(nshPost, Seq(idCol))
+    }
+  }
+
+  /** The pair join + Jaccard aggregate of [[ngramJaccardPairs]] over a
+    * prepared [[ngramShingleStage]] frame (columns idCol, nsh, sh).
+    */
+  def ngramJaccardPairsFrom(shN: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
+    // SHUFFLE_HASH hint (the simhashNearDupPairs discipline, minus the
+    // sort): a broadcast of the "small" side re-runs the whole
+    // scan→tokenize→ShingleHashes pipeline once per join input; with both
+    // sides shuffling on `sh` the canonicalized exchanges are equal and
+    // ReusedExchange computes the shingle set ONCE, and hash join skips
+    // the two sorts sort-merge would pay on the exploded set. At fact
+    // scale both sides shuffle anyway, so the hint only changes the
+    // toy-scale plan.
+    shN.select(col(idCol).as("a_id"), col("sh"), col("nsh").as("na")).hint("shuffle_hash")
       .join(shN.select(col(idCol).as("b_id"), col("sh"), col("nsh").as("nb")), "sh")
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))

@@ -557,16 +557,24 @@ object TextQueries {
     Q("q_dedup_incremental_minhash",
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // the batch boundary as a DRIVER LITERAL (one bounded 1-row agg
+        // job): as a lazy broadcast subplan the mid frame re-derived its
+        // max-scan inside every consumer — the index write, the tag side,
+        // and the final join each paid a broadcast-build job whose ~80 ms
+        // launch gap, not its 20 ms scan, dominated this query's overhead
+        // (the selectByTokenBudget boundary-literal lesson applied here).
+        // In the daily-crawl deployment the batch boundary is a known
+        // ingestion watermark, not something re-derived per query anyway.
         val mid = docs.agg(expr("MAX(doc_id) DIV 2").as("mid"))
-        val withMid = docs.crossJoin(broadcast(mid))
-        val fresh = withMid.filter(col("doc_id") >= col("mid"))
+          .collect()(0).getLong(0)
+        val fresh = docs.filter(col("doc_id") >= mid)
         // the PRODUCTION shape end-to-end: the corpus's band index is
         // persisted through the warehouse (crash-recoverable swap) and the
         // gate reads the KB-sized sketch table back instead of re-sketching
         // yesterday's corpus — what the daily-crawl deployment actually does
         val wh = graft.airbnb.Warehouse(s, "/tmp/graft_fixtures/wh_band_index")
         wh.write("band_index", Dedup.bandIndex(
-          withMid.filter(col("doc_id") < col("mid")), "doc_id", "text", 4))
+          docs.filter(col("doc_id") < mid), "doc_id", "text", 4))
         val tags = Dedup.tagAgainstBandIndex(
           fresh, wh.read("band_index"), "doc_id", "text", 4)
         fresh.select(col("doc_id"), col("source"))
