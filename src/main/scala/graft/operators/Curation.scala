@@ -77,6 +77,15 @@ object Curation {
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int, maxDocFreq: Long): DataFrame = {
+    // KEY-SPACE NOTE: __ck here is xxhash64 of the chunk STRING —
+    // deliberately a different hash space from boilerplateAccounting's
+    // ChunkHashes kernel (a polyHash over the token slice). Removal must
+    // materialize chunk text anyway (it reassembles the survivors), so
+    // hashing the string costs nothing extra; the two operators' keys are
+    // internal to each plan and must never be joined or persisted against
+    // each other. Their equivalence CLASSES coincide (space-joined chunk
+    // strings are injective in the token slice), so both halves of the C4
+    // operator flag identical chunk sets.
     val ch = chunks(df, idCol, textCol, chunkTokens)
       .withColumn("__ck", xxhash64(col("chunk")))
     val dfreq = ch.groupBy(col("__ck"))
@@ -333,9 +342,15 @@ object Curation {
     * time; now everything past the single pair hash-agg (map-side
     * partials) is vocab-sized, the unigram joins run on the
     * minCount-filtered pair vocabulary, and the 1-row total is broadcast.
-    * The sentinel is U+0001, which whitespace tokenization cannot emit
-    * from any plausible corpus text; results are bit-identical to the
-    * explicit two-shuffle form and gated by the same oracle.
+    * The sentinel is U+0001. Whitespace tokenization does NOT strip
+    * control characters, so a hostile document could emit a bare U+0001
+    * token that masquerades as the terminal marker; sentinel-valued
+    * tokens are therefore FILTERED OUT before pair construction — they
+    * carry no phrase signal, and excluding them keeps the in-band marker
+    * sound. On sentinel-free text (any real corpus) results are
+    * bit-identical to the explicit two-shuffle form and gated by the same
+    * oracle; on text containing U+0001 tokens the two forms differ
+    * exactly by those tokens' pairs, which this form deliberately drops.
     */
   def collocations(df: DataFrame, textCol: String, k: Int, minCount: Long): DataFrame = {
     require(k > 0 && minCount >= 1, s"bad k=$k / minCount=$minCount")
@@ -349,6 +364,9 @@ object Curation {
     // CkptCycle single-live-frame contract; don't construct speculatively.
     val allPairs = graft.CkptCycle.cycle("collocations_paircounts",
       df.withColumn("__t", TextFns.tokens(col(textCol)))
+        // drop hostile sentinel-valued tokens (scaladoc): an in-corpus
+        // U+0001 would otherwise collide with the terminal marker
+        .withColumn("__t", expr(s"filter(__t, x -> x != '$sent')"))
         .filter(size(col("__t")) >= 1)
         .select(explode(expr(
           "concat(transform(slice(__t, 1, size(__t) - 1), " +

@@ -167,9 +167,17 @@ object SketchKernels {
 
   /** Per-token [[polyHashCp]] values — the kernel form of
     * TextFns.polyHashEach, whose interpreted HOF allocates an array
-    * element PER CHARACTER (aggregate over split(e, '')). Null tokens
-    * hash like the empty string (ascii('') = 0 fold — the HOF's
-    * behavior on the empty-split piece).
+    * element PER CHARACTER (aggregate over split(e, '')).
+    *
+    * NULL-element contract — INTENTIONAL divergence from the HOF: a null
+    * token hashes like the empty string (the 217L seed), where the HOF
+    * yields a NULL element (split(null) is null, so its aggregate is
+    * null). The kernel's containsNull=false output is what every
+    * downstream sketch consumer wants (a null hash would poison window
+    * minima and join keys); TextFns.tokens never produces null elements,
+    * so the divergence is reachable only through the public
+    * SketchFns.polyHashEach column API on hand-built arrays. Pinned by
+    * FuzzSpec's null-token case.
     */
   def polyHashEach(tokens: ArrayData): ArrayData = {
     val n = tokens.numElements()

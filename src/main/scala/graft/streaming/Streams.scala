@@ -474,17 +474,26 @@ object Streams {
       .join(broadcast(idx), "__sk")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_shingles"))
-    val tagged = batch.join(hits, Seq(idCol), "left")
-    val contaminated = tagged.filter(col("n_shared_shingles").isNotNull)
-    val clean = tagged.filter(col("n_shared_shingles").isNull)
-      .drop("n_shared_shingles")
-    // quarantine first (evidence must exist before the sink marker says
-    // the batch is done), then the marker-bearing clean write; a crash
-    // between the two replays both — the quarantine write is a plain
-    // batch-keyed overwrite, so the replay converges
-    contaminated.write.mode("overwrite")
-      .parquet(new Path(quarantineDir, f"batch-$batchId%09d").toString)
-    writeBatchIdempotent(clean, outDir, batchId)
+    // materialize the tagged batch ONCE (semDedupGateBatch's survivor
+    // pattern): the quarantine and clean writes are two actions over it,
+    // and uncached each would re-run the tokenize + ShingleHashes +
+    // broadcast-join pipeline per write; micro-batch-sized blocks
+    val tagged = batch.join(hits, Seq(idCol), "left").localCheckpoint(true)
+    try {
+      val contaminated = tagged.filter(col("n_shared_shingles").isNotNull)
+      val clean = tagged.filter(col("n_shared_shingles").isNull)
+        .drop("n_shared_shingles")
+      // quarantine first (evidence must exist before the sink marker says
+      // the batch is done), then the marker-bearing clean write; a crash
+      // between the two replays both — the quarantine write is a plain
+      // batch-keyed overwrite, so the replay converges
+      contaminated.write.mode("overwrite")
+        .parquet(new Path(quarantineDir, f"batch-$batchId%09d").toString)
+      writeBatchIdempotent(clean, outDir, batchId)
+    } finally tagged.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
   }
 
   /** Start the streaming decontamination gate on a documents stream. The

@@ -345,6 +345,18 @@ class CurationSpec extends AnyFunSuite {
     val all = Curation.collocations(df, "text", k = 5, minCount = 1L)
       .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
     assert(all == Seq(("x y", 2500000L), ("y z", 2500000L), ("y x", 1250000L)))
+    // hostile text: a bare U+0001 token must not masquerade as the
+    // terminal sentinel — it is filtered before pair construction, so the
+    // mined pairs equal those of the same text with the token removed
+    // (here "x " and " y" vanish, "x y" pairs survive)
+    val hostile = Seq((1L, "x  y x y")).toDF("doc_id", "text")
+    val hp = Curation.collocations(hostile, "text", k = 5, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val strippedEq = Curation.collocations(
+        Seq((1L, "x y x y")).toDF("doc_id", "text"), "text", k = 5, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hp == strippedEq, s"sentinel token leaked into pairs: $hp")
+    assert(hp.forall(!_._1.contains("")))
   }
 
   test("source cap keeps the best-scored docs per source, heap-ranked") {

@@ -216,6 +216,19 @@ class FuzzSpec extends AnyFunSuite {
     val phKern = df.select(col("t"), SketchFns.polyHashEach(col("t")).as("h"))
       .collect().map(r => r.getSeq[String](0).toList -> r.getSeq[Long](1).toList).toMap
     cases.foreach(t => assert(phKern(t) == phHof(t), s"polyHashEach mismatch on $t"))
+    // null-element contract pin (SketchExpressions scaladoc): the kernel
+    // hashes a null token like the empty string — containsNull=false
+    // output — where the HOF yields a NULL element. Intentional divergence,
+    // reachable only via hand-built arrays (TextFns.tokens never emits
+    // null elements).
+    val nullArr = Seq(Tuple1(Seq[String](null, "", "ab"))).toDF("t")
+    val kernNull = nullArr.select(SketchFns.polyHashEach(col("t")).as("h"))
+      .collect()(0).getSeq[Long](0).toList
+    val hofEmpty = nullArr.select(TextFns.polyHashEach("t").as("h"))
+      .collect()(0).getSeq[Any](0).toList
+    assert(kernNull(0) == kernNull(1), "kernel: null must hash like ''")
+    assert(hofEmpty(0) == null && hofEmpty(1) != null,
+      "HOF contract changed: null element expected for null token")
     // chunkHashes: multiplicity == chunkExpr's chunk count; equal chunk
     // strings <=> equal hashes within a doc
     val ckHof = df.filter(size(col("t")) >= 1)
