@@ -450,6 +450,86 @@ object Soak {
         println(f"$name%-24s $tS%10.2f $tB4%10.2f $tB40%10.2f")
       }
     }
+
+    // ---- 100× dedup/ANN spine soak (cutoff engaged, k scaled): the
+    // measurement the 100 TB design argument rests on. The corpus is the
+    // copy-tagged documents replication (no cross-copy shingle sharing —
+    // true answer grows linearly); embeddings replicate with a
+    // norm-preserving cyclic rotation (+ sign flip past one full turn) so
+    // copies are semantically DISTINCT vectors, not factor-sized duplicate
+    // groups. Learned operators scale their capacity with the corpus per
+    // their documented contracts: SemDeDup k ×factor (constant cell size),
+    // IVF nLists ×factor (constant list length). Reported: raw big/small
+    // warm ratio AND ratio DIV factor (per-row cost growth; ≤ ~1.5 is the
+    // linear-scaling bar — the 32 local threads absorb part of the factor,
+    // so per-row ratios can also land BELOW 1).
+    // Enable: SPARK_GRAFT_SOAK_SPINE=100 (any factor >= 2 works).
+    val spineFactor = sys.env.getOrElse("SPARK_GRAFT_SOAK_SPINE", "0").toInt
+    if (spineFactor > 1) {
+      import graft.operators.{Dedup, Similarity}
+      val M = 100000000L
+      val dbig = s"/tmp/graft-soak-spine-x$spineFactor"
+      if (!new java.io.File(s"$dbig/documents.parquet").exists()) {
+        val base = Tables.load(spark, small, "documents")
+        (0 until spineFactor).map(i =>
+            base.withColumn("doc_id", col("doc_id") + i * M)
+              .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1w$i")))
+          .reduce(_ unionByName _)
+          .repartition(64).write.mode("overwrite").parquet(s"$dbig/documents.parquet")
+        println(s"generated spine documents x$spineFactor")
+      }
+      if (!new java.io.File(s"$dbig/embeddings.parquet").exists()) {
+        val base = Tables.load(spark, small, "embeddings")
+        val dim = 64
+        (0 until spineFactor).map { i =>
+          val r = i % dim
+          val sign = if ((i / dim) % 2 == 1) "-" else ""
+          val rotated =
+            if (r == 0) col("embedding")
+            else expr(s"concat(slice(embedding, ${r + 1}, ${dim - r}), slice(embedding, 1, $r))")
+          base.withColumn("vec_id", col("vec_id") + i * M)
+            .withColumn("embedding", rotated)
+            .withColumn("embedding", expr(
+              s"transform(embedding, x -> CAST(${sign}x AS FLOAT))"))
+        }.reduceLeft(_ unionByName _)
+          .repartition(16).write.mode("overwrite").parquet(s"$dbig/embeddings.parquet")
+        println(s"generated spine embeddings x$spineFactor")
+      }
+      def docs(dir: String) = Tables.load(spark, dir, "documents")
+      def emb(dir: String) = Tables.load(spark, dir, "embeddings")
+      def lineStats(dir: String): Long = {
+        val lines = docs(dir)
+          .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("__t"))
+          .filter(size(col("__t")) >= 1)
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextFns.chunkExpr("__t", 3, 3)).as(Seq("pos", "line")))
+        Dedup.dedupLineStats(lines, "doc_id", "pos", "line").count()
+      }
+      def semK(dir: String, k: Int): Long =
+        Dedup.semDedup(emb(dir), "vec_id", "embedding", k,
+          passes = 2, threshold = 0.2).count()
+      def ivfK(dir: String, nLists: Int): Long = {
+        val e = emb(dir)
+        val q = e.filter(col("vec_id") % M < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        Similarity.ivfTopK(q, c, nLists = nLists, nProbe = 8, k = 5).count()
+      }
+      val spineRuns: Seq[(String, String => Long)] = Seq(
+        "spine_minhash_lsh" -> (dir => Dedup.minhashLshPairs(
+          docs(dir), "doc_id", "text", 4, 0.5).count()),
+        "spine_line_dedup" -> (dir => lineStats(dir)),
+        "spine_semdedup_k" -> (dir =>
+          semK(dir, if (dir == small) 4 else 4 * spineFactor)),
+        "spine_ivf_topk_k" -> (dir =>
+          ivfK(dir, if (dir == small) 8 else 8 * spineFactor)))
+      println(f"${"spine op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s ${"r/f"}%5s (data x$spineFactor, k scaled)")
+      spineRuns.foreach { case (name, f) =>
+        f(small); val tS = time(f(small))
+        f(dbig); val tB = time(f(dbig))
+        println(f"$name%-24s $tS%10.2f $tB%10.2f ${tB / tS}%7.1f ${tB / tS / spineFactor}%5.2f")
+      }
+    }
     spark.stop()
   }
 

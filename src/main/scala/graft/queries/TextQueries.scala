@@ -657,6 +657,94 @@ object TextQueries {
           WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id"""
       }),
 
+    // ----- FUZZY-DEDUP → RE-BALANCE CAPSTONE (the DataComp/FineWeb "dedup
+    // then re-weight" shape): MinHash-LSH candidate pairs → connected
+    // components → min-id survivor per cluster → temperature-style
+    // (α = 0.5, isqrt) mixing weights RECOMPUTED over the surviving
+    // corpus, all under ONE oracle. This is the composition a pretraining
+    // mix actually ships — dedup changes per-source token mass, so the
+    // mixing plan must be derived AFTER survivorship, and hash-checking
+    // the chain end-to-end pins that ordering. Scale shape: banded pair
+    // generation (never all-pairs), gated union-find/propagation closure,
+    // one anti-join on doc id, then source-cardinality aggregates with a
+    // broadcast 1-row total.
+    Q("q_dedup_rebalance",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 4, 0.5)
+          .select(col("a_id"), col("b_id"))
+        val comp = graft.CkptCycle.cycle("q_dedup_rebalance",
+          graft.operators.Components.connectedComponents(pairs, "a_id", "b_id"))
+        val losers = comp.filter(col("node") =!= col("component_id"))
+          .select(col("node").as("doc_id"))
+        val keepers = docs
+          .withColumn("ntok", size(TextFns.tokens(col("text"))).cast(LongType))
+          .join(losers, Seq("doc_id"), "left_anti")
+        val per = keepers.groupBy(col("source"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum(col("ntok")).cast(LongType).as("tokens"))
+          .withColumn("weight", floor(sqrt(col("tokens"))).cast(LongType))
+        val tot = per.agg(sum(col("weight")).cast(LongType).as("total_w"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("alloc_tokens",
+            expr("CAST((1000000 * weight) DIV total_w AS BIGINT)"))
+          .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+            col("alloc_tokens"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          s"min((h * $a + $b) % ${TextFns.minhashP}) AS m$i"
+        }.mkString(",\n                 ")
+        val matchSum = (0 until 8)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        val pairSel = (j: Int) =>
+          s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST($matchSum AS DOUBLE) / 8 AS est_jaccard
+              FROM banded a JOIN banded b
+                ON a.band$j = b.band$j AND a.doc_id < b.doc_id"""
+        s"""
+          WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents),
+          sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+                  FROM toks WHERE len(t) >= 4),
+          sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+          hashed AS (SELECT doc_id, ${TextFns.polyHashSql("sh")} AS h FROM sh),
+          sig AS (SELECT doc_id,
+                 $minExprs
+               FROM hashed GROUP BY doc_id),
+          banded AS (SELECT *,
+               concat_ws('-', m0, m1, m2, m3) AS band0,
+               concat_ws('-', m4, m5, m6, m7) AS band1
+             FROM sig),
+          cand AS (${pairSel(0)} UNION ${pairSel(1)}),
+          prs AS (SELECT a_id, b_id FROM cand WHERE est_jaccard >= 0.5),
+          edges AS (SELECT a_id AS src, b_id AS dst FROM prs
+                    UNION SELECT b_id, a_id FROM prs),
+          reach(node, r) AS (
+            SELECT src, dst FROM edges
+            UNION
+            SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+          comp AS (SELECT node, LEAST(node, MIN(r)) AS component_id
+                   FROM reach GROUP BY node),
+          pt AS (SELECT d.doc_id, d.source, CAST(len(t) AS BIGINT) AS ntok
+                 FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+          keepers AS (SELECT * FROM pt
+                      WHERE doc_id NOT IN
+                        (SELECT node FROM comp WHERE node <> component_id)),
+          per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(ntok) AS BIGINT) AS tokens
+                  FROM keepers GROUP BY source),
+          w AS (SELECT source, n_docs, tokens,
+                       CAST(floor(sqrt(tokens)) AS BIGINT) AS weight FROM per),
+          tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM w)
+          SELECT source, n_docs, tokens, weight,
+                 CAST((1000000 * weight) // total_w AS BIGINT) AS alloc_tokens
+          FROM w, tot ORDER BY source"""
+      }),
+
     // ----- near-dup: 16-bit SimHash over token hashes
     Q("q_dedup_simhash",
       (s, dir) =>

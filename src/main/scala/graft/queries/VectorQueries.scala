@@ -892,6 +892,181 @@ object VectorQueries {
                  AS tok_kept
         FROM k2 GROUP BY source ORDER BY source""")),
 
+    // ----- TRI-MODAL CURATION CAPSTONE: the image, audio, and embedding
+    // dedup legs joined PER DOCUMENT into one curation verdict — the
+    // multimodal-corpus shape where a training example is (image, clip,
+    // text) and a document is dropped if ANY modality marks it a
+    // duplicate. Legs are the registry's own oracle-gated operators on
+    // their established fixtures: BMP dHash (q_mm_phash_dedup), WAV
+    // band-energy fingerprint (q_mm_audio_fingerprint), SemDeDup over the
+    // partially-covered embeddings table (q_dedup_semantic; absent
+    // embedding = not semantically deduplicable, the realistic coverage
+    // gap). Survivor rule per modality: minimum doc id in the collision
+    // group. Scale shape: two hash-keyed survivor aggregates + re-joins
+    // (the dedupLines pattern), the cell-bounded SemDeDup pair join, then
+    // doc-id-keyed joins and one source-cardinality aggregate.
+    Q("q_mm_trimodal_verdict",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        val imgMedia = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val c = (id % 25).toInt
+            val w = c % 12 + 9
+            val h = (c * 3) % 10 + 8
+            val bright = ((id / 25) % 3).toInt * 10
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = (y * w + x) * 3
+                rgb(p) = ((x * (c % 9 + 2) * 13 + y * 3) % 150 + bright).toByte
+                rgb(p + 1) = ((2 * x + y * (c % 5 + 3) * 11) % 150 + bright).toByte
+                rgb(p + 2) = ((3 * x + y) % 150 + bright).toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeBmpRgb(w, h, rgb))
+          }
+        // each modality's (doc_id, hash) table feeds BOTH the survivor
+        // aggregate and its re-join — uncached, the media synth + decode
+        // subtree re-evaluates per consumer (the lint's 7-scan cap
+        // caught 9 documents scans); two longs per doc, checkpoint once
+        val img = graft.CkptCycle.cycle("q_mm_trimodal_img",
+          graft.multimodal.Multimodal.dHash(imgMedia).toDF()
+            .select(col("doc_id"), col("dhash")).localCheckpoint(true))
+        val imgDup = img
+          .join(img.groupBy(col("dhash")).agg(min(col("doc_id")).as("__is")), "dhash")
+          .select(col("doc_id"), (col("doc_id") =!= col("__is")).as("img_dup"))
+        val auMedia = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val c = (id % 20).toInt
+            val n = c * 40 + 640
+            val gain = ((id / 20) % 3).toInt + 1
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = ((((c * 31 + i.toLong * 40503) % 10000) - 5000)
+                * gain).toShort
+              i += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeWavPcm16(16000, samples))
+          }
+        val au = graft.CkptCycle.cycle("q_mm_trimodal_au",
+          graft.multimodal.Multimodal.audioFingerprint(auMedia).toDF()
+            .select(col("doc_id"), col("fp")).localCheckpoint(true))
+        val auDup = au
+          .join(au.groupBy(col("fp")).agg(min(col("doc_id")).as("__as")), "fp")
+          .select(col("doc_id"), (col("doc_id") =!= col("__as")).as("audio_dup"))
+        val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val semSurv = graft.operators.Dedup.semDedup(
+            emb, "vec_id", "embedding", k = 4, passes = 2, threshold = 0.2)
+          .select(col("vec_id").as("doc_id"), lit(true).as("__ss"))
+        docs
+          .join(imgDup, Seq("doc_id"))
+          .join(auDup, Seq("doc_id"))
+          .join(emb.select(col("vec_id").as("doc_id"), lit(true).as("__se")),
+            Seq("doc_id"), "left")
+          .join(semSurv, Seq("doc_id"), "left")
+          .withColumn("sem_dup", col("__se").isNotNull && col("__ss").isNull)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            count(when(col("img_dup"), 1)).cast(LongType).as("n_img_dup"),
+            count(when(col("audio_dup"), 1)).cast(LongType).as("n_audio_dup"),
+            count(when(col("sem_dup"), 1)).cast(LongType).as("n_sem_dup"),
+            count(when(!col("img_dup") && !col("audio_dup") && !col("sem_dup"), 1))
+              .cast(LongType).as("n_keep"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        img_dims AS (
+          SELECT doc_id, (doc_id % 25) % 12 + 9 AS w,
+                 ((doc_id % 25) * 3) % 10 + 8 AS h
+          FROM documents),
+        img_grid AS (
+          SELECT doc_id, x.g AS x, y.g AS y,
+                 (x.g * w) // 9 AS sx, (y.g * h) // 8 AS sy
+          FROM img_dims, generate_series(0, 8) x(g), generate_series(0, 7) y(g)),
+        img_luma AS (
+          SELECT doc_id, x, y,
+                 (299 * ((sx * ((doc_id % 25) % 9 + 2) * 13 + sy * 3) % 150)
+                  + 587 * ((2 * sx + sy * ((doc_id % 25) % 5 + 3) * 11) % 150)
+                  + 114 * ((3 * sx + sy) % 150)) // 1000 AS l
+          FROM img_grid),
+        img_bits AS (
+          SELECT a.doc_id,
+                 SUM(CASE WHEN b.l > a.l
+                          THEN CASE WHEN a.y * 8 + a.x = 63
+                                    THEN -9223372036854775807 - 1
+                                    ELSE CAST(1 AS BIGINT) << (a.y * 8 + a.x)
+                               END
+                          ELSE 0 END) AS dhash
+          FROM img_luma a JOIN img_luma b
+            ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+          WHERE a.x < 8
+          GROUP BY a.doc_id),
+        img_dup AS (
+          SELECT doc_id,
+                 doc_id <> MIN(doc_id) OVER (PARTITION BY dhash) AS img_dup
+          FROM img_bits),
+        au_n AS (
+          SELECT doc_id, doc_id % 20 AS c, (doc_id % 20) * 40 + 640 AS ns
+          FROM documents),
+        au_s AS (
+          SELECT doc_id, ns, i.g AS i,
+                 ((c * 31 + i.g * 40503) % 10000) - 5000 AS v
+          FROM au_n, generate_series(0, 1399) i(g)
+          WHERE i.g < (ns // 32) * 32),
+        au_e AS (
+          SELECT doc_id, i // (ns // 32) AS k, SUM(v * v) AS e
+          FROM au_s GROUP BY doc_id, k),
+        au_b AS (
+          SELECT doc_id, k, e,
+                 lead(e) OVER (PARTITION BY doc_id ORDER BY k) AS ne
+          FROM au_e),
+        au_fp AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN ne > e
+                               THEN CAST(1 AS BIGINT) << k ELSE 0 END)
+                      AS BIGINT) AS fp
+          FROM au_b WHERE k < 31 GROUP BY doc_id),
+        au_dup AS (
+          SELECT doc_id,
+                 doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS audio_dup
+          FROM au_fp),
+        qn AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        m AS (SELECT a2.vec_id, a2.j, a2.dist, qn.embedding, qn.norm
+              FROM a2 JOIN qn USING (vec_id)),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN a.dist < b.dist
+                                 OR (a.dist = b.dist AND a.vec_id > b.vec_id)
+                               THEN a.vec_id ELSE b.vec_id END AS drop_id
+          FROM m a JOIN m b ON a.j = b.j AND a.vec_id < b.vec_id
+          WHERE round(${VectorFns.dotSql("a.embedding", "b.embedding")}
+                      / (a.norm * b.norm), 6) >= 0.2),
+        verdict AS (
+          SELECT d.doc_id, d.source, i.img_dup, a.audio_dup,
+                 (e.vec_id IS NOT NULL
+                  AND e.vec_id IN (SELECT drop_id FROM dropped)) AS sem_dup
+          FROM documents d
+          JOIN img_dup i ON d.doc_id = i.doc_id
+          JOIN au_dup a ON d.doc_id = a.doc_id
+          LEFT JOIN embeddings e ON d.doc_id = e.vec_id)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN img_dup THEN 1 END) AS BIGINT) AS n_img_dup,
+               CAST(COUNT(CASE WHEN audio_dup THEN 1 END) AS BIGINT) AS n_audio_dup,
+               CAST(COUNT(CASE WHEN sem_dup THEN 1 END) AS BIGINT) AS n_sem_dup,
+               CAST(COUNT(CASE WHEN NOT img_dup AND NOT audio_dup
+                               AND NOT sem_dup THEN 1 END) AS BIGINT) AS n_keep
+        FROM verdict GROUP BY source ORDER BY source""")),
+
     // ----- batch-equivalent streaming SemDeDup gate (Streams.
     // semDedupGateBatch): arrivals split into three micro-batches
     // (vec_id % 3) flow through the persisted-fit gate sequentially — an
