@@ -689,8 +689,9 @@ object Curation {
     *
     * Returns (idCol, n_bigrams, lm_ppm) for every doc with >= 2 tokens.
     */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = df
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    shareKey: Option[String] = None): DataFrame = {
+    val pairs0 = df
       .withColumn("__t", TextFns.tokens(col(textCol)))
       .filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(expr(
@@ -698,6 +699,16 @@ object Curation {
         .as("pair"))
       .select(col(idCol), xxhash64(col("pair")).as("__hp"),
         xxhash64(substring_index(col("pair"), " ", 1)).as("__hw"))
+    // The hashed pair stream feeds TWO exchanges — the pair-count partial
+    // and the final join's probe side — whose canonicalized forms differ
+    // (one carries the partial agg), so the tokenize+explode map work
+    // evaluates twice. With `shareKey` the (id, __hp, __hw) stream — three
+    // longs per bigram position, ~24 bytes where the text it came from is
+    // hundreds — checkpoints once under the CkptCycle single-live-frame
+    // contract; None keeps the operator a pure lazy plan.
+    val pairs = shareKey
+      .map(k => graft.CkptCycle.cycle(k, pairs0.localCheckpoint(true)))
+      .getOrElse(pairs0)
     // Prefix counts derive from the PAIR aggregate, not the raw pair
     // stream: c(w1) = Σ_{pairs starting w1} c(pair), so the second
     // aggregation runs over the distinct-pair vocabulary (≪ corpus) —

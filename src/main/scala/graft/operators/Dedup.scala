@@ -558,7 +558,12 @@ object Dedup {
       col(srcCol).as("__src")).distinct()
     val a = fps.select(col("fp"), col("__src").as("src_a"))
     val b = fps.select(col("fp"), col("__src").as("src_b"))
-    a.join(b, Seq("fp")).filter(col("src_a") < col("src_b"))
+    // SHUFFLE_HASH hint (the ngramJaccardPairsFrom discipline): a broadcast
+    // of the "small" side re-runs the scan→fingerprint→distinct subtree per
+    // join input; with both sides shuffling on fp the canonicalized
+    // exchanges are equal and ReusedExchange computes the fingerprint set
+    // once. At fact scale both sides shuffle anyway.
+    a.hint("shuffle_hash").join(b, Seq("fp")).filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).cast(LongType).as("n_shared"))
   }

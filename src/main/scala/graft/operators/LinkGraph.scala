@@ -200,4 +200,59 @@ object LinkGraph {
     Components.free(e)
     dist
   }
+
+  /** [[bfsHops]] with the same count-gated driver fast path as
+    * [[pageRankAuto]]: the crawl-scheduling BFS runs over the DOMAIN
+    * graph, whose distinct edge list (and seed set) is node-scale, while
+    * the distributed loop pays maxHops × (join + anti-join + checkpoint)
+    * Spark jobs regardless of graph size. Two LIMIT-guarded collect jobs
+    * (edges, seeds); within the gate the frontier expansion is plain
+    * driver BFS over the collected pairs — bit-identical to the
+    * distributed loop (min hop, seeds 0, unreachable absent) — returned
+    * as a broadcastable LOCAL relation with no storage to manage. Beyond
+    * the gate it falls back to [[bfsHops]] unchanged.
+    */
+  def bfsHopsAuto(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String, maxHops: Int,
+                  maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0: $maxHops")
+    require(maxDriverEdges < Int.MaxValue, s"gate must fit an array: $maxDriverEdges")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+                   col(dstCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+    val eRows = e0.limit(maxDriverEdges.toInt + 1).collect()
+    val s0 = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val sRows = s0.limit(maxDriverEdges.toInt + 1).collect()
+    if (eRows.length > maxDriverEdges || sRows.length > maxDriverEdges) {
+      bfsHops(edges, srcCol, dstCol, seeds, seedCol, maxHops)
+    } else {
+      val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+      eRows.foreach { r =>
+        adj.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[Long]())
+          .add(r.getLong(1))
+      }
+      val hops = new java.util.TreeMap[Long, Long]()
+      var frontier = new java.util.ArrayList[Long]()
+      sRows.foreach { r =>
+        if (!hops.containsKey(r.getLong(0))) {
+          hops.put(r.getLong(0), 0L); frontier.add(r.getLong(0))
+        }
+      }
+      for (h <- 1 to maxHops) {
+        val next = new java.util.ArrayList[Long]()
+        frontier.forEach { n =>
+          val out = adj.get(n)
+          if (out != null) out.forEach { d =>
+            if (!hops.containsKey(d)) { hops.put(d, h.toLong); next.add(d) }
+          }
+        }
+        frontier = next
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](hops.size)
+      hops.forEach((n, h) => out += ((n.longValue, h.longValue)))
+      import spark.implicits._
+      out.toSeq.toDF("node", "hops")
+    }
+  }
 }

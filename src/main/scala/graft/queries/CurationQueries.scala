@@ -356,7 +356,8 @@ object CurationQueries {
     // engines agree bit-for-bit). Shuffles key on 64-bit pair/prefix hashes.
     Q("q_text_bigram_lm",
       (s, dir) =>
-        Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+        Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+            shareKey = Some("q_text_bigram_lm"))
           .orderBy(col("doc_id")),
       Some("""
         WITH tk AS (SELECT doc_id,

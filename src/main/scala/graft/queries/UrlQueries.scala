@@ -264,9 +264,11 @@ object UrlQueries {
         val docs = t(s, dir, "documents")
         val seeds = docs.select((col("doc_id") % 20).as("node"))
           .filter(col("node") % 7 === 0)
-        graft.CkptCycle.cycle("q_link_hops",
-            graft.operators.LinkGraph.bfsHops(
-              synthEdges(docs), "src", "dst", seeds, "node", maxHops = 3))
+        // bfsHopsAuto: domain-scale graph (20 nodes) → gated driver BFS,
+        // local-relation result, no checkpoint to cycle (see pageRankAuto
+        // at q_crawl_frontier)
+        graft.operators.LinkGraph.bfsHopsAuto(
+            synthEdges(docs), "src", "dst", seeds, "node", maxHops = 3)
           .orderBy(col("node"))
       },
       Some("""

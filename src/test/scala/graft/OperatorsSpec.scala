@@ -97,6 +97,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"fast path should be shuffle-free:\n$plan")
   }
 
+  test("bfsHopsAuto: driver fast path matches the distributed loop both sides of the gate") {
+    val edges = spark.range(4000).selectExpr(
+      "id % 40 AS src",
+      "((id DIV 40) % (1 + (id % 40) % 5) + 7 * (id % 40)) % 40 AS dst")
+    val seeds = spark.range(6).selectExpr("id * 7 % 40 AS node")
+    def hops(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dist = hops(graft.operators.LinkGraph
+      .bfsHops(edges, "src", "dst", seeds, "node", maxHops = 3))
+    val fast = hops(graft.operators.LinkGraph
+      .bfsHopsAuto(edges, "src", "dst", seeds, "node", maxHops = 3))
+    assert(fast == dist, "driver BFS diverged from the distributed loop")
+    val gated = hops(graft.operators.LinkGraph
+      .bfsHopsAuto(edges, "src", "dst", seeds, "node", maxHops = 3, maxDriverEdges = 5))
+    assert(gated == dist, "over-gate fallback diverged")
+    val plan = graft.operators.LinkGraph
+      .bfsHopsAuto(edges, "src", "dst", seeds, "node", maxHops = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fast path should be shuffle-free:\n$plan")
+  }
+
   test("BFS hops: min distance from a multi-source seed set, hop-capped, unreachable absent") {
     // chain 1->2->3->4->5, plus 9->3 (shorter path to 3 from second seed 9),
     // and isolated 7->8 unreachable from seeds {1, 9}
