@@ -76,7 +76,8 @@ object Curation {
     * Returns (idCol, clean_text, n_chunks, n_kept).
     */
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
-                        chunkTokens: Int, maxDocFreq: Long): DataFrame = {
+                        chunkTokens: Int, maxDocFreq: Long,
+                        shareKey: Option[String] = None): DataFrame = {
     // KEY-SPACE NOTE: __ck here is xxhash64 of the chunk STRING —
     // deliberately a different hash space from boilerplateAccounting's
     // ChunkHashes kernel (a polyHash over the token slice). Removal must
@@ -86,8 +87,17 @@ object Curation {
     // each other. Their equivalence CLASSES coincide (space-joined chunk
     // strings are injective in the token slice), so both halves of the C4
     // operator flag identical chunk sets.
-    val ch = chunks(df, idCol, textCol, chunkTokens)
+    // The chunk stage feeds the document-frequency aggregate AND the
+    // re-join probe — two differently-canonicalized exchanges, so the
+    // tokenize+chunk explode evaluates twice unshared. `shareKey`
+    // checkpoints it once (chunked text ≈ corpus bytes — the same
+    // storage-for-recompute trade selectByTokenBudget documents); None
+    // keeps the operator a pure lazy plan.
+    val ch0 = chunks(df, idCol, textCol, chunkTokens)
       .withColumn("__ck", xxhash64(col("chunk")))
+    val ch = shareKey
+      .map(k => graft.CkptCycle.cycle(k, ch0.localCheckpoint(true)))
+      .getOrElse(ch0)
     val dfreq = ch.groupBy(col("__ck"))
       .agg(countDistinct(col(idCol)).as("__df"))
     ch.join(dfreq, "__ck")

@@ -314,7 +314,7 @@ object Dedup {
     val banded = bandedSignatures(df, idCol, textCol, k, bands)
     def side(p: String) = banded.select(banded.columns.toIndexedSeq.map(c => col(c).as(p + c)): _*)
     val a = side("a_"); val b = side("b_")
-    val cand = a.join(b,
+    val cand = a.hint("shuffle_hash").join(b,
       col("a_band_idx") === col("b_band_idx") &&
         col("a_band_key") === col("b_band_key") &&
         col(s"a_$idCol") < col(s"b_$idCol"))
