@@ -79,7 +79,16 @@ object Soak {
     "q_vec_contrastive",     // shared pair subplan + two bounded heaps (r11)
     "q_decontaminate_bloom", // ckpt'd eval shingles + bloom prefilter (r12)
     "q_stream_semdedup_batch", // unrolled persisted-fit gate, cell-bounded (r12)
-    "q_crawl_frontier")      // robots gate + broadcast rank + heap cap (r12)
+    "q_crawl_frontier",      // robots gate + gated-driver rank + heap cap (r13)
+    // (q_dedup_rebalance is soaked in the DEDUP section on the copy-tagged
+    // corpus — on THIS tail-suffix replication every long doc's 10 copies
+    // are genuine mutual near-dups, so its pair set and closure are
+    // quadratic in the factor BY CONSTRUCTION: the fixture artifact the
+    // dedup generator's scaladoc documents, not a plan property.)
+    "q_mm_trimodal_verdict", // dHash + audio fp + SemDeDup per-doc verdict (r13)
+    "q_dedup_ngram_jaccard", // reused-exchange pair join (r13)
+    "q_dedup_incremental_minhash", // literal batch boundary + persisted index (r13)
+    "q_dedup_minhash_lsh")   // reused banded exchange (r13)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
@@ -112,13 +121,24 @@ object Soak {
     // SPARK_GRAFT_SOAK_SKIP_MAIN=1 skips the registry sweep so the gated
     // sections below can be re-measured alone after a targeted change
     if (!sys.env.get("SPARK_GRAFT_SOAK_SKIP_MAIN").contains("1")) {
+      // optional positional args narrow the sweep by substring (the Bench
+      // convention) — a local iteration aid for re-soaking changed queries
+      val wanted = args.toSeq
       println(f"${"query"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (data x$factor)")
-      soakQueries.foreach { name =>
+      soakQueries.filter(n => wanted.isEmpty || wanted.exists(n.contains))
+        .foreach { name =>
         val q = SparkEntry.registry.find(_.name == name).get
-        time(q.run(spark, small).count()) // cold: codegen+JIT, discarded
-        val tSmall = time(q.run(spark, small).count())
-        time(q.run(spark, big).count())
-        val tBig = time(q.run(spark, big).count())
+        // release caches + cycled checkpoint blocks between timed runs
+        // (the Bench hygiene): several queries localCheckpoint shared
+        // stages under CkptCycle, and without a release every LATER soak
+        // row times against the accumulated storage of every earlier one
+        def scrub(): Unit = {
+          spark.catalog.clearCache(); CkptCycle.releaseAll(spark)
+        }
+        time(q.run(spark, small).count()); scrub() // cold: codegen, discarded
+        val tSmall = time(q.run(spark, small).count()); scrub()
+        time(q.run(spark, big).count()); scrub()
+        val tBig = time(q.run(spark, big).count()); scrub()
         println(f"$name%-24s $tSmall%10.2f $tBig%10.2f ${tBig / tSmall}%7.1f")
       }
     }
@@ -293,13 +313,36 @@ object Soak {
         "text_collocations" -> { dir =>
           graft.operators.Curation.collocations(docs(dir), "text", 20,
             minCount = 20L * (nRows(dir) / 5000L).max(1L)).count()
+        },
+        // fuzzy-dedup → re-balance capstone (r13): banded pair gen +
+        // closure + survivor anti-join + per-source re-weighting. On the
+        // copy-tagged corpus the pair set grows linearly, so this measures
+        // the COMPOSITION's plan, not a fixture artifact (the tail-suffix
+        // main-soak corpus makes every long doc's copies mutual near-dups
+        // — quadratic truth by construction — which is why the registry
+        // query is excluded from the main sweep).
+        "dedup_rebalance" -> { dir =>
+          val d = docs(dir)
+          val pairs = Dedup.minhashLshPairs(d, "doc_id", "text", 4, 0.5)
+            .select(col("a_id"), col("b_id"))
+          val comp = graft.operators.Components
+            .connectedComponents(pairs, "a_id", "b_id")
+          val losers = comp.filter(col("node") =!= col("component_id"))
+            .select(col("node").as("doc_id"))
+          d.join(losers, Seq("doc_id"), "left_anti")
+            .groupBy(col("source")).agg(count(lit(1))).count()
         })
       println(f"${"dedup op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (docs x$dedupFactor, dfcut)")
       runs.foreach { case (name, f) =>
         // warm BOTH sides: timing the big corpus cold would fold plan codegen
-        // and first-touch I/O into exactly the ratio this section reports
-        f(small); val tSmall = time(f(small))
-        f(dbig); val tBig = time(f(dbig))
+        // and first-touch I/O into exactly the ratio this section reports.
+        // Scrub caches + cycled checkpoints between runs (the main-sweep
+        // hygiene) so no row times against an earlier row's leaked blocks.
+        def scrub(): Unit = {
+          spark.catalog.clearCache(); CkptCycle.releaseAll(spark)
+        }
+        f(small); scrub(); val tSmall = time(f(small)); scrub()
+        f(dbig); scrub(); val tBig = time(f(dbig)); scrub()
         println(f"$name%-24s $tSmall%10.2f $tBig%10.2f ${tBig / tSmall}%7.1f")
       }
     }
