@@ -97,6 +97,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"fast path should be shuffle-free:\n$plan")
   }
 
+  test("gated driver graph ops: empty and self-loop-only graphs yield empty, typed results") {
+    import org.apache.spark.sql.types._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst") // all dropped
+    val seeds = Seq(1L).toDF("node")
+    for (edges <- Seq(empty, loops)) {
+      val pr = graft.operators.LinkGraph.pageRankAuto(edges, "src", "dst", iters = 2)
+      assert(pr.schema == StructType(Seq(
+        StructField("node", LongType, false), StructField("rank_ppm", LongType, false))))
+      assert(pr.count() == 0L)
+      val bfs = graft.operators.LinkGraph
+        .bfsHopsAuto(edges, "src", "dst", seeds, "node", maxHops = 2)
+      assert(bfs.columns.toSeq == Seq("node", "hops"))
+      // seeds themselves are still reported at hop 0 (distributed-loop parity)
+      assert(bfs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
+    }
+    // empty SEEDS: no frontier, empty result
+    val noSeeds = graft.operators.LinkGraph.bfsHopsAuto(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst",
+      Seq.empty[Long].toDF("node"), "node", maxHops = 2)
+    assert(noSeeds.count() == 0L)
+  }
+
   test("bfsHopsAuto: driver fast path matches the distributed loop both sides of the gate") {
     val edges = spark.range(4000).selectExpr(
       "id % 40 AS src",
