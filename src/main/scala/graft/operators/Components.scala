@@ -202,4 +202,31 @@ object Components {
     components.groupBy(col("component_id"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("component_id").as("survivor_id"), col("n_members"))
+
+  /** Quality-aware survivorship — the FineWeb/DataComp refinement of
+    * min-id survivorship: per near-dup component keep the member with the
+    * HIGHEST quality score (ties → lowest id, so the choice is total and
+    * engine-exact). When copies genuinely differ (OCR noise, truncation,
+    * trailing boilerplate), the cleanest phrasing should survive, not the
+    * accidentally-lowest id. Returns
+    * (component_id, survivor_id, survivor_score, n_members).
+    *
+    * Scale: one id-keyed join of the component map (clustered nodes only —
+    * orders of magnitude smaller than the corpus) against the score frame,
+    * then a component-keyed struct-max aggregate with map-side combine;
+    * no windows, no second pass. The struct max (score, -id, id) is the
+    * lexicographic argmax with the deterministic tiebreak.
+    */
+  def survivorsByQuality(components: DataFrame, scored: DataFrame,
+                         idCol: String, scoreCol: String): DataFrame =
+    components.join(
+        scored.select(col(idCol).cast("long").as("node"),
+          col(scoreCol).cast("long").as("__s")), "node")
+      .groupBy(col("component_id"))
+      .agg(
+        max(struct(col("__s").as("s"), (-col("node")).as("negid"),
+          col("node").as("sid"))).as("__m"),
+        count(lit(1)).as("n_members"))
+      .select(col("component_id"), col("__m.sid").as("survivor_id"),
+        col("__m.s").as("survivor_score"), col("n_members"))
 }

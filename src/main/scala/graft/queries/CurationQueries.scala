@@ -575,6 +575,73 @@ object CurationQueries {
     // component plus the cluster size — the actual deletion-list shape a
     // dedup pipeline ships (everything clustered that is not its component's
     // representative gets dropped).
+    // ----- quality-aware survivorship (the FineWeb refinement): per
+    // near-dup component keep the HIGHEST-quality member (ties → lowest
+    // id) instead of the lowest id — when copies differ, the cleanest
+    // phrasing survives. Composes the pair generation, closure, and the
+    // integer quality score under one oracle; the oracle replays the
+    // recursive closure and the argmax via a window.
+    Q("q_dedup_survivor_quality",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 4, 0.4)
+        val comp = graft.CkptCycle.cycle("q_dedup_survivor_quality",
+          Components.connectedComponents(pairs, "a_id", "b_id"))
+        val scored = Curation.qualityScore(docs, "text", Seq("a", "the"),
+          keepThreshold = Long.MinValue)
+        Components.survivorsByQuality(comp, scored, "doc_id", "score")
+          .select(col("component_id"), col("survivor_id"),
+            col("survivor_score").cast(LongType).as("survivor_score"),
+            col("n_members").cast(LongType).as("n_members"))
+          .orderBy(col("component_id"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+                FROM toks WHERE len(t) >= 4),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a_id, b_id FROM cand
+          JOIN sizes sa ON a_id = sa.doc_id
+          JOIN sizes sb ON b_id = sb.doc_id
+          WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.4),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(node, r) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        comp AS (SELECT node, LEAST(node, MIN(r)) AS component_id
+                 FROM reach GROUP BY node),
+        g AS (SELECT doc_id, GREATEST(len(t), 1) AS n,
+                     len(list_distinct(t)) AS nd,
+                     len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g),
+        j AS (SELECT comp.component_id, comp.node, sc.score
+              FROM comp JOIN sc ON comp.node = sc.doc_id),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY component_id
+                                   ORDER BY score DESC, node ASC) AS rn,
+                COUNT(*) OVER (PARTITION BY component_id) AS n_members
+              FROM j)
+        SELECT component_id, node AS survivor_id,
+               CAST(score AS BIGINT) AS survivor_score,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM r WHERE rn = 1 ORDER BY component_id""")),
+
     Q("q_dedup_survivors",
       (s, dir) => {
         val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
