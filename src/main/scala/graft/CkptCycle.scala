@@ -50,6 +50,26 @@ object CkptCycle {
     }
   }
 
+  /** A stable PER-CALL-SITE key: `<prefix>@<callerClass>:<line>`. Repeated
+    * invocations from the same source line share the key (so [[cycle]]
+    * still frees the predecessor's blocks), while two DIFFERENT call sites
+    * never collide — the safe default for operators that checkpoint
+    * internally, where a shared default key would let two concurrently-live
+    * results silently free each other's truncated-lineage blocks.
+    * `skipClassPrefixes` names the operator's own classes so the key lands
+    * on its caller, not on an internal frame.
+    */
+  def callSiteKey(prefix: String, skipClassPrefixes: String*): String = {
+    val st = Thread.currentThread().getStackTrace
+    val f = st.drop(1).find { e =>
+      val cn = e.getClassName
+      !cn.startsWith("java.") && !cn.startsWith("jdk.") &&
+      !cn.startsWith("graft.CkptCycle") &&
+      !skipClassPrefixes.exists(cn.startsWith)
+    }.getOrElse(st.last)
+    s"$prefix@${f.getClassName}:${f.getLineNumber}"
+  }
+
   def cycle(key: String, df: DataFrame): DataFrame = {
     val prev = last.put((df.sparkSession, key), df)
     // A stopped context has already dropped all blocks — and unpersist

@@ -216,12 +216,23 @@ object Components {
     * then a component-keyed struct-max aggregate with map-side combine;
     * no windows, no second pass. The struct max (score, -id, id) is the
     * lexicographic argmax with the deterministic tiebreak.
+    *
+    * Scores are read as INTEGERS (`cast('long')`) — the engine-exact
+    * fixed-point posture every scorer in this library follows; a caller
+    * with fractional scores must pre-scale to fixed point, or the cast
+    * truncates and manufactures ties the real scores don't have. Members
+    * MISSING from `scored` (or whose score casts to NULL) still count
+    * toward `n_members` and can still survive — via the LEFT join they
+    * carry a sentinel minimal score (Long.MinValue), so an unscored member
+    * wins only when NO member of its component is scored (then lowest id,
+    * keeping the choice total and deterministic).
     */
   def survivorsByQuality(components: DataFrame, scored: DataFrame,
                          idCol: String, scoreCol: String): DataFrame =
     components.join(
         scored.select(col(idCol).cast("long").as("node"),
-          col(scoreCol).cast("long").as("__s")), "node")
+          col(scoreCol).cast("long").as("__s")), Seq("node"), "left")
+      .withColumn("__s", coalesce(col("__s"), lit(Long.MinValue)))
       .groupBy(col("component_id"))
       .agg(
         max(struct(col("__s").as("s"), (-col("node")).as("negid"),

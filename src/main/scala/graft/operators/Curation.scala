@@ -990,8 +990,13 @@ object Curation {
     * frame reads the internal checkpoint's blocks, which are registered
     * with [[graft.CkptCycle]] under `shareKey`; the NEXT invocation with
     * the same key frees them (and a freed frame cannot recompute — its
-    * lineage is truncated). Callers holding several concurrently-live
-    * selections pass distinct keys. At 100 TB the checkpoint holds the
+    * lineage is truncated). The DEFAULT key is derived per CALL SITE
+    * ([[graft.CkptCycle.callSiteKey]]), so repeated invocations from one
+    * source line cycle each other's blocks while two different call sites
+    * never collide — two concurrently-live selections built with defaults
+    * cannot free each other. Pass an explicit `shareKey` to opt into
+    * cross-call-site cycling (or to make a loop body's invocations share
+    * one key regardless of inlining). At 100 TB the checkpoint holds the
     * corpus once in executor memory-and-disk — the deliberate trade
     * against re-tokenizing the corpus once per consumer, and the same
     * posture as the corpus-pipeline operator.
@@ -1010,9 +1015,12 @@ object Curation {
   def selectByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                           stopwords: Seq[String], budgetTokens: Long,
                           tieWindowMaxRows: Long = TieWindowMaxRows,
-                          shareKey: String = "Curation.selectByTokenBudget"): DataFrame = {
+                          shareKey: String = null): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0: $budgetTokens")
-    val scored = graft.CkptCycle.cycle(shareKey,
+    val key = if (shareKey != null) shareKey
+      else graft.CkptCycle.callSiteKey("Curation.selectByTokenBudget",
+        "graft.operators.Curation")
+    val scored = graft.CkptCycle.cycle(key,
       qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
         .withColumn("ntok", TextFns.tokenCount(col(textCol)).cast(LongType))
         .localCheckpoint(true))

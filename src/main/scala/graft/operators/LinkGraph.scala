@@ -113,7 +113,11 @@ object LinkGraph {
     * needs no shuffle), with no storage for the caller to manage. Beyond
     * the gate it falls back to [[pageRank]] unchanged (one re-scan of
     * `edges` — negligible against the iteration cost that dominates the
-    * corpus-scale path), keeping pageRank's eager contract.
+    * corpus-scale path), keeping pageRank's eager contract. The fallback
+    * result is registered with [[graft.CkptCycle]] under a per-call-site
+    * key, so a long-running scheduler issuing the query repeatedly frees
+    * each prior invocation's edge-checkpoint blocks instead of
+    * accumulating them (the driver fast path has no storage to manage).
     */
   def pageRankAuto(edges: DataFrame, srcCol: String, dstCol: String,
                    iters: Int, maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
@@ -125,7 +129,10 @@ object LinkGraph {
         .filter(col("src") =!= col("dst")).distinct()
     val rows = e0.limit(maxDriverEdges.toInt + 1).collect()
     if (rows.length > maxDriverEdges) {
-      pageRank(edges, srcCol, dstCol, iters)
+      graft.CkptCycle.cycle(
+        graft.CkptCycle.callSiteKey("LinkGraph.pageRankAuto",
+          "graft.operators.LinkGraph"),
+        pageRank(edges, srcCol, dstCol, iters))
     } else {
       val deg = new java.util.HashMap[Long, Long]()
       val nodes = new java.util.TreeSet[java.lang.Long]()
@@ -181,9 +188,12 @@ object LinkGraph {
       edges.select(col(srcCol).cast("long").as("src"),
                    col(dstCol).cast("long").as("dst"))
         .filter(col("src") =!= col("dst")).distinct())
+    // NULL seeds (or seeds whose cast('long') yields NULL) are dropped —
+    // a null node id is never a graph node, and keeping the row would make
+    // getLong blow up on the driver fast path in [[bfsHopsAuto]]
     var dist = Components.truncate(
       seeds.select(col(seedCol).cast("long").as("node"),
-        lit(0L).as("hops")).distinct())
+        lit(0L).as("hops")).filter(col("node").isNotNull).distinct())
     var prev = dist
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (h - 1).toLong)
@@ -222,10 +232,17 @@ object LinkGraph {
                    col(dstCol).cast("long").as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
     val eRows = e0.limit(maxDriverEdges.toInt + 1).collect()
-    val s0 = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    // null-cast seeds dropped to match [[bfsHops]] (and because getLong
+    // NPEs on null); the edge side is already null-free via the src=!=dst
+    // filter (a null comparison is null → filtered)
+    val s0 = seeds.select(col(seedCol).cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct()
     val sRows = s0.limit(maxDriverEdges.toInt + 1).collect()
     if (eRows.length > maxDriverEdges || sRows.length > maxDriverEdges) {
-      bfsHops(edges, srcCol, dstCol, seeds, seedCol, maxHops)
+      graft.CkptCycle.cycle(
+        graft.CkptCycle.callSiteKey("LinkGraph.bfsHopsAuto",
+          "graft.operators.LinkGraph"),
+        bfsHops(edges, srcCol, dstCol, seeds, seedCol, maxHops))
     } else {
       val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
       eRows.foreach { r =>

@@ -565,7 +565,9 @@ object TextQueries {
         // (the selectByTokenBudget boundary-literal lesson applied here).
         // In the daily-crawl deployment the batch boundary is a known
         // ingestion watermark, not something re-derived per query anyway.
-        val mid = docs.agg(expr("MAX(doc_id) DIV 2").as("mid"))
+        // coalesce: MAX over an empty table is NULL and getLong would NPE;
+        // an empty corpus degrades to an empty result instead
+        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
           .collect()(0).getLong(0)
         val fresh = docs.filter(col("doc_id") >= mid)
         // the PRODUCTION shape end-to-end: the corpus's band index is

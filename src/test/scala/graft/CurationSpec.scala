@@ -373,6 +373,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 12L, 3L), (10L, 10L, 7L, 2L)))
   }
 
+  test("survivorsByQuality: unscored members still count and lose via the sentinel") {
+    // {1,2,3}: member 3 UNSCORED → n_members stays 3, best scored (2) wins;
+    // {10,11}: NO member scored → sentinel tie, lowest id survives
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "component_id")
+    val scored = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "score")
+    val got = graft.operators.Components
+      .survivorsByQuality(comp, scored, "doc_id", "score")
+      .orderBy("component_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 9L, 3L), (10L, 10L, Long.MinValue, 2L)))
+  }
+
   test("source cap keeps the best-scored docs per source, heap-ranked") {
     // all-distinct tokens, no stopwords → score = 1000·ntok + 500000, so
     // ordering is by token count; ties break on doc_id ascending

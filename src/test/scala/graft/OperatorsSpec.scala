@@ -141,6 +141,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"fast path should be shuffle-free:\n$plan")
   }
 
+  test("bfsHopsAuto: null / uncastable seeds dropped identically on both sides of the gate") {
+    // a NULL seed must vanish (not NPE the driver fast path, not emit a
+    // (null, 0) row in the distributed loop); malformed strings still throw
+    // loudly under ANSI cast — only genuine NULLs are dropped
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Some(1L), None).toDF("node")
+    def hops(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fast = hops(graft.operators.LinkGraph
+      .bfsHopsAuto(edges, "src", "dst", seeds, "node", maxHops = 2))
+    val dist = hops(graft.operators.LinkGraph
+      .bfsHopsAuto(edges, "src", "dst", seeds, "node", maxHops = 2, maxDriverEdges = 1))
+    assert(fast == Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+    assert(dist == fast, "null-seed handling diverged across the gate")
+  }
+
+  test("pageRankAuto/bfsHopsAuto fallback registers with CkptCycle (per-call-site key)") {
+    // Past the gate, the fallback result references internal localCheckpoint
+    // blocks; the Auto wrapper must register it so the NEXT invocation from
+    // the same call site frees them (long-running-scheduler hygiene).
+    val edges = spark.range(200).selectExpr("id % 20 AS src", "(id * 7) % 20 AS dst")
+    def rdds(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd }
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    for (i <- 1 to 2) {
+      val pr = graft.operators.LinkGraph
+        .pageRankAuto(edges, "src", "dst", iters = 2, maxDriverEdges = 5)
+      pr.count()
+      val cur = rdds(pr)
+      assert(cur.nonEmpty, "fallback should carry checkpoint blocks")
+      if (i == 2) {
+        // second invocation from the SAME line cycled the first's blocks
+        assert(prevRdds.forall(_.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE),
+          "previous fallback's checkpoint blocks were not freed")
+      }
+      prevRdds = cur
+    }
+    prevRdds.foreach(_.unpersist(false))
+  }
+
+  test("CkptCycle.callSiteKey: stable per line, distinct across lines") {
+    def k() = graft.CkptCycle.callSiteKey("t")
+    val a = k(); val b = k()
+    assert(a == b, s"same call site must share a key: $a vs $b")
+    val c = graft.CkptCycle.callSiteKey("t")
+    val d = graft.CkptCycle.callSiteKey("t")
+    assert(c != d, s"different lines must get distinct keys: $c")
+    assert(c.startsWith("t@"), c)
+  }
+
   test("BFS hops: min distance from a multi-source seed set, hop-capped, unreachable absent") {
     // chain 1->2->3->4->5, plus 9->3 (shorter path to 3 from second seed 9),
     // and isolated 7->8 unreachable from seeds {1, 9}
