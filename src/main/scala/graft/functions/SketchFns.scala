@@ -23,6 +23,14 @@ object SketchFns {
     GraftColumnBridge.column(graft.plans.ChunkHashes(
       GraftColumnBridge.expression(tokens), k, stride))
 
+  /** Strided chunk (hash, text) structs of a token-array column — the
+    * removal-side twin of [[chunkHashes]] (same key space), carrying the
+    * chunk string for survivor reassembly.
+    */
+  def chunkHashStrings(tokens: Column, k: Int, stride: Int): Column =
+    GraftColumnBridge.column(graft.plans.ChunkHashStrings(
+      GraftColumnBridge.expression(tokens), k, stride))
+
   /** Per-token polyHash values of a token-array column (oracle-portable —
     * the kernel form of TextFns.polyHashEach).
     */

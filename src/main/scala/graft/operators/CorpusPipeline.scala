@@ -25,6 +25,12 @@ object CorpusPipeline {
     * @param scrubPii      replace emails/phones with typed placeholders
     * @param nearDupK      shingle width for near-dup removal (0 = skip)
     * @param nearDupJaccard near-dup threshold; the LOWER doc id survives
+    * @param nearDupMethod "minhash-lsh" (default — sketch + band self-join,
+    *                      the FineWeb/Gopher-style production leg: per-doc
+    *                      map-side signatures, candidate shuffle bounded by
+    *                      band collisions) or "ngram" (exact Jaccard over
+    *                      the shared-shingle pair join — higher cost, exact
+    *                      pair scores, document-frequency cutoff applied)
     * @param trainPct      deterministic hash split: bucket < trainPct → train
     * @param chunkSize     tokens per chunk (0 = no chunking)
     * @param chunkStride   tokens between chunk starts
@@ -35,9 +41,13 @@ object CorpusPipeline {
       scrubPii: Boolean = true,
       nearDupK: Int = 4,
       nearDupJaccard: Double = 0.85,
+      nearDupMethod: String = "minhash-lsh",
       trainPct: Int = 80,
       chunkSize: Int = 0,
-      chunkStride: Int = 0)
+      chunkStride: Int = 0) {
+    require(nearDupMethod == "minhash-lsh" || nearDupMethod == "ngram",
+      s"nearDupMethod must be 'minhash-lsh' or 'ngram': $nearDupMethod")
+  }
 
   /** `corpus`'s deduped parent stage stays persisted (MEMORY_AND_DISK) so
     * consuming it doesn't re-run the pair join; call [[Result.unpersist]]
@@ -137,7 +147,24 @@ object CorpusPipeline {
     var shingleStage: Option[DataFrame] = None
     val nearDeduped =
       if (cfg.nearDupK <= 0) exactDeduped
-      else {
+      else if (cfg.nearDupMethod == "minhash-lsh") {
+        // DEFAULT LEG (round 14, replacing the exact-Jaccard pair join as
+        // the pipeline's near-dup method): per-doc MinHash signatures are a
+        // map-side kernel — no exploded shingle stage to persist, no
+        // document-frequency cutoff to size — and the only shuffle is the
+        // banded self-join whose fan-out is bounded by band collisions.
+        // The r14 decomposition measured the ngram leg's persisted shingle
+        // stage + spilling pair join as the pipeline's dominant cost
+        // (~1.5 s of its ~3.3 s warm wall at sf0.1); the sketch leg is the
+        // method production pipelines (Gopher/FineWeb) run at corpus scale
+        // anyway. est_jaccard (signature agreement / 8) >= threshold; the
+        // LOWER doc id survives, matching the ngram leg's survivorship.
+        val losers = Dedup.minhashLshPairs(exactDeduped, idCol, textCol,
+            cfg.nearDupK, cfg.nearDupJaccard)
+          .select(col("b_id").as(idCol)).distinct()
+        exactDeduped.join(losers, Seq(idCol), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else {
         val maxDf = Tuning.maxShingleDocFreq(spark, nExact)
         // The exploded shingle stage is PERSISTED for the pair join's many
         // consumers: unshared, the tokenize→ShingleHashes chain re-evaluates

@@ -78,27 +78,41 @@ object Curation {
   def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int, maxDocFreq: Long,
                         shareKey: Option[String] = None): DataFrame = {
-    // KEY-SPACE NOTE: __ck here is xxhash64 of the chunk STRING —
-    // deliberately a different hash space from boilerplateAccounting's
-    // ChunkHashes kernel (a polyHash over the token slice). Removal must
-    // materialize chunk text anyway (it reassembles the survivors), so
-    // hashing the string costs nothing extra; the two operators' keys are
-    // internal to each plan and must never be joined or persisted against
-    // each other. Their equivalence CLASSES coincide (space-joined chunk
-    // strings are injective in the token slice), so both halves of the C4
-    // operator flag identical chunk sets.
+    // KEY-SPACE NOTE (round 14): __ck is now the ChunkHashStrings kernel's
+    // shingleHash64 over the token slice — the SAME key space
+    // boilerplateAccounting's ChunkHashes kernel emits, so the two halves
+    // of the C4 operator flag identical chunk sets by construction (r13
+    // they were different hash functions over coinciding equivalence
+    // classes). The kernel replaces the interpreted chunkExpr HOF +
+    // xxhash64-of-string pair that ran per row inside GenerateExec.
+    //
     // The chunk stage feeds the document-frequency aggregate AND the
     // re-join probe — two differently-canonicalized exchanges, so the
-    // tokenize+chunk explode evaluates twice unshared. `shareKey`
-    // checkpoints it once (chunked text ≈ corpus bytes — the same
-    // storage-for-recompute trade selectByTokenBudget documents); None
-    // keeps the operator a pure lazy plan.
-    val ch0 = chunks(df, idCol, textCol, chunkTokens)
-      .withColumn("__ck", xxhash64(col("chunk")))
+    // tokenize evaluates twice unshared. The expensive half (chunk STRING
+    // construction) no longer does: the dfreq side uses the HASH-ONLY
+    // ChunkHashes kernel (it never needs text — the r14 decomposition
+    // measured the two duplicated ~200 ms string-building stages as this
+    // query's dominant cost), and only the probe side builds strings, via
+    // the one-pass struct kernel. `shareKey` checkpoints the probe stage
+    // so even the tokenize runs once (chunked text ≈ corpus bytes — the
+    // same storage-for-recompute trade selectByTokenBudget documents);
+    // None keeps the operator a pure lazy plan.
+    val toks = TextFns.tokens(col(textCol))
+    val ch0 = df.select(col(idCol), posexplode(
+        graft.functions.SketchFns.chunkHashStrings(toks, chunkTokens, chunkTokens)))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col.ck").as("__ck"), col("col.chunk").as("chunk"))
     val ch = shareKey
       .map(k => graft.CkptCycle.cycle(k, ch0.localCheckpoint(true)))
       .getOrElse(ch0)
-    val dfreq = ch.groupBy(col("__ck"))
+    val dfSide = shareKey match {
+      // with a checkpoint the probe blocks are materialized — read them
+      case Some(_) => ch.select(col(idCol), col("__ck"))
+      // lazy form: hash-only scan, no chunk strings on this side
+      case None => df.select(col(idCol), explode(
+          graft.functions.SketchFns.chunkHashes(toks, chunkTokens, chunkTokens)).as("__ck"))
+    }
+    val dfreq = dfSide.groupBy(col("__ck"))
       .agg(countDistinct(col(idCol)).as("__df"))
     ch.join(dfreq, "__ck")
       .groupBy(col(idCol))

@@ -213,6 +213,13 @@ object Dedup {
     // row inside GenerateExec — jstack during q_corpus_pipeline's stalled
     // runs showed one executor thread alone in ArrayTransform.nullSafeEval
     // re-materializing shingle strings while 31 sat idle.
+    // (A gated hash-repartition fan-out of the input before this kernel —
+    // parallelizing the single-task toy-scale scan stage — was A/B'd in
+    // round 14 and REJECTED: the repartition's map side still scans the
+    // one-row-group parquet serially AND pays the raw-text shuffle write,
+    // measured 405 ms of the fused stage's 554 ms, so the exchange cost
+    // exceeded the kernel parallelism it bought: warm wall 873 → 1020 ms.
+    // At 100 TB the question is moot — real inputs have natural splits.)
     val base = df.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= k)
       .select(col(idCol), graft.functions.SketchFns.shingleHashes(col("t"), k).as("sha"))

@@ -165,6 +165,41 @@ object SketchKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, c))
   }
 
+  /** Strided chunks as (hash, text) struct rows — the boilerplate-REMOVAL
+    * kernel: one pass builds both the 64-bit join key (the same
+    * [[shingleHash64]] space [[chunkHashes]] emits, so the accounting and
+    * removal halves of the C4 operator now share one key space by
+    * construction) and the chunk string the survivor reassembly needs.
+    * Replaces the interpreted chunkExpr HOF + xxhash64-of-string pair that
+    * previously ran per row inside GenerateExec. The string is built with
+    * UTF8String.concatWs (byte-level, null tokens skipped — identical to
+    * array_join(slice, ' ') on the non-null token arrays TextFns.tokens
+    * produces).
+    */
+  def chunkHashStrings(tokens: ArrayData, k: Int, stride: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val m = (n + stride - 1) / stride
+    val out = new Array[Any](m)
+    val sep = UTF8String.fromString(" ")
+    var c = 0
+    var p = 0
+    while (p < n) {
+      val len = math.min(k, n - p)
+      val parts = new Array[UTF8String](len)
+      var t = 0
+      while (t < len) {
+        parts(t) = if (tokens.isNullAt(p + t)) null else tokens.getUTF8String(p + t)
+        t += 1
+      }
+      out(c) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](shingleHash64(tokens, p, len), UTF8String.concatWs(sep, parts: _*)))
+      c += 1
+      p += stride
+    }
+    new GenericArrayData(if (c == m) out else out.take(c))
+  }
+
   /** Per-token [[polyHashCp]] values — the kernel form of
     * TextFns.polyHashEach, whose interpreted HOF allocates an array
     * element PER CHARACTER (aggregate over split(e, '')).
@@ -353,6 +388,30 @@ case class ChunkHashes(child: Expression, k: Int, stride: Int)
       s"${ev.value} = graft.plans.SketchKernels.chunkHashes($c, $k, $stride);")
 
   override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<struct<ck: long, chunk: string>> strided
+  * chunk (hash, text) pairs (see SketchKernels.chunkHashStrings).
+  */
+case class ChunkHashStrings(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(k >= 1 && stride >= 1, s"k and stride must be >= 1, got k=$k stride=$stride")
+  override def fnName: String = "chunk_hash_strings"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ck", LongType, nullable = false),
+      StructField("chunk", StringType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.chunkHashStrings(input.asInstanceOf[ArrayData], k, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.chunkHashStrings($c, $k, $stride);")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashStrings =
     copy(child = newChild)
 }
 

@@ -776,10 +776,14 @@ object CurationQueries {
 
     // ----- END-TO-END corpus preparation: the full CorpusPipeline (quality
     // gate → PII scrub → exact dedup → near-dup removal → deterministic
-    // split) hash-checked as ONE oracle — every stage mirrored in SQL,
-    // including the sqrt(2n) document-frequency cutoff computed from the
-    // post-exact-dedup corpus size. The strongest correctness statement in
-    // the registry: not just each operator, but their composition.
+    // split) hash-checked as ONE oracle — every stage mirrored in SQL. The
+    // strongest correctness statement in the registry: not just each
+    // operator, but their composition. Round 14: the near-dup leg is the
+    // pipeline's new MinHash-LSH default (per-doc sketch + banded
+    // self-join — the method production pipelines run at corpus scale),
+    // replayed in SQL as the 8-permutation signature + 2-band candidate
+    // join; the exact-Jaccard leg remains available via Config("ngram")
+    // and oracle-covered at operator granularity (q_dedup_ngram_jaccard).
     Q("q_corpus_pipeline",
       (s, dir) => {
         // Loan wrapper: materialize the (small) projected answer eagerly
@@ -819,26 +823,35 @@ object CurationQueries {
         keepers AS (SELECT MIN(doc_id) AS doc_id FROM scrub GROUP BY md5(text)),
         ex AS (SELECT doc_id, text FROM scrub
                WHERE doc_id IN (SELECT doc_id FROM keepers)),
-        n AS (SELECT GREATEST(16, CAST(floor(sqrt(2.0 * COUNT(*))) AS BIGINT)) AS maxdf
-              FROM ex),
         toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
                  FROM ex),
         sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
                 FROM toks WHERE len(t) >= 4),
         shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
-        shf AS (SELECT doc_id, sh FROM
-                  (SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS dfq
-                   FROM shd) z, n
-                WHERE dfq <= n.maxdf),
-        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shf GROUP BY doc_id),
-        cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-                 FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2),
+        hashed AS (SELECT doc_id, ${graft.functions.TextFns.polyHashSql("sh")} AS h
+                   FROM shd),
+        sig AS (SELECT doc_id,
+                  ${graft.functions.TextFns.minhashPerms.zipWithIndex.map {
+                    case ((a, b), i) =>
+                      s"min((h * $a + $b) % ${graft.functions.TextFns.minhashP}) AS m$i"
+                  }.mkString(",\n                  ")}
+                FROM hashed GROUP BY doc_id),
+        banded AS (SELECT *,
+              concat_ws('-', m0, m1, m2, m3) AS band0,
+              concat_ws('-', m4, m5, m6, m7) AS band1
+            FROM sig),
+        cand AS (${
+          val matchSum = (0 until 8)
+            .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+          (0 to 1).map { j =>
+            s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST($matchSum AS DOUBLE) / 8 AS est_jaccard
+              FROM banded a JOIN banded b
+                ON a.band$j = b.band$j AND a.doc_id < b.doc_id"""
+          }.mkString(" UNION ")}),
         losers AS (SELECT DISTINCT b_id AS doc_id FROM cand
-                   JOIN sizes sa ON a_id = sa.doc_id
-                   JOIN sizes sb ON b_id = sb.doc_id
-                   WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.85),
+                   WHERE est_jaccard >= 0.85),
         final AS (SELECT doc_id, text FROM ex
                   WHERE doc_id NOT IN (SELECT doc_id FROM losers))
         SELECT doc_id, md5(text) AS text_fp,

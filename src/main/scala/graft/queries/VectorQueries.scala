@@ -1097,17 +1097,27 @@ object VectorQueries {
           col("__u").as("a_u"), col("__n").as("a_n"))
         def ingested(df: DataFrame): DataFrame = df.select(
           col("cluster"), col("__u").as("b_u"), col("__n").as("b_n"))
+        // no .distinct() on the dropped-id stream: left_anti ignores right
+        // multiplicity, and the dedup exchange cost one AQE stage job per
+        // gate round for nothing (r14 decomposition: this query is
+        // job-launch-bound — 15 jobs, 0.6 s of non-stage wall)
         def droppedIds(in: DataFrame, idx: DataFrame): DataFrame =
           arriving(in).join(ingested(idx), Seq("cluster"))
             .withColumn("cos", VectorFns.dotQDouble(col("a_u"), col("b_u"))
               / (col("a_n") * col("b_n")))
             .filter(round(col("cos"), 6) >= 0.2)
-            .select(col("a_id").as("vec_id")).distinct()
+            .select(col("a_id").as("vec_id"))
         val b0 = m.filter(col("batch") === 0)
         val b1 = m.filter(col("batch") === 1)
         val b2 = m.filter(col("batch") === 2)
-        val s1 = b1.join(droppedIds(b1, b0), Seq("vec_id"), "left_anti")
-        val s2 = b2.join(droppedIds(b2, b0.unionByName(s1)), Seq("vec_id"), "left_anti")
+        // broadcast the dropped-id sets into the anti-joins: a batch's
+        // dropped ids are a subset of the batch (bounded at any scale), and
+        // the static broadcast keeps the anti-join probes fused into the
+        // survivor scan instead of materializing two AQE shuffle stages per
+        // gate round
+        val s1 = b1.join(broadcast(droppedIds(b1, b0)), Seq("vec_id"), "left_anti")
+        val s2 = b2.join(broadcast(droppedIds(b2, b0.unionByName(s1))),
+          Seq("vec_id"), "left_anti")
         b0.unionByName(s1).unionByName(s2)
           .select(col("vec_id"), col("batch"), col("cluster"))
           .orderBy(col("vec_id"))

@@ -22,8 +22,13 @@ class CorpusPipelineSpec extends AnyFunSuite {
       (6L, "contact me at someone@example.org or 555-1234 about the corpus " +
            "quality analysis work we discussed during the previous meeting ok"))
       .toDF("doc_id", "text")
+    // the "ngram" leg: this fixture's near-dup pair was hand-computed for
+    // the EXACT Jaccard score (today→tomorrow changes 1 of 17 distinct
+    // 4-gram shingles → J = 15/17 ≈ 0.88 ≥ 0.85); the sketch leg's
+    // estimate is a different (deterministic but perm-dependent) quantity,
+    // covered by the operator-parity test below
     val r = CorpusPipeline.prepare(docs, "doc_id", "text",
-      CorpusPipeline.Config(minTokens = 15))
+      CorpusPipeline.Config(minTokens = 15, nearDupMethod = "ngram"))
     val kept = r.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 6L), s"kept=$kept")
     assert(r.droppedQuality == 2)  // 4 and 5
@@ -34,6 +39,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(scrubbed.contains("[EMAIL]") && scrubbed.contains("[PHONE]"), scrubbed)
     val splits = r.corpus.select("split").distinct().collect().map(_.getString(0)).toSet
     assert(splits.subsetOf(Set("train", "test")))
+  }
+
+  test("minhash-lsh default leg drops exactly the operator's losers") {
+    // A fixture where the gate, scrub, and exact dedup are all identity
+    // (long all-distinct texts, no PII, no exact copies), so the
+    // pipeline's near-dup drop set must equal Dedup.minhashLshPairs'
+    // loser set on the same docs — the wiring check for the new default
+    // leg (the operator itself is oracle-gated by q_dedup_minhash_lsh).
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok30", "changed")),  // 1-token middle edit
+      (3L, base.replace("tok30", "altered") + " extra tail"),
+      (4L, (101 to 160).map(i => s"w$i").mkString(" ")))  // unrelated
+      .toDF("doc_id", "text")
+    val expectedLosers = graft.operators.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", 4, 0.85)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    assert(expectedLosers.nonEmpty,
+      "fixture produced no LSH losers — the wiring check is vacuous")
+    val r = CorpusPipeline.prepare(docs, "doc_id", "text",
+      CorpusPipeline.Config(minTokens = 15))
+    val kept = r.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L) -- expectedLosers, s"kept=$kept")
+    assert(r.droppedNearDup == expectedLosers.size)
+    assert(r.droppedQuality == 0 && r.droppedExactDup == 0)
+    r.unpersist()
   }
 
   test("chunking mode emits overlapping windows that reassemble the doc") {

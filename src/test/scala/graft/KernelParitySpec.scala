@@ -215,6 +215,33 @@ class KernelParitySpec extends AnyFunSuite {
     assert(dfStr.exceptAll(dfHash).count() == 0L)
   }
 
+  test("ChunkHashStrings: chunk text == chunkExpr HOF; ck == ChunkHashes key space") {
+    val k = 5
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val viaStruct = base.select(col("doc_id"), posexplode(
+        graft.functions.SketchFns.chunkHashStrings(col("t"), k, k)))
+      .select(col("doc_id"), col("pos"), col("col.ck").as("ck"),
+        col("col.chunk").as("chunk"))
+    // chunk strings and their order match the HOF form exactly
+    val viaHof = base.select(col("doc_id"),
+        posexplode(TextFns.chunkExpr("t", k, k)))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+    assert(viaStruct.select("doc_id", "pos", "chunk")
+      .exceptAll(viaHof).count() == 0L)
+    assert(viaHof.exceptAll(
+      viaStruct.select("doc_id", "pos", "chunk")).count() == 0L)
+    // ck lands in the SAME key space as the hash-only kernel — the C4
+    // removal's dfreq side (ChunkHashes) and probe side (this kernel)
+    // must join on identical keys
+    val viaHash = base.select(col("doc_id"), posexplode(
+        graft.functions.SketchFns.chunkHashes(col("t"), k, k)))
+      .select(col("doc_id"), col("pos"), col("col").as("ck"))
+    assert(viaStruct.select("doc_id", "pos", "ck")
+      .exceptAll(viaHash).count() == 0L)
+    assert(viaHash.exceptAll(
+      viaStruct.select("doc_id", "pos", "ck")).count() == 0L)
+  }
+
   test("PolyHashEach kernel == per-token aggregate/split HOF fold") {
     val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
     val viaKernel = base.select(col("doc_id"),
