@@ -659,6 +659,147 @@ object TextQueries {
           WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id"""
       }),
 
+    // ----- INCREMENTAL-PIPELINE CAPSTONE (the daily-batch production
+    // loop, composing three oracle-gated incremental legs under ONE
+    // oracle): yesterday's corpus persists its EXACT fingerprint index and
+    // its MinHash band index through the warehouse; today's batch flows
+    // quality gate → exact-incremental (fingerprint probe) → near-dup
+    // incremental (band probe) → append; and the temperature-style isqrt
+    // mixing weights are RECOMPUTED over the merged corpus — "crawl
+    // another day, dedup against history, re-weight the mix". Only the
+    // BATCH pays sketch cost; history contributes KB-scale indexes, read
+    // back from the warehouse exactly as the daily deployment would. The
+    // live-ingest form of the same contract is Streams.corpusIngest,
+    // spec'd with crash drills; this row is its oracle-replayable batch
+    // equivalent. The novel-survivor stage is checkpointed ONCE (it feeds
+    // the near-dup probe, the accounting aggregate, and the merge — and a
+    // daily batch materializes its accepted set anyway before appending).
+    Q("q_incremental_pipeline",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
+          .collect()(0).getLong(0)
+        val hist = docs.filter(col("doc_id") < mid)
+        // today's batch = the fresh half PLUS re-crawls: a daily crawl
+        // re-fetches a slice of known pages, which arrive under NEW crawl
+        // ids with identical content — the rows the fingerprint probe
+        // exists to catch (the fixture corpus itself carries no exact
+        // copies, so without the re-crawl slice the exact leg would be
+        // vacuous at every SF)
+        val recrawl = docs.filter(col("doc_id") < mid && col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        val batch = docs.filter(col("doc_id") >= mid).unionByName(recrawl)
+        val wh = graft.airbnb.Warehouse(s, "/tmp/graft_fixtures/wh_incr_pipeline")
+        wh.write("fp_index", hist.select(md5(col("text")).as("fp")).distinct())
+        wh.write("band_index", Dedup.bandIndex(hist, "doc_id", "text", 4))
+        val gated = batch.filter(size(TextFns.tokens(col("text"))) >= 20)
+        val novel = graft.CkptCycle.cycle("q_incremental_pipeline_novel",
+          Dedup.tagAgainstIndex(gated, wh.read("fp_index"), "text")
+            .filter(col("is_novel")).drop("fp", "is_novel")
+            .localCheckpoint(true))
+        val nearTags = Dedup.tagAgainstBandIndex(novel, wh.read("band_index"),
+          "doc_id", "text", 4)
+        val accepted = novel.join(
+          nearTags.filter(col("is_near_dup")).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        val merged = hist.unionByName(accepted)
+          .withColumn("ntok", size(TextFns.tokens(col("text"))).cast(LongType))
+        // per-source batch accounting: a handful of broadcast-sized
+        // aggregates joined on the low-cardinality source key
+        val acct = batch.groupBy(col("source"))
+          .agg(count(lit(1)).cast(LongType).as("n_batch"))
+          .join(gated.groupBy(col("source"))
+            .agg(count(lit(1)).cast(LongType).as("n_gated")), Seq("source"), "left")
+          .join(novel.groupBy(col("source"))
+            .agg(count(lit(1)).cast(LongType).as("n_novel")), Seq("source"), "left")
+          .join(accepted.groupBy(col("source"))
+            .agg(count(lit(1)).cast(LongType).as("n_accepted")), Seq("source"), "left")
+        val per = merged.groupBy(col("source"))
+          .agg(count(lit(1)).cast(LongType).as("n_merged"),
+            sum(col("ntok")).cast(LongType).as("tokens"))
+          .withColumn("weight", floor(sqrt(col("tokens"))).cast(LongType))
+        val tot = per.agg(sum(col("weight")).cast(LongType).as("total_w"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("alloc_tokens",
+            expr("CAST((1000000 * weight) DIV total_w AS BIGINT)"))
+          .join(broadcast(acct), Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+            coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            coalesce(col("n_accepted"), lit(0L)).as("n_accepted"),
+            col("n_merged"), col("tokens"), col("weight"), col("alloc_tokens"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          s"min((h * $a + $b) % ${TextFns.minhashP}) AS m$i"
+        }.mkString(",\n                 ")
+        s"""
+          WITH mid AS (SELECT COALESCE(MAX(doc_id) // 2, 0) AS m FROM documents),
+          t0 AS (SELECT doc_id, source, text,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t
+                 FROM documents),
+          hist AS (SELECT t0.* FROM t0, mid WHERE doc_id < m),
+          batch AS (SELECT t0.* FROM t0, mid WHERE doc_id >= m
+                    UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, source, text, t
+                    FROM t0, mid WHERE doc_id < m AND doc_id % 5 = 0),
+          gated AS (SELECT * FROM batch WHERE len(t) >= 20),
+          fpidx AS (SELECT DISTINCT md5(text) AS fp FROM hist),
+          novel AS (SELECT g.* FROM gated g LEFT JOIN fpidx
+                      ON md5(g.text) = fpidx.fp
+                    WHERE fpidx.fp IS NULL),
+          sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+                  FROM t0 WHERE len(t) >= 4),
+          shd AS (SELECT DISTINCT doc_id, sh FROM sh0),
+          hashed AS (SELECT doc_id, ${TextFns.polyHashSql("sh")} AS h FROM shd),
+          sig AS (SELECT doc_id,
+                 $minExprs
+               FROM hashed GROUP BY doc_id),
+          banded AS (SELECT doc_id,
+               concat_ws('-', m0, m1, m2, m3) AS band0,
+               concat_ws('-', m4, m5, m6, m7) AS band1
+             FROM sig),
+          hits AS (SELECT DISTINCT f.doc_id
+                   FROM banded f JOIN novel n ON f.doc_id = n.doc_id,
+                        banded o, mid
+                   WHERE o.doc_id < m
+                     AND (o.band0 = f.band0 OR o.band1 = f.band1)),
+          acc AS (SELECT * FROM novel
+                  WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+          merged AS (SELECT doc_id, source, len(t) AS ntok FROM hist
+                     UNION ALL SELECT doc_id, source, len(t) FROM acc),
+          per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_merged,
+                         CAST(SUM(ntok) AS BIGINT) AS tokens
+                  FROM merged GROUP BY source),
+          w AS (SELECT source, n_merged, tokens,
+                       CAST(floor(sqrt(tokens)) AS BIGINT) AS weight FROM per),
+          tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_w FROM w),
+          ab AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batch
+                 FROM batch GROUP BY source),
+          ag AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_gated
+                 FROM gated GROUP BY source),
+          an AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_novel
+                 FROM novel GROUP BY source),
+          aa AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_accepted
+                 FROM acc GROUP BY source)
+          SELECT w.source,
+                 CAST(COALESCE(ab.n_batch, 0) AS BIGINT) AS n_batch,
+                 CAST(COALESCE(ag.n_gated, 0) AS BIGINT) AS n_gated,
+                 CAST(COALESCE(an.n_novel, 0) AS BIGINT) AS n_novel,
+                 CAST(COALESCE(aa.n_accepted, 0) AS BIGINT) AS n_accepted,
+                 n_merged, tokens, weight,
+                 CAST((1000000 * weight) // total_w AS BIGINT) AS alloc_tokens
+          FROM w CROSS JOIN tot
+          LEFT JOIN ab ON w.source = ab.source
+          LEFT JOIN ag ON w.source = ag.source
+          LEFT JOIN an ON w.source = an.source
+          LEFT JOIN aa ON w.source = aa.source
+          ORDER BY w.source"""
+      }),
+
     // ----- FUZZY-DEDUP → RE-BALANCE CAPSTONE (the DataComp/FineWeb "dedup
     // then re-weight" shape): MinHash-LSH candidate pairs → connected
     // components → min-id survivor per cluster → temperature-style

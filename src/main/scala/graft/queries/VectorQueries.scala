@@ -1067,6 +1067,49 @@ object VectorQueries {
                                AND NOT sem_dup THEN 1 END) AS BIGINT) AS n_keep
         FROM verdict GROUP BY source ORDER BY source""")),
 
+    // ----- CROSS-MODAL retrieval through a shared embedding space: "text"
+    // queries (odd vec_ids) probe an "image" corpus (even vec_ids) — the
+    // CLIP-style serving shape where the two modalities are embedded into
+    // one space and retrieval crosses them. Exercises the IVF
+    // train-then-SERVE split the registry's other ANN rows don't: the
+    // coarse quantizer is trained ONCE on the corpus side (ivfIndex — a
+    // bounded driver matrix, the persistable artifact), and ivfTopKWith
+    // serves the query batch as a pure lazy plan with ZERO training jobs.
+    // Probing all nLists cells covers every candidate exactly once, so the
+    // served result must equal brute-force cosine top-k — the oracle is
+    // the brute-force ranking (the q_ann_ivf_topk exactness property);
+    // recall<1 probing stays spec-bounded (OperatorsSpec).
+    Q("q_xmodal_ivf_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val c = e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val q = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cents = graft.operators.Similarity.ivfIndex(
+          c.select(col("ce").as("embedding")), "embedding", nLists = 8)
+        graft.operators.Similarity.ivfTopKWith(q, c, cents, nProbe = 8, k = 5)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, norm AS qn FROM e
+              WHERE vec_id % 2 = 1 AND vec_id < 10),
+        c AS (SELECT vec_id AS c_id, embedding AS ce, norm AS cn FROM e
+              WHERE vec_id % 2 = 0),
+        p AS (
+          SELECT q_id, c_id, ${VectorFns.dotSql("qe", "ce")} / (qn * cn) AS cos
+          FROM q, c
+        ), r AS (
+          SELECT q_id, c_id,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
+          FROM p)
+        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
     // ----- batch-equivalent streaming SemDeDup gate (Streams.
     // semDedupGateBatch): arrivals split into three micro-batches
     // (vec_id % 3) flow through the persisted-fit gate sequentially — an
