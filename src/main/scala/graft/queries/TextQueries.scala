@@ -704,16 +704,20 @@ object TextQueries {
           Seq("doc_id"), "left_anti")
         val merged = hist.unionByName(accepted)
           .withColumn("ntok", size(TextFns.tokens(col("text"))).cast(LongType))
-        // per-source batch accounting: a handful of broadcast-sized
-        // aggregates joined on the low-cardinality source key
-        val acct = batch.groupBy(col("source"))
-          .agg(count(lit(1)).cast(LongType).as("n_batch"))
-          .join(gated.groupBy(col("source"))
-            .agg(count(lit(1)).cast(LongType).as("n_gated")), Seq("source"), "left")
-          .join(novel.groupBy(col("source"))
-            .agg(count(lit(1)).cast(LongType).as("n_novel")), Seq("source"), "left")
-          .join(accepted.groupBy(col("source"))
-            .agg(count(lit(1)).cast(LongType).as("n_accepted")), Seq("source"), "left")
+        // per-source batch accounting: n_batch and n_gated ride ONE scan of
+        // the batch as a conditional count (a separate gated aggregate
+        // re-derived the two-branch batch union per consumer — the plan
+        // lint caught this draft at 9 parquet scans); n_novel reads the
+        // checkpoint, n_accepted the checkpoint + band index
+        val acct = batch
+          .withColumn("__g", size(TextFns.tokens(col("text"))) >= 20)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast(LongType).as("n_batch"),
+            count(when(col("__g"), 1)).cast(LongType).as("n_gated"))
+          .join(broadcast(novel.groupBy(col("source"))
+            .agg(count(lit(1)).cast(LongType).as("n_novel"))), Seq("source"), "left")
+          .join(broadcast(accepted.groupBy(col("source"))
+            .agg(count(lit(1)).cast(LongType).as("n_accepted"))), Seq("source"), "left")
         val per = merged.groupBy(col("source"))
           .agg(count(lit(1)).cast(LongType).as("n_merged"),
             sum(col("ntok")).cast(LongType).as("tokens"))
