@@ -245,6 +245,28 @@ class FuzzSpec extends AnyFunSuite {
       val hashGroups = hashes.zipWithIndex.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
       assert(strGroups == hashGroups, s"chunk equality structure mismatch on $t")
     }
+    // chunkHashStrings: chunk strings == the HOF form AND hashes == the
+    // hash-only kernel, per position (the C4 removal's two sides must
+    // join on identical keys) — including on hostile arrays with null and
+    // empty tokens
+    val chsKern = df.filter(size(col("t")) >= 1)
+      .select(col("t"), SketchFns.chunkHashStrings(col("t"), k, k).as("c"))
+      .collect().map(r => r.getSeq[String](0).toList ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getLong(0), s.getString(1))).toList)
+      .toMap
+    ckHof.foreach { case (t, chunks) =>
+      val pairs = chsKern(t)
+      assert(pairs.map(_._2) == chunks, s"chunkHashStrings text mismatch on $t")
+      assert(pairs.map(_._1) == ckKern(t), s"chunkHashStrings key-space mismatch on $t")
+    }
+    val chsNull = Seq(Tuple1(Seq[String](null, "", "ab", null, "c")))
+      .toDF("t").select(SketchFns.chunkHashStrings(col("t"), 3, 3).as("c"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(s => (s.getLong(0), s.getString(1)))
+    // concat_ws semantics: null tokens skipped, separator only between
+    // emitted tokens — chunk 1 of (null, "", "ab") is " ab"? no: "" then
+    // "ab" joined by one space = " ab"; chunk 2 of (null, "c") is "c"
+    assert(chsNull.map(_._2) == Seq(" ab", "c"), chsNull.toString)
     // shingleHashes: distinct-count parity with the string kernel
     val shStr = df.filter(size(col("t")) >= k)
       .select(col("t"), size(SketchFns.shinglesDistinct(col("t"), k)).as("n"))
