@@ -88,7 +88,13 @@ object Soak {
     "q_mm_trimodal_verdict", // dHash + audio fp + SemDeDup per-doc verdict (r13)
     "q_dedup_ngram_jaccard", // reused-exchange pair join (r13)
     "q_dedup_incremental_minhash", // literal batch boundary + persisted index (r13)
-    "q_dedup_minhash_lsh")   // reused banded exchange (r13)
+    "q_dedup_minhash_lsh",   // reused banded exchange (r13)
+    "q_text_boilerplate_clean", // hash-only dfreq + struct-kernel probe (r14)
+    // one-sided index probes: the tag join's index side is DISTINCT on its
+    // key, so fan-out is bounded at 1 per new-batch row — linear on any
+    // replication, unlike the pair-generating queries above
+    "q_incremental_pipeline", // fp+band warehouse indexes + isqrt re-weight (r14)
+    "q_xmodal_ivf_topk")     // train-once quantizer + full-probe serve (r14)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
