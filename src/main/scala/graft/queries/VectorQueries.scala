@@ -1128,6 +1128,11 @@ object VectorQueries {
         // batches (each gate stage joins arrivals against accumulated
         // survivors); materialize it ONCE — faithful to the real gate,
         // which checkpoints each micro-batch's survivors anyway.
+        // (A cluster-keyed repartition before the checkpoint — so the gate
+        // joins inherit the partitioning exchange-free — was A/B'd in
+        // round 14 and measured a WASH: the extra exchange job offsets the
+        // saved ones, and at k=4 it collapses parallelism to 4 partitions.
+        // Revisit only with corpus-scale k.)
         val m = graft.CkptCycle.cycle("q_stream_semdedup_batch_m",
           graft.operators.KMeans.assignmentsQ(
               t(s, dir, "embeddings"), "vec_id", "embedding", k = 4, passes = 2)
