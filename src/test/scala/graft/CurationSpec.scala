@@ -387,6 +387,38 @@ class CurationSpec extends AnyFunSuite {
       (1L, 2L, 9L, 3L), (10L, 10L, Long.MinValue, 2L)))
   }
 
+  test("incremental-pipeline capstone: leg counts obey the gate chain invariants") {
+    // The oracle hash-gates exact values; this spec pins the WIRING
+    // invariants that must hold on any fixture: the batch is fresh docs +
+    // re-keyed re-crawls, legs only shrink, every gated re-crawl is caught
+    // by the fingerprint probe (its text is in history by construction),
+    // and the merged corpus is history + accepted.
+    val spark2 = TestSpark.spark
+    val dir = TestSpark.sfDir
+    val docs = Tables.load(spark2, dir, "documents")
+    val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)"))
+      .collect()(0).getLong(0)
+    val nHist = docs.filter(col("doc_id") < mid).count()
+    val nFresh = docs.filter(col("doc_id") >= mid).count()
+    val nRecrawl = docs.filter(col("doc_id") < mid && col("doc_id") % 5 === 0).count()
+    val nRecrawlGated = docs.filter(col("doc_id") < mid && col("doc_id") % 5 === 0)
+      .filter(size(graft.functions.TextFns.tokens(col("text"))) >= 20).count()
+    val out = SparkEntry.registry.find(_.name == "q_incremental_pipeline").get
+      .run(spark2, dir).collect()
+    def sumCol(i: Int) = out.map(_.getLong(i)).sum
+    val (batch, gated, novel, accepted, merged) =
+      (sumCol(1), sumCol(2), sumCol(3), sumCol(4), sumCol(5))
+    assert(batch == nFresh + nRecrawl, s"batch=$batch fresh=$nFresh recrawl=$nRecrawl")
+    assert(gated <= batch && novel <= gated && accepted <= novel,
+      s"legs must only shrink: $batch -> $gated -> $novel -> $accepted")
+    // every gated re-crawl is an exact dup of history → dropped at the
+    // fingerprint probe (fresh docs may also collide, so >=)
+    assert(gated - novel >= nRecrawlGated,
+      s"fp probe caught ${gated - novel} < $nRecrawlGated gated recrawls")
+    assert(merged == nHist + accepted, s"merged=$merged hist=$nHist acc=$accepted")
+    assert(nRecrawlGated > 0, "fixture exercise check: no recrawl passed the gate")
+  }
+
   test("source cap keeps the best-scored docs per source, heap-ranked") {
     // all-distinct tokens, no stopwords → score = 1000·ntok + 500000, so
     // ordering is by token count; ties break on doc_id ascending
