@@ -659,6 +659,63 @@ object TextQueries {
           WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id"""
       }),
 
+    // ----- sketch-recall evaluation: how much of the EXACT Jaccard pair
+    // set at 0.85 does the 2-band MinHash-LSH candidate path recover, and
+    // how many extras does it admit — the sizing check run BEFORE
+    // committing a corpus to a banding (re-banding re-sketches
+    // everything). The oracle replays BOTH legs and the full-outer
+    // reconciliation. At 100 TB the exact leg runs on a deterministic
+    // sample (sampleMod); recall transfers because band collision is a
+    // per-pair property.
+    Q("q_dedup_lsh_recall",
+      (s, dir) =>
+        Dedup.lshRecallEval(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, threshold = 0.85),
+      Some {
+        val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          s"min((h * $a + $b) % ${TextFns.minhashP}) AS m$i"
+        }.mkString(",\n                 ")
+        val matchSum = (0 until 8)
+          .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        val pairSel = (j: Int) =>
+          s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST($matchSum AS DOUBLE) / 8 AS est_jaccard
+              FROM banded a JOIN banded b
+                ON a.band$j = b.band$j AND a.doc_id < b.doc_id"""
+        s"""$shingleCte,
+          sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+          xc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+          exact AS (SELECT a_id, b_id, 1 AS e FROM xc
+                    JOIN sizes sa ON a_id = sa.doc_id
+                    JOIN sizes sb ON b_id = sb.doc_id
+                    WHERE CAST(n_common AS DOUBLE)
+                          / (sa.nsh + sb.nsh - n_common) >= 0.85),
+          hashed AS (SELECT doc_id, ${TextFns.polyHashSql("sh")} AS h FROM sh),
+          sig AS (SELECT doc_id,
+                 $minExprs
+               FROM hashed GROUP BY doc_id),
+          banded AS (SELECT *,
+               concat_ws('-', m0, m1, m2, m3) AS band0,
+               concat_ws('-', m4, m5, m6, m7) AS band1
+             FROM sig),
+          cand AS (${pairSel(0)} UNION ${pairSel(1)}),
+          lsh AS (SELECT a_id, b_id, 1 AS l FROM cand WHERE est_jaccard >= 0.85),
+          j AS (SELECT COALESCE(exact.a_id, lsh.a_id) AS a_id, e, l
+                FROM exact FULL JOIN lsh
+                  ON exact.a_id = lsh.a_id AND exact.b_id = lsh.b_id)
+          SELECT CAST(COUNT(e) AS BIGINT) AS n_exact,
+                 CAST(COUNT(l) AS BIGINT) AS n_lsh,
+                 CAST(COUNT(CASE WHEN e IS NOT NULL AND l IS NOT NULL
+                                 THEN 1 END) AS BIGINT) AS n_recovered,
+                 CAST(CASE WHEN COUNT(e) = 0 THEN 1000000
+                      ELSE 1000000 * COUNT(CASE WHEN e IS NOT NULL
+                             AND l IS NOT NULL THEN 1 END) // COUNT(e)
+                      END AS BIGINT) AS recall_ppm
+          FROM j"""
+      }),
+
     // ----- INCREMENTAL-PIPELINE CAPSTONE (the daily-batch production
     // loop, composing three oracle-gated incremental legs under ONE
     // oracle): yesterday's corpus persists its EXACT fingerprint index and

@@ -387,6 +387,37 @@ class CurationSpec extends AnyFunSuite {
       (1L, 2L, 9L, 3L), (10L, 10L, Long.MinValue, 2L)))
   }
 
+  test("lshRecallEval: full recall on identical pairs, vacuous 10^6 on empty exact set") {
+    // two near-identical long docs: exact J = 56/58 > 0.85 AND all 8
+    // signature mins agree... not guaranteed a priori — assert consistency
+    // with the two underlying operators instead of hard-coding
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " tail"), (3L, "unrelated words here now"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.Dedup
+      .lshRecallEval(docs, "doc_id", "text", 4, 0.85).collect()(0)
+    val nExact = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 4, 0.85).count()
+    val nLsh = graft.operators.Dedup
+      .minhashLshPairs(docs, "doc_id", "text", 4, 0.85).count()
+    assert(nExact == 1L, "fixture must produce exactly one exact pair")
+    assert(r.getLong(0) == nExact && r.getLong(1) == nLsh)
+    assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)))
+    assert(r.getLong(3) == 1000000L * r.getLong(2) / r.getLong(0))
+    // disjoint corpora → empty exact set → vacuous full recall
+    val solo = Seq((1L, "completely distinct alpha beta gamma delta epsilon zeta"),
+        (2L, "another unrelated set of words with nothing shared at all"))
+      .toDF("doc_id", "text")
+    val v = graft.operators.Dedup
+      .lshRecallEval(solo, "doc_id", "text", 4, 0.85).collect()(0)
+    assert(v.getLong(0) == 0L && v.getLong(3) == 1000000L)
+    // sampleMod keeps only doc_id % mod == 0 — with both pair members
+    // sampled out, all counts drop to zero (vacuous recall again)
+    val s = graft.operators.Dedup
+      .lshRecallEval(docs, "doc_id", "text", 4, 0.85, sampleMod = 3L).collect()(0)
+    assert(s.getLong(0) == 0L && s.getLong(1) == 0L)
+  }
+
   test("incremental-pipeline capstone: leg counts obey the gate chain invariants") {
     // The oracle hash-gates exact values; this spec pins the WIRING
     // invariants that must hold on any fixture: the batch is fresh docs +
