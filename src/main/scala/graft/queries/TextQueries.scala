@@ -669,8 +669,13 @@ object TextQueries {
     // per-pair property.
     Q("q_dedup_lsh_recall",
       (s, dir) =>
+        // sampleMod = 2: the documented production posture — the exact
+        // pair join (the eval's expensive half) runs on a deterministic
+        // half-sample; recall transfers because band collision is a
+        // per-pair property. The sampled exact set still BINDS at sf0.01
+        // (6 pairs survive the both-members-even filter).
         Dedup.lshRecallEval(t(s, dir, "documents"), "doc_id", "text",
-          k = 4, threshold = 0.85),
+          k = 4, threshold = 0.85, sampleMod = 2L),
       Some {
         val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
           s"min((h * $a + $b) % ${TextFns.minhashP}) AS m$i"
@@ -683,16 +688,17 @@ object TextQueries {
               FROM banded a JOIN banded b
                 ON a.band$j = b.band$j AND a.doc_id < b.doc_id"""
         s"""$shingleCte,
-          sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+          shs AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+          sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shs GROUP BY doc_id),
           xc AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
-                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
                  GROUP BY 1, 2),
           exact AS (SELECT a_id, b_id, 1 AS e FROM xc
                     JOIN sizes sa ON a_id = sa.doc_id
                     JOIN sizes sb ON b_id = sb.doc_id
                     WHERE CAST(n_common AS DOUBLE)
                           / (sa.nsh + sb.nsh - n_common) >= 0.85),
-          hashed AS (SELECT doc_id, ${TextFns.polyHashSql("sh")} AS h FROM sh),
+          hashed AS (SELECT doc_id, ${TextFns.polyHashSql("sh")} AS h FROM shs),
           sig AS (SELECT doc_id,
                  $minExprs
                FROM hashed GROUP BY doc_id),
