@@ -335,6 +335,38 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the subsumption signal
+    * symmetric Jaccard misses: containment(A in B) = |A∩B| / |A|, so a
+    * short document quoted wholesale inside a long one scores J =
+    * |A|/|B| (arbitrarily small) but containment 1.0 — the
+    * quote-inclusion / boilerplate-wrapper / subsumed-revision shape
+    * (Broder's resemblance-vs-containment distinction). Returns one row
+    * per unordered candidate pair with BOTH orientations
+    * (a_id, b_id, n_common, cont_a_in_b, cont_b_in_a), kept when either
+    * containment >= `threshold`.
+    *
+    * Scale: identical plan shape to [[ngramJaccardPairs]] — the same
+    * shared-shingle hashed join with the same document-frequency cutoff
+    * lever (`maxDocFreq`), one extra division per surviving pair. The
+    * cutoff note applies doubly here: ubiquitous shingles are exactly the
+    * boilerplate a containment check would otherwise count as "content".
+    */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, threshold: Double,
+                            maxDocFreq: Long = 0L): DataFrame = {
+    val shN = ngramShingleStage(df, idCol, textCol, k, maxDocFreq)
+    shN.select(col(idCol).as("a_id"), col("sh"), col("nsh").as("na")).hint("shuffle_hash")
+      .join(shN.select(col(idCol).as("b_id"), col("sh"), col("nsh").as("nb")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .withColumn("cont_a_in_b", col("n_common").cast(DoubleType) / col("na"))
+      .withColumn("cont_b_in_a", col("n_common").cast(DoubleType) / col("nb"))
+      .filter(col("cont_a_in_b") >= threshold || col("cont_b_in_a") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_common"),
+        col("cont_a_in_b"), col("cont_b_in_a"))
+  }
+
   /** Sketch-recall evaluation — the sizing check a pipeline owner runs
     * BEFORE committing a corpus to a banding (re-banding later re-sketches
     * everything): on a deterministic corpus sample, how much of the EXACT

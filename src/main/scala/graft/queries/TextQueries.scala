@@ -659,6 +659,33 @@ object TextQueries {
           WHERE est_jaccard >= 0.5 ORDER BY a_id, b_id"""
       }),
 
+    // ----- asymmetric containment pairs (Broder's containment vs
+    // resemblance): |A∩B| / |A| per orientation — catches a short doc
+    // subsumed by a long one, which symmetric Jaccard scores near zero.
+    // Same shared-shingle join as q_dedup_ngram_jaccard; n_common is
+    // BIGINT-pinned, containments are exact integer-ratio doubles.
+    Q("q_dedup_containment",
+      (s, dir) =>
+        Dedup.ngramContainmentPairs(t(s, dir, "documents"), "doc_id", "text",
+            4, 0.9)
+          .withColumn("n_common", col("n_common").cast(LongType))
+          .orderBy(col("a_id"), col("b_id")),
+      Some(s"""$shingleCte,
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(n_common AS BIGINT) AS n_common,
+               CAST(n_common AS DOUBLE) / sa.nsh AS cont_a_in_b,
+               CAST(n_common AS DOUBLE) / sb.nsh AS cont_b_in_a
+        FROM pairs
+        JOIN sizes sa ON a_id = sa.doc_id
+        JOIN sizes sb ON b_id = sb.doc_id
+        WHERE CAST(n_common AS DOUBLE) / sa.nsh >= 0.9
+           OR CAST(n_common AS DOUBLE) / sb.nsh >= 0.9
+        ORDER BY a_id, b_id""")),
+
     // ----- sketch-recall evaluation: how much of the EXACT Jaccard pair
     // set at 0.85 does the 2-band MinHash-LSH candidate path recover, and
     // how many extras does it admit — the sizing check run BEFORE

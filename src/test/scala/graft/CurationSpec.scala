@@ -387,6 +387,25 @@ class CurationSpec extends AnyFunSuite {
       (1L, 2L, 9L, 3L), (10L, 10L, Long.MinValue, 2L)))
   }
 
+  test("containment pairs catch subsumption that symmetric Jaccard misses") {
+    // A is quoted wholesale inside B (plus 50 tokens of wrapper): every
+    // shingle of A is in B, so cont(A in B) = 1.0 while J = |A|/|B| is
+    // tiny — the asymmetric signal the operator exists for
+    val a = (1 to 10).map(i => s"quote$i").mkString(" ")
+    val b = a + " " + (1 to 50).map(i => s"wrap$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, "unrelated other words entirely"))
+      .toDF("doc_id", "text")
+    val cont = graft.operators.Dedup
+      .ngramContainmentPairs(docs, "doc_id", "text", 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(cont.toSeq == Seq((1L, 2L, 1.0, 7.0 / 57.0)),
+      s"containment mismatch: ${cont.toSeq}")
+    // the SAME pair is invisible to Jaccard at any threshold above |A|/|B|
+    val jac = graft.operators.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 4, 0.4).count()
+    assert(jac == 0L, "Jaccard at 0.4 should miss the subsumed pair")
+  }
+
   test("lshRecallEval: full recall on identical pairs, vacuous 10^6 on empty exact set") {
     // two near-identical long docs: exact J = 56/58 > 0.85 AND all 8
     // signature mins agree... not guaranteed a priori — assert consistency
