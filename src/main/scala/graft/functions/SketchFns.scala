@@ -23,6 +23,13 @@ object SketchFns {
     GraftColumnBridge.column(graft.plans.ChunkHashes(
       GraftColumnBridge.expression(tokens), k, stride))
 
+  /** Bottom-k distinct shingle polyHash values of a token-array column,
+    * ascending — the Broder containment sketch (oracle-portable values).
+    */
+  def bottomKShingleHashes(tokens: Column, k: Int, bk: Int): Column =
+    GraftColumnBridge.column(graft.plans.BottomKShingleHashes(
+      GraftColumnBridge.expression(tokens), k, bk))
+
   /** Strided chunk (hash, text) structs of a token-array column — the
     * removal-side twin of [[chunkHashes]] (same key space), carrying the
     * chunk string for survivor reassembly.

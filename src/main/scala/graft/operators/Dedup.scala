@@ -367,6 +367,43 @@ object Dedup {
         col("cont_a_in_b"), col("cont_b_in_a"))
   }
 
+  /** Sketch-estimated containment — the 100 TB path for
+    * [[ngramContainmentPairs]]: exact containment pays the full
+    * shared-shingle pair join, while the bottom-k sketch (Broder) probes
+    * only `bottomK` hash rows per A-side document against the B-side's
+    * distinct hashed shingle sets: est(A in B) = |bottomk(A) ∩ B| /
+    * |bottomk(A)|, EXACT whenever A has ≤ bottomK distinct shingles.
+    * Emits ORDERED pairs (every document is both an A and a B), so both
+    * orientations of an overlapping pair appear with their own estimates.
+    *
+    * Scale: the A side shuffles ≤ bottomK rows per doc (constant sketch
+    * bytes, the point); the B side is the same distinct-hash stream the
+    * winnowing family shuffles; candidate fan-out is bounded by genuine
+    * hash sharing. Hash values are the oracle-portable polyHash family,
+    * so the selection of "the k smallest" replays in SQL exactly.
+    */
+  def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, bottomK: Int, threshold: Double): DataFrame = {
+    val toks = TextFns.tokens(col(textCol))
+    val a = df.select(col(idCol).as("a_id"),
+        graft.functions.SketchFns.bottomKShingleHashes(toks, k, bottomK).as("__bk"))
+      .withColumn("nbk", size(col("__bk")).cast(LongType))
+      .filter(col("nbk") > 0)
+      .select(col("a_id"), col("nbk"), explode(col("__bk")).as("h"))
+    // full distinct shingle polyhashes: the winnow kernel at window 1
+    val b = df.select(col(idCol).as("b_id"), explode(
+        graft.functions.SketchFns.winnowFingerprints(toks, k, 1)).as("h"))
+    a.hint("shuffle_hash").join(b, "h")
+      .filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_hit"), first(col("nbk")).as("nbk"))
+      .withColumn("est_containment",
+        col("n_hit").cast(DoubleType) / col("nbk"))
+      .filter(col("est_containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("n_hit"), col("nbk"),
+        col("est_containment"))
+  }
+
   /** Sketch-recall evaluation — the sizing check a pipeline owner runs
     * BEFORE committing a corpus to a banding (re-banding later re-sketches
     * everything): on a deterministic corpus sample, how much of the EXACT

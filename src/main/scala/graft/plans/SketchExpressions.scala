@@ -265,6 +265,27 @@ object SketchKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** The `bk` SMALLEST distinct k-gram polyHash values, ascending — the
+    * bottom-k sketch (Broder): containment(A in B) is estimated as
+    * |bottomk(A) ∩ hashes(B)| / |bottomk(A)|, and the estimate is EXACT
+    * whenever the document has ≤ bk distinct shingles (the sketch IS the
+    * set). Values are the same oracle-portable [[shingleHash]] family the
+    * winnowing and minhash kernels use, so a SQL oracle reproduces the
+    * selection order digit-for-digit. Empty below k tokens.
+    */
+  def bottomKShingleHashes(tokens: ArrayData, k: Int, bk: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var p = 0
+    while (p <= n - k) { seen.add(shingleHash(tokens, p, k)); p += 1 }
+    val out = new Array[Long](math.min(bk, seen.size))
+    val it = seen.iterator()
+    var c = 0
+    while (c < out.length) { out(c) = it.next(); c += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Distinct k-gram shingle strings in first-occurrence order; empty array
     * when the document has fewer than k tokens.
     */
@@ -388,6 +409,26 @@ case class ChunkHashes(child: Expression, k: Int, stride: Int)
       s"${ev.value} = graft.plans.SketchKernels.chunkHashes($c, $k, $stride);")
 
   override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<long> bottom-k distinct shingle polyHash
+  * values, ascending (see SketchKernels.bottomKShingleHashes).
+  */
+case class BottomKShingleHashes(child: Expression, k: Int, bk: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(k >= 1 && bk >= 1, s"k and bk must be >= 1, got k=$k bk=$bk")
+  override def fnName: String = "bottomk_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.bottomKShingleHashes(input.asInstanceOf[ArrayData], k, bk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.bottomKShingleHashes($c, $k, $bk);")
+
+  override protected def withNewChildInternal(newChild: Expression): BottomKShingleHashes =
     copy(child = newChild)
 }
 

@@ -686,6 +686,36 @@ object TextQueries {
            OR CAST(n_common AS DOUBLE) / sb.nsh >= 0.9
         ORDER BY a_id, b_id""")),
 
+    // ----- sketch-estimated containment (the 100 TB path for the exact
+    // containment join): bottom-16 shingle polyhashes per A-side doc
+    // probed against the B-side's distinct hash sets — constant sketch
+    // bytes per doc on the probe side; exact when a doc has <= 16
+    // distinct shingles. The oracle replays the bottom-k selection with a
+    // row_number window over the SAME portable hash values.
+    Q("q_dedup_containment_sketch",
+      (s, dir) =>
+        Dedup.containmentSketchPairs(t(s, dir, "documents"), "doc_id", "text",
+            k = 4, bottomK = 16, threshold = 0.9)
+          .withColumn("n_hit", col("n_hit").cast(LongType))
+          .orderBy(col("a_id"), col("b_id")),
+      Some(s"""$shingleCte,
+        hashed AS (SELECT DISTINCT doc_id, ${TextFns.polyHashSql("sh")} AS h
+                   FROM sh),
+        bk AS (SELECT doc_id, h FROM (
+                 SELECT doc_id, h,
+                        row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+                 FROM hashed) t WHERE rn <= 16),
+        nbk AS (SELECT doc_id, COUNT(*) AS nbk FROM bk GROUP BY doc_id),
+        hits AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_hit
+                 FROM bk a JOIN hashed b ON a.h = b.h AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2)
+        SELECT a_id, b_id, CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(nbk.nbk AS BIGINT) AS nbk,
+               CAST(n_hit AS DOUBLE) / nbk.nbk AS est_containment
+        FROM hits JOIN nbk ON hits.a_id = nbk.doc_id
+        WHERE CAST(n_hit AS DOUBLE) / nbk.nbk >= 0.9
+        ORDER BY a_id, b_id""")),
+
     // ----- sketch-recall evaluation: how much of the EXACT Jaccard pair
     // set at 0.85 does the 2-band MinHash-LSH candidate path recover, and
     // how many extras does it admit — the sizing check run BEFORE
