@@ -770,4 +770,134 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))
   }
+
+  /** Cross-document maximal repeated token-span detection — the
+    * suffix-array exact-substring dedup of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") re-expressed Spark-first:
+    * instead of one global suffix array (inherently sequential to build and
+    * sort), every document emits its positional word k-gram hashes, shared
+    * hashes pair up, and a pair's consecutive matches merge into maximal
+    * spans with a per-(pair, diagonal) gaps-and-islands pass — the classic
+    * anchor-chaining step of sequence alignment (same output as adjacent
+    * suffix-array intervals for spans >= k tokens).
+    *
+    * Output: (a_id, b_id, start_a, start_b, len_tokens), a_id < b_id,
+    * positions 1-based token offsets, one row per MAXIMAL shared span of at
+    * least `minSpanTokens` tokens. A span of L >= k tokens appears as
+    * L - k + 1 consecutive shared k-grams on one (a_id, b_id,
+    * start_a - start_b) diagonal, so islands of consecutive positions on a
+    * diagonal are exactly the maximal spans.
+    *
+    * Scale:
+    *   - k-grams are hashed to 64-bit keys per row (ChunkHashes kernel,
+    *     stride 1) — positional, codegen'd, no shingle string ever leaves
+    *     the row; a 64-bit collision can only ADD a spurious shared k-gram
+    *     (vanishing probability, and it must also land on an existing
+    *     diagonal to perturb a span);
+    *   - the occurrence-count prefilter (>= 2) drops the unique-hash tail —
+    *     the overwhelming mass of a real corpus — before the self-join, and
+    *     `maxOccurrences` is the fan-out lever: a hash occurring d times
+    *     contributes <= d^2 join rows, so ubiquitous k-grams (boilerplate)
+    *     are capped exactly like ngramJaccardPairs' document-frequency
+    *     cutoff (the cutoff is mirrored by the oracle, so both engines
+    *     split spans identically when it engages);
+    *   - the island window partitions by (a_id, b_id, diagonal) — bounded
+    *     by a single pair's overlap length, never a global or skewed key.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+                    minSpanTokens: Int, maxOccurrences: Long = 0L): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(minSpanTokens >= k, s"minSpanTokens must be >= k: $minSpanTokens < $k")
+    import org.apache.spark.sql.expressions.Window
+    // Positional full-length k-gram hashes: ChunkHashes(stride=1) emits one
+    // hash per start position INCLUDING short tails; positions past n-k are
+    // cut so every surviving hash covers exactly k tokens. posexplode gives
+    // the 0-based start; +1 makes offsets 1-based (oracle list indexing).
+    val base = df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), size(col("__t")).as("__n"),
+        posexplode(graft.functions.SketchFns.chunkHashes(col("__t"), k, 1)))
+      .filter(col("pos") <= col("__n") - k)
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("sh"))
+    val shared = base.groupBy(col("sh")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2L &&
+        (if (maxOccurrences > 0L) col("__occ") <= maxOccurrences else lit(true)))
+      .select(col("sh"))
+    // Both pair-join inputs shuffle on `sh` from the same prefiltered stage,
+    // so the canonicalized exchange is computed once (ReusedExchange) and
+    // hash join skips sort-merge's sorts of the exploded set — the
+    // ngramJaccardPairsFrom discipline.
+    val kept = base.join(shared, "sh")
+    val pairs = kept.select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))
+      .hint("shuffle_hash")
+      .join(kept.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"), col("pa"))
+    // (a_id, pa) determines sh, and (b_id, diag) determines pb, so rows are
+    // unique per (a_id, b_id, diag, pa) and row_number islands are exact.
+    val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("pa"))
+    pairs
+      .withColumn("__isl", col("pa") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("__isl"))
+      .agg(min(col("pa")).as("start_a"), count(lit(1)).as("__run"))
+      .withColumn("len_tokens", col("__run") + lit((k - 1).toLong))
+      .filter(col("len_tokens") >= minSpanTokens)
+      .select(col("a_id"), col("b_id"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("len_tokens"))
+  }
+
+  /** The rewrite half of [[repeatedSpans]] — Lee et al. 2022's keep-first
+    * policy: every token range a LATER document (larger id) shares with an
+    * earlier one is removed from the later document; the earliest document
+    * in a duplication chain keeps its text untouched. Returns one row per
+    * AFFECTED document: (idCol, n_tokens, n_kept, n_removed, clean_fp) with
+    * clean_fp = md5 of the kept tokens rejoined by single spaces (the
+    * whitespace-normalized rewrite; md5 keeps the verified row narrow). A
+    * fully-covered document stays as an empty-text row (md5 of "") — the
+    * boilerplate-removal precedent.
+    *
+    * Scale: the exploded covered-position set is proportional to the
+    * DUPLICATED text volume (the operator's output), not the corpus; the
+    * removal is one (id, pos)-keyed anti-join; reassembly aggregates only
+    * affected documents' tokens.
+    */
+  def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+                         minSpanTokens: Int, maxOccurrences: Long = 0L): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k, minSpanTokens, maxOccurrences)
+    // Union of covered 1-based positions per later-doc; overlapping spans
+    // (several earlier partners) collapse in the distinct. Checkpointed
+    // ONCE under the CkptCycle per-call-site contract: three consumers
+    // (affected, the doc prefilter, the anti-join) would otherwise each
+    // re-evaluate the whole span subtree — 14 parquet scans measured by
+    // PlanLintSpec on the unshared form. The frame is bounded by the
+    // corpus's DUPLICATED token volume, not the corpus.
+    val covered = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.scrubRepeatedSpans",
+        "graft.operators.Dedup"),
+      spans
+        .select(col("b_id").as(idCol),
+          explode(expr("sequence(start_b, start_b + len_tokens - 1)")).as("pos"))
+        .distinct()
+        .localCheckpoint(true))
+    val affected = covered.select(col(idCol)).distinct()
+    val docs = df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .join(affected, Seq(idCol))
+      .select(col(idCol), size(col("__t")).cast(LongType).as("n_tokens"), col("__t"))
+    val toks = docs
+      .select(col(idCol), col("n_tokens"), posexplode(col("__t")))
+      .select(col(idCol), col("n_tokens"),
+        (col("pos") + 1).cast(LongType).as("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(pos, tok))), " +
+             "x -> x.tok), ' '))").as("clean_fp"))
+    docs.select(col(idCol), col("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
 }

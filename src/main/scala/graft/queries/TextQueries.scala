@@ -110,6 +110,41 @@ object TextQueries {
       FROM toks WHERE len(t) >= 4
     ), sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
 
+  /** DuckDB CTE chain for the repeated-span family: POSITIONAL (non-distinct)
+    * word 4-grams with 1-based start offsets, the occurrence-capped shared
+    * set, diagonal pair anchors, and the gaps-and-islands span merge —
+    * mirroring Dedup.repeatedSpans(k=4, maxOccurrences=64) over shingle
+    * STRINGS (the Spark side joins on the 64-bit kernel hash of the same
+    * k-gram; a collision can only add a spurious anchor — vanishing).
+    * Yields CTEs `toks(doc_id, t)` and `sp(a_id, b_id, diag, start_a,
+    * len_tokens)` (unfiltered by minimum span length).
+    */
+  private val spanCte: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), p0 AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+      FROM toks WHERE len(t) >= 4
+    ), pos AS (
+      SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
+      FROM p0
+    ), shared AS (
+      SELECT sh FROM pos GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 64
+    ), kept AS (
+      SELECT p.doc_id, p.i, p.sh FROM pos p JOIN shared USING (sh)
+    ), pr AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.i - b.i AS diag, a.i AS pa
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT a_id, b_id, diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag ORDER BY pa) AS g
+      FROM pr
+    ), sp AS (
+      SELECT a_id, b_id, diag, MIN(pa) AS start_a, COUNT(*) + 3 AS len_tokens
+      FROM isl GROUP BY a_id, b_id, diag, g
+    )"""
+
   val qs: Seq[Q] = Seq(
 
     // ----- token counting (whitespace tokenizer)
@@ -715,6 +750,62 @@ object TextQueries {
         FROM hits JOIN nbk ON hits.a_id = nbk.doc_id
         WHERE CAST(n_hit AS DOUBLE) / nbk.nbk >= 0.9
         ORDER BY a_id, b_id""")),
+
+    // ----- exact repeated-substring SPANS (Lee et al. 2022's suffix-array
+    // dedup re-expressed): positional 4-gram hashes → shared-hash anchors →
+    // per-(pair, diagonal) gaps-and-islands merge into MAXIMAL spans of
+    // >= 6 tokens. What line/chunk dedup cannot see: a verbatim quotation
+    // at an arbitrary offset inside two otherwise-different documents.
+    // maxOccurrences=64 caps the anchor join fan-out; the oracle mirrors it
+    // (HAVING BETWEEN 2 AND 64) so both engines split spans identically.
+    Q("q_dedup_substring_spans",
+      (s, dir) =>
+        Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+            k = 4, minSpanTokens = 6, maxOccurrences = 64L)
+          .orderBy(col("a_id"), col("b_id"), col("start_a"), col("start_b")),
+      Some(s"""$spanCte
+        SELECT a_id, b_id, CAST(start_a AS BIGINT) AS start_a,
+               CAST(start_a - diag AS BIGINT) AS start_b,
+               CAST(len_tokens AS BIGINT) AS len_tokens
+        FROM sp WHERE len_tokens >= 6
+        ORDER BY a_id, b_id, start_a, start_b""")),
+
+    // ----- repeated-substring SCRUB (the rewrite half, keep-first policy):
+    // every >= 6-token range a later doc shares with an earlier one is
+    // removed from the later doc; kept tokens rejoin by single spaces and
+    // only the md5 travels. Affected docs only; a fully-covered doc stays
+    // as an empty-text row (md5('')).
+    Q("q_dedup_substring_scrub",
+      (s, dir) =>
+        Dedup.scrubRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+            k = 4, minSpanTokens = 6, maxOccurrences = 64L)
+          .orderBy(col("doc_id")),
+      Some(s"""$spanCte,
+        cov AS (
+          SELECT DISTINCT b_id AS doc_id,
+                 unnest(range(start_a - diag, start_a - diag + len_tokens)) AS pos
+          FROM sp WHERE len_tokens >= 6
+        ), aff AS (SELECT DISTINCT doc_id FROM cov),
+        docs AS (
+          SELECT doc_id, len(t) AS n_tokens, t FROM toks JOIN aff USING (doc_id)
+        ), tk AS (
+          SELECT doc_id, i AS pos, t[i] AS tok
+          FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM docs)
+        ), keptt AS (
+          SELECT tk.doc_id, tk.pos, tk.tok
+          FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+          WHERE cov.doc_id IS NULL
+        ), re AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
+          FROM keptt GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(d.n_tokens - COALESCE(re.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(re.clean_fp, md5('')) AS clean_fp
+        FROM docs d LEFT JOIN re USING (doc_id)
+        ORDER BY d.doc_id""")),
 
     // ----- sketch-recall evaluation: how much of the EXACT Jaccard pair
     // set at 0.85 does the 2-band MinHash-LSH candidate path recover, and

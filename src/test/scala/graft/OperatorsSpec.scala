@@ -458,6 +458,61 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the planted pair, got ${pairs.toSeq}")
   }
 
+  test("repeatedSpans finds one MAXIMAL planted span with exact offsets") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq(
+      (1L, s"a1 a2 a3 a4 $span a5 a6"), // span at 1-based pos 5
+      (2L, s"$span b1 b2 b3 b4"),       // span at pos 1
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      // within-doc repetition only — must NOT pair with itself
+      (5L, "e1 e2 s9 s10 s11 s12 s13 s14 e3 s9 s10 s11 s12 s13 s14"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(df, "doc_id", "text", 4, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 5 consecutive shared 4-grams on one diagonal merge into ONE 8-token
+    // span — not five 4-gram rows, not sub-spans
+    assert(got.toSeq == Seq((1L, 2L, 5L, 1L, 8L)), s"got ${got.toSeq}")
+    // below the minimum span length → silent
+    val none = Dedup.repeatedSpans(df, "doc_id", "text", 4, 10).count()
+    assert(none == 0L)
+  }
+
+  test("repeatedSpans occurrence cap drops over-shared anchors like the DF cutoff") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq((1L, s"a1 a2 $span"), (2L, s"$span b1 b2"), (4L, span))
+      .toDF("doc_id", "text")
+    // every span 4-gram occurs 3 times; cap at 2 removes all anchors
+    assert(Dedup.repeatedSpans(df, "doc_id", "text", 4, 6, maxOccurrences = 2L)
+      .count() == 0L)
+    // cap at 3 keeps them: pairs (1,2), (1,4), (2,4)
+    val got = Dedup.repeatedSpans(df, "doc_id", "text", 4, 6, maxOccurrences = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("scrubRepeatedSpans keep-first: later docs lose covered ranges, earliest untouched") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq(
+      (1L, s"a1 a2 a3 a4 $span a5 a6"),
+      (2L, s"$span b1 b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (4L, span)) // fully covered by earlier docs
+      .toDF("doc_id", "text")
+    val got = Dedup.scrubRepeatedSpans(df, "doc_id", "text", 4, 6)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1 is the earliest holder of the span — untouched, NOT in output;
+    // doc 2 keeps only its unique tail; doc 4 is fully covered → empty text
+    assert(got.toSeq == Seq(
+      (2L, 12L, 4L, 8L, md5hex("b1 b2 b3 b4")),
+      (4L, 8L, 0L, 8L, md5hex(""))), s"got ${got.toSeq}")
+  }
+
   test("LSH ANN achieves reasonable recall@10 vs brute force") {
     val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
     val q = e.filter($"vec_id" < 10).select($"vec_id".as("q_id"), $"embedding".as("qe"))
