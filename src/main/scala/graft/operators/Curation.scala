@@ -1123,4 +1123,72 @@ object Curation {
       }
     offBoundary.unionByName(onBoundary)
   }
+
+  /** Curriculum schedule — quality-phased data ordering for LLM training
+    * (Bengio et al. 2009's curriculum learning applied to pretraining-data
+    * ordering): phase 0 holds the best-quality slice of the corpus, the last
+    * phase the worst, and WITHIN a phase documents are deterministically
+    * shuffled (Knuth multiplicative hash of the id) so each phase streams in
+    * a reproducible pseudo-random order — quality-annealed epochs without an
+    * engine RNG.
+    *
+    * Phase assignment avoids any per-document global rank (an unpartitioned
+    * window over the corpus): [[qualityScore]] is integer-valued, so the
+    * exact quantile boundaries come from the SCORE HISTOGRAM — group by
+    * score (bounded by the finite integer score space, not the corpus),
+    * cumulative count over that small frame, then
+    * `phase = (docs_with_higher_score * nPhases) DIV n_docs` broadcast-joined
+    * back. Score ties NEVER split across phases (the documented semantic —
+    * the boundary snaps to the score-value boundary), which is what makes
+    * the assignment one tiny window + one broadcast join instead of a
+    * corpus-wide sort at any scale.
+    *
+    * Returns (idCol, score, phase, ord) — ord is the within-phase shuffle
+    * key; consumers ORDER BY (phase, ord, id) to materialize the schedule.
+    */
+  def curriculumSchedule(df: DataFrame, idCol: String, textCol: String,
+                         stopwords: Seq[String], nPhases: Int): DataFrame = {
+    require(nPhases >= 1, s"nPhases must be >= 1: $nPhases")
+    val scored = qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
+      .select(col(idCol), col("score"))
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("__c"))
+    // The 1-partition window is safe by construction: its input is the
+    // score histogram (distinct integer score values), never the corpus.
+    val wCum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist.agg(sum(col("__c")).as("__n"))
+    val cuts = hist
+      .withColumn("__start", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("score"),
+        expr(s"CAST((__start * $nPhases) DIV __n AS BIGINT)").as("phase"))
+    scored.join(broadcast(cuts), Seq("score"))
+      .withColumn("ord",
+        pmod(pmod(col(idCol), lit(2147483647L)) * lit(2654435761L), lit(2147483647L)))
+      .select(col(idCol), col("score"), col("phase"), col("ord"))
+  }
+
+  /** Deterministic weighted Bernoulli sampling: keep a row with probability
+    * proportional to its weight (`P(keep) = w / w_max`), decided by exact
+    * integer arithmetic on an engine-portable hash — no RNG, no floating
+    * point, reproducible on any engine: keep iff `h · w_max < P · w` with
+    * `h = (id mod P) · 2654435761 mod P` (Knuth hash, uniform on [0, P),
+    * P = 2³¹−1). The quality-weighted downsampling step of a corpus mix —
+    * the probabilistic sibling of the best-first cut in [[sourceCap]] /
+    * `selectByTokenBudget` (those take top-k; this preserves distributional
+    * coverage of the low-quality tail in expectation).
+    *
+    * Scale: one 1-row max aggregate broadcast back over the corpus; the
+    * keep decision is a map-side filter. Weights must be positive — callers
+    * clamp (`greatest(w, 1)`). `h · w_max` stays in Long for any
+    * w_max < 2³², which the clamp's caller contract documents.
+    */
+  def weightedBernoulli(df: DataFrame, weightCol: String, idCol: String): DataFrame = {
+    val wmax = df.agg(max(col(weightCol)).as("__wmax"))
+    df.crossJoin(broadcast(wmax))
+      .withColumn("__h",
+        pmod(pmod(col(idCol), lit(2147483647L)) * lit(2654435761L), lit(2147483647L)))
+      .filter(col("__h") * col("__wmax") < lit(2147483647L) * col(weightCol))
+      .drop("__wmax", "__h")
+  }
 }

@@ -350,6 +350,74 @@ object CurationQueries {
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 10 ORDER BY source, rank""")),
 
+    // ----- curriculum schedule (quality-phased data ordering): phase 0 =
+    // best-quality quartile, phase 3 = worst; deterministic Knuth-hash
+    // shuffle within each phase. Phase boundaries come from the SCORE
+    // HISTOGRAM (ties never split), so no per-document global rank exists
+    // anywhere in the plan — the assignment is one tiny histogram window +
+    // one broadcast join at any corpus size.
+    Q("q_curriculum_schedule",
+      (s, dir) =>
+        graft.operators.Curation.curriculumSchedule(t(s, dir, "documents"),
+            "doc_id", "text", Seq("a", "the"), nPhases = 4)
+          .orderBy(col("phase"), col("ord"), col("doc_id")),
+      Some(s"""
+        WITH $toksCte,
+        g AS (SELECT doc_id, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g),
+        hist AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY score),
+        cuts AS (SELECT score,
+                   COALESCE(SUM(c) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+                 FROM hist),
+        tot AS (SELECT COUNT(*) AS n FROM sc)
+        SELECT s.doc_id, CAST(s.score AS BIGINT) AS score,
+               CAST((c.st * 4) // tot.n AS BIGINT) AS phase,
+               CAST(((s.doc_id % 2147483647) * 2654435761) % 2147483647
+                    AS BIGINT) AS ord
+        FROM sc s JOIN cuts c USING (score), tot
+        ORDER BY phase, ord, s.doc_id""")),
+
+    // ----- deterministic weighted Bernoulli sample: P(keep) = w / w_max
+    // decided by exact integer arithmetic on the Knuth id-hash — the
+    // probabilistic sibling of the best-first source cap (keeps the
+    // low-quality tail with proportional probability instead of cutting
+    // it). One 1-row max broadcast; the keep decision is map-side.
+    Q("q_sample_weighted",
+      (s, dir) => {
+        val scored = graft.operators.Curation.qualityScore(
+            t(s, dir, "documents"), "text", Seq("a", "the"),
+            keepThreshold = Long.MinValue)
+          .select(col("doc_id"), col("source"),
+            greatest(col("score"), lit(1L)).as("w"))
+        graft.operators.Curation.weightedBernoulli(scored, "w", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $toksCte,
+        g AS (SELECT doc_id, source, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id, source,
+                 GREATEST(1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000, 1) AS w
+               FROM g),
+        mx AS (SELECT MAX(w) AS wmax FROM sc)
+        SELECT doc_id, source, CAST(w AS BIGINT) AS w
+        FROM sc, mx
+        WHERE (((doc_id % 2147483647) * 2654435761) % 2147483647) * wmax
+              < 2147483647 * w
+        ORDER BY doc_id""")),
+
     // ----- bigram-LM document score: integer ppm estimate of mean
     // P(w2|w1) under the corpus's own bigram counts — the perplexity-filter
     // decision without transcendental math (counting + DIV only, so both

@@ -592,4 +592,51 @@ class CurationSpec extends AnyFunSuite {
       (2L, "active", ts(5), None, true)))
     assert(ts0 != null) // silence unused warning on helper anchor
   }
+
+  test("curriculumSchedule: phases are quality-monotone, ties never split, deterministic") {
+    // 40 docs with 4 distinct quality tiers (10 docs each): tier t repeats a
+    // vocabulary of size 2+3t, so lexical diversity — and the score — rises
+    // with t. Every doc in one tier scores IDENTICALLY (same token multiset).
+    val docs = (0 until 40).map { i =>
+      val tier = i / 10
+      val words = (0 until 40).map(j => s"w${j % (2 + 3 * tier)}")
+      (i.toLong, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sched = Curation.curriculumSchedule(df, "doc_id", "text", Seq("a"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sched.length == 40)
+    // equal scores → one phase (ties never split): each tier lands whole
+    val phaseOfTier = sched.groupBy(_._1 / 10).map { case (t, rows) =>
+      val ph = rows.map(_._3).distinct
+      assert(ph.size == 1, s"tier $t split across phases $ph")
+      t -> ph.head
+    }
+    // higher tier = higher score = EARLIER phase
+    assert(phaseOfTier.toSeq.sortBy(_._1).map(_._2) == Seq(3L, 2L, 1L, 0L))
+    // deterministic: a second run is bit-identical
+    val again = Curation.curriculumSchedule(df, "doc_id", "text", Seq("a"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sched.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("weightedBernoulli: max-weight rows always kept, inclusion scales with weight") {
+    // keep iff h·wmax < P·w — at w = wmax that is h < P, always true
+    val n = 2000
+    val df = (0 until n).map { i =>
+      (i.toLong, if (i % 2 == 0) 1000L else 100L)
+    }.toDF("id", "w")
+    val kept = Curation.weightedBernoulli(df, "w", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keptHigh = kept.count(_._2 == 1000L)
+    val keptLow = kept.count(_._2 == 100L)
+    assert(keptHigh == n / 2, s"w = wmax must ALWAYS keep: $keptHigh of ${n / 2}")
+    // low-weight rows keep with p = 0.1 — Knuth-hash uniformity puts the
+    // realized rate within a generous band around 100 of 1000
+    assert(keptLow > 50 && keptLow < 200, s"p=0.1 stratum kept $keptLow of ${n / 2}")
+    // deterministic: same input → same sample
+    val again = Curation.weightedBernoulli(df, "w", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
