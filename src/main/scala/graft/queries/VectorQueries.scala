@@ -224,6 +224,93 @@ object VectorQueries {
         GROUP BY q_id ORDER BY q_id"""
       }),
 
+    // ----- embedding-dimension recall curve (Matryoshka-style, Kusupati et
+    // al. 2022): recall@5 of brute-force search run on PREFIX dims 8/16/32
+    // of the 64-dim embedding vs the full-dim exact top-5 — the measurement
+    // before committing a truncated-dimension index (storage and compute
+    // scale linearly with kept dims; this query prices the recall cost).
+    // One scored pair stream carries all four cosines; the per-dim top-5
+    // membership test is a conditional count against the full-dim rank —
+    // no per-dim joins. Query side sampled (vec_id < 5) and broadcast, the
+    // cluster eval shape.
+    Q("q_ann_dim_curve",
+      (s, dir) => {
+        val dims = Seq(8, 16, 32)
+        def pfxNorm(d: Int): Column =
+          sqrt(VectorFns.dotQDouble(slice(col("qv"), 1, d), slice(col("qv"), 1, d)))
+        val e = t(s, dir, "embeddings")
+          .withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("n64", sqrt(VectorFns.dotQDouble(col("qv"), col("qv"))))
+        val eN = dims.foldLeft(e)((acc, d) => acc.withColumn(s"n$d", pfxNorm(d)))
+        val q = eN.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id") +: col("qv").as("qe") +:
+            (dims :+ 64).map(d => col(s"n$d").as(s"qn$d")): _*)
+        val c = eN
+          .select(col("vec_id").as("c_id") +: col("qv").as("ce") +:
+            (dims :+ 64).map(d => col(s"n$d").as(s"cn$d")): _*)
+        def cosAt(d: Int): Column =
+          VectorFns.dotQDouble(slice(col("qe"), 1, d), slice(col("ce"), 1, d)) /
+            (col(s"qn$d") * col(s"cn$d"))
+        def w(c: String) = Window.partitionBy(col("q_id"))
+          .orderBy(round(col(c), 9).desc, col("c_id"))
+        val scored0 = c.crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cosf",
+            VectorFns.dotQDouble(col("qe"), col("ce")) / (col("qn64") * col("cn64")))
+        val scored = dims.foldLeft(scored0)((acc, d) =>
+          acc.withColumn(s"cos$d", cosAt(d)))
+        val ranked = dims.foldLeft(
+            scored.withColumn("rf", row_number().over(w("cosf"))))(
+            (acc, d) => acc.withColumn(s"r$d", row_number().over(w(s"cos$d"))))
+          .filter(col("rf") <= 5)
+        val aggs = dims.flatMap(d => Seq(
+          count(when(col(s"r$d") <= 5, 1)).as(s"n_hits_d$d"),
+          expr(s"count(CASE WHEN r$d <= 5 THEN 1 END) * 1000000L DIV 5")
+            .as(s"recall_ppm_d$d")))
+        ranked.groupBy(col("q_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy(col("q_id"))
+      },
+      Some {
+        val dims = Seq(8, 16, 32)
+        val norms = (d: String) => dims.map(i =>
+          s"sqrt(${VectorFns.dotSql(s"$d[1:$i]", s"$d[1:$i]")}) AS n$i")
+          .mkString(", ")
+        val cosCols = dims.map(d =>
+          s"${VectorFns.dotSql(s"qe[1:$d]", s"ce[1:$d]")} / (qn$d * cn$d) AS cos$d")
+          .mkString(",\n                 ")
+        val rankCols = dims.map(d =>
+          s"row_number() OVER (PARTITION BY q_id ORDER BY round(cos$d, 9) DESC, c_id) AS r$d")
+          .mkString(",\n                 ")
+        val aggCols = dims.map(d =>
+          s"CAST(COUNT(CASE WHEN r$d <= 5 THEN 1 END) AS BIGINT) AS n_hits_d$d,\n" +
+          s"               CAST(COUNT(CASE WHEN r$d <= 5 THEN 1 END) * 1000000 // 5 AS BIGINT) AS recall_ppm_d$d")
+          .mkString(",\n               ")
+        s"""
+        WITH e AS (SELECT vec_id, embedding,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS n64,
+                          ${norms("embedding")}
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, n64 AS qn64,
+                     ${dims.map(d => s"n$d AS qn$d").mkString(", ")}
+              FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS ce, n64 AS cn64,
+                     ${dims.map(d => s"n$d AS cn$d").mkString(", ")}
+              FROM e),
+        p AS (SELECT q_id, c_id,
+                 ${VectorFns.dotSql("qe", "ce")} / (qn64 * cn64) AS cosf,
+                 $cosCols
+              FROM q, c WHERE q_id <> c_id),
+        r AS (SELECT q_id, c_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY round(cosf, 9) DESC, c_id) AS rf,
+                 $rankCols
+              FROM p)
+        SELECT q_id,
+               $aggCols
+        FROM r WHERE rf <= 5 GROUP BY q_id ORDER BY q_id"""
+      }),
+
     // ----- multiprobe LSH ANN: the query probes its own 6-bit bucket PLUS
     // every bucket one sign-flip away — the recall lever at zero index
     // cost. Candidates stay single-bucketed (probe-side-only fan-out); the
