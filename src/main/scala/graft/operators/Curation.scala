@@ -1168,6 +1168,75 @@ object Curation {
       .select(col(idCol), col("score"), col("phase"), col("ord"))
   }
 
+  /** Epoch allocation under a token budget — the data-constrained scaling
+    * decision (Muennighoff et al. 2023: when the budget exceeds the unique
+    * corpus, sources REPEAT, and repeats stop helping past a few epochs):
+    * each source's temperature share of the budget (isqrt weights — the
+    * α = 0.5 mix of `mixWeights`) converts into full epochs + a partial-
+    * epoch remainder, capped at `maxEpochs`; tokens the cap refuses are
+    * reported as `leftover` (a production scheduler re-spreads them or
+    * shrinks the run).
+    *
+    * All integer arithmetic (floor-sqrt weights, DIV shares) so the plan is
+    * engine-exact; the budget is `totalTokens · num / den` — derived from
+    * the corpus itself in the same 1-row broadcast that carries the weight
+    * sum, so no constant needs retuning per scale factor.
+    *
+    * Scale: one per-source aggregate (map-side partials) + one 1-row
+    * broadcast; everything after is a projection on sources-many rows.
+    */
+  def epochAllocation(df: DataFrame, srcCol: String, textCol: String,
+                      budgetNum: Long, budgetDen: Long,
+                      maxEpochs: Long): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && maxEpochs > 0,
+      "budgetNum, budgetDen, maxEpochs must be positive")
+    val per = df
+      .withColumn("__ntok", size(TextFns.tokens(col(textCol))).cast(LongType))
+      .groupBy(col(srcCol)).agg(sum(col("__ntok")).as("tokens"))
+      .withColumn("weight", floor(sqrt(col("tokens"))).cast(LongType))
+    val tot = per.agg(sum(col("weight")).as("__tw"), sum(col("tokens")).as("__tt"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("alloc_tokens",
+        expr(s"CAST(((__tt * ${budgetNum}L) DIV ${budgetDen}L * weight) DIV __tw AS BIGINT)"))
+      .withColumn("eff_tokens",
+        least(col("alloc_tokens"), col("tokens") * lit(maxEpochs)))
+      .withColumn("full_epochs", expr("CAST(eff_tokens DIV tokens AS BIGINT)"))
+      .withColumn("partial_tokens", expr("CAST(eff_tokens % tokens AS BIGINT)"))
+      .withColumn("leftover", col("alloc_tokens") - col("eff_tokens"))
+      .select(col(srcCol), col("tokens"), col("weight"), col("alloc_tokens"),
+        col("eff_tokens"), col("full_epochs"), col("partial_tokens"),
+        col("leftover"))
+  }
+
+  /** Deterministic hash sharding with a balance report — the shard-writer
+    * planning step of a training-data pipeline: every document lands in
+    * `shard = knuth_hash(id) mod nShards`, and the report prices how even
+    * the split came out in DOCUMENTS and in TOKENS (`tokens_ppm` =
+    * shard-tokens · 10⁶ / corpus-tokens; exactly 10⁶/nShards means perfect
+    * balance). Multiplicative hashing decorrelates the shard from any id
+    * assignment pattern (sequential ids, per-source ranges), which plain
+    * `id mod n` would leak straight into the split.
+    *
+    * Scale: one shard-keyed aggregate + a 1-row broadcast total; the shard
+    * column itself is the map-side write-partition key for the actual
+    * shard writer.
+    */
+  def shardBalance(df: DataFrame, idCol: String, textCol: String,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val per = df
+      .withColumn("__ntok", size(TextFns.tokens(col(textCol))).cast(LongType))
+      .withColumn("shard",
+        pmod(pmod(col(idCol), lit(2147483647L)) * lit(2654435761L),
+          lit(2147483647L)) % nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("__tt"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("tokens_ppm", expr("CAST((tokens * 1000000L) DIV __tt AS BIGINT)"))
+      .select(col("shard"), col("n_docs"), col("tokens"), col("tokens_ppm"))
+  }
+
   /** Deterministic weighted Bernoulli sampling: keep a row with probability
     * proportional to its weight (`P(keep) = w / w_max`), decided by exact
     * integer arithmetic on an engine-portable hash — no RNG, no floating

@@ -350,6 +350,60 @@ object CurationQueries {
                CAST(rank AS BIGINT) AS rank
         FROM r WHERE rank <= 10 ORDER BY source, rank""")),
 
+    // ----- epoch allocation under a token budget (data-constrained
+    // scaling, Muennighoff et al. 2023): each source's isqrt-temperature
+    // share of a 3x-unique-corpus budget becomes full epochs + a partial
+    // remainder, capped at 3 epochs; refused tokens surface as leftover.
+    // The budget derives from the corpus total inside the same 1-row
+    // broadcast, so the cap boundary lands INSIDE the per-source spread at
+    // every scale factor (some sources cap, others don't — both branches
+    // exercised).
+    Q("q_mix_epochs",
+      (s, dir) =>
+        graft.operators.Curation.epochAllocation(t(s, dir, "documents"),
+            "source", "text", budgetNum = 3L, budgetDen = 1L, maxEpochs = 3L)
+          .orderBy(col("source")),
+      Some(s"""
+        WITH $toksCte,
+        per AS (SELECT source, CAST(SUM(len(t)) AS BIGINT) AS tokens
+                FROM toks GROUP BY source),
+        w AS (SELECT source, tokens,
+                CAST(floor(sqrt(tokens)) AS BIGINT) AS weight FROM per),
+        tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS tw,
+                       CAST(SUM(tokens) AS BIGINT) AS tt FROM w),
+        a AS (SELECT source, tokens, weight,
+                CAST((((tt * 3) // 1) * weight) // tw AS BIGINT) AS alloc_tokens
+              FROM w, tot),
+        e AS (SELECT *, LEAST(alloc_tokens, tokens * 3) AS eff_tokens FROM a)
+        SELECT source, tokens, weight, alloc_tokens,
+               CAST(eff_tokens AS BIGINT) AS eff_tokens,
+               CAST(eff_tokens // tokens AS BIGINT) AS full_epochs,
+               CAST(eff_tokens % tokens AS BIGINT) AS partial_tokens,
+               CAST(alloc_tokens - eff_tokens AS BIGINT) AS leftover
+        FROM e ORDER BY source""")),
+
+    // ----- deterministic shard balance report: Knuth-hash shard assignment
+    // (decorrelated from sequential / per-source id ranges, unlike id mod n)
+    // priced in docs and tokens per shard — the planning step before the
+    // shard writer uses `shard` as its write-partition key.
+    Q("q_shard_balance",
+      (s, dir) =>
+        graft.operators.Curation.shardBalance(t(s, dir, "documents"),
+            "doc_id", "text", nShards = 8)
+          .orderBy(col("shard")),
+      Some(s"""
+        WITH $toksCte,
+        sh AS (SELECT ((doc_id % 2147483647) * 2654435761) % 2147483647 % 8
+                 AS shard, len(t) AS ntok
+               FROM toks),
+        per AS (SELECT shard, COUNT(*) AS n_docs,
+                  CAST(SUM(ntok) AS BIGINT) AS tokens
+                FROM sh GROUP BY shard),
+        tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM per)
+        SELECT CAST(shard AS BIGINT) AS shard, CAST(n_docs AS BIGINT) AS n_docs,
+               tokens, CAST((tokens * 1000000) // tt AS BIGINT) AS tokens_ppm
+        FROM per, tot ORDER BY shard""")),
+
     // ----- curriculum schedule (quality-phased data ordering): phase 0 =
     // best-quality quartile, phase 3 = worst; deterministic Knuth-hash
     // shuffle within each phase. Phase boundaries come from the SCORE

@@ -620,6 +620,42 @@ class CurationSpec extends AnyFunSuite {
     assert(sched.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("epochAllocation: budget shares convert to capped epochs with exact arithmetic") {
+    // src a: 100 tokens, src b: 400 tokens (docs of 10 tokens each).
+    // weights = isqrt: 10, 20; tw = 30; tt = 500; budget = 3*500 = 1500.
+    // alloc_a = 1500*10/30 = 500 → cap 3*100 = 300 binds: eff 300, left 200.
+    // alloc_b = 1500*20/30 = 1000 → under cap 1200: 2 epochs + 200 partial.
+    val docs = (0 until 10).map(i => (i.toLong, "a", ("t " * 10).trim)) ++
+      (10 until 50).map(i => (i.toLong, "b", ("t " * 10).trim))
+    val df = docs.toDF("doc_id", "source", "text")
+    val got = Curation.epochAllocation(df, "source", "text", 3L, 1L, 3L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq == Seq(
+      ("a", 100L, 10L, 500L, 300L, 3L, 0L, 200L),
+      ("b", 400L, 20L, 1000L, 1000L, 2L, 200L, 0L)), s"got ${got.toSeq}")
+    // conservation: alloc = eff + leftover; eff = full*tokens + partial
+    got.foreach { case (_, tk, _, alloc, eff, full, part, left) =>
+      assert(alloc == eff + left && eff == full * tk + part)
+    }
+  }
+
+  test("shardBalance: conserves totals and decorrelates from id patterns") {
+    // ids are all multiples of 8 — `id mod 8` would land EVERY doc in shard
+    // 0; the Knuth hash must still spread them
+    val df = (0 until 64).map(i => ((i * 8).toLong, "w x y z"))
+      .toDF("doc_id", "text")
+    val got = Curation.shardBalance(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._2).sum == 64L)
+    assert(got.map(_._3).sum == 64L * 4)
+    assert(got.length >= 6, s"hash sharding collapsed to ${got.length} shards")
+    // ppm shares sum to ~1e6 (integer floor loses < nShards ppm)
+    val ppm = got.map(_._4).sum
+    assert(ppm > 1000000L - 8 && ppm <= 1000000L)
+  }
+
   test("weightedBernoulli: max-weight rows always kept, inclusion scales with weight") {
     // keep iff h·wmax < P·w — at w = wmax that is h < P, always true
     val n = 2000
