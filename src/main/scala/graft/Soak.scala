@@ -224,6 +224,21 @@ object Soak {
             withMid.filter(col("doc_id") < col("mid")),
             "doc_id", "text", 4).count()
         },
+        // repeated-substring spans (r15): positional anchors are copy-local
+        // on this corpus (no k-gram crosses copies), so true spans grow
+        // linearly; the occurrence cap scales like the DF cutoff. The
+        // island window stays bounded by one pair's overlap at any factor.
+        "dedup_substring_spans" -> { dir =>
+          Dedup.repeatedSpans(docs(dir), "doc_id", "text", 4, 6,
+            maxOccurrences = Tuning.maxShingleDocFreq(spark, nRows(dir))).count()
+        },
+        // the rewrite half: adds the covered-position checkpoint (bounded
+        // by duplicated-token volume) + (id, pos) anti-join + reassembly
+        // of affected docs only
+        "dedup_substring_scrub" -> { dir =>
+          Dedup.scrubRepeatedSpans(docs(dir), "doc_id", "text", 4, 6,
+            maxOccurrences = Tuning.maxShingleDocFreq(spark, nRows(dir))).count()
+        },
         // curation family on the same corpus: chunk-DF boilerplate accounting
         // (one chunk-key shuffle) and train/test shingle decontamination
         "curation_boilerplate" -> { dir =>

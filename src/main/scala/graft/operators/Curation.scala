@@ -1149,8 +1149,19 @@ object Curation {
   def curriculumSchedule(df: DataFrame, idCol: String, textCol: String,
                          stopwords: Seq[String], nPhases: Int): DataFrame = {
     require(nPhases >= 1, s"nPhases must be >= 1: $nPhases")
-    val scored = qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
-      .select(col(idCol), col("score"))
+    // The (id, score) frame feeds TWO consumers — the score histogram and
+    // the phase-join probe — and unshared each would re-run the full
+    // tokenize→score kernel scan (measured as the query's two dominant
+    // stages: 631 + 453 ms of a 1.3 s warm at sf0.1). Checkpointed ONCE
+    // under the CkptCycle per-call-site contract; the frame is two longs
+    // per document (the selectByTokenBudget discipline — cache the narrow
+    // derived frame, never the corpus).
+    val scored = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Curation.curriculumSchedule",
+        "graft.operators.Curation"),
+      qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
+        .select(col(idCol), col("score"))
+        .localCheckpoint(true))
     val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("__c"))
     // The 1-partition window is safe by construction: its input is the
     // score histogram (distinct integer score values), never the corpus.

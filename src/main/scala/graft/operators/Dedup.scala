@@ -808,18 +808,11 @@ object Dedup {
                     minSpanTokens: Int, maxOccurrences: Long = 0L): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     require(minSpanTokens >= k, s"minSpanTokens must be >= k: $minSpanTokens < $k")
-    import org.apache.spark.sql.expressions.Window
     // Positional full-length k-gram hashes: ChunkHashes(stride=1) emits one
     // hash per start position INCLUDING short tails; positions past n-k are
     // cut so every surviving hash covers exactly k tokens. posexplode gives
     // the 0-based start; +1 makes offsets 1-based (oracle list indexing).
-    val base = df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= k)
-      .select(col(idCol), size(col("__t")).as("__n"),
-        posexplode(graft.functions.SketchFns.chunkHashes(col("__t"), k, 1)))
-      .filter(col("pos") <= col("__n") - k)
-      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
-        col("col").as("sh"))
+    val base = positionalAnchors(df, idCol, textCol, k)
     val shared = base.groupBy(col("sh")).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2L &&
         (if (maxOccurrences > 0L) col("__occ") <= maxOccurrences else lit(true)))
@@ -834,8 +827,23 @@ object Dedup {
       .join(kept.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh")), "sh")
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"), col("pa"))
-    // (a_id, pa) determines sh, and (b_id, diag) determines pb, so rows are
-    // unique per (a_id, b_id, diag, pa) and row_number islands are exact.
+    mergeDiagIslands(pairs, k, minSpanTokens)
+      .select(col("a_id"), col("b_id"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("len_tokens"))
+  }
+
+  /** Gaps-and-islands merge of anchor matches into maximal spans: input
+    * (a_id, b_id, diag, pa) — one row per shared k-gram anchor, UNIQUE per
+    * (a_id, b_id, diag, pa) ((a_id, pa) determines the hash and
+    * (b_id, diag) the partner position, so row_number islands are exact) —
+    * output (a_id, b_id, diag, start_a, len_tokens) per maximal run of
+    * consecutive pa on a diagonal. The window partitions by
+    * (a_id, b_id, diag): bounded by one pair's overlap length, never a
+    * global or skewed key.
+    */
+  private def mergeDiagIslands(pairs: DataFrame, k: Int,
+                               minSpanTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("pa"))
     pairs
       .withColumn("__isl", col("pa") - row_number().over(w))
@@ -843,8 +851,66 @@ object Dedup {
       .agg(min(col("pa")).as("start_a"), count(lit(1)).as("__run"))
       .withColumn("len_tokens", col("__run") + lit((k - 1).toLong))
       .filter(col("len_tokens") >= minSpanTokens)
-      .select(col("a_id"), col("b_id"), col("start_a"),
-        (col("start_a") - col("diag")).as("start_b"), col("len_tokens"))
+  }
+
+  /** Positional anchor rows of a corpus — (sh, doc_id, pos), the
+    * PERSISTABLE index side of the incremental substring gate (the
+    * repeated-span analogue of [[bandIndex]]): write it once
+    * (`Warehouse.write("anchor_index", …)`) and every later batch checks
+    * for verbatim overlap against history without re-shingling the corpus.
+    * One row per token position, three longs — the substring-granular
+    * index is inherently position-dense (the suffix-array it replaces is
+    * the same size class); `maxOccurrences` drops ubiquitous k-grams at
+    * BUILD time, so probe fan-out is capped before any batch arrives.
+    */
+  def anchorIndex(df: DataFrame, idCol: String, textCol: String, k: Int,
+                  maxOccurrences: Long = 0L): DataFrame = {
+    val base = positionalAnchors(df, idCol, textCol, k)
+    if (maxOccurrences <= 0L) base
+    else {
+      val ok = base.groupBy(col("sh")).agg(count(lit(1)).as("__occ"))
+        .filter(col("__occ") <= maxOccurrences).select(col("sh"))
+      base.join(ok, "sh")
+    }
+  }
+
+  /** The positional k-gram hash stage shared by [[repeatedSpans]] and
+    * [[anchorIndex]]: (idCol, pos, sh), 1-based full-length-k positions.
+    */
+  private def positionalAnchors(df: DataFrame, idCol: String, textCol: String,
+                                k: Int): DataFrame =
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol), size(col("__t")).as("__n"),
+        posexplode(graft.functions.SketchFns.chunkHashes(col("__t"), k, 1)))
+      .filter(col("pos") <= col("__n") - k)
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("sh"))
+
+  /** Incremental repeated-substring gate: maximal spans each NEW document
+    * shares with the indexed HISTORY — the daily-batch shape of
+    * [[repeatedSpans]], where yesterday's corpus is already a persisted
+    * [[anchorIndex]] and only the batch pays anchor cost. Returns one row
+    * per new doc with at least one qualifying span:
+    * (idCol, n_spans, max_span_tokens); callers left-join and treat absent
+    * as clean (same contract as [[tagAgainstBandIndex]]).
+    *
+    * Scale: the probe joins batch anchors against the index on `sh` —
+    * fan-out bounded by the index's build-time occurrence cap; the island
+    * window partitions per (new doc, index doc, diagonal).
+    */
+  def tagSpansAgainstIndex(newDf: DataFrame, index: DataFrame, idCol: String,
+                           textCol: String, k: Int,
+                           minSpanTokens: Int): DataFrame = {
+    val newA = positionalAnchors(newDf, idCol, textCol, k)
+    // island columns: a_id = NEW doc (pa = its position), b_id = index doc
+    val pairs = newA.select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))
+      .join(index.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh")), "sh")
+      .select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"), col("pa"))
+    mergeDiagIslands(pairs, k, minSpanTokens)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("len_tokens")).as("max_span_tokens"))
+      .select(col("a_id").as(idCol), col("n_spans"), col("max_span_tokens"))
   }
 
   /** The rewrite half of [[repeatedSpans]] — Lee et al. 2022's keep-first

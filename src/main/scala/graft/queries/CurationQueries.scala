@@ -439,6 +439,67 @@ object CurationQueries {
         FROM sc s JOIN cuts c USING (score), tot
         ORDER BY phase, ord, s.doc_id""")),
 
+    // ----- training-run data plan CAPSTONE (round-15 composition): the
+    // curriculum scheduler's quality phases crossed with a second
+    // independent Knuth-hash shard split, accounted in docs and tokens per
+    // (phase, shard) cell under ONE oracle — the plan a shard writer
+    // executes to stream a quality-annealed, evenly-sharded corpus. The
+    // shard hash uses a DIFFERENT multiplier than the within-phase shuffle
+    // so position-in-phase and shard are decorrelated.
+    Q("q_training_plan",
+      (s, dir) => {
+        val sched = graft.operators.Curation.curriculumSchedule(
+          t(s, dir, "documents"), "doc_id", "text", Seq("a", "the"), nPhases = 4)
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(TextFns.tokens(col("text"))).cast(LongType).as("ntok"))
+        val per = sched.join(docs, Seq("doc_id"))
+          .withColumn("shard",
+            pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2246822519L),
+              lit(2147483647L)) % 4)
+          .groupBy(col("phase"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+        val tot = per.agg(sum(col("tokens")).as("__tt"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("tokens_ppm",
+            expr("CAST((tokens * 1000000L) DIV __tt AS BIGINT)"))
+          .select(col("phase"), col("shard"), col("n_docs"), col("tokens"),
+            col("tokens_ppm"))
+          .orderBy(col("phase"), col("shard"))
+      },
+      Some(s"""
+        WITH $toksCte,
+        g AS (SELECT doc_id, len(t) AS ntok, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id, ntok,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g),
+        hist AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY score),
+        cuts AS (SELECT score,
+                   COALESCE(SUM(c) OVER (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+                 FROM hist),
+        tot AS (SELECT COUNT(*) AS n FROM sc),
+        ph AS (SELECT s.doc_id, s.ntok,
+                 CAST((c.st * 4) // tot.n AS BIGINT) AS phase
+               FROM sc s JOIN cuts c USING (score), tot),
+        sh AS (SELECT phase,
+                 ((doc_id % 2147483647) * 2246822519) % 2147483647 % 4 AS shard,
+                 ntok
+               FROM ph),
+        per AS (SELECT phase, shard, COUNT(*) AS n_docs,
+                  CAST(SUM(ntok) AS BIGINT) AS tokens
+                FROM sh GROUP BY phase, shard),
+        t2 AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt FROM per)
+        SELECT phase, CAST(shard AS BIGINT) AS shard,
+               CAST(n_docs AS BIGINT) AS n_docs, tokens,
+               CAST((tokens * 1000000) // tt AS BIGINT) AS tokens_ppm
+        FROM per, t2 ORDER BY phase, shard""")),
+
     // ----- deterministic weighted Bernoulli sample: P(keep) = w / w_max
     // decided by exact integer arithmetic on the Knuth id-hash — the
     // probabilistic sibling of the best-first source cap (keeps the

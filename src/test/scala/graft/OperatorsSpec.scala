@@ -491,6 +491,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("tagSpansAgainstIndex: batch docs report spans vs history only") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val hist = Seq((1L, s"a1 a2 a3 a4 $span a5 a6"),
+      (2L, "h1 h2 h3 h4 h5 h6 h7 h8")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"$span b1 b2"),            // shares the 8-token span with doc 1
+      (11L, "n1 n2 n3 n4 n5 n6 n7 n8"), // novel — no row
+      // shares a span with ANOTHER BATCH doc only — the one-sided gate
+      // must NOT flag intra-batch overlap (that's the batch's own
+      // repeatedSpans pass)
+      (12L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+      (13L, "q1 q2 q3 q4 q5 q6 q7 q8 q9")).toDF("doc_id", "text")
+    val idx = Dedup.anchorIndex(hist, "doc_id", "text", 4)
+    val got = Dedup.tagSpansAgainstIndex(batch, idx, "doc_id", "text", 4, 6)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 1L, 8L)), s"got ${got.toSeq}")
+    // build-time occurrence cap: capping at 0 occurrences per k-gram is
+    // impossible-to-hit only via maxOccurrences >= 1; cap 1 keeps doc 1's
+    // anchors (each k-gram once in history) so the gate still fires
+    val idxCap = Dedup.anchorIndex(hist, "doc_id", "text", 4, maxOccurrences = 1L)
+    assert(Dedup.tagSpansAgainstIndex(batch, idxCap, "doc_id", "text", 4, 6)
+      .count() == 1L)
+  }
+
   test("scrubRepeatedSpans keep-first: later docs lose covered ranges, earliest untouched") {
     val span = "s1 s2 s3 s4 s5 s6 s7 s8"
     val df = Seq(
