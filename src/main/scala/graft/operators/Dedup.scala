@@ -812,7 +812,17 @@ object Dedup {
     // hash per start position INCLUDING short tails; positions past n-k are
     // cut so every surviving hash covers exactly k tokens. posexplode gives
     // the 0-based start; +1 makes offsets 1-based (oracle list indexing).
-    val base = positionalAnchors(df, idCol, textCol, k)
+    // Checkpointed ONCE under the CkptCycle per-call-site contract: the
+    // stage feeds the occurrence aggregate AND the prefilter join, and
+    // unshared each consumer re-runs the serial scan→tokenize→ChunkHashes
+    // kernel stage (FixedCostProbe measured it twice at 533 + 367 ms of a
+    // 1.67 s warm). Same tradeoff ngramShingleStage documents: (long,
+    // long, long) rows cost ~24 bytes per token position vs re-tokenizing
+    // the corpus once per consumer.
+    val base = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.repeatedSpans",
+        "graft.operators.Dedup"),
+      positionalAnchors(df, idCol, textCol, k).localCheckpoint(true))
     val shared = base.groupBy(col("sh")).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2L &&
         (if (maxOccurrences > 0L) col("__occ") <= maxOccurrences else lit(true)))
@@ -913,6 +923,31 @@ object Dedup {
       .select(col("a_id").as(idCol), col("n_spans"), col("max_span_tokens"))
   }
 
+  /** The keep-first coverage set of [[repeatedSpans]]: (idCol, pos) — the
+    * union of 1-based token positions each LATER document shares with an
+    * earlier one (overlapping spans from several earlier partners collapse
+    * in the distinct). The shared spine of the scrub and the coverage
+    * diagnostic. Checkpointed ONCE under the CkptCycle per-call-site
+    * contract: downstream consumers (affected-doc prefilter, anti-join,
+    * per-source accounting) would otherwise each re-evaluate the whole
+    * span subtree — 14 parquet scans measured by PlanLintSpec on the
+    * unshared scrub. The frame is bounded by the corpus's DUPLICATED
+    * token volume, not the corpus.
+    */
+  def coveredPositions(df: DataFrame, idCol: String, textCol: String, k: Int,
+                       minSpanTokens: Int,
+                       maxOccurrences: Long = 0L): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k, minSpanTokens, maxOccurrences)
+    graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.coveredPositions",
+        "graft.operators.Dedup"),
+      spans
+        .select(col("b_id").as(idCol),
+          explode(expr("sequence(start_b, start_b + len_tokens - 1)")).as("pos"))
+        .distinct()
+        .localCheckpoint(true))
+  }
+
   /** The rewrite half of [[repeatedSpans]] — Lee et al. 2022's keep-first
     * policy: every token range a LATER document (larger id) shares with an
     * earlier one is removed from the later document; the earliest document
@@ -930,22 +965,8 @@ object Dedup {
     */
   def scrubRepeatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
                          minSpanTokens: Int, maxOccurrences: Long = 0L): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, k, minSpanTokens, maxOccurrences)
-    // Union of covered 1-based positions per later-doc; overlapping spans
-    // (several earlier partners) collapse in the distinct. Checkpointed
-    // ONCE under the CkptCycle per-call-site contract: three consumers
-    // (affected, the doc prefilter, the anti-join) would otherwise each
-    // re-evaluate the whole span subtree — 14 parquet scans measured by
-    // PlanLintSpec on the unshared form. The frame is bounded by the
-    // corpus's DUPLICATED token volume, not the corpus.
-    val covered = graft.CkptCycle.cycle(
-      graft.CkptCycle.callSiteKey("Dedup.scrubRepeatedSpans",
-        "graft.operators.Dedup"),
-      spans
-        .select(col("b_id").as(idCol),
-          explode(expr("sequence(start_b, start_b + len_tokens - 1)")).as("pos"))
-        .distinct()
-        .localCheckpoint(true))
+    val covered = coveredPositions(df, idCol, textCol, k, minSpanTokens,
+      maxOccurrences)
     val affected = covered.select(col(idCol)).distinct()
     val docs = df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
       .join(affected, Seq(idCol))

@@ -807,6 +807,48 @@ object TextQueries {
         FROM docs d LEFT JOIN re USING (doc_id)
         ORDER BY d.doc_id""")),
 
+    // ----- span-coverage diagnostic: what fraction of each source's tokens
+    // is verbatim-duplicated from an earlier document (the "how duplicated
+    // is my corpus" measurement run BEFORE committing a substring-dedup
+    // pass — the corpus-health twin of the scrub). Rides the shared
+    // covered-positions checkpoint; one (id, pos) aggregate + one
+    // source-keyed accounting aggregate.
+    Q("q_dedup_span_coverage",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val cov = Dedup.coveredPositions(d, "doc_id", "text", 4, 6, 64L)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_tokens"))
+        d.select(col("doc_id"), col("source"),
+            size(TextFns.tokens(col("text"))).cast(LongType).as("ntok"))
+          .join(cov, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("tokens"),
+            sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+            count(when(col("dup_tokens").isNotNull, 1)).as("n_affected"))
+          .withColumn("dup_ppm",
+            expr("CAST((dup_tokens * 1000000L) DIV tokens AS BIGINT)"))
+          .orderBy(col("source"))
+      },
+      Some(s"""$spanCte,
+        cov AS (
+          SELECT DISTINCT b_id AS doc_id,
+                 unnest(range(start_a - diag, start_a - diag + len_tokens)) AS pos
+          FROM sp WHERE len_tokens >= 6
+        ), cd AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id),
+        dt AS (
+          SELECT t.doc_id, d.source, len(t.t) AS ntok, cd.dup_tokens
+          FROM toks t JOIN documents d USING (doc_id)
+          LEFT JOIN cd USING (doc_id)
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS tokens,
+               CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+               COUNT(CASE WHEN dup_tokens IS NOT NULL THEN 1 END) AS n_affected,
+               CAST((SUM(COALESCE(dup_tokens, 0)) * 1000000) // SUM(ntok)
+                    AS BIGINT) AS dup_ppm
+        FROM dt GROUP BY source ORDER BY source""")),
+
     // ----- incremental repeated-substring gate (the daily-batch shape of
     // the span family, completing the incremental symmetry exact/minhash/
     // substring): history's positional anchor index is built once (with
