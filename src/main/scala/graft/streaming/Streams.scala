@@ -427,6 +427,86 @@ object Streams {
       .start()
 
   // ---------------------------------------------------------------------
+  // Streaming repeated-SUBSTRING gate: the operational form of the span
+  // family (Dedup.repeatedSpans) — history's positional anchors persist as
+  // a warehouse table, each arriving micro-batch is probed for verbatim
+  // spans >= minSpanTokens against EARLIER batches' survivors, clean docs
+  // flow to the idempotent sink and their anchors append the index. Same
+  // crash-window protocol as the band gate: the index merge carries
+  // min-batch-id semantics and the probe filters batch_id < batchId, so a
+  // replay after a death between the index swap and the output marker
+  // cannot self-collide or grow the table.
+  //
+  // Scale: the probe moves (sh, pos) longs only; per-batch anchors are
+  // occurrence-capped at build. A hash that stays ubiquitous ACROSS
+  // batches accumulates up to cap rows per batch — production deployments
+  // re-apply the cap during periodic index compaction
+  // (Warehouse.compactSmallFiles pass over the anchor table), which
+  // changes no gate semantics since capped hashes only ever REMOVE probe
+  // fan-out.
+  // ---------------------------------------------------------------------
+
+  /** Anchor-index table schema for the streaming substring gate. */
+  val anchorIndexSchema: StructType = StructType(Seq(
+    StructField("sh", LongType), StructField("doc_id", LongType),
+    StructField("pos", LongType), StructField("batch_id", LongType)))
+
+  /** The foreachBatch body, callable directly in tests and replay drills.
+    * Returns false when `batchId` was already fully committed (pure replay).
+    */
+  def substringGateBatch(batch: DataFrame, wh: graft.airbnb.Warehouse,
+      indexTable: String, outDir: String, batchId: Long, idCol: String,
+      textCol: String, k: Int, minSpanTokens: Int,
+      maxOccurrences: Long = 0L): Boolean = {
+    val spark = batch.sparkSession
+    val dir = batchDir(outDir, batchId)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dir, "_COMMITTED"))) return false
+    val idx = wh.readOrEmpty(indexTable, anchorIndexSchema)
+    val tags = graft.operators.Dedup.tagSpansAgainstIndex(batch,
+      idx.filter(col("batch_id") < batchId)
+        .select(col("doc_id").as(idCol), col("pos"), col("sh")),
+      idCol, textCol, k, minSpanTokens)
+    // materialize survivors BEFORE the index swap (the band-gate rule: a
+    // lazy plan still reading the swapped table would FILE_NOT_EXIST)
+    val survivors = batch.join(tags.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    try {
+      val merged = idx.unionByName(
+          graft.operators.Dedup.anchorIndex(survivors, idCol, textCol, k,
+              maxOccurrences)
+            .select(col(idCol).as("doc_id"), col("pos"), col("sh"))
+            .withColumn("batch_id", lit(batchId)))
+        .groupBy(col("sh"), col("doc_id"), col("pos"))
+        .agg(min(col("batch_id")).as("batch_id"))
+      wh.write(indexTable, merged)
+      writeBatchIdempotent(survivors, outDir, batchId)
+    } finally survivors.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Start the streaming substring gate on a documents stream. The triple
+    * (checkpointDir, outDir, index table) is the unit of exactly-once
+    * recovery.
+    */
+  def startSubstringGate(docs: DataFrame, wh: graft.airbnb.Warehouse,
+      indexTable: String, outDir: String, checkpointDir: String, idCol: String,
+      textCol: String, k: Int, minSpanTokens: Int,
+      maxOccurrences: Long = 0L,
+      queryName: String = "substring_gate"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        substringGateBatch(batch.toDF(), wh, indexTable, outDir, batchId,
+          idCol, textCol, k, minSpanTokens, maxOccurrences): Unit
+      }
+      .start()
+
+  // ---------------------------------------------------------------------
   // Streaming decontamination gate: the operational half of the
   // Curation.decontaminate family — an evaluation suite is shingled ONCE
   // into a persisted hash table (buildEvalShingleIndex), and every

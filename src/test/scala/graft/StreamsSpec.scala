@@ -311,6 +311,74 @@ class StreamsSpec extends AnyFunSuite {
     assert(!Streams.corpusIngestBatch(b2, wh, out, 2L, "doc_id", "text", 5, 4))
   }
 
+  test("streaming substring gate drops span-sharing docs and survives crash-replay") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-sgate-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-sgate-out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-sgate-ckp").toString
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-sgate-wh").toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def stream = spark.readStream.schema(schema).parquet(src.toString)
+    def addDocs(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sgate-one")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(name))
+    }
+    def committedIds: Set[Long] = Streams.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val span = "s1 s2 s3 s4 s5 s6 s7"         // 7 tokens >= minSpanTokens 6
+    val tA = s"a1 a2 $span a3"                // holds the span
+    val tB = "one two three four five six seven eight nine"
+    val tC = s"c1 c2 c3 $span"                // quotes batch-0's span
+    val tD = "north south east west up down left right front"
+
+    // batch 0: empty index — both docs novel, anchors seed the index
+    addDocs("b0.parquet", Seq(1L -> tA, 2L -> tB))
+    val q0 = Streams.startSubstringGate(stream, wh, "anchor_index", out, ckp,
+      "doc_id", "text", 4, 6, queryName = "sgate_0")
+    try q0.processAllAvailable() finally q0.stop()
+    assert(committedIds == Set(1L, 2L))
+
+    // batch 1: doc 3 quotes doc 1's span at a DIFFERENT offset → dropped;
+    // doc 4 is novel
+    addDocs("b1.parquet", Seq(3L -> tC, 4L -> tD))
+    val q1 = Streams.startSubstringGate(stream, wh, "anchor_index", out, ckp,
+      "doc_id", "text", 4, 6, queryName = "sgate_1")
+    try q1.processAllAvailable() finally q1.stop()
+    assert(committedIds == Set(1L, 2L, 4L))
+
+    // crash drill: batch 2 completes, then its committed output is deleted
+    // while the index merge stays — the death window between swap and marker
+    val tE = s"e1 e2 e3 e4 $span"             // quotes the span again
+    val tF = "f1 f2 f3 f4 f5 f6 f7 f8 f9"
+    val b2 = Seq(5L -> tE, 6L -> tF).toDF("doc_id", "text")
+    assert(Streams.substringGateBatch(b2, wh, "anchor_index", out, 2L,
+      "doc_id", "text", 4, 6))
+    val b2dir = new org.apache.hadoop.fs.Path(out, "batch-000000002")
+    val gfs = b2dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(gfs.delete(b2dir, true), "no batch-2 output to crash")
+    // replay: doc 6's own anchors sit in the index under batch_id=2, but
+    // the probe filters batch_id < 2 — no self-collision, 6 survives
+    // again; doc 5 still shares the span with batch-0's doc 1
+    assert(Streams.substringGateBatch(b2, wh, "anchor_index", out, 2L,
+      "doc_id", "text", 4, 6))
+    assert(committedIds == Set(1L, 2L, 4L, 6L))
+    // pure replay (marker present) is a no-op
+    assert(!Streams.substringGateBatch(b2, wh, "anchor_index", out, 2L,
+      "doc_id", "text", 4, 6))
+    // each anchor appears once, owned by the batch that FIRST contributed it
+    val idx = wh.read("anchor_index")
+    assert(idx.groupBy("sh", "doc_id", "pos").count()
+      .filter($"count" > 1).count() == 0L)
+    assert(idx.filter($"doc_id" === 3L || $"doc_id" === 5L).count() == 0L,
+      "dropped docs must not contribute anchors")
+  }
+
   test("streaming near-dup gate tags across batches and survives crash-replay") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val src = java.nio.file.Files.createTempDirectory("graft-gate-src")
