@@ -354,7 +354,13 @@ object Soak {
             .groupBy(col("source")).agg(count(lit(1))).count()
         })
       println(f"${"dedup op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s (docs x$dedupFactor, dfcut)")
-      runs.foreach { case (name, f) =>
+      // SPARK_GRAFT_SOAK_DEDUP_ONLY=<substr>[,<substr>…] narrows the section
+      // — a local iteration aid for re-soaking one family at a big factor
+      // without paying the whole sweep (the main-sweep args convention)
+      val only = sys.env.get("SPARK_GRAFT_SOAK_DEDUP_ONLY")
+        .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      runs.filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+        .foreach { case (name, f) =>
         // warm BOTH sides: timing the big corpus cold would fold plan codegen
         // and first-touch I/O into exactly the ratio this section reports.
         // Scrub caches + cycled checkpoints between runs (the main-sweep

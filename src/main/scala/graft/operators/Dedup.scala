@@ -923,6 +923,66 @@ object Dedup {
       .select(col("a_id").as(idCol), col("n_spans"), col("max_span_tokens"))
   }
 
+  /** Re-apply the occurrence cap to a (possibly merged) [[anchorIndex]]
+    * corpus-wide — the compaction pass the streaming substring gate's
+    * scaladoc names: per-batch caps bound each batch's contribution, but a
+    * hash that stays ubiquitous ACROSS batches accumulates up to cap rows
+    * per batch; running this during periodic index maintenance (e.g.
+    * alongside `Warehouse.compactSmallFiles`) restores the global bound.
+    * Capping only ever REMOVES probe fan-out, so gate semantics cannot
+    * change — a span that survives compaction was findable before it.
+    * Extra columns (batch_id) pass through untouched.
+    */
+  def compactAnchorIndex(index: DataFrame, maxOccurrences: Long): DataFrame = {
+    require(maxOccurrences > 0, s"maxOccurrences must be positive: $maxOccurrences")
+    val ok = index.groupBy(col("sh")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") <= maxOccurrences).select(col("sh"))
+    index.join(ok, "sh")
+  }
+
+  /** WITHIN-document repeated span detection — the positional half of the
+    * Gopher repetition signals (those report duplicate-line RATIOS; this
+    * reports WHERE a document repeats itself): maximal pairs of identical
+    * >= minSpanTokens token ranges inside one document, the
+    * template/boilerplate-inside-a-document diagnostic (repeated headers,
+    * footers, navigation blocks in a scraped page). Output
+    * (idCol, start_a, start_b, len_tokens) with start_a < start_b, one row
+    * per maximal repeated range pair; a range repeated r times yields
+    * r·(r−1)/2 pairs (the oracle-exact convention — consumers dedupe on
+    * start_a if they want occurrence groups).
+    *
+    * Same anchor/diagonal machinery as [[repeatedSpans]] with the pair
+    * join confined WITHIN the document: anchors join on (id, sh), so the
+    * shuffle keys on the document id and no cross-document pair ever
+    * forms. `maxOccurrences` caps a hash's within-corpus occurrences
+    * exactly as in [[repeatedSpans]].
+    */
+  def repeatedSpansWithinDoc(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, minSpanTokens: Int,
+                             maxOccurrences: Long = 0L): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(minSpanTokens >= k, s"minSpanTokens must be >= k: $minSpanTokens < $k")
+    val base = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.repeatedSpansWithinDoc",
+        "graft.operators.Dedup"),
+      positionalAnchors(df, idCol, textCol, k).localCheckpoint(true))
+    val shared = base.groupBy(col("sh")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2L &&
+        (if (maxOccurrences > 0L) col("__occ") <= maxOccurrences else lit(true)))
+      .select(col("sh"))
+    val kept = base.join(shared, "sh")
+    val pairs = kept.select(col(idCol), col("pos").as("pa"), col("sh"))
+      .hint("shuffle_hash")
+      .join(kept.select(col(idCol), col("pos").as("pb"), col("sh")),
+        Seq(idCol, "sh"))
+      .filter(col("pa") < col("pb"))
+      .select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+        (col("pa") - col("pb")).as("diag"), col("pa"))
+    mergeDiagIslands(pairs, k, minSpanTokens)
+      .select(col("a_id").as(idCol), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("len_tokens"))
+  }
+
   /** The keep-first coverage set of [[repeatedSpans]]: (idCol, pos) — the
     * union of 1-based token positions each LATER document shares with an
     * earlier one (overlapping spans from several earlier partners collapse

@@ -849,6 +849,49 @@ object TextQueries {
                     AS BIGINT) AS dup_ppm
         FROM dt GROUP BY source ORDER BY source""")),
 
+    // ----- WITHIN-document repeated spans (the positional half of the
+    // Gopher repetition signals — those report duplicate ratios, this
+    // reports WHERE a document repeats itself): maximal pairs of identical
+    // word bigram-anchored ranges >= 3 tokens inside one document. The
+    // pair join keys on (doc_id, anchor) so no cross-document pair ever
+    // forms; occurrence cap mirrored as in the cross-doc family.
+    Q("q_dedup_spans_within",
+      (s, dir) =>
+        Dedup.repeatedSpansWithinDoc(t(s, dir, "documents"), "doc_id", "text",
+            k = 2, minSpanTokens = 3, maxOccurrences = 64L)
+          .orderBy(col("doc_id"), col("start_a"), col("start_b")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ), p0 AS (
+          SELECT doc_id, t, unnest(range(1, len(t))) AS i
+          FROM toks WHERE len(t) >= 2
+        ), pos AS (
+          SELECT doc_id, i, t[i] || ' ' || t[i+1] AS sh FROM p0
+        ), shared AS (
+          SELECT sh FROM pos GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 64
+        ), kept AS (
+          SELECT p.doc_id, p.i, p.sh FROM pos p JOIN shared USING (sh)
+        ), pr AS (
+          SELECT a.doc_id, a.i - b.i AS diag, a.i AS pa
+          FROM kept a JOIN kept b
+            ON a.doc_id = b.doc_id AND a.sh = b.sh AND a.i < b.i
+        ), isl AS (
+          SELECT doc_id, diag, pa,
+                 pa - ROW_NUMBER() OVER (PARTITION BY doc_id, diag
+                   ORDER BY pa) AS g
+          FROM pr
+        ), sp AS (
+          SELECT doc_id, diag, MIN(pa) AS start_a, COUNT(*) + 1 AS len_tokens
+          FROM isl GROUP BY doc_id, diag, g
+        )
+        SELECT doc_id, CAST(start_a AS BIGINT) AS start_a,
+               CAST(start_a - diag AS BIGINT) AS start_b,
+               CAST(len_tokens AS BIGINT) AS len_tokens
+        FROM sp WHERE len_tokens >= 3
+        ORDER BY doc_id, start_a, start_b""")),
+
     // ----- incremental repeated-substring gate (the daily-batch shape of
     // the span family, completing the incremental symmetry exact/minhash/
     // substring): history's positional anchor index is built once (with

@@ -491,6 +491,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("repeatedSpansWithinDoc finds internal repeats, never cross-doc pairs") {
+    val df = Seq(
+      // "h1 h2 h3" repeats at 1-based positions 1 and 7 → one maximal
+      // 3-token pair; the shorter "x y" repeat (4-5, 10-11) also emits
+      (1L, "h1 h2 h3 x y a1 h1 h2 h3 x y"),
+      // doc 2 contains doc 1's phrase — must NOT pair across docs
+      (2L, "h1 h2 h3 unique tail content here"),
+      (3L, "n1 n2 n3 n4 n5 n6 n7")).toDF("doc_id", "text")
+    val got = Dedup.repeatedSpansWithinDoc(df, "doc_id", "text", 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // spans: "h1 h2 h3 x y" actually repeats as a WHOLE 5-token block
+    // (positions 1-5 vs 7-11) — maximality must merge it into ONE pair
+    assert(got.toSeq == Seq((1L, 1L, 7L, 5L)), s"got ${got.toSeq}")
+  }
+
+  test("compactAnchorIndex re-applies the occurrence cap corpus-wide") {
+    val b0 = Seq((1L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val b1 = Seq((2L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val merged = Dedup.anchorIndex(b0, "doc_id", "text", 4, maxOccurrences = 1L)
+      .unionByName(Dedup.anchorIndex(b1, "doc_id", "text", 4, maxOccurrences = 1L))
+    // each batch respected cap=1 but the merged index holds every hash
+    // twice — the cross-batch drift the compaction pass exists to fix
+    assert(merged.groupBy("sh").count().filter(col("count") > 1).count() > 0L)
+    val compacted = Dedup.compactAnchorIndex(merged, 1L)
+    assert(compacted.count() == 0L) // every hash now over the global cap
+    // a cap the merged index satisfies passes everything through
+    assert(Dedup.compactAnchorIndex(merged, 2L).count() == merged.count())
+  }
+
   test("tagSpansAgainstIndex: batch docs report spans vs history only") {
     val span = "s1 s2 s3 s4 s5 s6 s7 s8"
     val hist = Seq((1L, s"a1 a2 a3 a4 $span a5 a6"),
