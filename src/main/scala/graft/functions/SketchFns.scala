@@ -52,6 +52,13 @@ object SketchFns {
     GraftColumnBridge.column(graft.plans.WinnowFingerprints(
       GraftColumnBridge.expression(tokens), k, w))
 
+  /** Positional robust-winnowing anchors (pos, h) of a token-array column —
+    * the sparse anchor set behind repeatedSpansSparse (internal keys).
+    */
+  def winnowAnchors(tokens: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(graft.plans.WinnowAnchors(
+      GraftColumnBridge.expression(tokens), k, w))
+
   /** Distinct 64-bit shingle hashes of a token-array column — internal
     * join keys for operators that never surface the shingle text.
     */

@@ -923,6 +923,67 @@ object Dedup {
       .select(col("a_id").as(idCol), col("n_spans"), col("max_span_tokens"))
   }
 
+  /** Sparse positional anchors — the robust-winnowing selection of
+    * [[positionalAnchors]]: (idCol, pos, sh) for ~1/w of the positions.
+    * The 100 TB INDEX-SIZE path for substring dedup: the dense anchor
+    * index carries three longs per token; this carries three longs per
+    * SELECTED position, and the winnowing coverage guarantee (every
+    * window of w consecutive k-gram positions holds a selection) makes
+    * candidate generation from it EXACT for spans >= w + k - 1 tokens.
+    */
+  def sparseAnchors(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, w: Int): DataFrame =
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol),
+        explode(graft.functions.SketchFns.winnowAnchors(col("__t"), k, w)).as("__a"))
+      .select(col(idCol), (col("__a.pos") + 1).cast(LongType).as("pos"),
+        col("__a.h").as("sh"))
+
+  /** [[repeatedSpans]] through a SPARSE candidate stage — exact by the
+    * winnowing guarantee: two copies of the same >= w+k-1 token span
+    * contain at least one full anchor window interior to the span, whose
+    * rightmost-minimum selection depends only on the shared content, so
+    * both copies select the same span-relative anchor and the pair
+    * surfaces as a sparse-anchor collision. Dense anchors then
+    * materialize ONLY for candidate documents and the island merge runs
+    * only on candidate pairs — identical output to
+    * `repeatedSpans(df, …, k, minSpanTokens)` (uncapped) whenever
+    * `minSpanTokens >= w + k - 1`, at ~1/w the global index size.
+    *
+    * Scale: the sparse self-join is the only corpus-wide exchange; the
+    * dense verify is bounded by candidate-document volume (true-duplicate
+    * content plus sparse-hash coincidences). Production persists
+    * `sparseAnchors` as the global index and runs the dense stage per
+    * candidate batch.
+    */
+  def repeatedSpansSparse(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, minSpanTokens: Int, w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1: $w")
+    require(minSpanTokens >= w + k - 1,
+      s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
+    val sp = sparseAnchors(df, idCol, textCol, k, w)
+    val cand = sp.select(col(idCol).as("a_id"), col("sh"))
+      .join(sp.select(col(idCol).as("b_id"), col("sh")), "sh")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+      .localCheckpoint(true)
+    val candFrame = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.repeatedSpansSparse",
+        "graft.operators.Dedup"), cand)
+    val candDocs = candFrame.select(col("a_id").as(idCol))
+      .unionByName(candFrame.select(col("b_id").as(idCol))).distinct()
+    val dense = positionalAnchors(df.join(candDocs, Seq(idCol)), idCol, textCol, k)
+    val pairs = dense.select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))
+      .hint("shuffle_hash")
+      .join(dense.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh")), "sh")
+      .join(candFrame.hint("broadcast"), Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"), col("pa"))
+    mergeDiagIslands(pairs, k, minSpanTokens)
+      .select(col("a_id"), col("b_id"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("len_tokens"))
+  }
+
   /** Re-apply the occurrence cap to a (possibly merged) [[anchorIndex]]
     * corpus-wide — the compaction pass the streaming substring gate's
     * scaladoc names: per-batch caps bound each batch's contribution, but a

@@ -239,6 +239,50 @@ object SketchKernels {
     * one full window contributes its global minimum (the paper's
     * short-document rule, matching TextFns.winnowExpr's CASE).
     */
+  /** POSITIONAL robust-winnowing anchors: (0-based start, 64-bit hash) of
+    * the rightmost window-minimum k-gram in every window of `w` consecutive
+    * k-gram positions, consecutive re-selections collapsed — the sparse
+    * anchor set behind `Dedup.repeatedSpansSparse`. Two properties carry
+    * the exactness guarantee there:
+    *   - COVERAGE: every window of `w` consecutive k-gram positions
+    *     contains at least one selected position (its rightmost minimum is
+    *     selected when first reached);
+    *   - SELF-SYNCHRONIZATION: selection inside a window depends only on
+    *     the window's hash values, so two copies of the same >= w+k-1
+    *     token span select the same span-relative anchor positions.
+    * Internal join keys only ([[shingleHash64]] family — no oracle
+    * portability needed; the sparse stage only NOMINATES candidate pairs,
+    * the dense verify is what the oracle replays). A document shorter
+    * than one full window contributes its rightmost global minimum.
+    */
+  def winnowAnchors(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var p = 0
+    while (p < m) { hs(p) = shingleHash64(tokens, p, k); p += 1 }
+    def row(pos: Int): Any =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](pos.toLong, hs(pos)))
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    if (m < w) {
+      var best = 0; var i = 1
+      while (i < m) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      out += row(best)
+    } else {
+      var last = -1
+      var j = 0
+      while (j <= m - w) {
+        var best = j; var i = j + 1
+        while (i < j + w) { if (hs(i) <= hs(best)) best = i; i += 1 }
+        if (best != last) { out += row(best); last = best }
+        j += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def winnowFingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
     val n = tokens.numElements()
     if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
@@ -478,6 +522,30 @@ case class PolyHashEach(child: Expression)
 /** array<string> tokens → array<long> winnowing fingerprints (oracle-
   * portable polyHash values; see SketchKernels.winnowFingerprints).
   */
+/** array<string> tokens → array<struct<pos:long, h:long>> positional
+  * robust-winnowing anchors (see SketchKernels.winnowAnchors).
+  */
+case class WinnowAnchors(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+  override def fnName: String = "winnow_anchors"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.winnowAnchors(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.winnowAnchors($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
+    copy(child = newChild)
+}
+
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression with TokenArrayInput {
   require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")

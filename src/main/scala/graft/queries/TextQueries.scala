@@ -119,9 +119,9 @@ object TextQueries {
     * Yields CTEs `toks(doc_id, t)` and `sp(a_id, b_id, diag, start_a,
     * len_tokens)` (unfiltered by minimum span length).
     */
-  private val spanCte: String = """
+  private def spanCteWith(occPredicate: String): String = s"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
       FROM documents
     ), p0 AS (
       SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
@@ -130,7 +130,7 @@ object TextQueries {
       SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
       FROM p0
     ), shared AS (
-      SELECT sh FROM pos GROUP BY sh HAVING COUNT(*) BETWEEN 2 AND 64
+      SELECT sh FROM pos GROUP BY sh HAVING COUNT(*) $occPredicate
     ), kept AS (
       SELECT p.doc_id, p.i, p.sh FROM pos p JOIN shared USING (sh)
     ), pr AS (
@@ -144,6 +144,8 @@ object TextQueries {
       SELECT a_id, b_id, diag, MIN(pa) AS start_a, COUNT(*) + 3 AS len_tokens
       FROM isl GROUP BY a_id, b_id, diag, g
     )"""
+
+  private val spanCte: String = spanCteWith("BETWEEN 2 AND 64")
 
   val qs: Seq[Q] = Seq(
 
@@ -848,6 +850,25 @@ object TextQueries {
                CAST((SUM(COALESCE(dup_tokens, 0)) * 1000000) // SUM(ntok)
                     AS BIGINT) AS dup_ppm
         FROM dt GROUP BY source ORDER BY source""")),
+
+    // ----- SPARSE-candidate repeated spans (the 100 TB index-size path):
+    // winnowed positional anchors (~1/3 of positions at w=3) nominate
+    // candidate pairs, dense anchors materialize ONLY for candidate docs,
+    // and the island merge runs only on candidate pairs. EXACT by the
+    // winnowing guarantee for spans >= w+k-1 = 6 tokens — the oracle is
+    // the same dense-span SQL (uncapped), and the result must equal
+    // q_dedup_substring_spans wherever the cap doesn't bind.
+    Q("q_dedup_sparse_spans",
+      (s, dir) =>
+        Dedup.repeatedSpansSparse(t(s, dir, "documents"), "doc_id", "text",
+            k = 4, minSpanTokens = 6, w = 3)
+          .orderBy(col("a_id"), col("b_id"), col("start_a"), col("start_b")),
+      Some(s"""${spanCteWith(">= 2")}
+        SELECT a_id, b_id, CAST(start_a AS BIGINT) AS start_a,
+               CAST(start_a - diag AS BIGINT) AS start_b,
+               CAST(len_tokens AS BIGINT) AS len_tokens
+        FROM sp WHERE len_tokens >= 6
+        ORDER BY a_id, b_id, start_a, start_b""")),
 
     // ----- WITHIN-document repeated spans (the positional half of the
     // Gopher repetition signals — those report duplicate ratios, this

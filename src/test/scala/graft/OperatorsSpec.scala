@@ -520,6 +520,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.compactAnchorIndex(merged, 2L).count() == merged.count())
   }
 
+  test("repeatedSpansSparse equals the dense operator (winnowing guarantee)") {
+    // property on REAL data: the sparse-candidate path must reproduce the
+    // dense span set exactly whenever minSpanTokens >= w + k - 1
+    val docs = Tables.load(spark, TestSpark.sfDir, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val dense = rows(Dedup.repeatedSpans(docs, "doc_id", "text", 4, 6))
+    val sparse = rows(Dedup.repeatedSpansSparse(docs, "doc_id", "text", 4, 6, 3))
+    assert(sparse == dense, s"sparse missed ${(dense -- sparse).take(3)} / " +
+      s"extra ${(sparse -- dense).take(3)}")
+    assert(dense.nonEmpty, "fixture must exercise the equivalence")
+    // the guarantee's precondition is enforced
+    intercept[IllegalArgumentException] {
+      Dedup.repeatedSpansSparse(docs, "doc_id", "text", 4, 5, 3)
+    }
+  }
+
+  test("winnowAnchors: every w-window holds a selection, ~1/w density") {
+    val text = (0 until 200).map(i => s"t${(i * 37) % 150}").mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val (k, w) = (4, 3)
+    val anchors = Dedup.sparseAnchors(df, "doc_id", "text", k, w)
+      .collect().map(_.getLong(1)).sorted // 1-based positions
+    val m = 200 - k + 1
+    // coverage: every window [j, j+w) of k-gram positions has an anchor
+    (1 to m - w + 1).foreach { j =>
+      assert(anchors.exists(p => p >= j && p < j + w),
+        s"window at $j has no anchor")
+    }
+    // sparsity: far fewer anchors than positions (expected ~2/(w+1) density)
+    assert(anchors.length < m, "selection must be sparse")
+    assert(anchors.length <= m / 2 + 1, s"too dense: ${anchors.length} of $m")
+  }
+
   test("tagSpansAgainstIndex: batch docs report spans vs history only") {
     val span = "s1 s2 s3 s4 s5 s6 s7 s8"
     val hist = Seq((1L, s"a1 a2 a3 a4 $span a5 a6"),
