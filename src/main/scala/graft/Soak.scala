@@ -239,6 +239,13 @@ object Soak {
           Dedup.scrubRepeatedSpans(docs(dir), "doc_id", "text", 4, 6,
             maxOccurrences = Tuning.maxShingleDocFreq(spark, nRows(dir))).count()
         },
+        // the sparse-candidate path (r15): winnowed anchors (~1/3 the
+        // positions) nominate pairs, dense anchors materialize only for
+        // candidate docs — same answer (uncapped), index a third the size;
+        // the interesting ratio is THIS row vs dedup_substring_spans
+        "dedup_substring_sparse" -> { dir =>
+          Dedup.repeatedSpansSparse(docs(dir), "doc_id", "text", 4, 6, 3).count()
+        },
         // curation family on the same corpus: chunk-DF boilerplate accounting
         // (one chunk-key shuffle) and train/test shingle decontamination
         "curation_boilerplate" -> { dir =>
