@@ -416,4 +416,57 @@ class FuzzSpec extends AnyFunSuite {
       assert(g == model(rules, path), s"rules=$rules path=$path")
     }
   }
+
+  test("winnowAnchors: value/coverage/minimality properties on random arrays (fuzz)") {
+    import graft.functions.SketchFns
+    val (k, w) = (3, 4)
+    // small alphabet → plenty of repeated k-grams (ties exercise the
+    // rightmost-min rule); lengths straddle every branch: < k (empty),
+    // k <= n < k+w-1 (short-document rule), and full windows
+    val tokG: Gen[Seq[String]] = for {
+      n <- Gen.chooseNum(0, 30)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", ""))
+    } yield ts
+    val docs = sample(tokG, 300, 77L).distinct.map(Tuple1(_))
+    val df = docs.toDF("t")
+    val rows = df.select(col("t"),
+        SketchFns.chunkHashes(col("t"), k, 1).as("dense"),
+        SketchFns.winnowAnchors(col("t"), k, w).as("an"))
+      .collect().map(r => (r.getSeq[String](0).toList,
+        r.getSeq[Long](1).toList,
+        r.getSeq[org.apache.spark.sql.Row](2).map(s => (s.getLong(0), s.getLong(1))).toList))
+    rows.foreach { case (t, denseAll, anchors) =>
+      val n = t.length
+      if (n < k) assert(anchors.isEmpty, s"below k must be empty: $t")
+      else {
+        val m = n - k + 1
+        val dense = denseAll.take(m) // cut the short tail chunks
+        // every anchor carries the dense hash of its position
+        anchors.foreach { case (p, h) =>
+          assert(p >= 0 && p < m && dense(p.toInt) == h, s"bad anchor ($p,$h) on $t")
+        }
+        // anchors strictly increase in position (selection order)
+        assert(anchors.map(_._1) == anchors.map(_._1).sorted.distinct)
+        if (m < w) {
+          // short-document rule: exactly the rightmost global minimum
+          val mn = dense.min
+          val want = dense.lastIndexOf(mn).toLong
+          assert(anchors == List((want, mn)), s"short rule on $t: $anchors")
+        } else {
+          (0 to m - w).foreach { j =>
+            val win = dense.slice(j, j + w)
+            // coverage: some anchor inside the window...
+            val inWin = anchors.filter { case (p, _) => p >= j && p < j + w }
+            assert(inWin.nonEmpty, s"window $j uncovered on $t")
+            // ...and the window's rightmost MINIMUM is among the selected
+            val mn = win.min
+            val wantP = (j + win.lastIndexOf(mn)).toLong
+            assert(anchors.exists(_._1 == wantP),
+              s"window $j rightmost-min $wantP unselected on $t")
+          }
+        }
+      }
+    }
+    assert(rows.exists(_._1.length >= k + w), "fuzz must reach full windows")
+  }
 }
