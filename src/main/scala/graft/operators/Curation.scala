@@ -1248,6 +1248,100 @@ object Curation {
       .select(col("shard"), col("n_docs"), col("tokens"), col("tokens_ppm"))
   }
 
+  /** In-engine classifier distillation: train an integer batch perceptron
+    * over hashed unigram-presence features to imitate a TEACHER rule (here
+    * the [[qualityScore]] threshold gate) — the standard production move of
+    * distilling an expensive heuristic ruleset into one fast linear model
+    * the ingest path can apply map-side. Everything is exact integer
+    * arithmetic with deterministic, engine-portable hashing, so the learned
+    * weights and the final agreement are oracle-replayable bit-for-bit
+    * (no floats, no RNG, no transcendental loss — the perceptron's
+    * all-misclassified batch update is `w += Σ y·x`).
+    *
+    * Features: presence of polyHash(token) mod nBuckets; a constant bias
+    * bucket (= nBuckets); 8 document-LENGTH buckets (n DIV 50, capped) at
+    * nBuckets+1…+8; and 8 lexical-DIVERSITY buckets (distinct-token ppm
+    * DIV 125000, capped) at nBuckets+9…+16 — without the structural
+    * buckets a bag-of-hashed-words perceptron cannot express a
+    * length/diversity teacher and collapses to the majority class
+    * (measured: 63.0% agreement = exactly the base rate; with them it
+    * learns genuinely). Epochs run the FULL-BATCH perceptron rule: docs
+    * with `y·margin <= 0` contribute `y` to every feature bucket they
+    * touch. Returns (bucket, weight, acc_ppm): one row per bucket with the
+    * final weights and the teacher-agreement ppm of the trained model
+    * riding every row (one extra 1-row aggregate).
+    *
+    * Scale: the feature frame is (doc, bucket) DISTINCT — checkpointed
+    * once, reused across epochs; each epoch is two bucket/doc-keyed
+    * aggregates plus a ≤ nBuckets+1-row driver collect (the DSIR
+    * precedent: the MODEL is driver-sized, the data never is).
+    */
+  def distillPerceptron(df: DataFrame, idCol: String, textCol: String,
+                        stopwords: Seq[String], teacherThreshold: Long,
+                        nBuckets: Int, epochs: Int): DataFrame = {
+    require(nBuckets >= 2 && epochs >= 1, "nBuckets >= 2, epochs >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val labeled = qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
+      .select(col(idCol),
+        when(col("score") >= teacherThreshold, 1L).otherwise(-1L).as("y"))
+    val stats = df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        greatest(size(col("__t")).cast(LongType), lit(1L)).as("__n"),
+        size(array_distinct(col("__t"))).cast(LongType).as("__nd"))
+    val hashF = stats
+      .select(col(idCol),
+        explode(graft.functions.SketchFns.polyHashEach(col("__t"))).as("__h"))
+      .select(col(idCol), pmod(col("__h"), lit(nBuckets.toLong)).as("bucket"))
+      .distinct()
+    val biasF = labeled.select(col(idCol), lit(nBuckets.toLong).as("bucket"))
+    val lenF = stats.select(col(idCol),
+      expr(s"CAST(${nBuckets + 1}L + LEAST(__n DIV 50L, 7L) AS BIGINT)").as("bucket"))
+    val divF = stats.select(col(idCol),
+      expr(s"CAST(${nBuckets + 9}L + " +
+        "LEAST(((__nd * 1000000L) DIV __n) DIV 125000L, 7L) AS BIGINT)").as("bucket"))
+    val feats = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Curation.distillPerceptron",
+        "graft.operators.Curation"),
+      hashF.unionByName(biasF).unionByName(lenF).unionByName(divF)
+        .join(labeled, Seq(idCol))
+        .localCheckpoint(true))
+    val nb1 = nBuckets + 17
+    var w = new Array[Long](nb1)
+    def weightsDf(arr: Array[Long]) = arr.zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt) }.toSeq.toDF("bucket", "__w")
+    def margins(arr: Array[Long]) =
+      feats.join(broadcast(weightsDf(arr)), Seq("bucket"))
+        .groupBy(col(idCol), col("y")).agg(sum(col("__w")).as("__m"))
+    // POCKET perceptron: the full-batch update oscillates (measured on the
+    // fixture: per-epoch agreement swings 0.37–0.82), so each epoch's
+    // weights are scored on the batch and the BEST epoch wins (strict >,
+    // so ties keep the earliest — deterministic). Two bounded driver
+    // collects per epoch: the ≤ nb1-row update and a 1-row score.
+    var bestOk = -1L; var bestW = w; var n = 0L
+    for (_ <- 0 until epochs) {
+      // margin under the CURRENT weights; the all-zero first round makes
+      // every doc misclassified (y·0 <= 0) — the standard cold start
+      val upd = margins(w)
+        .filter(col("y") * col("__m") <= 0L)
+        .select(col(idCol), col("y"))
+        .join(feats.select(col(idCol), col("bucket")), Seq(idCol))
+        .groupBy(col("bucket")).agg(sum(col("y")).as("__du"))
+        .collect()
+      val next = w.clone()
+      upd.foreach(r => next(r.getLong(0).toInt) += r.getLong(1))
+      w = next
+      val Array(okRow) = margins(w)
+        .agg(sum(when(col("y") * col("__m") > 0L, 1L).otherwise(0L)).as("__ok"),
+          count(lit(1)).as("__n"))
+        .collect()
+      n = okRow.getLong(1)
+      if (okRow.getLong(0) > bestOk) { bestOk = okRow.getLong(0); bestW = w }
+    }
+    weightsDf(bestW).select(col("bucket"), col("__w").as("weight"))
+      .withColumn("acc_ppm", lit(bestOk * 1000000L / math.max(n, 1L)))
+  }
+
   /** Deterministic weighted Bernoulli sampling: keep a row with probability
     * proportional to its weight (`P(keep) = w / w_max`), decided by exact
     * integer arithmetic on an engine-portable hash — no RNG, no floating

@@ -284,6 +284,85 @@ object CurationQueries {
                CAST(SUM(score) AS DOUBLE) / COUNT(*) AS avg_score
         FROM sc GROUP BY source ORDER BY source""")),
 
+    // ----- in-engine classifier DISTILLATION: a full-batch integer
+    // perceptron over hashed unigram-presence features (64 buckets + bias
+    // + 8 length buckets + 8 diversity buckets — the structural features
+    // without which a bag-of-words model provably collapses to the
+    // majority class on a length/diversity teacher)
+    // learns to imitate the rule-based quality gate in 3 epochs — the
+    // "distill the heuristic ruleset into one fast map-side linear model"
+    // production move, trained distributed with exact integer arithmetic.
+    // The oracle unrolls all three data-dependent epochs (cold start: w=0
+    // makes round 1 the all-docs update) and the learned weights plus the
+    // final teacher-agreement ppm must match bit-for-bit.
+    Q("q_classifier_distill",
+      (s, dir) =>
+        graft.operators.Curation.distillPerceptron(t(s, dir, "documents"),
+            "doc_id", "text", Seq("a", "the"), teacherThreshold = 250000L,
+            nBuckets = 64, epochs = 6)
+          .orderBy(col("bucket")),
+      Some {
+        val epochs = 6
+        // per-epoch blocks: margins under w_k score it (a_k) and drive the
+        // next update (mis_k -> u_{k+1} -> w_{k+1})
+        val blocks = (1 until epochs).map { k =>
+          s"""m$k AS (SELECT doc_id, y, SUM(w$k.w) AS m
+               FROM f JOIN w$k USING (bucket) GROUP BY doc_id, y),
+        a$k AS (SELECT $k AS e, CAST(SUM(CASE WHEN y * m > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ok FROM m$k),
+        u${k + 1} AS (SELECT f.bucket, CAST(SUM(f.y) AS BIGINT) AS du
+               FROM f JOIN (SELECT doc_id FROM m$k WHERE y * m <= 0) mis
+                 USING (doc_id)
+               GROUP BY f.bucket),
+        w${k + 1} AS (SELECT w$k.bucket, w$k.w + COALESCE(u${k + 1}.du, 0) AS w
+               FROM w$k LEFT JOIN u${k + 1} USING (bucket))"""
+        }.mkString(",\n        ")
+        val accUnion = (1 to epochs).map(k => s"SELECT e, ok FROM a$k")
+          .mkString(" UNION ALL ")
+        val wUnion = (1 to epochs)
+          .map(k => s"SELECT $k AS e, bucket, w FROM w$k").mkString(" UNION ALL ")
+        s"""
+        WITH $toksCte,
+        g AS (SELECT doc_id, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        lab AS (SELECT doc_id,
+                  CASE WHEN 1000 * LEAST(n, 200)
+                         + (500 * ((nd * 1000000) // n)) // 1000
+                         - (300 * ((ns * 1000000) // n)) // 1000 >= 250000
+                       THEN 1 ELSE -1 END AS y
+                FROM g),
+        fb AS (SELECT DISTINCT doc_id,
+                 ${TextFns.polyHashSql("tok")} % 64 AS bucket
+               FROM (SELECT doc_id, unnest(t) AS tok FROM toks) q),
+        f0 AS (SELECT doc_id, bucket FROM fb
+               UNION ALL SELECT doc_id, 64 AS bucket FROM lab
+               UNION ALL SELECT doc_id, 65 + LEAST(n // 50, 7) AS bucket FROM g
+               UNION ALL SELECT doc_id,
+                 73 + LEAST(((nd * 1000000) // n) // 125000, 7) AS bucket FROM g),
+        f AS (SELECT f0.doc_id, f0.bucket, lab.y
+              FROM f0 JOIN lab USING (doc_id)),
+        w1 AS (SELECT bucket, CAST(SUM(y) AS BIGINT) AS w FROM f GROUP BY bucket),
+        $blocks,
+        m$epochs AS (SELECT doc_id, y, SUM(w$epochs.w) AS m
+               FROM f JOIN w$epochs USING (bucket) GROUP BY doc_id, y),
+        a$epochs AS (SELECT $epochs AS e,
+                  CAST(SUM(CASE WHEN y * m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok
+                FROM m$epochs),
+        accs AS ($accUnion),
+        best AS (SELECT e, ok FROM accs ORDER BY ok DESC, e LIMIT 1),
+        allw AS ($wUnion),
+        bw AS (SELECT bucket, w FROM allw JOIN best USING (e)),
+        tot2 AS (SELECT COUNT(*) AS nn FROM lab)
+        SELECT CAST(r.b AS BIGINT) AS bucket,
+               CAST(COALESCE(bw.w, 0) AS BIGINT) AS weight,
+               CAST((best.ok * 1000000) // tot2.nn AS BIGINT) AS acc_ppm
+        FROM (SELECT unnest(range(0, 81)) AS b) r
+        LEFT JOIN bw ON r.b = bw.bucket, best, tot2
+        ORDER BY bucket"""
+      }),
+
     // ----- BPE merge-candidate mining: the most frequent adjacent token
     // pairs over the corpus — one training step of a BPE tokenizer,
     // distributed. Top-k is a TakeOrdered heap; ties break on the pair.

@@ -656,6 +656,33 @@ class CurationSpec extends AnyFunSuite {
     assert(ppm > 1000000L - 8 && ppm <= 1000000L)
   }
 
+  test("distillPerceptron learns a separable teacher and is deterministic") {
+    // teacher = qualityScore >= 150000: long diverse docs score far above,
+    // short repetitive ones far below — linearly separable through the
+    // length/diversity feature buckets, so the pocket model should imitate
+    // the gate (far above the 50% base rate; typically perfectly)
+    val docs = (0 until 10).map { i =>
+      (i.toLong, (0 until 180).map(j => s"u${i}w$j").mkString(" "))
+    } ++ (10 until 20).map { i => (i.toLong, "x y " * 8) }
+    val df = docs.toDF("doc_id", "text")
+    val got = Curation.distillPerceptron(df, "doc_id", "text", Seq("a"),
+        teacherThreshold = 150000L, nBuckets = 64, epochs = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 81) // 64 hash + bias + 8 length + 8 diversity
+    val acc = got.head._3
+    assert(acc >= 900000L, s"pocket model failed to learn: acc_ppm=$acc")
+    // length-bucket weights must separate: the longest bucket positive,
+    // the shortest negative
+    val wByBucket = got.map(t => t._1 -> t._2).toMap
+    assert(wByBucket(65L + 3L) > 0L, "long-doc length bucket should be positive")
+    assert(wByBucket(65L) < 0L, "short-doc length bucket should be negative")
+    // deterministic end-to-end
+    val again = Curation.distillPerceptron(df, "doc_id", "text", Seq("a"),
+        150000L, 64, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("weightedBernoulli: max-weight rows always kept, inclusion scales with weight") {
     // keep iff h·wmax < P·w — at w = wmax that is h < P, always true
     val n = 2000
