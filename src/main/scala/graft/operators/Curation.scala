@@ -641,6 +641,80 @@ object Curation {
       .drop("__t", "__n", "__nd", "__ns")
   }
 
+  /** Per-group percentile gate (FineWeb2-style per-language calibration,
+    * Penedo et al. 2024): keep the top `keepPermille`/1000 of each group's
+    * documents by (score DESC, id ASC). A single GLOBAL threshold
+    * over-filters whatever group the scorer is mis-calibrated for (classic:
+    * a quality classifier trained mostly on English guts the low-resource
+    * languages); cutting at each group's own percentile keeps the selection
+    * pressure equal across groups.
+    *
+    * Exact-count semantics: group quota = (n_group * keepPermille) DIV 1000
+    * (floor; a group too small for one slot keeps nothing), ties at the
+    * boundary score broken by lowest id — a total order both engines
+    * reproduce.
+    *
+    * Scale (the selectByTokenBudget discipline, per group): the slim
+    * (id, group, score) frame is checkpointed once and feeds BOTH the
+    * histogram and the final gate; the per-group cumulative scan runs over
+    * the (group, score) HISTOGRAM (one row per distinct score per group —
+    * bounded state, never the corpus); the boundary frame is one row per
+    * group and is broadcast, so the gate itself is map-side. Only the tie
+    * group (docs AT the boundary score) sees a window, partitioned by
+    * group and bounded by the tie-group size. No corpus-wide or per-group
+    * corpus window anywhere.
+    *
+    * @param scored frame carrying (idCol, groupCol, scoreCol); scoreCol
+    *               must be integral (exact comparisons — the engine-exact
+    *               fixed-point score discipline)
+    * @return (groupCol, idCol, scoreCol as "score", selected) — every input
+    *         row, gate verdict attached
+    */
+  def percentileGate(scored: DataFrame, idCol: String, groupCol: String,
+                     scoreCol: String, keepPermille: Int,
+                     shareKey: String = null): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      s"keepPermille must be in [0, 1000]: $keepPermille")
+    val key = if (shareKey != null) shareKey
+      else graft.CkptCycle.callSiteKey("Curation.percentileGate",
+        "graft.operators.Curation")
+    val ck = graft.CkptCycle.cycle(key,
+      scored.select(col(idCol), col(groupCol),
+          col(scoreCol).cast(LongType).as("score"))
+        .localCheckpoint(true))
+    // histogram: one row per (group, distinct score) — the bounded frame
+    // every cumulative decision runs over
+    val hist = ck.groupBy(col(groupCol), col("score"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col(groupCol))
+    // boundary row per group: the unique histogram row where the running
+    // count first reaches the quota; `take` is how many of ITS tie group
+    // survive. quota = 0 yields no boundary row -> inner join drops the
+    // whole group (keeps nothing) by construction.
+    val boundary = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("__tot", sum(col("cnt")).over(wTot))
+      // integer floor division — counts are non-negative so DIV == floor,
+      // matching the oracle's `//` exactly (no double rounding anywhere)
+      .withColumn("quota", expr(s"(__tot * $keepPermille) DIV 1000"))
+      .filter(col("cum") - col("cnt") < col("quota") &&
+              col("quota") <= col("cum"))
+      .select(col(groupCol), col("score").as("__t"),
+        (col("quota") - (col("cum") - col("cnt"))).as("__take"))
+    val gated = ck.join(broadcast(boundary), Seq(groupCol), "left")
+    // off-boundary rows are decided map-side against the broadcast
+    // threshold; only the tie group pays a (bounded) ranking window
+    val off = gated.filter(col("score") =!= col("__t") || col("__t").isNull)
+      .withColumn("selected", col("__t").isNotNull && col("score") > col("__t"))
+    val wTie = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val tie = gated.filter(col("score") === col("__t"))
+      .withColumn("selected", row_number().over(wTie) <= col("__take"))
+    off.unionByName(tie)
+      .select(col(groupCol), col(idCol), col("score"), col("selected"))
+  }
+
   /** Diversity-preserving subsampling: keep `perBucket` documents from each
     * sign-LSH bucket of an embedding column — the cluster-balanced "cover
     * the semantic space, don't oversample the dense modes" selection a

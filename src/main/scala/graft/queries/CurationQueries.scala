@@ -284,6 +284,46 @@ object CurationQueries {
                CAST(SUM(score) AS DOUBLE) / COUNT(*) AS avg_score
         FROM sc GROUP BY source ORDER BY source""")),
 
+    // ----- per-group percentile gate (FineWeb2-style per-language score
+    // calibration): keep the top 40% of each LANGUAGE by quality score —
+    // one global threshold would let the scorer's English bias gut the
+    // other languages; cutting at each group's own percentile equalizes
+    // selection pressure. Quota = (n_group * 400) DIV 1000, boundary ties
+    // by lowest doc_id. Spark decides off-boundary rows map-side against a
+    // broadcast per-group boundary frame built from the (group, score)
+    // histogram; the oracle replays the cut as a per-group rank window.
+    Q("q_quality_percentile_gate",
+      (s, dir) => {
+        val scored = Curation.qualityScore(t(s, dir, "documents"), "text",
+            Seq("a", "the"), keepThreshold = Long.MinValue)
+          .select(col("doc_id"), col("lang"), col("score"))
+        Curation.percentileGate(scored, "doc_id", "lang", "score",
+            keepPermille = 400)
+          .filter(col("selected"))
+          .select(col("lang"), col("doc_id"), col("score"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        g AS (SELECT doc_id, lang, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id, lang,
+                 CAST(1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS BIGINT) AS score
+               FROM g),
+        nn AS (SELECT lang, COUNT(*) AS n FROM sc GROUP BY lang),
+        r AS (SELECT lang, doc_id, score,
+                row_number() OVER (PARTITION BY lang
+                  ORDER BY score DESC, doc_id) AS rk
+              FROM sc)
+        SELECT r.lang, r.doc_id, r.score FROM r JOIN nn USING (lang)
+        WHERE rk <= (nn.n * 400) // 1000
+        ORDER BY lang, doc_id""")),
+
     // ----- in-engine classifier DISTILLATION: a full-batch integer
     // perceptron over hashed unigram-presence features (64 buckets + bias
     // + 8 length buckets + 8 diversity buckets — the structural features

@@ -702,4 +702,31 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(kept.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("percentileGate: per-group quota, boundary tie by lowest id, floor quota") {
+    // group a: 5 docs, permille 400 → quota 2: the lone 50 plus the
+    // LOWEST-id 40 of the tie trio. group b: 2 docs → quota 0 (floor of
+    // 0.8): keeps nothing. group c: 3 docs → quota 1, no tie at boundary.
+    val df = Seq(
+      (1L, "a", 40L), (2L, "a", 50L), (3L, "a", 40L), (4L, "a", 40L),
+      (5L, "a", 10L),
+      (6L, "b", 99L), (7L, "b", 98L),
+      (8L, "c", 7L), (9L, "c", 9L), (10L, "c", 8L)
+    ).toDF("id", "grp", "score")
+    val out = Curation.percentileGate(df, "id", "grp", "score", 400)
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out.size == 10)
+    assert(out.filter(_._2).keySet == Set(1L, 2L, 9L))
+  }
+
+  test("percentileGate: permille 1000 keeps every row, 0 keeps none") {
+    val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "b", 1L))
+      .toDF("id", "grp", "score")
+    val all = Curation.percentileGate(df, "id", "grp", "score", 1000)
+      .collect().map(r => r.getBoolean(3))
+    assert(all.forall(identity) && all.length == 3)
+    val none = Curation.percentileGate(df, "id", "grp", "score", 0)
+      .collect().map(r => r.getBoolean(3))
+    assert(none.forall(!_) && none.length == 3)
+  }
 }
