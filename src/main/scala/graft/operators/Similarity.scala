@@ -541,6 +541,176 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- IVF-PQ
+
+  private def kernelCol(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def kernelExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  /** One integer Lloyd run over a driver-side sample — the shared trainer
+    * of the fixed-point IVF-PQ path: seeds are the first `k` vectors,
+    * assignment is exact integer squared distance with ties to the lowest
+    * centroid, the update is the truncated-toward-zero integer mean, and an
+    * empty centroid keeps its previous value (the pqTrainUnits discipline,
+    * factored so the coarse quantizer and the residual codebooks train
+    * identically).
+    */
+  private def lloydUnits(vs: Array[Array[Long]], k: Int,
+                         iters: Int): Array[Array[Long]] = {
+    require(vs.length >= k, s"need >= $k vectors to train")
+    val dim = vs(0).length
+    var cents: Array[Array[Long]] = vs.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Long](dim))
+      val counts = new Array[Long](k)
+      vs.foreach { v =>
+        val c = nearestCentroidUnits(v, cents)
+        counts(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(s => if (s >= 0) s / counts(c) else -((-s) / counts(c)))
+      }.toArray
+    }
+    cents
+  }
+
+  private def nearestCentroidUnits(v: Array[Long], cs: Array[Array[Long]]): Int = {
+    var best = 0; var bestD = Long.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0L; var i = 0
+      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Fixed-point IVF-PQ training (the FAISS IndexIVFPQ recipe, Jégou et al.
+    * 2011, under the engine's oracle-replayable integer discipline): one
+    * bounded driver sample (`sampleSize` LOWEST ids — `ORDER BY id LIMIT n`
+    * on both engines) trains BOTH the coarse quantizer (`nLists` full-dim
+    * cells) and the per-subspace codebooks — the codebooks on the sample's
+    * RESIDUALS (v − assigned coarse centroid), which is the whole point of
+    * the combined index: residuals are small, so `kCent` centroids quantize
+    * them far better than they would raw vectors.
+    *
+    * Returns (coarse [nLists][dim], books [m][kCent][dim/m]) in 1e-6 units.
+    * Scale: the collect is the bounded `sampleSize·dim` longs every trainer
+    * here pays; the corpus is never collected.
+    */
+  def ivfpqTrainUnits(candidates: DataFrame, idCol: String, embCol: String,
+                      nLists: Int, m: Int, kCent: Int, sampleSize: Int = 256,
+                      iters: Int = 2): (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val sample: Array[Array[Long]] = candidates
+      .select(col(idCol), VectorFns.quantize(col(embCol)).as("__u"))
+      .orderBy(col(idCol)).limit(sampleSize)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val coarse = lloydUnits(sample, nLists, iters)
+    val residuals = sample.map { v =>
+      val cv = coarse(nearestCentroidUnits(v, coarse))
+      val r = new Array[Long](dim)
+      var i = 0; while (i < dim) { r(i) = v(i) - cv(i); i += 1 }
+      r
+    }
+    val books = (0 until m).toArray.map { j =>
+      lloydUnits(residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)), kCent, iters)
+    }
+    (coarse, books)
+  }
+
+  /** The IVF-PQ candidate index: (c_id, cell, codes) — cell from the coarse
+    * quantizer (exact integer argmin, ties to the lowest cell), codes from
+    * the RESIDUAL against that cell's centroid (SubVecQ kernel, then the
+    * shared pqEncodeUnits argmin per subspace). Entirely map-side; persist
+    * it through the warehouse like the flat-PQ index (bytes per vector).
+    */
+  def ivfpqIndex(candidates: DataFrame, coarse: Array[Array[Long]],
+                 books: Array[Array[Array[Long]]]): DataFrame = {
+    val coarseArr = array(coarse.map(cv => array(cv.map(lit): _*)): _*)
+    candidates
+      .withColumn("__u", VectorFns.quantize(col("ce")))
+      .withColumn("__cd", kernelCol(graft.plans.CellDistsQ(
+        kernelExpr(col("__u")), coarse.toIndexedSeq.map(_.toIndexedSeq))))
+      .withColumn("cell",
+        (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast(LongType))
+      .withColumn("__r", kernelCol(graft.plans.SubVecQ(
+        kernelExpr(col("__u")),
+        kernelExpr(element_at(coarseArr, (col("cell") + 1).cast(IntegerType))))))
+      .select(col("c_id"), col("cell"), pqEncodeUnits(col("__r"), books).as("codes"))
+  }
+
+  /** Oracle-replayable IVF-PQ ANN top-k — the production billion-vector
+    * index shape: the coarse quantizer bounds COMPUTE (each query scores
+    * only the `nProbe` nearest of `nLists` cells) and the residual PQ codes
+    * bound MEMORY (the scan side carries m small codes per vector, never
+    * the embedding). approx_dot(q, c) = dot(q, coarse[cell_c]) +
+    * Σ_j lut_j[code_cj] with lut_j = dot(q_sub_j, book_j[·]) — all in exact
+    * unit-long arithmetic (CellDotsQ tables), so the shortlist cut is
+    * bit-deterministic and DuckDB replays train → assign → residual-encode
+    * → probe → ADC → shortlist → exact cosine re-rank end to end.
+    *
+    * Scale: candidates shuffle-free (cell is map-side; at 100 TB persist
+    * [[ivfpqIndex]] partitioned BY cell so probes prune partitions); the
+    * probe side is broadcast (queries × nProbe rows); the shortlist heap is
+    * the bounded TopKPerGroup operator; only ~queries·rerank ids fetch true
+    * embeddings for the re-rank.
+    */
+  def ivfpqTopKUnits(queries: DataFrame, candidates: DataFrame,
+                     coarse: Array[Array[Long]],
+                     books: Array[Array[Array[Long]]],
+                     nProbe: Int, k: Int, rerank: Int): DataFrame = {
+    val m = books.length
+    val kCent = books(0).length
+    val sub = books(0)(0).length
+    val cIdx = ivfpqIndex(candidates, coarse, books)
+    val lutCol = concat((0 until m).map { j =>
+      kernelCol(graft.plans.CellDotsQ(
+        kernelExpr(slice(VectorFns.quantize(col("qe")), j * sub + 1, sub)),
+        books(j).toIndexedSeq.map(_.toIndexedSeq)))
+    }: _*)
+    // probe list: the nProbe nearest cells by exact integer distance, ties
+    // to the lowest cell — struct sort is lexicographic on (d, i)
+    val q0 = queries.select(col("q_id"), col("qe"))
+      .withColumn("__qu", VectorFns.quantize(col("qe")))
+      .withColumn("__qd", kernelCol(graft.plans.CellDistsQ(
+        kernelExpr(col("__qu")), coarse.toIndexedSeq.map(_.toIndexedSeq))))
+      .withColumn("__qcd", kernelCol(graft.plans.CellDotsQ(
+        kernelExpr(col("__qu")), coarse.toIndexedSeq.map(_.toIndexedSeq))))
+      .withColumn("lut", lutCol)
+      .withColumn("__cells", expr(
+        s"slice(array_sort(transform(__qd, (d, i) -> named_struct('d', d, 'i', CAST(i AS LONG)))), 1, $nProbe)"))
+      .withColumn("cell", explode(expr("transform(__cells, s -> s.i)")))
+      .withColumn("coarse_dot",
+        element_at(col("__qcd"), (col("cell") + 1).cast(IntegerType)))
+      .select(col("q_id"), col("cell"), col("coarse_dot"), col("lut"))
+    val adcTerms = (0 until m).map(j =>
+      element_at(col("lut"),
+        (col("codes").getItem(j) + lit(j.toLong * kCent) + 1L).cast(IntegerType)))
+    val approx = cIdx.join(broadcast(q0), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_dot", adcTerms.reduce(_ + _) + col("coarse_dot"))
+      .select(col("q_id"), col("c_id"), col("approx_dot"))
+    val shortlist = graft.plans.TopKPerGroup.topK(approx, Seq("q_id"),
+      Seq(("approx_dot", true), ("c_id", false)), rerank)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("similarity").desc, col("c_id"))
+    shortlist
+      .join(withNorm(candidates, "ce", "cn"), Seq("c_id"))
+      .join(broadcast(withNorm(queries, "qe", "qn")), Seq("q_id"))
+      .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
+  }
+
   /** Multiprobe LSH ANN top-k: scores the query's own bucket PLUS every
     * bucket at Hamming distance 1 (one sign-bit flip) — the standard recall
     * lever at zero index cost. A vector whose projection is near one

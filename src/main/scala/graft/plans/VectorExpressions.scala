@@ -186,6 +186,23 @@ object VectorKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Element-wise difference of two quantized vectors (a - b) — the
+    * residual step of IVF-PQ encoding. Exact long subtraction; null on
+    * dimension mismatch or null element (the dotUnscaled poisoning rule).
+    */
+  def subVecQ(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      out(i) = Math.subtractExact(a.getLong(i), b.getLong(i))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sign-random-projection LSH bucket over a quantized vector: bit j is set
     * iff sum_i q_i·s(i,j) > 0 with s = ±1 from ((i+1)·7919 + j·104729) % 97 % 2
     * (i 0-based). The projection sum of scale-6 longs is exact, so its sign —
@@ -384,6 +401,36 @@ case class CellDistsQ(child: Expression, centroids: Seq[Seq[Long]])
 
   override protected def withNewChildInternal(newChild: Expression): CellDistsQ =
     copy(child = newChild)
+}
+
+/** (array<long>, array<long>) → array<long>: element-wise difference
+  * ([[VectorKernels.subVecQ]]) — the residual (v − coarse centroid) of the
+  * IVF-PQ encode path, exact and codegen'd (no zip_with HOF in the hot
+  * path).
+  */
+case class SubVecQ(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sub_vec_q requires two array<long> (quantized) inputs, got $other")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.subVecQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = graft.plans.VectorKernels.subVecQ($a, $b);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SubVecQ =
+    copy(left = l, right = r)
 }
 
 /** array<long> (quantized) → array<long>: exact integer dot with each

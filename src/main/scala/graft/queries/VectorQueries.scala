@@ -717,6 +717,141 @@ object VectorQueries {
       // from the bench headline, which scores only plans meant to be run.
       bench = false),
 
+    // ----- IVF-PQ combined (FAISS IndexIVFPQ, Jégou et al. 2011): the
+    // production billion-vector index — the coarse quantizer bounds COMPUTE
+    // (each query scores only nProbe=2 of nLists=8 cells, cells measured
+    // balanced 45–73/500 at sf0.01) and residual PQ codes bound MEMORY
+    // (m=8 codes per vector on the scan side). Fully fixed-point: one
+    // 256-lowest-id sample trains coarse cells AND residual codebooks
+    // (integer Lloyd, ties to lowest, truncated means); approx_dot =
+    // dot(q, coarse[cell]) + Σ_j lut_j[code_j], all unit-long exact — so
+    // DuckDB replays train → assign → residual-encode → probe → ADC →
+    // shortlist → exact cosine re-rank bit-for-bit.
+    Q("q_ann_ivfpq_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val (coarse, books) = graft.operators.Similarity.ivfpqTrainUnits(
+          c.select(col("c_id"), col("ce").as("embedding")), "c_id", "embedding",
+          nLists = 8, m = 8, kCent = 16, sampleSize = 256, iters = 2)
+        graft.operators.Similarity.ivfpqTopKUnits(q, c, coarse, books,
+            nProbe = 2, k = 5, rerank = 40)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH qv AS (
+          SELECT vec_id, list_transform(embedding,
+                   e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
+          FROM embeddings),
+        samp AS (SELECT vec_id, u, row_number() OVER (ORDER BY vec_id) AS rn
+                 FROM qv ORDER BY vec_id LIMIT 256),
+        fv AS (SELECT rn, d.g AS sd, u[d.g + 1] AS v
+               FROM samp, generate_series(0, 63) d(g)),
+        g0 AS (SELECT rn - 1 AS cent, sd, v FROM fv WHERE rn <= 8),
+        gd1 AS (SELECT f.rn, c.cent, SUM((f.v - c.v) * (f.v - c.v)) AS dist
+                FROM fv f JOIN g0 c USING (sd) GROUP BY f.rn, c.cent),
+        ga1 AS (SELECT rn, cent FROM (
+                  SELECT rn, cent, row_number() OVER (PARTITION BY rn ORDER BY dist, cent) AS rk
+                  FROM gd1) t WHERE rk = 1),
+        gu1 AS (SELECT a.cent, f.sd, SUM(f.v) AS sm, COUNT(*) AS n
+                FROM fv f JOIN ga1 a USING (rn) GROUP BY a.cent, f.sd),
+        g1 AS (SELECT c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM g0 c LEFT JOIN gu1 u ON c.cent = u.cent AND c.sd = u.sd),
+        gd2 AS (SELECT f.rn, c.cent, SUM((f.v - c.v) * (f.v - c.v)) AS dist
+                FROM fv f JOIN g1 c USING (sd) GROUP BY f.rn, c.cent),
+        ga2 AS (SELECT rn, cent FROM (
+                  SELECT rn, cent, row_number() OVER (PARTITION BY rn ORDER BY dist, cent) AS rk
+                  FROM gd2) t WHERE rk = 1),
+        gu2 AS (SELECT a.cent, f.sd, SUM(f.v) AS sm, COUNT(*) AS n
+                FROM fv f JOIN ga2 a USING (rn) GROUP BY a.cent, f.sd),
+        g2 AS (SELECT c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM g1 c LEFT JOIN gu2 u ON c.cent = u.cent AND c.sd = u.sd),
+        ev AS (SELECT vec_id, d.g AS sd, u[d.g + 1] AS v
+               FROM qv, generate_series(0, 63) d(g)),
+        ed AS (SELECT e.vec_id, c.cent, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+               FROM ev e JOIN g2 c USING (sd) GROUP BY e.vec_id, c.cent),
+        cellasg AS (SELECT vec_id, cent AS cell FROM (
+                      SELECT vec_id, cent, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent) AS rk
+                      FROM ed) t WHERE rk = 1),
+        rv AS (SELECT e.vec_id, e.sd // 8 AS j, e.sd % 8 AS sd, e.v - g.v AS v
+               FROM ev e JOIN cellasg ca USING (vec_id)
+               JOIN g2 g ON g.cent = ca.cell AND g.sd = e.sd),
+        sv AS (SELECT s.rn, r.j, r.sd, r.v FROM samp s JOIN rv r ON r.vec_id = s.vec_id),
+        c0 AS (SELECT j, rn - 1 AS cent, sd, v FROM sv WHERE rn <= 16),
+        d1 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+               FROM sv s JOIN c0 c ON s.j = c.j AND s.sd = c.sd
+               GROUP BY s.rn, s.j, c.cent),
+        a1 AS (SELECT rn, j, cent FROM (
+                 SELECT rn, j, cent, row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
+                 FROM d1) t WHERE rk = 1),
+        u1 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
+               FROM sv s JOIN a1 a ON s.rn = a.rn AND s.j = a.j
+               GROUP BY s.j, a.cent, s.sd),
+        c1 AS (SELECT c.j, c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM c0 c LEFT JOIN u1 u ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
+        d2 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+               FROM sv s JOIN c1 c ON s.j = c.j AND s.sd = c.sd
+               GROUP BY s.rn, s.j, c.cent),
+        a2 AS (SELECT rn, j, cent FROM (
+                 SELECT rn, j, cent, row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
+                 FROM d2) t WHERE rk = 1),
+        u2 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
+               FROM sv s JOIN a2 a ON s.rn = a.rn AND s.j = a.j
+               GROUP BY s.j, a.cent, s.sd),
+        c2 AS (SELECT c.j, c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM c1 c LEFT JOIN u2 u ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
+        cd AS (SELECT r.vec_id, r.j, c.cent, SUM((r.v - c.v) * (r.v - c.v)) AS dist
+               FROM rv r JOIN c2 c ON r.j = c.j AND r.sd = c.sd
+               GROUP BY r.vec_id, r.j, c.cent),
+        codes AS (SELECT vec_id, j, cent FROM (
+                    SELECT vec_id, j, cent, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent) AS rk
+                    FROM cd) t WHERE rk = 1),
+        probes AS (SELECT vec_id AS q_id, cent AS cell FROM (
+                     SELECT vec_id, cent, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent) AS rk
+                     FROM ed WHERE vec_id < 5) t WHERE rk <= 2),
+        qcd AS (SELECT e.vec_id AS q_id, g.cent AS cell, SUM(e.v * g.v) AS cdot
+                FROM ev e JOIN g2 g USING (sd) WHERE e.vec_id < 5
+                GROUP BY e.vec_id, g.cent),
+        lut AS (SELECT e.vec_id AS q_id, c.j, c.cent, SUM(e.v * c.v) AS dp
+                FROM ev e JOIN c2 c ON c.j = e.sd // 8 AND c.sd = e.sd % 8
+                WHERE e.vec_id < 5 GROUP BY e.vec_id, c.j, c.cent),
+        ax AS (SELECT p.q_id, ca.vec_id AS c_id, ca.cell, SUM(l.dp) AS pq_dot
+               FROM probes p
+               JOIN cellasg ca ON ca.cell = p.cell AND ca.vec_id <> p.q_id
+               JOIN codes co ON co.vec_id = ca.vec_id
+               JOIN lut l ON l.q_id = p.q_id AND l.j = co.j AND l.cent = co.cent
+               GROUP BY p.q_id, ca.vec_id, ca.cell),
+        ax2 AS (SELECT a.q_id, a.c_id, a.pq_dot + qc.cdot AS approx_dot
+                FROM ax a JOIN qcd qc ON qc.q_id = a.q_id AND qc.cell = a.cell),
+        short AS (SELECT q_id, c_id FROM (
+                    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                      ORDER BY approx_dot DESC, c_id) AS rk
+                    FROM ax2) t WHERE rk <= 40),
+        en AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        p AS (SELECT s.q_id, s.c_id,
+                     ${VectorFns.dotSql("qq.embedding", "cc.embedding")} / (qq.norm * cc.norm) AS cos
+              FROM short s
+              JOIN en qq ON qq.vec_id = s.q_id
+              JOIN en cc ON cc.vec_id = s.c_id),
+        r AS (SELECT q_id, c_id,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
+              FROM p)
+        SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
     // ----- diversity-preserving subsampling: cap every 6-bit LSH bucket at
     // 3 docs (cluster-balanced selection — cover the semantic space instead
     // of oversampling dense modes). Order within a bucket is a portable

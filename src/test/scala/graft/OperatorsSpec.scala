@@ -719,6 +719,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("IVF-PQ units: shapes, determinism, full-probe full-rerank equals brute force") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val n = c.count().toInt
+    def train() = Similarity.ivfpqTrainUnits(
+      c.select($"c_id", $"ce".as("embedding")), "c_id", "embedding",
+      nLists = 8, m = 8, kCent = 16, sampleSize = 256, iters = 2)
+    val (coarse, books) = train()
+    assert(coarse.length == 8 && coarse.forall(_.length == 64))
+    assert(books.length == 8 && books.forall(b => b.length == 16 && b.forall(_.length == 8)))
+    val (coarse2, books2) = train()
+    assert(coarse.flatten.toSeq == coarse2.flatten.toSeq &&
+      books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+    // index: cell in [0, nLists), codes in [0, kCent)
+    val idx = Similarity.ivfpqIndex(c, coarse, books).collect()
+    assert(idx.length == n)
+    assert(idx.forall { r =>
+      val cell = r.getLong(1); val cs = r.getSeq[Long](2)
+      cell >= 0 && cell < 8 && cs.length == 8 && cs.forall(x => x >= 0 && x < 16)
+    })
+    // probing EVERY cell with a full-width shortlist makes the exact
+    // re-rank total: IVF cannot drop a candidate and ADC cannot cut one,
+    // so the result must equal brute-force cosine top-k exactly
+    val exact = Similarity.cosineTopK(q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.ivfpqTopKUnits(q, c, coarse, books,
+        nProbe = 8, k = 5, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    // production shape (nProbe=2, rerank=40): bounded output, sane recall
+    val tight = Similarity.ivfpqTopKUnits(q, c, coarse, books,
+        nProbe = 2, k = 5, rerank = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & tight).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
   test("table diff: insert/delete/update classified, null-safe, unchanged dropped") {
     val old = Seq((1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("c"), 30.0),
         (4L, Some("d"), 40.0))
