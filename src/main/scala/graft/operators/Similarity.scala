@@ -648,6 +648,57 @@ object Similarity {
       .select(col("c_id"), col("cell"), pqEncodeUnits(col("__r"), books).as("codes"))
   }
 
+  /** Unit-long codebooks as a persistable frame — the fixed-point twin of
+    * [[pqCodebooksDf]] (same layout and declared-shape contract, BIGINT
+    * values): (subspace, centroid, dim, value, m, k_cent, subdim).
+    */
+  def pqCodebooksUnitsDf(spark: org.apache.spark.sql.SparkSession,
+                         books: Array[Array[Array[Long]]]): DataFrame = {
+    import spark.implicits._
+    val (m, kc, sd) = (books.length, books.head.length, books.head.head.length)
+    books.indices.flatMap { j =>
+      books(j).indices.flatMap { c =>
+        books(j)(c).indices.map { d => (j, c, d, books(j)(c)(d), m, kc, sd) }
+      }
+    }.toDF("subspace", "centroid", "dim", "value", "m", "k_cent", "subdim")
+  }
+
+  /** Inverse of [[pqCodebooksUnitsDf]]; the [[pqCodebooksFromDf]] hole
+    * contract (declared shape beats max()+1 tail blind spot).
+    */
+  def pqCodebooksUnitsFromDf(df: DataFrame, expectedM: Int = -1,
+                             expectedKCent: Int = -1,
+                             expectedSubdim: Int = -1): Array[Array[Array[Long]]] = {
+    val hasShape = df.columns.contains("m") && df.columns.contains("k_cent") &&
+      df.columns.contains("subdim")
+    val base = Seq(col("subspace"), col("centroid"), col("dim"),
+      col("value").cast(LongType))
+    val sel = if (hasShape)
+      base ++ Seq(col("m").cast(LongType), col("k_cent").cast(LongType),
+        col("subdim").cast(LongType)) else base
+    val collected = df.select(sel: _*).collect()
+    require(collected.nonEmpty, "empty PQ codebook frame")
+    val rows = collected.map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val m = FitFrames.declared("m", expectedM,
+      if (hasShape) Some(collected.map(_.getLong(4))) else None,
+      rows.map(_._1).max + 1)
+    val kc = FitFrames.declared("k_cent", expectedKCent,
+      if (hasShape) Some(collected.map(_.getLong(5))) else None,
+      rows.map(_._2).max + 1)
+    val sd = FitFrames.declared("subdim", expectedSubdim,
+      if (hasShape) Some(collected.map(_.getLong(6))) else None,
+      rows.map(_._3).max + 1)
+    require(rows.map(_._1).max + 1 == m && rows.map(_._2).max + 1 == kc &&
+        rows.map(_._3).max + 1 == sd && rows.length == m * kc * sd &&
+        rows.map(t => (t._1, t._2, t._3)).distinct.length == rows.length,
+      s"PQ codebook frame holes: ${rows.length} rows, expected ${m}x${kc}x$sd")
+    rows.groupBy(_._1).toArray.sortBy(_._1).map { case (_, bySub) =>
+      bySub.groupBy(_._2).toArray.sortBy(_._1).map { case (_, byCent) =>
+        byCent.sortBy(_._3).map(_._4)
+      }
+    }
+  }
+
   /** Oracle-replayable IVF-PQ ANN top-k — the production billion-vector
     * index shape: the coarse quantizer bounds COMPUTE (each query scores
     * only the `nProbe` nearest of `nLists` cells) and the residual PQ codes
@@ -667,11 +718,26 @@ object Similarity {
   def ivfpqTopKUnits(queries: DataFrame, candidates: DataFrame,
                      coarse: Array[Array[Long]],
                      books: Array[Array[Array[Long]]],
-                     nProbe: Int, k: Int, rerank: Int): DataFrame = {
+                     nProbe: Int, k: Int, rerank: Int): DataFrame =
+    ivfpqTopKWithIndex(queries, ivfpqIndex(candidates, coarse, books),
+      candidates, coarse, books, nProbe, k, rerank)
+
+  /** [[ivfpqTopKUnits]] against a pre-built (typically warehouse-persisted)
+    * (c_id, cell, codes) index frame — the serving path of the build-once/
+    * serve-many split: the scan side touches the code table only; true
+    * embeddings are fetched for the shortlist re-rank alone. Persist the
+    * index with [[ivfpqIndex]] + [[KMeans.centroidsToDf]] (coarse) +
+    * [[pqCodebooksUnitsDf]] (books) through the warehouse.
+    */
+  def ivfpqTopKWithIndex(queries: DataFrame, index: DataFrame,
+                         candidates: DataFrame,
+                         coarse: Array[Array[Long]],
+                         books: Array[Array[Array[Long]]],
+                         nProbe: Int, k: Int, rerank: Int): DataFrame = {
     val m = books.length
     val kCent = books(0).length
     val sub = books(0)(0).length
-    val cIdx = ivfpqIndex(candidates, coarse, books)
+    val cIdx = index.select(col("c_id"), col("cell"), col("codes"))
     val lutCol = concat((0 until m).map { j =>
       kernelCol(graft.plans.CellDotsQ(
         kernelExpr(slice(VectorFns.quantize(col("qe")), j * sub + 1, sub)),

@@ -758,6 +758,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("IVF-PQ index persists through the warehouse and serves identically") {
+    val e = Tables.load(spark, TestSpark.sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val c = e.select($"vec_id".as("c_id"), $"embedding".as("ce"))
+    val (coarse, books) = Similarity.ivfpqTrainUnits(
+      c.select($"c_id", $"ce".as("embedding")), "c_id", "embedding",
+      nLists = 8, m = 8, kCent = 16, sampleSize = 256, iters = 2)
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh-ivfpqidx").toString)
+    wh.write("ivfpq_index", Similarity.ivfpqIndex(c, coarse, books))
+    wh.write("ivfpq_coarse", graft.operators.KMeans.centroidsToDf(spark, coarse))
+    wh.write("ivfpq_books", Similarity.pqCodebooksUnitsDf(spark, books))
+    // reload cold: both fit frames roundtrip exactly, serving == inline
+    val coarse2 = graft.operators.KMeans.centroidsFromDf(wh.read("ivfpq_coarse"))
+    val books2 = Similarity.pqCodebooksUnitsFromDf(wh.read("ivfpq_books"))
+    assert(coarse.flatten.toSeq == coarse2.flatten.toSeq &&
+      books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val inline = res(Similarity.ivfpqTopKUnits(q, c, coarse, books,
+      nProbe = 2, k = 5, rerank = 40))
+    val served = res(Similarity.ivfpqTopKWithIndex(q, wh.read("ivfpq_index"),
+      c, coarse2, books2, nProbe = 2, k = 5, rerank = 40))
+    assert(served == inline)
+    // declared-shape contract: a frame that lost its whole trailing
+    // subspace (or trailing coarse cluster) fails loudly, not silently
+    intercept[IllegalArgumentException](Similarity.pqCodebooksUnitsFromDf(
+      wh.read("ivfpq_books").filter($"subspace" =!= 7)))
+    intercept[IllegalArgumentException](graft.operators.KMeans.centroidsFromDf(
+      wh.read("ivfpq_coarse").filter($"cluster" =!= 7)))
+  }
+
   test("table diff: insert/delete/update classified, null-safe, unchanged dropped") {
     val old = Seq((1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("c"), 30.0),
         (4L, Some("d"), 40.0))
