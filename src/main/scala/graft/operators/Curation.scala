@@ -1350,12 +1350,17 @@ object Curation {
     * aggregates plus a ≤ nBuckets+1-row driver collect (the DSIR
     * precedent: the MODEL is driver-sized, the data never is).
     */
-  def distillPerceptron(df: DataFrame, idCol: String, textCol: String,
-                        stopwords: Seq[String], teacherThreshold: Long,
-                        nBuckets: Int, epochs: Int): DataFrame = {
-    require(nBuckets >= 2 && epochs >= 1, "nBuckets >= 2, epochs >= 1")
-    val spark = df.sparkSession
-    import spark.implicits._
+  /** The distillation feature frame — (idCol, bucket, y), checkpointed:
+    * hashed unigram-presence buckets [0, nBuckets), the bias bucket, 8
+    * length buckets, 8 diversity buckets, with the teacher label riding
+    * along. Exposed so a capstone can train AND score off ONE tokenize
+    * pass (the frame feeds both the epoch aggregates and any later
+    * margin-scoring join).
+    */
+  def perceptronFeatures(df: DataFrame, idCol: String, textCol: String,
+                         stopwords: Seq[String], teacherThreshold: Long,
+                         nBuckets: Int, shareKey: String = null): DataFrame = {
+    require(nBuckets >= 2, "nBuckets >= 2")
     val labeled = qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
       .select(col(idCol),
         when(col("score") >= teacherThreshold, 1L).otherwise(-1L).as("y"))
@@ -1374,12 +1379,34 @@ object Curation {
     val divF = stats.select(col(idCol),
       expr(s"CAST(${nBuckets + 9}L + " +
         "LEAST(((__nd * 1000000L) DIV __n) DIV 125000L, 7L) AS BIGINT)").as("bucket"))
-    val feats = graft.CkptCycle.cycle(
-      graft.CkptCycle.callSiteKey("Curation.distillPerceptron",
-        "graft.operators.Curation"),
+    val key = if (shareKey != null) shareKey
+      else graft.CkptCycle.callSiteKey("Curation.perceptronFeatures",
+        "graft.operators.Curation")
+    graft.CkptCycle.cycle(key,
       hashF.unionByName(biasF).unionByName(lenF).unionByName(divF)
         .join(labeled, Seq(idCol))
         .localCheckpoint(true))
+  }
+
+  def distillPerceptron(df: DataFrame, idCol: String, textCol: String,
+                        stopwords: Seq[String], teacherThreshold: Long,
+                        nBuckets: Int, epochs: Int): DataFrame =
+    distillPerceptronWith(
+      perceptronFeatures(df, idCol, textCol, stopwords, teacherThreshold,
+        nBuckets,
+        shareKey = graft.CkptCycle.callSiteKey("Curation.distillPerceptron",
+          "graft.operators.Curation")),
+      idCol, nBuckets, epochs)
+
+  /** [[distillPerceptron]] over an ALREADY-BUILT feature frame (see
+    * [[perceptronFeatures]]) — the entry point for compositions that also
+    * score with the learned weights and must not tokenize twice.
+    */
+  def distillPerceptronWith(feats: DataFrame, idCol: String,
+                            nBuckets: Int, epochs: Int): DataFrame = {
+    require(nBuckets >= 2 && epochs >= 1, "nBuckets >= 2, epochs >= 1")
+    val spark = feats.sparkSession
+    import spark.implicits._
     val nb1 = nBuckets + 17
     var w = new Array[Long](nb1)
     def weightsDf(arr: Array[Long]) = arr.zipWithIndex

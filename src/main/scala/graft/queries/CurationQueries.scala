@@ -27,6 +27,68 @@ object CurationQueries {
     """toks AS (SELECT doc_id, source,
       |  string_split_regex(lower(trim(text)), '\s+') AS t FROM documents)""".stripMargin
 
+  /** The perceptron-distillation replay as a CTE chain (g → … → bw): full
+    * unroll of `epochs` data-dependent pocket-perceptron epochs over the
+    * 64-hash + bias + 8-length + 8-diversity feature space against the
+    * 250000-threshold teacher (the q_classifier_distill parameters — baked
+    * in, the way the Spark call sites bake them). Requires `toks` in scope;
+    * exposes `lab` (teacher labels), `f` (features), `best` (pocket epoch)
+    * and `bw` (pocket weights) for the caller's SELECT. Shared by the
+    * distill row and the calibrated-curation capstone so the two oracles
+    * cannot drift.
+    */
+  private def distillCtes(epochs: Int): String = {
+    // per-epoch blocks: margins under w_k score it (a_k) and drive the
+    // next update (mis_k -> u_{k+1} -> w_{k+1})
+    val blocks = (1 until epochs).map { k =>
+      s"""m$k AS (SELECT doc_id, y, SUM(w$k.w) AS m
+               FROM f JOIN w$k USING (bucket) GROUP BY doc_id, y),
+        a$k AS (SELECT $k AS e, CAST(SUM(CASE WHEN y * m > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ok FROM m$k),
+        u${k + 1} AS (SELECT f.bucket, CAST(SUM(f.y) AS BIGINT) AS du
+               FROM f JOIN (SELECT doc_id FROM m$k WHERE y * m <= 0) mis
+                 USING (doc_id)
+               GROUP BY f.bucket),
+        w${k + 1} AS (SELECT w$k.bucket, w$k.w + COALESCE(u${k + 1}.du, 0) AS w
+               FROM w$k LEFT JOIN u${k + 1} USING (bucket))"""
+    }.mkString(",\n        ")
+    val accUnion = (1 to epochs).map(k => s"SELECT e, ok FROM a$k")
+      .mkString(" UNION ALL ")
+    val wUnion = (1 to epochs)
+      .map(k => s"SELECT $k AS e, bucket, w FROM w$k").mkString(" UNION ALL ")
+    s"""g AS (SELECT doc_id, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        lab AS (SELECT doc_id,
+                  CASE WHEN 1000 * LEAST(n, 200)
+                         + (500 * ((nd * 1000000) // n)) // 1000
+                         - (300 * ((ns * 1000000) // n)) // 1000 >= 250000
+                       THEN 1 ELSE -1 END AS y
+                FROM g),
+        fb AS (SELECT DISTINCT doc_id,
+                 ${TextFns.polyHashSql("tok")} % 64 AS bucket
+               FROM (SELECT doc_id, unnest(t) AS tok FROM toks) q),
+        f0 AS (SELECT doc_id, bucket FROM fb
+               UNION ALL SELECT doc_id, 64 AS bucket FROM lab
+               UNION ALL SELECT doc_id, 65 + LEAST(n // 50, 7) AS bucket FROM g
+               UNION ALL SELECT doc_id,
+                 73 + LEAST(((nd * 1000000) // n) // 125000, 7) AS bucket FROM g),
+        f AS (SELECT f0.doc_id, f0.bucket, lab.y
+              FROM f0 JOIN lab USING (doc_id)),
+        w1 AS (SELECT bucket, CAST(SUM(y) AS BIGINT) AS w FROM f GROUP BY bucket),
+        $blocks,
+        m$epochs AS (SELECT doc_id, y, SUM(w$epochs.w) AS m
+               FROM f JOIN w$epochs USING (bucket) GROUP BY doc_id, y),
+        a$epochs AS (SELECT $epochs AS e,
+                  CAST(SUM(CASE WHEN y * m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok
+                FROM m$epochs),
+        accs AS ($accUnion),
+        best AS (SELECT e, ok FROM accs ORDER BY ok DESC, e LIMIT 1),
+        allw AS ($wUnion),
+        bw AS (SELECT bucket, w FROM allw JOIN best USING (e))"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ----- C4-style boilerplate accounting: non-overlapping 8-token chunks
@@ -342,58 +404,9 @@ object CurationQueries {
             nBuckets = 64, epochs = 6)
           .orderBy(col("bucket")),
       Some {
-        val epochs = 6
-        // per-epoch blocks: margins under w_k score it (a_k) and drive the
-        // next update (mis_k -> u_{k+1} -> w_{k+1})
-        val blocks = (1 until epochs).map { k =>
-          s"""m$k AS (SELECT doc_id, y, SUM(w$k.w) AS m
-               FROM f JOIN w$k USING (bucket) GROUP BY doc_id, y),
-        a$k AS (SELECT $k AS e, CAST(SUM(CASE WHEN y * m > 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS ok FROM m$k),
-        u${k + 1} AS (SELECT f.bucket, CAST(SUM(f.y) AS BIGINT) AS du
-               FROM f JOIN (SELECT doc_id FROM m$k WHERE y * m <= 0) mis
-                 USING (doc_id)
-               GROUP BY f.bucket),
-        w${k + 1} AS (SELECT w$k.bucket, w$k.w + COALESCE(u${k + 1}.du, 0) AS w
-               FROM w$k LEFT JOIN u${k + 1} USING (bucket))"""
-        }.mkString(",\n        ")
-        val accUnion = (1 to epochs).map(k => s"SELECT e, ok FROM a$k")
-          .mkString(" UNION ALL ")
-        val wUnion = (1 to epochs)
-          .map(k => s"SELECT $k AS e, bucket, w FROM w$k").mkString(" UNION ALL ")
         s"""
         WITH $toksCte,
-        g AS (SELECT doc_id, GREATEST(len(t), 1) AS n,
-                len(list_distinct(t)) AS nd,
-                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
-              FROM toks),
-        lab AS (SELECT doc_id,
-                  CASE WHEN 1000 * LEAST(n, 200)
-                         + (500 * ((nd * 1000000) // n)) // 1000
-                         - (300 * ((ns * 1000000) // n)) // 1000 >= 250000
-                       THEN 1 ELSE -1 END AS y
-                FROM g),
-        fb AS (SELECT DISTINCT doc_id,
-                 ${TextFns.polyHashSql("tok")} % 64 AS bucket
-               FROM (SELECT doc_id, unnest(t) AS tok FROM toks) q),
-        f0 AS (SELECT doc_id, bucket FROM fb
-               UNION ALL SELECT doc_id, 64 AS bucket FROM lab
-               UNION ALL SELECT doc_id, 65 + LEAST(n // 50, 7) AS bucket FROM g
-               UNION ALL SELECT doc_id,
-                 73 + LEAST(((nd * 1000000) // n) // 125000, 7) AS bucket FROM g),
-        f AS (SELECT f0.doc_id, f0.bucket, lab.y
-              FROM f0 JOIN lab USING (doc_id)),
-        w1 AS (SELECT bucket, CAST(SUM(y) AS BIGINT) AS w FROM f GROUP BY bucket),
-        $blocks,
-        m$epochs AS (SELECT doc_id, y, SUM(w$epochs.w) AS m
-               FROM f JOIN w$epochs USING (bucket) GROUP BY doc_id, y),
-        a$epochs AS (SELECT $epochs AS e,
-                  CAST(SUM(CASE WHEN y * m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ok
-                FROM m$epochs),
-        accs AS ($accUnion),
-        best AS (SELECT e, ok FROM accs ORDER BY ok DESC, e LIMIT 1),
-        allw AS ($wUnion),
-        bw AS (SELECT bucket, w FROM allw JOIN best USING (e)),
+        ${CurationQueries.distillCtes(6)},
         tot2 AS (SELECT COUNT(*) AS nn FROM lab)
         SELECT CAST(r.b AS BIGINT) AS bucket,
                CAST(COALESCE(bw.w, 0) AS BIGINT) AS weight,
@@ -401,6 +414,64 @@ object CurationQueries {
         FROM (SELECT unnest(range(0, 81)) AS b) r
         LEFT JOIN bw ON r.b = bw.bucket, best, tot2
         ORDER BY bucket"""
+      }),
+
+    // ----- CALIBRATED-CURATION capstone (the FineWeb-Edu production flow,
+    // Penedo et al. 2024): distill the rule-based teacher into the pocket
+    // perceptron, score EVERY document with the learned weights (map-side
+    // join against the broadcast 81-weight model over the SAME checkpointed
+    // feature frame the training epochs used — one tokenize pass total),
+    // then cut each LANGUAGE at its own 40th percentile of the learned
+    // score (per-group calibration; a single global threshold would let the
+    // model's majority-language bias gut the others) and account survivors
+    // per source. ONE oracle replays the entire flow: 6 unrolled epochs +
+    // pocket selection (the shared distillCtes chain) + margin scoring +
+    // per-language rank cut + accounting.
+    Q("q_quality_calibrated_curation",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val feats = Curation.perceptronFeatures(docs, "doc_id", "text",
+          Seq("a", "the"), teacherThreshold = 250000L, nBuckets = 64)
+        val wdf = Curation.distillPerceptronWith(feats, "doc_id",
+          nBuckets = 64, epochs = 6)
+        val margins = feats.select(col("doc_id"), col("bucket"))
+          .join(broadcast(wdf.select(col("bucket"), col("weight"))), Seq("bucket"))
+          .groupBy(col("doc_id")).agg(sum(col("weight")).as("score"))
+        val scored = margins
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        Curation.percentileGate(scored, "doc_id", "lang", "score",
+            keepPermille = 400)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            count(when(col("selected"), 1)).cast(LongType).as("n_kept"),
+            coalesce(sum(when(col("selected"), col("score"))), lit(0L))
+              .cast(LongType).as("margin_kept"))
+          .orderBy(col("source"))
+      },
+      Some {
+        s"""
+        WITH $toksCte,
+        ${CurationQueries.distillCtes(6)},
+        mm AS (SELECT f.doc_id, SUM(bw.w) AS score
+               FROM f JOIN bw USING (bucket) GROUP BY f.doc_id),
+        dl AS (SELECT doc_id, lang, source FROM documents),
+        scl AS (SELECT mm.doc_id, dl.lang, dl.source, mm.score
+                FROM mm JOIN dl USING (doc_id)),
+        nn2 AS (SELECT lang, COUNT(*) AS n FROM scl GROUP BY lang),
+        rr AS (SELECT lang, source, doc_id, score,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY score DESC, doc_id) AS rk
+               FROM scl),
+        sel AS (SELECT rr.doc_id, rr.source, rr.score,
+                       CASE WHEN rk <= (nn2.n * 400) // 1000
+                            THEN 1 ELSE 0 END AS selected
+                FROM rr JOIN nn2 USING (lang))
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN selected = 1 THEN 1 END) AS BIGINT) AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN selected = 1 THEN score END), 0)
+                    AS BIGINT) AS margin_kept
+        FROM sel GROUP BY source ORDER BY source"""
       }),
 
     // ----- BPE merge-candidate mining: the most frequent adjacent token
