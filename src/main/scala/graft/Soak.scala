@@ -94,7 +94,10 @@ object Soak {
     // key, so fan-out is bounded at 1 per new-batch row — linear on any
     // replication, unlike the pair-generating queries above
     "q_incremental_pipeline", // fp+band warehouse indexes + isqrt re-weight (r14)
-    "q_xmodal_ivf_topk")     // train-once quantizer + full-probe serve (r14)
+    "q_xmodal_ivf_topk",     // train-once quantizer + full-probe serve (r14)
+    "q_quality_percentile_gate", // (group,score) histogram + broadcast boundary (r15)
+    "q_ann_ivfpq_topk",      // 256-sample train + map-side residual encode (r15)
+    "q_quality_calibrated_curation") // shared feats ckpt: epochs + scoring + gate (r15)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
