@@ -27,6 +27,125 @@ object VectorQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The IVF-PQ fixed-point replay as a CTE chain (qv → … → en → p → r):
+    * coarse train (2 integer Lloyd iterations over the 256-lowest-id
+    * sample), full-corpus cell assignment, residuals, residual-codebook
+    * train, codes, nProbe=2 probes, integer ADC + coarse dot, rerank-40
+    * shortlist, exact cosine re-rank ranks in `r`. Shared by
+    * q_ann_ivfpq_topk and q_ann_ivfpq_recall so the two oracles cannot
+    * drift; parameters (nLists=8, m=8, kCent=16, sample=256, iters=2)
+    * are baked in the way the Spark call sites bake them.
+    */
+  private lazy val ivfpqCtes: String = s"""        qv AS (
+          SELECT vec_id, list_transform(embedding,
+                   e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
+          FROM embeddings),
+        samp AS (SELECT vec_id, u, row_number() OVER (ORDER BY vec_id) AS rn
+                 FROM qv ORDER BY vec_id LIMIT 256),
+        fv AS (SELECT rn, d.g AS sd, u[d.g + 1] AS v
+               FROM samp, generate_series(0, 63) d(g)),
+        g0 AS (SELECT rn - 1 AS cent, sd, v FROM fv WHERE rn <= 8),
+        gd1 AS (SELECT f.rn, c.cent, SUM((f.v - c.v) * (f.v - c.v)) AS dist
+                FROM fv f JOIN g0 c USING (sd) GROUP BY f.rn, c.cent),
+        ga1 AS (SELECT rn, cent FROM (
+                  SELECT rn, cent, row_number() OVER (PARTITION BY rn ORDER BY dist, cent) AS rk
+                  FROM gd1) t WHERE rk = 1),
+        gu1 AS (SELECT a.cent, f.sd, SUM(f.v) AS sm, COUNT(*) AS n
+                FROM fv f JOIN ga1 a USING (rn) GROUP BY a.cent, f.sd),
+        g1 AS (SELECT c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM g0 c LEFT JOIN gu1 u ON c.cent = u.cent AND c.sd = u.sd),
+        gd2 AS (SELECT f.rn, c.cent, SUM((f.v - c.v) * (f.v - c.v)) AS dist
+                FROM fv f JOIN g1 c USING (sd) GROUP BY f.rn, c.cent),
+        ga2 AS (SELECT rn, cent FROM (
+                  SELECT rn, cent, row_number() OVER (PARTITION BY rn ORDER BY dist, cent) AS rk
+                  FROM gd2) t WHERE rk = 1),
+        gu2 AS (SELECT a.cent, f.sd, SUM(f.v) AS sm, COUNT(*) AS n
+                FROM fv f JOIN ga2 a USING (rn) GROUP BY a.cent, f.sd),
+        g2 AS (SELECT c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM g1 c LEFT JOIN gu2 u ON c.cent = u.cent AND c.sd = u.sd),
+        ev AS (SELECT vec_id, d.g AS sd, u[d.g + 1] AS v
+               FROM qv, generate_series(0, 63) d(g)),
+        ed AS (SELECT e.vec_id, c.cent, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+               FROM ev e JOIN g2 c USING (sd) GROUP BY e.vec_id, c.cent),
+        cellasg AS (SELECT vec_id, cent AS cell FROM (
+                      SELECT vec_id, cent, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent) AS rk
+                      FROM ed) t WHERE rk = 1),
+        rv AS (SELECT e.vec_id, e.sd // 8 AS j, e.sd % 8 AS sd, e.v - g.v AS v
+               FROM ev e JOIN cellasg ca USING (vec_id)
+               JOIN g2 g ON g.cent = ca.cell AND g.sd = e.sd),
+        sv AS (SELECT s.rn, r.j, r.sd, r.v FROM samp s JOIN rv r ON r.vec_id = s.vec_id),
+        c0 AS (SELECT j, rn - 1 AS cent, sd, v FROM sv WHERE rn <= 16),
+        d1 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+               FROM sv s JOIN c0 c ON s.j = c.j AND s.sd = c.sd
+               GROUP BY s.rn, s.j, c.cent),
+        a1 AS (SELECT rn, j, cent FROM (
+                 SELECT rn, j, cent, row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
+                 FROM d1) t WHERE rk = 1),
+        u1 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
+               FROM sv s JOIN a1 a ON s.rn = a.rn AND s.j = a.j
+               GROUP BY s.j, a.cent, s.sd),
+        c1 AS (SELECT c.j, c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM c0 c LEFT JOIN u1 u ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
+        d2 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+               FROM sv s JOIN c1 c ON s.j = c.j AND s.sd = c.sd
+               GROUP BY s.rn, s.j, c.cent),
+        a2 AS (SELECT rn, j, cent FROM (
+                 SELECT rn, j, cent, row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
+                 FROM d2) t WHERE rk = 1),
+        u2 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
+               FROM sv s JOIN a2 a ON s.rn = a.rn AND s.j = a.j
+               GROUP BY s.j, a.cent, s.sd),
+        c2 AS (SELECT c.j, c.cent, c.sd,
+                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
+               FROM c1 c LEFT JOIN u2 u ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
+        cd AS (SELECT r.vec_id, r.j, c.cent, SUM((r.v - c.v) * (r.v - c.v)) AS dist
+               FROM rv r JOIN c2 c ON r.j = c.j AND r.sd = c.sd
+               GROUP BY r.vec_id, r.j, c.cent),
+        codes AS (SELECT vec_id, j, cent FROM (
+                    SELECT vec_id, j, cent, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent) AS rk
+                    FROM cd) t WHERE rk = 1),
+        probes AS (SELECT vec_id AS q_id, cent AS cell FROM (
+                     SELECT vec_id, cent, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent) AS rk
+                     FROM ed WHERE vec_id < 5) t WHERE rk <= 2),
+        qcd AS (SELECT e.vec_id AS q_id, g.cent AS cell, SUM(e.v * g.v) AS cdot
+                FROM ev e JOIN g2 g USING (sd) WHERE e.vec_id < 5
+                GROUP BY e.vec_id, g.cent),
+        lut AS (SELECT e.vec_id AS q_id, c.j, c.cent, SUM(e.v * c.v) AS dp
+                FROM ev e JOIN c2 c ON c.j = e.sd // 8 AND c.sd = e.sd % 8
+                WHERE e.vec_id < 5 GROUP BY e.vec_id, c.j, c.cent),
+        ax AS (SELECT p.q_id, ca.vec_id AS c_id, ca.cell, SUM(l.dp) AS pq_dot
+               FROM probes p
+               JOIN cellasg ca ON ca.cell = p.cell AND ca.vec_id <> p.q_id
+               JOIN codes co ON co.vec_id = ca.vec_id
+               JOIN lut l ON l.q_id = p.q_id AND l.j = co.j AND l.cent = co.cent
+               GROUP BY p.q_id, ca.vec_id, ca.cell),
+        ax2 AS (SELECT a.q_id, a.c_id, a.pq_dot + qc.cdot AS approx_dot
+                FROM ax a JOIN qcd qc ON qc.q_id = a.q_id AND qc.cell = a.cell),
+        short AS (SELECT q_id, c_id FROM (
+                    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                      ORDER BY approx_dot DESC, c_id) AS rk
+                    FROM ax2) t WHERE rk <= 40),
+        en AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        p AS (SELECT s.q_id, s.c_id,
+                     ${VectorFns.dotSql("qq.embedding", "cc.embedding")} / (qq.norm * cc.norm) AS cos
+              FROM short s
+              JOIN en qq ON qq.vec_id = s.q_id
+              JOIN en cc ON cc.vec_id = s.c_id),
+        r AS (SELECT q_id, c_id,
+                     CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
+              FROM p)"""
+
+
   val qs: Seq[Q] = Seq(
 
     // ----- brute-force cosine top-5 for query vectors vec_id < 5.
@@ -742,115 +861,69 @@ object VectorQueries {
           .orderBy(col("q_id"), col("rnk"))
       },
       Some(s"""
-        WITH qv AS (
-          SELECT vec_id, list_transform(embedding,
-                   e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
-          FROM embeddings),
-        samp AS (SELECT vec_id, u, row_number() OVER (ORDER BY vec_id) AS rn
-                 FROM qv ORDER BY vec_id LIMIT 256),
-        fv AS (SELECT rn, d.g AS sd, u[d.g + 1] AS v
-               FROM samp, generate_series(0, 63) d(g)),
-        g0 AS (SELECT rn - 1 AS cent, sd, v FROM fv WHERE rn <= 8),
-        gd1 AS (SELECT f.rn, c.cent, SUM((f.v - c.v) * (f.v - c.v)) AS dist
-                FROM fv f JOIN g0 c USING (sd) GROUP BY f.rn, c.cent),
-        ga1 AS (SELECT rn, cent FROM (
-                  SELECT rn, cent, row_number() OVER (PARTITION BY rn ORDER BY dist, cent) AS rk
-                  FROM gd1) t WHERE rk = 1),
-        gu1 AS (SELECT a.cent, f.sd, SUM(f.v) AS sm, COUNT(*) AS n
-                FROM fv f JOIN ga1 a USING (rn) GROUP BY a.cent, f.sd),
-        g1 AS (SELECT c.cent, c.sd,
-                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
-                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
-               FROM g0 c LEFT JOIN gu1 u ON c.cent = u.cent AND c.sd = u.sd),
-        gd2 AS (SELECT f.rn, c.cent, SUM((f.v - c.v) * (f.v - c.v)) AS dist
-                FROM fv f JOIN g1 c USING (sd) GROUP BY f.rn, c.cent),
-        ga2 AS (SELECT rn, cent FROM (
-                  SELECT rn, cent, row_number() OVER (PARTITION BY rn ORDER BY dist, cent) AS rk
-                  FROM gd2) t WHERE rk = 1),
-        gu2 AS (SELECT a.cent, f.sd, SUM(f.v) AS sm, COUNT(*) AS n
-                FROM fv f JOIN ga2 a USING (rn) GROUP BY a.cent, f.sd),
-        g2 AS (SELECT c.cent, c.sd,
-                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
-                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
-               FROM g1 c LEFT JOIN gu2 u ON c.cent = u.cent AND c.sd = u.sd),
-        ev AS (SELECT vec_id, d.g AS sd, u[d.g + 1] AS v
-               FROM qv, generate_series(0, 63) d(g)),
-        ed AS (SELECT e.vec_id, c.cent, SUM((e.v - c.v) * (e.v - c.v)) AS dist
-               FROM ev e JOIN g2 c USING (sd) GROUP BY e.vec_id, c.cent),
-        cellasg AS (SELECT vec_id, cent AS cell FROM (
-                      SELECT vec_id, cent, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent) AS rk
-                      FROM ed) t WHERE rk = 1),
-        rv AS (SELECT e.vec_id, e.sd // 8 AS j, e.sd % 8 AS sd, e.v - g.v AS v
-               FROM ev e JOIN cellasg ca USING (vec_id)
-               JOIN g2 g ON g.cent = ca.cell AND g.sd = e.sd),
-        sv AS (SELECT s.rn, r.j, r.sd, r.v FROM samp s JOIN rv r ON r.vec_id = s.vec_id),
-        c0 AS (SELECT j, rn - 1 AS cent, sd, v FROM sv WHERE rn <= 16),
-        d1 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
-               FROM sv s JOIN c0 c ON s.j = c.j AND s.sd = c.sd
-               GROUP BY s.rn, s.j, c.cent),
-        a1 AS (SELECT rn, j, cent FROM (
-                 SELECT rn, j, cent, row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
-                 FROM d1) t WHERE rk = 1),
-        u1 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
-               FROM sv s JOIN a1 a ON s.rn = a.rn AND s.j = a.j
-               GROUP BY s.j, a.cent, s.sd),
-        c1 AS (SELECT c.j, c.cent, c.sd,
-                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
-                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
-               FROM c0 c LEFT JOIN u1 u ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
-        d2 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
-               FROM sv s JOIN c1 c ON s.j = c.j AND s.sd = c.sd
-               GROUP BY s.rn, s.j, c.cent),
-        a2 AS (SELECT rn, j, cent FROM (
-                 SELECT rn, j, cent, row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
-                 FROM d2) t WHERE rk = 1),
-        u2 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
-               FROM sv s JOIN a2 a ON s.rn = a.rn AND s.j = a.j
-               GROUP BY s.j, a.cent, s.sd),
-        c2 AS (SELECT c.j, c.cent, c.sd,
-                      COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
-                                    ELSE -((-u.sm) // u.n) END, c.v) AS v
-               FROM c1 c LEFT JOIN u2 u ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
-        cd AS (SELECT r.vec_id, r.j, c.cent, SUM((r.v - c.v) * (r.v - c.v)) AS dist
-               FROM rv r JOIN c2 c ON r.j = c.j AND r.sd = c.sd
-               GROUP BY r.vec_id, r.j, c.cent),
-        codes AS (SELECT vec_id, j, cent FROM (
-                    SELECT vec_id, j, cent, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent) AS rk
-                    FROM cd) t WHERE rk = 1),
-        probes AS (SELECT vec_id AS q_id, cent AS cell FROM (
-                     SELECT vec_id, cent, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent) AS rk
-                     FROM ed WHERE vec_id < 5) t WHERE rk <= 2),
-        qcd AS (SELECT e.vec_id AS q_id, g.cent AS cell, SUM(e.v * g.v) AS cdot
-                FROM ev e JOIN g2 g USING (sd) WHERE e.vec_id < 5
-                GROUP BY e.vec_id, g.cent),
-        lut AS (SELECT e.vec_id AS q_id, c.j, c.cent, SUM(e.v * c.v) AS dp
-                FROM ev e JOIN c2 c ON c.j = e.sd // 8 AND c.sd = e.sd % 8
-                WHERE e.vec_id < 5 GROUP BY e.vec_id, c.j, c.cent),
-        ax AS (SELECT p.q_id, ca.vec_id AS c_id, ca.cell, SUM(l.dp) AS pq_dot
-               FROM probes p
-               JOIN cellasg ca ON ca.cell = p.cell AND ca.vec_id <> p.q_id
-               JOIN codes co ON co.vec_id = ca.vec_id
-               JOIN lut l ON l.q_id = p.q_id AND l.j = co.j AND l.cent = co.cent
-               GROUP BY p.q_id, ca.vec_id, ca.cell),
-        ax2 AS (SELECT a.q_id, a.c_id, a.pq_dot + qc.cdot AS approx_dot
-                FROM ax a JOIN qcd qc ON qc.q_id = a.q_id AND qc.cell = a.cell),
-        short AS (SELECT q_id, c_id FROM (
-                    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-                      ORDER BY approx_dot DESC, c_id) AS rk
-                    FROM ax2) t WHERE rk <= 40),
-        en AS (SELECT vec_id, embedding,
-                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
-               FROM embeddings),
-        p AS (SELECT s.q_id, s.c_id,
-                     ${VectorFns.dotSql("qq.embedding", "cc.embedding")} / (qq.norm * cc.norm) AS cos
-              FROM short s
-              JOIN en qq ON qq.vec_id = s.q_id
-              JOIN en cc ON cc.vec_id = s.c_id),
-        r AS (SELECT q_id, c_id,
-                     CAST(row_number() OVER (PARTITION BY q_id
-                            ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
-              FROM p)
+        WITH $ivfpqCtes
         SELECT q_id, c_id, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // ----- IVF-PQ recall evaluation (the acceptance measurement before an
+    // index swap — the q_ann_recall shape for the combined index): recall@5
+    // of the PRODUCTION IVF-PQ path (nProbe=2, rerank=40) against exact
+    // brute-force cosine, per query. Deterministic end to end (the ivfpq
+    // chain is integer-exact), so the recall numbers themselves are
+    // oracle-gated, not just spec-bounded. Shares the ivfpqCtes replay with
+    // q_ann_ivfpq_topk so the two oracles cannot drift.
+    Q("q_ann_ivfpq_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val (coarse, books) = graft.operators.Similarity.ivfpqTrainUnits(
+          c.select(col("c_id"), col("ce").as("embedding")), "c_id", "embedding",
+          nLists = 8, m = 8, kCent = 16, sampleSize = 256, iters = 2)
+        val approx = graft.operators.Similarity.ivfpqTopKUnits(q, c, coarse,
+            books, nProbe = 2, k = 5, rerank = 40)
+          .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
+        // exact side: quantized cosine + round(9) window, the q_ann_recall
+        // idiom (both engines rank the same rounded value)
+        val eq = e.withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("norm", sqrt(VectorFns.dotQDouble(col("qv"), col("qv"))))
+        val qq = eq.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qv").as("qe2"), col("norm").as("qn"))
+        val cc = eq.select(col("vec_id").as("c_id"), col("qv").as("ce2"),
+          col("norm").as("cn"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        val exact = cc.crossJoin(broadcast(qq))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos",
+            VectorFns.dotQDouble(col("qe2"), col("ce2")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("c_id"))
+        exact.join(approx,
+            exact("q_id") === approx("a_q") && exact("c_id") === approx("a_c"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("a_c")).as("n_hits"),
+               expr("count(a_c) * 1000000L DIV 5").as("recall_ppm"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""
+        WITH $ivfpqCtes,
+        pex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       ${VectorFns.dotSql("q.embedding", "c.embedding")}
+                         / (q.norm * c.norm) AS cos
+                FROM en q, en c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        ex AS (SELECT q_id, c_id FROM (
+                 SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                   ORDER BY round(cos, 9) DESC, c_id) AS rk
+                 FROM pex) x WHERE rk <= 5),
+        ap AS (SELECT q_id AS a_q, c_id AS a_c FROM r WHERE rnk <= 5)
+        SELECT q_id, CAST(COUNT(a_c) AS BIGINT) AS n_hits,
+               CAST(COUNT(a_c) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM ex LEFT JOIN ap ON q_id = a_q AND c_id = a_c
+        GROUP BY q_id ORDER BY q_id""")),
+
 
     // ----- diversity-preserving subsampling: cap every 6-bit LSH bucket at
     // 3 docs (cluster-balanced selection — cover the semantic space instead
