@@ -488,6 +488,51 @@ object CurationQueries {
       // proven by the x10 soak row (ratio 1.6) instead.
       bench = false),
 
+    // ----- one-job multi-dimensional data card: docs / tokens / mean
+    // quality per (source × lang) under CUBE — per-source rows, per-lang
+    // rows, per-cell rows AND the corpus total from ONE aggregate job over
+    // ONE scan. At 100 TB the scan IS the bill: a reporting layer that runs
+    // four GROUP BYs reads the corpus four times; grouping sets read it
+    // once and expand map-side. NULL dims coalesce to 'ALL' so both
+    // engines' rollup nulls hash identically; the mean is the truncated
+    // integer DIV with the sign-adjusted oracle form (scores can go
+    // negative under stopword pressure).
+    Q("q_data_card",
+      (s, dir) => {
+        val scored = Curation.qualityScore(t(s, dir, "documents"), "text",
+            Seq("a", "the"), keepThreshold = Long.MinValue)
+          .withColumn("ntok", size(TextFns.tokens(col("text"))).cast(LongType))
+        scored.cube(col("source"), col("lang"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum(col("ntok")).cast(LongType).as("n_tokens"),
+            expr("CAST(SUM(score) DIV COUNT(1) AS BIGINT)").as("mean_score"))
+          .select(coalesce(col("source"), lit("ALL")).as("source"),
+            coalesce(col("lang"), lit("ALL")).as("lang"),
+            col("n_docs"), col("n_tokens"), col("mean_score"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        g AS (SELECT source, lang, CAST(len(t) AS BIGINT) AS ntok,
+                GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT source, lang, ntok,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g)
+        SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN SUM(score) >= 0 THEN SUM(score) // COUNT(*)
+                         ELSE -((-SUM(score)) // COUNT(*)) END AS BIGINT)
+                 AS mean_score
+        FROM sc GROUP BY CUBE(source, lang)
+        ORDER BY COALESCE(source, 'ALL'), COALESCE(lang, 'ALL')""")),
+
     // ----- BPE merge-candidate mining: the most frequent adjacent token
     // pairs over the corpus — one training step of a BPE tokenizer,
     // distributed. Top-k is a TakeOrdered heap; ties break on the pair.
