@@ -97,7 +97,11 @@ object Soak {
     "q_xmodal_ivf_topk",     // train-once quantizer + full-probe serve (r14)
     "q_quality_percentile_gate", // (group,score) histogram + broadcast boundary (r15)
     "q_ann_ivfpq_topk",      // 256-sample train + map-side residual encode (r15)
-    "q_quality_calibrated_curation") // shared feats ckpt: epochs + scoring + gate (r15)
+    "q_quality_calibrated_curation", // shared feats ckpt: epochs + scoring + gate (r15)
+    // (q_ann_ivfpq_recall is an EVAL row — its exact side is brute-force
+    // by construction, the same reason q_ann_recall/q_ann_dim_curve are
+    // not soaked; the production path it grades soaks via q_ann_ivfpq_topk)
+    "q_data_card")           // one-scan CUBE expansion (r15)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
