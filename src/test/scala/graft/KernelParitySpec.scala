@@ -87,6 +87,35 @@ class KernelParitySpec extends AnyFunSuite {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))   // null element → null
   }
 
+  test("SubVecQ == zip_with(a, b, (x, y) -> x - y); null on mismatch/null element") {
+    // parity on real quantized vectors: residual vs the HOF subtract
+    val pairs = emb.select(col("vec_id"), col("embedding").as("e1"))
+      .crossJoin(broadcast(
+        emb.filter(col("vec_id") < 3).select(col("embedding").as("e2"))))
+      .withColumn("a", VectorFns.quantize(col("e1")))
+      .withColumn("b", VectorFns.quantize(col("e2")))
+    val bad = pairs
+      .withColumn("kernel", GraftColumnBridge.column(graft.plans.SubVecQ(
+        GraftColumnBridge.expression(col("a")),
+        GraftColumnBridge.expression(col("b")))))
+      .withColumn("hof", zip_with(col("a"), col("b"), (x, y) => x - y))
+      .filter(!(col("kernel") <=> col("hof")))
+      .count()
+    assert(bad == 0L)
+    // poisoning contract: dim mismatch and null element both null the row
+    val df = Seq(1L, 2L, 3L).toDF("id").selectExpr("id",
+      """CASE WHEN id = 1 THEN array(5L, 6L)
+              WHEN id = 2 THEN array(5L)
+              ELSE array(5L, CAST(NULL AS BIGINT)) END AS qv""")
+    val out = df.select(col("id"),
+        GraftColumnBridge.column(graft.plans.SubVecQ(
+          GraftColumnBridge.expression(col("qv")),
+          GraftColumnBridge.expression(expr("array(1L, 2L)")))).as("r"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1) == Seq(4L, 4L))
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+
   test("DotFloat == double zip_with/aggregate fold, bit for bit") {
     val hof = expr("aggregate(zip_with(e1, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
