@@ -682,27 +682,7 @@ object Curation {
       scored.select(col(idCol), col(groupCol),
           col(scoreCol).cast(LongType).as("score"))
         .localCheckpoint(true))
-    // histogram: one row per (group, distinct score) — the bounded frame
-    // every cumulative decision runs over
-    val hist = ck.groupBy(col(groupCol), col("score"))
-      .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wTot = Window.partitionBy(col(groupCol))
-    // boundary row per group: the unique histogram row where the running
-    // count first reaches the quota; `take` is how many of ITS tie group
-    // survive. quota = 0 yields no boundary row -> inner join drops the
-    // whole group (keeps nothing) by construction.
-    val boundary = hist
-      .withColumn("cum", sum(col("cnt")).over(wCum))
-      .withColumn("__tot", sum(col("cnt")).over(wTot))
-      // integer floor division — counts are non-negative so DIV == floor,
-      // matching the oracle's `//` exactly (no double rounding anywhere)
-      .withColumn("quota", expr(s"(__tot * $keepPermille) DIV 1000"))
-      .filter(col("cum") - col("cnt") < col("quota") &&
-              col("quota") <= col("cum"))
-      .select(col(groupCol), col("score").as("__t"),
-        (col("quota") - (col("cum") - col("cnt"))).as("__take"))
+    val boundary = histogramBoundary(ck, groupCol, "score", keepPermille)
     val gated = ck.join(broadcast(boundary), Seq(groupCol), "left")
     // off-boundary rows are decided map-side against the broadcast
     // threshold; only the tie group pays a (bounded) ranking window
@@ -713,6 +693,50 @@ object Curation {
       .withColumn("selected", row_number().over(wTie) <= col("__take"))
     off.unionByName(tie)
       .select(col(groupCol), col(idCol), col("score"), col("selected"))
+  }
+
+  /** The per-group boundary frame behind [[percentileGate]]: one row per
+    * group with the boundary score (`__t`) and how many of its tie group
+    * survive (`__take`). quota = 0 yields no row — the caller's inner/left
+    * join semantics drop such groups entirely.
+    */
+  private def histogramBoundary(ck: DataFrame, groupCol: String,
+                                scoreCol: String, keepPermille: Int): DataFrame = {
+    // histogram: one row per (group, distinct score) — the bounded frame
+    // every cumulative decision runs over
+    val hist = ck.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col(groupCol))
+    // boundary row per group: the unique histogram row where the running
+    // count first reaches the quota; `take` is how many of ITS tie group
+    // survive. Integer floor division — counts are non-negative so DIV ==
+    // floor, matching the oracle's `//` exactly.
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("__tot", sum(col("cnt")).over(wTot))
+      .withColumn("quota", expr(s"(__tot * $keepPermille) DIV 1000"))
+      .filter(col("cum") - col("cnt") < col("quota") &&
+              col("quota") <= col("cum"))
+      .select(col(groupCol), col(scoreCol).as("__t"),
+        (col("quota") - (col("cum") - col("cnt"))).as("__take"))
+  }
+
+  /** Per-group boundary scores as a persistable frame — (groupCol,
+    * score_threshold): the CALIBRATION step of the streaming percentile
+    * gate (freeze thresholds on history once, gate arrivals forever).
+    * A group whose quota floors to 0 has no row; a missing row means
+    * "keep nothing from this group", matching [[percentileGate]].
+    */
+  def percentileThresholds(scored: DataFrame, groupCol: String,
+                           scoreCol: String, keepPermille: Int): DataFrame = {
+    require(keepPermille >= 0 && keepPermille <= 1000,
+      s"keepPermille must be in [0, 1000]: $keepPermille")
+    histogramBoundary(
+        scored.select(col(groupCol), col(scoreCol).cast(LongType).as("score")),
+        groupCol, "score", keepPermille)
+      .select(col(groupCol), col("__t").as("score_threshold"))
   }
 
   /** Diversity-preserving subsampling: keep `perBucket` documents from each

@@ -600,6 +600,89 @@ object Streams {
   }
 
   // ---------------------------------------------------------------------
+  // Streaming percentile gate: the operational form of
+  // Curation.percentileGate — per-group score thresholds are CALIBRATED
+  // ONCE on history (Curation.percentileThresholds → a warehouse table,
+  // the freeze-then-gate production shape FineWeb-style pipelines run) and
+  // every arriving micro-batch is scored map-side and cut against the
+  // broadcast thresholds.
+  //
+  // Two documented deviations from the batch operator, both forced by
+  // stream semantics and both conservative: (1) rows AT the boundary score
+  // are dropped (strict >) — the batch tie-take needs a total order over a
+  // finite corpus, and a stream has none, so the gate never keeps more
+  // than calibration promised; (2) a group with no threshold row (quota
+  // floored to 0 on history, or a group history never saw) rejects
+  // entirely — matching the batch operator's quota-0 semantics, and the
+  // safe default for an uncalibrated group.
+  //
+  // Scale: the threshold table is one row per group (KBs), loaded and
+  // localCheckpointed once at start; scoring and the cut are map-side —
+  // the gate adds ZERO shuffles to the ingest path.
+  // ---------------------------------------------------------------------
+
+  /** Threshold-table schema for [[startPercentileGate]]'s readOrEmpty. */
+  def thresholdSchema(groupCol: String): StructType = StructType(Seq(
+    StructField(groupCol, StringType), StructField("score_threshold", LongType)))
+
+  /** The foreachBatch body of the percentile gate, callable directly in
+    * tests and replay drills. `thr` is the calibrated threshold frame
+    * (load once; calibration never reruns per batch). Returns false when
+    * `batchId` was already fully committed.
+    */
+  def percentileGateBatch(batch: DataFrame, thr: DataFrame, outDir: String,
+      rejectDir: String, batchId: Long, textCol: String, groupCol: String,
+      stopwords: Seq[String]): Boolean = {
+    val spark = batch.sparkSession
+    val dir = batchDir(outDir, batchId)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dir, "_COMMITTED"))) return false
+    val scored = graft.operators.Curation.qualityScore(batch, textCol,
+      stopwords, keepThreshold = Long.MinValue).drop("keep")
+    // materialize the scored+tagged batch ONCE (the decontaminate-gate
+    // pattern): reject and clean writes are two actions over it
+    val tagged = scored.join(broadcast(thr), Seq(groupCol), "left")
+      .localCheckpoint(true)
+    try {
+      val kept = tagged.filter(col("score_threshold").isNotNull &&
+        col("score") > col("score_threshold")).drop("score_threshold")
+      val rejected = tagged.filter(col("score_threshold").isNull ||
+        col("score") <= col("score_threshold"))
+      // reject evidence first, then the marker-bearing clean write; a
+      // crash between the two replays both and the batch-keyed overwrite
+      // converges
+      rejected.write.mode("overwrite")
+        .parquet(new Path(rejectDir, f"batch-$batchId%09d").toString)
+      writeBatchIdempotent(kept, outDir, batchId)
+    } finally tagged.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Start the streaming percentile gate on a documents stream. Thresholds
+    * load and MATERIALIZE once at start (the static-index twin of
+    * startDecontaminateGate's shingle load).
+    */
+  def startPercentileGate(docs: DataFrame, wh: graft.airbnb.Warehouse,
+      thresholdTable: String, outDir: String, rejectDir: String,
+      checkpointDir: String, textCol: String, groupCol: String,
+      stopwords: Seq[String],
+      queryName: String = "percentile_gate"): StreamingQuery = {
+    val thr = wh.readOrEmpty(thresholdTable, thresholdSchema(groupCol))
+      .localCheckpoint(true)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        percentileGateBatch(batch.toDF(), thr, outDir, rejectDir, batchId,
+          textCol, groupCol, stopwords): Unit
+      }
+      .start()
+  }
+
+  // ---------------------------------------------------------------------
   // Streaming SemDeDup gate: assign each arriving micro-batch against a
   // PERSISTED k-means fit (KMeans.train → centroidsToDf → centroidsFromDf,
   // the train/persist/assign split) and drop arrivals whose cosine against

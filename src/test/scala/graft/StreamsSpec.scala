@@ -507,6 +507,74 @@ class StreamsSpec extends AnyFunSuite {
       1L, "doc_id", "text", 4))
   }
 
+  test("streaming percentile gate cuts at frozen per-group thresholds, replay-safe") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-pct-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-pct-out").toString
+    val rej = java.nio.file.Files.createTempDirectory("graft-pct-rej").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-pct-ckp").toString
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-pct-wh").toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    def stream = spark.readStream.schema(schema).parquet(src.toString)
+    def addDocs(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pct-one")
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(name))
+    }
+    // calibration on "history": the thresholds come from the SAME operator
+    // the batch gate uses, frozen through the warehouse. Distinct-token
+    // no-stopword texts score 1000·n + 500000 exactly, so history scores
+    // 501000/503000/504000 with permille 500 → quota 1 of 3 → boundary
+    // score (the threshold) = 504000: only scores ABOVE 504000 pass "en".
+    val hist = Seq(
+      (100L, 501000L, "en"), (101L, 503000L, "en"), (102L, 504000L, "en"))
+      .toDF("doc_id", "score", "lang")
+    wh.write("pct_thresholds", graft.operators.Curation
+      .percentileThresholds(hist, "lang", "score", keepPermille = 500))
+    assert(wh.read("pct_thresholds").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq == Seq(("en", 504000L)))
+    // batch 0: doc 1 scores 505000 (> threshold, kept); doc 2 scores
+    // exactly 504000 (boundary — DROPPED, the strict-> deviation the
+    // scaladoc pins); doc 3 is an uncalibrated group (rejected)
+    addDocs("b0.parquet", Seq(
+      (1L, "a1 a2 a3 a4 a5", "en"),
+      (2L, "b1 b2 b3 b4", "en"),
+      (3L, "c1 c2 c3 c4 c5 c6", "fr")))
+    val q0 = Streams.startPercentileGate(stream, wh, "pct_thresholds", out,
+      rej, ckp, "text", "lang", Seq("a", "the"), queryName = "pct_0")
+    try q0.processAllAvailable() finally q0.stop()
+    def committedIds: Set[Long] = Streams.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(committedIds == Set(1L))
+    assert(spark.read.parquet(s"$rej/batch-000000000")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // crash drill: batch 1 commits, its output is deleted (crash between
+    // the reject write and the sink marker); replay converges
+    val thr = wh.read("pct_thresholds")
+    val b1 = Seq(
+      (4L, "d1 d2 d3 d4 d5 d6 d7", "en"),
+      (5L, "e1", "en")).toDF("doc_id", "text", "lang")
+    assert(Streams.percentileGateBatch(b1, thr, out, rej, 1L,
+      "text", "lang", Seq("a", "the")))
+    val b1dir = new org.apache.hadoop.fs.Path(out, "batch-000000001")
+    val gfs = b1dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(gfs.delete(b1dir, true), "no batch-1 output to crash")
+    assert(Streams.percentileGateBatch(b1, thr, out, rej, 1L,
+      "text", "lang", Seq("a", "the")))
+    assert(committedIds == Set(1L, 4L))
+    assert(spark.read.parquet(s"$rej/batch-000000001")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(5L))
+    // a pure replay (marker present) is a no-op
+    assert(!Streams.percentileGateBatch(b1, thr, out, rej, 1L,
+      "text", "lang", Seq("a", "the")))
+  }
+
   test("streaming SemDeDup gate drops near-dups against persisted cells, crash-replay safe") {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val src = java.nio.file.Files.createTempDirectory("graft-sem-src")
