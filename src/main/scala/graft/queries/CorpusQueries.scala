@@ -104,6 +104,166 @@ object CorpusQueries {
                 AND n_kept_lines >= 1) AS keep
         FROM sig ORDER BY doc_id""")),
 
+    // ----- quality-GATE comparison matrix (the sibling of the dedup
+    // granularity matrix): the four gate families — C4 structural, Gopher
+    // structural, the linear classifier, and the per-language percentile
+    // cut — priced on ONE shared augmented corpus as removal counts plus
+    // every pairwise both-removed overlap, 10 rows from one flags frame.
+    // The "which gate does my corpus need, and how redundant are they"
+    // measurement run BEFORE committing a gate stack. Augmentation is the
+    // union of the two structural rows' plantings minus the lorem/brace
+    // legs (their oracle-side text literals differ from Spark's by brace
+    // doubling — harmless for C4's own outputs, but Gopher's
+    // mean-word-length WOULD see the extra byte; C4 still binds here via
+    // the sentence floor). One checkpointed aug corpus feeds all four
+    // legs; the matrix aggregate is one job.
+    Q("q_quality_gate_matrix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .withColumn("__t0", TextFns.tokens(col("text")))
+          .withColumn("__ls", expr(lineifySparkSql))
+          .withColumn("text", concat(
+            when(col("doc_id") % 5 === 0,
+              lit("- planted bullet item\n* second planted item\n"))
+              .otherwise(lit("")),
+            array_join(col("__ls"), "\n"),
+            when(col("doc_id") % 7 === 0,
+              lit("\nto be continued...\nread the next part..."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 3 === 0, lit("\nthe and of that"))
+              .otherwise(lit(""))))
+          .drop("__t0", "__ls")
+        val aug = graft.CkptCycle.cycle(
+          graft.CkptCycle.callSiteKey("CorpusQueries.q_quality_gate_matrix",
+            "graft.queries.CorpusQueries"),
+          docs.localCheckpoint(true))
+        val c4 = Curation.c4QualitySignals(aug, "doc_id", "text",
+            minLineWords = 5L, minSentences = 3L)
+          .select(col("doc_id"), col("keep").as("k_c4"))
+        val gop = Curation.gopherQualitySignals(aug, "doc_id", "text",
+            minTokens = 30L)
+          .select(col("doc_id"), col("keep").as("k_gop"))
+        val scored = Curation.qualityScore(aug, "text", Seq("a", "the"),
+          keepThreshold = 250000L)
+        val cls = scored.select(col("doc_id"), col("keep").as("k_cls"))
+        val pct = Curation.percentileGate(
+            scored.select(col("doc_id"), col("lang"), col("score")),
+            "doc_id", "lang", "score", keepPermille = 400)
+          .select(col("doc_id"), col("selected").as("k_pct"))
+        val flags = c4.join(gop, Seq("doc_id")).join(cls, Seq("doc_id"))
+          .join(pct, Seq("doc_id"))
+        val gates = Seq(("c4", "k_c4"), ("classifier", "k_cls"),
+          ("gopher", "k_gop"), ("percentile", "k_pct"))
+        val pairs = for {
+          i <- gates.indices; j <- gates.indices if i <= j
+        } yield (gates(i), gates(j))
+        val aggCols = pairs.zipWithIndex.map { case (((_, ca), (_, cb)), ix) =>
+          count(when(!col(ca) && !col(cb), 1)).cast(LongType).as(s"c$ix")
+        }
+        val stackSql = s"stack(${pairs.length}, " + pairs.zipWithIndex.map {
+          case (((na, _), (nb, _)), ix) => s"'$na', '$nb', c$ix"
+        }.mkString(", ") + ") AS (gate_a, gate_b, n_both_removed)"
+        flags.agg(aggCols.head, aggCols.tail: _*)
+          .select(expr(stackSql))
+          .orderBy(col("gate_a"), col("gate_b"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t0
+          FROM documents),
+        aug AS (
+          SELECT doc_id, lang,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN '- planted bullet item' || chr(10) ||
+                           '* second planted item' || chr(10) ELSE '' END
+                 || array_to_string($lineifyDuckSql, chr(10))
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN chr(10) || 'to be continued...' || chr(10) ||
+                              'read the next part...' ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN chr(10) || 'the and of that' ELSE '' END AS text
+          FROM base),
+        feat AS (
+          SELECT doc_id, lang, text,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t,
+                 string_split(text, chr(10)) AS ls
+          FROM aug),
+        c4 AS (
+          SELECT doc_id,
+                 (length(text)
+                    - length(replace(replace(replace(text, '.', ''),
+                                             '!', ''), '?', '')) >= 3
+                  AND NOT contains(lower(text), 'lorem ipsum')
+                  AND NOT contains(text, '{{')
+                  AND len(list_filter(ls, l ->
+                        (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+                         OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+                        AND len(string_split_regex(trim(l), '\\s+')) >= 5
+                        AND trim(l) != '')) >= 1) AS k_c4
+          FROM feat),
+        gop AS (
+          SELECT doc_id,
+                 (len(t) BETWEEN 30 AND 100000
+                  AND list_sum(list_transform(t, x -> length(x))) * 1000
+                        // greatest(len(t), 1) BETWEEN 3000 AND 10000
+                  AND len(list_filter(t, x -> x = '#' OR contains(x, '...')))
+                        * 1000000 // greatest(len(t), 1) <= 100000
+                  AND len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+                                            OR starts_with(ltrim(l), '* ')))
+                        * 1000000 // greatest(len(ls), 1) <= 500000
+                  AND len(list_filter(ls, l -> ends_with(rtrim(l), '...')))
+                        * 1000000 // greatest(len(ls), 1) <= 300000
+                  AND len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                        * 1000000 // greatest(len(t), 1) >= 800000
+                  AND len(list_filter(['the','be','to','of','and','that','have','with'],
+                        w -> list_contains(t, w))) >= 2) AS k_gop
+          FROM feat),
+        sc AS (
+          SELECT doc_id, lang,
+                 1000 * LEAST(GREATEST(len(t), 1), 200)
+                   + (500 * ((len(list_distinct(t)) * 1000000)
+                             // GREATEST(len(t), 1))) // 1000
+                   - (300 * ((len(list_filter(t, x -> x = 'a' OR x = 'the'))
+                              * 1000000) // GREATEST(len(t), 1))) // 1000 AS score
+          FROM feat),
+        cls AS (SELECT doc_id, score >= 250000 AS k_cls FROM sc),
+        nn AS (SELECT lang, COUNT(*) AS n FROM sc GROUP BY lang),
+        rr AS (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY score DESC, doc_id) AS rk
+               FROM sc),
+        pct AS (SELECT rr.doc_id, rk <= (nn.n * 400) // 1000 AS k_pct
+                FROM rr JOIN nn USING (lang)),
+        flags AS (
+          SELECT c4.doc_id, k_c4, k_gop, k_cls, k_pct
+          FROM c4 JOIN gop USING (doc_id) JOIN cls USING (doc_id)
+          JOIN pct USING (doc_id)),
+        m AS (
+          SELECT 'c4' AS gate_a, 'c4' AS gate_b,
+                 COUNT(CASE WHEN NOT k_c4 AND NOT k_c4 THEN 1 END) AS n FROM flags
+          UNION ALL SELECT 'c4', 'classifier',
+                 COUNT(CASE WHEN NOT k_c4 AND NOT k_cls THEN 1 END) FROM flags
+          UNION ALL SELECT 'c4', 'gopher',
+                 COUNT(CASE WHEN NOT k_c4 AND NOT k_gop THEN 1 END) FROM flags
+          UNION ALL SELECT 'c4', 'percentile',
+                 COUNT(CASE WHEN NOT k_c4 AND NOT k_pct THEN 1 END) FROM flags
+          UNION ALL SELECT 'classifier', 'classifier',
+                 COUNT(CASE WHEN NOT k_cls AND NOT k_cls THEN 1 END) FROM flags
+          UNION ALL SELECT 'classifier', 'gopher',
+                 COUNT(CASE WHEN NOT k_cls AND NOT k_gop THEN 1 END) FROM flags
+          UNION ALL SELECT 'classifier', 'percentile',
+                 COUNT(CASE WHEN NOT k_cls AND NOT k_pct THEN 1 END) FROM flags
+          UNION ALL SELECT 'gopher', 'gopher',
+                 COUNT(CASE WHEN NOT k_gop AND NOT k_gop THEN 1 END) FROM flags
+          UNION ALL SELECT 'gopher', 'percentile',
+                 COUNT(CASE WHEN NOT k_gop AND NOT k_pct THEN 1 END) FROM flags
+          UNION ALL SELECT 'percentile', 'percentile',
+                 COUNT(CASE WHEN NOT k_pct AND NOT k_pct THEN 1 END) FROM flags)
+        SELECT gate_a, gate_b, CAST(n AS BIGINT) AS n_both_removed
+        FROM m ORDER BY gate_a, gate_b""")),
+
     // ----- cross-document exact line dedup (the C4 sentence-dedup shape):
     // keep only the globally-first occurrence of every distinct line.
     // Lines are 3-token chunks (the tiny fixture vocabulary makes 3-token
