@@ -101,7 +101,8 @@ object Soak {
     // (q_ann_ivfpq_recall is an EVAL row — its exact side is brute-force
     // by construction, the same reason q_ann_recall/q_ann_dim_curve are
     // not soaked; the production path it grades soaks via q_ann_ivfpq_topk)
-    "q_data_card")           // one-scan CUBE expansion (r15)
+    "q_data_card",           // one-scan CUBE expansion (r15)
+    "q_quality_gate_matrix") // ckpt'd aug corpus + 4 gate legs + 1 agg (r15)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
