@@ -469,4 +469,31 @@ class FuzzSpec extends AnyFunSuite {
     }
     assert(rows.exists(_._1.length >= k + w), "fuzz must reach full windows")
   }
+
+  test("percentileGate equals the sort-and-cut model under heavy ties (fuzz)") {
+    // small score range forces boundary ties; several permilles exercise
+    // the quota floor (including quota 0 for tiny groups)
+    val gen = for {
+      id <- Gen.choose(0L, 400L)
+      grp <- Gen.oneOf("a", "b", "c", "d")
+      score <- Gen.choose(-3L, 3L)
+    } yield (id, grp, score)
+    val rows = sample(gen, 300, seed = 1504L)
+      .groupBy(_._1).map(_._2.head).toSeq // unique ids (the operator contract)
+    val df = rows.toDF("id", "grp", "score")
+    for (permille <- Seq(0, 137, 400, 500, 999, 1000)) {
+      val got = graft.operators.Curation
+        .percentileGate(df, "id", "grp", "score", permille)
+        .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+      assert(got.size == rows.size, s"row count at p=$permille")
+      // model: per group, sort (score DESC, id ASC), keep the first
+      // (n * permille) / 1000
+      val want = rows.groupBy(_._2).flatMap { case (_, members) =>
+        val quota = (members.size.toLong * permille) / 1000L
+        val sorted = members.sortBy(m => (-m._3, m._1))
+        sorted.zipWithIndex.map { case (m, ix) => m._1 -> (ix < quota) }
+      }
+      assert(got == want, s"gate mismatch at p=$permille")
+    }
+  }
 }
