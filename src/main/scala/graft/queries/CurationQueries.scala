@@ -1074,6 +1074,84 @@ object CurationQueries {
                CAST(n_members AS BIGINT) AS n_members
         FROM r WHERE rn = 1 ORDER BY component_id""")),
 
+    // ----- dedup drop AUDIT (the explainability row a production dedup
+    // ships next to its deletion list: for EVERY dropped document, which
+    // survivor displaced it and by how much — "why was my doc dropped" is
+    // answerable without re-running the pipeline). Composes the pair
+    // generation, closure, and quality-argmax under one oracle; the
+    // deficit column is the evidence (0 = pure id tiebreak, >0 = quality).
+    Q("q_dedup_audit",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 4, 0.4)
+        val comp = graft.CkptCycle.cycle("q_dedup_audit",
+          Components.connectedComponents(pairs, "a_id", "b_id"))
+        val scored = Curation.qualityScore(docs, "text", Seq("a", "the"),
+            keepThreshold = Long.MinValue)
+          .select(col("doc_id"), col("score"))
+        val surv = Components.survivorsByQuality(comp, scored, "doc_id", "score")
+        comp.join(surv, Seq("component_id"))
+          .filter(col("node") =!= col("survivor_id"))
+          .join(scored.withColumnRenamed("doc_id", "node")
+            .withColumnRenamed("score", "dropped_score"), Seq("node"))
+          .select(col("node").as("dropped_id"), col("survivor_id"),
+            col("component_id"),
+            col("dropped_score").cast(LongType).as("dropped_score"),
+            col("survivor_score").cast(LongType).as("survivor_score"),
+            (col("survivor_score") - col("dropped_score"))
+              .cast(LongType).as("score_deficit"))
+          .orderBy(col("dropped_id"))
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        sh0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+                FROM toks WHERE len(t) >= 4),
+        sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT a_id, b_id FROM cand
+          JOIN sizes sa ON a_id = sa.doc_id
+          JOIN sizes sb ON b_id = sb.doc_id
+          WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.4),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                  UNION SELECT b_id, a_id FROM pairs),
+        reach(node, r) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        comp AS (SELECT node, LEAST(node, MIN(r)) AS component_id
+                 FROM reach GROUP BY node),
+        g AS (SELECT doc_id, GREATEST(len(t), 1) AS n,
+                     len(list_distinct(t)) AS nd,
+                     len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g),
+        j AS (SELECT comp.component_id, comp.node, sc.score
+              FROM comp JOIN sc ON comp.node = sc.doc_id),
+        srv AS (SELECT component_id, node AS survivor_id, score AS s_score
+                FROM (SELECT *,
+                        row_number() OVER (PARTITION BY component_id
+                          ORDER BY score DESC, node ASC) AS rn
+                      FROM j) x WHERE rn = 1)
+        SELECT j.node AS dropped_id, srv.survivor_id, j.component_id,
+               CAST(j.score AS BIGINT) AS dropped_score,
+               CAST(srv.s_score AS BIGINT) AS survivor_score,
+               CAST(srv.s_score - j.score AS BIGINT) AS score_deficit
+        FROM j JOIN srv USING (component_id)
+        WHERE j.node <> srv.survivor_id
+        ORDER BY dropped_id""")),
+
     Q("q_dedup_survivors",
       (s, dir) => {
         val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
