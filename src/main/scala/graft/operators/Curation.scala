@@ -739,6 +739,69 @@ object Curation {
       .select(col(groupCol), col("__t").as("score_threshold"))
   }
 
+  /** Per-group TOKEN-budget selection — the per-language allocation step a
+    * multilingual mix actually runs (FineWeb2-style: each language gets a
+    * token budget, spent best-quality-first), completing the selection
+    * symmetry: [[percentileGate]] cuts per-group DOC quotas,
+    * [[selectByTokenBudget]] one GLOBAL token budget, this one per-group
+    * token budgets. Greedy prefix semantics per group: docs in (score
+    * DESC, id ASC) order are selected while the group's running token sum
+    * stays within quota_g = (group_tokens · budgetPermille) DIV 1000 —
+    * cumulative-sum-inclusive, so the first overflowing doc and everything
+    * after it are rejected (the selectByTokenBudget contract, per group).
+    *
+    * Scale (the same histogram discipline as [[percentileGate]]): the slim
+    * (id, group, score, ntok) frame is checkpointed once; the cumulative
+    * decision runs over the (group, score) histogram with per-score token
+    * sums; the one-row-per-group boundary frame broadcasts; only boundary
+    * tie groups pay a (bounded) ordered cumsum window. A group with NO
+    * boundary row fits entirely (quota >= its total) and is selected
+    * map-side.
+    *
+    * @return (groupCol, idCol, score, ntok, selected) — every input row
+    */
+  def tokenBudgetPerGroup(scored: DataFrame, idCol: String, groupCol: String,
+                          scoreCol: String, ntokCol: String,
+                          budgetPermille: Int,
+                          shareKey: String = null): DataFrame = {
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      s"budgetPermille must be in [0, 1000]: $budgetPermille")
+    val key = if (shareKey != null) shareKey
+      else graft.CkptCycle.callSiteKey("Curation.tokenBudgetPerGroup",
+        "graft.operators.Curation")
+    val ck = graft.CkptCycle.cycle(key,
+      scored.select(col(idCol), col(groupCol),
+          col(scoreCol).cast(LongType).as("score"),
+          col(ntokCol).cast(LongType).as("ntok"))
+        .localCheckpoint(true))
+    val hist = ck.groupBy(col(groupCol), col("score"))
+      .agg(sum(col("ntok")).as("stok"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col(groupCol))
+    // boundary: the HIGHEST score whose per-score token block does NOT
+    // fully fit (monotone — all lower scores fail too). No row for a
+    // group means the whole group fits.
+    val boundary = hist
+      .withColumn("cum", sum(col("stok")).over(wCum))
+      .withColumn("__tot", sum(col("stok")).over(wTot))
+      .withColumn("quota", expr(s"(__tot * $budgetPermille) DIV 1000"))
+      .filter(col("cum") > col("quota") &&
+              col("cum") - col("stok") <= col("quota"))
+      .select(col(groupCol), col("score").as("__t"),
+        (col("quota") - (col("cum") - col("stok"))).as("__budget"))
+    val gated = ck.join(broadcast(boundary), Seq(groupCol), "left")
+    val off = gated.filter(col("__t").isNull || col("score") =!= col("__t"))
+      .withColumn("selected", col("__t").isNull || col("score") > col("__t"))
+    val wTie = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tie = gated.filter(col("score") === col("__t"))
+      .withColumn("selected", sum(col("ntok")).over(wTie) <= col("__budget"))
+    off.unionByName(tie)
+      .select(col(groupCol), col(idCol), col("score"), col("ntok"),
+        col("selected"))
+  }
+
   /** Diversity-preserving subsampling: keep `perBucket` documents from each
     * sign-LSH bucket of an embedding column — the cluster-balanced "cover
     * the semantic space, don't oversample the dense modes" selection a

@@ -386,6 +386,51 @@ object CurationQueries {
         WHERE rk <= (nn.n * 400) // 1000
         ORDER BY lang, doc_id""")),
 
+    // ----- per-group TOKEN-budget selection (the FineWeb2 per-language
+    // allocation): each language's token budget = 30% of its corpus
+    // tokens, spent best-quality-first with greedy-prefix semantics —
+    // completing the selection symmetry (per-group doc quota /
+    // global token budget / per-group token budget). Spark decides
+    // off-boundary score blocks map-side against the broadcast per-group
+    // boundary built from the (group, score) token histogram; the oracle
+    // replays the cut as a per-group ordered cumsum.
+    Q("q_token_budget_per_group",
+      (s, dir) => {
+        val scored = Curation.qualityScore(t(s, dir, "documents"), "text",
+            Seq("a", "the"), keepThreshold = Long.MinValue)
+          .withColumn("ntok", size(TextFns.tokens(col("text"))).cast(LongType))
+          .select(col("doc_id"), col("lang"), col("score"), col("ntok"))
+        Curation.tokenBudgetPerGroup(scored, "doc_id", "lang", "score",
+            "ntok", budgetPermille = 300)
+          .filter(col("selected"))
+          .select(col("lang"), col("doc_id"), col("ntok"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        g AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS ntok,
+                GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns
+              FROM toks),
+        sc AS (SELECT doc_id, lang, ntok,
+                 1000 * LEAST(n, 200)
+                   + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score
+               FROM g),
+        q AS (SELECT lang, (SUM(ntok) * 300) // 1000 AS quota
+              FROM sc GROUP BY lang),
+        r AS (SELECT lang, doc_id, ntok,
+                SUM(ntok) OVER (PARTITION BY lang
+                  ORDER BY score DESC, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sc)
+        SELECT r.lang, r.doc_id, CAST(r.ntok AS BIGINT) AS ntok
+        FROM r JOIN q USING (lang)
+        WHERE cum <= quota
+        ORDER BY lang, doc_id""")),
+
     // ----- in-engine classifier DISTILLATION: a full-batch integer
     // perceptron over hashed unigram-presence features (64 buckets + bias
     // + 8 length buckets + 8 diversity buckets — the structural features

@@ -719,6 +719,29 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(_._2).keySet == Set(1L, 2L, 9L))
   }
 
+  test("tokenBudgetPerGroup: greedy prefix per group, overflow cuts mid-tie, zero-token edge") {
+    // group a: tokens 10+10+10+10+0 = 40, permille 500 → quota 20. Order
+    // (score desc, id): doc 1 (cum 10, fits); boundary tie at score 5 with
+    // budget 10: id 2 (tie cumsum 10 <= 10, selected), id 3 (20 > 10,
+    // rejected), id 5 zero-token AFTER the overflow (cumsum stays 20 > 10,
+    // rejected); doc 4 below the boundary rejected. group b: quota 5,
+    // boundary at score 2 with budget 5: doc 6 (7 > 5) rejected, doc 7
+    // below the boundary rejected.
+    val df = Seq(
+      (1L, "a", 9L, 10L), (2L, "a", 5L, 10L), (3L, "a", 5L, 10L),
+      (4L, "a", 1L, 10L), (5L, "a", 5L, 0L),
+      (6L, "b", 2L, 7L), (7L, "b", 1L, 3L)
+    ).toDF("id", "grp", "score", "ntok")
+    val out = Curation.tokenBudgetPerGroup(df, "id", "grp", "score", "ntok", 500)
+      .collect().map(r => (r.getLong(1), r.getBoolean(4))).toMap
+    assert(out.size == 7)
+    assert(out.filter(_._2).keySet == Set(1L, 2L))
+    // permille 1000: everything fits, everyone selected
+    val all = Curation.tokenBudgetPerGroup(df, "id", "grp", "score", "ntok", 1000)
+      .collect().map(r => r.getBoolean(4))
+    assert(all.forall(identity))
+  }
+
   test("percentileGate: permille 1000 keeps every row, 0 keeps none") {
     val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "b", 1L))
       .toDF("id", "grp", "score")
