@@ -102,7 +102,12 @@ object Soak {
     // by construction, the same reason q_ann_recall/q_ann_dim_curve are
     // not soaked; the production path it grades soaks via q_ann_ivfpq_topk)
     "q_data_card",           // one-scan CUBE expansion (r15)
-    "q_quality_gate_matrix") // ckpt'd aug corpus + 4 gate legs + 1 agg (r15)
+    "q_quality_gate_matrix", // ckpt'd aug corpus + 4 gate legs + 1 agg (r15)
+    // (q_dedup_audit rides the ngram-pair generator — on this tail-suffix
+    // replication its pair set is quadratic BY CONSTRUCTION, the same
+    // fixture artifact the q_dedup_rebalance note documents; the pair
+    // family soaks on the copy-tagged DEDUP corpus instead)
+    "q_token_budget_per_group") // (group, score) token histogram + boundary (r15)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt

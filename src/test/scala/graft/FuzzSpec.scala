@@ -496,4 +496,31 @@ class FuzzSpec extends AnyFunSuite {
       assert(got == want, s"gate mismatch at p=$permille")
     }
   }
+
+  test("tokenBudgetPerGroup equals the per-group prefix model under ties (fuzz)") {
+    val gen = for {
+      id <- Gen.choose(0L, 400L)
+      grp <- Gen.oneOf("a", "b", "c")
+      score <- Gen.choose(-2L, 2L)
+      ntok <- Gen.choose(0L, 9L) // zeros exercise the cumsum-unchanged edge
+    } yield (id, grp, score, ntok)
+    val rows = sample(gen, 260, seed = 1505L)
+      .groupBy(_._1).map(_._2.head).toSeq
+    val df = rows.toDF("id", "grp", "score", "ntok")
+    for (permille <- Seq(0, 219, 500, 1000)) {
+      val got = graft.operators.Curation
+        .tokenBudgetPerGroup(df, "id", "grp", "score", "ntok", permille)
+        .collect().map(r => (r.getLong(1), r.getBoolean(4))).toMap
+      assert(got.size == rows.size, s"row count at p=$permille")
+      val want = rows.groupBy(_._2).flatMap { case (_, members) =>
+        val quota = (members.map(_._4).sum * permille) / 1000L
+        var cum = 0L
+        members.sortBy(m => (-m._3, m._1)).map { m =>
+          cum += m._4
+          m._1 -> (cum <= quota)
+        }
+      }
+      assert(got == want, s"budget mismatch at p=$permille")
+    }
+  }
 }
