@@ -683,6 +683,126 @@ object Streams {
   }
 
   // ---------------------------------------------------------------------
+  // Streaming token-BUDGET gate: the stateful sibling of the percentile
+  // gate above — per-group token budgets (the FineWeb2 per-language
+  // allocation, e.g. from Curation.tokenBudgetPerGroup's planning run)
+  // DEPLETE as batches arrive, the data-constrained ingestion shape: once
+  // a language's budget is spent, later arrivals in that language are
+  // rejected no matter their quality.
+  //
+  // State is a batch-keyed SPEND LEDGER, not a mutable table: each batch
+  // overwrites its own ledger file (group, spent_tokens, batch_id), and
+  // the remaining budget for batch B is initial − Σ ledger entries with
+  // batch_id < B. Crash anywhere replays the batch against the SAME
+  // remaining (its own entry is excluded by the < B filter), so decisions
+  // are deterministic under replay — the band-gate crash-window protocol
+  // applied to a running ledger. Ledger size is groups × batches rows
+  // (KBs); a compaction pass can fold it into one row per group exactly
+  // like the anchor-index compaction.
+  //
+  // Within a batch, spending is greedy by (score DESC, id ASC) per group —
+  // the tokenBudgetPerGroup order. ACROSS batches, arrival order IS the
+  // spend order: a stream cannot hold back today's arrivals hoping for
+  // better documents tomorrow. That deviation from the batch operator's
+  // global order is the documented cost of the streaming form (same class
+  // as the SemDeDup gate's one-sided survivorship).
+  // ---------------------------------------------------------------------
+
+  /** Budget-table schema for [[startBudgetGate]]: (groupCol,
+    * budget_tokens). */
+  def budgetSchema(groupCol: String): StructType = StructType(Seq(
+    StructField(groupCol, StringType), StructField("budget_tokens", LongType)))
+
+  /** The foreachBatch body of the budget gate. `budgets` is the initial
+    * allocation frame (load once). Returns false on a fully-committed
+    * replay.
+    */
+  def budgetGateBatch(batch: DataFrame, budgets: DataFrame, outDir: String,
+      rejectDir: String, ledgerDir: String, batchId: Long, idCol: String,
+      textCol: String, groupCol: String, stopwords: Seq[String]): Boolean = {
+    val spark = batch.sparkSession
+    val dir = batchDir(outDir, batchId)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dir, "_COMMITTED"))) return false
+    // remaining budget = initial − spend of STRICTLY EARLIER batches (own
+    // entry excluded so a replay recomputes identical decisions)
+    // glob the batch-keyed ledger files (a plain dir read would NOT
+    // recurse into the batch-… subdirectories); an empty glob throws at
+    // load, which is the no-ledger-yet case
+    val ledger = try {
+      spark.read.schema(StructType(Seq(
+          StructField(groupCol, StringType), StructField("spent", LongType),
+          StructField("batch_id", LongType))))
+        .parquet(s"$ledgerDir/batch-*").filter(col("batch_id") < batchId)
+    } catch { case _: Throwable => // no ledger yet
+      spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
+        StructField(groupCol, StringType), StructField("spent", LongType),
+        StructField("batch_id", LongType))))
+    }
+    val spent = ledger.groupBy(col(groupCol))
+      .agg(sum(col("spent")).as("__spent"))
+    val remaining = budgets.join(spent, Seq(groupCol), "left")
+      .select(col(groupCol),
+        (col("budget_tokens") - coalesce(col("__spent"), lit(0L)))
+          .as("__remaining"))
+    val scored = graft.operators.Curation.qualityScore(batch, textCol,
+        stopwords, keepThreshold = Long.MinValue).drop("keep")
+      .withColumn("__ntok",
+        size(graft.functions.TextFns.tokens(col(textCol))).cast(LongType))
+    // within-batch greedy prefix per group against the remaining budget:
+    // the window is bounded by the MICRO-BATCH, never a corpus
+    val wSpend = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tagged = scored.join(broadcast(remaining), Seq(groupCol), "left")
+      .withColumn("__cum", sum(col("__ntok")).over(wSpend))
+      .withColumn("__selected",
+        col("__remaining").isNotNull && col("__cum") <= col("__remaining"))
+      .localCheckpoint(true)
+    try {
+      val kept = tagged.filter(col("__selected"))
+        .drop("__remaining", "__cum", "__selected")
+      val rejected = tagged.filter(!col("__selected"))
+        .drop("__remaining", "__cum", "__selected")
+      // ledger first (replay must see its own spend overwritten, never
+      // doubled), then reject evidence, then the marker-bearing clean
+      // write
+      kept.groupBy(col(groupCol)).agg(sum(col("__ntok")).as("spent"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .parquet(new Path(ledgerDir, f"batch-$batchId%09d").toString)
+      rejected.write.mode("overwrite")
+        .parquet(new Path(rejectDir, f"batch-$batchId%09d").toString)
+      writeBatchIdempotent(kept, outDir, batchId)
+    } finally tagged.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+  }
+
+  /** Start the streaming budget gate. Budgets load and materialize once;
+    * the ledger is re-read per batch (bounded: groups × batches rows).
+    */
+  def startBudgetGate(docs: DataFrame, wh: graft.airbnb.Warehouse,
+      budgetTable: String, outDir: String, rejectDir: String,
+      ledgerDir: String, checkpointDir: String, idCol: String,
+      textCol: String, groupCol: String, stopwords: Seq[String],
+      queryName: String = "budget_gate"): StreamingQuery = {
+    val budgets = wh.readOrEmpty(budgetTable, budgetSchema(groupCol))
+      .localCheckpoint(true)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        budgetGateBatch(batch.toDF(), budgets, outDir, rejectDir, ledgerDir,
+          batchId, idCol, textCol, groupCol, stopwords): Unit
+      }
+      .start()
+  }
+
+  // ---------------------------------------------------------------------
   // Streaming SemDeDup gate: assign each arriving micro-batch against a
   // PERSISTED k-means fit (KMeans.train → centroidsToDf → centroidsFromDf,
   // the train/persist/assign split) and drop arrivals whose cosine against

@@ -575,6 +575,79 @@ class StreamsSpec extends AnyFunSuite {
       "text", "lang", Seq("a", "the")))
   }
 
+  test("streaming budget gate depletes per-group token budgets via the ledger, replay-safe") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-bud-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-bud-out").toString
+    val rej = java.nio.file.Files.createTempDirectory("graft-bud-rej").toString
+    val led = java.nio.file.Files.createTempDirectory("graft-bud-led").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-bud-ckp").toString
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-bud-wh").toString)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    def stream = spark.readStream.schema(schema).parquet(src.toString)
+    def addDocs(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bud-one")
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(name))
+    }
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    wh.write("budgets",
+      Seq(("en", 25L), ("de", 0L)).toDF("lang", "budget_tokens"))
+    // batch 0: en spend order is (score DESC, id) = doc 1 (12 tokens,
+    // cum 12), doc 2 (10, cum 22), doc 3 (8, cum 30 > 25 rejected —
+    // greedy PREFIX, the tokenBudgetPerGroup contract); de has budget 0
+    // and fr has no budget row — both rejected
+    addDocs("b0.parquet", Seq(
+      (1L, toks(12, "a"), "en"), (2L, toks(10, "b"), "en"),
+      (3L, toks(8, "c"), "en"), (4L, toks(5, "d"), "de"),
+      (9L, toks(5, "e"), "fr")))
+    val q0 = Streams.startBudgetGate(stream, wh, "budgets", out, rej, led,
+      ckp, "doc_id", "text", "lang", Seq("a", "the"), queryName = "bud_0")
+    try q0.processAllAvailable() finally q0.stop()
+    def committedIds: Set[Long] = Streams.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(committedIds == Set(1L, 2L))
+    assert(spark.read.parquet(s"$led/batch-000000000")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("en", 22L)))
+    // batch 1 direct drill: remaining en = 25 - 22 = 3. Spend order: doc 6
+    // (7 tokens, higher score) overflows (cum 7 > 3) and the PREFIX cut
+    // rejects doc 5 (cum 9) behind it too... then with doc 6 absent the
+    // replay must still converge. Use (6: 3 tokens, 5: 2 tokens): doc 6
+    // (score desc first) cum 3 <= 3 kept; doc 5 cum 5 > 3 rejected.
+    val budgets = wh.read("budgets")
+    val b1 = Seq((5L, toks(2, "f"), "en"), (6L, toks(3, "g"), "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Streams.budgetGateBatch(b1, budgets, out, rej, led, 1L,
+      "doc_id", "text", "lang", Seq("a", "the")))
+    assert(committedIds == Set(1L, 2L, 6L))
+    // crash between ledger write and sink marker: replay must see its OWN
+    // b1 spend excluded (batch_id < 1 filter) and converge, not double it
+    val b1dir = new org.apache.hadoop.fs.Path(out, "batch-000000001")
+    val gfs = b1dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(gfs.delete(b1dir, true), "no batch-1 output to crash")
+    assert(Streams.budgetGateBatch(b1, budgets, out, rej, led, 1L,
+      "doc_id", "text", "lang", Seq("a", "the")))
+    assert(committedIds == Set(1L, 2L, 6L))
+    assert(spark.read.parquet(s"$led/batch-000000001")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("en", 3L)))
+    // batch 2: budget exhausted (22 + 3 = 25) — everything en rejected
+    val b2 = Seq((7L, toks(1, "h"), "en")).toDF("doc_id", "text", "lang")
+    assert(Streams.budgetGateBatch(b2, budgets, out, rej, led, 2L,
+      "doc_id", "text", "lang", Seq("a", "the")))
+    assert(committedIds == Set(1L, 2L, 6L))
+    assert(spark.read.parquet(s"$rej/batch-000000002")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(7L))
+    // a pure replay (marker present) is a no-op
+    assert(!Streams.budgetGateBatch(b2, budgets, out, rej, led, 2L,
+      "doc_id", "text", "lang", Seq("a", "the")))
+  }
+
   test("streaming SemDeDup gate drops near-dups against persisted cells, crash-replay safe") {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val src = java.nio.file.Files.createTempDirectory("graft-sem-src")
