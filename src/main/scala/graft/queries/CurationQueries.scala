@@ -431,6 +431,85 @@ object CurationQueries {
         WHERE cum <= quota
         ORDER BY lang, doc_id""")),
 
+    // ----- streaming budget gate, batch-unrolled under the oracle (the
+    // established _batch pattern: the gate's SELECTION semantics are
+    // oracle-gated here, its crash/ledger protocol drilled in StreamsSpec):
+    // two batches split at the MAX(doc_id)/2 boundary literal, per-language
+    // budgets = 60% of each language's corpus tokens (the
+    // tokenBudgetPerGroup allocation shape), batch 1 spending against what
+    // batch 0 left. Both batch plans run through the SAME
+    // Streams.budgetSpendPlan the live gate runs.
+    Q("q_stream_budget_batch",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
+          .collect()(0).getLong(0)
+        val budgets = graft.CkptCycle.cycle("q_stream_budget_batch_bud",
+          docs.select(col("lang"),
+              size(TextFns.tokens(col("text"))).cast(LongType).as("ntok"))
+            .groupBy(col("lang"))
+            .agg(expr("(SUM(ntok) * 600) DIV 1000").as("budget_tokens"))
+            .localCheckpoint(true))
+        val slim = (p: org.apache.spark.sql.DataFrame) => p.select(
+          col("lang"), col("doc_id"), col("__ntok"), col("__selected"))
+        val p0 = graft.CkptCycle.cycle("q_stream_budget_batch_p0",
+          slim(graft.streaming.Streams.budgetSpendPlan(
+              docs.filter(col("doc_id") < mid),
+              budgets.select(col("lang"),
+                col("budget_tokens").as("__remaining")),
+              "doc_id", "text", "lang", Seq("a", "the")))
+            .localCheckpoint(true))
+        val spent0 = p0.filter(col("__selected")).groupBy(col("lang"))
+          .agg(sum(col("__ntok")).as("__spent"))
+        val rem1 = budgets.join(spent0, Seq("lang"), "left")
+          .select(col("lang"),
+            (col("budget_tokens") - coalesce(col("__spent"), lit(0L)))
+              .as("__remaining"))
+        val p1 = slim(graft.streaming.Streams.budgetSpendPlan(
+          docs.filter(col("doc_id") >= mid), rem1,
+          "doc_id", "text", "lang", Seq("a", "the")))
+        p0.withColumn("batch", lit(0L))
+          .unionByName(p1.withColumn("batch", lit(1L)))
+          .groupBy(col("lang"), col("batch"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            count(when(col("__selected"), 1)).cast(LongType).as("n_kept"),
+            coalesce(sum(when(col("__selected"), col("__ntok"))), lit(0L))
+              .cast(LongType).as("tokens_kept"))
+          .orderBy(col("lang"), col("batch"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        g AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS ntok,
+                GREATEST(len(t), 1) AS n, len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns FROM toks),
+        sc AS (SELECT doc_id, lang, ntok,
+                 1000 * LEAST(n, 200) + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score FROM g),
+        mid AS (SELECT COALESCE(MAX(doc_id) // 2, 0) AS m FROM documents),
+        bud AS (SELECT lang, (SUM(ntok) * 600) // 1000 AS b FROM sc GROUP BY lang),
+        p0 AS (SELECT sc.*, SUM(ntok) OVER (PARTITION BY lang
+                 ORDER BY score DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM sc, mid WHERE doc_id < m),
+        s0 AS (SELECT p0.lang, p0.doc_id, p0.ntok, (cum <= b) AS sel
+               FROM p0 JOIN bud USING (lang)),
+        sp0 AS (SELECT lang, COALESCE(SUM(CASE WHEN sel THEN ntok END), 0) AS spent
+                FROM s0 GROUP BY lang),
+        p1 AS (SELECT sc.*, SUM(ntok) OVER (PARTITION BY lang
+                 ORDER BY score DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM sc, mid WHERE doc_id >= m),
+        s1 AS (SELECT p1.lang, p1.doc_id, p1.ntok,
+                 (cum <= b - COALESCE(spent, 0)) AS sel
+               FROM p1 JOIN bud USING (lang) LEFT JOIN sp0 USING (lang)),
+        u AS (SELECT lang, 0 AS batch, doc_id, ntok, sel FROM s0
+              UNION ALL SELECT lang, 1, doc_id, ntok, sel FROM s1)
+        SELECT lang, CAST(batch AS BIGINT) AS batch,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(CASE WHEN sel THEN 1 END) AS BIGINT) AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN sel THEN ntok END), 0) AS BIGINT)
+                 AS tokens_kept
+        FROM u GROUP BY lang, batch ORDER BY lang, batch""")),
+
     // ----- in-engine classifier DISTILLATION: a full-batch integer
     // perceptron over hashed unigram-presence features (64 buckets + bias
     // + 8 length buckets + 8 diversity buckets — the structural features

@@ -713,6 +713,31 @@ object Streams {
   def budgetSchema(groupCol: String): StructType = StructType(Seq(
     StructField(groupCol, StringType), StructField("budget_tokens", LongType)))
 
+  /** The PURE decision half of the budget gate: score the batch, join the
+    * per-group remaining-budget frame (`__remaining`, null = unbudgeted),
+    * and tag each row `__selected` by the greedy within-batch prefix
+    * (score DESC, id ASC) against the remaining budget. Lazy plan — shared
+    * by the foreachBatch body and the batch-unrolled oracle row, so the
+    * gate's selection semantics are oracle-gated, not just drilled.
+    */
+  def budgetSpendPlan(batch: DataFrame, remaining: DataFrame, idCol: String,
+      textCol: String, groupCol: String, stopwords: Seq[String]): DataFrame = {
+    val scored = graft.operators.Curation.qualityScore(batch, textCol,
+        stopwords, keepThreshold = Long.MinValue).drop("keep")
+      .withColumn("__ntok",
+        size(graft.functions.TextFns.tokens(col(textCol))).cast(LongType))
+    // within-batch greedy prefix per group against the remaining budget:
+    // the window is bounded by the MICRO-BATCH, never a corpus
+    val wSpend = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored.join(broadcast(remaining), Seq(groupCol), "left")
+      .withColumn("__cum", sum(col("__ntok")).over(wSpend))
+      .withColumn("__selected",
+        col("__remaining").isNotNull && col("__cum") <= col("__remaining"))
+  }
+
   /** The foreachBatch body of the budget gate. `budgets` is the initial
     * allocation frame (load once). Returns false on a fully-committed
     * replay.
@@ -745,21 +770,8 @@ object Streams {
       .select(col(groupCol),
         (col("budget_tokens") - coalesce(col("__spent"), lit(0L)))
           .as("__remaining"))
-    val scored = graft.operators.Curation.qualityScore(batch, textCol,
-        stopwords, keepThreshold = Long.MinValue).drop("keep")
-      .withColumn("__ntok",
-        size(graft.functions.TextFns.tokens(col(textCol))).cast(LongType))
-    // within-batch greedy prefix per group against the remaining budget:
-    // the window is bounded by the MICRO-BATCH, never a corpus
-    val wSpend = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(col("score").desc, col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val tagged = scored.join(broadcast(remaining), Seq(groupCol), "left")
-      .withColumn("__cum", sum(col("__ntok")).over(wSpend))
-      .withColumn("__selected",
-        col("__remaining").isNotNull && col("__cum") <= col("__remaining"))
-      .localCheckpoint(true)
+    val tagged = budgetSpendPlan(batch, remaining, idCol, textCol, groupCol,
+      stopwords).localCheckpoint(true)
     try {
       val kept = tagged.filter(col("__selected"))
         .drop("__remaining", "__cum", "__selected")
