@@ -510,6 +510,61 @@ object CurationQueries {
                  AS tokens_kept
         FROM u GROUP BY lang, batch ORDER BY lang, batch""")),
 
+    // ----- streaming percentile gate, batch-unrolled under the oracle:
+    // thresholds CALIBRATED on the history half (doc_id < MAX/2, the same
+    // percentileThresholds the live gate freezes through the warehouse),
+    // arrivals gated with the gate's exact kept-filter semantics — strict
+    // score > threshold, missing-threshold group keeps nothing. The
+    // strict-> boundary deviation of the streaming form is thereby
+    // oracle-PINNED, not just scaladoc'd.
+    Q("q_stream_percentile_batch",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
+          .collect()(0).getLong(0)
+        val scored = graft.CkptCycle.cycle("q_stream_percentile_batch_sc",
+          Curation.qualityScore(docs, "text", Seq("a", "the"),
+              keepThreshold = Long.MinValue)
+            .select(col("doc_id"), col("lang"), col("score"))
+            .localCheckpoint(true))
+        val thr = Curation.percentileThresholds(
+          scored.filter(col("doc_id") < mid), "lang", "score",
+          keepPermille = 400)
+        scored.filter(col("doc_id") >= mid)
+          .join(broadcast(thr), Seq("lang"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast(LongType).as("n_new"),
+            count(when(col("score_threshold").isNotNull &&
+              col("score") > col("score_threshold"), 1))
+              .cast(LongType).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        g AS (SELECT doc_id, lang, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns FROM toks),
+        sc AS (SELECT doc_id, lang,
+                 1000 * LEAST(n, 200) + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score FROM g),
+        mid AS (SELECT COALESCE(MAX(doc_id) // 2, 0) AS m FROM documents),
+        hist AS (SELECT sc.* FROM sc, mid WHERE doc_id < m),
+        nn AS (SELECT lang, COUNT(*) AS n FROM hist GROUP BY lang),
+        rr AS (SELECT lang, score,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY score DESC, doc_id) AS rk
+               FROM hist),
+        thr AS (SELECT rr.lang, rr.score AS t
+                FROM rr JOIN nn USING (lang)
+                WHERE rk = (nn.n * 400) // 1000 AND (nn.n * 400) // 1000 >= 1),
+        fresh AS (SELECT sc.* FROM sc, mid WHERE doc_id >= m)
+        SELECT f.lang, CAST(COUNT(*) AS BIGINT) AS n_new,
+               CAST(COUNT(CASE WHEN thr.t IS NOT NULL AND f.score > thr.t
+                          THEN 1 END) AS BIGINT) AS n_kept
+        FROM fresh f LEFT JOIN thr ON f.lang = thr.lang
+        GROUP BY f.lang ORDER BY f.lang""")),
+
     // ----- in-engine classifier DISTILLATION: a full-batch integer
     // perceptron over hashed unigram-presence features (64 buckets + bias
     // + 8 length buckets + 8 diversity buckets — the structural features
