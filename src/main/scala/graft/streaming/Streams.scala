@@ -793,6 +793,47 @@ object Streams {
     }
   }
 
+  /** Fold the spend ledger's per-batch files into ONE batch-keyed file
+    * (the anchor-index-compaction shape applied to the ledger): entries
+    * with batch_id < `uptoBatchId` are summed per group and rewritten as a
+    * single file carrying batch_id = uptoBatchId − 1, so later batches
+    * compute the SAME remaining budget (the < filter still admits the
+    * folded row) while the ledger shrinks from groups × batches to groups
+    * rows. MUST only run while the gate is quiescent (between batches —
+    * the maintenance window every compaction here uses); uptoBatchId must
+    * be ≤ the next batch id, and folded batches' files are replaced
+    * atomically-enough for the gate's semantics because replay of any
+    * batch ≥ uptoBatchId reads the folded sum identically.
+    */
+  def compactLedger(spark: SparkSession, ledgerDir: String, groupCol: String,
+                    uptoBatchId: Long): Unit = {
+    require(uptoBatchId >= 1, s"uptoBatchId must be >= 1: $uptoBatchId")
+    val schema = StructType(Seq(
+      StructField(groupCol, StringType), StructField("spent", LongType),
+      StructField("batch_id", LongType)))
+    val folded = try {
+      spark.read.schema(schema).parquet(s"$ledgerDir/batch-*")
+        .filter(col("batch_id") < uptoBatchId)
+        .groupBy(col(groupCol)).agg(sum(col("spent")).as("spent"))
+        .withColumn("batch_id", lit(uptoBatchId - 1))
+        .localCheckpoint(true) // decisions made BEFORE the deletes below
+    } catch { case _: Throwable => return } // nothing to compact
+    val base = new Path(ledgerDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    // write the folded file under the LAST folded batch's key via a tmp
+    // promote, then drop the earlier per-batch files
+    val target = new Path(base, f"batch-${uptoBatchId - 1}%09d")
+    val tmp = new Path(target.toString + "__tmp")
+    fs.delete(tmp, true)
+    folded.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"ledger compaction: promote failed")
+    (0L until (uptoBatchId - 1)).foreach { b =>
+      fs.delete(new Path(base, f"batch-$b%09d"), true)
+    }
+  }
+
   /** Start the streaming budget gate. Budgets load and materialize once;
     * the ledger is re-read per batch (bounded: groups × batches rows).
     */

@@ -646,6 +646,18 @@ class StreamsSpec extends AnyFunSuite {
     // a pure replay (marker present) is a no-op
     assert(!Streams.budgetGateBatch(b2, budgets, out, rej, led, 2L,
       "doc_id", "text", "lang", Seq("a", "the")))
+    // ledger compaction: fold batches 0..2 into one file; batch 3 must
+    // compute the SAME remaining (0 for en) — semantics unchanged, ledger
+    // shrunk to one batch-keyed file
+    Streams.compactLedger(spark, led, "lang", uptoBatchId = 3L)
+    val ledFiles = new java.io.File(led).listFiles().filter(_.getName.startsWith("batch-"))
+    assert(ledFiles.map(_.getName).toSet == Set("batch-000000002"))
+    val b3 = Seq((8L, toks(1, "i"), "en")).toDF("doc_id", "text", "lang")
+    assert(Streams.budgetGateBatch(b3, budgets, out, rej, led, 3L,
+      "doc_id", "text", "lang", Seq("a", "the")))
+    assert(committedIds == Set(1L, 2L, 6L))
+    assert(spark.read.parquet(s"$rej/batch-000000003")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(8L))
   }
 
   test("streaming SemDeDup gate drops near-dups against persisted cells, crash-replay safe") {
