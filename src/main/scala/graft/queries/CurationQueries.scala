@@ -565,6 +565,68 @@ object CurationQueries {
         FROM fresh f LEFT JOIN thr ON f.lang = thr.lang
         GROUP BY f.lang ORDER BY f.lang""")),
 
+    // ----- quality-score DRIFT monitor (the re-calibration trigger that
+    // pairs with the frozen-threshold gates: thresholds calibrated on
+    // history go stale exactly when the arriving score distribution
+    // drifts, and THIS is the measurement that says when). Per language:
+    // L1 distance in ppm between the history half's and the fresh half's
+    // score histograms (50k-wide integer bins — the total-variation
+    // distance × 2, log-free and engine-exact by per-bin integer DIV).
+    // ONE scan: the split is a conditional count per (lang, bin); totals
+    // ride a lang-partitioned window over the HISTOGRAM (bounded rows),
+    // never the corpus.
+    Q("q_quality_drift",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
+          .collect()(0).getLong(0)
+        val binned = Curation.qualityScore(docs, "text", Seq("a", "the"),
+            keepThreshold = Long.MinValue)
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(CASE WHEN score >= 0 THEN score DIV 50000 " +
+                 "ELSE -((-score) DIV 50000) END AS BIGINT)").as("bin"))
+        val wLang = Window.partitionBy(col("lang"))
+        binned.groupBy(col("lang"), col("bin"))
+          .agg(count(when(col("doc_id") < mid, 1)).as("nh"),
+            count(when(col("doc_id") >= mid, 1)).as("nf"))
+          .withColumn("__Nh", sum(col("nh")).over(wLang))
+          .withColumn("__Nf", sum(col("nf")).over(wLang))
+          .withColumn("__d", abs(
+            expr("(nh * 1000000) DIV greatest(__Nh, 1)") -
+            expr("(nf * 1000000) DIV greatest(__Nf, 1)")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast(LongType).as("n_bins"),
+            sum(col("__d")).cast(LongType).as("l1_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        g AS (SELECT doc_id, lang, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns FROM toks),
+        sc AS (SELECT doc_id, lang,
+                 1000 * LEAST(n, 200) + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score FROM g),
+        mid AS (SELECT COALESCE(MAX(doc_id) // 2, 0) AS m FROM documents),
+        b AS (SELECT doc_id, lang,
+                CASE WHEN score >= 0 THEN score // 50000
+                     ELSE -((-score) // 50000) END AS bin
+              FROM sc),
+        h AS (SELECT lang, bin,
+                COUNT(CASE WHEN doc_id < m THEN 1 END) AS nh,
+                COUNT(CASE WHEN doc_id >= m THEN 1 END) AS nf
+              FROM b, mid GROUP BY lang, bin),
+        tt AS (SELECT lang, SUM(nh) AS th, SUM(nf) AS tf
+               FROM h GROUP BY lang),
+        d AS (SELECT h.lang,
+                ABS((nh * 1000000) // GREATEST(th, 1)
+                    - (nf * 1000000) // GREATEST(tf, 1)) AS dd
+              FROM h JOIN tt USING (lang))
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bins,
+               CAST(SUM(dd) AS BIGINT) AS l1_ppm
+        FROM d GROUP BY lang ORDER BY lang""")),
+
     // ----- in-engine classifier DISTILLATION: a full-batch integer
     // perceptron over hashed unigram-presence features (64 buckets + bias
     // + 8 length buckets + 8 diversity buckets — the structural features
