@@ -1491,7 +1491,50 @@ object VectorQueries {
                   AND vec_id NOT IN (SELECT vec_id FROM gd2))
         SELECT vec_id, CAST(batch AS BIGINT) AS batch, CAST(j AS BIGINT) AS cluster
         FROM (SELECT * FROM gs01 UNION ALL SELECT * FROM gs2)
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ----- EMBEDDING drift monitor (the vector-space sibling of
+    // q_quality_drift: semantic-distribution shift between the ingested
+    // history and fresh arrivals, measured as per-CELL population change
+    // against the fixed-point k-means fit). A frozen SemDeDup fit — like a
+    // frozen threshold — goes stale when the arriving distribution moves;
+    // this is the measurement that says when to refit. Assignment is the
+    // map-side CellDistsQ plan; the split is a conditional count per cell;
+    // the per-cell share delta is exact integer ppm (totals ride a 1-row
+    // broadcast, no corpus window).
+    Q("q_embedding_drift",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val mid = e.agg(expr("coalesce(MAX(vec_id) DIV 2, 0)").as("m"))
+          .collect()(0).getLong(0)
+        val hist = graft.operators.KMeans.assignments(e, "vec_id",
+            "embedding", k = 4, passes = 2)
+          .groupBy(col("cluster"))
+          .agg(count(when(col("vec_id") < mid, 1)).as("nh"),
+            count(when(col("vec_id") >= mid, 1)).as("nf"))
+        val tot = hist.agg(sum(col("nh")).as("th"), sum(col("nf")).as("tf"))
+        hist.crossJoin(broadcast(tot))
+          .select(col("cluster"),
+            col("nh").cast(LongType).as("n_hist"),
+            col("nf").cast(LongType).as("n_fresh"),
+            abs(expr("(nh * 1000000) DIV greatest(th, 1)") -
+                expr("(nf * 1000000) DIV greatest(tf, 1)"))
+              .cast(LongType).as("d_ppm"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes()},
+        mid AS (SELECT COALESCE(MAX(vec_id) // 2, 0) AS m FROM embeddings),
+        h AS (SELECT j AS cluster,
+                COUNT(CASE WHEN vec_id < m THEN 1 END) AS nh,
+                COUNT(CASE WHEN vec_id >= m THEN 1 END) AS nf
+              FROM a2, mid GROUP BY j),
+        tt AS (SELECT SUM(nh) AS th, SUM(nf) AS tf FROM h)
+        SELECT CAST(cluster AS BIGINT) AS cluster,
+               CAST(nh AS BIGINT) AS n_hist, CAST(nf AS BIGINT) AS n_fresh,
+               CAST(ABS((nh * 1000000) // GREATEST(th, 1)
+                        - (nf * 1000000) // GREATEST(tf, 1)) AS BIGINT) AS d_ppm
+        FROM h, tt ORDER BY cluster"""))
   )
 
   /** DuckDB replay of the fixed-point two-pass Lloyd iteration (k=4,
