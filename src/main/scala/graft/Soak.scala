@@ -109,7 +109,9 @@ object Soak {
     // family soaks on the copy-tagged DEDUP corpus instead)
     "q_token_budget_per_group", // (group, score) token histogram + boundary (r15)
     "q_stream_budget_batch",    // 2-batch spend unroll, batch-bounded windows (r15)
-    "q_stream_percentile_batch") // history-calibrated thresholds + map-side gate (r15)
+    "q_stream_percentile_batch", // history-calibrated thresholds + map-side gate (r15)
+    "q_quality_drift",       // one-scan (lang, bin) conditional counts (r15)
+    "q_embedding_drift")     // map-side cell assign + per-cell counts (r15)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
