@@ -627,6 +627,108 @@ object CurationQueries {
                CAST(SUM(dd) AS BIGINT) AS l1_ppm
         FROM d GROUP BY lang ORDER BY lang""")),
 
+    // ----- drift-triggered RECALIBRATION capstone (the operational loop
+    // the drift monitor exists for, closed under one oracle): measure each
+    // language's score drift between history and the fresh window; where
+    // drift crosses the alarm line (280k ppm — 3 of 5 fixture languages
+    // fire), RECALIBRATE the percentile threshold on the fresh window,
+    // otherwise keep the frozen history threshold; then gate the fresh
+    // arrivals with whichever threshold applies and account per language.
+    // Composes the drift bins, BOTH percentileThresholds calibrations, and
+    // the gate's strict-> kept filter off ONE checkpointed scored frame.
+    Q("q_quality_recalibrate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("m"))
+          .collect()(0).getLong(0)
+        val scored = graft.CkptCycle.cycle("q_quality_recalibrate_sc",
+          Curation.qualityScore(docs, "text", Seq("a", "the"),
+              keepThreshold = Long.MinValue)
+            .select(col("doc_id"), col("lang"), col("score"))
+            .localCheckpoint(true))
+        val hist = scored.filter(col("doc_id") < mid)
+        val fresh = scored.filter(col("doc_id") >= mid)
+        val tOld = Curation.percentileThresholds(hist, "lang", "score", 400)
+          .withColumnRenamed("score_threshold", "t_old")
+        val tNew = Curation.percentileThresholds(fresh, "lang", "score", 400)
+          .withColumnRenamed("score_threshold", "t_new")
+        val wLang = Window.partitionBy(col("lang"))
+        val drift = scored
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(CASE WHEN score >= 0 THEN score DIV 50000 " +
+                 "ELSE -((-score) DIV 50000) END AS BIGINT)").as("bin"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(when(col("doc_id") < mid, 1)).as("nh"),
+            count(when(col("doc_id") >= mid, 1)).as("nf"))
+          .withColumn("__th", sum(col("nh")).over(wLang))
+          .withColumn("__tf", sum(col("nf")).over(wLang))
+          .withColumn("__d", abs(
+            expr("(nh * 1000000) DIV greatest(__th, 1)") -
+            expr("(nf * 1000000) DIV greatest(__tf, 1)")))
+          .groupBy(col("lang")).agg(sum(col("__d")).as("l1"))
+        val ap = drift
+          .join(tOld, Seq("lang"), "left").join(tNew, Seq("lang"), "left")
+          .select(col("lang"), col("l1"),
+            (col("l1") >= 280000L).as("recal"),
+            when(col("l1") >= 280000L, col("t_new")).otherwise(col("t_old"))
+              .as("t_applied"))
+        fresh.join(broadcast(ap), Seq("lang"), "left")
+          .groupBy(col("lang"))
+          .agg(max(col("l1")).cast(LongType).as("l1_ppm"),
+            max(col("recal")).as("recalibrated"),
+            max(col("t_applied")).cast(LongType).as("t_applied"),
+            count(lit(1)).cast(LongType).as("n_fresh"),
+            count(when(col("t_applied").isNotNull &&
+              col("score") > col("t_applied"), 1))
+              .cast(LongType).as("n_kept"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, lang,
+               string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        g AS (SELECT doc_id, lang, GREATEST(len(t), 1) AS n,
+                len(list_distinct(t)) AS nd,
+                len(list_filter(t, x -> x = 'a' OR x = 'the')) AS ns FROM toks),
+        sc AS (SELECT doc_id, lang,
+                 1000 * LEAST(n, 200) + (500 * ((nd * 1000000) // n)) // 1000
+                   - (300 * ((ns * 1000000) // n)) // 1000 AS score FROM g),
+        mid AS (SELECT COALESCE(MAX(doc_id) // 2, 0) AS m FROM documents),
+        hist AS (SELECT sc.* FROM sc, mid WHERE doc_id < m),
+        fresh AS (SELECT sc.* FROM sc, mid WHERE doc_id >= m),
+        b AS (SELECT doc_id, lang,
+                CASE WHEN score >= 0 THEN score // 50000
+                     ELSE -((-score) // 50000) END AS bin FROM sc),
+        h AS (SELECT lang, bin,
+                COUNT(CASE WHEN doc_id < m THEN 1 END) AS nh,
+                COUNT(CASE WHEN doc_id >= m THEN 1 END) AS nf
+              FROM b, mid GROUP BY lang, bin),
+        tt AS (SELECT lang, SUM(nh) AS th, SUM(nf) AS tf FROM h GROUP BY lang),
+        dr AS (SELECT h.lang, SUM(ABS((nh * 1000000) // GREATEST(th, 1)
+                  - (nf * 1000000) // GREATEST(tf, 1))) AS l1
+               FROM h JOIN tt USING (lang) GROUP BY h.lang),
+        no_ AS (SELECT lang, COUNT(*) AS n FROM hist GROUP BY lang),
+        ro_ AS (SELECT lang, score, row_number() OVER (PARTITION BY lang
+                  ORDER BY score DESC, doc_id) AS rk FROM hist),
+        to_ AS (SELECT ro_.lang, ro_.score AS t FROM ro_ JOIN no_ USING (lang)
+                WHERE rk = (no_.n * 400) // 1000 AND (no_.n * 400) // 1000 >= 1),
+        nn_ AS (SELECT lang, COUNT(*) AS n FROM fresh GROUP BY lang),
+        rn_ AS (SELECT lang, score, row_number() OVER (PARTITION BY lang
+                  ORDER BY score DESC, doc_id) AS rk FROM fresh),
+        tn_ AS (SELECT rn_.lang, rn_.score AS t FROM rn_ JOIN nn_ USING (lang)
+                WHERE rk = (nn_.n * 400) // 1000 AND (nn_.n * 400) // 1000 >= 1),
+        ap AS (SELECT dr.lang, dr.l1, (dr.l1 >= 280000) AS recal,
+                      CASE WHEN dr.l1 >= 280000 THEN tn_.t ELSE to_.t END AS t_applied
+               FROM dr LEFT JOIN to_ USING (lang) LEFT JOIN tn_ USING (lang))
+        SELECT f.lang, CAST(MAX(ap.l1) AS BIGINT) AS l1_ppm,
+               BOOL_OR(ap.recal) AS recalibrated,
+               CAST(MAX(ap.t_applied) AS BIGINT) AS t_applied,
+               CAST(COUNT(*) AS BIGINT) AS n_fresh,
+               CAST(COUNT(CASE WHEN ap.t_applied IS NOT NULL
+                          AND f.score > ap.t_applied THEN 1 END) AS BIGINT)
+                 AS n_kept
+        FROM fresh f LEFT JOIN ap ON f.lang = ap.lang
+        GROUP BY f.lang ORDER BY f.lang""")),
+
     // ----- in-engine classifier DISTILLATION: a full-batch integer
     // perceptron over hashed unigram-presence features (64 buckets + bias
     // + 8 length buckets + 8 diversity buckets — the structural features
