@@ -111,7 +111,8 @@ object Soak {
     "q_stream_budget_batch",    // 2-batch spend unroll, batch-bounded windows (r15)
     "q_stream_percentile_batch", // history-calibrated thresholds + map-side gate (r15)
     "q_quality_drift",       // one-scan (lang, bin) conditional counts (r15)
-    "q_embedding_drift")     // map-side cell assign + per-cell counts (r15)
+    "q_embedding_drift",     // map-side cell assign + per-cell counts (r15)
+    "q_quality_recalibrate") // drift bins + dual calibration + gate, one ckpt (r15)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
