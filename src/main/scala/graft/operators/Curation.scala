@@ -683,7 +683,14 @@ object Curation {
           col(scoreCol).cast(LongType).as("score"))
         .localCheckpoint(true))
     val boundary = histogramBoundary(ck, groupCol, "score", keepPermille)
-    val gated = ck.join(broadcast(boundary), Seq(groupCol), "left")
+    // NULL-SAFE boundary join: the histogram groups a null key like any
+    // other, but a plain equi-join would never match it back — null-group
+    // rows would silently take the missing-row default instead of their
+    // own computed boundary (caught by CurationSpec's null-group contract).
+    val gated = ck.join(
+        broadcast(boundary.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
     // off-boundary rows are decided map-side against the broadcast
     // threshold; only the tie group pays a (bounded) ranking window
     val off = gated.filter(col("score") =!= col("__t") || col("__t").isNull)
@@ -790,7 +797,13 @@ object Curation {
               col("cum") - col("stok") <= col("quota"))
       .select(col(groupCol), col("score").as("__t"),
         (col("quota") - (col("cum") - col("stok"))).as("__budget"))
-    val gated = ck.join(broadcast(boundary), Seq(groupCol), "left")
+    // null-safe for the same reason as percentileGate: a null group's
+    // boundary row must reach its rows, or they'd take the whole-group-
+    // fits default and BYPASS the budget entirely
+    val gated = ck.join(
+        broadcast(boundary.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
     val off = gated.filter(col("__t").isNull || col("score") =!= col("__t"))
       .withColumn("selected", col("__t").isNull || col("score") > col("__t"))
     val wTie = Window.partitionBy(col(groupCol)).orderBy(col(idCol))

@@ -742,6 +742,35 @@ class CurationSpec extends AnyFunSuite {
     assert(all.forall(identity))
   }
 
+  test("percentileGate and tokenBudgetPerGroup: NULL group is its own group") {
+    // a null group key must neither crash nor leak into a named group —
+    // groupBy and the boundary join both treat null as one group (Spark's
+    // null-grouping semantics; the equi-join on the null key never matches
+    // the broadcast boundary, so percentileGate's LEFT join path decides
+    // those rows… the contract this spec pins is the one the operators
+    // actually have: null-group rows survive with a deterministic verdict
+    // and named groups are unaffected.
+    val df = Seq(
+      (1L, Some("a"), 9L, 4L), (2L, Some("a"), 5L, 4L),
+      (3L, None, 7L, 4L), (4L, None, 6L, 4L)
+    ).toDF("id", "grp", "score", "ntok")
+    val pg = Curation.percentileGate(df, "id", "grp", "score", 500)
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+    assert(pg.size == 4)
+    assert(pg(1L) && !pg(2L)) // named group cut unaffected: quota 1 of 2
+    // null group gets ITS OWN boundary via the null-safe join: quota 1 of
+    // 2, so the higher-scored null-group doc survives — the first draft's
+    // equi-join never matched the null key and silently kept NONE here
+    assert(pg(3L) && !pg(4L))
+    val tb = Curation.tokenBudgetPerGroup(df, "id", "grp", "score", "ntok", 500)
+      .collect().map(r => (r.getLong(1), r.getBoolean(4))).toMap
+    assert(tb.size == 4)
+    assert(tb(1L) && !tb(2L)) // 8-token group, budget 4: first doc only
+    // null group: 8 tokens, budget 4 — WITHOUT the null-safe join these
+    // rows took the whole-group-fits default and BYPASSED the budget
+    assert(tb(3L) && !tb(4L))
+  }
+
   test("percentileGate: permille 1000 keeps every row, 0 keeps none") {
     val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "b", 1L))
       .toDF("id", "grp", "score")
