@@ -641,7 +641,13 @@ object Streams {
       stopwords, keepThreshold = Long.MinValue).drop("keep")
     // materialize the scored+tagged batch ONCE (the decontaminate-gate
     // pattern): reject and clean writes are two actions over it
-    val tagged = scored.join(broadcast(thr), Seq(groupCol), "left")
+    // null-safe on the group key (the Curation boundary-join contract): a
+    // CALIBRATED null group gates like any other; only a group with no
+    // threshold row rejects
+    val tagged = scored.join(
+        broadcast(thr.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
       .localCheckpoint(true)
     try {
       val kept = tagged.filter(col("score_threshold").isNotNull &&
@@ -732,7 +738,10 @@ object Streams {
       .partitionBy(col(groupCol))
       .orderBy(col("score").desc, col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    scored.join(broadcast(remaining), Seq(groupCol), "left")
+    scored.join(
+        broadcast(remaining.withColumnRenamed(groupCol, "__g")),
+        col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
       .withColumn("__cum", sum(col("__ntok")).over(wSpend))
       .withColumn("__selected",
         col("__remaining").isNotNull && col("__cum") <= col("__remaining"))
@@ -766,7 +775,13 @@ object Streams {
     }
     val spent = ledger.groupBy(col(groupCol))
       .agg(sum(col("spent")).as("__spent"))
-    val remaining = budgets.join(spent, Seq(groupCol), "left")
+    // null-safe: a BUDGETED null group's ledger rows must decrement its
+    // remaining budget — an equi-join would never match them back and the
+    // null group's budget would never deplete across batches
+    val remaining = budgets.join(
+        spent.withColumnRenamed(groupCol, "__g"),
+        col(groupCol) <=> col("__g"), "left")
+      .drop("__g")
       .select(col(groupCol),
         (col("budget_tokens") - coalesce(col("__spent"), lit(0L)))
           .as("__remaining"))

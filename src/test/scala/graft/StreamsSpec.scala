@@ -660,6 +660,36 @@ class StreamsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(8L))
   }
 
+  test("streaming budget gate: a budgeted NULL group depletes like any other") {
+    // the null-safe join contract end-to-end: budget row with a NULL group
+    // key gates null-group arrivals, its ledger spend decrements the
+    // remaining budget across batches (an equi-join would never match the
+    // null key back — the budget would never deplete), and an unbudgeted
+    // named group still rejects
+    val out = java.nio.file.Files.createTempDirectory("graft-budn-out").toString
+    val rej = java.nio.file.Files.createTempDirectory("graft-budn-rej").toString
+    val led = java.nio.file.Files.createTempDirectory("graft-budn-led").toString
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val budgets = Seq((Option("en"), 25L), (Option.empty[String], 5L))
+      .toDF("lang", "budget_tokens")
+    val b0 = Seq((1L, toks(4, "a"), null.asInstanceOf[String]),
+        (2L, toks(3, "b"), "xx"))
+      .toDF("doc_id", "text", "lang")
+    assert(Streams.budgetGateBatch(b0, budgets, out, rej, led, 0L,
+      "doc_id", "text", "lang", Seq("a", "the")))
+    def committedIds: Set[Long] = Streams.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(committedIds == Set(1L)) // null group kept (4 <= 5); "xx" unbudgeted
+    // batch 1: remaining for the null group = 5 - 4 = 1 < 3 → rejected
+    val b1 = Seq((3L, toks(3, "c"), null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    assert(Streams.budgetGateBatch(b1, budgets, out, rej, led, 1L,
+      "doc_id", "text", "lang", Seq("a", "the")))
+    assert(committedIds == Set(1L))
+    assert(spark.read.parquet(s"$rej/batch-000000001")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("streaming SemDeDup gate drops near-dups against persisted cells, crash-replay safe") {
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
     val src = java.nio.file.Files.createTempDirectory("graft-sem-src")
