@@ -523,4 +523,45 @@ class FuzzSpec extends AnyFunSuite {
       assert(got == want, s"budget mismatch at p=$permille")
     }
   }
+
+  test("budgetSpendPlan equals the per-group prefix model incl. null/unbudgeted groups (fuzz)") {
+    // the streaming gate's pure decision half: remaining budgets per group
+    // (one group null-keyed, one group deliberately absent), batch rows
+    // with colliding scores; the model is sort (-score, id) + prefix
+    // cumsum <= remaining, unbudgeted -> rejected
+    val remaining = Seq((Option("a"), 15L), (Option("b"), 0L),
+        (Option.empty[String], 7L))
+      .toDF("grp", "__remaining") // group "c" has no row at all
+    val gen = for {
+      id <- Gen.choose(0L, 300L)
+      grp <- Gen.oneOf(Some("a"), Some("b"), Some("c"), None)
+      n <- Gen.choose(1, 4)
+    } yield (id, grp, n)
+    val rows = sample(gen, 160, seed = 1506L)
+      .groupBy(_._1).map(_._2.head).toSeq
+    // text with n distinct tokens → score 1000n + 500000, ntok n (the
+    // deterministic scoring the gate actually runs)
+    val df = rows.map { case (id, g, n) =>
+      (id, (1 to n).map(i => s"t$id$i").mkString(" "), g.orNull)
+    }.toDF("doc_id", "text", "grp")
+    val got = graft.streaming.Streams
+      .budgetSpendPlan(df, remaining, "doc_id", "text", "grp", Seq("a", "the"))
+      .select(col("doc_id"), col("__selected"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(got.size == rows.size)
+    val budget = Map(Some("a") -> 15L, Some("b") -> 0L, (None: Option[String]) -> 7L)
+    val want = rows.groupBy(_._2).flatMap { case (g, members) =>
+      budget.get(g) match {
+        case None => members.map(m => m._1 -> false)
+        case Some(b) =>
+          var cum = 0L
+          // score = 1000n + 500000 → order (-n, id)
+          members.sortBy(m => (-m._3, m._1)).map { m =>
+            cum += m._3
+            m._1 -> (cum <= b)
+          }
+      }
+    }
+    assert(got == want)
+  }
 }
