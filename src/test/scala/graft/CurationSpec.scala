@@ -771,6 +771,27 @@ class CurationSpec extends AnyFunSuite {
     assert(tb(3L) && !tb(4L))
   }
 
+  test("selection family: empty input degrades to empty output, never throws") {
+    // the empty-corpus contract the incremental-minhash NPE fix
+    // established, applied to the continuation family: a scheduler
+    // running these on an empty partition must get an empty frame back
+    val empty = Seq.empty[(Long, String, Long, Long)]
+      .toDF("id", "grp", "score", "ntok")
+    assert(Curation.percentileGate(empty, "id", "grp", "score", 400)
+      .collect().isEmpty)
+    assert(Curation.tokenBudgetPerGroup(empty, "id", "grp", "score", "ntok", 400)
+      .collect().isEmpty)
+    assert(Curation.percentileThresholds(empty, "grp", "score", 400)
+      .collect().isEmpty)
+    // the trainer's contract is the opposite — loud failure beats a model
+    // silently fit on nothing
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("c_id", "embedding")
+    intercept[IllegalArgumentException](
+      graft.operators.Similarity.ivfpqTrainUnits(
+        emptyVec.select(col("c_id"), col("embedding")), "c_id", "embedding",
+        nLists = 8, m = 8, kCent = 16))
+  }
+
   test("percentileGate: permille 1000 keeps every row, 0 keeps none") {
     val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "b", 1L))
       .toDF("id", "grp", "score")
