@@ -984,6 +984,56 @@ object Dedup {
         (col("start_a") - col("diag")).as("start_b"), col("len_tokens"))
   }
 
+  /** [[tagSpansAgainstIndex]] probed through a persisted SPARSE index —
+    * the 100 TB shape the sparse family exists for: history's GLOBAL index
+    * is [[sparseAnchors]] (three longs per ~w-th position, where the dense
+    * [[anchorIndex]] is the same size class as a suffix array), the batch
+    * probes it with its own sparse anchors to nominate candidate
+    * (new, history) document pairs — EXACT for spans >= w + k − 1 by the
+    * winnowing self-synchronization guarantee — and dense anchors
+    * materialize only for candidate documents on BOTH sides (the history
+    * text comes from the corpus table, `histDf`). Output contract matches
+    * [[tagSpansAgainstIndex]] over an UNCAPPED dense index: one row per
+    * new doc with a qualifying span, (idCol, n_spans, max_span_tokens).
+    *
+    * Scale: the probe join moves sparse rows only; the dense verify is
+    * bounded by candidate-document volume (true shared-span content plus
+    * sparse-hash coincidences); the island window partitions per
+    * (new doc, history doc, diagonal).
+    */
+  def tagSpansAgainstIndexSparse(newDf: DataFrame, sparseIdx: DataFrame,
+                                 histDf: DataFrame, idCol: String,
+                                 textCol: String, k: Int, minSpanTokens: Int,
+                                 w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1: $w")
+    require(minSpanTokens >= w + k - 1,
+      s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
+    val newSparse = sparseAnchors(newDf, idCol, textCol, k, w)
+    val cand = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndexSparse",
+        "graft.operators.Dedup"),
+      newSparse.select(col(idCol).as("a_id"), col("sh"))
+        .join(sparseIdx.select(col(idCol).as("b_id"), col("sh")), "sh")
+        .select(col("a_id"), col("b_id")).distinct()
+        .localCheckpoint(true))
+    val aDocs = cand.select(col("a_id").as(idCol)).distinct()
+    val bDocs = cand.select(col("b_id").as(idCol)).distinct()
+    val denseA = positionalAnchors(newDf.join(aDocs, Seq(idCol)),
+      idCol, textCol, k)
+    val denseB = positionalAnchors(histDf.join(bDocs, Seq(idCol)),
+      idCol, textCol, k)
+    val pairs = denseA
+      .select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))
+      .hint("shuffle_hash")
+      .join(denseB.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh")), "sh")
+      .join(cand.hint("broadcast"), Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"), col("pa"))
+    mergeDiagIslands(pairs, k, minSpanTokens)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("len_tokens")).as("max_span_tokens"))
+      .select(col("a_id").as(idCol), col("n_spans"), col("max_span_tokens"))
+  }
+
   /** Re-apply the occurrence cap to a (possibly merged) [[anchorIndex]]
     * corpus-wide — the compaction pass the streaming substring gate's
     * scaladoc names: per-batch caps bound each batch's contribution, but a

@@ -1101,6 +1101,55 @@ object TextQueries {
         FROM sp WHERE len >= 6
         GROUP BY a_id ORDER BY a_id""")),
 
+    // ----- incremental substring gate through the persisted SPARSE index
+    // (the 100 TB index-size path made operational: history's global index
+    // is winnowed sparse anchors at ~1/w density — where the dense anchor
+    // index is the same size class as a suffix array — the batch's sparse
+    // anchors nominate candidate pairs EXACTLY for spans >= w+k-1, and
+    // dense anchors materialize only for candidate docs on both sides).
+    // Oracle = the UNCAPPED dense incremental gate: the sparse path must
+    // reproduce it bit-for-bit (13 batch docs bind at sf0.01, max shared
+    // span 93 tokens — identical to the dense row's fixture truth).
+    Q("q_dedup_incremental_sparse",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val mid = d.agg(expr("coalesce(MAX(doc_id) DIV 2, 0L)").as("mid"))
+        val withMid = d.crossJoin(broadcast(mid))
+        val hist = withMid.filter(col("doc_id") < col("mid"))
+        Dedup.tagSpansAgainstIndexSparse(
+            withMid.filter(col("doc_id") >= col("mid")),
+            Dedup.sparseAnchors(hist, "doc_id", "text", 4, 3),
+            hist, "doc_id", "text", 4, minSpanTokens = 6, w = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ), p0 AS (
+          SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+          FROM toks WHERE len(t) >= 4
+        ), pos AS (
+          SELECT doc_id, i,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
+          FROM p0
+        ), mid AS (SELECT COALESCE(MAX(doc_id) // 2, 0) AS m FROM documents),
+        idx AS (SELECT p.doc_id, p.i, p.sh FROM pos p, mid WHERE p.doc_id < m),
+        neww AS (SELECT p.doc_id, p.i, p.sh FROM pos p, mid WHERE p.doc_id >= m),
+        pr AS (SELECT n.doc_id AS a_id, i.doc_id AS b_id, n.i - i.i AS diag,
+                      n.i AS pa
+               FROM neww n JOIN idx i ON n.sh = i.sh),
+        isl AS (SELECT a_id, b_id, diag, pa,
+                  pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag
+                    ORDER BY pa) AS g
+                FROM pr),
+        sp AS (SELECT a_id, COUNT(*) + 3 AS len
+               FROM isl GROUP BY a_id, b_id, diag, g)
+        SELECT a_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(MAX(len) AS BIGINT) AS max_span_tokens
+        FROM sp WHERE len >= 6
+        GROUP BY a_id ORDER BY a_id""")),
+
     // ----- sketch-recall evaluation: how much of the EXACT Jaccard pair
     // set at 0.85 does the 2-band MinHash-LSH candidate path recover, and
     // how many extras does it admit — the sizing check run BEFORE

@@ -791,6 +791,29 @@ class OperatorsSpec extends AnyFunSuite {
       wh.read("ivfpq_coarse").filter($"cluster" =!= 7)))
   }
 
+  test("sparse incremental substring gate equals the uncapped dense gate") {
+    val d = Tables.load(spark, TestSpark.sfDir, "documents")
+    val mid = d.agg(expr("coalesce(MAX(doc_id) DIV 2, 0L)"))
+      .collect()(0).getLong(0)
+    val hist = d.filter($"doc_id" < mid)
+    val fresh = d.filter($"doc_id" >= mid)
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dense = res(graft.operators.Dedup.tagSpansAgainstIndex(fresh,
+      graft.operators.Dedup.anchorIndex(hist, "doc_id", "text", 4),
+      "doc_id", "text", 4, minSpanTokens = 6))
+    val sparse = res(graft.operators.Dedup.tagSpansAgainstIndexSparse(fresh,
+      graft.operators.Dedup.sparseAnchors(hist, "doc_id", "text", 4, 3),
+      hist, "doc_id", "text", 4, minSpanTokens = 6, w = 3))
+    assert(dense.nonEmpty, "fixture must exercise shared spans")
+    assert(sparse == dense)
+    // the exactness precondition is enforced loudly, not silently lossy
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.tagSpansAgainstIndexSparse(fresh,
+        graft.operators.Dedup.sparseAnchors(hist, "doc_id", "text", 4, 3),
+        hist, "doc_id", "text", 4, minSpanTokens = 5, w = 3))
+  }
+
   test("table diff: insert/delete/update classified, null-safe, unchanged dropped") {
     val old = Seq((1L, Some("a"), 10.0), (2L, None, 20.0), (3L, Some("c"), 30.0),
         (4L, Some("d"), 40.0))
