@@ -113,6 +113,13 @@ object Soak {
     "q_quality_drift",       // one-scan (lang, bin) conditional counts (r15)
     "q_embedding_drift",     // map-side cell assign + per-cell counts (r15)
     "q_quality_recalibrate") // drift bins + dual calibration + gate, one ckpt (r15)
+    // (q_dedup_incremental_sparse is span-pair-generating: on this
+    // shifted-key replication every fresh copy shares its partner's spans
+    // with EVERY history copy, so candidate volume grows with factor^2 BY
+    // FIXTURE CONSTRUCTION — measured ratio 3.0 at x10, the same artifact
+    // class as the q_dedup_rebalance/q_dedup_audit notes. The sparse
+    // substring path's scale evidence is the copy-tagged x100 soak:
+    // dedup_substring_sparse r/f 0.070.)
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTOR", "10").toInt
