@@ -666,7 +666,9 @@ object Curation {
     *
     * @param scored frame carrying (idCol, groupCol, scoreCol); scoreCol
     *               must be integral (exact comparisons — the engine-exact
-    *               fixed-point score discipline)
+    *               fixed-point score discipline). A NULL score is
+    *               unscoreable: returned selected=false, excluded from the
+    *               histogram (no quota consumed, boundary unshifted).
     * @return (groupCol, idCol, scoreCol as "score", selected) — every input
     *         row, gate verdict attached
     */
@@ -682,7 +684,13 @@ object Curation {
       scored.select(col(idCol), col(groupCol),
           col(scoreCol).cast(LongType).as("score"))
         .localCheckpoint(true))
-    val boundary = histogramBoundary(ck, groupCol, "score", keepPermille)
+    // NULL-score rows are unscoreable: they never enter the histogram (so
+    // they neither consume quota nor shift the boundary) and come back
+    // selected=false — without this branch a null score fails BOTH the
+    // off-boundary and tie filters (three-valued logic) and the row
+    // silently vanishes, breaking the every-input-row contract.
+    val boundary = histogramBoundary(ck.filter(col("score").isNotNull),
+      groupCol, "score", keepPermille)
     // NULL-SAFE boundary join: the histogram groups a null key like any
     // other, but a plain equi-join would never match it back — null-group
     // rows would silently take the missing-row default instead of their
@@ -693,8 +701,10 @@ object Curation {
       .drop("__g")
     // off-boundary rows are decided map-side against the broadcast
     // threshold; only the tie group pays a (bounded) ranking window
-    val off = gated.filter(col("score") =!= col("__t") || col("__t").isNull)
-      .withColumn("selected", col("__t").isNotNull && col("score") > col("__t"))
+    val off = gated.filter(col("score").isNull || col("__t").isNull ||
+        col("score") =!= col("__t"))
+      .withColumn("selected", col("score").isNotNull &&
+        col("__t").isNotNull && col("score") > col("__t"))
     val wTie = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
     val tie = gated.filter(col("score") === col("__t"))
       .withColumn("selected", row_number().over(wTie) <= col("__take"))
@@ -765,7 +775,9 @@ object Curation {
     * boundary row fits entirely (quota >= its total) and is selected
     * map-side.
     *
-    * @return (groupCol, idCol, score, ntok, selected) — every input row
+    * @return (groupCol, idCol, score, ntok, selected) — every input row.
+    *         A NULL score is unscoreable: returned selected=false and
+    *         excluded from the histogram (no budget consumed).
     */
   def tokenBudgetPerGroup(scored: DataFrame, idCol: String, groupCol: String,
                           scoreCol: String, ntokCol: String,
@@ -781,7 +793,12 @@ object Curation {
           col(scoreCol).cast(LongType).as("score"),
           col(ntokCol).cast(LongType).as("ntok"))
         .localCheckpoint(true))
-    val hist = ck.groupBy(col(groupCol), col("score"))
+    // NULL-score rows never enter the histogram (a null score would both
+    // vanish from the output — it fails the off/tie filters under
+    // three-valued logic — and corrupt the per-score token sums); they come
+    // back selected=false below.
+    val hist = ck.filter(col("score").isNotNull)
+      .groupBy(col(groupCol), col("score"))
       .agg(sum(col("ntok")).as("stok"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -804,8 +821,12 @@ object Curation {
         broadcast(boundary.withColumnRenamed(groupCol, "__g")),
         col(groupCol) <=> col("__g"), "left")
       .drop("__g")
-    val off = gated.filter(col("__t").isNull || col("score") =!= col("__t"))
-      .withColumn("selected", col("__t").isNull || col("score") > col("__t"))
+    // a NULL score must not ride the __t-is-null "whole group fits" branch:
+    // selected only when the score itself is present
+    val off = gated.filter(col("score").isNull || col("__t").isNull ||
+        col("score") =!= col("__t"))
+      .withColumn("selected", col("score").isNotNull &&
+        (col("__t").isNull || col("score") > col("__t")))
     val wTie = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val tie = gated.filter(col("score") === col("__t"))
@@ -1553,17 +1574,28 @@ object Curation {
     * `selectByTokenBudget` (those take top-k; this preserves distributional
     * coverage of the low-quality tail in expectation).
     *
-    * Scale: one 1-row max aggregate broadcast back over the corpus; the
-    * keep decision is a map-side filter. Weights must be positive — callers
-    * clamp (`greatest(w, 1)`). `h · w_max` stays in Long for any
-    * w_max < 2³², which the clamp's caller contract documents.
+    * Scale: one 1-row min/max aggregate (a bounded driver collect — the
+    * FitFrames class of collect) whose max is inlined as a literal; the
+    * keep decision is a map-side filter. The preconditions — all weights
+    * positive, w_max < 2³² so `h · w_max` stays in Long — are ENFORCED
+    * here at runtime, not left to a scaladoc caller contract: a
+    * non-positive weight would silently never be kept, and an overflowing
+    * product would turn keep/drop into sign-dependent noise.
     */
   def weightedBernoulli(df: DataFrame, weightCol: String, idCol: String): DataFrame = {
-    val wmax = df.agg(max(col(weightCol)).as("__wmax"))
-    df.crossJoin(broadcast(wmax))
-      .withColumn("__h",
+    val stats = df.agg(min(col(weightCol).cast(LongType)).as("__wmin"),
+      max(col(weightCol).cast(LongType)).as("__wmax")).collect()(0)
+    if (stats.isNullAt(0)) return df // empty input: nothing to sample
+    val (wmin, wmax) = (stats.getLong(0), stats.getLong(1))
+    require(wmin > 0L,
+      s"weightedBernoulli: weights must be positive (min weight = $wmin); " +
+        "clamp with greatest(w, 1) upstream")
+    require(wmax < (1L << 32),
+      s"weightedBernoulli: max weight $wmax >= 2^32 would overflow the " +
+        "Long keep-decision product; rescale weights upstream")
+    df.withColumn("__h",
         pmod(pmod(col(idCol), lit(2147483647L)) * lit(2654435761L), lit(2147483647L)))
-      .filter(col("__h") * col("__wmax") < lit(2147483647L) * col(weightCol))
-      .drop("__wmax", "__h")
+      .filter(col("__h") * lit(wmax) < lit(2147483647L) * col(weightCol))
+      .drop("__h")
   }
 }

@@ -719,6 +719,51 @@ object Streams {
   def budgetSchema(groupCol: String): StructType = StructType(Seq(
     StructField(groupCol, StringType), StructField("budget_tokens", LongType)))
 
+  private def ledgerSchema(groupCol: String): StructType = StructType(Seq(
+    StructField(groupCol, StringType), StructField("spent", LongType),
+    StructField("batch_id", LongType)))
+
+  /** The spend rows visible to batch `beforeBatchId`: the newest COMMITTED
+    * fold (a `fold-N` directory carrying Spark's `_SUCCESS` marker, with
+    * N <= beforeBatchId — folds appear atomically via directory rename in
+    * [[compactLedger]], so a half-written compaction is invisible here)
+    * plus the per-batch delta files with fold-start <= batch_id <
+    * beforeBatchId. Stale pre-fold originals that a crashed compaction
+    * cleanup left behind are EXCLUDED by the >= fold-start filter, so they
+    * can never double-count against the fold's sums.
+    *
+    * The no-ledger-yet case is detected EXPLICITLY (directory absent /
+    * empty glob), never by swallowing exceptions: a real read failure
+    * (corrupt parquet, transient FS error) propagates so the batch retries
+    * instead of silently deciding against a reset budget.
+    */
+  private def ledgerRows(spark: SparkSession, ledgerDir: String,
+      groupCol: String, beforeBatchId: Long): DataFrame = {
+    val schema = ledgerSchema(groupCol)
+    val empty = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val base = new Path(ledgerDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return empty
+    val folds = fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith("fold-"))
+      .map(p => (p.getName.stripPrefix("fold-").toLong, p))
+      .filter { case (n, p) =>
+        n <= beforeBatchId && fs.exists(new Path(p, "_SUCCESS")) }
+    val (foldStart, foldDf) =
+      if (folds.isEmpty) (0L, empty)
+      else {
+        val (n, p) = folds.maxBy(_._1)
+        (n, spark.read.schema(schema).parquet(p.toString))
+      }
+    val anyDelta = Option(fs.globStatus(new Path(base, "batch-*")))
+      .exists(_.nonEmpty)
+    val deltas =
+      if (!anyDelta) empty
+      else spark.read.schema(schema).parquet(s"$ledgerDir/batch-*")
+        .filter(col("batch_id") >= foldStart && col("batch_id") < beforeBatchId)
+    foldDf.unionByName(deltas)
+  }
+
   /** The PURE decision half of the budget gate: score the batch, join the
     * per-group remaining-budget frame (`__remaining`, null = unbudgeted),
     * and tag each row `__selected` by the greedy within-batch prefix
@@ -759,21 +804,12 @@ object Streams {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new Path(dir, "_COMMITTED"))) return false
     // remaining budget = initial − spend of STRICTLY EARLIER batches (own
-    // entry excluded so a replay recomputes identical decisions)
-    // glob the batch-keyed ledger files (a plain dir read would NOT
-    // recurse into the batch-… subdirectories); an empty glob throws at
-    // load, which is the no-ledger-yet case
-    val ledger = try {
-      spark.read.schema(StructType(Seq(
-          StructField(groupCol, StringType), StructField("spent", LongType),
-          StructField("batch_id", LongType))))
-        .parquet(s"$ledgerDir/batch-*").filter(col("batch_id") < batchId)
-    } catch { case _: Throwable => // no ledger yet
-      spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Seq(
-        StructField(groupCol, StringType), StructField("spent", LongType),
-        StructField("batch_id", LongType))))
-    }
-    val spent = ledger.groupBy(col(groupCol))
+    // entry excluded so a replay recomputes identical decisions); the
+    // fold-aware read in ledgerRows detects the no-ledger-yet case
+    // explicitly and lets real read failures propagate (retry, don't
+    // decide against a reset budget)
+    val spent = ledgerRows(spark, ledgerDir, groupCol, batchId)
+      .groupBy(col(groupCol))
       .agg(sum(col("spent")).as("__spent"))
     // null-safe: a BUDGETED null group's ledger rows must decrement its
     // remaining budget — an equi-join would never match them back and the
@@ -808,45 +844,54 @@ object Streams {
     }
   }
 
-  /** Fold the spend ledger's per-batch files into ONE batch-keyed file
-    * (the anchor-index-compaction shape applied to the ledger): entries
-    * with batch_id < `uptoBatchId` are summed per group and rewritten as a
-    * single file carrying batch_id = uptoBatchId − 1, so later batches
-    * compute the SAME remaining budget (the < filter still admits the
-    * folded row) while the ledger shrinks from groups × batches to groups
-    * rows. MUST only run while the gate is quiescent (between batches —
-    * the maintenance window every compaction here uses); uptoBatchId must
-    * be ≤ the next batch id, and folded batches' files are replaced
-    * atomically-enough for the gate's semantics because replay of any
-    * batch ≥ uptoBatchId reads the folded sum identically.
+  /** Fold the spend ledger's per-batch delta files into ONE committed
+    * `fold-uptoBatchId` generation (the anchor-index-compaction shape
+    * applied to the ledger): all spend visible before `uptoBatchId` (the
+    * previous fold, if any, plus deltas) is summed per group and promoted
+    * ATOMICALLY by directory rename — the staged `.fold-tmp-*` directory
+    * is invisible to [[ledgerRows]] (no reader matches a dot-name), and
+    * the rename makes the fold and its `_SUCCESS` commit marker appear in
+    * one step. Only after the fold is committed are the folded delta files
+    * and older folds deleted; a crash ANYWHERE leaves the gate correct:
+    * before the rename, readers still see the old fold + deltas; after it,
+    * the >= fold-start filter in [[ledgerRows]] ignores the not-yet-deleted
+    * originals, so spend is never double-counted (the crash window the
+    * previous same-namespace staging had). Re-running with the same
+    * uptoBatchId just finishes the cleanup.
+    *
+    * MUST only run while the gate is quiescent (between batches — the
+    * maintenance window every compaction here uses); uptoBatchId must be
+    * <= the next batch id, so no uncommitted batch's own entry is folded.
     */
   def compactLedger(spark: SparkSession, ledgerDir: String, groupCol: String,
                     uptoBatchId: Long): Unit = {
     require(uptoBatchId >= 1, s"uptoBatchId must be >= 1: $uptoBatchId")
-    val schema = StructType(Seq(
-      StructField(groupCol, StringType), StructField("spent", LongType),
-      StructField("batch_id", LongType)))
-    val folded = try {
-      spark.read.schema(schema).parquet(s"$ledgerDir/batch-*")
-        .filter(col("batch_id") < uptoBatchId)
-        .groupBy(col(groupCol)).agg(sum(col("spent")).as("spent"))
-        .withColumn("batch_id", lit(uptoBatchId - 1))
-        .localCheckpoint(true) // decisions made BEFORE the deletes below
-    } catch { case _: Throwable => return } // nothing to compact
     val base = new Path(ledgerDir)
     val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
-    // write the folded file under the LAST folded batch's key via a tmp
-    // promote, then drop the earlier per-batch files
-    val target = new Path(base, f"batch-${uptoBatchId - 1}%09d")
-    val tmp = new Path(target.toString + "__tmp")
-    fs.delete(tmp, true)
-    folded.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"ledger compaction: promote failed")
-    (0L until (uptoBatchId - 1)).foreach { b =>
+    if (!fs.exists(base)) return // nothing to compact
+    val target = new Path(base, f"fold-$uptoBatchId%09d")
+    if (!fs.exists(new Path(target, "_SUCCESS"))) {
+      val folded = ledgerRows(spark, ledgerDir, groupCol, uptoBatchId)
+        .groupBy(col(groupCol)).agg(sum(col("spent")).as("spent"))
+        .withColumn("batch_id", lit(uptoBatchId - 1))
+        .localCheckpoint(true) // folded sums pinned BEFORE any file mutation
+      if (folded.isEmpty) return // no spend to fold
+      val tmp = new Path(base, f".fold-tmp-$uptoBatchId%09d")
+      fs.delete(tmp, true)
+      folded.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(target, true) // uncommitted remnant only (checked above)
+      if (!fs.rename(tmp, target))
+        throw new java.io.IOException(s"ledger compaction: promote failed")
+    }
+    // idempotent cleanup — the fold is committed, so readers already
+    // ignore everything deleted here
+    (0L until uptoBatchId).foreach { b =>
       fs.delete(new Path(base, f"batch-$b%09d"), true)
     }
+    Option(fs.globStatus(new Path(base, "fold-*"))).getOrElse(Array.empty)
+      .map(_.getPath)
+      .filter(_.getName.stripPrefix("fold-").toLong < uptoBatchId)
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Start the streaming budget gate. Budgets load and materialize once;

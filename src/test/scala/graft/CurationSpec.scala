@@ -802,4 +802,44 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getBoolean(3))
     assert(none.forall(!_) && none.length == 3)
   }
+
+  test("gates: NULL score comes back selected=false and consumes no quota/budget") {
+    // three-valued logic made a null score fail BOTH the off-boundary and
+    // tie filters, so the row vanished — the every-input-row contract now
+    // pins it to an explicit selected=false branch, excluded from the
+    // histogram (it neither shifts the boundary nor eats quota)
+    val df = Seq(
+      (1L, "a", Some(9L), 4L), (2L, "a", Some(5L), 4L),
+      (3L, "a", Option.empty[Long], 4L), (4L, "a", Some(7L), 4L)
+    ).toDF("id", "grp", "score", "ntok")
+    // percentile 667: quota = floor(3 * 0.667) = 2 over the three SCORED
+    // docs → 9 and 7 selected, 5 not, null not — and the row count is 4
+    val pg = Curation.percentileGate(df, "id", "grp", "score", 667)
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+    assert(pg.size == 4, s"null-score row vanished: ${pg.keySet}")
+    assert(pg.filter(_._2).keySet == Set(1L, 4L))
+    // token budget 500: 12 scored tokens → budget 6 admits only doc 1;
+    // the null-score doc must NOT ride the whole-group-fits branch
+    val tb = Curation.tokenBudgetPerGroup(df, "id", "grp", "score", "ntok", 500)
+      .collect().map(r => (r.getLong(1), r.getBoolean(4))).toMap
+    assert(tb.size == 4, s"null-score row vanished: ${tb.keySet}")
+    assert(tb.filter(_._2).keySet == Set(1L))
+  }
+
+  test("weightedBernoulli enforces its weight preconditions at runtime") {
+    // a non-positive weight would silently never be kept; a weight >= 2^32
+    // would overflow the Long keep product into sign-dependent noise —
+    // both now fail loudly instead of relying on a scaladoc contract
+    val zero = Seq((1L, 10L), (2L, 0L)).toDF("id", "w")
+    val eZero = intercept[IllegalArgumentException](
+      Curation.weightedBernoulli(zero, "w", "id"))
+    assert(eZero.getMessage.contains("positive"))
+    val huge = Seq((1L, 10L), (2L, 1L << 32)).toDF("id", "w")
+    val eHuge = intercept[IllegalArgumentException](
+      Curation.weightedBernoulli(huge, "w", "id"))
+    assert(eHuge.getMessage.contains("overflow"))
+    // empty input short-circuits (no weights to validate, nothing to keep)
+    val empty = Seq.empty[(Long, Long)].toDF("id", "w")
+    assert(Curation.weightedBernoulli(empty, "w", "id").collect().isEmpty)
+  }
 }

@@ -646,12 +646,16 @@ class StreamsSpec extends AnyFunSuite {
     // a pure replay (marker present) is a no-op
     assert(!Streams.budgetGateBatch(b2, budgets, out, rej, led, 2L,
       "doc_id", "text", "lang", Seq("a", "the")))
-    // ledger compaction: fold batches 0..2 into one file; batch 3 must
-    // compute the SAME remaining (0 for en) — semantics unchanged, ledger
-    // shrunk to one batch-keyed file
+    // ledger compaction: fold batches 0..2 into one committed fold
+    // generation; batch 3 must compute the SAME remaining (0 for en) —
+    // semantics unchanged, ledger shrunk to one fold + no delta files
     Streams.compactLedger(spark, led, "lang", uptoBatchId = 3L)
-    val ledFiles = new java.io.File(led).listFiles().filter(_.getName.startsWith("batch-"))
-    assert(ledFiles.map(_.getName).toSet == Set("batch-000000002"))
+    val ledFiles = new java.io.File(led).listFiles()
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    assert(ledFiles.map(_.getName).toSet == Set("fold-000000003"))
+    assert(new java.io.File(led, "fold-000000003/_SUCCESS").exists())
+    assert(spark.read.parquet(s"$led/fold-000000003")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("en", 25L)))
     val b3 = Seq((8L, toks(1, "i"), "en")).toDF("doc_id", "text", "lang")
     assert(Streams.budgetGateBatch(b3, budgets, out, rej, led, 3L,
       "doc_id", "text", "lang", Seq("a", "the")))
@@ -688,6 +692,69 @@ class StreamsSpec extends AnyFunSuite {
     assert(committedIds == Set(1L))
     assert(spark.read.parquet(s"$rej/batch-000000001")
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("ledger compaction crash windows: stale originals and half-written folds never change spend") {
+    val out = java.nio.file.Files.createTempDirectory("graft-budc-out").toString
+    val rej = java.nio.file.Files.createTempDirectory("graft-budc-rej").toString
+    val led = java.nio.file.Files.createTempDirectory("graft-budc-led").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(led).getFileSystem(conf)
+    def toks(n: Int, p: String) = (1 to n).map(i => s"$p$i").mkString(" ")
+    def committedIds: Set[Long] = Streams.readCommitted(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val budgets = Seq(("en", 10L)).toDF("lang", "budget_tokens")
+    // batch 0 spends 4 of the 10-token budget
+    val b0 = Seq((1L, toks(4, "a"), "en")).toDF("doc_id", "text", "lang")
+    assert(Streams.budgetGateBatch(b0, budgets, out, rej, led, 0L,
+      "doc_id", "text", "lang", Seq("zzz")))
+    // crash window 1: fold committed but the original delta never got
+    // cleaned up — copy batch-0's delta aside, compact, put it back
+    val d0 = new org.apache.hadoop.fs.Path(led, "batch-000000000")
+    val aside = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-budc-aside").toString,
+      "batch-000000000")
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, d0, fs, aside, false, conf))
+    Streams.compactLedger(spark, led, "lang", uptoBatchId = 1L)
+    assert(!fs.exists(d0), "compaction should have cleaned the delta")
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, aside, fs, d0, false, conf))
+    // remaining must be 10-4=6 (the stale original is EXCLUDED by the
+    // >= fold-start read filter), not 10-8=2 — so the 5-token doc is kept;
+    // the pre-fix same-namespace staging double-counted exactly here
+    val b1 = Seq((2L, toks(5, "b"), "en")).toDF("doc_id", "text", "lang")
+    assert(Streams.budgetGateBatch(b1, budgets, out, rej, led, 1L,
+      "doc_id", "text", "lang", Seq("zzz")))
+    assert(committedIds == Set(1L, 2L))
+    // crash window 2: a fold staged but never committed (no _SUCCESS) is
+    // invisible — plant a bogus huge-spend fold-2 without its marker
+    Seq(("en", 1000L, 1L)).toDF("lang", "spent", "batch_id")
+      .write.mode("overwrite").parquet(s"$led/fold-000000002")
+    fs.delete(new org.apache.hadoop.fs.Path(led, "fold-000000002/_SUCCESS"), false)
+    // remaining must be 10-4-5=1 (committed fold-1 + batch-1 delta), so
+    // the 1-token doc is kept; reading the bogus fold would reject it
+    val b2 = Seq((3L, toks(1, "c"), "en")).toDF("doc_id", "text", "lang")
+    assert(Streams.budgetGateBatch(b2, budgets, out, rej, led, 2L,
+      "doc_id", "text", "lang", Seq("zzz")))
+    assert(committedIds == Set(1L, 2L, 3L))
+  }
+
+  test("a corrupt ledger file fails the batch instead of resetting budgets") {
+    // the no-ledger case is an EXPLICIT empty-glob check; anything else —
+    // here, unreadable bytes where a delta should be — must propagate so
+    // the batch retries, never silently decide against a reset budget
+    val out = java.nio.file.Files.createTempDirectory("graft-budx-out").toString
+    val rej = java.nio.file.Files.createTempDirectory("graft-budx-rej").toString
+    val led = java.nio.file.Files.createTempDirectory("graft-budx-led").toString
+    val d0 = new java.io.File(led, "batch-000000000")
+    assert(d0.mkdirs())
+    java.nio.file.Files.write(d0.toPath.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    val budgets = Seq(("en", 10L)).toDF("lang", "budget_tokens")
+    val b1 = Seq((2L, "w1 w2", "en")).toDF("doc_id", "text", "lang")
+    assertThrows[Exception] {
+      Streams.budgetGateBatch(b1, budgets, out, rej, led, 1L,
+        "doc_id", "text", "lang", Seq("zzz"))
+    }
   }
 
   test("streaming SemDeDup gate drops near-dups against persisted cells, crash-replay safe") {
