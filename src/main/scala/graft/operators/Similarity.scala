@@ -22,6 +22,25 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Runs `body` (which must materialize eagerly, e.g. end in a
+    * `localCheckpoint(true)`) with AQE partition coalescing OFF, restoring
+    * the previous setting after. For compute-bound stages whose rows are
+    * tiny on the wire (quantized vectors) the bytes-based coalescer
+    * collapses the shuffle to one partition and serializes the per-row
+    * compute; this keeps the shuffle's key partitioning for that one
+    * materialization without touching session-wide behavior.
+    */
+  private def withCoalesceOff[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Fast double dot product — the DotFloat codegen kernel; bit-identical to
     * the HOF fold `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` it
     * replaced (same sequential summation order), minus the interpreted
@@ -839,13 +858,35 @@ object Similarity {
     // type, where pmod(id, n) on a string/UUID id would fail the cast
     // under ANSI or null out, silently dropping every b-side row.
     val pairSalt = 8
+    // The streamed side's partitioning otherwise inherits the upstream
+    // scan's (one small parquet file → ONE task computing every cell's
+    // |cell|² cosines — measured 1.34 s of a 2.4 s wall). Hash-partition
+    // on exactly the join keys: under a broadcast join it spreads the
+    // pair compute across the (cluster × salt) keys; under a shuffle join
+    // at scale it IS the join's required distribution (no extra hop).
     val aS = a.withColumn("__salt", explode(lit((0 until pairSalt).toArray)))
+      .repartition(col("cluster"), col("__salt"))
     val bS = b.withColumn("__salt", pmod(hash(col("other")), lit(pairSalt)))
-    val pairs = aS.join(bS, Seq("cluster", "__salt"))
-      .filter(col("anchor") =!= col("other"))
-      .withColumn("cos",
-        round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))
-      .select(col("anchor"), col("other"), col("cos"))
+    // The pair subplan (scan → quantize → salted cell join → cosine) feeds
+    // BOTH top-1 legs; without a checkpoint the whole subtree — including
+    // the shuffle-heavy cell join — executes twice (no ReusedExchange in
+    // the initial plan, the TopK filters differ). Materialize it once.
+    // AQE's bytes-based coalescer misjudges this stage — quantized vectors
+    // are tiny on the wire but each joined row pays a full-dimension dot
+    // product, so coalescing to one partition serializes ~|cell|² cosine
+    // work into a single task (measured 1.46 s of a 2.6 s wall). Keep the
+    // salt-keyed partitioning for the checkpoint's compute.
+    val pairs = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("contrastiveTriplets_pairs",
+        "graft.operators.Similarity"),
+      withCoalesceOff(df.sparkSession) {
+        aS.join(bS, Seq("cluster", "__salt"))
+          .filter(col("anchor") =!= col("other"))
+          .withColumn("cos",
+            round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))
+          .select(col("anchor"), col("other"), col("cos"))
+          .localCheckpoint(true)
+      })
     val pos = graft.plans.TopKPerGroup.topK(
         pairs.filter(col("cos") >= posThreshold), Seq("anchor"),
         Seq(("cos", true), ("other", false)), 1)
