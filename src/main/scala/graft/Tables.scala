@@ -119,4 +119,28 @@ object Tables {
       frameCache.get(key)
     }
   }
+
+  /** Spread map-heavy per-row compute off an UNSPLITTABLE narrow scan.
+    *
+    * Whole-stage codegen fuses a scan with everything map-side above it —
+    * the right call when the scan parallelizes, but a single-row-group
+    * parquet file plans ONE input partition, so a cheap serial read drags
+    * hundreds of ms of fused tokenize/shingle/hash work into one task
+    * (measured: the 1-task 200–500 ms stages on every documents-heavy
+    * query; DuckDB pays the same serial scan but parallelizes the pipeline
+    * above it). One row-level shuffle of the raw rows (KBs–MBs for the
+    * fixtures) re-opens the parallelism.
+    *
+    * CONDITIONAL so it stays scale-honest: only fires when the plan's
+    * input parallelism is under half the session's cores. At 100 TB the
+    * scan is thousands of splits wide and this is the identity — the
+    * operator never pays a corpus-wide text shuffle where the scan already
+    * parallelizes (the measured rejection that kept a plain repartition
+    * out of the shingle family).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= want) df
+    else df.repartition(want)
+  }
 }

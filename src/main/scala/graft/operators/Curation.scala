@@ -910,7 +910,7 @@ object Curation {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
                     shareKey: Option[String] = None): DataFrame = {
-    val pairs0 = df
+    val pairs0 = graft.Tables.spread(df)
       .withColumn("__t", TextFns.tokens(col(textCol)))
       .filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(expr(

@@ -819,10 +819,18 @@ object Dedup {
     // 1.67 s warm). Same tradeoff ngramShingleStage documents: (long,
     // long, long) rows cost ~24 bytes per token position vs re-tokenizing
     // the corpus once per consumer.
+    // spread: the tokenize+ChunkHashes kernel is this family's heaviest map
+    // stage; fused onto an unsplittable one-row-group scan it runs serial
+    // (measured: 323 ms 1-task checkpoint stage; with the spread the same
+    // stage runs wide). Scoped HERE, not inside positionalAnchors: the
+    // incremental gates' probe/index sides sit behind broadcast-join plans
+    // where an extra shuffle only adds jobs (A/B measured a wash-to-loss).
+    // At scale the scan is wide and spread is the identity.
     val base = graft.CkptCycle.cycle(
       graft.CkptCycle.callSiteKey("Dedup.repeatedSpans",
         "graft.operators.Dedup"),
-      positionalAnchors(df, idCol, textCol, k).localCheckpoint(true))
+      positionalAnchors(graft.Tables.spread(df), idCol, textCol, k)
+        .localCheckpoint(true))
     val shared = base.groupBy(col("sh")).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2L &&
         (if (maxOccurrences > 0L) col("__occ") <= maxOccurrences else lit(true)))
@@ -933,7 +941,11 @@ object Dedup {
     */
   def sparseAnchors(df: DataFrame, idCol: String, textCol: String,
                     k: Int, w: Int): DataFrame =
-    df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+    // spread: tokenize+winnow is corpus-wide heavy map work; see the
+    // repeatedSpans note (identity at scale, re-opens parallelism when
+    // the upstream scan is one unsplittable row group).
+    graft.Tables.spread(df)
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= k)
       .select(col(idCol),
         explode(graft.functions.SketchFns.winnowAnchors(col("__t"), k, w)).as("__a"))

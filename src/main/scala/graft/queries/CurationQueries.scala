@@ -441,33 +441,49 @@ object CurationQueries {
     // Streams.budgetSpendPlan the live gate runs.
     Q("q_stream_budget_batch",
       (s, dir) => {
+        import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType}
         val docs = t(s, dir, "documents")
-        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
-          .collect()(0).getLong(0)
-        val budgets = graft.CkptCycle.cycle("q_stream_budget_batch_bud",
-          docs.select(col("lang"),
-              size(TextFns.tokens(col("text"))).cast(LongType).as("ntok"))
-            .groupBy(col("lang"))
-            .agg(expr("(SUM(ntok) * 600) DIV 1000").as("budget_tokens"))
+        // ONE corpus scan pays the tokenize+score work; everything else in
+        // this row is per-language scalars and micro-batch windows over
+        // these checkpointed longs. (The pre-fusion form paid 11 jobs —
+        // budgets checkpoint + its broadcast futures, a p0 checkpoint, a
+        // separate mid collect — of which FixedCostProbe attributed ~0.6 s
+        // of a 1.06 s warm wall to job-launch gaps alone.)
+        val scored = graft.CkptCycle.cycle("q_stream_budget_batch_scored",
+          graft.streaming.Streams.budgetScorePlan(docs, "text", Seq("a", "the"))
+            .select(col("lang"), col("doc_id"), col("score"), col("__ntok"))
             .localCheckpoint(true))
+        // per-language budget AND the batch-boundary max in one bounded
+        // collect (languages are a handful of rows — the FitFrames class)
+        val bud = scored.groupBy(col("lang"))
+          .agg(expr("(SUM(__ntok) * 600) DIV 1000").as("budget_tokens"),
+            max(col("doc_id")).as("__max_id"))
+          .collect()
+        val mid = if (bud.isEmpty) 0L else bud.map(_.getLong(2)).max / 2
+        val budSchema = StructType(Seq(StructField("lang", StringType),
+          StructField("__remaining", LT)))
+        def localBudgets(rows: Seq[org.apache.spark.sql.Row]) =
+          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), budSchema)
+        val rem0 = localBudgets(bud.toSeq.map(r =>
+          org.apache.spark.sql.Row(r.getString(0), r.getLong(1))))
         val slim = (p: org.apache.spark.sql.DataFrame) => p.select(
           col("lang"), col("doc_id"), col("__ntok"), col("__selected"))
-        val p0 = graft.CkptCycle.cycle("q_stream_budget_batch_p0",
-          slim(graft.streaming.Streams.budgetSpendPlan(
-              docs.filter(col("doc_id") < mid),
-              budgets.select(col("lang"),
-                col("budget_tokens").as("__remaining")),
-              "doc_id", "text", "lang", Seq("a", "the")))
-            .localCheckpoint(true))
+        val decide = (half: org.apache.spark.sql.DataFrame,
+                      rem: org.apache.spark.sql.DataFrame) =>
+          slim(graft.streaming.Streams.budgetDecidePlan(
+            half, rem, "doc_id", "lang"))
+        val p0 = decide(scored.filter(col("doc_id") < mid), rem0)
+        // batch 0's spend per language: a second bounded collect over the
+        // checkpointed longs (re-deriving p0 lazily is a ~free window over
+        // the checkpoint, so no second checkpoint is needed)
         val spent0 = p0.filter(col("__selected")).groupBy(col("lang"))
-          .agg(sum(col("__ntok")).as("__spent"))
-        val rem1 = budgets.join(spent0, Seq("lang"), "left")
-          .select(col("lang"),
-            (col("budget_tokens") - coalesce(col("__spent"), lit(0L)))
-              .as("__remaining"))
-        val p1 = slim(graft.streaming.Streams.budgetSpendPlan(
-          docs.filter(col("doc_id") >= mid), rem1,
-          "doc_id", "text", "lang", Seq("a", "the")))
+          .agg(sum(col("__ntok")).as("__spent")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val rem1 = localBudgets(bud.toSeq.map(r =>
+          org.apache.spark.sql.Row(r.getString(0),
+            r.getLong(1) - spent0.getOrElse(r.getString(0), 0L))))
+        val p1 = decide(scored.filter(col("doc_id") >= mid), rem1)
         p0.withColumn("batch", lit(0L))
           .unionByName(p1.withColumn("batch", lit(1L)))
           .groupBy(col("lang"), col("batch"))

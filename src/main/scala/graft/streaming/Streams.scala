@@ -772,11 +772,26 @@ object Streams {
     * gate's selection semantics are oracle-gated, not just drilled.
     */
   def budgetSpendPlan(batch: DataFrame, remaining: DataFrame, idCol: String,
-      textCol: String, groupCol: String, stopwords: Seq[String]): DataFrame = {
-    val scored = graft.operators.Curation.qualityScore(batch, textCol,
+      textCol: String, groupCol: String, stopwords: Seq[String]): DataFrame =
+    budgetDecidePlan(
+      budgetScorePlan(batch, textCol, stopwords), remaining, idCol, groupCol)
+
+  /** The SCORING half of [[budgetSpendPlan]]: quality score + token count
+    * per row. Split out so the batch-unrolled oracle row can pay the
+    * corpus's tokenize+score scan ONCE (checkpointed) and replay only the
+    * decision half per unrolled batch — the live gate composes both halves
+    * per micro-batch, where the batch IS scanned once anyway.
+    */
+  def budgetScorePlan(batch: DataFrame, textCol: String,
+      stopwords: Seq[String]): DataFrame =
+    graft.operators.Curation.qualityScore(batch, textCol,
         stopwords, keepThreshold = Long.MinValue).drop("keep")
       .withColumn("__ntok",
         size(graft.functions.TextFns.tokens(col(textCol))).cast(LongType))
+
+  /** The DECISION half of [[budgetSpendPlan]], over a pre-scored batch. */
+  def budgetDecidePlan(scored: DataFrame, remaining: DataFrame, idCol: String,
+      groupCol: String): DataFrame = {
     // within-batch greedy prefix per group against the remaining budget:
     // the window is bounded by the MICRO-BATCH, never a corpus
     val wSpend = org.apache.spark.sql.expressions.Window
