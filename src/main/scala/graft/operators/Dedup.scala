@@ -941,11 +941,7 @@ object Dedup {
     */
   def sparseAnchors(df: DataFrame, idCol: String, textCol: String,
                     k: Int, w: Int): DataFrame =
-    // spread: tokenize+winnow is corpus-wide heavy map work; see the
-    // repeatedSpans note (identity at scale, re-opens parallelism when
-    // the upstream scan is one unsplittable row group).
-    graft.Tables.spread(df)
-      .select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= k)
       .select(col(idCol),
         explode(graft.functions.SketchFns.winnowAnchors(col("__t"), k, w)).as("__a"))
@@ -974,7 +970,10 @@ object Dedup {
     require(w >= 1, s"w must be >= 1: $w")
     require(minSpanTokens >= w + k - 1,
       s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
-    val sp = sparseAnchors(df, idCol, textCol, k, w)
+    // spread at the corpus-wide call site only (see repeatedSpans note);
+    // the incremental gates' batch probes stay unspread — their plans are
+    // broadcast-bounded and an extra shuffle only adds job launches.
+    val sp = sparseAnchors(graft.Tables.spread(df), idCol, textCol, k, w)
     val cand = sp.select(col(idCol).as("a_id"), col("sh"))
       .join(sp.select(col(idCol).as("b_id"), col("sh")), "sh")
       .filter(col("a_id") < col("b_id"))

@@ -1150,6 +1150,146 @@ object TextQueries {
         FROM sp WHERE len >= 6
         GROUP BY a_id ORDER BY a_id""")),
 
+    // ----- SERVE-shaped incremental gates (VERDICT r15 #2): the inline
+    // rows above price build+probe in one query; these three price the
+    // PRODUCTION shape — the index is a persisted artifact (built once per
+    // JVM through graft.Fixtures, the setup step) and the timed query pays
+    // index READ + batch probe only, which is what a daily gate actually
+    // costs. Identical results to the inline rows (same deterministic
+    // id-split history, same caps), so the oracles replay the same
+    // construction inline — the only self-contained form the driver's
+    // DuckDB gate can run; correctness therefore still verifies the full
+    // index content, while the Spark timing measures serving.
+    Q("q_dedup_incremental_minhash_serve",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
+          .collect()(0).getLong(0)
+        val idx = graft.Fixtures.ensure(s, dir, "band_index") {
+          Dedup.bandIndex(docs.filter(col("doc_id") < mid), "doc_id", "text", 4)
+        }
+        val fresh = docs.filter(col("doc_id") >= mid)
+        val tags = Dedup.tagAgainstBandIndex(
+          fresh, s.read.parquet(idx), "doc_id", "text", 4)
+        fresh.select(col("doc_id"), col("source"))
+          .join(tags, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_new"),
+            count(when(!coalesce(col("is_near_dup"), lit(false)), 1)).as("n_novel"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+          s"min((h * $a + $b) % ${TextFns.minhashP}) AS m$i"
+        }.mkString(",\n                 ")
+        s"""$shingleCte,
+          hashed AS (SELECT doc_id, ${TextFns.polyHashSql("sh")} AS h FROM sh),
+          sig AS (SELECT doc_id, $minExprs FROM hashed GROUP BY doc_id),
+          banded AS (SELECT doc_id,
+               concat_ws('-', m0, m1, m2, m3) AS band0,
+               concat_ws('-', m4, m5, m6, m7) AS band1
+             FROM sig),
+          mid AS (SELECT MAX(doc_id) // 2 AS m FROM documents),
+          hits AS (SELECT DISTINCT f.doc_id
+                   FROM banded f, banded o, mid
+                   WHERE f.doc_id >= m AND o.doc_id < m
+                     AND (o.band0 = f.band0 OR o.band1 = f.band1))
+          SELECT d.source, COUNT(*) AS n_new,
+                 COUNT(CASE WHEN h.doc_id IS NULL THEN 1 END) AS n_novel
+          FROM documents d CROSS JOIN mid
+          LEFT JOIN hits h ON d.doc_id = h.doc_id
+          WHERE d.doc_id >= m
+          GROUP BY d.source ORDER BY d.source"""
+      }),
+
+    Q("q_dedup_incremental_substring_serve",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
+          .collect()(0).getLong(0)
+        val idx = graft.Fixtures.ensure(s, dir, "anchor_index") {
+          Dedup.anchorIndex(docs.filter(col("doc_id") < mid),
+            "doc_id", "text", 4, maxOccurrences = 64L)
+        }
+        Dedup.tagSpansAgainstIndex(
+            docs.filter(col("doc_id") >= mid), s.read.parquet(idx),
+            "doc_id", "text", 4, minSpanTokens = 6)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ), p0 AS (
+          SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+          FROM toks WHERE len(t) >= 4
+        ), pos AS (
+          SELECT doc_id, i,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
+          FROM p0
+        ), mid AS (SELECT COALESCE(MAX(doc_id) // 2, 0) AS m FROM documents),
+        idx AS (SELECT p.doc_id, p.i, p.sh FROM pos p, mid WHERE p.doc_id < m),
+        neww AS (SELECT p.doc_id, p.i, p.sh FROM pos p, mid WHERE p.doc_id >= m),
+        keep AS (SELECT sh FROM idx GROUP BY sh HAVING COUNT(*) <= 64),
+        idxk AS (SELECT i.doc_id, i.i, i.sh FROM idx i JOIN keep USING (sh)),
+        pr AS (SELECT n.doc_id AS a_id, i.doc_id AS b_id, n.i - i.i AS diag,
+                      n.i AS pa
+               FROM neww n JOIN idxk i ON n.sh = i.sh),
+        isl AS (SELECT a_id, b_id, diag, pa,
+                  pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag
+                    ORDER BY pa) AS g
+                FROM pr),
+        sp AS (SELECT a_id, COUNT(*) + 3 AS len
+               FROM isl GROUP BY a_id, b_id, diag, g)
+        SELECT a_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(MAX(len) AS BIGINT) AS max_span_tokens
+        FROM sp WHERE len >= 6
+        GROUP BY a_id ORDER BY a_id""")),
+
+    Q("q_dedup_incremental_sparse_serve",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
+          .collect()(0).getLong(0)
+        val hist = docs.filter(col("doc_id") < mid)
+        val idx = graft.Fixtures.ensure(s, dir, "sparse_anchors") {
+          Dedup.sparseAnchors(hist, "doc_id", "text", 4, 3)
+        }
+        // history TEXT stays a corpus-table read (production fetches
+        // candidate docs from the store); only the INDEX is served
+        Dedup.tagSpansAgainstIndexSparse(
+            docs.filter(col("doc_id") >= mid), s.read.parquet(idx),
+            hist, "doc_id", "text", 4, minSpanTokens = 6, w = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ), p0 AS (
+          SELECT doc_id, t, unnest(range(1, len(t) - 2)) AS i
+          FROM toks WHERE len(t) >= 4
+        ), pos AS (
+          SELECT doc_id, i,
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
+          FROM p0
+        ), mid AS (SELECT COALESCE(MAX(doc_id) // 2, 0) AS m FROM documents),
+        idx AS (SELECT p.doc_id, p.i, p.sh FROM pos p, mid WHERE p.doc_id < m),
+        neww AS (SELECT p.doc_id, p.i, p.sh FROM pos p, mid WHERE p.doc_id >= m),
+        pr AS (SELECT n.doc_id AS a_id, i.doc_id AS b_id, n.i - i.i AS diag,
+                      n.i AS pa
+               FROM neww n JOIN idx i ON n.sh = i.sh),
+        isl AS (SELECT a_id, b_id, diag, pa,
+                  pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, diag
+                    ORDER BY pa) AS g
+                FROM pr),
+        sp AS (SELECT a_id, COUNT(*) + 3 AS len
+               FROM isl GROUP BY a_id, b_id, diag, g)
+        SELECT a_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(MAX(len) AS BIGINT) AS max_span_tokens
+        FROM sp WHERE len >= 6
+        GROUP BY a_id ORDER BY a_id""")),
+
     // ----- sketch-recall evaluation: how much of the EXACT Jaccard pair
     // set at 0.85 does the 2-band MinHash-LSH candidate path recover, and
     // how many extras does it admit — the sizing check run BEFORE
