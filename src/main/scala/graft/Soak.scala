@@ -112,7 +112,17 @@ object Soak {
     "q_stream_percentile_batch", // history-calibrated thresholds + map-side gate (r15)
     "q_quality_drift",       // one-scan (lang, bin) conditional counts (r15)
     "q_embedding_drift",     // map-side cell assign + per-cell counts (r15)
-    "q_quality_recalibrate") // drift bins + dual calibration + gate, one ckpt (r15)
+    "q_quality_recalibrate", // drift bins + dual calibration + gate, one ckpt (r15)
+    // serve-shaped incremental minhash gate: persisted DISTINCT band index,
+    // one-sided probe — fan-out bounded at 1 per new row, linear (r16).
+    // (q_dedup_incremental_substring/sparse_serve share the span-pair
+    // generator's factor^2 fixture artifact documented below — their scale
+    // evidence is the copy-tagged DEDUP soak, same as the inline rows.)
+    "q_dedup_incremental_minhash_serve",
+    // blocked fuzzy match: runs over the part DIMENSION (64 distinct
+    // names, not replicated) — the soak row documents the dimension-bounded
+    // cost staying flat while facts grow, the entity-resolution shape (r16)
+    "q_text_fuzzy_block")
     // (q_dedup_incremental_sparse is span-pair-generating: on this
     // shifted-key replication every fresh copy shares its partner's spans
     // with EVERY history copy, so candidate volume grows with factor^2 BY

@@ -1045,6 +1045,43 @@ object Dedup {
       .select(col("a_id").as(idCol), col("n_spans"), col("max_span_tokens"))
   }
 
+  /** Blocked fuzzy matching — the at-scale form of the edit-distance
+    * entity-resolution primitive (q_text_fuzzy_match's scaladoc promise):
+    * candidate pairs come from LENGTH-BAND blocks instead of a broadcast
+    * cross join, and Levenshtein runs within a block only.
+    *
+    * EXACT, not approximate: `lev(a,b) <= maxDist` implies
+    * `|len(a) − len(b)| <= maxDist`, and with band = len DIV (maxDist+1)
+    * two lengths within maxDist can differ by at most one band — so the
+    * probe side explodes each key to its band ± 1 and every qualifying
+    * pair meets in exactly one block (at the left side's band). Output is
+    * therefore identical to the cross-join form, row for row.
+    *
+    * Scale: the exchange moves (key, band) rows — never a cross join; each
+    * block is one hash-join bucket and per-block work is |block|² in the
+    * worst case. Skewed blocks (one dominant length) are the known limit:
+    * the production levers are a positional q-gram prefilter inside the
+    * block or a second blocking key, both of which trade exactness
+    * guarantees for fan-out and belong to the caller's recall contract —
+    * this operator keeps the exact semantics.
+    *
+    * Returns (a_key, b_key, dist), a_key < b_key, dist <= maxDist.
+    */
+  def fuzzyMatchBlocked(df: DataFrame, keyCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val width = maxDist + 1
+    val keys = df.select(col(keyCol).as("a_key")).filter(col("a_key").isNotNull)
+      .withColumn("__band", expr(s"CAST(length(a_key) AS BIGINT) DIV $width"))
+    val probe = keys.select(col("a_key").as("b_key"),
+        explode(array(col("__band") - 1, col("__band"), col("__band") + 1))
+          .as("__band"))
+    keys.join(probe, Seq("__band"))
+      .filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast(LongType))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_key"), col("b_key"), col("dist"))
+  }
+
   /** Re-apply the occurrence cap to a (possibly merged) [[anchorIndex]]
     * corpus-wide — the compaction pass the streaming substring gate's
     * scaladoc names: per-batch caps bound each batch's contribution, but a

@@ -2450,6 +2450,30 @@ object TextQueries {
         WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 4
         ORDER BY a_name, b_name""")),
 
+    // ----- BLOCKED fuzzy matching (the scale path the row above names):
+    // distinct part names blocked by length band (band = len DIV 3 for
+    // maxDist 2), Levenshtein only within a block — EXACT vs the cross
+    // join by the band-adjacency argument in Dedup.fuzzyMatchBlocked
+    // (OperatorsSpec pins blocked ≡ broadcast on a planted fixture; here
+    // the oracle replays the same blocked plan). Binds at sf0.01: 64
+    // distinct names over 3 bands, 24 pairs of which 3 cross bands — the
+    // neighbor-probe path is exercised, not just same-band joins.
+    Q("q_text_fuzzy_block",
+      (s, dir) =>
+        Dedup.fuzzyMatchBlocked(
+            t(s, dir, "part").select(col("p_name")).distinct(),
+            "p_name", maxDist = 2)
+          .orderBy(col("a_key"), col("b_key")),
+      Some("""
+        WITH t AS (SELECT DISTINCT p_name AS n FROM part),
+        s AS (SELECT n, length(n) // 3 AS band FROM t),
+        p AS (SELECT n, unnest([band - 1, band, band + 1]) AS band FROM s)
+        SELECT a.n AS a_key, b.n AS b_key,
+               CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+        FROM s a JOIN p b ON a.band = b.band
+        WHERE a.n < b.n AND levenshtein(a.n, b.n) <= 2
+        ORDER BY a_key, b_key""")),
+
     // ----- deterministic train/test split: portable content-free hash of the
     // doc id bucketed mod 100 — reproducible on any engine (unlike
     // sample()), stable under corpus growth, and oracle-checkable because

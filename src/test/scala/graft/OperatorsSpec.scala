@@ -1143,6 +1143,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cands.size <= 8 * 5 + 3)
   }
 
+  test("blocked fuzzy match equals the broadcast cross join, cross-band pairs included") {
+    // lengths chosen so qualifying pairs STRADDLE length bands (width
+    // maxDist+1 = 3): "kitten"(6)/"sitten"(6) same band, "kitten"/
+    // "kitte"(5) adjacent bands (5 DIV 3 = 1, 6 DIV 3 = 2) — missing the
+    // neighbor probe would silently drop exactly these; a null key and a
+    // far string must not pair at all
+    val df = Seq("kitten", "sitten", "kitte", "sittin", "zzzzzzzzzzzz", null)
+      .toDF("name")
+    val got = graft.operators.Dedup.fuzzyMatchBlocked(df, "name", 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = df.select(col("name").as("a")).filter(col("a").isNotNull)
+      .crossJoin(df.select(col("name").as("b")).filter(col("b").isNotNull))
+      .filter(col("a") < col("b"))
+      .withColumn("d", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.contains(("kitte", "kitten", 1L)), "cross-band pair missing")
+    assert(got.exists(_._1 == "kitten") && !got.exists(t =>
+      t._1 == "zzzzzzzzzzzz" || t._2 == "zzzzzzzzzzzz"))
+  }
+
   test("profile reports nulls, distincts and min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
     val p = Profile.profile(df).collect()
