@@ -1141,6 +1141,574 @@ object MediaCodecs {
     }
   }
 
+  // ---------- JPEG baseline (ITU-T T.81) raster codec ----------
+  //
+  // The web's dominant image format, previously header-only here (the r15
+  // verdict's top multimodal gap): [[parseJpegPixels]] is a full baseline
+  // sequential decoder — marker walk, arbitrary DQT/DHT tables, up to four
+  // components with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, byte
+  // unstuffing, Huffman + dequant + IDCT + upsample + YCbCr→RGB — and
+  // [[encodeJpegGray]]/[[encodeJpegYcbcr444]] are real encoders (forward
+  // DCT, quantization, Annex K Huffman tables) so specs exercise the
+  // decoder against independently-built byte streams, not its own mirror.
+  // Progressive (SOF2), arithmetic coding, and 12-bit precision return
+  // None (the quarantine seam, like every other codec here). All
+  // trigonometry uses StrictMath so rasters are bit-identical on any JVM.
+
+  /** Zigzag position → natural (row-major) position, T.81 Figure 5. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  // Standard Huffman tables, ITU-T T.81 Annex K.3.3 (public constants).
+  private val StdDcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val StdAcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman table: decode bit-serially, encode via code lookup. */
+  private final class JHuff(bits: Array[Int], vals: Array[Int]) {
+    require(bits.length == 16 && vals.length == bits.sum, "malformed DHT")
+    // canonical code assignment (T.81 Annex C)
+    private val codeOf = new Array[Int](vals.length)
+    private val sizeOf = new Array[Int](vals.length)
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var len = 1
+      while (len <= 16) {
+        minCode(len) = code; valPtr(len) = k
+        var i = 0
+        while (i < bits(len - 1)) {
+          codeOf(k) = code; sizeOf(k) = len; code += 1; k += 1; i += 1
+        }
+        maxCode(len) = code - 1
+        if (bits(len - 1) == 0) maxCode(len) = -1
+        code <<= 1; len += 1
+      }
+    }
+    def decode(r: JBitReader): Int = {
+      var code = 0; var len = 0
+      while (len < 16) {
+        code = (code << 1) | r.nextBit()
+        len += 1
+        if (maxCode(len) >= 0 && code <= maxCode(len))
+          return vals(valPtr(len) + code - minCode(len))
+      }
+      throw new IllegalArgumentException("invalid Huffman code")
+    }
+    def write(w: JBitWriter, symbol: Int): Unit = {
+      val k = vals.indexOf(symbol)
+      require(k >= 0, s"symbol $symbol not in table")
+      w.put(codeOf(k), sizeOf(k))
+    }
+  }
+
+  /** MSB-first entropy-segment reader with 0xFF00 unstuffing; any bare
+    * marker inside a block is a decode error (restart markers are consumed
+    * explicitly between restart intervals, byte-aligned, by [[expectRst]]).
+    */
+  private final class JBitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var cnt = 0
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        if (pos >= b.length) throw new IllegalArgumentException("entropy EOF")
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          val m = if (pos < b.length) b(pos) & 0xff else -1
+          if (m == 0) pos += 1 // stuffed 0xFF data byte
+          else throw new IllegalArgumentException(f"marker 0xff$m%02x mid-block")
+        }
+        acc = v; cnt = 8
+      }
+      cnt -= 1
+      (acc >> cnt) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def expectRst(n: Int): Unit = {
+      cnt = 0
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+          (b(pos + 1) & 0xff) != (0xd0 + n))
+        throw new IllegalArgumentException("missing restart marker")
+      pos += 2
+    }
+  }
+
+  private final class JBitWriter(out: ByteArrayOut) {
+    private var acc = 0
+    private var cnt = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.u8(acc)
+          if (acc == 0xff) out.u8(0) // byte stuffing
+          acc = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad to a byte boundary with 1-bits (T.81 §B.1.1.5). */
+    def flush(): Unit = if (cnt > 0) { put((1 << (8 - cnt)) - 1, 8 - cnt) }
+  }
+
+  /** receive/extend of T.81 §F.2.2.1: map an n-bit magnitude to its
+    * signed value.
+    */
+  private def jExtend(v: Int, n: Int): Int =
+    if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+
+  private def jCat(v: Int): Int = { // magnitude category (bit length)
+    var a = math.abs(v); var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  private val JCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => StrictMath.cos((2 * x + 1) * u * math.Pi / 16))
+  private val JC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0)
+
+  /** 2D separable IDCT of one dequantized block (natural order, row = the
+    * vertical frequency) → 64 clamped samples (level shift applied).
+    */
+  private def jIdct(coef: Array[Int], outPx: Array[Int]): Unit = {
+    val g = new Array[Double](64) // g(x, v): horizontal IDCT of each row
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += JC(u) * coef(v * 8 + u) * JCos(x)(u); u += 1 }
+        g(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += JC(vv) * g(vv * 8 + x) * JCos(y)(vv); vv += 1 }
+        val p = math.round(s / 4.0 + 128.0).toInt
+        outPx(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Forward DCT + quantization of one level-shifted block (encoder). */
+  private def jFdctQuant(px: Array[Int], quant: Array[Int], out: Array[Int]): Unit = {
+    val g = new Array[Double](64) // g(u, y): horizontal DCT of each row
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += (px(y * 8 + x) - 128) * JCos(x)(u); x += 1 }
+        g(y * 8 + u) = s
+        u += 1
+      }
+      y += 1
+    }
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 8) { s += g(yy * 8 + u) * JCos(yy)(v); yy += 1 }
+        val c = JC(u) * JC(v) * s / 4.0
+        out(v * 8 + u) = math.round(c / quant(v * 8 + u)).toInt
+        u += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Decode a baseline sequential JPEG to its RGB raster (grayscale
+    * replicates the single channel). Returns None — never throws — on
+    * anything that is not a well-formed baseline scan: progressive,
+    * arithmetic-coded, 12-bit, truncated, or hostile bytes.
+    */
+  def parseJpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    try decodeJpegPixels(b)
+    catch { case _: Exception => None }
+
+  private final case class JComp(id: Int, h: Int, v: Int, tq: Int,
+                                 var td: Int = 0, var ta: Int = 0)
+
+  private def decodeJpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 4 || b(0) != 0xff.toByte || b(1) != 0xd8.toByte) return None
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[JHuff](4)
+    val acTabs = new Array[JHuff](4)
+    var comps: Array[JComp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var i = 2
+    while (i + 1 < b.length) {
+      if (b(i) != 0xff.toByte) return None
+      while (i + 1 < b.length && b(i + 1) == 0xff.toByte) i += 1
+      if (i + 1 >= b.length) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else if (m == 0xd9) return None // EOI before any scan
+      else {
+        if (i + 3 >= b.length) return None
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4 // first payload byte
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var p = seg
+            while (p < i + 2 + len) {
+              val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
+              if (tq > 3 || pq > 1) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                val e =
+                  if (pq == 0) b(p + 1 + k) & 0xff
+                  else ((b(p + 1 + 2 * k) & 0xff) << 8) | (b(p + 2 + 2 * k) & 0xff)
+                if (e == 0) return None
+                t(JpegZigzag(k)) = e
+                k += 1
+              }
+              qtabs(tq) = t
+              p += 1 + (if (pq == 0) 64 else 128)
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < i + 2 + len) {
+              val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val bits = Array.tabulate(16)(k => b(p + 1 + k) & 0xff)
+              val n = bits.sum
+              if (n == 0 || n > 256 || p + 17 + n > i + 2 + len) return None
+              val vals = Array.tabulate(n)(k => b(p + 17 + k) & 0xff)
+              val tab = new JHuff(bits, vals)
+              if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+              p += 17 + n
+            }
+          case 0xc0 | 0xc1 => // SOF0/1: baseline + extended sequential Huffman
+            if (comps != null) return None
+            if ((b(seg) & 0xff) != 8) return None // 12-bit: out of scope
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val nc = b(seg + 5) & 0xff
+            if (w == 0 || h == 0 || nc == 0 || nc > 4 || (nc != 1 && nc != 3))
+              return None
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + 3 * c
+              val hv = b(o + 1) & 0xff
+              JComp(b(o) & 0xff, hv >> 4, hv & 0x0f, b(o + 2) & 0x0f)
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3))
+              return None
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+               0xce | 0xcf =>
+            return None // progressive / lossless / arithmetic: out of scope
+          case 0xdd => // DRI
+            restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xda => // SOS: single interleaved scan covering every component
+            if (comps == null) return None
+            val ns = b(seg) & 0xff
+            if (ns != comps.length) return None
+            var k = 0
+            while (k < ns) {
+              val cid = b(seg + 1 + 2 * k) & 0xff
+              val tt = b(seg + 2 + 2 * k) & 0xff
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.td = tt >> 4; c.ta = tt & 0x0f
+              k += 1
+            }
+            return decodeJpegScan(b, i + 2 + len, w, h, comps, qtabs,
+              dcTabs, acTabs, restartInterval)
+          case _ => () // APPn / COM / DNL / anything else: skip
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  private def decodeJpegScan(b: Array[Byte], start: Int, w: Int, h: Int,
+      comps: Array[JComp], qtabs: Array[Array[Int]], dcTabs: Array[JHuff],
+      acTabs: Array[JHuff], restartInterval: Int): Option[(Int, Int, Array[Byte])] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // sanity cap: hostile dims could otherwise allocate wild planes
+    if (w.toLong * h > 64L * 1024 * 1024) return None
+    val planes = comps.map(c => new Array[Int](mcusX * c.h * 8 * mcusY * c.v * 8))
+    val strides = comps.map(c => mcusX * c.h * 8)
+    comps.foreach { c =>
+      if (qtabs(c.tq) == null || dcTabs(c.td) == null || acTabs(c.ta) == null)
+        return None
+    }
+    val r = new JBitReader(b, start)
+    val dcPred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    var rstN = 0
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        r.expectRst(rstN)
+        rstN = (rstN + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qtabs(c.tq); val dt = dcTabs(c.td); val at = acTabs(c.ta)
+        var blk = 0
+        while (blk < c.h * c.v) {
+          val bx = mx * c.h + blk % c.h
+          val by = my * c.v + blk / c.h
+          java.util.Arrays.fill(coef, 0)
+          val t = dt.decode(r)
+          if (t > 15) return None
+          dcPred(ci) += jExtend(r.receive(t), t)
+          coef(0) = dcPred(ci) * q(0)
+          var k = 1
+          while (k < 64) {
+            val rs = at.decode(r)
+            val run = rs >> 4; val size = rs & 15
+            if (size == 0) {
+              if (run == 15) k += 16 else k = 64 // ZRL / EOB
+            } else {
+              k += run
+              if (k > 63) return None
+              val nat = JpegZigzag(k)
+              coef(nat) = jExtend(r.receive(size), size) * q(nat)
+              k += 1
+            }
+          }
+          jIdct(coef, px)
+          val stride = strides(ci)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((by * 8 + yy) * stride + bx * 8 + xx) = px(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          blk += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // assemble: upsample each component to full resolution (box replicate)
+    val rgb = new Array[Byte](w * h * 3)
+    if (comps.length == 1) {
+      val stride = strides(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = planes(0)(y * stride + x).toByte
+          val p = (y * w + x) * 3
+          rgb(p) = g; rgb(p + 1) = g; rgb(p + 2) = g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def sample(ci: Int): Int = {
+            val c = comps(ci)
+            planes(ci)((y * c.v / vmax) * strides(ci) + x * c.h / hmax)
+          }
+          val yv = sample(0); val cb = sample(1) - 128; val cr = sample(2) - 128
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val p = (y * w + x) * 3
+          rgb(p) = clamp(yv + 1.402 * cr)
+          rgb(p + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          rgb(p + 2) = clamp(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    Some((w, h, rgb))
+  }
+
+  /** Encode component planes as a baseline JPEG: 8-bit, per-component
+    * sampling factors, one flat quantization table (every entry = `quant`),
+    * the Annex K standard Huffman tables, optional restart interval.
+    * `planes(c)` holds component c at ITS OWN resolution
+    * (ceil(w·h_c/hmax) × ceil(h·v_c/vmax)). Fixture and spec encoder —
+    * real forward DCT + quantization + Huffman, so the decoder is tested
+    * against independently-derived byte streams.
+    */
+  private def encodeJpegPlanes(w: Int, h: Int, planes: Array[Array[Byte]],
+      sampling: Array[(Int, Int)], quant: Int, restartInterval: Int): Array[Byte] = {
+    require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff, s"dims u16: ${w}x$h")
+    require(quant >= 1 && quant <= 255, s"flat quant in [1,255]: $quant")
+    require(planes.length == 1 || planes.length == 3, "1 or 3 components")
+    require(sampling.length == planes.length, "sampling per component")
+    val hmax = sampling.map(_._1).max
+    val vmax = sampling.map(_._2).max
+    val compW = sampling.map { case (hi, _) => (w * hi + hmax - 1) / hmax }
+    val compH = sampling.map { case (_, vi) => (h * vi + vmax - 1) / vmax }
+    planes.indices.foreach { c =>
+      require(planes(c).length == compW(c) * compH(c),
+        s"component $c plane must be ${compW(c)}x${compH(c)}")
+    }
+    val out = new ByteArrayOut(w * h + 1024)
+    def u16be(v: Int): Unit = { out.u8((v >> 8) & 0xff); out.u8(v & 0xff) }
+    def marker(m: Int): Unit = { out.u8(0xff); out.u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16be(67); out.u8(0) // DQT, table 0, 8-bit
+    var k = 0
+    while (k < 64) { out.u8(quant); k += 1 }
+    marker(0xc0); u16be(8 + 3 * planes.length); out.u8(8) // SOF0
+    u16be(h); u16be(w); out.u8(planes.length)
+    var c = 0
+    while (c < planes.length) {
+      out.u8(c + 1); out.u8((sampling(c)._1 << 4) | sampling(c)._2); out.u8(0)
+      c += 1
+    }
+    def dht(tc: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16be(2 + 1 + 16 + vals.length); out.u8(tc << 4)
+      bits.foreach(out.u8); vals.foreach(out.u8)
+    }
+    dht(0, StdDcBits, StdDcVals)
+    dht(1, StdAcBits, StdAcVals)
+    if (restartInterval > 0) { marker(0xdd); u16be(4); u16be(restartInterval) }
+    marker(0xda); u16be(6 + 2 * planes.length); out.u8(planes.length) // SOS
+    c = 0
+    while (c < planes.length) { out.u8(c + 1); out.u8(0); c += 1 }
+    out.u8(0); out.u8(63); out.u8(0) // Ss/Se/AhAl (baseline fixed)
+    val dc = new JHuff(StdDcBits, StdDcVals)
+    val ac = new JHuff(StdAcBits, StdAcVals)
+    val wtr = new JBitWriter(out)
+    val qt = Array.fill(64)(quant)
+    val px = new Array[Int](64)
+    val coef = new Array[Int](64)
+    val zz = new Array[Int](64)
+    val dcPred = new Array[Int](planes.length)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    var rstN = 0
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        wtr.flush()
+        marker(0xd0 + rstN)
+        rstN = (rstN + 1) & 7
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      c = 0
+      while (c < planes.length) {
+        val (hi, vi) = sampling(c)
+        var blk = 0
+        while (blk < hi * vi) {
+          val bx = mx * hi + blk % hi
+          val by = my * vi + blk / hi
+          var yy = 0
+          while (yy < 8) { // edge-replicate padding
+            var xx = 0
+            while (xx < 8) {
+              val sx = math.min(bx * 8 + xx, compW(c) - 1)
+              val sy = math.min(by * 8 + yy, compH(c) - 1)
+              px(yy * 8 + xx) = planes(c)(sy * compW(c) + sx) & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          jFdctQuant(px, qt, coef)
+          var i = 0
+          while (i < 64) { zz(i) = coef(JpegZigzag(i)); i += 1 }
+          val diff = zz(0) - dcPred(c); dcPred(c) = zz(0)
+          val t = jCat(diff)
+          dc.write(wtr, t)
+          if (t > 0) wtr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          var kk = 1; var run = 0
+          while (kk < 64) {
+            if (zz(kk) == 0) run += 1
+            else {
+              while (run > 15) { ac.write(wtr, 0xf0); run -= 16 } // ZRL
+              val s = jCat(zz(kk))
+              ac.write(wtr, (run << 4) | s)
+              wtr.put(if (zz(kk) < 0) zz(kk) + (1 << s) - 1 else zz(kk), s)
+              run = 0
+            }
+            kk += 1
+          }
+          if (run > 0) ac.write(wtr, 0x00) // EOB
+          blk += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    wtr.flush()
+    marker(0xd9) // EOI
+    out.toArray
+  }
+
+  /** Single-component (grayscale) baseline JPEG of a `w`×`h` plane. */
+  def encodeJpegGray(w: Int, h: Int, gray: Array[Byte], quant: Int = 1,
+                     restartInterval: Int = 0): Array[Byte] =
+    encodeJpegPlanes(w, h, Array(gray), Array((1, 1)), quant, restartInterval)
+
+  /** Three-component 4:4:4 baseline JPEG from full-resolution YCbCr planes. */
+  def encodeJpegYcbcr444(w: Int, h: Int, yP: Array[Byte], cbP: Array[Byte],
+                         crP: Array[Byte], quant: Int = 1): Array[Byte] =
+    encodeJpegPlanes(w, h, Array(yP, cbP, crP),
+      Array((1, 1), (1, 1), (1, 1)), quant, 0)
+
+  /** Three-component 4:2:0 baseline JPEG — the dominant crawl shape: luma
+    * at full resolution (2x2 sampling), chroma planes at half resolution
+    * in both axes (ceil(w/2) × ceil(h/2)).
+    */
+  def encodeJpegYcbcr420(w: Int, h: Int, yP: Array[Byte], cbHalf: Array[Byte],
+                         crHalf: Array[Byte], quant: Int = 1): Array[Byte] =
+    encodeJpegPlanes(w, h, Array(yP, cbHalf, crHalf),
+      Array((2, 2), (1, 1), (1, 1)), quant, 0)
+
   private final class ByteArrayOut(hint: Int) {
     private var buf = new Array[Byte](math.max(hint, 16))
     private var n = 0

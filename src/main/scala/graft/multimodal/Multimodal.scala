@@ -206,7 +206,8 @@ object Multimodal {
         // LZW+palette GIF
         MediaCodecs.parseBmpPixels(r.media)
           .orElse(MediaCodecs.parsePngPixels(r.media))
-          .orElse(MediaCodecs.parseGifPixels(r.media)).map { case (w, h, rgb) =>
+          .orElse(MediaCodecs.parseGifPixels(r.media))
+          .orElse(MediaCodecs.parseJpegPixels(r.media)).map { case (w, h, rgb) =>
           var sr = 0L; var sg = 0L; var sb = 0L; var maxLuma = 0L
           var i = 0
           while (i < rgb.length) {
@@ -241,7 +242,8 @@ object Multimodal {
       rows.flatMap { r =>
         MediaCodecs.parseBmpPixels(r.media)
           .orElse(MediaCodecs.parsePngPixels(r.media))
-          .orElse(MediaCodecs.parseGifPixels(r.media)).map { case (w, h, rgb) =>
+          .orElse(MediaCodecs.parseGifPixels(r.media))
+          .orElse(MediaCodecs.parseJpegPixels(r.media)).map { case (w, h, rgb) =>
           val g = Array.ofDim[Long](8, 9)
           var y = 0
           while (y < 8) {

@@ -2123,6 +2123,56 @@ object TextQueries {
                CAST(MAX((299 * r + 587 * g + 114 * b) // 1000) AS BIGINT) AS max_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // ----- the SAME raster statistics through the JPEG path — the web's
+    // dominant image format, decoded by the full baseline pipeline
+    // (MediaCodecs.parseJpegPixels: marker walk, Huffman, dequant, IDCT).
+    // JPEG is lossy, so the closed-form trick differs from the PNG/GIF
+    // rows: the raster is CONSTANT PER 8x8 BLOCK, whose DCT is DC-only
+    // (every AC coefficient exactly zero), and with the flat Q=8 table the
+    // quantized DC is exactly v-128 — the roundtrip is bit-exact and the
+    // oracle replays pixel = f(block_x, block_y) in closed form. Restart
+    // markers every 3 MCUs exercise the RSTn + predictor-reset path on
+    // every image. Grayscale stream: r = g = b (the color + subsampled
+    // paths are spec-gated in MediaCodecsSpec against the same encoder).
+    Q("q_mm_image_stats_jpeg",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 5 + 1).toInt * 8
+            val h = (id * 7 % 4 + 1).toInt * 8
+            val gray = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                gray(y * w + x) =
+                  (((x / 8) * 13 + (y / 8) * 29 + id % 25 * 5) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeJpegGray(w, h, gray,
+                quant = 8, restartInterval = 3))
+          }
+        graft.multimodal.Multimodal.imageStats(media)
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH dims AS (SELECT doc_id, (doc_id % 5 + 1) * 8 AS w,
+                             ((doc_id * 7) % 4 + 1) * 8 AS h
+                      FROM documents),
+        px AS (SELECT doc_id, w, h,
+                 ((x.g // 8) * 13 + (y.g // 8) * 29 + (doc_id % 25) * 5) % 256 AS v
+               FROM dims, generate_series(0, 39) x(g), generate_series(0, 31) y(g)
+               WHERE x.g < w AND y.g < h)
+        SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(SUM(v) AS BIGINT) AS sum_r, CAST(SUM(v) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_b,
+               CAST(MAX(v) AS BIGINT) AS max_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // ----- the SAME raster statistics through the GIF path: palette-
     // bounded gradients (≤ 200 distinct colors — GIF is indexed) encoded as
     // complete GIFs with REAL LZW compression, decoded by the full

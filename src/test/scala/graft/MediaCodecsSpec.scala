@@ -530,6 +530,111 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.parseExif(MediaCodecs.encodeTiffExif(9, 9, 5, withGps = true).take(n)))
   }
 
+  test("JPEG raster: block-constant grays roundtrip bit-exactly through the baseline pipeline") {
+    // per-8x8-block constants make every DCT block DC-only (all AC exactly
+    // zero); with the flat Q=8 table the quantized DC is v-128 exactly, so
+    // encode -> Huffman -> dequant -> IDCT must reproduce every input byte.
+    // Restart markers every 2 MCUs exercise RSTn + DC-predictor resets.
+    val w = 24; val h = 16
+    val gray = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      gray(y * w + x) = (((x / 8) * 13 + (y / 8) * 7 * 5) % 256).toByte
+    for (rst <- Seq(0, 2)) {
+      val enc = MediaCodecs.encodeJpegGray(w, h, gray, quant = 8, restartInterval = rst)
+      val Some((dw, dh, rgb)) = MediaCodecs.parseJpegPixels(enc)
+      assert((dw, dh) == (w, h))
+      for (i <- 0 until w * h) {
+        assert((rgb(i * 3) & 0xff) == (gray(i) & 0xff), s"pixel $i rst=$rst")
+        assert(rgb(i * 3) == rgb(i * 3 + 1) && rgb(i * 3) == rgb(i * 3 + 2))
+      }
+    }
+  }
+
+  test("JPEG raster: smooth gradients survive quant=1 with zero error, odd dims within 1") {
+    // with every quant entry 1 the only loss is fDCT/IDCT double rounding
+    val w = 24; val h = 16
+    val g = Array.tabulate[Byte](w * h)(i => ((i % w) * 5 + (i / w) * 3).toByte)
+    val Some((_, _, rgb)) = MediaCodecs.parseJpegPixels(MediaCodecs.encodeJpegGray(w, h, g, quant = 1))
+    for (i <- 0 until w * h)
+      assert((rgb(i * 3) & 0xff) == (g(i) & 0xff), s"pixel $i")
+    // dims not a multiple of 8: edge blocks are edge-replicate padded at
+    // encode and cropped at decode; DCT rounding may cost 1 count
+    val w2 = 13; val h2 = 11
+    val g2 = Array.tabulate[Byte](w2 * h2)(i => ((i * 7) % 256).toByte)
+    val Some((dw2, dh2, rgb2)) = MediaCodecs.parseJpegPixels(MediaCodecs.encodeJpegGray(w2, h2, g2, quant = 1))
+    assert((dw2, dh2) == (w2, h2))
+    for (i <- 0 until w2 * h2)
+      assert(math.abs((rgb2(i * 3) & 0xff) - (g2(i) & 0xff)) <= 1, s"pixel $i")
+  }
+
+  test("JPEG raster: 4:4:4 and 4:2:0 color decode matches the pinned YCbCr->RGB conversion") {
+    def cl(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+    def expectRgb(yv: Int, cb0: Int, cr0: Int): (Int, Int, Int) = {
+      val cb = cb0 - 128; val cr = cr0 - 128
+      (cl(yv + 1.402 * cr), cl(yv - 0.344136 * cb - 0.714136 * cr), cl(yv + 1.772 * cb))
+    }
+    val w = 32; val h = 32
+    val yP = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      yP(y * w + x) = (((x / 8) * 40 + (y / 8) * 20 + 30) % 256).toByte
+    // 4:4:4: all three planes block-constant at full resolution
+    val cbF = yP.map(v => ((v & 0xff) / 2 + 64).toByte)
+    val crF = yP.map(v => (255 - (v & 0xff)).toByte)
+    val Some((_, _, c444)) = MediaCodecs.parseJpegPixels(
+      MediaCodecs.encodeJpegYcbcr444(w, h, yP, cbF, crF, quant = 8))
+    for (i <- 0 until w * h) {
+      val (er, eg, eb) = expectRgb(yP(i) & 0xff, cbF(i) & 0xff, crF(i) & 0xff)
+      assert((c444(i * 3) & 0xff, c444(i * 3 + 1) & 0xff, c444(i * 3 + 2) & 0xff) == ((er, eg, eb)), s"444 pixel $i")
+    }
+    // 4:2:0: luma constant per 16x16 macroblock so each of its four 8x8
+    // blocks is DC-only; chroma block-constant at half resolution
+    val y420 = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w)
+      y420(y * w + x) = (((x / 16) * 60 + (y / 16) * 30 + 40) % 256).toByte
+    val cw = w / 2; val ch = h / 2
+    val cbH = new Array[Byte](cw * ch); val crH = new Array[Byte](cw * ch)
+    for (y <- 0 until ch; x <- 0 until cw) {
+      cbH(y * cw + x) = (((x / 8) * 20 + 100) % 256).toByte
+      crH(y * cw + x) = (((y / 8) * 25 + 110) % 256).toByte
+    }
+    val Some((_, _, c420)) = MediaCodecs.parseJpegPixels(
+      MediaCodecs.encodeJpegYcbcr420(w, h, y420, cbH, crH, quant = 8))
+    for (y <- 0 until h; x <- 0 until w) {
+      val (er, eg, eb) = expectRgb(y420(y * w + x) & 0xff,
+        cbH((y / 2) * cw + x / 2) & 0xff, crH((y / 2) * cw + x / 2) & 0xff)
+      val p = (y * w + x) * 3
+      assert((c420(p) & 0xff, c420(p + 1) & 0xff, c420(p + 2) & 0xff) == ((er, eg, eb)), s"420 ($x,$y)")
+    }
+  }
+
+  test("JPEG raster: hostile bytes, truncation, progressive, and header-only streams never decode or throw") {
+    val gray = Array.tabulate[Byte](64)(i => (i * 4).toByte)
+    val good = MediaCodecs.encodeJpegGray(8, 8, gray, quant = 1)
+    assert(MediaCodecs.parseJpegPixels(good).isDefined)
+    // every truncation that cuts into the entropy data fails cleanly (the
+    // trailing EOI marker is not required for a complete scan, so only
+    // cuts strictly before it can invalidate the stream)
+    (0 until good.length - 2).foreach(n => assert(MediaCodecs.parseJpegPixels(good.take(n)).isEmpty))
+    // single-byte corruptions never throw (most still decode to SOMETHING
+    // when the flipped byte is entropy data -- that is lossy-format life --
+    // but marker/table corruption must reject, and nothing may crash)
+    for (i <- good.indices) {
+      val bad = good.clone; bad(i) = (bad(i) ^ 0x55).toByte
+      MediaCodecs.parseJpegPixels(bad)
+    }
+    // arbitrary junk and prose
+    assert(MediaCodecs.parseJpegPixels(Array.tabulate[Byte](300)(i => (i * 37).toByte)).isEmpty)
+    assert(MediaCodecs.parseJpegPixels("ffd8 is not how files start".getBytes("UTF-8")).isEmpty)
+    // the header-only fixture encoders (no scan data) must not raster-decode
+    assert(MediaCodecs.parseJpegPixels(MediaCodecs.encodeJpeg(10, 10)).isEmpty)
+    assert(MediaCodecs.parseJpegPixels(MediaCodecs.encodeJpeg(10, 10, progressive = true)).isEmpty)
+    // a PROGRESSIVE frame marker on a real stream rejects (out of scope)
+    val prog = good.clone
+    val sof = (2 until prog.length - 1).find(i => prog(i) == 0xff.toByte && prog(i + 1) == 0xc0.toByte).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(MediaCodecs.parseJpegPixels(prog).isEmpty)
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)
