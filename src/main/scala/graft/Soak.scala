@@ -674,6 +674,71 @@ object Soak {
         println(f"$name%-26s $tS%10.2f $tB%10.2f ${tB / tS}%7.1f ${tB / tS / composeFactor}%5.2f")
       }
     }
+    // ---- streaming gate maintenance soak (r16): the live gates' per-batch
+    // ledger/index upkeep had no published scaling row. The corpus is the
+    // copy-tagged spine replication (no cross-copy shingle/content sharing,
+    // so gate work grows with data, not with pair fan-out), split into 3
+    // micro-batches by doc_id mod 3 and pushed through the REAL foreachBatch
+    // bodies — budget gate including the fold compaction, percentile gate
+    // with frozen thresholds, substring gate including its per-batch index
+    // merge + swap. Fresh state dirs per run (a reused dir would replay as
+    // a committed no-op). Reported: 3-batch wall at 1x vs xF, ratio, r/f.
+    // Enable: SPARK_GRAFT_SOAK_GATES=10.
+    val gatesFactor = sys.env.getOrElse("SPARK_GRAFT_SOAK_GATES", "0").toInt
+    if (gatesFactor > 1) {
+      import graft.streaming.Streams
+      val dbig = ensureSpineDocs(spark, small, gatesFactor)
+      def docs(dir: String) = Tables.load(spark, dir, "documents")
+      def batch(dir: String, i: Int) =
+        docs(dir).filter(pmod(col("doc_id"), lit(3)) === i)
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      def runBudget(dir: String): Unit = {
+        val out = tmp("soak-bud-out"); val rej = tmp("soak-bud-rej")
+        val led = tmp("soak-bud-led")
+        val budgets = docs(dir).select(col("lang"),
+            graft.functions.TextFns.tokenCount(col("text")).cast("long").as("ntok"))
+          .groupBy(col("lang"))
+          .agg(expr("(SUM(ntok) * 600) DIV 1000").as("budget_tokens"))
+        (0 until 3).foreach { i =>
+          Streams.budgetGateBatch(batch(dir, i), budgets, out, rej, led,
+            i.toLong, "doc_id", "text", "lang", Seq("a", "the"))
+        }
+        Streams.compactLedger(spark, led, "lang", uptoBatchId = 3L)
+      }
+      def runPercentile(dir: String): Unit = {
+        val out = tmp("soak-pct-out"); val rej = tmp("soak-pct-rej")
+        val thr = graft.operators.Curation.qualityScore(docs(dir), "text",
+            Seq("a", "the"), keepThreshold = Long.MinValue)
+          .groupBy(col("lang"))
+          .agg(expr("CAST(percentile_approx(score, 0.5) AS BIGINT)")
+            .as("score_threshold"))
+          .localCheckpoint(true)
+        (0 until 3).foreach { i =>
+          Streams.percentileGateBatch(batch(dir, i), thr, out, rej,
+            i.toLong, "text", "lang", Seq("a", "the"))
+        }
+      }
+      def runSubstring(dir: String): Unit = {
+        val out = tmp("soak-sub-out")
+        val wh = graft.airbnb.Warehouse(spark, tmp("soak-sub-wh"))
+        (0 until 3).foreach { i =>
+          Streams.substringGateBatch(batch(dir, i), wh, "anchor_idx", out,
+            i.toLong, "doc_id", "text", k = 4, minSpanTokens = 6,
+            maxOccurrences = 64L)
+        }
+      }
+      val gateRuns: Seq[(String, String => Unit)] = Seq(
+        "gate_budget_ledger" -> (runBudget _),
+        "gate_percentile" -> (runPercentile _),
+        "gate_substring_index" -> (runSubstring _))
+      println(f"${"gate (3 batches)"}%-26s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s ${"r/f"}%5s (data x$gatesFactor)")
+      gateRuns.foreach { case (name, f) =>
+        f(small); val tS = time(f(small))
+        f(dbig); val tB = time(f(dbig))
+        println(f"$name%-26s $tS%10.2f $tB%10.2f ${tB / tS}%7.1f ${tB / tS / gatesFactor}%5.2f")
+      }
+    }
+
     spark.stop()
   }
 

@@ -134,10 +134,14 @@ object CorpusQueries {
             when(col("doc_id") % 3 === 0, lit("\nthe and of that"))
               .otherwise(lit(""))))
           .drop("__t0", "__ls")
+        // spread before the checkpoint: built off the unsplittable one-
+        // row-group scan the aug corpus lands in ONE partition and all
+        // four gate legs' tokenize/signal kernels run serial (measured
+        // 195–451 ms 1-task stages); spread once, every leg parallelizes
         val aug = graft.CkptCycle.cycle(
           graft.CkptCycle.callSiteKey("CorpusQueries.q_quality_gate_matrix",
             "graft.queries.CorpusQueries"),
-          docs.localCheckpoint(true))
+          graft.Tables.spread(docs).localCheckpoint(true))
         val c4 = Curation.c4QualitySignals(aug, "doc_id", "text",
             minLineWords = 5L, minSentences = 3L)
           .select(col("doc_id"), col("keep").as("k_c4"))
