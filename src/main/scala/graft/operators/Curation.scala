@@ -386,8 +386,10 @@ object Curation {
     // partials, so that re-aggregation was the measured dominant cost.
     // One localCheckpoint (pair-vocab-sized, ≪ corpus) under the
     // CkptCycle single-live-frame contract; don't construct speculatively.
+    // spread before tokenize+explode: the pair construction fused onto
+    // the unsplittable scan ran serial (measured 424 ms 1-task stage)
     val allPairs = graft.CkptCycle.cycle("collocations_paircounts",
-      df.withColumn("__t", TextFns.tokens(col(textCol)))
+      graft.Tables.spread(df).withColumn("__t", TextFns.tokens(col(textCol)))
         // drop hostile sentinel-valued tokens (scaladoc): an in-corpus
         // U+0001 would otherwise collide with the terminal marker
         .withColumn("__t", expr(s"filter(__t, x -> x != '$sent')"))

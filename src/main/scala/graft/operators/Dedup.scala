@@ -382,8 +382,12 @@ object Dedup {
     * hash sharing. Hash values are the oracle-portable polyHash family,
     * so the selection of "the k smallest" replays in SQL exactly.
     */
-  def containmentSketchPairs(df: DataFrame, idCol: String, textCol: String,
+  def containmentSketchPairs(df0: DataFrame, idCol: String, textCol: String,
                              k: Int, bottomK: Int, threshold: Double): DataFrame = {
+    // spread: both sketch legs pay a full tokenize+hash scan (measured
+    // 551 + 235 ms 1-task off the one-row-group fixture); see
+    // Tables.spread (identity at scale)
+    val df = graft.Tables.spread(df0)
     val toks = TextFns.tokens(col(textCol))
     val a = df.select(col(idCol).as("a_id"),
         graft.functions.SketchFns.bottomKShingleHashes(toks, k, bottomK).as("__bk"))
