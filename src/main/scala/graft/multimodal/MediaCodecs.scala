@@ -1709,6 +1709,113 @@ object MediaCodecs {
     encodeJpegPlanes(w, h, Array(yP, cbHalf, crHalf),
       Array((2, 2), (1, 1), (1, 1)), quant, 0)
 
+  // ---------- AVI (RIFF) Motion-JPEG container ----------
+  //
+  // The simplest REAL video-bytes path: an AVI whose '00dc' chunks are
+  // complete baseline JPEGs (the Motion-JPEG profile every capture
+  // pipeline and ffmpeg can emit). With [[parseJpegPixels]] this makes
+  // frame EXTRACTION end-to-end real — container walk to the frame's
+  // bytes, then a full raster decode — where the MP4 path deliberately
+  // stops at the scheduling half (H.26x entropy decoding is out of scope).
+
+  /** Wrap complete JPEG frames as a minimal spec-shaped AVI/MJPG: RIFF
+    * ('AVI '), LIST hdrl (avih + LIST strl (strh 'vids'/'MJPG' + strf
+    * BITMAPINFOHEADER biCompression 'MJPG')), LIST movi ('00dc' chunks,
+    * even-padded), idx1. Real byte layout, so the parser is exercised
+    * against the documented container, not a private framing.
+    */
+  def encodeAviMjpeg(width: Int, height: Int, fps: Int,
+                     frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && fps >= 1 && frames.nonEmpty,
+      "need positive dims/fps and at least one frame")
+    val out = new ByteArrayOut(frames.map(_.length + 16).sum + 512)
+    def u32(v: Long): Unit = { out.u8((v & 0xff).toInt); out.u8(((v >> 8) & 0xff).toInt)
+      out.u8(((v >> 16) & 0xff).toInt); out.u8(((v >> 24) & 0xff).toInt) }
+    def chunk(id: String, body: ByteArrayOut => Unit): Array[Byte] = {
+      val b = new ByteArrayOut(64); body(b); val data = b.toArray
+      val c = new ByteArrayOut(data.length + 9)
+      c.ascii(id)
+      c.u8((data.length & 0xff)); c.u8((data.length >> 8) & 0xff)
+      c.u8((data.length >> 16) & 0xff); c.u8((data.length >> 24) & 0xff)
+      val arr = c.toArray ++ data
+      if (data.length % 2 == 1) arr :+ 0.toByte else arr
+    }
+    def list(tpe: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", b => { b.ascii(tpe); payload.foreach(x => b.u8(x & 0xff)) })
+    def u32a(vs: Long*): ByteArrayOut => Unit = b => vs.foreach { v =>
+      b.u8((v & 0xff).toInt); b.u8(((v >> 8) & 0xff).toInt)
+      b.u8(((v >> 16) & 0xff).toInt); b.u8(((v >> 24) & 0xff).toInt)
+    }
+    val avih = chunk("avih", u32a(1000000L / fps, 0, 0, 0x10, frames.length.toLong,
+      0, 1, 0, width.toLong, height.toLong, 0, 0, 0, 0))
+    val strh = chunk("strh", b => {
+      b.ascii("vids"); b.ascii("MJPG")
+      u32a(0, 0, 0, 1, fps.toLong, 0, frames.length.toLong, 0, 0xffffffffL, 0)(b)
+      u32a(0, 0)(b) // rcFrame as two u32s (4 x u16)
+    })
+    val strf = chunk("strf", u32a(40, width.toLong, height.toLong,
+      1L | (24L << 16), fourccLe("MJPG"), width.toLong * height * 3, 0, 0, 0, 0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi",
+      frames.flatMap(f => chunk("00dc", b => f.foreach(x => b.u8(x & 0xff)))).toArray)
+    val payload = hdrl ++ movi
+    out.ascii("RIFF"); u32(payload.length + 4L); out.ascii("AVI ")
+    out.toArray ++ payload
+  }
+
+  private def fourccLe(s: String): Long =
+    (s(0).toLong & 0xff) | ((s(1).toLong & 0xff) << 8) |
+      ((s(2).toLong & 0xff) << 16) | ((s(3).toLong & 0xff) << 24)
+
+  /** Parse an AVI Motion-JPEG container to (width, height, fps,
+    * frame byte arrays) — the '00dc'/'00db' chunks of the movi list,
+    * each expected to hold one complete JPEG (callers decode the ones
+    * they sample via [[parseJpegPixels]]). None — never a throw — on
+    * non-AVI/hostile/truncated bytes, non-MJPG streams, or absurd frame
+    * counts (the quarantine seam).
+    */
+  def parseAviMjpegFrames(b: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] =
+    try parseAvi(b) catch { case _: Exception => None }
+
+  private def parseAvi(b: Array[Byte]): Option[(Int, Int, Int, Vector[Array[Byte]])] = {
+    def tag(i: Int): String =
+      if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+    if (b.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val riffEnd = math.min(8L + u32le(b, 4), b.length.toLong).toInt
+    var w = 0; var h = 0; var fps = 0; var mjpg = false
+    val frames = Vector.newBuilder[Array[Byte]]
+    var nFrames = 0
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val id = tag(i)
+        val len = u32le(b, i + 4)
+        if (len < 0 || i + 8 + len > to) return
+        val start = i + 8; val end = (i + 8 + len).toInt
+        if (id == "LIST" && len >= 4) {
+          val tpe = tag(start)
+          walk(start + 4, end, inMovi || tpe == "movi")
+        } else if (id == "avih" && len >= 40) {
+          val micros = u32le(b, start)
+          if (micros > 0) fps = math.max(1, math.round(1000000.0 / micros).toInt)
+          w = u32le(b, start + 32).toInt
+          h = u32le(b, start + 36).toInt
+        } else if (id == "strh" && len >= 8) {
+          if (tag(start) == "vids" && tag(start + 4) == "MJPG") mjpg = true
+        } else if (inMovi && (id == "00dc" || id == "00db")) {
+          nFrames += 1
+          if (nFrames > 100000) throw new IllegalArgumentException("frame bomb")
+          frames += java.util.Arrays.copyOfRange(b, start, end)
+        }
+        i = end + (len.toInt & 1) // chunks are even-padded
+      }
+    }
+    walk(12, riffEnd, inMovi = false)
+    val fs = frames.result()
+    if (!mjpg || w <= 0 || h <= 0 || fs.isEmpty) None
+    else Some((w, h, math.max(fps, 1), fs))
+  }
+
   private final class ByteArrayOut(hint: Int) {
     private var buf = new Array[Byte](math.max(hint, 16))
     private var n = 0

@@ -150,6 +150,54 @@ object Multimodal {
       .withColumn("sample_ms", expr(s"frame_idx * duration_ms DIV $k"))
   }
 
+  final case class FrameStatsRow(doc_id: Long, sample_idx: Long,
+                                 frame_idx: Long, n_frames: Long,
+                                 width: Long, height: Long,
+                                 sum_r: Long, sum_g: Long, sum_b: Long,
+                                 max_luma: Long)
+
+  /** REAL video frame extraction — the half [[frameSamplePlan]] could not
+    * do while frames had no decodable bytes: walk each AVI/Motion-JPEG
+    * container to its '00dc' frame chunks, sample `k` frames at the plan's
+    * own stride (`frame_idx = j·n DIV k`), raster-decode ONLY the sampled
+    * frames through the baseline JPEG pipeline, and fold each to the
+    * [[imageStats]] channel statistics. Undecodable containers and frames
+    * drop (quarantine seam).
+    *
+    * Scale: purely map-side (mapPartitions, one pass); only sampled frames
+    * pay decode cost — a 10 000-frame video with k=3 Huffman-decodes 3
+    * JPEGs — and only fixed-width stat rows shuffle, never pixels.
+    */
+  def sampleFrameStats(media: Dataset[MediaRow], k: Int): Dataset[FrameStatsRow] = {
+    require(k > 0, s"k must be > 0, got $k")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseAviMjpegFrames(r.media).toSeq.flatMap {
+          case (_, _, _, frames) =>
+            val n = frames.length
+            (0 until k).flatMap { j =>
+              val fi = j * n / k
+              MediaCodecs.parseJpegPixels(frames(fi)).map { case (w, h, rgb) =>
+                var sr = 0L; var sg = 0L; var sb = 0L; var maxLuma = 0L
+                var i = 0
+                while (i < rgb.length) {
+                  val cr = rgb(i) & 0xff; val cg = rgb(i + 1) & 0xff
+                  val cb = rgb(i + 2) & 0xff
+                  sr += cr; sg += cg; sb += cb
+                  val luma = (299L * cr + 587L * cg + 114L * cb) / 1000L
+                  if (luma > maxLuma) maxLuma = luma
+                  i += 3
+                }
+                FrameStatsRow(r.doc_id, j.toLong, fi.toLong, n.toLong,
+                  w.toLong, h.toLong, sr, sg, sb, maxLuma)
+              }
+            }
+        }
+      }
+    }
+  }
+
   final case class ResizedRow(doc_id: Long, in_w: Long, in_h: Long,
                               out_w: Long, out_h: Long, out_bytes: Long,
                               px_sum: Long)

@@ -2173,6 +2173,59 @@ object TextQueries {
                CAST(MAX(v) AS BIGINT) AS max_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // ----- REAL video frame extraction: each doc becomes an AVI/MJPG of
+    // n = id%6+4 frames (each frame a 16x16 block-constant gray JPEG —
+    // DC-exact under the flat Q=8 table, see the JPEG row above); the
+    // operator walks the RIFF container, samples k=3 frames at stride
+    // j*n DIV 3 and raster-decodes ONLY those. The oracle replays the
+    // sampled indices and the per-block values in closed form — a one-off
+    // error in the chunk walk, the stride, or any sampled frame's Huffman
+    // stream diverges the channel sums. Completes frameSamplePlan (the
+    // MP4 scheduling half) with decoded bytes.
+    Q("q_mm_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (id % 6 + 4).toInt
+            val w = 16; val h = 16
+            val frames = (0 until n).map { f =>
+              val gray = new Array[Byte](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  gray(y * w + x) =
+                    ((f * 31 + (x / 8) * 13 + (y / 8) * 29 + id % 25 * 5) % 256).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              graft.multimodal.MediaCodecs.encodeJpegGray(w, h, gray, quant = 8)
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeAviMjpeg(w, h, 25, frames))
+          }
+        graft.multimodal.Multimodal.sampleFrameStats(media, 3)
+          .toDF().orderBy(col("doc_id"), col("sample_idx"))
+      },
+      Some("""
+        WITH vids AS (SELECT doc_id, doc_id % 6 + 4 AS n FROM documents),
+        samples AS (SELECT doc_id, n, j.g AS sample_idx, (j.g * n) // 3 AS fi
+                    FROM vids, generate_series(0, 2) j(g)),
+        px AS (SELECT doc_id, sample_idx, fi, n,
+                 (fi * 31 + bx.g * 13 + by.g * 29 + (doc_id % 25) * 5) % 256 AS v
+               FROM samples, generate_series(0, 1) bx(g), generate_series(0, 1) by(g))
+        SELECT doc_id, CAST(sample_idx AS BIGINT) AS sample_idx,
+               CAST(fi AS BIGINT) AS frame_idx, CAST(n AS BIGINT) AS n_frames,
+               CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+               CAST(SUM(v) * 64 AS BIGINT) AS sum_r,
+               CAST(SUM(v) * 64 AS BIGINT) AS sum_g,
+               CAST(SUM(v) * 64 AS BIGINT) AS sum_b,
+               CAST(MAX(v) AS BIGINT) AS max_luma
+        FROM px GROUP BY doc_id, sample_idx, fi, n
+        ORDER BY doc_id, sample_idx""")),
+
     // ----- the SAME raster statistics through the GIF path: palette-
     // bounded gradients (≤ 200 distinct colors — GIF is indexed) encoded as
     // complete GIFs with REAL LZW compression, decoded by the full

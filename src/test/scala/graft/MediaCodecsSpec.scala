@@ -635,6 +635,30 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseJpegPixels(prog).isEmpty)
   }
 
+  test("AVI/MJPG: container roundtrip preserves every frame byte; hostile bytes reject") {
+    val f = (0 until 5).map { i =>
+      MediaCodecs.encodeJpegGray(16, 8, Array.fill[Byte](128)((i * 11).toByte), quant = 8)
+    }
+    val avi = MediaCodecs.encodeAviMjpeg(16, 8, 25, f)
+    val Some((w, h, fps, frames)) = MediaCodecs.parseAviMjpegFrames(avi)
+    assert((w, h, fps) == (16, 8, 25))
+    assert(frames.length == 5)
+    frames.zip(f).foreach { case (got, want) => assert(got.sameElements(want)) }
+    // every sampled frame still raster-decodes
+    frames.foreach(fr => assert(MediaCodecs.parseJpegPixels(fr).isDefined))
+    // hostile: junk, prose, truncations, a WAV (RIFF but not AVI), and a
+    // stream whose handler is not MJPG
+    assert(MediaCodecs.parseAviMjpegFrames(Array.tabulate[Byte](64)(i => (i * 7).toByte)).isEmpty)
+    assert(MediaCodecs.parseAviMjpegFrames("RIFF but prose".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodecs.parseAviMjpegFrames(MediaCodecs.encodeWav(8000, 1, 16, 4)).isEmpty)
+    (0 until avi.length by 7).foreach(n =>
+      MediaCodecs.parseAviMjpegFrames(avi.take(n))) // never throws
+    val notMjpg = avi.clone
+    val hIdx = (0 until avi.length - 4).find(i => new String(avi, i, 4, "US-ASCII") == "MJPG").get
+    notMjpg(hIdx) = 'H'.toByte
+    assert(MediaCodecs.parseAviMjpegFrames(notMjpg).isEmpty)
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)

@@ -77,4 +77,30 @@ class MultimodalSpec extends AnyFunSuite {
       assert(frames.length == (lens(id) + 9) / 10)
     }
   }
+
+  test("MJPEG frame extraction decodes exactly the sampled frames, hand-computed stats") {
+    import spark.implicits._
+    import graft.multimodal.MediaCodecs
+    // 7 frames of 8x8 constant gray v = 10*f + 5 -> DC-exact roundtrip;
+    // k=3 samples frames 0, 2, 4 (j*7 DIV 3); sums = 64*v, max_luma = v
+    val frames = (0 until 7).map { f =>
+      MediaCodecs.encodeJpegGray(8, 8, Array.fill[Byte](64)((10 * f + 5).toByte), quant = 8)
+    }
+    val avi = MediaCodecs.encodeAviMjpeg(8, 8, 25, frames)
+    val junk = Array.tabulate[Byte](100)(i => (i * 3).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, avi),
+      Multimodal.MediaRow(2L, junk) // undecodable container drops
+    ).toDS()
+    val got = Multimodal.sampleFrameStats(media, 3).collect()
+      .map(r => (r.sample_idx, r.frame_idx, r.n_frames, r.width, r.height,
+        r.sum_r, r.max_luma)).sortBy(_._1)
+    assert(got.length == 3)
+    assert(got.map(_._2).toSeq == Seq(0L, 2L, 4L))
+    got.foreach { case (_, fi, n, w, h, sr, ml) =>
+      val v = 10 * fi + 5
+      assert((n, w, h) == ((7L, 8L, 8L)))
+      assert(sr == 64L * v && ml == v, s"frame $fi")
+    }
+  }
 }
