@@ -119,6 +119,8 @@ object Soak {
     // generator's factor^2 fixture artifact documented below — their scale
     // evidence is the copy-tagged DEDUP soak, same as the inline rows.)
     "q_dedup_incremental_minhash_serve",
+    "q_mm_image_stats_jpeg", // map-side Huffman+IDCT raster decode (r16)
+    "q_mm_video_frames",     // AVI walk + sampled-frame JPEG decode (r16)
     // blocked fuzzy match: runs over the part DIMENSION (64 distinct
     // names, not replicated) — the soak row documents the dimension-bounded
     // cost staying flat while facts grow, the entity-resolution shape (r16)

@@ -22,25 +22,6 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Runs `body` (which must materialize eagerly, e.g. end in a
-    * `localCheckpoint(true)`) with AQE partition coalescing OFF, restoring
-    * the previous setting after. For compute-bound stages whose rows are
-    * tiny on the wire (quantized vectors) the bytes-based coalescer
-    * collapses the shuffle to one partition and serializes the per-row
-    * compute; this keeps the shuffle's key partitioning for that one
-    * materialization without touching session-wide behavior.
-    */
-  private def withCoalesceOff[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val key = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
   /** Fast double dot product — the DotFloat codegen kernel; bit-identical to
     * the HOF fold `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` it
     * replaced (same sequential summation order), minus the interpreted
@@ -864,40 +845,44 @@ object Similarity {
     // on exactly the join keys: under a broadcast join it spreads the
     // pair compute across the (cluster × salt) keys; under a shuffle join
     // at scale it IS the join's required distribution (no extra hop).
+    // EXPLICIT partition count: a column-only repartition lets AQE's
+    // bytes-based coalescer collapse the exchange (quantized vectors are
+    // tiny on the wire but each joined row pays a full-dimension dot
+    // product — measured 3 tasks carrying ~1M cosines); an explicit count
+    // is preserved by AQE, so the pair compute keeps the session's
+    // configured width.
     val aS = a.withColumn("__salt", explode(lit((0 until pairSalt).toArray)))
-      .repartition(col("cluster"), col("__salt"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cluster"), col("__salt"))
     val bS = b.withColumn("__salt", pmod(hash(col("other")), lit(pairSalt)))
-    // The pair subplan (scan → quantize → salted cell join → cosine) feeds
-    // BOTH top-1 legs; without a checkpoint the whole subtree — including
-    // the shuffle-heavy cell join — executes twice (no ReusedExchange in
-    // the initial plan, the TopK filters differ). Materialize it once.
-    // AQE's bytes-based coalescer misjudges this stage — quantized vectors
-    // are tiny on the wire but each joined row pays a full-dimension dot
-    // product, so coalescing to one partition serializes ~|cell|² cosine
-    // work into a single task (measured 1.46 s of a 2.6 s wall). Keep the
-    // salt-keyed partitioning for the checkpoint's compute.
-    val pairs = graft.CkptCycle.cycle(
-      graft.CkptCycle.callSiteKey("contrastiveTriplets_pairs",
-        "graft.operators.Similarity"),
-      withCoalesceOff(df.sparkSession) {
-        aS.join(bS, Seq("cluster", "__salt"))
-          .filter(col("anchor") =!= col("other"))
-          .withColumn("cos",
-            round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))
-          .select(col("anchor"), col("other"), col("cos"))
-          .localCheckpoint(true)
-      })
-    val pos = graft.plans.TopKPerGroup.topK(
-        pairs.filter(col("cos") >= posThreshold), Seq("anchor"),
-        Seq(("cos", true), ("other", false)), 1)
-      .select(col("anchor"), col("other").as("pos_id"), col("cos").as("pos_cos"))
-    val neg = graft.plans.TopKPerGroup.topK(
-        pairs.filter(col("cos") >= negLo && col("cos") < negHi), Seq("anchor"),
-        Seq(("cos", true), ("other", false)), 1)
-      .select(col("anchor"), col("other").as("neg_id"), col("cos").as("neg_cos"))
-    pos.join(neg, Seq("anchor"))
-      .select(col("anchor"), col("pos_id"), col("pos_cos"),
-        col("neg_id"), col("neg_cos"))
+    // The pair subplan (scan → quantize → salted cell join → cosine) used
+    // to feed two TopKPerGroup legs — executing the shuffle-heavy join
+    // TWICE (no ReusedExchange spans the differing filters). A round-16
+    // intermediate fix checkpointed the pair frame, but that MATERIALIZES
+    // the full pair set — O(pairs) storage where the heaps streamed it
+    // (the ×10 fixed-k soak jumped 7.3× → 40×). The right shape is ONE
+    // pass: both top-1 selections are conditional MIN aggregates over the
+    // pair stream — min(struct(−cos, other)) is exactly (cos DESC, other
+    // ASC) top-1, for any orderable id type — so the join output flows
+    // straight into a partially-aggregating shuffle (≤ 2 small structs
+    // per anchor per partition on the wire) and no pair row is ever
+    // stored or recomputed.
+    val pairs = aS.join(bS, Seq("cluster", "__salt"))
+      .filter(col("anchor") =!= col("other"))
+      .withColumn("cos",
+        round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))
+      .select(col("anchor"), col("other"), col("cos"))
+    val best = pairs.groupBy(col("anchor"))
+      .agg(
+        min(when(col("cos") >= posThreshold,
+          struct((-col("cos")).as("nc"), col("other").as("o")))).as("__p"),
+        min(when(col("cos") >= negLo && col("cos") < negHi,
+          struct((-col("cos")).as("nc"), col("other").as("o")))).as("__n"))
+    // anchors missing either side drop (the documented inner-join contract)
+    best.filter(col("__p").isNotNull && col("__n").isNotNull)
+      .select(col("anchor"),
+        col("__p.o").as("pos_id"), (-col("__p.nc")).as("pos_cos"),
+        col("__n.o").as("neg_id"), (-col("__n.nc")).as("neg_cos"))
   }
 
   /** LSH-bucketed ANN top-k: candidates are scored only inside the query's

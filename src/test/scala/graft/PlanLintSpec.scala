@@ -238,16 +238,19 @@ class PlanLintSpec extends AnyFunSuite {
     assert(emptyPartWindows(graft.airbnb.Loaders.loadHosts(listings)).isEmpty)
   }
 
-  test("contrastive triplets materialize the shared pair subplan once") {
-    // the pair subtree (scan → quantize → salted cell join → cosine) feeds
-    // both the positive and negative top-1 legs; without the checkpoint it
-    // executed TWICE (no ReusedExchange spans the differing TopK filters —
-    // VERDICT r15 finding #1). After the fix the final plan reads the
-    // checkpointed RDD in both legs and plans the cell join zero times.
+  test("contrastive triplets plan the pair join exactly once, nothing materialized") {
+    // the pair subtree (scan → quantize → salted cell join → cosine) used
+    // to feed two TopK legs and execute TWICE (VERDICT r15 finding #1); a
+    // checkpoint would fix the duplication but MATERIALIZE the pair set
+    // (O(pairs) storage — the ×10 soak measured 40× where streaming was
+    // 7×). The one-pass form folds both top-1 selections into conditional
+    // MIN aggregates over the single join, so the final plan scans the
+    // embeddings once per join side (2) and contains exactly one pair join.
     val p = plan("q_vec_contrastive")
-    assert(!p.contains("Scan parquet"),
-      "pair subplan not checkpointed: final plan still re-derives the scan")
-    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
-      "both TopK legs should read the one checkpointed pair frame")
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      "pair subtree duplicated: more than the join's two embedding scans")
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).size
+    assert(joins <= 1, s"expected a single pair join, planned $joins")
   }
 }
