@@ -121,6 +121,11 @@ object Soak {
     "q_dedup_incremental_minhash_serve",
     "q_mm_image_stats_jpeg", // map-side Huffman+IDCT raster decode (r16)
     "q_mm_video_frames",     // AVI walk + sampled-frame JPEG decode (r16)
+    // (q_ann_graph_topk/recall ride the same cell-bounded pair generator
+    // as q_dedup_semantic — fixed-k quadratic on this replication BY
+    // CONSTRUCTION; the graph family's scale posture is the knnGraph
+    // build = the semDedup spine (k-scaled contract in the cell table)
+    // and a serving frontier bounded by |queries|*beam*degree.)
     // blocked fuzzy match: runs over the part DIMENSION (64 distinct
     // names, not replicated) — the soak row documents the dimension-bounded
     // cost staying flat while facts grow, the entity-resolution shape (r16)

@@ -885,6 +885,105 @@ object Similarity {
         col("__n.o").as("neg_id"), (-col("__n.nc")).as("neg_cos"))
   }
 
+  /** k-NN neighbor GRAPH of a corpus — the persisted index of the
+    * graph-ANN family (NSW/HNSW/DiskANN class): per node, its `degree`
+    * most-cosine-similar neighbors among candidates sharing its k-means
+    * cell. Returns (node, nbr, sim) — the billion-edge table a serving
+    * tier shards by `node`. Fully deterministic (fixed-point Lloyd cells,
+    * rounded cosines, ties to the lowest neighbor id), so a SQL oracle
+    * replays every edge.
+    *
+    * Scale spine = [[graft.operators.Dedup.semDedup]]: the cell bounds the
+    * pair search, the pair join is salted with an explicit partition
+    * count, and per-node selection is the bounded-heap TopKPerGroup — the
+    * graph build never goes all-pairs. Cell-bounding trades boundary
+    * recall for build cost exactly like IVF's nProbe=1; the beam search
+    * ([[graphTopK]]) re-opens cross-cell reach by walking edges
+    * transitively.
+    */
+  def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
+               passes: Int, degree: Int): DataFrame = {
+    require(degree >= 1, s"degree must be >= 1: $degree")
+    import graft.functions.VectorFns
+    val m = KMeans.assignmentsQ(df, idCol, embCol, k, passes)
+      .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
+    val a = m.select(col(idCol).as("node"), col("cluster"),
+      col("__u").as("ae"), col("__n").as("an"))
+    val b = m.select(col(idCol).as("nbr"), col("cluster"),
+      col("__u").as("be"), col("__n").as("bn"))
+    val pairSalt = 8
+    val aS = a.withColumn("__salt", explode(lit((0 until pairSalt).toArray)))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cluster"), col("__salt"))
+    val bS = b.withColumn("__salt", pmod(hash(col("nbr")), lit(pairSalt)))
+    val pairs = aS.join(bS, Seq("cluster", "__salt"))
+      .filter(col("node") =!= col("nbr"))
+      .withColumn("sim",
+        round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))
+      .select(col("node"), col("nbr"), col("sim"))
+    graft.plans.TopKPerGroup.topK(pairs, Seq("node"),
+      Seq(("sim", true), ("nbr", false)), degree)
+      .select(col("node"), col("nbr"), col("sim"))
+  }
+
+  /** Graph-ANN serving: best-first BEAM SEARCH over a (typically
+    * persisted) [[knnGraph]] — the NSW answer shape, unrolled to a fixed
+    * `hops` so the whole search is one declarative plan. Each query
+    * starts from the `entryK` lowest-id candidates (the deterministic
+    * entry convention the k-means seeding uses), and per hop the beam's
+    * neighbors join in from the graph, every (query, candidate) is scored
+    * once (exact quantized cosine), and the bounded heap keeps the best
+    * `beam` per query. Returns (q_id, c_id, similarity, rank) top-k of
+    * the final beam.
+    *
+    * Scale: per hop the frontier is |queries|·beam·degree rows — bounded
+    * by the probe set, never by the corpus; the graph join shuffles on
+    * `node` (the graph table's shard key), candidate vectors join in by
+    * id, and queries ride broadcast. Recall < 1 by construction (beam and
+    * hops trade recall for cost — the HNSW knobs); measured per corpus
+    * via the recall row before a swap, like the IVF-PQ family.
+    */
+  def graphTopK(queries: DataFrame, candidates: DataFrame, graph: DataFrame,
+                entryK: Int, beam: Int, hops: Int, k: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hops >= 0 && k >= 1,
+      s"bad entryK=$entryK beam=$beam hops=$hops k=$k")
+    import graft.functions.VectorFns
+    val c = candidates.select(col("c_id"),
+        VectorFns.quantize(col("ce")).as("__u"))
+      .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
+    val q = queries.select(col("q_id"),
+        VectorFns.quantize(col("qe")).as("__qu"))
+      .withColumn("__qn", sqrt(VectorFns.dotQDouble(col("__qu"), col("__qu"))))
+    // (q_id, c_id) -> + exact quantized cosine; queries broadcast, the
+    // candidate-vector join shuffles ids only
+    def score(cand: DataFrame): DataFrame =
+      cand.join(c, "c_id").join(broadcast(q), "q_id")
+        .withColumn("similarity",
+          round(VectorFns.dotQDouble(col("__qu"), col("__u")) / (col("__qn") * col("__n")), 6))
+        .select(col("q_id"), col("c_id"), col("similarity"))
+    val entries = c.select(col("c_id")).orderBy(col("c_id")).limit(entryK)
+    var beamDf = graft.plans.TopKPerGroup.topK(
+      score(q.select(col("q_id")).crossJoin(broadcast(entries))),
+      Seq("q_id"), Seq(("similarity", true), ("c_id", false)), beam)
+    var h = 0
+    while (h < hops) {
+      val nbrs = beamDf.select(col("q_id"), col("c_id"))
+        .join(graph.select(col("node").as("c_id"), col("nbr")), "c_id")
+        .select(col("q_id"), col("nbr").as("c_id"))
+      val cand = beamDf.select(col("q_id"), col("c_id"))
+        .unionByName(nbrs).distinct()
+      beamDf = graft.plans.TopKPerGroup.topK(score(cand),
+        Seq("q_id"), Seq(("similarity", true), ("c_id", false)), beam)
+      h += 1
+    }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("similarity").desc, col("c_id"))
+    beamDf
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates are scored only inside the query's
     * bucket. Recall < 1 by construction; nBits trades recall for speed.
     */

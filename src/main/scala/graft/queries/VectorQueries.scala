@@ -925,6 +925,92 @@ object VectorQueries {
         GROUP BY q_id ORDER BY q_id""")),
 
 
+    // ----- graph-based ANN (the NSW/HNSW/DiskANN family): a cell-bounded
+    // k-NN neighbor graph (degree 6, the persisted billion-edge index) is
+    // served by a fixed-hop BEAM SEARCH — entries are the 4 lowest-id
+    // vectors, each hop joins the beam's neighbors in from the graph,
+    // scores every (query, candidate) once and keeps the best 8 per query
+    // on the bounded heap. Fully deterministic (fixed-point Lloyd cells,
+    // rounded cosines, ties to lowest id), so the oracle replays the
+    // graph build AND both unrolled hops edge-for-edge. Binds at sf0.01:
+    // the entry set alone answers none of the queries' final top-5 — every
+    // result arrives over graph edges.
+    Q("q_ann_graph_topk",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qq = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val g = graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 4, passes = 2, degree = 6)
+        graft.operators.Similarity.graphTopK(qq, cc, g,
+            entryK = 4, beam = 8, hops = 2, k = 5)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH ${graphCtes(degree = 6, entryK = 4, beam = 8, hops = 2)}
+        SELECT q_id, c_id, CAST(rk AS BIGINT) AS rnk
+        FROM (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, c_id) AS rk FROM b2) f
+        WHERE rk <= 5 ORDER BY q_id, rnk""")),
+
+    // ----- graph-ANN recall@5 vs exact brute force — the acceptance
+    // measurement before an index swap (the q_ann_ivfpq_recall shape for
+    // the graph family); shares graphCtes with q_ann_graph_topk so the two
+    // oracles cannot drift. Deterministic end to end, so the recall
+    // numbers are oracle-gated, not just spec-bounded.
+    Q("q_ann_graph_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qq = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val g = graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
+          k = 4, passes = 2, degree = 6)
+        val approx = graft.operators.Similarity.graphTopK(qq, cc, g,
+            entryK = 4, beam = 8, hops = 2, k = 5)
+          .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
+        import graft.functions.VectorFns
+        val qq2 = qq.select(col("q_id"), VectorFns.quantize(col("qe")).as("qe2"))
+          .withColumn("qn", sqrt(VectorFns.dotQDouble(col("qe2"), col("qe2"))))
+        val cc2 = cc.select(col("c_id"), VectorFns.quantize(col("ce")).as("ce2"))
+          .withColumn("cn", sqrt(VectorFns.dotQDouble(col("ce2"), col("ce2"))))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        val exact = cc2.crossJoin(broadcast(qq2))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos",
+            VectorFns.dotQDouble(col("qe2"), col("ce2")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("c_id"))
+        exact.join(approx,
+            exact("q_id") === approx("a_q") && exact("c_id") === approx("a_c"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("a_c")).as("n_hits"),
+               expr("count(a_c) * 1000000L DIV 5").as("recall_ppm"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""
+        WITH ${graphCtes(degree = 6, entryK = 4, beam = 8, hops = 2)},
+        gex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       ${VectorFns.dotSql("q.embedding", "c.embedding")}
+                         / (q.norm * c.norm) AS cos
+                FROM gn q, gn c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        gx AS (SELECT q_id, c_id FROM (
+                 SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                   ORDER BY round(cos, 9) DESC, c_id) AS rk
+                 FROM gex) x WHERE rk <= 5),
+        gap AS (SELECT q_id AS a_q, c_id AS a_c FROM (
+                  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, c_id) AS rk FROM b2) f WHERE rk <= 5)
+        SELECT q_id, CAST(COUNT(a_c) AS BIGINT) AS n_hits,
+               CAST(COUNT(a_c) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM gx LEFT JOIN gap ON q_id = a_q AND c_id = a_c
+        GROUP BY q_id ORDER BY q_id""")),
+
     // ----- diversity-preserving subsampling: cap every 6-bit LSH bucket at
     // 3 docs (cluster-balanced selection — cover the semantic space instead
     // of oversampling dense modes). Order within a bucket is a portable
@@ -1042,9 +1128,10 @@ object VectorQueries {
     // the best same-cell positive (cos >= 0.25) and the HARDEST same-cell
     // negative (highest cos inside [0.05, 0.15)); anchors missing either
     // side drop. Both thresholds bind on the fixture (824 directed pairs
-    // >= 0.3, ~12k in the 0.1-0.2 band at sf0.01). One shared pair subplan
-    // feeds both TopKPerGroup heaps; the oracle replays the Lloyd fit,
-    // rounded cosines, and both (cos DESC, other) top-1 cuts.
+    // >= 0.3, ~12k in the 0.1-0.2 band at sf0.01). Both top-1 selections
+    // ride ONE pass over the pair join as conditional min(struct) aggs
+    // (r16 — no pair row stored or recomputed); the oracle replays the
+    // Lloyd fit, rounded cosines, and both (cos DESC, other) top-1 cuts.
     Q("q_vec_contrastive",
       (s, dir) =>
         graft.operators.Similarity.contrastiveTriplets(
@@ -1544,6 +1631,51 @@ object VectorQueries {
     * (truncated integer means), assign again. `a2` is the final
     * (vec_id, j, dist) assignment every k-means oracle selects from.
     */
+  /** Shared oracle CTE chain for the graph-ANN family: replays the
+    * fixed-point Lloyd cells (kmeansCtes), the cell-bounded degree-capped
+    * neighbor graph, and `hops` unrolled beam-search rounds (entry set =
+    * `entryK` lowest ids; per round: beam ∪ beam's graph neighbors,
+    * rescored, top-`beam` per query by (sim DESC, c_id)). Exposes `gn`
+    * (vectors + norms) and `b$$hops` (the final beam) to the outer query.
+    */
+  private def graphCtes(degree: Int, entryK: Int, beam: Int, hops: Int): String = {
+    val cos = (a: String, b: String) =>
+      s"round(${VectorFns.dotSql(s"$a.embedding", s"$b.embedding")} / ($a.norm * $b.norm), 6)"
+    val topBeam = (src: String, out: String) => s"""
+        $out AS (SELECT q_id, c_id, sim FROM (
+                   SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, c_id) AS rn FROM $src) t WHERE rn <= $beam)"""
+    val hopCtes = (1 to hops).map { i =>
+      val prev = s"b${i - 1}"
+      s"""
+        cand$i AS (SELECT DISTINCT q_id, c_id FROM (
+                     SELECT q_id, c_id FROM $prev
+                     UNION ALL
+                     SELECT b.q_id, g.nbr AS c_id
+                     FROM $prev b JOIN graph g ON g.node = b.c_id)),
+        s$i AS (SELECT t.q_id, t.c_id, ${cos("qe", "ce")} AS sim
+                FROM cand$i t
+                JOIN gn qe ON qe.vec_id = t.q_id
+                JOIN gn ce ON ce.vec_id = t.c_id),${topBeam(s"s$i", s"b$i")}"""
+    }.mkString(",")
+    s"""${kmeansCtes()},
+        gn AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        gp AS (SELECT a.vec_id AS node, b.vec_id AS nbr,
+                      ${cos("na", "nb")} AS sim
+               FROM a2 a JOIN a2 b ON a.j = b.j AND a.vec_id <> b.vec_id
+               JOIN gn na ON na.vec_id = a.vec_id
+               JOIN gn nb ON nb.vec_id = b.vec_id),
+        graph AS (SELECT node, nbr FROM (
+                    SELECT node, nbr, row_number() OVER (PARTITION BY node
+                      ORDER BY sim DESC, nbr) AS rn FROM gp) g WHERE rn <= $degree),
+        ent AS (SELECT vec_id AS c_id FROM gn ORDER BY vec_id LIMIT $entryK),
+        s0 AS (SELECT qe.vec_id AS q_id, ent.c_id, ${cos("qe", "ce")} AS sim
+               FROM gn qe, ent JOIN gn ce ON ce.vec_id = ent.c_id
+               WHERE qe.vec_id < 5),${topBeam("s0", "b0")},$hopCtes"""
+  }
+
   private def kmeansCtes(src: String = "embeddings"): String = s"""
         q AS (SELECT vec_id,
                      list_transform(embedding,

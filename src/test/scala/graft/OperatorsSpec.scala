@@ -1165,6 +1165,32 @@ class OperatorsSpec extends AnyFunSuite {
       t._1 == "zzzzzzzzzzzz" || t._2 == "zzzzzzzzzzzz"))
   }
 
+  test("graph ANN: beam search walks the neighbor chain exactly as far as hops allow") {
+    // five unit-ish 2-D vectors at increasing angles; with degree=1 the
+    // kNN graph is the angular chain 1->2->3->4->5, the query sits at
+    // id 5's angle, and the entry set is {1} — so the best answer is
+    // reachable ONLY by walking edges: hops=0 must answer the entry,
+    // hops=4 must answer id 5. Beam=2 exercises eviction along the way.
+    def vec(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val cand = Seq(1L -> vec(0), 2L -> vec(15), 3L -> vec(25),
+        4L -> vec(33), 5L -> vec(40))
+      .toDF("c_id", "ce")
+    val g = graft.operators.Similarity.knnGraph(
+      cand.select(col("c_id").as("vec_id"), col("ce").as("embedding")),
+      "vec_id", "embedding", k = 1, passes = 1, degree = 1)
+    val edges = g.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edges == Map(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 4L))
+    val q = Seq(9L -> vec(40)).toDF("q_id", "qe")
+    def top1(hops: Int): Long =
+      graft.operators.Similarity.graphTopK(q, cand, g,
+          entryK = 1, beam = 2, hops = hops, k = 1)
+        .collect().head.getLong(1)
+    assert(top1(0) == 1L, "hops=0 must answer from the entry set")
+    assert(top1(2) == 3L, "two hops reach exactly two edges from the entry")
+    assert(top1(4) == 5L, "four hops reach the true nearest neighbor")
+  }
+
   test("profile reports nulls, distincts and min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
     val p = Profile.profile(df).collect()
