@@ -625,6 +625,21 @@ object Soak {
         val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
         Similarity.ivfTopK(q, c, nLists = nLists, nProbe = 8, k = 5).count()
       }
+      // graph ANN under the cell-size contract: knnGraph's pair generator
+      // is the semDedup spine (k scales with the corpus so cells stay
+      // constant-size) and graphTopK's frontier is |queries|·beam·degree —
+      // query-bounded, so at ×factor data the serve side should be ~flat
+      // and only the graph BUILD grows (linearly, with k scaled)
+      def graphK(dir: String, k: Int): Long = {
+        val e = emb(dir)
+        val g = Similarity.knnGraph(e, "vec_id", "embedding", k,
+          passes = 2, degree = 6)
+        val q = e.filter(col("vec_id") % M < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val c = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        Similarity.graphTopK(q, c, g, entryK = 4, beam = 8, hops = 2, k = 5)
+          .count()
+      }
       val spineRuns: Seq[(String, String => Long)] = Seq(
         "spine_minhash_lsh" -> (dir => Dedup.minhashLshPairs(
           docs(dir), "doc_id", "text", 4, 0.5).count()),
@@ -632,7 +647,9 @@ object Soak {
         "spine_semdedup_k" -> (dir =>
           semK(dir, if (dir == small) 4 else 4 * spineFactor)),
         "spine_ivf_topk_k" -> (dir =>
-          ivfK(dir, if (dir == small) 8 else 8 * spineFactor)))
+          ivfK(dir, if (dir == small) 8 else 8 * spineFactor)),
+        "spine_graph_topk_k" -> (dir =>
+          graphK(dir, if (dir == small) 4 else 4 * spineFactor)))
       println(f"${"spine op"}%-24s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s ${"r/f"}%5s (data x$spineFactor, k scaled)")
       spineRuns.foreach { case (name, f) =>
         f(small); val tS = time(f(small))
