@@ -635,6 +635,23 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseJpegPixels(prog).isEmpty)
   }
 
+  test("AVI/MJPG: hand-checked RIFF header layout") {
+    // spec-derived golden prefix, independent of the parser: RIFF size is
+    // total-8 LE, form type 'AVI ', first list is hdrl whose first chunk
+    // is a 56-byte avih carrying micros-per-frame and dims at documented
+    // offsets
+    val f = Seq(MediaCodecs.encodeJpegGray(8, 8, new Array[Byte](64), quant = 8))
+    val avi = MediaCodecs.encodeAviMjpeg(320, 240, 25, f)
+    def tag(i: Int) = new String(avi, i, 4, "US-ASCII")
+    def u32(i: Int) = (avi(i) & 0xffL) | ((avi(i + 1) & 0xffL) << 8) |
+      ((avi(i + 2) & 0xffL) << 16) | ((avi(i + 3) & 0xffL) << 24)
+    assert(tag(0) == "RIFF" && u32(4) == avi.length - 8 && tag(8) == "AVI ")
+    assert(tag(12) == "LIST" && tag(20) == "hdrl")
+    assert(tag(24) == "avih" && u32(28) == 56)
+    assert(u32(32) == 40000)                  // 1e6 / 25 fps
+    assert(u32(64) == 320 && u32(68) == 240)  // dwWidth / dwHeight
+  }
+
   test("AVI/MJPG: container roundtrip preserves every frame byte; hostile bytes reject") {
     val f = (0 until 5).map { i =>
       MediaCodecs.encodeJpegGray(16, 8, Array.fill[Byte](128)((i * 11).toByte), quant = 8)
