@@ -902,10 +902,19 @@ object Similarity {
     * transitively.
     */
   def knnGraph(df: DataFrame, idCol: String, embCol: String, k: Int,
-               passes: Int, degree: Int): DataFrame = {
+               passes: Int, degree: Int): DataFrame =
+    knnGraphWith(df, idCol, embCol,
+      KMeans.train(df, idCol, embCol, k, passes), degree)
+
+  /** [[knnGraph]] against an ALREADY-TRAINED (typically persisted) centroid
+    * matrix — the incremental family's frozen-fit convention: the daily
+    * batch is graphed with yesterday's cells, never a re-train.
+    */
+  def knnGraphWith(df: DataFrame, idCol: String, embCol: String,
+                   cents: Array[Array[Long]], degree: Int): DataFrame = {
     require(degree >= 1, s"degree must be >= 1: $degree")
     import graft.functions.VectorFns
-    val m = KMeans.assignmentsQ(df, idCol, embCol, k, passes)
+    val m = KMeans.assignWith(df, idCol, embCol, cents)
       .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
     val a = m.select(col(idCol).as("node"), col("cluster"),
       col("__u").as("ae"), col("__n").as("an"))
@@ -923,6 +932,70 @@ object Similarity {
       .select(col("node"), col("nbr"), col("sim"))
     graft.plans.TopKPerGroup.topK(pairs, Seq("node"),
       Seq(("sim", true), ("nbr", false)), degree)
+      .select(col("node"), col("nbr"), col("sim"))
+  }
+
+  /** Incremental graph maintenance — the daily-batch shape of the graph
+    * family (the [[graft.operators.Dedup.mergeBandIndex]] convention):
+    * merge a persisted [[knnGraphWith]] edge table with a NEW batch under
+    * the same FROZEN centroid matrix. Only cells the batch actually
+    * touches contribute new candidate edges (history vectors outside
+    * those cells are never re-read — at scale, a partition-pruned fetch
+    * when the corpus is written partitioned by cell), in BOTH directions:
+    * batch nodes rank their cellmates, and history cellmates may adopt a
+    * closer batch neighbor. The final per-node top-`degree` re-rank runs
+    * over existing-edges ∪ new-edges — one pass over the edge table, the
+    * compaction-style maintenance cost.
+    *
+    * EQUALITY CONTRACT (spec- and oracle-pinned): with the same frozen
+    * centroids, `mergeKnnGraph(knnGraphWith(hist), hist, batch)` is
+    * edge-for-edge identical to `knnGraphWith(hist ∪ batch)` — the merge
+    * is a pure incremental evaluation of the full rebuild.
+    */
+  def mergeKnnGraph(graph: DataFrame, histDf: DataFrame, batchDf: DataFrame,
+                    idCol: String, embCol: String, cents: Array[Array[Long]],
+                    degree: Int): DataFrame = {
+    require(degree >= 1, s"degree must be >= 1: $degree")
+    import graft.functions.VectorFns
+    def withNorms(d: DataFrame) =
+      KMeans.assignWith(d, idCol, embCol, cents)
+        .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
+    // the assigned batch feeds FOUR consumers (touched cells, the mates
+    // union, the a-side, and the broadcast's own subplan) — checkpointed
+    // once per the CkptCycle rule; it is batch-sized, never the corpus
+    val bAssign = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("mergeKnnGraph_batch",
+        "graft.operators.Similarity"),
+      withNorms(batchDf).localCheckpoint(true))
+    val touched = bAssign.select(col("cluster")).distinct()
+    // history vectors in touched cells only (broadcast: <= k cells)
+    val hTouched = withNorms(histDf).join(broadcast(touched), Seq("cluster"))
+    val mates = hTouched.unionByName(bAssign)
+    val b = bAssign.select(col(idCol).as("node"), col("cluster"),
+      col("__u").as("ae"), col("__n").as("an"))
+    val x = mates.select(col(idCol).as("nbr"), col("cluster"),
+      col("__u").as("be"), col("__n").as("bn"))
+    val pairSalt = 8
+    val bS = b.withColumn("__salt", explode(lit((0 until pairSalt).toArray)))
+      .repartition(batchDf.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cluster"), col("__salt"))
+    val xS = x.withColumn("__salt", pmod(hash(col("nbr")), lit(pairSalt)))
+    val batchEdges = bS.join(xS, Seq("cluster", "__salt"))
+      .filter(col("node") =!= col("nbr"))
+      .withColumn("sim",
+        round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))
+      .select(col("node"), col("nbr"), col("sim"))
+    // both directions: cellmates may adopt a batch node as a nearer
+    // neighbor — the reverse edge carries the same rounded cosine. The
+    // DISTINCT is load-bearing: batch↔batch pairs already appear in both
+    // directions before the reverse union, and a duplicated edge would
+    // let the top-degree heap seat the same neighbor twice.
+    val newEdges = batchEdges.unionByName(
+        batchEdges.select(col("nbr").as("node"), col("node").as("nbr"), col("sim")))
+      .distinct()
+    graft.plans.TopKPerGroup.topK(
+        graph.select(col("node"), col("nbr"), col("sim")).unionByName(newEdges),
+        Seq("node"), Seq(("sim", true), ("nbr", false)), degree)
       .select(col("node"), col("nbr"), col("sim"))
   }
 

@@ -1011,6 +1011,66 @@ object VectorQueries {
         FROM gx LEFT JOIN gap ON q_id = a_q AND c_id = a_c
         GROUP BY q_id ORDER BY q_id""")),
 
+    // ----- incremental graph maintenance (the daily-batch shape of the
+    // graph family, completing the incremental symmetry exact/minhash/
+    // substring/graph): history's kNN graph is built once under its own
+    // frozen Lloyd fit, the second half of the corpus arrives as a batch,
+    // and mergeKnnGraph folds batch edges in — only touched cells'
+    // history vectors are re-read, both edge directions considered, one
+    // top-degree re-rank over old ∪ new edges. The oracle is the FULL
+    // REBUILD under the same frozen centroids (train on history, assign
+    // everyone), so the merge's equality contract is itself the gate:
+    // any missed reverse edge or duplicate-seated neighbor diverges rows.
+    Q("q_ann_graph_merge",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val mid = e.agg(expr("coalesce(MAX(vec_id) DIV 2, 0)").as("m"))
+          .collect()(0).getLong(0)
+        val hist = e.filter(col("vec_id") < mid)
+        val batch = e.filter(col("vec_id") >= mid)
+        val cents = graft.operators.KMeans.train(hist, "vec_id", "embedding",
+          k = 4, passes = 2)
+        // the persisted-index stand-in (production merges against a READ
+        // of yesterday's edge table): materialize history's graph once,
+        // or the union side re-derives its whole build subtree
+        val g0 = graft.CkptCycle.cycle("q_ann_graph_merge_g0",
+          graft.operators.Similarity.knnGraphWith(hist, "vec_id",
+              "embedding", cents, degree = 6)
+            .localCheckpoint(true))
+        graft.operators.Similarity.mergeKnnGraph(g0, hist, batch, "vec_id",
+            "embedding", cents, degree = 6)
+          .orderBy(col("node"), col("nbr"))
+      },
+      Some(s"""
+        WITH mid AS (SELECT COALESCE(MAX(vec_id) // 2, 0) AS m FROM embeddings),
+        hist AS (SELECT e.vec_id, e.embedding FROM embeddings e, mid
+                 WHERE e.vec_id < m),
+        ${kmeansCtes("hist")},
+        qa AS (SELECT vec_id,
+                      list_transform(embedding,
+                        e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
+               FROM embeddings),
+        qla AS (SELECT vec_id, d.g + 1 AS dim, u[d.g + 1] AS v
+                FROM qa, generate_series(0, 63) d(g)),
+        da AS (SELECT qla.vec_id, c.j, SUM((qla.v - c.cv) * (qla.v - c.cv)) AS dist
+               FROM qla JOIN c1l c USING (dim) GROUP BY qla.vec_id, c.j),
+        aa AS (SELECT vec_id, j FROM (
+                 SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, j) AS rn FROM da) x WHERE rn = 1),
+        gna AS (SELECT vec_id, embedding,
+                       sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                FROM embeddings),
+        gpa AS (SELECT a.vec_id AS node, b.vec_id AS nbr,
+                       round(${VectorFns.dotSql("na.embedding", "nb.embedding")}
+                             / (na.norm * nb.norm), 6) AS sim
+                FROM aa a JOIN aa b ON a.j = b.j AND a.vec_id <> b.vec_id
+                JOIN gna na ON na.vec_id = a.vec_id
+                JOIN gna nb ON nb.vec_id = b.vec_id)
+        SELECT node, nbr, sim FROM (
+          SELECT node, nbr, sim, row_number() OVER (PARTITION BY node
+            ORDER BY sim DESC, nbr) AS rn FROM gpa) g
+        WHERE rn <= 6 ORDER BY node, nbr""")),
+
     // ----- diversity-preserving subsampling: cap every 6-bit LSH bucket at
     // 3 docs (cluster-balanced selection — cover the semantic space instead
     // of oversampling dense modes). Order within a bucket is a portable

@@ -1191,6 +1191,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top1(4) == 5L, "four hops reach the true nearest neighbor")
   }
 
+  test("graph ANN: incremental merge equals the full rebuild under frozen centroids") {
+    // 8 planted 2-D vectors over two angular clusters; history = ids 1-5,
+    // batch = 6-8 landing in BOTH cells so the merge must (a) give batch
+    // nodes ranked edges, (b) let history nodes adopt closer batch
+    // neighbors, and (c) leave untouched-cell edges alone — all checked
+    // at once by edge-set equality with knnGraphWith over the union
+    def vec(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val hist = Seq(1L -> vec(0), 2L -> vec(12), 3L -> vec(24),
+        4L -> vec(80), 5L -> vec(95))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(6L -> vec(6), 7L -> vec(88), 8L -> vec(101))
+      .toDF("vec_id", "embedding")
+    val cents = graft.operators.KMeans.train(hist, "vec_id", "embedding",
+      k = 2, passes = 2)
+    val g0 = graft.operators.Similarity.knnGraphWith(hist, "vec_id",
+      "embedding", cents, degree = 2)
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val merged = edges(graft.operators.Similarity.mergeKnnGraph(
+      g0, hist, batch, "vec_id", "embedding", cents, degree = 2))
+    val rebuilt = edges(graft.operators.Similarity.knnGraphWith(
+      hist.unionByName(batch), "vec_id", "embedding", cents, degree = 2))
+    assert(merged == rebuilt)
+    // the merge actually changed history edges (a batch node adopted):
+    assert(merged != edges(g0))
+    assert(merged.exists { case (n, nb, _) => n <= 5 && nb >= 6 },
+      "no history node adopted a batch neighbor — the reverse leg is dead")
+  }
+
   test("profile reports nulls, distincts and min/max per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "v")
     val p = Profile.profile(df).collect()
