@@ -32,7 +32,15 @@ object Fixtures {
     */
   def ensure(spark: SparkSession, sfDir: String, name: String)
             (build: => DataFrame): String = {
-    val dir = s"/tmp/graft_fixtures/${new java.io.File(sfDir).getName}/$name"
+    // keyed by the ABSOLUTE dataset path, not its basename: two dataset
+    // dirs sharing a basename (regenerated fixtures under different
+    // parents) must never silently share one index, and the per-JVM hash
+    // segment keeps concurrent JVMs on one machine from overwriting a
+    // parquet another session is reading
+    val abs = new java.io.File(sfDir).getAbsolutePath
+    val dirKey = f"${abs.hashCode & 0x7fffffff}%08x-${
+      java.lang.ProcessHandle.current().pid()}%d"
+    val dir = s"/tmp/graft_fixtures/$dirKey/${new java.io.File(sfDir).getName}/$name"
     val key = (spark, dir)
     if (!built.contains(key)) synchronized {
       if (!built.contains(key)) {

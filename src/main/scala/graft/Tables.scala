@@ -137,10 +137,50 @@ object Tables {
     * operator never pays a corpus-wide text shuffle where the scan already
     * parallelizes (the measured rejection that kept a plain repartition
     * out of the shingle family).
+    *
+    * The gate reads the LOGICAL plan, never `df.rdd`: materializing `.rdd`
+    * under AQE finalizes the adaptive plan and eagerly EXECUTES any
+    * upstream exchange stages, whose results the separate repartitioned
+    * execution then cannot reuse — a derived input would pay its upstream
+    * shuffle twice. Parallelism is estimated from the plan shape instead:
+    * a plan that already contains an exchange-inducing operator (join,
+    * aggregate, window, sort, repartition) executes its map side at the
+    * session's shuffle parallelism, so spread is the identity; a
+    * narrow-only plan's parallelism is its leaves' — file split counts for
+    * scans (size over `maxPartitionBytes`, the planner's own rule) and the
+    * existing partition count for checkpointed [[LogicalRDD]] frames
+    * (already materialized, so inspecting it launches nothing).
     */
   def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= want) df
+    val spark = df.sparkSession
+    val want = spark.sparkContext.defaultParallelism
+    if (planParallelism(df.queryExecution.optimizedPlan, spark) * 2L >= want) df
     else df.repartition(want)
+  }
+
+  private def planParallelism(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      spark: SparkSession): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    var exchanged = false
+    plan.foreach {
+      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+           _: Deduplicate | _: RepartitionOperation | _: GlobalLimit => exchanged = true
+      case _ => ()
+    }
+    if (exchanged) Long.MaxValue
+    else plan.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+          math.max(fs.location.inputFiles.length.toLong,
+            (fs.location.sizeInBytes + maxBytes - 1) / maxBytes)
+        case _ => Long.MaxValue
+      }
+      case lr: LogicalRDD => lr.rdd.getNumPartitions.toLong
+      case _ => Long.MaxValue
+    }.foldLeft(Long.MaxValue)(math.min)
   }
 }

@@ -429,8 +429,17 @@ object Dedup {
                     threshold: Double, bands: Int = 2,
                     sampleMod: Long = 1L): DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1: $sampleMod")
-    val s = if (sampleMod == 1L) df
+    val s0 = if (sampleMod == 1L) df
       else df.filter(pmod(col(idCol), lit(sampleMod)) === 0)
+    // both legs tokenize the same sample: one spread checkpoint replaces
+    // two serial scan+tokenize passes off the one-row-group fixture scan
+    // (the 271 ms 1-task stage FixedCostProbe measured); sample-bounded,
+    // and spread is identity where the scan already parallelizes
+    val s = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.lshRecallEval",
+        "graft.operators.Dedup"),
+      graft.Tables.spread(s0.select(col(idCol), col(textCol)))
+        .localCheckpoint(true))
     val exact = ngramJaccardPairs(s, idCol, textCol, k, threshold)
       .select(col("a_id"), col("b_id"), lit(1).as("__e"))
     val lsh = minhashLshPairs(s, idCol, textCol, k, threshold, bands)
@@ -1019,20 +1028,50 @@ object Dedup {
   def tagSpansAgainstIndexSparse(newDf: DataFrame, sparseIdx: DataFrame,
                                  histDf: DataFrame, idCol: String,
                                  textCol: String, k: Int, minSpanTokens: Int,
-                                 w: Int): DataFrame = {
+                                 w: Int, maxDriverCand: Int = 1 << 20): DataFrame = {
     require(w >= 1, s"w must be >= 1: $w")
     require(minSpanTokens >= w + k - 1,
       s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
+    val spark = newDf.sparkSession
     val newSparse = sparseAnchors(newDf, idCol, textCol, k, w)
-    val cand = graft.CkptCycle.cycle(
-      graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndexSparse",
-        "graft.operators.Dedup"),
-      newSparse.select(col(idCol).as("a_id"), col("sh"))
-        .join(sparseIdx.select(col(idCol).as("b_id"), col("sh")), "sh")
-        .select(col("a_id"), col("b_id")).distinct()
-        .localCheckpoint(true))
-    val aDocs = cand.select(col("a_id").as(idCol)).distinct()
-    val bDocs = cand.select(col("b_id").as(idCol)).distinct()
+    val candPlan = newSparse.select(col(idCol).as("a_id"), col("sh"))
+      .join(sparseIdx.select(col(idCol).as("b_id"), col("sh")), "sh")
+      .select(col("a_id"), col("b_id")).distinct()
+    // Candidate pairs are bounded by genuine shared-span content plus
+    // sparse-hash coincidences — batch-scale, not corpus-scale. The fast
+    // path collects them ONCE (the FitFrames one-bounded-collect rule,
+    // with the LinkGraph limit(n+1) tripwire) and rides every downstream
+    // use on driver-local relations: LocalTableScan broadcasts build on
+    // the driver without submitting a job, so the serve query pays the
+    // probe join + the dense verify and nothing else — the r16 shape
+    // spent 17 jobs on checkpoint + distinct + broadcast-exchange
+    // machinery around the same two stages. Pathological batches (more
+    // candidates than the tripwire) fall back to the fully-distributed
+    // checkpointed plan below, which never holds the pair set anywhere.
+    val head = candPlan.limit(maxDriverCand + 1).collect()
+    val cand: DataFrame =
+      if (head.length <= maxDriverCand) {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(head: _*), candPlan.schema)
+        broadcast(local)
+      } else graft.CkptCycle.cycle(
+        graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndexSparse",
+          "graft.operators.Dedup"),
+        candPlan.localCheckpoint(true)).hint("broadcast")
+    val aDocs =
+      if (head.length <= maxDriverCand) broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(head.map(_.get(0)).distinct
+          .map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, candPlan.schema(0).dataType)))))
+      else cand.select(col("a_id").as(idCol)).distinct()
+    val bDocs =
+      if (head.length <= maxDriverCand) broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(head.map(_.get(1)).distinct
+          .map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, candPlan.schema(1).dataType)))))
+      else cand.select(col("b_id").as(idCol)).distinct()
     val denseA = positionalAnchors(newDf.join(aDocs, Seq(idCol)),
       idCol, textCol, k)
     val denseB = positionalAnchors(histDf.join(bDocs, Seq(idCol)),
@@ -1041,7 +1080,7 @@ object Dedup {
       .select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))
       .hint("shuffle_hash")
       .join(denseB.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh")), "sh")
-      .join(cand.hint("broadcast"), Seq("a_id", "b_id"))
+      .join(cand, Seq("a_id", "b_id"))
       .select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"), col("pa"))
     mergeDiagIslands(pairs, k, minSpanTokens)
       .groupBy(col("a_id"))
@@ -1128,7 +1167,8 @@ object Dedup {
     val base = graft.CkptCycle.cycle(
       graft.CkptCycle.callSiteKey("Dedup.repeatedSpansWithinDoc",
         "graft.operators.Dedup"),
-      positionalAnchors(df, idCol, textCol, k).localCheckpoint(true))
+      positionalAnchors(graft.Tables.spread(df), idCol, textCol, k)
+        .localCheckpoint(true))
     val shared = base.groupBy(col("sh")).agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2L &&
         (if (maxOccurrences > 0L) col("__occ") <= maxOccurrences else lit(true)))

@@ -1005,9 +1005,10 @@ object Similarity {
     * starts from the `entryK` lowest-id candidates (the deterministic
     * entry convention the k-means seeding uses), and per hop the beam's
     * neighbors join in from the graph, every (query, candidate) is scored
-    * once (exact quantized cosine), and the bounded heap keeps the best
-    * `beam` per query. Returns (q_id, c_id, similarity, rank) top-k of
-    * the final beam.
+    * once (exact quantized cosine, self-pairs excluded — the in-corpus
+    * serving contract of cosineTopK/lshTopK), and the bounded heap keeps
+    * the best `beam` per query. Returns (q_id, c_id, similarity, rank)
+    * top-k of the final beam.
     *
     * Scale: per hop the frontier is |queries|·beam·degree rows — bounded
     * by the probe set, never by the corpus; the graph join shuffles on
@@ -1028,9 +1029,14 @@ object Similarity {
         VectorFns.quantize(col("qe")).as("__qu"))
       .withColumn("__qn", sqrt(VectorFns.dotQDouble(col("__qu"), col("__qu"))))
     // (q_id, c_id) -> + exact quantized cosine; queries broadcast, the
-    // candidate-vector join shuffles ids only
+    // candidate-vector join shuffles ids only. Self-exclusion (q_id <>
+    // c_id) is the in-corpus serving contract every sibling keeps
+    // (cosineTopK, lshTopK, the recall rows' exact legs): without it an
+    // in-corpus query's own vector (cos 1.0) permanently occupies a beam
+    // and a final top-k slot, structurally capping measured recall@k.
     def score(cand: DataFrame): DataFrame =
-      cand.join(c, "c_id").join(broadcast(q), "q_id")
+      cand.filter(col("q_id") =!= col("c_id"))
+        .join(c, "c_id").join(broadcast(q), "q_id")
         .withColumn("similarity",
           round(VectorFns.dotQDouble(col("__qu"), col("__u")) / (col("__qn") * col("__n")), 6))
         .select(col("q_id"), col("c_id"), col("similarity"))

@@ -865,13 +865,26 @@ object TextQueries {
     Q("q_dedup_method_matrix",
       (s, dir) => {
         // A/B'd: letting the four legs scan parquet directly (no
-        // materialized token arrays) measured 4.1 s warm vs 2.8 s with the
-        // shared checkpoint — the tokenize work is 3-way shared and wins
-        // over the array materialization cost.
+        // materialized arrays) measured 4.1 s warm vs 2.8 s with the
+        // shared checkpoint. Round-17 shape: ALL per-document work —
+        // tokenize, the exact-doc md5, and both chunk-granularity hash
+        // arrays (the ChunkHashes 64-bit key convention the boilerplate
+        // family established: whitespace tokens make the space-joined
+        // chunk string injective in the token slice, so the hash key is
+        // equivalent and no leg ever shuffles a chunk STRING) — runs in
+        // one spread map stage, and the checkpoint holds longs only.
+        // The r16 string-keyed form paid 3.7 s of stage time exploding
+        // and exchanging line/chunk strings; the oracle still groups by
+        // the strings (the only DuckDB-expressible form) and agrees
+        // because the hash key partitions chunks identically.
         val base = graft.CkptCycle.cycle("q_dedup_method_matrix_base",
-          t(s, dir, "documents")
-            .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+          graft.Tables.spread(t(s, dir, "documents")
+              .select(col("doc_id"), TextFns.tokens(col("text")).as("t")))
             .withColumn("ntok", size(col("t")).cast(LongType))
+            .withColumn("fp", md5(concat_ws(" ", col("t"))))
+            .withColumn("lh", graft.functions.SketchFns.chunkHashes(col("t"), 3, 3))
+            .withColumn("ch", graft.functions.SketchFns.chunkHashes(col("t"), 8, 8))
+            .drop("t")
             .localCheckpoint(true))
         val tot = base.agg(sum(col("ntok")).as("__tt"))
         def leg(name: String, agged: DataFrame): DataFrame =
@@ -879,30 +892,32 @@ object TextQueries {
             .select(col("method"),
               col("docs_affected").cast(LongType).as("docs_affected"),
               col("tokens_removed").cast(LongType).as("tokens_removed"))
-        val fp = base.withColumn("fp", md5(concat_ws(" ", col("t"))))
-        val keepers = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("__keep"))
-        val exactLeg = leg("exact_doc", fp.join(keepers, "fp").agg(
+        val keepers = base.groupBy(col("fp")).agg(min(col("doc_id")).as("__keep"))
+        val exactLeg = leg("exact_doc", base.join(keepers, "fp").agg(
           count(when(col("doc_id") =!= col("__keep"), 1)).as("docs_affected"),
           coalesce(sum(when(col("doc_id") =!= col("__keep"), col("ntok"))),
             lit(0L)).as("tokens_removed")))
-        val lines = base.filter(size(col("t")) >= 1)
-          .select(col("doc_id"),
-            posexplode(TextFns.chunkExpr("t", 3, 3)).as(Seq("pos", "line")))
+        val lines = base.filter(col("ntok") >= 1)
+          .select(col("doc_id"), col("ntok"),
+            posexplode(col("lh")).as(Seq("pos", "line")))
+          .withColumn("ltok",
+            least(lit(3L), col("ntok") - lit(3L) * col("pos")))
         val lnf = lines.groupBy(col("line"))
           .agg(min(struct(col("doc_id"), col("pos"))).as("__f"))
         val lnr = lines.join(lnf, "line")
           .filter(!(col("doc_id") === col("__f.doc_id") &&
                     col("pos") === col("__f.pos")))
-          .withColumn("ltok", size(split(col("line"), " ")).cast(LongType))
         val lineLeg = leg("line_3tok", lnr.agg(
           countDistinct(col("doc_id")).as("docs_affected"),
           coalesce(sum(col("ltok")), lit(0L)).as("tokens_removed")))
-        val chunks = base.filter(size(col("t")) >= 1)
-          .select(col("doc_id"), explode(TextFns.chunkExpr("t", 8, 8)).as("chunk"))
+        val chunks = base.filter(col("ntok") >= 1)
+          .select(col("doc_id"), col("ntok"),
+            posexplode(col("ch")).as(Seq("cpos", "chunk")))
+          .withColumn("ctok",
+            least(lit(8L), col("ntok") - lit(8L) * col("cpos")))
         val cdf = chunks.groupBy(col("chunk"))
           .agg(countDistinct(col("doc_id")).as("__df"))
         val chr = chunks.join(cdf.filter(col("__df") > 1).select("chunk"), "chunk")
-          .withColumn("ctok", size(split(col("chunk"), " ")).cast(LongType))
         val chunkLeg = leg("chunk_8tok", chr.agg(
           countDistinct(col("doc_id")).as("docs_affected"),
           coalesce(sum(col("ctok")), lit(0L)).as("tokens_removed")))
