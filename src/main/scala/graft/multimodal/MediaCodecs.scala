@@ -1466,8 +1466,20 @@ object MediaCodecs {
     val vmax = comps.map(_.v).max
     val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
-    // sanity cap: hostile dims could otherwise allocate wild planes
-    if (w.toLong * h > 64L * 1024 * 1024) return None
+    // sanity caps BEFORE any allocation: the pixel cap matches every other
+    // codec in this file (1 << 24), and the plane cap additionally accounts
+    // for sampling-factor padding and the 4-byte Int element size — a
+    // ~200-byte hostile stream claiming extreme dims (e.g. 1 × 16M with
+    // 4×4 sampling factors) pads its luma plane to ~128M Ints and would
+    // force ~1 GB of transient allocation whose OutOfMemoryError, being an
+    // Error, escapes parseJpegPixels's never-throws Exception quarantine.
+    // 4 × (1 << 24) elements admits every legitimate 4-component full-
+    // resolution image under the pixel cap (padding adds < 1% at that
+    // size) while bounding transient plane memory at 256 MB.
+    if (w.toLong * h > (1 << 24)) return None
+    val planeElems = comps.map(c =>
+      (mcusX.toLong * c.h * 8) * (mcusY.toLong * c.v * 8)).sum
+    if (planeElems > 4L * (1 << 24)) return None
     val planes = comps.map(c => new Array[Int](mcusX * c.h * 8 * mcusY * c.v * 8))
     val strides = comps.map(c => mcusX * c.h * 8)
     comps.foreach { c =>
@@ -1756,9 +1768,23 @@ object MediaCodecs {
     val strf = chunk("strf", u32a(40, width.toLong, height.toLong,
       1L | (24L << 16), fourccLe("MJPG"), width.toLong * height * 3, 0, 0, 0, 0))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val movi = list("movi",
-      frames.flatMap(f => chunk("00dc", b => f.foreach(x => b.u8(x & 0xff)))).toArray)
-    val payload = hdrl ++ movi
+    val frameChunks = frames.map(f =>
+      chunk("00dc", b => f.foreach(x => b.u8(x & 0xff))))
+    val movi = list("movi", frameChunks.flatten.toArray)
+    // idx1, as avih's AVIF_HASINDEX (0x10) promises: one 16-byte entry per
+    // '00dc' chunk — fourcc, AVIIF_KEYFRAME, offset of the chunk's fourcc
+    // relative to the 'movi' list-type bytes, chunk data size. The in-repo
+    // parser walks movi directly, but strict external demuxers seek via
+    // idx1 when the flag is set.
+    val idx1 = chunk("idx1", b => {
+      var off = 4L // the 'movi' fourcc itself
+      frames.indices.foreach { i =>
+        b.ascii("00dc")
+        u32a(0x10L, off, frames(i).length.toLong)(b)
+        off += frameChunks(i).length
+      }
+    })
+    val payload = hdrl ++ movi ++ idx1
     out.ascii("RIFF"); u32(payload.length + 4L); out.ascii("AVI ")
     out.toArray ++ payload
   }
@@ -1814,6 +1840,257 @@ object MediaCodecs {
     val fs = frames.result()
     if (!mjpg || w <= 0 || h <= 0 || fs.isEmpty) None
     else Some((w, h, math.max(fps, 1), fs))
+  }
+
+  // ---------- MP4 (ISO BMFF) Motion-JPEG: sample tables ----------
+  //
+  // Real crawls are MP4-first, and frame extraction from an MP4 needs the
+  // sample-TABLE walk the metadata-only parseMp4 stops short of: stsd for
+  // the coded format and dims, stts for timing, and the stsc/stsz/stco
+  // triple that schedules every sample to a (chunk offset, intra-chunk
+  // offset, size) byte range in mdat. The coded format here is the
+  // QuickTime/ISO 'jpeg' VisualSampleEntry (Motion-JPEG in MP4 — each
+  // sample a complete baseline JPEG), which reuses the whole
+  // parseJpegPixels raster path; H.26x entropy decoding stays out of
+  // scope exactly as before.
+
+  /** Sample-table view of an MJPEG-in-MP4 track: dims from the 'jpeg'
+    * VisualSampleEntry, mvhd/mdhd timing, and every sample's bytes in
+    * stts order.
+    */
+  final case class Mp4Samples(width: Int, height: Int, timescale: Int,
+                              sampleDelta: Int, frames: Vector[Array[Byte]])
+
+  /** Wrap complete JPEG frames as a minimal spec-shaped unfragmented MP4:
+    * ftyp, mdat holding the frames grouped `samplesPerChunk` per chunk
+    * (back-to-back — intra-chunk offsets are implied by stsz, the layout
+    * stco/stsc describe), then moov with the full box chain
+    * (mvhd, trak(tkhd, mdia(mdhd, hdlr 'vide', minf(vmhd, dinf(dref url),
+    * stbl(stsd 'jpeg', stts, stsc, stsz, stco))))). A frame count that is
+    * not a multiple of `samplesPerChunk` emits the spec's two-entry stsc
+    * (the run for the full chunks plus the short tail chunk) — the walk
+    * real muxers force on every reader. Real byte layout, so the parser is
+    * exercised against the documented container, not a private framing.
+    */
+  def encodeMp4Mjpeg(width: Int, height: Int, timescale: Int, sampleDelta: Int,
+                     frames: Seq[Array[Byte]], samplesPerChunk: Int = 3): Array[Byte] = {
+    require(width >= 1 && height >= 1 && timescale >= 1 && sampleDelta >= 1 &&
+      samplesPerChunk >= 1 && frames.nonEmpty,
+      "need positive dims/timescale/delta/chunking and at least one frame")
+    require(width <= 0xffff && height <= 0xffff,
+      s"VisualSampleEntry dims are u16: $width x $height")
+    val n = frames.length
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(8 + body.length).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    def full(tpe: String, verFlags: Int, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(4 + body.length).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(verFlags).put(body)
+      box(tpe, buf.array())
+    }
+    def be(vs: Int*): Array[Byte] = {
+      val buf = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.BIG_ENDIAN)
+      vs.foreach(buf.putInt); buf.array()
+    }
+    val ftyp = {
+      val buf = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      buf.array()
+    }
+    val mdatPayload = frames.toArray.flatten
+    val mdat = box("mdat", mdatPayload)
+    val duration = n * sampleDelta
+    val mvhd = full("mvhd", 0, be(0, 0, timescale, duration, 0x00010000) ++
+      Array[Byte](0x01, 0x00, 0, 0) ++ be(0, 0,
+        0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000, // unity matrix
+        0, 0, 0, 0, 0, 0,                                     // pre-defined
+        2))                                                   // next track id
+    val tkhd = full("tkhd", 7, be(0, 0, 1, 0, duration, 0, 0) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++ // layer, alt group, volume, reserved
+      be(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+        width << 16, height << 16))
+    val mdhd = full("mdhd", 0, be(0, 0, timescale, duration) ++
+      Array[Byte](0x55, 0xc4.toByte, 0, 0)) // language 'und' + pre-defined
+    val hdlr = full("hdlr", 0, be(0) ++ "vide".getBytes("US-ASCII") ++
+      be(0, 0, 0) ++ Array[Byte](0)) // reserved + empty name
+    val vmhd = full("vmhd", 1, Array.fill[Byte](8)(0))
+    val dref = full("dref", 0, be(1) ++ full("url ", 1, Array.emptyByteArray))
+    val dinf = box("dinf", dref)
+    val sampleEntry = {
+      val buf = ByteBuffer.allocate(86).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(86).put("jpeg".getBytes("US-ASCII"))
+      buf.put(new Array[Byte](6)).putShort(1)       // reserved + data ref index
+      buf.put(new Array[Byte](16))                  // pre-defined / reserved
+      buf.putShort(width.toShort).putShort(height.toShort)
+      buf.putInt(0x00480000).putInt(0x00480000)     // 72 dpi
+      buf.putInt(0).putShort(1)                     // reserved + frame count
+      buf.put(new Array[Byte](32))                  // compressor name (empty)
+      buf.putShort(24).putShort(-1)                 // depth + pre-defined
+      buf.array()
+    }
+    val stsd = full("stsd", 0, be(1) ++ sampleEntry)
+    val stts = full("stts", 0, be(1, n, sampleDelta))
+    val nChunks = (n + samplesPerChunk - 1) / samplesPerChunk
+    val tail = n % samplesPerChunk
+    val stscEntries =
+      if (tail == 0 || nChunks == 1) be(1, 1, samplesPerChunk.min(n), 1)
+      else be(2, 1, samplesPerChunk, 1, nChunks, tail, 1)
+    val stsc = full("stsc", 0, stscEntries)
+    val stsz = full("stsz", 0, be(0, n) ++ be(frames.map(_.length): _*))
+    val mdatStart = ftyp.length + 8 // first sample byte in the file
+    val chunkOffsets = {
+      val offs = new Array[Int](nChunks)
+      var off = mdatStart; var i = 0
+      frames.indices.foreach { f =>
+        if (f % samplesPerChunk == 0) { offs(i) = off; i += 1 }
+        off += frames(f).length
+      }
+      offs
+    }
+    val stco = full("stco", 0, be(nChunks) ++ be(chunkOffsets.toIndexedSeq: _*))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Walk an MP4's sample tables to the per-frame JPEG bytes — the
+    * scheduling half real video extraction needs: moov → trak (the first
+    * 'vide'-handler track) → stbl, then stsd ('jpeg' VisualSampleEntry:
+    * coded dims), stts (sample delta), and the stsc/stsz/stco triple
+    * resolved to absolute byte ranges (chunk offset + the cumulative sizes
+    * of the chunk's earlier samples — the layout every unfragmented MP4
+    * uses). Returns None — never a throw — on non-MP4/hostile/truncated
+    * bytes, non-'jpeg' tracks, sample ranges outside the payload, or
+    * absurd sample counts (the AVI parser's quarantine seam).
+    */
+  def parseMp4Samples(b: Array[Byte]): Option[Mp4Samples] =
+    try parseMp4SamplesInner(b) catch { case _: Exception => None }
+
+  private def parseMp4SamplesInner(b: Array[Byte]): Option[Mp4Samples] = {
+    if (b.length < 16) return None
+    if (b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    def tag(i: Int): String =
+      if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+    // find the first child box of [from, to) named `tpe`; returns (start, end) of its body
+    def child(from: Int, to: Int, tpe: String): Option[(Int, Int)] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = buf.getInt(i)
+        if (size < 8 || i + size > to) return None
+        if (tag(i + 4) == tpe) return Some((i + 8, i + size))
+        i += size
+      }
+      None
+    }
+    val (moovS, moovE) = child(0, b.length, "moov").getOrElse(return None)
+    var timescale = 0
+    // walk every trak until one carries a 'vide' handler with a 'jpeg' stbl
+    var trakFrom = moovS
+    while (trakFrom < moovE) {
+      val (tS, tE) = child(trakFrom, moovE, "trak") match {
+        case Some(x) => x
+        case None => return None
+      }
+      val res = for {
+        (mS, mE) <- child(tS, tE, "mdia")
+        (hS, _)  <- child(mS, mE, "hdlr")
+        if hS + 12 <= b.length && tag(hS + 8) == "vide"
+        (mdS, mdE) <- child(mS, mE, "mdhd")
+        (miS, miE) <- child(mS, mE, "minf")
+        (sbS, sbE) <- child(miS, miE, "stbl")
+        (sdS, sdE) <- child(sbS, sbE, "stsd")
+        (ttS, ttE) <- child(sbS, sbE, "stts")
+        (scS, scE) <- child(sbS, sbE, "stsc")
+        (szS, szE) <- child(sbS, sbE, "stsz")
+        (coS, coE) <- child(sbS, sbE, "stco")
+      } yield (mdS, mdE, sdS, sdE, ttS, ttE, scS, scE, szS, szE, coS, coE)
+      res match {
+        case None => trakFrom = tE // not a video track; try the next trak
+        case Some((mdS, mdE, sdS, sdE, ttS, ttE, scS, scE, szS, szE, coS, coE)) =>
+          // mdhd version 0: timescale after ver/flags + 2×32-bit times
+          if (mdE - mdS < 20 || (b(mdS) & 0xff) != 0) return None
+          timescale = buf.getInt(mdS + 12)
+          if (timescale <= 0) return None
+          // stsd: entry_count then the VisualSampleEntry; require 'jpeg'
+          if (sdE - sdS < 8 + 86 || buf.getInt(sdS + 4) < 1) return None
+          if (tag(sdS + 12) != "jpeg") return None
+          val w = buf.getShort(sdS + 8 + 8 + 24) & 0xffff
+          val h = buf.getShort(sdS + 8 + 8 + 26) & 0xffff
+          if (w <= 0 || h <= 0) return None
+          // stts: sample delta of the first (and in MJPEG fixtures only) run
+          if (ttE - ttS < 16 || buf.getInt(ttS + 4) < 1) return None
+          val delta = buf.getInt(ttS + 12)
+          if (delta <= 0) return None
+          // stsz: uniform-size field or per-sample table
+          if (szE - szS < 12) return None
+          val uniform = buf.getInt(szS + 4)
+          val n = buf.getInt(szS + 8)
+          if (n <= 0 || n > 100000) return None // frame bomb
+          val sizes = new Array[Int](n)
+          if (uniform != 0) java.util.Arrays.fill(sizes, uniform)
+          else {
+            if (szE - szS < 12 + 4L * n) return None
+            var i = 0
+            while (i < n) { sizes(i) = buf.getInt(szS + 12 + 4 * i); i += 1 }
+          }
+          if (sizes.exists(s => s <= 0 || s > (1 << 24))) return None
+          // stco chunk offsets
+          if (coE - coS < 8) return None
+          val nChunks = buf.getInt(coS + 4)
+          if (nChunks <= 0 || nChunks > 100000 || coE - coS < 8 + 4L * nChunks)
+            return None
+          val chunkOff = new Array[Long](nChunks)
+          var i = 0
+          while (i < nChunks) {
+            chunkOff(i) = buf.getInt(coS + 8 + 4 * i).toLong & 0xffffffffL
+            i += 1
+          }
+          // stsc runs: (first_chunk, samples_per_chunk); resolve per chunk
+          if (scE - scS < 8) return None
+          val nRuns = buf.getInt(scS + 4)
+          if (nRuns <= 0 || nRuns > 100000 || scE - scS < 8 + 12L * nRuns)
+            return None
+          val runFirst = new Array[Int](nRuns)
+          val runSpc = new Array[Int](nRuns)
+          i = 0
+          while (i < nRuns) {
+            runFirst(i) = buf.getInt(scS + 8 + 12 * i)
+            runSpc(i) = buf.getInt(scS + 8 + 12 * i + 4)
+            if (runSpc(i) <= 0 || runFirst(i) <= 0 ||
+                (i > 0 && runFirst(i) <= runFirst(i - 1))) return None
+            i += 1
+          }
+          if (runFirst(0) != 1) return None
+          // enumerate samples chunk by chunk in stts order
+          val frames = Vector.newBuilder[Array[Byte]]
+          var sample = 0
+          var chunk = 0
+          var run = 0
+          while (sample < n && chunk < nChunks) {
+            if (run + 1 < nRuns && chunk + 1 >= runFirst(run + 1)) run += 1
+            var off = chunkOff(chunk)
+            var s = 0
+            while (s < runSpc(run) && sample < n) {
+              val sz = sizes(sample)
+              if (off < 0 || off + sz > b.length) return None
+              frames += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+              off += sz
+              sample += 1; s += 1
+            }
+            chunk += 1
+          }
+          if (sample < n) return None // tables truncate the declared count
+          return Some(Mp4Samples(w, h, timescale, delta, frames.result()))
+      }
+    }
+    None
   }
 
   private final class ByteArrayOut(hint: Int) {

@@ -198,6 +198,43 @@ object Multimodal {
     }
   }
 
+  /** [[sampleFrameStats]] for the web's dominant container: walk each
+    * unfragmented MP4's sample tables (stsd 'jpeg', stts, stsc/stsz/stco —
+    * [[MediaCodecs.parseMp4Samples]]) to the per-sample JPEG byte ranges,
+    * sample `k` frames at the plan stride, and raster-decode only those.
+    * Same quarantine seam and map-side scale posture as the AVI path; the
+    * sample-table walk is the part that generalizes to real H.26x MP4s
+    * (the schedule is codec-agnostic — only the per-frame decode isn't).
+    */
+  def sampleFrameStatsMp4(media: Dataset[MediaRow], k: Int): Dataset[FrameStatsRow] = {
+    require(k > 0, s"k must be > 0, got $k")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseMp4Samples(r.media).toSeq.flatMap { s =>
+          val n = s.frames.length
+          (0 until k).flatMap { j =>
+            val fi = j * n / k
+            MediaCodecs.parseJpegPixels(s.frames(fi)).map { case (w, h, rgb) =>
+              var sr = 0L; var sg = 0L; var sb = 0L; var maxLuma = 0L
+              var i = 0
+              while (i < rgb.length) {
+                val cr = rgb(i) & 0xff; val cg = rgb(i + 1) & 0xff
+                val cb = rgb(i + 2) & 0xff
+                sr += cr; sg += cg; sb += cb
+                val luma = (299L * cr + 587L * cg + 114L * cb) / 1000L
+                if (luma > maxLuma) maxLuma = luma
+                i += 3
+              }
+              FrameStatsRow(r.doc_id, j.toLong, fi.toLong, n.toLong,
+                w.toLong, h.toLong, sr, sg, sb, maxLuma)
+            }
+          }
+        }
+      }
+    }
+  }
+
   final case class ResizedRow(doc_id: Long, in_w: Long, in_h: Long,
                               out_w: Long, out_h: Long, out_bytes: Long,
                               px_sum: Long)

@@ -676,6 +676,102 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parseAviMjpegFrames(notMjpg).isEmpty)
   }
 
+  test("AVI/MJPG: idx1 is present and schedules every frame chunk") {
+    val f = (0 until 3).map { i =>
+      MediaCodecs.encodeJpegGray(8, 8, Array.fill[Byte](64)((i * 5).toByte), quant = 8)
+    }
+    val avi = MediaCodecs.encodeAviMjpeg(8, 8, 25, f)
+    def tag(i: Int) = new String(avi, i, 4, "US-ASCII")
+    def u32(i: Int) = (avi(i) & 0xffL) | ((avi(i + 1) & 0xffL) << 8) |
+      ((avi(i + 2) & 0xffL) << 16) | ((avi(i + 3) & 0xffL) << 24)
+    // avih sets AVIF_HASINDEX (0x10), so the idx1 chunk must exist
+    assert((u32(44) & 0x10L) == 0x10L)
+    val ix = (0 until avi.length - 4).find(i => tag(i) == "idx1").get
+    assert(u32(ix + 4) == 16L * f.length) // one 16-byte entry per frame
+    // every entry: '00dc', AVIIF_KEYFRAME, and an offset (relative to the
+    // 'movi' list-type bytes) that lands exactly on that frame's chunk
+    val movi = (0 until avi.length - 4).find(i => tag(i) == "movi").get
+    (0 until f.length).foreach { e =>
+      val en = ix + 8 + 16 * e
+      assert(tag(en) == "00dc" && u32(en + 4) == 0x10L)
+      val chunkAt = movi + u32(en + 8).toInt
+      assert(tag(chunkAt) == "00dc" && u32(chunkAt + 4) == f(e).length.toLong)
+    }
+  }
+
+  test("MP4/MJPEG: sample-table roundtrip across chunkings; frames decode") {
+    // 7 frames at samplesPerChunk=3 -> chunks of 3/3/1 and the two-entry
+    // stsc walk; 6 frames -> the single-entry form; 2 frames -> one short
+    // chunk. Frame bytes differ per index so a scheduling slip (wrong
+    // chunk, wrong intra-chunk offset) breaks byte equality, not just size.
+    for ((n, spc) <- Seq((7, 3), (6, 3), (2, 3), (5, 1))) {
+      val f = (0 until n).map { i =>
+        MediaCodecs.encodeJpegGray(16, 8, Array.fill[Byte](128)((i * 11 + 3).toByte), quant = 8)
+      }
+      val mp4 = MediaCodecs.encodeMp4Mjpeg(16, 8, 1000, 40, f, samplesPerChunk = spc)
+      val s = MediaCodecs.parseMp4Samples(mp4).getOrElse(fail(s"n=$n spc=$spc did not parse"))
+      assert((s.width, s.height, s.timescale, s.sampleDelta) == (16, 8, 1000, 40))
+      assert(s.frames.length == n)
+      s.frames.zip(f).foreach { case (got, want) => assert(got.sameElements(want)) }
+      s.frames.foreach(fr => assert(MediaCodecs.parseJpegPixels(fr).isDefined))
+      // the metadata-only parser agrees on the movie header
+      val meta = MediaCodecs.parseMp4(mp4).get
+      assert(meta.timescale == 1000 && meta.duration == n.toLong * 40)
+    }
+  }
+
+  test("MP4/MJPEG: hand-checked box layout") {
+    val f = Seq(MediaCodecs.encodeJpegGray(8, 8, new Array[Byte](64), quant = 8))
+    val mp4 = MediaCodecs.encodeMp4Mjpeg(8, 8, 600, 20, f)
+    def tag(i: Int) = new String(mp4, i, 4, "US-ASCII")
+    def u32(i: Int) = ((mp4(i) & 0xffL) << 24) | ((mp4(i + 1) & 0xffL) << 16) |
+      ((mp4(i + 2) & 0xffL) << 8) | (mp4(i + 3) & 0xffL)
+    assert(u32(0) == 16 && tag(4) == "ftyp" && tag(8) == "isom")
+    assert(tag(20) == "mdat" && u32(16) == 8 + f.head.length)
+    // mdat payload starts at 24 and is the frame verbatim — the offset
+    // stco must carry for chunk 1
+    assert(mp4.slice(24, 24 + f.head.length).sameElements(f.head))
+    val moovAt = 16 + 8 + f.head.length
+    assert(tag(moovAt + 4) == "moov" && u32(moovAt) == mp4.length - moovAt)
+    val stcoAt = (0 until mp4.length - 4).find(i => tag(i) == "stco").get
+    assert(u32(stcoAt + 8) == 1 && u32(stcoAt + 12) == 24)
+  }
+
+  test("MP4/MJPEG: hostile bytes, truncation, and table bombs reject without throwing") {
+    val f = (0 until 4).map(i =>
+      MediaCodecs.encodeJpegGray(8, 8, Array.fill[Byte](64)(i.toByte), quant = 8))
+    val mp4 = MediaCodecs.encodeMp4Mjpeg(8, 8, 1000, 40, f)
+    assert(MediaCodecs.parseMp4Samples(mp4).isDefined)
+    // junk, prose, an AVI, a header-only MP4 (no tracks), truncations
+    assert(MediaCodecs.parseMp4Samples(Array.tabulate[Byte](64)(i => (i * 7).toByte)).isEmpty)
+    assert(MediaCodecs.parseMp4Samples("ftyp but prose everywhere".getBytes("UTF-8")).isEmpty)
+    assert(MediaCodecs.parseMp4Samples(MediaCodecs.encodeAviMjpeg(8, 8, 25, f)).isEmpty)
+    assert(MediaCodecs.parseMp4Samples(MediaCodecs.encodeMp4(1000, 40)).isEmpty)
+    (0 until mp4.length by 5).foreach(n =>
+      MediaCodecs.parseMp4Samples(mp4.take(n))) // never throws
+    def tag(i: Int) = new String(mp4, i, 4, "US-ASCII")
+    def patch(at: Int, bytes: Array[Byte]): Array[Byte] = {
+      val c = mp4.clone; System.arraycopy(bytes, 0, c, at, bytes.length); c
+    }
+    // a non-'jpeg' sample entry is not decodable here -> reject
+    val stsdAt = (0 until mp4.length - 4).find(i => tag(i) == "stsd").get
+    assert(MediaCodecs.parseMp4Samples(
+      patch(stsdAt + 16, "avc1".getBytes("US-ASCII"))).isEmpty)
+    // stsz sample-count bomb must reject before allocating
+    val stszAt = (0 until mp4.length - 4).find(i => tag(i) == "stsz").get
+    assert(MediaCodecs.parseMp4Samples(
+      patch(stszAt + 12, Array(0x7f, 0xff, 0xff, 0xff).map(_.toByte))).isEmpty)
+    // a chunk offset pointing past EOF rejects the whole container
+    val stcoAt = (0 until mp4.length - 4).find(i => tag(i) == "stco").get
+    assert(MediaCodecs.parseMp4Samples(
+      patch(stcoAt + 12, Array(0x7f, 0xff, 0xff, 0xff).map(_.toByte))).isEmpty)
+    // single-byte fuzz across the whole container must never throw
+    (0 until mp4.length).foreach { i =>
+      val c = mp4.clone; c(i) = (c(i) ^ 0x5a).toByte
+      MediaCodecs.parseMp4Samples(c)
+    }
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)
