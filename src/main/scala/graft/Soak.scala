@@ -588,23 +588,7 @@ object Soak {
       import graft.operators.{Dedup, Similarity}
       val M = 100000000L
       val dbig = ensureSpineDocs(spark, small, spineFactor)
-      if (!new java.io.File(s"$dbig/embeddings.parquet").exists()) {
-        val base = Tables.load(spark, small, "embeddings")
-        val dim = 64
-        (0 until spineFactor).map { i =>
-          val r = i % dim
-          val sign = if ((i / dim) % 2 == 1) "-" else ""
-          val rotated =
-            if (r == 0) col("embedding")
-            else expr(s"concat(slice(embedding, ${r + 1}, ${dim - r}), slice(embedding, 1, $r))")
-          base.withColumn("vec_id", col("vec_id") + i * M)
-            .withColumn("embedding", rotated)
-            .withColumn("embedding", expr(
-              s"transform(embedding, x -> CAST(${sign}x AS FLOAT))"))
-        }.reduceLeft(_ unionByName _)
-          .repartition(16).write.mode("overwrite").parquet(s"$dbig/embeddings.parquet")
-        println(s"generated spine embeddings x$spineFactor")
-      }
+      ensureSpineEmbeddings(spark, small, dbig, spineFactor)
       def docs(dir: String) = Tables.load(spark, dir, "documents")
       def emb(dir: String) = Tables.load(spark, dir, "embeddings")
       def lineStats(dir: String): Long = {
@@ -751,10 +735,32 @@ object Soak {
             maxOccurrences = 64L)
         }
       }
+      // kNN-graph maintenance gate: k scales with the corpus (the cell-size
+      // contract every graph/semdedup soak applies), the frozen fit is
+      // trained once per dir OUTSIDE the timed run (production's
+      // train/persist/assign split — per-batch cost is merge + swap only)
+      ensureSpineEmbeddings(spark, small, dbig, gatesFactor)
+      def emb(dir: String) = Tables.load(spark, dir, "embeddings")
+      val kgCents = scala.collection.mutable.Map[String, Array[Array[Long]]]()
+      def kgCentsFor(dir: String): Array[Array[Long]] =
+        kgCents.getOrElseUpdate(dir, graft.operators.KMeans.train(emb(dir),
+          "vec_id", "embedding", if (dir == small) 4 else 4 * gatesFactor, 2))
+      def runKnnGraph(dir: String): Unit = {
+        val out = tmp("soak-kg-out")
+        val wh = graft.airbnb.Warehouse(spark, tmp("soak-kg-wh"))
+        val cents = kgCentsFor(dir)
+        (0 until 3).foreach { i =>
+          Streams.knnGraphGateBatch(
+            emb(dir).filter(pmod(col("vec_id"), lit(3)) === i), wh, cents,
+            "kg_graph", "kg_vecs", out, i.toLong, "vec_id", "embedding",
+            degree = 6)
+        }
+      }
       val gateRuns: Seq[(String, String => Unit)] = Seq(
         "gate_budget_ledger" -> (runBudget _),
         "gate_percentile" -> (runPercentile _),
-        "gate_substring_index" -> (runSubstring _))
+        "gate_substring_index" -> (runSubstring _),
+        "gate_knn_graph" -> (runKnnGraph _))
       println(f"${"gate (3 batches)"}%-26s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s ${"r/f"}%5s (data x$gatesFactor)")
       gateRuns.foreach { case (name, f) =>
         f(small); val tS = time(f(small))
@@ -764,6 +770,32 @@ object Soak {
     }
 
     spark.stop()
+  }
+
+  /** Norm-preserving scaled embeddings next to the spine docs: `factor`
+    * cyclic-rotated (+ sign-flipped past one full turn) copies, so copies
+    * are semantically DISTINCT vectors, not factor-sized duplicate groups.
+    */
+  private def ensureSpineEmbeddings(spark: SparkSession, small: String,
+                                    dbig: String, factor: Int): Unit = {
+    val M = 100000000L
+    if (!new java.io.File(s"$dbig/embeddings.parquet").exists()) {
+      val base = Tables.load(spark, small, "embeddings")
+      val dim = 64
+      (0 until factor).map { i =>
+        val r = i % dim
+        val sign = if ((i / dim) % 2 == 1) "-" else ""
+        val rotated =
+          if (r == 0) col("embedding")
+          else expr(s"concat(slice(embedding, ${r + 1}, ${dim - r}), slice(embedding, 1, $r))")
+        base.withColumn("vec_id", col("vec_id") + i * M)
+          .withColumn("embedding", rotated)
+          .withColumn("embedding", expr(
+            s"transform(embedding, x -> CAST(${sign}x AS FLOAT))"))
+      }.reduceLeft(_ unionByName _)
+        .repartition(16).write.mode("overwrite").parquet(s"$dbig/embeddings.parquet")
+      println(s"generated spine embeddings x$factor")
+    }
   }
 
   /** The copy-tagged spine/compose documents fixture: `factor` key-shifted

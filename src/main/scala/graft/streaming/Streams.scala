@@ -1043,6 +1043,110 @@ object Streams {
   }
 
   // ---------------------------------------------------------------------
+  // Streaming kNN-GRAPH gate: maintain the graph-ANN serving index
+  // (Similarity.knnGraphWith's edge table) continuously as embeddings
+  // arrive — the serving story for embeddings-at-ingest past the semdedup
+  // gate. Each micro-batch folds in through Similarity.mergeKnnGraph
+  // under a FROZEN persisted fit (only touched cells' history vectors are
+  // re-read), so after every batch the persisted graph is edge-for-edge
+  // the full rebuild over everything ingested so far — the merge's
+  // equality contract, applied inductively.
+  //
+  // Crash-window protocol: unlike the band/anchor indexes the graph is a
+  // RE-RANKED top-degree set, not a monotone union, so min-batch-id
+  // merging cannot make a replayed merge a no-op — a re-merged batch edge
+  // already present in the swapped table would seat the same neighbor
+  // twice through the top-degree heap. Instead every graph VERSION is
+  // stamped with the batch that produced it; a replay that finds its own
+  // stamp skips the merge (it already committed) and only re-runs the
+  // idempotent sink write. The vectors table IS a monotone union and
+  // keeps the min-batch-id discipline, and the merge reads history
+  // strictly below the current batch, so a death in any window replays
+  // into identical inputs.
+  //
+  // Scale: per batch the merge moves batch×(touched-cell) pairs only
+  // (mergeKnnGraph's contract — at 100 TB the vectors table partitions by
+  // cell and the history fetch partition-prunes); the re-rank is one pass
+  // over old ∪ new edges, the compaction-style maintenance cost.
+  // ---------------------------------------------------------------------
+
+  /** The foreachBatch body of the kNN-graph gate, callable directly in
+    * tests and replay drills. `cents` is the persisted frozen fit (load
+    * once — the train/persist/assign split). Ids must be unique across the
+    * stream (the vec_id contract every vector table here shares). Returns
+    * false when `batchId` was already fully committed.
+    */
+  def knnGraphGateBatch(batch: DataFrame, wh: graft.airbnb.Warehouse,
+      cents: Array[Array[Long]], graphTable: String, vecTable: String,
+      outDir: String, batchId: Long, idCol: String, embCol: String,
+      degree: Int): Boolean = {
+    val spark = batch.sparkSession
+    val dir = batchDir(outDir, batchId)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(dir, "_COMMITTED"))) return false
+    val idT = batch.schema(idCol).dataType
+    val vecSchema = StructType(Seq(StructField(idCol, idT),
+      StructField(embCol, batch.schema(embCol).dataType),
+      StructField("batch_id", LongType)))
+    val graphSchema = StructType(Seq(StructField("node", idT),
+      StructField("nbr", idT), StructField("sim", DoubleType),
+      StructField("batch_id", LongType)))
+    val vecIdx = wh.readOrEmpty(vecTable, vecSchema)
+    val g0 = wh.readOrEmpty(graphTable, graphSchema)
+    val lastStamp = g0.agg(coalesce(max(col("batch_id")), lit(Long.MinValue)))
+      .collect()(0).getLong(0)
+    if (lastStamp < batchId) {
+      val hist = vecIdx.filter(col("batch_id") < batchId)
+        .select(col(idCol), col(embCol))
+      // materialize BOTH merge results BEFORE either table swap (the
+      // band-gate rule): the graph merge reads graphTable AND vecTable,
+      // the vector merge reads vecTable
+      val merged = graft.operators.Similarity.mergeKnnGraph(
+          g0.filter(col("batch_id") < batchId)
+            .select(col("node"), col("nbr"), col("sim")),
+          hist, batch.select(col(idCol), col(embCol)),
+          idCol, embCol, cents, degree)
+        .withColumn("batch_id", lit(batchId))
+        .localCheckpoint(true)
+      val vecMerged = vecIdx.unionByName(
+          batch.select(col(idCol), col(embCol))
+            .withColumn("batch_id", lit(batchId)))
+        .groupBy(col(idCol))
+        .agg(first(col(embCol)).as(embCol), min(col("batch_id")).as("batch_id"))
+        .localCheckpoint(true)
+      try {
+        wh.write(vecTable, vecMerged)
+        wh.write(graphTable, merged)
+      } finally Seq(merged, vecMerged).foreach(_.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      })
+    }
+    writeBatchIdempotent(batch, outDir, batchId)
+  }
+
+  /** Start the streaming kNN-graph gate on an embeddings stream. The fit
+    * is loaded ONCE from `centroidTable` at start (the persisted-fit
+    * path); the quadruple (checkpointDir, outDir, graph table, vectors
+    * table) is the unit of exactly-once recovery.
+    */
+  def startKnnGraphGate(docs: DataFrame, wh: graft.airbnb.Warehouse,
+      centroidTable: String, graphTable: String, vecTable: String,
+      outDir: String, checkpointDir: String, idCol: String, embCol: String,
+      degree: Int, queryName: String = "knn_graph_gate"): StreamingQuery = {
+    val cents = graft.operators.KMeans.centroidsFromDf(wh.read(centroidTable))
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .queryName(queryName)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        knnGraphGateBatch(batch.toDF(), wh, cents, graphTable, vecTable,
+          outDir, batchId, idCol, embCol, degree): Unit
+      }
+      .start()
+  }
+
+  // ---------------------------------------------------------------------
   // Streaming corpus ingestion: the FULL crawl-intake pipeline as one
   // continuous query — quality gate → PII scrub → intra-batch exact dedup
   // → cross-batch exact dedup (fingerprint index) → cross-batch near-dup

@@ -833,6 +833,91 @@ class StreamsSpec extends AnyFunSuite {
       Set("1", "2", "4", "6"))
   }
 
+  test("streaming kNN-graph gate: final graph equals the full rebuild; crash-replay safe") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val src = java.nio.file.Files.createTempDirectory("graft-kg-src")
+    val out = java.nio.file.Files.createTempDirectory("graft-kg-out").toString
+    val ckp = java.nio.file.Files.createTempDirectory("graft-kg-ckp").toString
+    val wh = graft.airbnb.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("graft-kg-wh").toString)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false))))
+    def stream = spark.readStream.schema(schema).parquet(src.toString)
+    def addVecs(name: String, rows: Seq[(Long, Array[Float])]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kg-one")
+      rows.toDF("vec_id", "embedding").coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, src.resolve(name))
+    }
+    // two well-separated cells; vectors land on both sides across batches
+    def vec(a: Float, b: Float) = Array(a, b)
+    val all = Seq(
+      1L -> vec(1.0f, 0.0f), 2L -> vec(0.0f, 1.0f),
+      3L -> vec(0.95f, 0.05f), 4L -> vec(0.05f, 0.95f),
+      5L -> vec(0.9f, 0.1f), 6L -> vec(0.1f, 0.9f),
+      7L -> vec(0.8f, 0.2f), 8L -> vec(0.2f, 0.8f))
+    val seed = all.take(4).toDF("vec_id", "embedding")
+    val cents = graft.operators.KMeans.train(seed, "vec_id", "embedding", 2, 2)
+    wh.write("kg_centroids", graft.operators.KMeans.centroidsToDf(spark, cents))
+
+    // two micro-batches through the real streaming query, the third via
+    // the body directly (so the drill below can hold the pre-batch-2
+    // graph version)
+    addVecs("b0.parquet", all.slice(0, 3))
+    val q0 = Streams.startKnnGraphGate(stream, wh, "kg_centroids", "kg_graph",
+      "kg_vecs", out, ckp, "vec_id", "embedding", degree = 2, queryName = "kg_0")
+    try q0.processAllAvailable() finally q0.stop()
+    addVecs("b1.parquet", all.slice(3, 6))
+    val q1 = Streams.startKnnGraphGate(stream, wh, "kg_centroids", "kg_graph",
+      "kg_vecs", out, ckp, "vec_id", "embedding", degree = 2, queryName = "kg_1")
+    try q1.processAllAvailable() finally q1.stop()
+    val g1 = wh.read("kg_graph").localCheckpoint(true) // version at stamp 1
+    val b2 = all.slice(6, 8).toDF("vec_id", "embedding")
+    assert(Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
+      out, 2L, "vec_id", "embedding", degree = 2))
+
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("node", "nbr", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rebuild = graft.operators.Similarity.knnGraphWith(
+      all.toDF("vec_id", "embedding"), "vec_id", "embedding", cents, degree = 2)
+    assert(edges(wh.read("kg_graph")) == edges(rebuild))
+    // every arrival flowed through (maintenance gate: nothing is dropped)
+    assert(Streams.readCommitted(spark, out).count() == all.length.toLong)
+
+    // crash drill A — death between the graph swap and the output marker:
+    // replay the last batch with its output deleted but the stamped graph
+    // in place; the gate must skip the merge (no double-seated neighbors)
+    // and only rewrite the output
+    val b2dir = new org.apache.hadoop.fs.Path(out, "batch-000000002")
+    val gfs = b2dir.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(gfs.delete(b2dir, true), "no batch-2 output to crash")
+    assert(Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
+      out, 2L, "vec_id", "embedding", degree = 2))
+    assert(edges(wh.read("kg_graph")) == edges(rebuild))
+    // each neighbor seated at most once per node
+    assert(wh.read("kg_graph").groupBy("node", "nbr").count()
+      .filter($"count" > 1).count() == 0L)
+    // crash drill B — death between the vector merge and the graph swap:
+    // park the graph back one version (stamp 1), leave the vectors table
+    // holding batch 2 under batch_id=2; the replayed merge reads history
+    // strictly below batch 2 and converges to the same graph
+    assert(gfs.delete(b2dir, true))
+    wh.write("kg_graph", g1)
+    assert(Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
+      out, 2L, "vec_id", "embedding", degree = 2))
+    assert(edges(wh.read("kg_graph")) == edges(rebuild))
+    // a pure replay (marker present) is a no-op
+    assert(!Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
+      out, 2L, "vec_id", "embedding", degree = 2))
+    // the vectors table holds each id once, owned by its first batch
+    val vecs = wh.read("kg_vecs")
+    assert(vecs.groupBy("vec_id").count().filter($"count" > 1).count() == 0L)
+    assert(vecs.count() == all.length.toLong)
+  }
+
   test("streaming funnel equals batch min-within-window semantics at sf0.001") {
     val evs = Tables.events(spark, TestSpark.sfDir)
       .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
