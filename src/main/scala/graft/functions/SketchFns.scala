@@ -82,4 +82,12 @@ object SketchFns {
   def simhashBitsAlt(tokens: Column, bits: Int): Column =
     GraftColumnBridge.column(graft.plans.SimHashBitsAlt(
       GraftColumnBridge.expression(tokens), bits))
+
+  /** Codegen'd membership probe of a broadcast Bloom filter over a long
+    * column — the map-side decontamination prefilter, UDF-free.
+    */
+  def bloomMightContain(hashes: Column,
+      bloomBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    GraftColumnBridge.column(graft.plans.BloomMightContain(
+      GraftColumnBridge.expression(hashes), bloomBc))
 }

@@ -199,13 +199,12 @@ object Curation {
     val nTest = obsN.get("n").asInstanceOf[Long]
     val bloom = testSh.stat.bloomFilter("__sk", math.max(nTest, 64L), fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
     // no broadcast hint on purpose: this path exists precisely because the
     // held-out side may exceed broadcast budget — both post-filter sides
     // are small (overlap + fpp of train; the eval suite), so the shuffled
     // equi-join moves (long, long) rows only, and AQE may still choose to
     // broadcast at demo scale
-    trainSh.filter(mightContain(col("__sk")))
+    trainSh.filter(graft.functions.SketchFns.bloomMightContain(col("__sk"), bloomBc))
       .join(testSh, "__sk")
       .groupBy(col("train_id"))
       .agg(count(lit(1)).as("n_shared_shingles"),

@@ -661,3 +661,40 @@ case class SimHashBitsAlt(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): SimHashBitsAlt =
     copy(child = newChild)
 }
+
+/** long → boolean: membership probe of a BROADCAST Bloom filter — the
+  * codegen'd replacement for the `udf(bloomBc.value.mightContainLong _)`
+  * closure the decontamination prefilter previously rode (a Scala UDF
+  * black-boxes the probe to the optimizer and pays boxing per row; this
+  * stays inside whole-stage codegen and reads the broadcast value once per
+  * generated class, exactly like the centroid-matrix reference objects of
+  * the vector kernels). The filter rides the Broadcast handle, so the
+  * expression serializes as a pointer, never as the sketch bytes.
+  */
+case class BloomMightContain(
+    child: Expression,
+    bloomBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires long, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    bloomBc.value.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloomBc,
+      "org.apache.spark.broadcast.Broadcast<org.apache.spark.util.sketch.BloomFilter>")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = ((org.apache.spark.util.sketch.BloomFilter) $bcRef.value()).mightContainLong($c);
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}

@@ -124,6 +124,14 @@ class PlanLintSpec extends AnyFunSuite {
       "shingle join key is not kernel-hashed to 64-bit")
   }
 
+  test("bloom decontamination prefilter is a codegen expression, not a UDF") {
+    val p = plan("q_decontaminate_bloom")
+    assert(p.toLowerCase.contains("bloommightcontain"),
+      "bloom prefilter is not the BloomMightContain expression")
+    assert(!p.contains("UDF"),
+      "q_decontaminate_bloom still plans a Scala UDF in the hot path")
+  }
+
   test("boilerplate/ngram joins key on 64-bit hashes, not chunk/shingle strings") {
     // both moved to hash KERNELS in round 12 (no chunk/shingle string, no
     // interpreted transform inside GenerateExec): boilerplate accounting
