@@ -1352,10 +1352,13 @@ object MediaCodecs {
     }
   }
 
-  /** Decode a baseline sequential JPEG to its RGB raster (grayscale
-    * replicates the single channel). Returns None — never throws — on
-    * anything that is not a well-formed baseline scan: progressive,
-    * arithmetic-coded, 12-bit, truncated, or hostile bytes.
+  /** Decode a baseline-sequential (SOF0/SOF1) or progressive (SOF2) JPEG
+    * to its RGB raster (grayscale replicates the single channel).
+    * Progressive streams accumulate spectral-selection / successive-
+    * approximation scans into per-component coefficient stores and
+    * dequantize + IDCT at EOI. Returns None — never throws — on anything
+    * else: lossless, arithmetic-coded, 12-bit, truncated, or hostile
+    * bytes.
     */
   def parseJpegPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try decodeJpegPixels(b)
@@ -1372,6 +1375,12 @@ object MediaCodecs {
     var comps: Array[JComp] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    var progressive = false
+    // progressive state: per-component coefficient stores (natural order,
+    // 64 ints per storage block on the padded MCU grid), accumulated
+    // across scans and dequantized + IDCT'd only at EOI
+    var coefStore: Array[Array[Int]] = null
+    var sawScan = false
     var i = 2
     while (i + 1 < b.length) {
       if (b(i) != 0xff.toByte) return None
@@ -1379,7 +1388,10 @@ object MediaCodecs {
       if (i + 1 >= b.length) return None
       val m = b(i + 1) & 0xff
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
-      else if (m == 0xd9) return None // EOI before any scan
+      else if (m == 0xd9) { // EOI
+        if (!(progressive && sawScan)) return None // EOI before any scan
+        return Some((w, h, jProgressiveAssemble(w, h, comps, qtabs, coefStore)))
+      }
       else {
         if (i + 3 >= b.length) return None
         val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
@@ -1432,31 +1444,328 @@ object MediaCodecs {
             }
             if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3))
               return None
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+          case 0xc2 => // SOF2: progressive Huffman
+            if (comps != null) return None
+            if ((b(seg) & 0xff) != 8) return None // 12-bit: out of scope
+            progressive = true
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val nc = b(seg + 5) & 0xff
+            if (w == 0 || h == 0 || nc == 0 || nc > 4 || (nc != 1 && nc != 3))
+              return None
+            comps = Array.tabulate(nc) { c =>
+              val o = seg + 6 + 3 * c
+              val hv = b(o + 1) & 0xff
+              JComp(b(o) & 0xff, hv >> 4, hv & 0x0f, b(o + 2) & 0x0f)
+            }
+            if (comps.exists(c => c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3))
+              return None
+            // same pre-allocation caps as the baseline path (pixels +
+            // padded 4-byte coefficient stores)
+            val hmax = comps.map(_.h).max
+            val vmax = comps.map(_.v).max
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            if (w.toLong * h > (1 << 24)) return None
+            val storeElems = comps.map(c =>
+              (mcusX.toLong * c.h) * (mcusY.toLong * c.v) * 64L).sum
+            if (storeElems > 4L * (1 << 24)) return None
+            coefStore = comps.map(c =>
+              new Array[Int](mcusX * c.h * mcusY * c.v * 64))
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
                0xce | 0xcf =>
-            return None // progressive / lossless / arithmetic: out of scope
+            return None // lossless / arithmetic / differential: out of scope
           case 0xdd => // DRI
             restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
-          case 0xda => // SOS: single interleaved scan covering every component
+          case 0xda =>
             if (comps == null) return None
-            val ns = b(seg) & 0xff
-            if (ns != comps.length) return None
-            var k = 0
-            while (k < ns) {
-              val cid = b(seg + 1 + 2 * k) & 0xff
-              val tt = b(seg + 2 + 2 * k) & 0xff
-              val c = comps.find(_.id == cid).getOrElse(return None)
-              c.td = tt >> 4; c.ta = tt & 0x0f
-              k += 1
+            if (!progressive) {
+              // baseline: single interleaved scan covering every component
+              val ns = b(seg) & 0xff
+              if (ns != comps.length) return None
+              var k = 0
+              while (k < ns) {
+                val cid = b(seg + 1 + 2 * k) & 0xff
+                val tt = b(seg + 2 + 2 * k) & 0xff
+                val c = comps.find(_.id == cid).getOrElse(return None)
+                c.td = tt >> 4; c.ta = tt & 0x0f
+                k += 1
+              }
+              return decodeJpegScan(b, i + 2 + len, w, h, comps, qtabs,
+                dcTabs, acTabs, restartInterval)
+            } else {
+              // progressive: one of many scans; decode it into the stores
+              // and continue the marker walk at the scan's end
+              val ns = b(seg) & 0xff
+              if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return None
+              val scanComps = new Array[Int](ns)
+              var k = 0
+              while (k < ns) {
+                val cid = b(seg + 1 + 2 * k) & 0xff
+                val tt = b(seg + 2 + 2 * k) & 0xff
+                val ci = comps.indexWhere(_.id == cid)
+                if (ci < 0) return None
+                comps(ci).td = tt >> 4; comps(ci).ta = tt & 0x0f
+                scanComps(k) = ci
+                k += 1
+              }
+              val ss = b(seg + 1 + 2 * ns) & 0xff
+              val se = b(seg + 2 + 2 * ns) & 0xff
+              val ahal = b(seg + 3 + 2 * ns) & 0xff
+              val ah = ahal >> 4; val al = ahal & 0x0f
+              val end = decodeProgressiveScan(b, i + 2 + len, w, h, comps,
+                scanComps, dcTabs, acTabs, restartInterval, ss, se, ah, al,
+                coefStore)
+              if (end < 0) return None
+              sawScan = true
+              i = end
             }
-            return decodeJpegScan(b, i + 2 + len, w, h, comps, qtabs,
-              dcTabs, acTabs, restartInterval)
           case _ => () // APPn / COM / DNL / anything else: skip
         }
-        i += 2 + len
+        if (m != 0xda) i += 2 + len
       }
     }
     None
+  }
+
+  /** Decode ONE progressive scan (T.81 G.2) into the per-component
+    * coefficient stores: DC first/refinement (interleaved or single-
+    * component), AC first and AC refinement with cross-block EOB runs and
+    * correction bits. Returns the byte position after the scan's entropy
+    * data, or -1 on malformed scan parameters; hostile entropy data throws
+    * (the caller's Exception quarantine).
+    */
+  private def decodeProgressiveScan(b: Array[Byte], start: Int, w: Int, h: Int,
+      comps: Array[JComp], scanComps: Array[Int], dcTabs: Array[JHuff],
+      acTabs: Array[JHuff], restartInterval: Int, ss: Int, se: Int,
+      ah: Int, al: Int, stores: Array[Array[Int]]): Int = {
+    if (al > 13 || ah > 13) return -1
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val r = new JBitReader(b, start)
+    var eobrun = 0
+    val dcPred = new Array[Int](comps.length)
+    var rstN = 0
+    var unitsDone = 0
+    def maybeRestart(): Unit =
+      if (restartInterval > 0 && unitsDone > 0 && unitsDone % restartInterval == 0) {
+        r.expectRst(rstN); rstN = (rstN + 1) & 7
+        java.util.Arrays.fill(dcPred, 0); eobrun = 0
+      }
+
+    def decodeDcBlock(ci: Int, blockOff: Int): Boolean = {
+      val st = stores(ci)
+      if (ah == 0) {
+        val dt = dcTabs(comps(ci).td)
+        if (dt == null) return false
+        val t = dt.decode(r)
+        if (t > 15) return false
+        dcPred(ci) += jExtend(r.receive(t), t)
+        st(blockOff) = dcPred(ci) << al
+      } else if (r.nextBit() != 0) st(blockOff) |= (1 << al)
+      true
+    }
+
+    def decodeAcFirst(ci: Int, blockOff: Int): Boolean = {
+      val st = stores(ci)
+      val at = acTabs(comps(ci).ta)
+      if (at == null) return false
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = at.decode(r)
+        val run = rs >> 4; val s = rs & 15
+        if (s == 0) {
+          if (run == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << run) - 1 // current block counts as one
+            if (run > 0) eobrun += r.receive(run)
+            return true
+          }
+        } else {
+          k += run
+          if (k > se) return false
+          st(blockOff + JpegZigzag(k)) = jExtend(r.receive(s), s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    def decodeAcRefine(ci: Int, blockOff: Int): Boolean = {
+      val st = stores(ci)
+      val at = acTabs(comps(ci).ta)
+      if (at == null) return false
+      val p1 = 1 << al; val m1 = -(1 << al)
+      var k = ss
+      if (eobrun == 0) {
+        var eobBreak = false
+        while (k <= se && !eobBreak) {
+          val rs = at.decode(r)
+          var run = rs >> 4
+          val s = rs & 15
+          var sVal = 0
+          if (s != 0) {
+            if (s != 1) return false // refinement codes only ±1 new coefs
+            sVal = if (r.nextBit() != 0) p1 else m1
+          } else if (run != 15) {
+            eobrun = 1 << run
+            if (run > 0) eobrun += r.receive(run)
+            eobBreak = true // rest of band handled by the EOB logic below
+          }
+          if (!eobBreak) {
+            // advance over already-nonzero coefs (emitting their correction
+            // bits) and `run` still-zero coefs, stopping AT the target zero
+            var done = false
+            while (!done) {
+              val pos = blockOff + JpegZigzag(k)
+              if (st(pos) != 0) {
+                if (r.nextBit() != 0 && (st(pos) & p1) == 0)
+                  st(pos) += (if (st(pos) >= 0) p1 else m1)
+              } else {
+                run -= 1
+                if (run < 0) done = true // k stays on the target position
+              }
+              if (!done) { k += 1; if (k > se) done = true }
+            }
+            if (sVal != 0) {
+              if (k > se) return false
+              st(blockOff + JpegZigzag(k)) = sVal
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // remaining nonzero coefs of this block still carry correction bits
+        while (k <= se) {
+          val pos = blockOff + JpegZigzag(k)
+          if (st(pos) != 0) {
+            if (r.nextBit() != 0 && (st(pos) & p1) == 0)
+              st(pos) += (if (st(pos) >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    if (ss == 0) { // DC scan
+      if (se != 0) return -1
+      if (scanComps.length > 1) { // interleaved MCU walk (frame geometry)
+        var mcu = 0
+        val nMcus = mcusX * mcusY
+        while (mcu < nMcus) {
+          maybeRestart()
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var sci = 0
+          while (sci < scanComps.length) {
+            val ci = scanComps(sci)
+            val c = comps(ci)
+            val bpr = mcusX * c.h
+            var blk = 0
+            while (blk < c.h * c.v) {
+              val bx = mx * c.h + blk % c.h
+              val by = my * c.v + blk / c.h
+              if (!decodeDcBlock(ci, (by * bpr + bx) * 64)) return -1
+              blk += 1
+            }
+            sci += 1
+          }
+          unitsDone += 1
+          mcu += 1
+        }
+      } else { // non-interleaved: the component's own (unpadded) block grid
+        val ci = scanComps(0); val c = comps(ci)
+        val compW = (w * c.h + hmax - 1) / hmax
+        val compH = (h * c.v + vmax - 1) / vmax
+        val bW = (compW + 7) / 8; val bH = (compH + 7) / 8
+        val bpr = mcusX * c.h
+        var by = 0
+        while (by < bH) {
+          var bx = 0
+          while (bx < bW) {
+            maybeRestart()
+            if (!decodeDcBlock(ci, (by * bpr + bx) * 64)) return -1
+            unitsDone += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else { // AC scan: spec-mandated single component, non-interleaved
+      if (scanComps.length != 1 || se < ss || se > 63) return -1
+      val ci = scanComps(0); val c = comps(ci)
+      val compW = (w * c.h + hmax - 1) / hmax
+      val compH = (h * c.v + vmax - 1) / vmax
+      val bW = (compW + 7) / 8; val bH = (compH + 7) / 8
+      val bpr = mcusX * c.h
+      var by = 0
+      while (by < bH) {
+        var bx = 0
+        while (bx < bW) {
+          maybeRestart()
+          val ok =
+            if (ah == 0) decodeAcFirst(ci, (by * bpr + bx) * 64)
+            else decodeAcRefine(ci, (by * bpr + bx) * 64)
+          if (!ok) return -1
+          unitsDone += 1
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    r.pos
+  }
+
+  /** Dequantize + IDCT every accumulated progressive coefficient block and
+    * assemble the RGB raster (the EOI-time back half of the progressive
+    * path; throws into the quarantine on a missing quant table).
+    */
+  private def jProgressiveAssemble(w: Int, h: Int, comps: Array[JComp],
+      qtabs: Array[Array[Int]], stores: Array[Array[Int]]): Array[Byte] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val strides = comps.map(c => mcusX * c.h * 8)
+    val planes = comps.map(c => new Array[Int](mcusX * c.h * 8 * mcusY * c.v * 8))
+    val coef = new Array[Int](64)
+    val px = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qtabs(c.tq)
+      if (q == null) throw new IllegalArgumentException("missing quant table")
+      val bpr = mcusX * c.h; val brw = mcusY * c.v
+      val st = stores(ci); val stride = strides(ci)
+      var by = 0
+      while (by < brw) {
+        var bx = 0
+        while (bx < bpr) {
+          val off = (by * bpr + bx) * 64
+          var k = 0
+          while (k < 64) { coef(k) = st(off + k) * q(k); k += 1 }
+          jIdct(coef, px)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              planes(ci)((by * 8 + yy) * stride + bx * 8 + xx) = px(yy * 8 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    jPlanesToRgb(w, h, comps, planes, strides)
   }
 
   private def decodeJpegScan(b: Array[Byte], start: Int, w: Int, h: Int,
@@ -1544,7 +1853,17 @@ object MediaCodecs {
       }
       mcu += 1
     }
-    // assemble: upsample each component to full resolution (box replicate)
+    Some((w, h, jPlanesToRgb(w, h, comps, planes, strides)))
+  }
+
+  /** Upsample decoded component planes to full resolution (box replicate)
+    * and convert to RGB — the shared back half of the baseline and
+    * progressive decode paths.
+    */
+  private def jPlanesToRgb(w: Int, h: Int, comps: Array[JComp],
+      planes: Array[Array[Int]], strides: Array[Int]): Array[Byte] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
     val rgb = new Array[Byte](w * h * 3)
     if (comps.length == 1) {
       val stride = strides(0)
@@ -1582,7 +1901,7 @@ object MediaCodecs {
         y += 1
       }
     }
-    Some((w, h, rgb))
+    rgb
   }
 
   /** Encode component planes as a baseline JPEG: 8-bit, per-component
@@ -1705,6 +2024,204 @@ object MediaCodecs {
   def encodeJpegGray(w: Int, h: Int, gray: Array[Byte], quant: Int = 1,
                      restartInterval: Int = 0): Array[Byte] =
     encodeJpegPlanes(w, h, Array(gray), Array((1, 1)), quant, restartInterval)
+
+  /** Single-component PROGRESSIVE (SOF2) JPEG of a `w`×`h` plane — the
+    * standard grayscale scan script (libjpeg's): DC first at point
+    * transform 1, the AC band split 1–5 / 6–63 at point transform 2, two
+    * AC refinement passes (2→1, 1→0) with cross-block EOB runs and
+    * buffered correction bits, then the DC refinement bit. The refinement
+    * chain completes, so the coefficients — and therefore the decoded
+    * raster — are IDENTICAL to [[encodeJpegGray]] of the same plane and
+    * quant (the cross-codec equality MediaCodecsSpec pins). Real scan
+    * wiring end to end, so the progressive decoder is exercised against
+    * independently-derived byte streams, not its own inverse.
+    */
+  def encodeJpegGrayProgressive(w: Int, h: Int, gray: Array[Byte],
+                                quant: Int = 1): Array[Byte] = {
+    require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff, s"dims u16: ${w}x$h")
+    require(quant >= 1 && quant <= 255, s"flat quant in [1,255]: $quant")
+    require(gray.length == w * h, s"plane must be ${w}x$h")
+    val out = new ByteArrayOut(w * h + 1024)
+    def u16be(v: Int): Unit = { out.u8((v >> 8) & 0xff); out.u8(v & 0xff) }
+    def marker(m: Int): Unit = { out.u8(0xff); out.u8(m) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16be(67); out.u8(0)
+    var k = 0
+    while (k < 64) { out.u8(quant); k += 1 }
+    marker(0xc2); u16be(11); out.u8(8) // SOF2, 1 component
+    u16be(h); u16be(w); out.u8(1)
+    out.u8(1); out.u8(0x11); out.u8(0)
+    def dht(tcth: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16be(2 + 1 + 16 + vals.length); out.u8(tcth)
+      bits.foreach(out.u8); vals.foreach(out.u8)
+    }
+    // The Annex K standard AC table has NO EOBn symbols beyond EOB0 —
+    // progressive scans need (n << 4) codes for cross-block EOB runs, which
+    // is why real encoders ship custom tables in progressive mode. This is
+    // the simplest complete one: every (run, size) symbol a scan can emit,
+    // all at code length 8 (176 codes < 2^8 — a valid canonical prefix
+    // code; compression is not the fixture's job, correct wiring is).
+    val progAcBits = Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+    val progAcVals = (for (r0 <- 0 to 15; s0 <- 0 to 10) yield (r0 << 4) | s0).toArray
+    dht(0x00, StdDcBits, StdDcVals)
+    dht(0x11, progAcBits, progAcVals) // AC table slot 1
+    val dc = new JHuff(StdDcBits, StdDcVals)
+    val ac = new JHuff(progAcBits, progAcVals)
+    // quantized zigzag coefficients of every block, computed once
+    val bW = (w + 7) / 8; val bH = (h + 7) / 8
+    val qt = Array.fill(64)(quant)
+    val px = new Array[Int](64)
+    val coef = new Array[Int](64)
+    val blocks = Array.ofDim[Int](bW * bH, 64)
+    var by = 0
+    while (by < bH) {
+      var bx = 0
+      while (bx < bW) {
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val sx = math.min(bx * 8 + xx, w - 1)
+            val sy = math.min(by * 8 + yy, h - 1)
+            px(yy * 8 + xx) = gray(sy * w + sx) & 0xff
+            xx += 1
+          }
+          yy += 1
+        }
+        jFdctQuant(px, qt, coef)
+        val zz = blocks(by * bW + bx)
+        var i = 0
+        while (i < 64) { zz(i) = coef(JpegZigzag(i)); i += 1 }
+        bx += 1
+      }
+      by += 1
+    }
+    def sos(ssV: Int, seV: Int, ahV: Int, alV: Int): Unit = {
+      marker(0xda); u16be(8); out.u8(1); out.u8(1)
+      out.u8(if (ssV == 0) 0x00 else 0x01) // Td=0; AC scans ride table slot 1
+      out.u8(ssV); out.u8(seV); out.u8((ahV << 4) | alV)
+    }
+    // --- scan 1: DC first, Al = 1 ---
+    sos(0, 0, 0, 1)
+    locally {
+      val wtr = new JBitWriter(out)
+      var pred = 0
+      blocks.foreach { zz =>
+        val v = zz(0) >> 1 // arithmetic point transform (T.81 G.1.2.1)
+        val diff = v - pred; pred = v
+        val t = jCat(diff)
+        dc.write(wtr, t)
+        if (t > 0) wtr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      }
+      wtr.flush()
+    }
+    // --- AC scans ---
+    def acFirst(ssV: Int, seV: Int, alV: Int): Unit = {
+      sos(ssV, seV, 0, alV)
+      val wtr = new JBitWriter(out)
+      var eobrun = 0
+      def emitEobrun(): Unit = if (eobrun > 0) {
+        var nbits = 0; var t = eobrun
+        while ({ t >>= 1; t != 0 }) nbits += 1
+        ac.write(wtr, nbits << 4)
+        if (nbits > 0) wtr.put(eobrun & ((1 << nbits) - 1), nbits)
+        eobrun = 0
+      }
+      blocks.foreach { zz =>
+        var r = 0
+        var k = ssV
+        while (k <= seV) {
+          var temp = zz(k); var temp2 = 0
+          if (temp < 0) { temp = -temp; temp >>= alV; temp2 = ~temp }
+          else { temp >>= alV; temp2 = temp }
+          if (temp == 0) r += 1
+          else {
+            emitEobrun()
+            while (r > 15) { ac.write(wtr, 0xf0); r -= 16 }
+            val nbits = jCat(temp)
+            ac.write(wtr, (r << 4) | nbits)
+            wtr.put(temp2 & ((1 << nbits) - 1), nbits)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) emitEobrun() }
+      }
+      emitEobrun()
+      wtr.flush()
+    }
+    def acRefine(ssV: Int, seV: Int, ahV: Int, alV: Int): Unit = {
+      sos(ssV, seV, ahV, alV)
+      val wtr = new JBitWriter(out)
+      var eobrun = 0
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def emitEobrun(): Unit = if (eobrun > 0 || pending.nonEmpty) {
+        if (eobrun > 0) {
+          var nbits = 0; var t = eobrun
+          while ({ t >>= 1; t != 0 }) nbits += 1
+          ac.write(wtr, nbits << 4)
+          if (nbits > 0) wtr.put(eobrun & ((1 << nbits) - 1), nbits)
+        }
+        pending.foreach(bit => wtr.put(bit, 1))
+        pending.clear()
+        eobrun = 0
+      }
+      val abs = new Array[Int](64)
+      blocks.foreach { zz =>
+        var eobIdx = 0
+        var k = ssV
+        while (k <= seV) {
+          var t = zz(k); if (t < 0) t = -t
+          abs(k) = t >> alV
+          if (abs(k) == 1) eobIdx = k
+          k += 1
+        }
+        var r = 0
+        val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+        k = ssV
+        while (k <= seV) {
+          val temp = abs(k)
+          if (temp == 0) r += 1
+          else {
+            while (r > 15 && k <= eobIdx) {
+              emitEobrun()
+              ac.write(wtr, 0xf0); r -= 16
+              br.foreach(bit => wtr.put(bit, 1)); br.clear()
+            }
+            if (temp > 1) br += (temp & 1) // already nonzero: correction bit
+            else {
+              emitEobrun()
+              ac.write(wtr, (r << 4) | 1)
+              wtr.put(if (zz(k) < 0) 0 else 1, 1)
+              br.foreach(bit => wtr.put(bit, 1)); br.clear()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || br.nonEmpty) {
+          eobrun += 1
+          pending ++= br
+          if (eobrun == 0x7fff || pending.length > 937) emitEobrun()
+        }
+      }
+      emitEobrun()
+      wtr.flush()
+    }
+    acFirst(1, 5, 2)
+    acFirst(6, 63, 2)
+    acRefine(1, 63, 2, 1)
+    acRefine(1, 63, 1, 0)
+    // --- final scan: DC refinement bit ---
+    sos(0, 0, 1, 0)
+    locally {
+      val wtr = new JBitWriter(out)
+      blocks.foreach(zz => wtr.put(zz(0) & 1, 1))
+      wtr.flush()
+    }
+    marker(0xd9) // EOI
+    out.toArray
+  }
 
   /** Three-component 4:4:4 baseline JPEG from full-resolution YCbCr planes. */
   def encodeJpegYcbcr444(w: Int, h: Int, yP: Array[Byte], cbP: Array[Byte],

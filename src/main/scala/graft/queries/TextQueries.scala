@@ -2188,6 +2188,53 @@ object TextQueries {
                CAST(MAX(v) AS BIGINT) AS max_luma
         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
 
+    // ----- the SAME raster statistics through the PROGRESSIVE (SOF2) JPEG
+    // path: spectral-selection + successive-approximation scans (the
+    // libjpeg grayscale scan script — DC at point transform 1, split AC
+    // bands at 2, two AC refinement passes, the DC refinement bit)
+    // accumulated across six scans and IDCT'd at EOI. Same DC-exact
+    // closed-form trick as the baseline row (block-constant rasters, flat
+    // Q=8), pixel function OFFSET BY 23 so a cross-wired decode path
+    // cannot pass both rows.
+    Q("q_mm_image_stats_jpeg_prog",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 5 + 1).toInt * 8
+            val h = (id * 7 % 4 + 1).toInt * 8
+            val gray = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                gray(y * w + x) =
+                  ((23 + (x / 8) * 13 + (y / 8) * 29 + id % 25 * 5) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeJpegGrayProgressive(w, h, gray,
+                quant = 8))
+          }
+        graft.multimodal.Multimodal.imageStats(media)
+          .toDF().orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH dims AS (SELECT doc_id, (doc_id % 5 + 1) * 8 AS w,
+                             ((doc_id * 7) % 4 + 1) * 8 AS h
+                      FROM documents),
+        px AS (SELECT doc_id, w, h,
+                 (23 + (x.g // 8) * 13 + (y.g // 8) * 29 + (doc_id % 25) * 5) % 256 AS v
+               FROM dims, generate_series(0, 39) x(g), generate_series(0, 31) y(g)
+               WHERE x.g < w AND y.g < h)
+        SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+               CAST(SUM(v) AS BIGINT) AS sum_r, CAST(SUM(v) AS BIGINT) AS sum_g,
+               CAST(SUM(v) AS BIGINT) AS sum_b,
+               CAST(MAX(v) AS BIGINT) AS max_luma
+        FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")),
+
     // ----- REAL video frame extraction: each doc becomes an AVI/MJPG of
     // n = id%6+4 frames (each frame a 16x16 block-constant gray JPEG —
     // DC-exact under the flat Q=8 table, see the JPEG row above); the

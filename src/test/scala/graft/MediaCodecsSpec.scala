@@ -628,11 +628,46 @@ class MediaCodecsSpec extends AnyFunSuite {
     // the header-only fixture encoders (no scan data) must not raster-decode
     assert(MediaCodecs.parseJpegPixels(MediaCodecs.encodeJpeg(10, 10)).isEmpty)
     assert(MediaCodecs.parseJpegPixels(MediaCodecs.encodeJpeg(10, 10, progressive = true)).isEmpty)
-    // a PROGRESSIVE frame marker on a real stream rejects (out of scope)
+    // a PROGRESSIVE frame marker spliced onto a baseline scan rejects: the
+    // baseline SOS (Ss=0, Se=63) is not a legal progressive scan header
     val prog = good.clone
     val sof = (2 until prog.length - 1).find(i => prog(i) == 0xff.toByte && prog(i + 1) == 0xc0.toByte).get
     prog(sof + 1) = 0xc2.toByte
     assert(MediaCodecs.parseJpegPixels(prog).isEmpty)
+  }
+
+  test("JPEG progressive: decodes identically to the baseline stream of the same raster") {
+    // gradients (dense nonzero ACs, both signs), block patterns, and odd
+    // dims, at quants that exercise magnitudes across the refinement
+    // splits; the progressive scan script's refinement chain completes, so
+    // decoded rasters must be byte-identical to the BASELINE encoding of
+    // the same plane — two independently-derived streams, one truth
+    for ((w, h, quant) <- Seq((8, 8, 1), (16, 16, 8), (24, 16, 2), (13, 9, 4), (40, 32, 16))) {
+      val gray = Array.tabulate[Byte](w * h) { i =>
+        val x = i % w; val y = i / w
+        ((x * 7 + y * 13 + (x * y) % 31) % 256).toByte
+      }
+      val base = MediaCodecs.encodeJpegGray(w, h, gray, quant)
+      val prog = MediaCodecs.encodeJpegGrayProgressive(w, h, gray, quant)
+      val Some((bw, bh, bRgb)) = MediaCodecs.parseJpegPixels(base)
+      val Some((pw, ph, pRgb)) = MediaCodecs.parseJpegPixels(prog)
+      assert((bw, bh) == (w, h) && (pw, ph) == (w, h))
+      assert(pRgb.sameElements(bRgb), s"progressive != baseline at ${w}x$h q=$quant")
+    }
+    // parseMeta still reads the SOF2 header dims
+    val p = MediaCodecs.encodeJpegGrayProgressive(16, 8, new Array[Byte](128), 8)
+    // hostile: truncations and single-byte fuzz never throw
+    (0 until p.length by 3).foreach(n => MediaCodecs.parseJpegPixels(p.take(n)))
+    for (i <- p.indices) {
+      val bad = p.clone; bad(i) = (bad(i) ^ 0x55).toByte
+      MediaCodecs.parseJpegPixels(bad)
+    }
+    // a DC-only (block-constant) progressive image reconstructs exactly at
+    // the flat Q=8 table — the oracle trick the query row relies on
+    val flat = Array.fill[Byte](16 * 16)(77.toByte)
+    val Some((_, _, rgb)) = MediaCodecs.parseJpegPixels(
+      MediaCodecs.encodeJpegGrayProgressive(16, 16, flat, quant = 8))
+    assert(rgb.forall(_ == 77.toByte))
   }
 
   test("AVI/MJPG: hand-checked RIFF header layout") {
