@@ -26,6 +26,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Fixtures {
   private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private val schemas = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+
+  /** [[ensure]] + read with a CACHED schema: `spark.read.parquet(path)`
+    * re-infers the schema from footers on every call — one extra job per
+    * serve-row invocation for an index that is immutable within a JVM.
+    * The schema is captured once at first read and passed explicitly
+    * afterward, the same service `graft.Tables`' readers give the fixture
+    * tables. (Plain get/putIfAbsent — never a nested computeIfAbsent.)
+    */
+  def read(spark: SparkSession, sfDir: String, name: String)
+          (build: => DataFrame): DataFrame = {
+    val dir = ensure(spark, sfDir, name)(build)
+    val key = (spark, dir)
+    val cached = schemas.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(dir)
+    else {
+      val df = spark.read.parquet(dir)
+      schemas.putIfAbsent(key, df.schema)
+      df
+    }
+  }
 
   /** Persist `build` once per (session, sfDir, name); returns the parquet
     * path. Thread-safe; concurrent callers block until the build commits.

@@ -1034,8 +1034,13 @@ object Dedup {
       s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
     val spark = newDf.sparkSession
     val newSparse = sparseAnchors(newDf, idCol, textCol, k, w)
-    val candPlan = newSparse.select(col(idCol).as("a_id"), col("sh"))
-      .join(sparseIdx.select(col(idCol).as("b_id"), col("sh")), "sh")
+    // the BATCH's sparse anchors ride a broadcast over the index scan —
+    // the production probe shape: a daily batch's winnowed anchors are
+    // MB-scale by construction (three longs per ~w-th token of the batch)
+    // while the global index is the corpus-scale side, so the probe join
+    // is map-side over the index with no index exchange at any scale
+    val candPlan = sparseIdx.select(col(idCol).as("b_id"), col("sh"))
+      .join(broadcast(newSparse.select(col(idCol).as("a_id"), col("sh"))), "sh")
       .select(col("a_id"), col("b_id")).distinct()
     // Candidate pairs are bounded by genuine shared-span content plus
     // sparse-hash coincidences — batch-scale, not corpus-scale. The fast

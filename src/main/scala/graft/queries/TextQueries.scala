@@ -1180,12 +1180,12 @@ object TextQueries {
         val docs = t(s, dir, "documents")
         val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
           .collect()(0).getLong(0)
-        val idx = graft.Fixtures.ensure(s, dir, "band_index") {
+        val idx = graft.Fixtures.read(s, dir, "band_index") {
           Dedup.bandIndex(docs.filter(col("doc_id") < mid), "doc_id", "text", 4)
         }
         val fresh = docs.filter(col("doc_id") >= mid)
         val tags = Dedup.tagAgainstBandIndex(
-          fresh, s.read.parquet(idx), "doc_id", "text", 4)
+          fresh, idx, "doc_id", "text", 4)
         fresh.select(col("doc_id"), col("source"))
           .join(tags, Seq("doc_id"), "left")
           .groupBy(col("source"))
@@ -1222,12 +1222,12 @@ object TextQueries {
         val docs = t(s, dir, "documents")
         val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
           .collect()(0).getLong(0)
-        val idx = graft.Fixtures.ensure(s, dir, "anchor_index") {
+        val idx = graft.Fixtures.read(s, dir, "anchor_index") {
           Dedup.anchorIndex(docs.filter(col("doc_id") < mid),
             "doc_id", "text", 4, maxOccurrences = 64L)
         }
         Dedup.tagSpansAgainstIndex(
-            docs.filter(col("doc_id") >= mid), s.read.parquet(idx),
+            docs.filter(col("doc_id") >= mid), idx,
             "doc_id", "text", 4, minSpanTokens = 6)
           .orderBy(col("doc_id"))
       },
@@ -1263,17 +1263,28 @@ object TextQueries {
 
     Q("q_dedup_incremental_sparse_serve",
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
-          .collect()(0).getLong(0)
+        // ONE spread checkpoint feeds the probe anchors and both dense-
+        // verify legs (r16 anatomy: three separate fused scans of the
+        // unsplittable one-row-group table at ~140 ms serial each), with
+        // the id split-point riding its materialization as an Observation
+        // (the CorpusPipeline accounting trick) instead of its own job;
+        // the index read comes through Fixtures.read (cached schema — no
+        // footer-inference job per serve).
+        val obs = org.apache.spark.sql.Observation()
+        val docs = graft.CkptCycle.cycle("q_dedup_sparse_serve_docs",
+          graft.Tables.spread(
+              t(s, dir, "documents").select(col("doc_id"), col("text")))
+            .observe(obs, expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
+            .localCheckpoint(true))
+        val mid = obs.get("mid").asInstanceOf[Long]
         val hist = docs.filter(col("doc_id") < mid)
-        val idx = graft.Fixtures.ensure(s, dir, "sparse_anchors") {
+        val idx = graft.Fixtures.read(s, dir, "sparse_anchors") {
           Dedup.sparseAnchors(hist, "doc_id", "text", 4, 3)
         }
         // history TEXT stays a corpus-table read (production fetches
         // candidate docs from the store); only the INDEX is served
         Dedup.tagSpansAgainstIndexSparse(
-            docs.filter(col("doc_id") >= mid), s.read.parquet(idx),
+            docs.filter(col("doc_id") >= mid), idx,
             hist, "doc_id", "text", 4, minSpanTokens = 6, w = 3)
           .orderBy(col("doc_id"))
       },

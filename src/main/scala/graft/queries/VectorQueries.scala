@@ -1030,11 +1030,11 @@ object VectorQueries {
         val qq = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        val gPath = graft.Fixtures.ensure(s, dir, "knn_graph") {
+        val g = graft.Fixtures.read(s, dir, "knn_graph") {
           graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
             k = 4, passes = 2, degree = 6)
         }
-        graft.operators.Similarity.graphTopK(qq, cc, s.read.parquet(gPath),
+        graft.operators.Similarity.graphTopK(qq, cc, g,
             entryK = 4, beam = 8, hops = 2, k = 5)
           .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
           .orderBy(col("q_id"), col("rnk"))
