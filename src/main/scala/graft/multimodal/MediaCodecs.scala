@@ -2037,20 +2037,39 @@ object MediaCodecs {
     * independently-derived byte streams, not its own inverse.
     */
   def encodeJpegGrayProgressive(w: Int, h: Int, gray: Array[Byte],
-                                quant: Int = 1): Array[Byte] = {
+                                quant: Int = 1): Array[Byte] =
+    encodeJpegPlanesProgressive(w, h, Array(gray), quant)
+
+  /** Three-component 4:4:4 PROGRESSIVE JPEG from full-resolution YCbCr
+    * planes: the DC scans are INTERLEAVED over all three components (the
+    * shape every color progressive stream has — MCU = one block per
+    * component at 1×1 sampling, per-component DC predictors) and the AC
+    * band/refinement scans run per component as the spec mandates. Same
+    * completed-refinement equality contract against [[encodeJpegYcbcr444]].
+    */
+  def encodeJpegYcbcr444Progressive(w: Int, h: Int, yP: Array[Byte],
+      cbP: Array[Byte], crP: Array[Byte], quant: Int = 1): Array[Byte] =
+    encodeJpegPlanesProgressive(w, h, Array(yP, cbP, crP), quant)
+
+  private def encodeJpegPlanesProgressive(w: Int, h: Int,
+      planes: Array[Array[Byte]], quant: Int): Array[Byte] = {
     require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff, s"dims u16: ${w}x$h")
     require(quant >= 1 && quant <= 255, s"flat quant in [1,255]: $quant")
-    require(gray.length == w * h, s"plane must be ${w}x$h")
-    val out = new ByteArrayOut(w * h + 1024)
+    require(planes.length == 1 || planes.length == 3, "1 or 3 components")
+    planes.indices.foreach(c =>
+      require(planes(c).length == w * h, s"component $c plane must be ${w}x$h"))
+    val nc = planes.length
+    val out = new ByteArrayOut(w * h * nc + 1024)
     def u16be(v: Int): Unit = { out.u8((v >> 8) & 0xff); out.u8(v & 0xff) }
     def marker(m: Int): Unit = { out.u8(0xff); out.u8(m) }
     marker(0xd8) // SOI
     marker(0xdb); u16be(67); out.u8(0)
     var k = 0
     while (k < 64) { out.u8(quant); k += 1 }
-    marker(0xc2); u16be(11); out.u8(8) // SOF2, 1 component
-    u16be(h); u16be(w); out.u8(1)
-    out.u8(1); out.u8(0x11); out.u8(0)
+    marker(0xc2); u16be(8 + 3 * nc); out.u8(8) // SOF2
+    u16be(h); u16be(w); out.u8(nc)
+    var ci0 = 0
+    while (ci0 < nc) { out.u8(ci0 + 1); out.u8(0x11); out.u8(0); ci0 += 1 }
     def dht(tcth: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16be(2 + 1 + 16 + vals.length); out.u8(tcth)
       bits.foreach(out.u8); vals.foreach(out.u8)
@@ -2067,57 +2086,73 @@ object MediaCodecs {
     dht(0x11, progAcBits, progAcVals) // AC table slot 1
     val dc = new JHuff(StdDcBits, StdDcVals)
     val ac = new JHuff(progAcBits, progAcVals)
-    // quantized zigzag coefficients of every block, computed once
+    // quantized zigzag coefficients of every block of every component,
+    // computed once
     val bW = (w + 7) / 8; val bH = (h + 7) / 8
     val qt = Array.fill(64)(quant)
     val px = new Array[Int](64)
     val coef = new Array[Int](64)
-    val blocks = Array.ofDim[Int](bW * bH, 64)
-    var by = 0
-    while (by < bH) {
-      var bx = 0
-      while (bx < bW) {
-        var yy = 0
-        while (yy < 8) {
-          var xx = 0
-          while (xx < 8) {
-            val sx = math.min(bx * 8 + xx, w - 1)
-            val sy = math.min(by * 8 + yy, h - 1)
-            px(yy * 8 + xx) = gray(sy * w + sx) & 0xff
-            xx += 1
+    val blocks = Array.ofDim[Int](nc, bW * bH, 64)
+    var ci = 0
+    while (ci < nc) {
+      var by = 0
+      while (by < bH) {
+        var bx = 0
+        while (bx < bW) {
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              val sx = math.min(bx * 8 + xx, w - 1)
+              val sy = math.min(by * 8 + yy, h - 1)
+              px(yy * 8 + xx) = planes(ci)(sy * w + sx) & 0xff
+              xx += 1
+            }
+            yy += 1
           }
-          yy += 1
+          jFdctQuant(px, qt, coef)
+          val zz = blocks(ci)(by * bW + bx)
+          var i = 0
+          while (i < 64) { zz(i) = coef(JpegZigzag(i)); i += 1 }
+          bx += 1
         }
-        jFdctQuant(px, qt, coef)
-        val zz = blocks(by * bW + bx)
-        var i = 0
-        while (i < 64) { zz(i) = coef(JpegZigzag(i)); i += 1 }
-        bx += 1
+        by += 1
       }
-      by += 1
+      ci += 1
     }
-    def sos(ssV: Int, seV: Int, ahV: Int, alV: Int): Unit = {
-      marker(0xda); u16be(8); out.u8(1); out.u8(1)
-      out.u8(if (ssV == 0) 0x00 else 0x01) // Td=0; AC scans ride table slot 1
+    // DC scans are interleaved over ALL components (Ns = nc); AC scans are
+    // per-component (Ns = 1), as T.81 mandates for progressive AC
+    def sos(comps0: Seq[Int], ssV: Int, seV: Int, ahV: Int, alV: Int): Unit = {
+      marker(0xda); u16be(6 + 2 * comps0.length); out.u8(comps0.length)
+      comps0.foreach { c =>
+        out.u8(c + 1)
+        out.u8(if (ssV == 0) 0x00 else 0x01) // Td=0; AC scans ride table slot 1
+      }
       out.u8(ssV); out.u8(seV); out.u8((ahV << 4) | alV)
     }
-    // --- scan 1: DC first, Al = 1 ---
-    sos(0, 0, 0, 1)
+    // --- scan 1: DC first, Al = 1, interleaved ---
+    sos(0 until nc, 0, 0, 0, 1)
     locally {
       val wtr = new JBitWriter(out)
-      var pred = 0
-      blocks.foreach { zz =>
-        val v = zz(0) >> 1 // arithmetic point transform (T.81 G.1.2.1)
-        val diff = v - pred; pred = v
-        val t = jCat(diff)
-        dc.write(wtr, t)
-        if (t > 0) wtr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      val pred = new Array[Int](nc)
+      var bi = 0
+      while (bi < bW * bH) {
+        var c = 0
+        while (c < nc) {
+          val v = blocks(c)(bi)(0) >> 1 // arithmetic point transform (G.1.2.1)
+          val diff = v - pred(c); pred(c) = v
+          val t = jCat(diff)
+          dc.write(wtr, t)
+          if (t > 0) wtr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+          c += 1
+        }
+        bi += 1
       }
       wtr.flush()
     }
     // --- AC scans ---
-    def acFirst(ssV: Int, seV: Int, alV: Int): Unit = {
-      sos(ssV, seV, 0, alV)
+    def acFirst(c: Int, ssV: Int, seV: Int, alV: Int): Unit = {
+      sos(Seq(c), ssV, seV, 0, alV)
       val wtr = new JBitWriter(out)
       var eobrun = 0
       def emitEobrun(): Unit = if (eobrun > 0) {
@@ -2127,7 +2162,7 @@ object MediaCodecs {
         if (nbits > 0) wtr.put(eobrun & ((1 << nbits) - 1), nbits)
         eobrun = 0
       }
-      blocks.foreach { zz =>
+      blocks(c).foreach { zz =>
         var r = 0
         var k = ssV
         while (k <= seV) {
@@ -2150,8 +2185,8 @@ object MediaCodecs {
       emitEobrun()
       wtr.flush()
     }
-    def acRefine(ssV: Int, seV: Int, ahV: Int, alV: Int): Unit = {
-      sos(ssV, seV, ahV, alV)
+    def acRefine(c: Int, ssV: Int, seV: Int, ahV: Int, alV: Int): Unit = {
+      sos(Seq(c), ssV, seV, ahV, alV)
       val wtr = new JBitWriter(out)
       var eobrun = 0
       val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -2167,7 +2202,7 @@ object MediaCodecs {
         eobrun = 0
       }
       val abs = new Array[Int](64)
-      blocks.foreach { zz =>
+      blocks(c).foreach { zz =>
         var eobIdx = 0
         var k = ssV
         while (k <= seV) {
@@ -2208,15 +2243,19 @@ object MediaCodecs {
       emitEobrun()
       wtr.flush()
     }
-    acFirst(1, 5, 2)
-    acFirst(6, 63, 2)
-    acRefine(1, 63, 2, 1)
-    acRefine(1, 63, 1, 0)
-    // --- final scan: DC refinement bit ---
-    sos(0, 0, 1, 0)
+    (0 until nc).foreach { c => acFirst(c, 1, 5, 2); acFirst(c, 6, 63, 2) }
+    (0 until nc).foreach(c => acRefine(c, 1, 63, 2, 1))
+    (0 until nc).foreach(c => acRefine(c, 1, 63, 1, 0))
+    // --- final scan: DC refinement bit, interleaved ---
+    sos(0 until nc, 0, 0, 1, 0)
     locally {
       val wtr = new JBitWriter(out)
-      blocks.foreach(zz => wtr.put(zz(0) & 1, 1))
+      var bi = 0
+      while (bi < bW * bH) {
+        var c = 0
+        while (c < nc) { wtr.put(blocks(c)(bi)(0) & 1, 1); c += 1 }
+        bi += 1
+      }
       wtr.flush()
     }
     marker(0xd9) // EOI

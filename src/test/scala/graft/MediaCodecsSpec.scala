@@ -670,6 +670,33 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(rgb.forall(_ == 77.toByte))
   }
 
+  test("JPEG progressive color: interleaved-DC scans decode identically to baseline 4:4:4") {
+    // three distinct full-resolution YCbCr planes exercise the interleaved
+    // DC walk (per-component predictors within one MCU stream) and the
+    // per-component AC scans against the same baseline-equality truth
+    for ((w, h, quant) <- Seq((16, 16, 8), (24, 13, 2), (8, 40, 4))) {
+      def plane(f: (Int, Int) => Int) =
+        Array.tabulate[Byte](w * h)(i => f(i % w, i / w).toByte)
+      val yP = plane((x, y) => (x * 5 + y * 11) % 256)
+      val cb = plane((x, y) => (128 + x * 3 - y * 7) % 256)
+      val cr = plane((x, y) => (128 + (x * y) % 53) % 256)
+      val base = MediaCodecs.encodeJpegYcbcr444(w, h, yP, cb, cr, quant)
+      val prog = MediaCodecs.encodeJpegYcbcr444Progressive(w, h, yP, cb, cr, quant)
+      val Some((bw, bh, bRgb)) = MediaCodecs.parseJpegPixels(base)
+      val Some((pw, ph, pRgb)) = MediaCodecs.parseJpegPixels(prog)
+      assert((bw, bh) == (w, h) && (pw, ph) == (w, h))
+      assert(pRgb.sameElements(bRgb), s"color progressive != baseline at ${w}x$h q=$quant")
+    }
+    // hostile fuzz over a color progressive stream never throws
+    val p = MediaCodecs.encodeJpegYcbcr444Progressive(16, 8,
+      new Array[Byte](128), Array.fill[Byte](128)(100.toByte),
+      Array.fill[Byte](128)(200.toByte), 8)
+    for (i <- p.indices) {
+      val bad = p.clone; bad(i) = (bad(i) ^ 0xa7).toByte
+      MediaCodecs.parseJpegPixels(bad)
+    }
+  }
+
   test("AVI/MJPG: hand-checked RIFF header layout") {
     // spec-derived golden prefix, independent of the parser: RIFF size is
     // total-8 LE, form type 'AVI ', first list is hdrl whose first chunk
