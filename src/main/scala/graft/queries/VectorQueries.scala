@@ -1106,6 +1106,77 @@ object VectorQueries {
             ORDER BY sim DESC, nbr) AS rn FROM gpa) g
         WHERE rn <= 6 ORDER BY node, nbr""")),
 
+    // ----- batch-equivalent streaming kNN-GRAPH gate (Streams.
+    // knnGraphGateBatch): arrivals split into three micro-batches by id
+    // range flow through the graph-maintenance gate sequentially — build
+    // on batch 0 under its own frozen fit, then two mergeKnnGraph folds
+    // (touched-cells-only history re-read, both edge directions, one
+    // top-degree re-rank each). The mergeKnnGraph equality contract
+    // applied INDUCTIVELY says the result is edge-for-edge the full
+    // rebuild over everything under the same frozen centroids — so the
+    // oracle IS the full rebuild (train on batch 0, assign everyone,
+    // top-degree per node), and any associativity slip across TWO chained
+    // merges diverges rows. StreamsSpec's crash drills pin the
+    // foreachBatch plumbing (version stamps, min-batch-id vector table)
+    // to these same semantics.
+    Q("q_stream_knn_graph_batch",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val t3 = e.agg(expr("coalesce(MAX(vec_id) DIV 3, 0)").as("t"))
+          .collect()(0).getLong(0)
+        val b0 = e.filter(col("vec_id") < t3)
+        val b1 = e.filter(col("vec_id") >= t3 && col("vec_id") < 2 * t3)
+        val b2 = e.filter(col("vec_id") >= 2 * t3)
+        val cents = graft.operators.KMeans.train(b0, "vec_id", "embedding",
+          k = 4, passes = 2)
+        // each gate step reads the PREVIOUS persisted graph version —
+        // materialized, as the warehouse table would be (distinct keys:
+        // g0 is still live while g1 builds)
+        val g0 = graft.CkptCycle.cycle("q_stream_knn_graph_g0",
+          graft.operators.Similarity.knnGraphWith(b0, "vec_id", "embedding",
+            cents, degree = 6).localCheckpoint(true))
+        val g1 = graft.CkptCycle.cycle("q_stream_knn_graph_g1",
+          graft.operators.Similarity.mergeKnnGraph(g0, b0, b1, "vec_id",
+            "embedding", cents, degree = 6).localCheckpoint(true))
+        graft.operators.Similarity.mergeKnnGraph(g1,
+            e.filter(col("vec_id") < 2 * t3), b2, "vec_id", "embedding",
+            cents, degree = 6)
+          .orderBy(col("node"), col("nbr"))
+      },
+      Some(s"""
+        WITH t3 AS (SELECT COALESCE(MAX(vec_id) // 3, 0) AS t FROM embeddings),
+        seg0 AS (SELECT e.vec_id, e.embedding FROM embeddings e, t3
+                 WHERE e.vec_id < t),
+        ${kmeansCtes("seg0")},
+        qa AS (SELECT vec_id,
+                      list_transform(embedding,
+                        e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
+               FROM embeddings),
+        qla AS (SELECT vec_id, d.g + 1 AS dim, u[d.g + 1] AS v
+                FROM qa, generate_series(0, 63) d(g)),
+        da AS (SELECT qla.vec_id, c.j, SUM((qla.v - c.cv) * (qla.v - c.cv)) AS dist
+               FROM qla JOIN c1l c USING (dim) GROUP BY qla.vec_id, c.j),
+        aa AS (SELECT vec_id, j FROM (
+                 SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist, j) AS rn FROM da) x WHERE rn = 1),
+        gna AS (SELECT vec_id, embedding,
+                       sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+                FROM embeddings),
+        gpa AS (SELECT a.vec_id AS node, b.vec_id AS nbr,
+                       round(${VectorFns.dotSql("na.embedding", "nb.embedding")}
+                             / (na.norm * nb.norm), 6) AS sim
+                FROM aa a JOIN aa b ON a.j = b.j AND a.vec_id <> b.vec_id
+                JOIN gna na ON na.vec_id = a.vec_id
+                JOIN gna nb ON nb.vec_id = b.vec_id)
+        SELECT node, nbr, sim FROM (
+          SELECT node, nbr, sim, row_number() OVER (PARTITION BY node
+            ORDER BY sim DESC, nbr) AS rn FROM gpa) g
+        WHERE rn <= 6 ORDER BY node, nbr"""),
+      // three graph builds' worth of pair work in ONE row: a correctness
+      // device for the chained-merge induction (the single-merge and serve
+      // rows price the family's latency) — the documented bench=false class
+      bench = false),
+
     // ----- diversity-preserving subsampling: cap every 6-bit LSH bucket at
     // 3 docs (cluster-balanced selection — cover the semantic space instead
     // of oversampling dense modes). Order within a bucket is a portable
