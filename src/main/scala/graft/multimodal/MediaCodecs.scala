@@ -2528,23 +2528,31 @@ object MediaCodecs {
   def parseMp4Samples(b: Array[Byte]): Option[Mp4Samples] =
     try parseMp4SamplesInner(b) catch { case _: Exception => None }
 
+  private def mp4Tag(b: Array[Byte], i: Int): String =
+    if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+
+  /** Find the first child box of [from, to) named `tpe`; returns
+    * (start, end) of its BODY. None on a malformed size or no match.
+    */
+  private def mp4Child(b: Array[Byte], buf: ByteBuffer, from: Int, to: Int,
+                       tpe: String): Option[(Int, Int)] = {
+    var i = from
+    while (i + 8 <= to) {
+      val size = buf.getInt(i)
+      if (size < 8 || i + size > to) return None
+      if (mp4Tag(b, i + 4) == tpe) return Some((i + 8, i + size))
+      i += size
+    }
+    None
+  }
+
   private def parseMp4SamplesInner(b: Array[Byte]): Option[Mp4Samples] = {
     if (b.length < 16) return None
     if (b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return None
     val buf = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
-    def tag(i: Int): String =
-      if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
-    // find the first child box of [from, to) named `tpe`; returns (start, end) of its body
-    def child(from: Int, to: Int, tpe: String): Option[(Int, Int)] = {
-      var i = from
-      while (i + 8 <= to) {
-        val size = buf.getInt(i)
-        if (size < 8 || i + size > to) return None
-        if (tag(i + 4) == tpe) return Some((i + 8, i + size))
-        i += size
-      }
-      None
-    }
+    def tag(i: Int): String = mp4Tag(b, i)
+    def child(from: Int, to: Int, tpe: String): Option[(Int, Int)] =
+      mp4Child(b, buf, from, to, tpe)
     val (moovS, moovE) = child(0, b.length, "moov").getOrElse(return None)
     var timescale = 0
     // walk every trak until one carries a 'vide' handler with a 'jpeg' stbl
@@ -2647,6 +2655,212 @@ object MediaCodecs {
       }
     }
     None
+  }
+
+  /** Wrap complete JPEG frames as a FRAGMENTED MP4 (fMP4 — the DASH/HLS
+    * streaming layout): ftyp, then a sample-table-free moov (empty
+    * stts/stsc/stsz/stco, as the spec requires for fragmented tracks)
+    * carrying mvex(trex) with the default sample duration, then one
+    * moof(mfhd, traf(tfhd default-base-is-moof, tfdt, trun)) + mdat pair
+    * per fragment. Each trun carries per-sample sizes and a data_offset
+    * relative to the moof start — the wiring every DASH segment reader
+    * must resolve.
+    */
+  def encodeMp4FragMjpeg(width: Int, height: Int, timescale: Int,
+      sampleDelta: Int, fragments: Seq[Seq[Array[Byte]]]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && timescale >= 1 && sampleDelta >= 1 &&
+      fragments.nonEmpty && fragments.forall(_.nonEmpty),
+      "need positive dims/timescale/delta and non-empty fragments")
+    require(width <= 0xffff && height <= 0xffff,
+      s"VisualSampleEntry dims are u16: $width x $height")
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(8 + body.length).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
+      buf.array()
+    }
+    def full(tpe: String, verFlags: Int, body: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(4 + body.length).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(verFlags).put(body)
+      box(tpe, buf.array())
+    }
+    def be(vs: Int*): Array[Byte] = {
+      val buf = ByteBuffer.allocate(vs.length * 4).order(ByteOrder.BIG_ENDIAN)
+      vs.foreach(buf.putInt); buf.array()
+    }
+    val ftyp = {
+      val buf = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("iso5".getBytes("US-ASCII")).putInt(0x200)
+      buf.array()
+    }
+    val n = fragments.map(_.length).sum
+    val duration = n * sampleDelta
+    val mvhd = full("mvhd", 0, be(0, 0, timescale, duration, 0x00010000) ++
+      Array[Byte](0x01, 0x00, 0, 0) ++ be(0, 0,
+        0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+        0, 0, 0, 0, 0, 0, 2))
+    val tkhd = full("tkhd", 7, be(0, 0, 1, 0, duration, 0, 0) ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
+      be(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+        width << 16, height << 16))
+    val mdhd = full("mdhd", 0, be(0, 0, timescale, duration) ++
+      Array[Byte](0x55, 0xc4.toByte, 0, 0))
+    val hdlr = full("hdlr", 0, be(0) ++ "vide".getBytes("US-ASCII") ++
+      be(0, 0, 0) ++ Array[Byte](0))
+    val vmhd = full("vmhd", 1, Array.fill[Byte](8)(0))
+    val dref = full("dref", 0, be(1) ++ full("url ", 1, Array.emptyByteArray))
+    val dinf = box("dinf", dref)
+    val sampleEntry = {
+      val buf = ByteBuffer.allocate(86).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(86).put("jpeg".getBytes("US-ASCII"))
+      buf.put(new Array[Byte](6)).putShort(1)
+      buf.put(new Array[Byte](16))
+      buf.putShort(width.toShort).putShort(height.toShort)
+      buf.putInt(0x00480000).putInt(0x00480000)
+      buf.putInt(0).putShort(1)
+      buf.put(new Array[Byte](32))
+      buf.putShort(24).putShort(-1)
+      buf.array()
+    }
+    // fragmented tracks carry EMPTY sample tables in moov
+    val stbl = box("stbl", full("stsd", 0, be(1) ++ sampleEntry) ++
+      full("stts", 0, be(0)) ++ full("stsc", 0, be(0)) ++
+      full("stsz", 0, be(0, 0)) ++ full("stco", 0, be(0)))
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    // trex: track 1, default sample description 1, default duration, no
+    // default size (trun carries per-sample sizes), no default flags
+    val trex = full("trex", 0, be(1, 1, sampleDelta, 0, 0))
+    val mvex = box("mvex", trex)
+    val moov = box("moov", mvhd ++ trak ++ mvex)
+    var outArr = ftyp ++ moov
+    fragments.zipWithIndex.foreach { case (frames, fi) =>
+      val mfhd = full("mfhd", 0, be(fi + 1))
+      // tfhd: default-base-is-moof (0x020000) — trun offsets are relative
+      // to the moof's first byte
+      val tfhd = full("tfhd", 0x020000, be(1))
+      val tfdt = full("tfdt", 0, be(fragments.take(fi).map(_.length).sum * sampleDelta))
+      // trun flags: data-offset (0x1) + sample-duration (0x100) +
+      // sample-size (0x200); data_offset patched after moof size is known
+      val trunBody = be(frames.length, 0) ++
+        frames.toArray.flatMap(f => be(sampleDelta, f.length))
+      val trun = full("trun", 0x301, trunBody)
+      val traf = box("traf", tfhd ++ tfdt ++ trun)
+      val moof = box("moof", mfhd ++ traf)
+      // patch trun.data_offset = moof size + mdat header (first sample byte
+      // relative to moof start). trun body starts at: moof hdr(8) + mfhd +
+      // traf hdr(8) + tfhd + tfdt + trun hdr(8) + verflags(4) +
+      // sample_count(4) = offset of the data_offset field
+      val off = 8 + mfhd.length + 8 + tfhd.length + tfdt.length + 8 + 4 + 4
+      val patched = moof.clone()
+      val dataOff = moof.length + 8
+      patched(off) = ((dataOff >> 24) & 0xff).toByte
+      patched(off + 1) = ((dataOff >> 16) & 0xff).toByte
+      patched(off + 2) = ((dataOff >> 8) & 0xff).toByte
+      patched(off + 3) = (dataOff & 0xff).toByte
+      outArr = outArr ++ patched ++ box("mdat", frames.toArray.flatten)
+    }
+    outArr
+  }
+
+  /** Walk a FRAGMENTED MP4's movie fragments to the per-sample JPEG bytes:
+    * moov for the 'jpeg' VisualSampleEntry (dims) + mvex/trex defaults,
+    * then every top-level moof's traf/trun resolved to absolute byte
+    * ranges (data_offset relative to the moof under default-base-is-moof;
+    * per-sample sizes from trun, duration from trun or the trex default).
+    * Returns samples in fragment order. None — never a throw — on
+    * non-fragmented/hostile/truncated bytes, offsets outside the payload,
+    * or absurd counts (the same quarantine seam as the unfragmented walk).
+    */
+  def parseMp4FragSamples(b: Array[Byte]): Option[Mp4Samples] =
+    try parseMp4FragSamplesInner(b) catch { case _: Exception => None }
+
+  private def parseMp4FragSamplesInner(b: Array[Byte]): Option[Mp4Samples] = {
+    if (b.length < 16) return None
+    if (b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return None
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
+    val (moovS, moovE) = mp4Child(b, buf, 0, b.length, "moov").getOrElse(return None)
+    val defaults = for {
+      (tS, tE)   <- mp4Child(b, buf, moovS, moovE, "trak")
+      (mS, mE)   <- mp4Child(b, buf, tS, tE, "mdia")
+      (hS, _)    <- mp4Child(b, buf, mS, mE, "hdlr")
+      if hS + 12 <= b.length && mp4Tag(b, hS + 8) == "vide"
+      (mdS, mdE) <- mp4Child(b, buf, mS, mE, "mdhd")
+      (miS, miE) <- mp4Child(b, buf, mS, mE, "minf")
+      (sbS, sbE) <- mp4Child(b, buf, miS, miE, "stbl")
+      (sdS, sdE) <- mp4Child(b, buf, sbS, sbE, "stsd")
+      (mvS, mvE) <- mp4Child(b, buf, moovS, moovE, "mvex")
+      (txS, txE) <- mp4Child(b, buf, mvS, mvE, "trex")
+    } yield (mdS, mdE, sdS, sdE, txS, txE)
+    val (mdS, mdE, sdS, sdE, txS, txE) = defaults.getOrElse(return None)
+    if (mdE - mdS < 20 || (b(mdS) & 0xff) != 0) return None
+    val timescale = buf.getInt(mdS + 12)
+    if (timescale <= 0) return None
+    if (sdE - sdS < 8 + 86 || buf.getInt(sdS + 4) < 1) return None
+    if (mp4Tag(b, sdS + 12) != "jpeg") return None
+    val w = buf.getShort(sdS + 8 + 8 + 24) & 0xffff
+    val h = buf.getShort(sdS + 8 + 8 + 26) & 0xffff
+    if (w <= 0 || h <= 0) return None
+    if (txE - txS < 24) return None
+    val trexDelta = buf.getInt(txS + 12) // default_sample_duration
+    // walk top-level moof boxes in file order
+    val frames = Vector.newBuilder[Array[Byte]]
+    var nTotal = 0
+    var delta = 0
+    var i = 0
+    while (i + 8 <= b.length) {
+      val size = buf.getInt(i)
+      if (size < 8 || i.toLong + size > b.length) return None
+      if (mp4Tag(b, i + 4) == "moof") {
+        val moofStart = i
+        val (tfS, tfE) = mp4Child(b, buf, i + 8, i + size, "traf")
+          .getOrElse(return None)
+        val (thS, _) = mp4Child(b, buf, tfS, tfE, "tfhd").getOrElse(return None)
+        val tfhdFlags = buf.getInt(thS) & 0xffffff
+        // only the default-base-is-moof addressing mode is supported (the
+        // DASH/CMAF profile); base-data-offset streams reject
+        if ((tfhdFlags & 0x020000) == 0) return None
+        val (trS, trE) = mp4Child(b, buf, tfS, tfE, "trun").getOrElse(return None)
+        val trunFlags = buf.getInt(trS) & 0xffffff
+        if (trE - trS < 8) return None
+        val cnt = buf.getInt(trS + 4)
+        if (cnt <= 0 || nTotal + cnt > 100000) return None // frame bomb
+        if ((trunFlags & 0x001) == 0) return None // need data_offset
+        var p = trS + 8
+        val dataOff = buf.getInt(p); p += 4
+        if ((trunFlags & 0x004) != 0) p += 4 // first-sample-flags
+        val hasDur = (trunFlags & 0x100) != 0
+        val hasSize = (trunFlags & 0x200) != 0
+        if (!hasSize) return None // fixture profile: sizes ride the trun
+        val hasFlags = (trunFlags & 0x400) != 0
+        val hasCto = (trunFlags & 0x800) != 0
+        val perSample = (if (hasDur) 4 else 0) + 4 +
+          (if (hasFlags) 4 else 0) + (if (hasCto) 4 else 0)
+        if (trE - p < cnt.toLong * perSample) return None
+        var off = moofStart.toLong + dataOff
+        var s = 0
+        while (s < cnt) {
+          val dur = if (hasDur) buf.getInt(p) else trexDelta
+          if (hasDur) p += 4
+          val sz = buf.getInt(p); p += 4
+          if (hasFlags) p += 4
+          if (hasCto) p += 4
+          if (sz <= 0 || sz > (1 << 24)) return None
+          if (dur <= 0) return None
+          if (delta == 0) delta = dur
+          if (off < 0 || off + sz > b.length) return None
+          frames += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+          off += sz
+          s += 1
+        }
+        nTotal += cnt
+      }
+      i += size
+    }
+    val fs = frames.result()
+    if (fs.isEmpty || delta <= 0) None
+    else Some(Mp4Samples(w, h, timescale, delta, fs))
   }
 
   private final class ByteArrayOut(hint: Int) {

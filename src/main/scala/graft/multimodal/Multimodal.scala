@@ -198,6 +198,32 @@ object Multimodal {
     }
   }
 
+  /** Sample `k` frame indexes at the plan stride from a parsed frame list
+    * and fold each decoded raster to the [[imageStats]] channel statistics
+    * — the shared back half of every container's frame-extraction path.
+    */
+  private def sampledJpegFrameStats(docId: Long, frames: Vector[Array[Byte]],
+                                    k: Int): Seq[FrameStatsRow] = {
+    val n = frames.length
+    (0 until k).flatMap { j =>
+      val fi = j * n / k
+      MediaCodecs.parseJpegPixels(frames(fi)).map { case (w, h, rgb) =>
+        var sr = 0L; var sg = 0L; var sb = 0L; var maxLuma = 0L
+        var i = 0
+        while (i < rgb.length) {
+          val cr = rgb(i) & 0xff; val cg = rgb(i + 1) & 0xff
+          val cb = rgb(i + 2) & 0xff
+          sr += cr; sg += cg; sb += cb
+          val luma = (299L * cr + 587L * cg + 114L * cb) / 1000L
+          if (luma > maxLuma) maxLuma = luma
+          i += 3
+        }
+        FrameStatsRow(docId, j.toLong, fi.toLong, n.toLong,
+          w.toLong, h.toLong, sr, sg, sb, maxLuma)
+      }
+    }
+  }
+
   /** [[sampleFrameStats]] for the web's dominant container: walk each
     * unfragmented MP4's sample tables (stsd 'jpeg', stts, stsc/stsz/stco —
     * [[MediaCodecs.parseMp4Samples]]) to the per-sample JPEG byte ranges,
@@ -211,26 +237,25 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        MediaCodecs.parseMp4Samples(r.media).toSeq.flatMap { s =>
-          val n = s.frames.length
-          (0 until k).flatMap { j =>
-            val fi = j * n / k
-            MediaCodecs.parseJpegPixels(s.frames(fi)).map { case (w, h, rgb) =>
-              var sr = 0L; var sg = 0L; var sb = 0L; var maxLuma = 0L
-              var i = 0
-              while (i < rgb.length) {
-                val cr = rgb(i) & 0xff; val cg = rgb(i + 1) & 0xff
-                val cb = rgb(i + 2) & 0xff
-                sr += cr; sg += cg; sb += cb
-                val luma = (299L * cr + 587L * cg + 114L * cb) / 1000L
-                if (luma > maxLuma) maxLuma = luma
-                i += 3
-              }
-              FrameStatsRow(r.doc_id, j.toLong, fi.toLong, n.toLong,
-                w.toLong, h.toLong, sr, sg, sb, maxLuma)
-            }
-          }
-        }
+        MediaCodecs.parseMp4Samples(r.media).toSeq.flatMap(s =>
+          sampledJpegFrameStats(r.doc_id, s.frames, k))
+      }
+    }
+  }
+
+  /** [[sampleFrameStatsMp4]] for FRAGMENTED MP4s (DASH/HLS segments):
+    * samples are enumerated from the moof/traf/trun fragment walk
+    * ([[MediaCodecs.parseMp4FragSamples]]) instead of the moov sample
+    * tables — the other half of real-world MP4, where the schedule lives
+    * in the fragments a streaming origin emits.
+    */
+  def sampleFrameStatsMp4Frag(media: Dataset[MediaRow], k: Int): Dataset[FrameStatsRow] = {
+    require(k > 0, s"k must be > 0, got $k")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        MediaCodecs.parseMp4FragSamples(r.media).toSeq.flatMap(s =>
+          sampledJpegFrameStats(r.doc_id, s.frames, k))
       }
     }
   }

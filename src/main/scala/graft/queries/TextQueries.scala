@@ -2363,6 +2363,62 @@ object TextQueries {
         FROM px GROUP BY doc_id, sample_idx, fi, n
         ORDER BY doc_id, sample_idx""")),
 
+    // ----- the SAME sampled frame extraction through FRAGMENTED MP4 (the
+    // DASH/HLS streaming layout — the other half of real-world MP4): each
+    // doc's n = id%6+4 MJPEG samples are split across movie fragments of
+    // 3 (so most videos exercise multiple moof/mdat pairs plus a short
+    // tail fragment), scheduled by REAL trun tables (default-base-is-moof
+    // data offsets, per-sample sizes and durations) under an empty-stbl
+    // moov with mvex/trex defaults. Pixel function OFFSET BY 41 from the
+    // other video rows so a cross-wired walk cannot pass any two of them.
+    Q("q_mm_mp4_frag_samples",
+      (s, dir) => {
+        import s.implicits._
+        val media = t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") % 4 === 0).as[Long]
+          .map { id =>
+            val n = (id % 6 + 4).toInt
+            val w = 16; val h = 16
+            val frames = (0 until n).map { f =>
+              val gray = new Array[Byte](w * h)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  gray(y * w + x) =
+                    ((41 + f * 31 + (x / 8) * 13 + (y / 8) * 29 + id % 25 * 5) % 256).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              graft.multimodal.MediaCodecs.encodeJpegGray(w, h, gray, quant = 8)
+            }
+            val frags = frames.grouped(3).toSeq
+            graft.multimodal.Multimodal.MediaRow(id,
+              graft.multimodal.MediaCodecs.encodeMp4FragMjpeg(w, h,
+                timescale = 1000, sampleDelta = 40, frags))
+          }
+        graft.multimodal.Multimodal.sampleFrameStatsMp4Frag(media, 3)
+          .toDF().orderBy(col("doc_id"), col("sample_idx"))
+      },
+      Some("""
+        WITH vids AS (SELECT doc_id, doc_id % 6 + 4 AS n FROM documents
+                      WHERE doc_id % 4 = 0),
+        samples AS (SELECT doc_id, n, j.g AS sample_idx, (j.g * n) // 3 AS fi
+                    FROM vids, generate_series(0, 2) j(g)),
+        px AS (SELECT doc_id, sample_idx, fi, n,
+                 (41 + fi * 31 + bx.g * 13 + by.g * 29 + (doc_id % 25) * 5) % 256 AS v
+               FROM samples, generate_series(0, 1) bx(g), generate_series(0, 1) by(g))
+        SELECT doc_id, CAST(sample_idx AS BIGINT) AS sample_idx,
+               CAST(fi AS BIGINT) AS frame_idx, CAST(n AS BIGINT) AS n_frames,
+               CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+               CAST(SUM(v) * 64 AS BIGINT) AS sum_r,
+               CAST(SUM(v) * 64 AS BIGINT) AS sum_g,
+               CAST(SUM(v) * 64 AS BIGINT) AS sum_b,
+               CAST(MAX(v) AS BIGINT) AS max_luma
+        FROM px GROUP BY doc_id, sample_idx, fi, n
+        ORDER BY doc_id, sample_idx""")),
+
     // ----- the SAME raster statistics through the GIF path: palette-
     // bounded gradients (≤ 200 distinct colors — GIF is indexed) encoded as
     // complete GIFs with REAL LZW compression, decoded by the full

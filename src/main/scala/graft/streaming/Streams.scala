@@ -1095,7 +1095,9 @@ object Streams {
     val g0 = wh.readOrEmpty(graphTable, graphSchema)
     val lastStamp = g0.agg(coalesce(max(col("batch_id")), lit(Long.MinValue)))
       .collect()(0).getLong(0)
-    if (lastStamp < batchId) {
+    // an empty micro-batch contributes no vectors and no edges — skip the
+    // no-op merge and both table swaps; the sink marker alone commits it
+    if (lastStamp < batchId && !batch.isEmpty) {
       val hist = vecIdx.filter(col("batch_id") < batchId)
         .select(col(idCol), col(embCol))
       // materialize BOTH merge results BEFORE either table swap (the

@@ -834,6 +834,51 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("fMP4/MJPEG: fragment walk roundtrip across fragmentations; hostile bytes reject") {
+    // frame bytes differ per global index so a scheduling slip (wrong
+    // fragment, wrong data_offset, wrong intra-mdat offset) breaks byte
+    // equality; fragmentations cover 1 fragment, even splits, and a tail
+    for (split <- Seq(Seq(7), Seq(3, 4), Seq(2, 2, 2, 1))) {
+      val all = (0 until split.sum).map { i =>
+        MediaCodecs.encodeJpegGray(16, 8, Array.fill[Byte](128)((i * 13 + 5).toByte), quant = 8)
+      }
+      val frags = split.foldLeft((Seq.empty[Seq[Array[Byte]]], all.toSeq)) {
+        case ((acc, rest), c) => (acc :+ rest.take(c), rest.drop(c))
+      }._1
+      val mp4 = MediaCodecs.encodeMp4FragMjpeg(16, 8, 1000, 40, frags)
+      val s = MediaCodecs.parseMp4FragSamples(mp4)
+        .getOrElse(fail(s"split=$split did not parse"))
+      assert((s.width, s.height, s.timescale, s.sampleDelta) == (16, 8, 1000, 40))
+      assert(s.frames.length == all.length)
+      s.frames.zip(all).foreach { case (got, want) => assert(got.sameElements(want)) }
+      s.frames.foreach(fr => assert(MediaCodecs.parseJpegPixels(fr).isDefined))
+      // the unfragmented walk must NOT parse a fragmented file (empty
+      // sample tables), and vice versa
+      assert(MediaCodecs.parseMp4Samples(mp4).isEmpty)
+    }
+    val plain = MediaCodecs.encodeMp4Mjpeg(16, 8, 1000, 40,
+      Seq(MediaCodecs.encodeJpegGray(16, 8, new Array[Byte](128), quant = 8)))
+    assert(MediaCodecs.parseMp4FragSamples(plain).isEmpty)
+    // hostile: junk, truncations, and single-byte fuzz never throw
+    val good = MediaCodecs.encodeMp4FragMjpeg(16, 8, 1000, 40, Seq(
+      (0 until 3).map(i => MediaCodecs.encodeJpegGray(16, 8,
+        Array.fill[Byte](128)(i.toByte), quant = 8))))
+    assert(MediaCodecs.parseMp4FragSamples(
+      Array.tabulate[Byte](64)(i => (i * 7).toByte)).isEmpty)
+    (0 until good.length by 5).foreach(n =>
+      MediaCodecs.parseMp4FragSamples(good.take(n)))
+    (0 until good.length).foreach { i =>
+      val c = good.clone; c(i) = (c(i) ^ 0x5a).toByte
+      MediaCodecs.parseMp4FragSamples(c)
+    }
+    // a trun sample-count bomb rejects before allocating
+    def tag4(bb: Array[Byte], i: Int) = new String(bb, i, 4, "US-ASCII")
+    val trunAt = (0 until good.length - 4).find(i => tag4(good, i) == "trun").get
+    val bomb = good.clone
+    bomb(trunAt + 8) = 0x7f.toByte
+    assert(MediaCodecs.parseMp4FragSamples(bomb).isEmpty)
+  }
+
   test("garbage, truncation, and BM-prefixed text do not parse") {
     assert(MediaCodecs.parseMeta(Array.empty[Byte]).isEmpty)
     assert(MediaCodecs.parseMeta("plain text payload".getBytes("UTF-8")).isEmpty)

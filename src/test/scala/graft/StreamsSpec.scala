@@ -912,6 +912,15 @@ class StreamsSpec extends AnyFunSuite {
     // a pure replay (marker present) is a no-op
     assert(!Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
       out, 2L, "vec_id", "embedding", degree = 2))
+    // an EMPTY micro-batch commits via the sink marker alone: no merge,
+    // no table swaps (the graph keeps its batch-2 stamp)
+    assert(Streams.knnGraphGateBatch(
+      spark.emptyDataset[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      wh, cents, "kg_graph", "kg_vecs", out, 3L, "vec_id", "embedding",
+      degree = 2))
+    assert(edges(wh.read("kg_graph")) == edges(rebuild))
+    assert(wh.read("kg_graph").agg(org.apache.spark.sql.functions.max("batch_id"))
+      .collect()(0).getLong(0) == 2L)
     // the vectors table holds each id once, owned by its first batch
     val vecs = wh.read("kg_vecs")
     assert(vecs.groupBy("vec_id").count().filter($"count" > 1).count() == 0L)
