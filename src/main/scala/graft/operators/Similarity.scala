@@ -1019,8 +1019,41 @@ object Similarity {
     */
   def graphTopK(queries: DataFrame, candidates: DataFrame, graph: DataFrame,
                 entryK: Int, beam: Int, hops: Int, k: Int): DataFrame = {
-    require(entryK >= 1 && beam >= 1 && hops >= 0 && k >= 1,
-      s"bad entryK=$entryK beam=$beam hops=$hops k=$k")
+    require(entryK >= 1, s"entryK must be >= 1: $entryK")
+    graphTopKFrom(queries, candidates, graph,
+      c => c.select(col("c_id")).orderBy(col("c_id")).limit(entryK),
+      beam, hops, k)
+  }
+
+  /** [[graphTopK]] with a COARSE ENTRY LAYER instead of the lowest-id
+    * entry convention — the HNSW-upper-layer / IVF-entry serving shape:
+    * a deterministic 1-in-`sampleMod` sample of the candidates (by id
+    * residue) is scored exactly against every query, and the beam starts
+    * from each query's best layer members rather than a fixed arbitrary
+    * entry set. Entry quality then depends on the query, not on what the
+    * lowest ids happen to embed, which is what lifts beam-search recall
+    * on clustered corpora.
+    *
+    * Scale: the layer plays the IVF-centroid role — pick `sampleMod` so
+    * N/sampleMod is index-node-sized (the layer's IDS broadcast; its
+    * vectors join in by id like any candidate). Scoring the layer is
+    * |queries| × N/sampleMod exact cosines — the same bill IVF pays for
+    * its coarse quantizer, amortized across the batch.
+    */
+  def graphTopKLayered(queries: DataFrame, candidates: DataFrame,
+                       graph: DataFrame, sampleMod: Long, beam: Int,
+                       hops: Int, k: Int): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1: $sampleMod")
+    graphTopKFrom(queries, candidates, graph,
+      c => c.select(col("c_id")).filter(pmod(col("c_id"), lit(sampleMod)) === 0),
+      beam, hops, k)
+  }
+
+  private def graphTopKFrom(queries: DataFrame, candidates: DataFrame,
+                            graph: DataFrame,
+                            entrySet: DataFrame => DataFrame,
+                            beam: Int, hops: Int, k: Int): DataFrame = {
+    require(beam >= 1 && hops >= 0 && k >= 1, s"bad beam=$beam hops=$hops k=$k")
     import graft.functions.VectorFns
     val c = candidates.select(col("c_id"),
         VectorFns.quantize(col("ce")).as("__u"))
@@ -1052,7 +1085,7 @@ object Similarity {
       graph.select(col("node"), col("nbr")).localCheckpoint(true))
     val beamKey = graft.CkptCycle.callSiteKey("graphTopK_beam",
       "graft.operators.Similarity")
-    val entries = c.select(col("c_id")).orderBy(col("c_id")).limit(entryK)
+    val entries = entrySet(c)
     var beamDf = graft.CkptCycle.cycle(beamKey, graft.plans.TopKPerGroup.topK(
         score(q.select(col("q_id")).crossJoin(broadcast(entries))),
         Seq("q_id"), Seq(("similarity", true), ("c_id", false)), beam)

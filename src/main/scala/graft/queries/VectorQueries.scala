@@ -1011,6 +1011,37 @@ object VectorQueries {
         FROM gx LEFT JOIN gap ON q_id = a_q AND c_id = a_c
         GROUP BY q_id ORDER BY q_id""")),
 
+    // ----- graph ANN with a COARSE ENTRY LAYER (the HNSW-upper-layer /
+    // IVF-entry serving shape): instead of the lowest-id entry convention,
+    // each query's beam starts from its best members of a deterministic
+    // 1-in-4 id-residue sample of the corpus, scored exactly — entry
+    // quality then depends on the query, not on what the lowest ids happen
+    // to embed. The layer plays the IVF-centroid role at scale (pick the
+    // modulus so N/mod is index-node-sized). Shares the graph CTE chain
+    // with the other rows (only the entry CTE differs), so the families
+    // cannot drift.
+    Q("q_ann_graph_layered",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qq = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val g = graft.Fixtures.read(s, dir, "knn_graph") {
+          graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
+            k = 4, passes = 2, degree = 6)
+        }
+        graft.operators.Similarity.graphTopKLayered(qq, cc, g,
+            sampleMod = 4L, beam = 8, hops = 2, k = 5)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH ${graphCtes(degree = 6, entryK = 4, beam = 8, hops = 2, entryMod = 4L)}
+        SELECT q_id, c_id, CAST(rk AS BIGINT) AS rnk
+        FROM (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                ORDER BY sim DESC, c_id) AS rk FROM b2) f
+        WHERE rk <= 5 ORDER BY q_id, rnk""")),
+
     // ----- SERVE-shaped graph ANN (the r16 gate treatment applied to the
     // graph family): q_ann_graph_topk prices build+serve in one query —
     // the 2–3 s it pays is ~all graph construction. Production serves a
@@ -1804,7 +1835,8 @@ object VectorQueries {
     * rescored, top-`beam` per query by (sim DESC, c_id)). Exposes `gn`
     * (vectors + norms) and `b$$hops` (the final beam) to the outer query.
     */
-  private def graphCtes(degree: Int, entryK: Int, beam: Int, hops: Int): String = {
+  private def graphCtes(degree: Int, entryK: Int, beam: Int, hops: Int,
+                        entryMod: Long = 0L): String = {
     val cos = (a: String, b: String) =>
       s"round(${VectorFns.dotSql(s"$a.embedding", s"$b.embedding")} / ($a.norm * $b.norm), 6)"
     val topBeam = (src: String, out: String) => s"""
@@ -1837,7 +1869,9 @@ object VectorQueries {
         graph AS (SELECT node, nbr FROM (
                     SELECT node, nbr, row_number() OVER (PARTITION BY node
                       ORDER BY sim DESC, nbr) AS rn FROM gp) g WHERE rn <= $degree),
-        ent AS (SELECT vec_id AS c_id FROM gn ORDER BY vec_id LIMIT $entryK),
+        ent AS (${
+          if (entryMod > 0) s"SELECT vec_id AS c_id FROM gn WHERE vec_id % $entryMod = 0"
+          else s"SELECT vec_id AS c_id FROM gn ORDER BY vec_id LIMIT $entryK"}),
         s0 AS (SELECT qe.vec_id AS q_id, ent.c_id, ${cos("qe", "ce")} AS sim
                FROM gn qe, ent JOIN gn ce ON ce.vec_id = ent.c_id
                WHERE qe.vec_id < 5 AND qe.vec_id <> ent.c_id),${topBeam("s0", "b0")},$hopCtes"""

@@ -1189,6 +1189,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top1(0) == 1L, "hops=0 must answer from the entry set")
     assert(top1(2) == 3L, "two hops reach exactly two edges from the entry")
     assert(top1(4) == 5L, "four hops reach the true nearest neighbor")
+    // the coarse entry layer (id % 5 == 0 -> {5}) starts the beam at the
+    // query's best LAYER member, so the true neighbor is reached with ZERO
+    // hops where the lowest-id entry needed four — the HNSW-upper-layer
+    // serving benefit the layered variant exists for
+    val layered0 = graft.operators.Similarity.graphTopKLayered(q, cand, g,
+        sampleMod = 5L, beam = 2, hops = 0, k = 1)
+      .collect().head.getLong(1)
+    assert(layered0 == 5L, "layer entry must answer the nearest directly")
   }
 
   test("graph ANN: incremental merge equals the full rebuild under frozen centroids") {
