@@ -1073,21 +1073,38 @@ object Similarity {
         .withColumn("similarity",
           round(VectorFns.dotQDouble(col("__qu"), col("__u")) / (col("__qn") * col("__n")), 6))
         .select(col("q_id"), col("c_id"), col("similarity"))
-    // Iterative-loop checkpoint discipline (the PageRank/BFS rule): a lazy
-    // unrolled beam re-derives the ENTIRE upstream subtree — graph build
-    // included — inside every hop (PlanLint measured 28 parquet scans at
-    // hops=2). The graph materializes once (production passes a read of
-    // the persisted index — a ~free checkpoint), and each hop's beam is a
-    // |queries|·beam frame pinned before the next hop consumes it twice
-    // (neighbor join + union).
+    val beamDf = beamSearch(q.select(col("q_id")), graph, entrySet(c),
+      score, beam, hops)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("similarity").desc, col("c_id"))
+    beamDf
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
+  }
+
+  /** The shared fixed-hop beam loop: seed every query with the entry set,
+    * then per hop join the beam's graph neighbors in, score, and keep the
+    * best `beam` per query on the bounded heap.
+    *
+    * Iterative-loop checkpoint discipline (the PageRank/BFS rule): a lazy
+    * unrolled beam re-derives the ENTIRE upstream subtree — graph build
+    * included — inside every hop (PlanLint measured 28 parquet scans at
+    * hops=2). The graph materializes once (production passes a read of
+    * the persisted index — a ~free checkpoint), and each hop's beam is a
+    * |queries|·beam frame pinned before the next hop consumes it twice
+    * (neighbor join + union).
+    */
+  private def beamSearch(qKeys: DataFrame, graph: DataFrame, entries: DataFrame,
+                         score: DataFrame => DataFrame,
+                         beam: Int, hops: Int): DataFrame = {
     val g = graft.CkptCycle.cycle(
       graft.CkptCycle.callSiteKey("graphTopK_graph", "graft.operators.Similarity"),
       graph.select(col("node"), col("nbr")).localCheckpoint(true))
     val beamKey = graft.CkptCycle.callSiteKey("graphTopK_beam",
       "graft.operators.Similarity")
-    val entries = entrySet(c)
     var beamDf = graft.CkptCycle.cycle(beamKey, graft.plans.TopKPerGroup.topK(
-        score(q.select(col("q_id")).crossJoin(broadcast(entries))),
+        score(qKeys.crossJoin(broadcast(entries))),
         Seq("q_id"), Seq(("similarity", true), ("c_id", false)), beam)
       .localCheckpoint(true))
     var h = 0
@@ -1103,9 +1120,65 @@ object Similarity {
           .localCheckpoint(true))
       h += 1
     }
+    beamDf
+  }
+
+  /** DiskANN-style graph serving: the beam walks the graph scored by
+    * PRODUCT-QUANTIZED approximate inner products (integer ADC lookups
+    * against the unit-long codebooks — exact arithmetic, so every beam
+    * decision replays in SQL), and only the FINAL beam pays an exact
+    * cosine re-rank against true embeddings. This is the memory layout
+    * the DiskANN/SPANN family serves from: the walk touches codes
+    * (bytes per vector) and the graph's edge table; full vectors are
+    * fetched once per query for the last `beam` candidates.
+    *
+    * Scale: per hop the frontier is |queries|·beam·degree CODE rows; true
+    * embeddings join in on ~|queries|·beam surviving ids at the end. The
+    * approximate scores order the walk, the exact re-rank orders the
+    * answer — recall vs the exact-scored walk is measured per corpus via
+    * the recall rows, like every approximate family here.
+    */
+  def graphTopKPQ(queries: DataFrame, candidates: DataFrame, graph: DataFrame,
+                  books: Array[Array[Array[Long]]], entryK: Int, beam: Int,
+                  hops: Int, k: Int): DataFrame = {
+    require(entryK >= 1 && beam >= 1 && hops >= 0 && k >= 1,
+      s"bad entryK=$entryK beam=$beam hops=$hops k=$k")
+    import graft.functions.VectorFns
+    val m = books.length
+    val kCent = books(0).length
+    val sub = books(0)(0).length
+    // PQ-coded candidate table, checkpointed once (every hop probes it);
+    // production reads the persisted (c_id, codes) index instead
+    val cIdx = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("graphTopKPQ_codes", "graft.operators.Similarity"),
+      candidates.select(col("c_id"),
+          pqEncodeUnits(VectorFns.quantize(col("ce")), books).as("codes"))
+        .localCheckpoint(true))
+    val lutCol = concat((0 until m).map { j =>
+      kernelCol(graft.plans.CellDotsQ(
+        kernelExpr(slice(VectorFns.quantize(col("qe")), j * sub + 1, sub)),
+        books(j).toIndexedSeq.map(_.toIndexedSeq)))
+    }: _*)
+    val q = queries.select(col("q_id"), col("qe")).withColumn("lut", lutCol)
+      .select(col("q_id"), col("lut"))
+    val adcTerms = (0 until m).map(j =>
+      element_at(col("lut"),
+        (col("codes").getItem(j) + lit(j.toLong * kCent) + 1L).cast(IntegerType)))
+    def score(cand: DataFrame): DataFrame =
+      cand.filter(col("q_id") =!= col("c_id"))
+        .join(cIdx, "c_id").join(broadcast(q), "q_id")
+        .withColumn("similarity", adcTerms.reduce(_ + _))
+        .select(col("q_id"), col("c_id"), col("similarity"))
+    val entries = cIdx.select(col("c_id")).orderBy(col("c_id")).limit(entryK)
+    val beamDf = beamSearch(queries.select(col("q_id")), graph, entries,
+      score, beam, hops)
+    // exact cosine re-rank of the final beam only — the DiskANN discipline
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("similarity").desc, col("c_id"))
-    beamDf
+    beamDf.select(col("q_id"), col("c_id"))
+      .join(withNorm(candidates, "ce", "cn"), Seq("c_id"))
+      .join(broadcast(withNorm(queries, "qe", "qn")), Seq("q_id"))
+      .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))

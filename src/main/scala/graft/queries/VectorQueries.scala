@@ -1011,6 +1011,47 @@ object VectorQueries {
         FROM gx LEFT JOIN gap ON q_id = a_q AND c_id = a_c
         GROUP BY q_id ORDER BY q_id""")),
 
+    // ----- DiskANN-shape graph serving: the beam walks the graph scored
+    // by PRODUCT-QUANTIZED approximate inner products (integer ADC
+    // lookups against the unit-long codebooks — every beam decision is
+    // exact arithmetic, so the SQL replays the walk bit-for-bit), and
+    // only the FINAL beam pays an exact cosine re-rank against true
+    // embeddings. The serving memory layout of the DiskANN/SPANN family:
+    // codes + edges in fast storage, full vectors fetched once per query
+    // for the last beam. Composes three oracled chains (frozen-cell graph
+    // build, the q_ann_pq_topk books replay, the beam unroll) in one gate.
+    Q("q_ann_graph_pq",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qq = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val g = graft.Fixtures.read(s, dir, "knn_graph") {
+          graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
+            k = 4, passes = 2, degree = 6)
+        }
+        val books = graft.operators.Similarity.pqTrainUnits(
+          cc.select(col("c_id"), col("ce").as("embedding")), "c_id", "embedding",
+          m = 8, kCent = 16, sampleSize = 256, iters = 2)
+        graft.operators.Similarity.graphTopKPQ(qq, cc, g, books,
+            entryK = 4, beam = 8, hops = 2, k = 5)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH ${graphPqCtes(degree = 6, entryK = 4, beam = 8, hops = 2)},
+        fin AS (SELECT b.q_id, b.c_id,
+                       ${VectorFns.dotSql("qq.embedding", "cc.embedding")}
+                         / (qq.norm * cc.norm) AS cos
+                FROM b2 b
+                JOIN gn qq ON qq.vec_id = b.q_id
+                JOIN gn cc ON cc.vec_id = b.c_id),
+        frk AS (SELECT q_id, c_id,
+                       CAST(row_number() OVER (PARTITION BY q_id
+                              ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
+                FROM fin)
+        SELECT q_id, c_id, rnk FROM frk WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
     // ----- graph ANN with a COARSE ENTRY LAYER (the HNSW-upper-layer /
     // IVF-entry serving shape): instead of the lowest-id entry convention,
     // each query's beam starts from its best members of a deterministic
@@ -1835,10 +1876,32 @@ object VectorQueries {
     * rescored, top-`beam` per query by (sim DESC, c_id)). Exposes `gn`
     * (vectors + norms) and `b$$hops` (the final beam) to the outer query.
     */
+  private def graphCos(a: String, b: String): String =
+    s"round(${VectorFns.dotSql(s"$a.embedding", s"$b.embedding")} / ($a.norm * $b.norm), 6)"
+
+  /** The graph-BUILD half shared by every graph-family oracle: the frozen
+    * Lloyd cells, vectors+norms (`gn`), the cell-bounded pair set and the
+    * degree-capped `graph`, plus the entry set `ent`.
+    */
+  private def graphBuildCtes(degree: Int, entryK: Int, entryMod: Long): String =
+    s"""${kmeansCtes()},
+        gn AS (SELECT vec_id, embedding,
+                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
+               FROM embeddings),
+        gp AS (SELECT a.vec_id AS node, b.vec_id AS nbr,
+                      ${graphCos("na", "nb")} AS sim
+               FROM a2 a JOIN a2 b ON a.j = b.j AND a.vec_id <> b.vec_id
+               JOIN gn na ON na.vec_id = a.vec_id
+               JOIN gn nb ON nb.vec_id = b.vec_id),
+        graph AS (SELECT node, nbr FROM (
+                    SELECT node, nbr, row_number() OVER (PARTITION BY node
+                      ORDER BY sim DESC, nbr) AS rn FROM gp) g WHERE rn <= $degree),
+        ent AS (${
+          if (entryMod > 0) s"SELECT vec_id AS c_id FROM gn WHERE vec_id % $entryMod = 0"
+          else s"SELECT vec_id AS c_id FROM gn ORDER BY vec_id LIMIT $entryK"})"""
+
   private def graphCtes(degree: Int, entryK: Int, beam: Int, hops: Int,
                         entryMod: Long = 0L): String = {
-    val cos = (a: String, b: String) =>
-      s"round(${VectorFns.dotSql(s"$a.embedding", s"$b.embedding")} / ($a.norm * $b.norm), 6)"
     val topBeam = (src: String, out: String) => s"""
         $out AS (SELECT q_id, c_id, sim FROM (
                    SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
@@ -1851,30 +1914,106 @@ object VectorQueries {
                      UNION ALL
                      SELECT b.q_id, g.nbr AS c_id
                      FROM $prev b JOIN graph g ON g.node = b.c_id)),
-        s$i AS (SELECT t.q_id, t.c_id, ${cos("qe", "ce")} AS sim
+        s$i AS (SELECT t.q_id, t.c_id, ${graphCos("qe", "ce")} AS sim
                 FROM cand$i t
                 JOIN gn qe ON qe.vec_id = t.q_id
                 JOIN gn ce ON ce.vec_id = t.c_id
                 WHERE t.q_id <> t.c_id),${topBeam(s"s$i", s"b$i")}"""
     }.mkString(",")
-    s"""${kmeansCtes()},
-        gn AS (SELECT vec_id, embedding,
-                      sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm
-               FROM embeddings),
-        gp AS (SELECT a.vec_id AS node, b.vec_id AS nbr,
-                      ${cos("na", "nb")} AS sim
-               FROM a2 a JOIN a2 b ON a.j = b.j AND a.vec_id <> b.vec_id
-               JOIN gn na ON na.vec_id = a.vec_id
-               JOIN gn nb ON nb.vec_id = b.vec_id),
-        graph AS (SELECT node, nbr FROM (
-                    SELECT node, nbr, row_number() OVER (PARTITION BY node
-                      ORDER BY sim DESC, nbr) AS rn FROM gp) g WHERE rn <= $degree),
-        ent AS (${
-          if (entryMod > 0) s"SELECT vec_id AS c_id FROM gn WHERE vec_id % $entryMod = 0"
-          else s"SELECT vec_id AS c_id FROM gn ORDER BY vec_id LIMIT $entryK"}),
-        s0 AS (SELECT qe.vec_id AS q_id, ent.c_id, ${cos("qe", "ce")} AS sim
+    s"""${graphBuildCtes(degree, entryK, entryMod)},
+        s0 AS (SELECT qe.vec_id AS q_id, ent.c_id, ${graphCos("qe", "ce")} AS sim
                FROM gn qe, ent JOIN gn ce ON ce.vec_id = ent.c_id
                WHERE qe.vec_id < 5 AND qe.vec_id <> ent.c_id),${topBeam("s0", "b0")},$hopCtes"""
+  }
+
+  /** PQ-books training + encode chain (the q_ann_pq_topk replay) with
+    * every CTE prefixed `pb` so it composes with kmeansCtes/graphBuildCtes
+    * in one WITH list: exposes `pbcodes` (vec_id, j, cent) and `pblut`
+    * (q_id, j, cent, dp) to the outer query.
+    */
+  private lazy val pqBooksCtes: String = s"""
+        pbqv AS (
+          SELECT vec_id, list_transform(embedding,
+                   e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
+          FROM embeddings),
+        pbsamp AS (SELECT vec_id, u, row_number() OVER (ORDER BY vec_id) AS rn
+                   FROM pbqv ORDER BY vec_id LIMIT 256),
+        pbsv AS (SELECT rn, d.g // 8 AS j, d.g % 8 AS sd, u[d.g + 1] AS v
+                 FROM pbsamp, generate_series(0, 63) d(g)),
+        pbc0 AS (SELECT j, rn - 1 AS cent, sd, v FROM pbsv WHERE rn <= 16),
+        pbd1 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+                 FROM pbsv s JOIN pbc0 c ON s.j = c.j AND s.sd = c.sd
+                 GROUP BY s.rn, s.j, c.cent),
+        pba1 AS (SELECT rn, j, cent FROM (
+                   SELECT rn, j, cent,
+                          row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
+                   FROM pbd1) t WHERE rk = 1),
+        pbu1 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
+                 FROM pbsv s JOIN pba1 a ON s.rn = a.rn AND s.j = a.j
+                 GROUP BY s.j, a.cent, s.sd),
+        pbc1 AS (SELECT c.j, c.cent, c.sd,
+                        COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                      ELSE -((-u.sm) // u.n) END, c.v) AS v
+                 FROM pbc0 c LEFT JOIN pbu1 u
+                   ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
+        pbd2 AS (SELECT s.rn, s.j, c.cent, SUM((s.v - c.v) * (s.v - c.v)) AS dist
+                 FROM pbsv s JOIN pbc1 c ON s.j = c.j AND s.sd = c.sd
+                 GROUP BY s.rn, s.j, c.cent),
+        pba2 AS (SELECT rn, j, cent FROM (
+                   SELECT rn, j, cent,
+                          row_number() OVER (PARTITION BY rn, j ORDER BY dist, cent) AS rk
+                   FROM pbd2) t WHERE rk = 1),
+        pbu2 AS (SELECT s.j, a.cent, s.sd, SUM(s.v) AS sm, COUNT(*) AS n
+                 FROM pbsv s JOIN pba2 a ON s.rn = a.rn AND s.j = a.j
+                 GROUP BY s.j, a.cent, s.sd),
+        pbc2 AS (SELECT c.j, c.cent, c.sd,
+                        COALESCE(CASE WHEN u.sm >= 0 THEN u.sm // u.n
+                                      ELSE -((-u.sm) // u.n) END, c.v) AS v
+                 FROM pbc1 c LEFT JOIN pbu2 u
+                   ON c.j = u.j AND c.cent = u.cent AND c.sd = u.sd),
+        pbev AS (SELECT vec_id, d.g // 8 AS j, d.g % 8 AS sd, u[d.g + 1] AS v
+                 FROM pbqv, generate_series(0, 63) d(g)),
+        pbed AS (SELECT e.vec_id, e.j, c.cent, SUM((e.v - c.v) * (e.v - c.v)) AS dist
+                 FROM pbev e JOIN pbc2 c ON e.j = c.j AND e.sd = c.sd
+                 GROUP BY e.vec_id, e.j, c.cent),
+        pbcodes AS (SELECT vec_id, j, cent FROM (
+                      SELECT vec_id, j, cent,
+                             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cent) AS rk
+                      FROM pbed) t WHERE rk = 1),
+        pblut AS (SELECT e.vec_id AS q_id, e.j, c.cent, SUM(e.v * c.v) AS dp
+                  FROM pbev e JOIN pbc2 c ON e.j = c.j AND e.sd = c.sd
+                  WHERE e.vec_id < 5
+                  GROUP BY e.vec_id, e.j, c.cent)"""
+
+  /** The DiskANN-shape oracle: graph build + PQ books, beam hops scored by
+    * the integer ADC dot (`pbcodes` × `pblut`), exact cosine re-rank of
+    * the final beam in the outer query (exposes `b$$hops` and `gn`).
+    */
+  private def graphPqCtes(degree: Int, entryK: Int, beam: Int, hops: Int): String = {
+    val topBeam = (src: String, out: String) => s"""
+        $out AS (SELECT q_id, c_id, sim FROM (
+                   SELECT q_id, c_id, sim, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, c_id) AS rn FROM $src) t WHERE rn <= $beam)"""
+    val adc = (cand: String, out: String) => s"""
+        $out AS (SELECT t.q_id, t.c_id, SUM(l.dp) AS sim
+                 FROM $cand t
+                 JOIN pbcodes co ON co.vec_id = t.c_id
+                 JOIN pblut l ON l.q_id = t.q_id AND co.j = l.j AND co.cent = l.cent
+                 WHERE t.q_id <> t.c_id
+                 GROUP BY t.q_id, t.c_id)"""
+    val hopCtes = (1 to hops).map { i =>
+      val prev = s"b${i - 1}"
+      s"""
+        cand$i AS (SELECT DISTINCT q_id, c_id FROM (
+                     SELECT q_id, c_id FROM $prev
+                     UNION ALL
+                     SELECT b.q_id, g.nbr AS c_id
+                     FROM $prev b JOIN graph g ON g.node = b.c_id)),${adc(s"cand$i", s"s$i")},${topBeam(s"s$i", s"b$i")}"""
+    }.mkString(",")
+    s"""${graphBuildCtes(degree, entryK, 0L)},
+        $pqBooksCtes,
+        cand0 AS (SELECT qe.vec_id AS q_id, ent.c_id
+                  FROM gn qe, ent WHERE qe.vec_id < 5),${adc("cand0", "s0")},${topBeam("s0", "b0")},$hopCtes"""
   }
 
   private def kmeansCtes(src: String = "embeddings"): String = s"""

@@ -1197,6 +1197,16 @@ class OperatorsSpec extends AnyFunSuite {
         sampleMod = 5L, beam = 2, hops = 0, k = 1)
       .collect().head.getLong(1)
     assert(layered0 == 5L, "layer entry must answer the nearest directly")
+    // the PQ-scored walk (DiskANN shape) must still reach the true
+    // neighbor over four hops: the approximate ADC ordering drives the
+    // walk, the exact re-rank orders the answer
+    val books = graft.operators.Similarity.pqTrainUnits(
+      cand.select(col("c_id"), col("ce").as("embedding")), "c_id", "embedding",
+      m = 2, kCent = 4, sampleSize = 5, iters = 2)
+    val pq4 = graft.operators.Similarity.graphTopKPQ(q, cand, g, books,
+        entryK = 1, beam = 2, hops = 4, k = 1)
+      .collect().head.getLong(1)
+    assert(pq4 == 5L, "PQ-scored beam must reach the true nearest neighbor")
   }
 
   test("graph ANN: incremental merge equals the full rebuild under frozen centroids") {
