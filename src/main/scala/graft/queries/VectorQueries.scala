@@ -1011,6 +1011,76 @@ object VectorQueries {
         FROM gx LEFT JOIN gap ON q_id = a_q AND c_id = a_c
         GROUP BY q_id ORDER BY q_id""")),
 
+    // ----- MATRYOSHKA truncation evaluation: recall@5 of retrieval over
+    // the FIRST 16 of 64 dimensions against full-dimension exact cosine —
+    // the acceptance measurement behind MRL-style embedding serving
+    // (store/scan the prefix, keep the tail for re-rank; 4× less index
+    // memory and bandwidth IF the prefix ranks well enough). One scored
+    // pair stream serves both legs (the q_ann_recall idiom); everything is
+    // quantized-integer exact, so the recall numbers are oracle-gated.
+    Q("q_ann_matryoshka_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .withColumn("qv", VectorFns.quantize(col("embedding")))
+          .withColumn("tv", slice(col("qv"), 1, 16))
+          .withColumn("norm", sqrt(VectorFns.dotQDouble(col("qv"), col("qv"))))
+          .withColumn("tnorm", sqrt(VectorFns.dotQDouble(col("tv"), col("tv"))))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("qv").as("qe"), col("norm").as("qn"),
+            col("tv").as("qte"), col("tnorm").as("qtn"))
+        val c = e.select(col("vec_id").as("c_id"), col("qv").as("ce"),
+          col("norm").as("cn"), col("tv").as("cte"), col("tnorm").as("ctn"))
+        val scored = c.crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos",
+            VectorFns.dotQDouble(col("qe"), col("ce")) / (col("qn") * col("cn")))
+          .withColumn("tcos",
+            VectorFns.dotQDouble(col("qte"), col("cte")) / (col("qtn") * col("ctn")))
+        val wf = Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        val wt = Window.partitionBy(col("q_id"))
+          .orderBy(round(col("tcos"), 9).desc, col("c_id"))
+        val exact = scored.withColumn("rank", row_number().over(wf))
+          .filter(col("rank") <= 5).select(col("q_id"), col("c_id"))
+        val trunc = scored.withColumn("rank", row_number().over(wt))
+          .filter(col("rank") <= 5)
+          .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
+        exact.join(trunc,
+            exact("q_id") === trunc("a_q") && exact("c_id") === trunc("a_c"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("a_c")).as("n_hits"),
+               expr("count(a_c) * 1000000L DIV 5").as("recall_ppm"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding, embedding[1:16] AS te,
+                          sqrt(${VectorFns.dotSql("embedding", "embedding")}) AS norm,
+                          sqrt(${VectorFns.dotSql("te0.te", "te0.te")}) AS tnorm
+                   FROM (SELECT vec_id, embedding, embedding[1:16] AS te
+                         FROM embeddings) te0),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, te AS qte, norm AS qn,
+                     tnorm AS qtn
+              FROM e WHERE vec_id < 5),
+        c AS (SELECT vec_id AS c_id, embedding AS ce, te AS cte, norm AS cn,
+                     tnorm AS ctn FROM e),
+        p AS (SELECT q_id, c_id,
+                     ${VectorFns.dotSql("qe", "ce")} / (qn * cn) AS cos,
+                     ${VectorFns.dotSql("qte", "cte")} / (qtn * ctn) AS tcos
+              FROM q, c WHERE q_id <> c_id),
+        mex AS (SELECT q_id, c_id FROM (
+                  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(cos, 9) DESC, c_id) AS rk
+                  FROM p) t WHERE rk <= 5),
+        mtr AS (SELECT q_id AS a_q, c_id AS a_c FROM (
+                  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(tcos, 9) DESC, c_id) AS rk
+                  FROM p) t WHERE rk <= 5)
+        SELECT q_id, CAST(COUNT(a_c) AS BIGINT) AS n_hits,
+               CAST(COUNT(a_c) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM mex LEFT JOIN mtr ON q_id = a_q AND c_id = a_c
+        GROUP BY q_id ORDER BY q_id""")),
+
     // ----- DiskANN-shape graph serving: the beam walks the graph scored
     // by PRODUCT-QUANTIZED approximate inner products (integer ADC
     // lookups against the unit-long codebooks — every beam decision is
