@@ -2051,14 +2051,35 @@ object MediaCodecs {
       cbP: Array[Byte], crP: Array[Byte], quant: Int = 1): Array[Byte] =
     encodeJpegPlanesProgressive(w, h, Array(yP, cbP, crP), quant)
 
+  /** Three-component 4:2:0 PROGRESSIVE JPEG — luma at 2×2 sampling, chroma
+    * at half resolution both axes: the interleaved DC scans cover the
+    * padded MCU grid (each MCU = 4 luma + 1 Cb + 1 Cr blocks) while the
+    * per-component AC scans cover only each component's UNPADDED block
+    * grid, exactly the asymmetry T.81 mandates and every subsampled
+    * progressive crawl JPEG exhibits. Same completed-refinement equality
+    * contract against [[encodeJpegYcbcr420]] on the visible raster.
+    */
+  def encodeJpegYcbcr420Progressive(w: Int, h: Int, yP: Array[Byte],
+      cbHalf: Array[Byte], crHalf: Array[Byte], quant: Int = 1): Array[Byte] =
+    encodeJpegPlanesProgressive(w, h, Array(yP, cbHalf, crHalf), quant,
+      Array((2, 2), (1, 1), (1, 1)))
+
   private def encodeJpegPlanesProgressive(w: Int, h: Int,
-      planes: Array[Array[Byte]], quant: Int): Array[Byte] = {
+      planes: Array[Array[Byte]], quant: Int,
+      sampling: Array[(Int, Int)] = null): Array[Byte] = {
     require(w >= 1 && w <= 0xffff && h >= 1 && h <= 0xffff, s"dims u16: ${w}x$h")
     require(quant >= 1 && quant <= 255, s"flat quant in [1,255]: $quant")
     require(planes.length == 1 || planes.length == 3, "1 or 3 components")
-    planes.indices.foreach(c =>
-      require(planes(c).length == w * h, s"component $c plane must be ${w}x$h"))
     val nc = planes.length
+    val samp = if (sampling == null) Array.fill(nc)((1, 1)) else sampling
+    require(samp.length == nc, "sampling per component")
+    val hmax = samp.map(_._1).max
+    val vmax = samp.map(_._2).max
+    val compW = samp.map { case (hi, _) => (w * hi + hmax - 1) / hmax }
+    val compH = samp.map { case (_, vi) => (h * vi + vmax - 1) / vmax }
+    planes.indices.foreach(c =>
+      require(planes(c).length == compW(c) * compH(c),
+        s"component $c plane must be ${compW(c)}x${compH(c)}"))
     val out = new ByteArrayOut(w * h * nc + 1024)
     def u16be(v: Int): Unit = { out.u8((v >> 8) & 0xff); out.u8(v & 0xff) }
     def marker(m: Int): Unit = { out.u8(0xff); out.u8(m) }
@@ -2069,7 +2090,10 @@ object MediaCodecs {
     marker(0xc2); u16be(8 + 3 * nc); out.u8(8) // SOF2
     u16be(h); u16be(w); out.u8(nc)
     var ci0 = 0
-    while (ci0 < nc) { out.u8(ci0 + 1); out.u8(0x11); out.u8(0); ci0 += 1 }
+    while (ci0 < nc) {
+      out.u8(ci0 + 1); out.u8((samp(ci0)._1 << 4) | samp(ci0)._2); out.u8(0)
+      ci0 += 1
+    }
     def dht(tcth: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16be(2 + 1 + 16 + vals.length); out.u8(tcth)
       bits.foreach(out.u8); vals.foreach(out.u8)
@@ -2086,32 +2110,36 @@ object MediaCodecs {
     dht(0x11, progAcBits, progAcVals) // AC table slot 1
     val dc = new JHuff(StdDcBits, StdDcVals)
     val ac = new JHuff(progAcBits, progAcVals)
-    // quantized zigzag coefficients of every block of every component,
-    // computed once
-    val bW = (w + 7) / 8; val bH = (h + 7) / 8
+    // quantized zigzag coefficients of every block of every component on
+    // the PADDED MCU grid (interleaved DC scans cover padding blocks —
+    // the baseline encoder's geometry), computed once
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val bprC = samp.map(_._1 * mcusX) // padded blocks per row, per comp
+    val brwC = samp.map(_._2 * mcusY)
     val qt = Array.fill(64)(quant)
     val px = new Array[Int](64)
     val coef = new Array[Int](64)
-    val blocks = Array.ofDim[Int](nc, bW * bH, 64)
+    val blocks = Array.tabulate(nc)(c => Array.ofDim[Int](bprC(c) * brwC(c), 64))
     var ci = 0
     while (ci < nc) {
       var by = 0
-      while (by < bH) {
+      while (by < brwC(ci)) {
         var bx = 0
-        while (bx < bW) {
+        while (bx < bprC(ci)) {
           var yy = 0
           while (yy < 8) {
             var xx = 0
             while (xx < 8) {
-              val sx = math.min(bx * 8 + xx, w - 1)
-              val sy = math.min(by * 8 + yy, h - 1)
-              px(yy * 8 + xx) = planes(ci)(sy * w + sx) & 0xff
+              val sx = math.min(bx * 8 + xx, compW(ci) - 1)
+              val sy = math.min(by * 8 + yy, compH(ci) - 1)
+              px(yy * 8 + xx) = planes(ci)(sy * compW(ci) + sx) & 0xff
               xx += 1
             }
             yy += 1
           }
           jFdctQuant(px, qt, coef)
-          val zz = blocks(ci)(by * bW + bx)
+          val zz = blocks(ci)(by * bprC(ci) + bx)
           var i = 0
           while (i < 64) { zz(i) = coef(JpegZigzag(i)); i += 1 }
           bx += 1
@@ -2130,27 +2158,49 @@ object MediaCodecs {
       }
       out.u8(ssV); out.u8(seV); out.u8((ahV << 4) | alV)
     }
+    // the interleaved MCU walk shared by both DC scans: per MCU, each
+    // component contributes its h×v blocks from the padded grid
+    def dcWalk(perBlock: (Int, Array[Int]) => Unit): Unit = {
+      var mcu = 0
+      while (mcu < mcusX * mcusY) {
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var c = 0
+        while (c < nc) {
+          val (hi, vi) = samp(c)
+          var blk = 0
+          while (blk < hi * vi) {
+            val bx = mx * hi + blk % hi
+            val by = my * vi + blk / hi
+            perBlock(c, blocks(c)(by * bprC(c) + bx))
+            blk += 1
+          }
+          c += 1
+        }
+        mcu += 1
+      }
+    }
     // --- scan 1: DC first, Al = 1, interleaved ---
     sos(0 until nc, 0, 0, 0, 1)
     locally {
       val wtr = new JBitWriter(out)
       val pred = new Array[Int](nc)
-      var bi = 0
-      while (bi < bW * bH) {
-        var c = 0
-        while (c < nc) {
-          val v = blocks(c)(bi)(0) >> 1 // arithmetic point transform (G.1.2.1)
-          val diff = v - pred(c); pred(c) = v
-          val t = jCat(diff)
-          dc.write(wtr, t)
-          if (t > 0) wtr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
-          c += 1
-        }
-        bi += 1
+      dcWalk { (c, zz) =>
+        val v = zz(0) >> 1 // arithmetic point transform (G.1.2.1)
+        val diff = v - pred(c); pred(c) = v
+        val t = jCat(diff)
+        dc.write(wtr, t)
+        if (t > 0) wtr.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
       }
       wtr.flush()
     }
     // --- AC scans ---
+    // non-interleaved scans cover the component's UNPADDED block grid only
+    // (ceil(compW/8) x ceil(compH/8)), in row order within the padded store
+    def acBlocks(c: Int): IndexedSeq[Array[Int]] = {
+      val bWc = (compW(c) + 7) / 8; val bHc = (compH(c) + 7) / 8
+      for (by <- 0 until bHc; bx <- 0 until bWc)
+        yield blocks(c)(by * bprC(c) + bx)
+    }
     def acFirst(c: Int, ssV: Int, seV: Int, alV: Int): Unit = {
       sos(Seq(c), ssV, seV, 0, alV)
       val wtr = new JBitWriter(out)
@@ -2162,7 +2212,7 @@ object MediaCodecs {
         if (nbits > 0) wtr.put(eobrun & ((1 << nbits) - 1), nbits)
         eobrun = 0
       }
-      blocks(c).foreach { zz =>
+      acBlocks(c).foreach { zz =>
         var r = 0
         var k = ssV
         while (k <= seV) {
@@ -2202,7 +2252,7 @@ object MediaCodecs {
         eobrun = 0
       }
       val abs = new Array[Int](64)
-      blocks(c).foreach { zz =>
+      acBlocks(c).foreach { zz =>
         var eobIdx = 0
         var k = ssV
         while (k <= seV) {
@@ -2250,12 +2300,7 @@ object MediaCodecs {
     sos(0 until nc, 0, 0, 1, 0)
     locally {
       val wtr = new JBitWriter(out)
-      var bi = 0
-      while (bi < bW * bH) {
-        var c = 0
-        while (c < nc) { wtr.put(blocks(c)(bi)(0) & 1, 1); c += 1 }
-        bi += 1
-      }
+      dcWalk((_, zz) => wtr.put(zz(0) & 1, 1))
       wtr.flush()
     }
     marker(0xd9) // EOI

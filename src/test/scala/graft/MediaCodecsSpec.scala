@@ -697,6 +697,25 @@ class MediaCodecsSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG progressive 4:2:0: subsampled scans decode identically to baseline") {
+    // the asymmetry under test: interleaved DC scans cover the PADDED MCU
+    // grid (4 luma + 1 Cb + 1 Cr blocks per MCU) while per-component AC
+    // scans cover only each component's UNPADDED block grid — odd dims
+    // force partial edge blocks AND luma/chroma grids that disagree
+    for ((w, h, quant) <- Seq((16, 16, 8), (22, 18, 4), (17, 9, 2))) {
+      val cw = (w + 1) / 2; val ch = (h + 1) / 2
+      val yP = Array.tabulate[Byte](w * h)(i => ((i % w) * 5 + (i / w) * 11).toByte)
+      val cb = Array.tabulate[Byte](cw * ch)(i => (128 + (i % cw) * 3 - (i / cw) * 7).toByte)
+      val cr = Array.tabulate[Byte](cw * ch)(i => (128 + ((i % cw) * (i / cw)) % 53).toByte)
+      val base = MediaCodecs.encodeJpegYcbcr420(w, h, yP, cb, cr, quant)
+      val prog = MediaCodecs.encodeJpegYcbcr420Progressive(w, h, yP, cb, cr, quant)
+      val Some((bw, bh, bRgb)) = MediaCodecs.parseJpegPixels(base)
+      val Some((pw, ph, pRgb)) = MediaCodecs.parseJpegPixels(prog)
+      assert((bw, bh) == (w, h) && (pw, ph) == (w, h))
+      assert(pRgb.sameElements(bRgb), s"4:2:0 progressive != baseline at ${w}x$h q=$quant")
+    }
+  }
+
   test("AVI/MJPG: hand-checked RIFF header layout") {
     // spec-derived golden prefix, independent of the parser: RIFF size is
     // total-8 LE, form type 'AVI ', first list is hdrl whose first chunk
