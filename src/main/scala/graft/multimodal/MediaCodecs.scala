@@ -2712,10 +2712,11 @@ object MediaCodecs {
     * must resolve.
     */
   def encodeMp4FragMjpeg(width: Int, height: Int, timescale: Int,
-      sampleDelta: Int, fragments: Seq[Seq[Array[Byte]]]): Array[Byte] = {
+      sampleDelta: Int, fragments: Seq[Seq[Array[Byte]]],
+      samplesPerTrun: Int = Int.MaxValue): Array[Byte] = {
     require(width >= 1 && height >= 1 && timescale >= 1 && sampleDelta >= 1 &&
-      fragments.nonEmpty && fragments.forall(_.nonEmpty),
-      "need positive dims/timescale/delta and non-empty fragments")
+      fragments.nonEmpty && fragments.forall(_.nonEmpty) && samplesPerTrun >= 1,
+      "need positive dims/timescale/delta/trun-split and non-empty fragments")
     require(width <= 0xffff && height <= 0xffff,
       s"VisualSampleEntry dims are u16: $width x $height")
     def box(tpe: String, body: Array[Byte]): Array[Byte] = {
@@ -2786,24 +2787,34 @@ object MediaCodecs {
       // to the moof's first byte
       val tfhd = full("tfhd", 0x020000, be(1))
       val tfdt = full("tfdt", 0, be(fragments.take(fi).map(_.length).sum * sampleDelta))
-      // trun flags: data-offset (0x1) + sample-duration (0x100) +
-      // sample-size (0x200); data_offset patched after moof size is known
-      val trunBody = be(frames.length, 0) ++
-        frames.toArray.flatMap(f => be(sampleDelta, f.length))
-      val trun = full("trun", 0x301, trunBody)
-      val traf = box("traf", tfhd ++ tfdt ++ trun)
+      // one trun per `samplesPerTrun` run (multi-GOP DASH segments carry
+      // several runs per traf); trun flags: data-offset (0x1) +
+      // sample-duration (0x100) + sample-size (0x200); each data_offset is
+      // patched after the moof size is known
+      val runs = frames.grouped(samplesPerTrun).toSeq
+      val truns = runs.map { r =>
+        full("trun", 0x301, be(r.length, 0) ++
+          r.toArray.flatMap(f => be(sampleDelta, f.length)))
+      }
+      val traf = box("traf", tfhd ++ tfdt ++ truns.toArray.flatten)
       val moof = box("moof", mfhd ++ traf)
-      // patch trun.data_offset = moof size + mdat header (first sample byte
-      // relative to moof start). trun body starts at: moof hdr(8) + mfhd +
-      // traf hdr(8) + tfhd + tfdt + trun hdr(8) + verflags(4) +
-      // sample_count(4) = offset of the data_offset field
-      val off = 8 + mfhd.length + 8 + tfhd.length + tfdt.length + 8 + 4 + 4
       val patched = moof.clone()
-      val dataOff = moof.length + 8
-      patched(off) = ((dataOff >> 24) & 0xff).toByte
-      patched(off + 1) = ((dataOff >> 16) & 0xff).toByte
-      patched(off + 2) = ((dataOff >> 8) & 0xff).toByte
-      patched(off + 3) = (dataOff & 0xff).toByte
+      def patch32(at: Int, v: Int): Unit = {
+        patched(at) = ((v >> 24) & 0xff).toByte
+        patched(at + 1) = ((v >> 16) & 0xff).toByte
+        patched(at + 2) = ((v >> 8) & 0xff).toByte
+        patched(at + 3) = (v & 0xff).toByte
+      }
+      // each trun's data_offset = moof size + mdat header + the bytes of
+      // every earlier run's samples; the field sits at trun box start +
+      // header(8) + verflags(4) + sample_count(4)
+      var trunAt = 8 + mfhd.length + 8 + tfhd.length + tfdt.length
+      var bytesBefore = 0
+      runs.zip(truns).foreach { case (r, tr) =>
+        patch32(trunAt + 8 + 4 + 4, moof.length + 8 + bytesBefore)
+        bytesBefore += r.map(_.length).sum
+        trunAt += tr.length
+      }
       outArr = outArr ++ patched ++ box("mdat", frames.toArray.flatten)
     }
     outArr
@@ -2866,40 +2877,53 @@ object MediaCodecs {
         // only the default-base-is-moof addressing mode is supported (the
         // DASH/CMAF profile); base-data-offset streams reject
         if ((tfhdFlags & 0x020000) == 0) return None
-        val (trS, trE) = mp4Child(b, buf, tfS, tfE, "trun").getOrElse(return None)
-        val trunFlags = buf.getInt(trS) & 0xffffff
-        if (trE - trS < 8) return None
-        val cnt = buf.getInt(trS + 4)
-        if (cnt <= 0 || nTotal + cnt > 100000) return None // frame bomb
-        if ((trunFlags & 0x001) == 0) return None // need data_offset
-        var p = trS + 8
-        val dataOff = buf.getInt(p); p += 4
-        if ((trunFlags & 0x004) != 0) p += 4 // first-sample-flags
-        val hasDur = (trunFlags & 0x100) != 0
-        val hasSize = (trunFlags & 0x200) != 0
-        if (!hasSize) return None // fixture profile: sizes ride the trun
-        val hasFlags = (trunFlags & 0x400) != 0
-        val hasCto = (trunFlags & 0x800) != 0
-        val perSample = (if (hasDur) 4 else 0) + 4 +
-          (if (hasFlags) 4 else 0) + (if (hasCto) 4 else 0)
-        if (trE - p < cnt.toLong * perSample) return None
-        var off = moofStart.toLong + dataOff
-        var s = 0
-        while (s < cnt) {
-          val dur = if (hasDur) buf.getInt(p) else trexDelta
-          if (hasDur) p += 4
-          val sz = buf.getInt(p); p += 4
-          if (hasFlags) p += 4
-          if (hasCto) p += 4
-          if (sz <= 0 || sz > (1 << 24)) return None
-          if (dur <= 0) return None
-          if (delta == 0) delta = dur
-          if (off < 0 || off + sz > b.length) return None
-          frames += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
-          off += sz
-          s += 1
+        // a traf may carry MULTIPLE trun boxes (one run per sub-segment —
+        // the shape multi-GOP DASH segments emit); walk them in order
+        var sawTrun = false
+        var tb = tfS
+        while (tb + 8 <= tfE) {
+          val bsz = buf.getInt(tb)
+          if (bsz < 8 || tb + bsz > tfE) return None
+          if (mp4Tag(b, tb + 4) == "trun") {
+            sawTrun = true
+            val trS = tb + 8; val trE = tb + bsz
+            val trunFlags = buf.getInt(trS) & 0xffffff
+            if (trE - trS < 8) return None
+            val cnt = buf.getInt(trS + 4)
+            if (cnt <= 0 || nTotal + cnt > 100000) return None // frame bomb
+            if ((trunFlags & 0x001) == 0) return None // need data_offset
+            var p = trS + 8
+            val dataOff = buf.getInt(p); p += 4
+            if ((trunFlags & 0x004) != 0) p += 4 // first-sample-flags
+            val hasDur = (trunFlags & 0x100) != 0
+            val hasSize = (trunFlags & 0x200) != 0
+            if (!hasSize) return None // fixture profile: sizes ride the trun
+            val hasFlags = (trunFlags & 0x400) != 0
+            val hasCto = (trunFlags & 0x800) != 0
+            val perSample = (if (hasDur) 4 else 0) + 4 +
+              (if (hasFlags) 4 else 0) + (if (hasCto) 4 else 0)
+            if (trE - p < cnt.toLong * perSample) return None
+            var off = moofStart.toLong + dataOff
+            var s = 0
+            while (s < cnt) {
+              val dur = if (hasDur) buf.getInt(p) else trexDelta
+              if (hasDur) p += 4
+              val sz = buf.getInt(p); p += 4
+              if (hasFlags) p += 4
+              if (hasCto) p += 4
+              if (sz <= 0 || sz > (1 << 24)) return None
+              if (dur <= 0) return None
+              if (delta == 0) delta = dur
+              if (off < 0 || off + sz > b.length) return None
+              frames += java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt)
+              off += sz
+              s += 1
+            }
+            nTotal += cnt
+          }
+          tb += bsz
         }
-        nTotal += cnt
+        if (!sawTrun) return None
       }
       i += size
     }

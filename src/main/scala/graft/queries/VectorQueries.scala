@@ -1122,6 +1122,75 @@ object VectorQueries {
                 FROM fin)
         SELECT q_id, c_id, rnk FROM frk WHERE rnk <= 5 ORDER BY q_id, rnk""")),
 
+    // ----- PQ-walk recall@5 vs exact brute force — the acceptance
+    // measurement for the MOST lossy graph variant (approximate ADC
+    // ordering can steer the beam off the true neighborhood before the
+    // exact re-rank ever sees it), following the convention that every
+    // approximate family carries its own oracle-gated recall row. Shares
+    // graphPqCtes with q_ann_graph_pq so the two oracles cannot drift.
+    Q("q_ann_graph_pq_recall",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qq = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val g = graft.Fixtures.read(s, dir, "knn_graph") {
+          graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
+            k = 4, passes = 2, degree = 6)
+        }
+        val books = graft.operators.Similarity.pqTrainUnits(
+          cc.select(col("c_id"), col("ce").as("embedding")), "c_id", "embedding",
+          m = 8, kCent = 16, sampleSize = 256, iters = 2)
+        val approx = graft.operators.Similarity.graphTopKPQ(qq, cc, g, books,
+            entryK = 4, beam = 8, hops = 2, k = 5)
+          .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
+        import graft.functions.VectorFns
+        val qq2 = qq.select(col("q_id"), VectorFns.quantize(col("qe")).as("qe2"))
+          .withColumn("qn", sqrt(VectorFns.dotQDouble(col("qe2"), col("qe2"))))
+        val cc2 = cc.select(col("c_id"), VectorFns.quantize(col("ce")).as("ce2"))
+          .withColumn("cn", sqrt(VectorFns.dotQDouble(col("ce2"), col("ce2"))))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        val exact = cc2.crossJoin(broadcast(qq2))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos",
+            VectorFns.dotQDouble(col("qe2"), col("ce2")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("c_id"))
+        exact.join(approx,
+            exact("q_id") === approx("a_q") && exact("c_id") === approx("a_c"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("a_c")).as("n_hits"),
+               expr("count(a_c) * 1000000L DIV 5").as("recall_ppm"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""
+        WITH ${graphPqCtes(degree = 6, entryK = 4, beam = 8, hops = 2)},
+        pfin AS (SELECT b.q_id, b.c_id,
+                        ${VectorFns.dotSql("qq.embedding", "cc.embedding")}
+                          / (qq.norm * cc.norm) AS cos
+                 FROM b2 b
+                 JOIN gn qq ON qq.vec_id = b.q_id
+                 JOIN gn cc ON cc.vec_id = b.c_id),
+        pap AS (SELECT q_id AS a_q, c_id AS a_c FROM (
+                  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(cos, 9) DESC, c_id) AS rk FROM pfin) f
+                WHERE rk <= 5),
+        pex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       ${VectorFns.dotSql("q.embedding", "c.embedding")}
+                         / (q.norm * c.norm) AS cos
+                FROM gn q, gn c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        pgx AS (SELECT q_id, c_id FROM (
+                  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(cos, 9) DESC, c_id) AS rk
+                  FROM pex) x WHERE rk <= 5)
+        SELECT q_id, CAST(COUNT(a_c) AS BIGINT) AS n_hits,
+               CAST(COUNT(a_c) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM pgx LEFT JOIN pap ON q_id = a_q AND c_id = a_c
+        GROUP BY q_id ORDER BY q_id""")),
+
     // ----- graph ANN with a COARSE ENTRY LAYER (the HNSW-upper-layer /
     // IVF-entry serving shape): instead of the lowest-id entry convention,
     // each query's beam starts from its best members of a deterministic

@@ -896,6 +896,24 @@ class MediaCodecsSpec extends AnyFunSuite {
     val bomb = good.clone
     bomb(trunAt + 8) = 0x7f.toByte
     assert(MediaCodecs.parseMp4FragSamples(bomb).isEmpty)
+    // MULTI-TRUN fragments (several runs per traf — the multi-GOP DASH
+    // shape): 5 samples split 2/2/1 across truns within ONE fragment must
+    // roundtrip byte-identically, and the multi-trun stream must carry
+    // more trun boxes than the single-trun encoding of the same frames
+    val mf = (0 until 5).map(i =>
+      MediaCodecs.encodeJpegGray(8, 8, Array.fill[Byte](64)((i * 9 + 1).toByte), quant = 8))
+    val multi = MediaCodecs.encodeMp4FragMjpeg(8, 8, 1000, 40, Seq(mf),
+      samplesPerTrun = 2)
+    def countTag(bb: Array[Byte], t: String) =
+      (0 until bb.length - 4).count(i => tag4(bb, i) == t)
+    assert(countTag(multi, "trun") == 3)
+    val sm = MediaCodecs.parseMp4FragSamples(multi).getOrElse(fail("multi-trun did not parse"))
+    assert(sm.frames.length == 5)
+    sm.frames.zip(mf).foreach { case (got, want) => assert(got.sameElements(want)) }
+    (0 until multi.length).foreach { i =>
+      val c = multi.clone; c(i) = (c(i) ^ 0x33).toByte
+      MediaCodecs.parseMp4FragSamples(c) // never throws
+    }
   }
 
   test("garbage, truncation, and BM-prefixed text do not parse") {
