@@ -1141,19 +1141,34 @@ object Similarity {
   def graphTopKPQ(queries: DataFrame, candidates: DataFrame, graph: DataFrame,
                   books: Array[Array[Array[Long]]], entryK: Int, beam: Int,
                   hops: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFns
+    graphTopKPQWithIndex(queries, candidates, graph,
+      candidates.select(col("c_id"),
+        pqEncodeUnits(VectorFns.quantize(col("ce")), books).as("codes")),
+      books, entryK, beam, hops, k)
+  }
+
+  /** [[graphTopKPQ]] against a pre-built (typically warehouse- or
+    * fixture-persisted) (c_id, codes) table — the serving split: the walk
+    * reads codes and edges from persisted artifacts, true embeddings join
+    * in only for the final beam's exact re-rank. Persist the codes with
+    * the books ([[pqCodebooksUnitsDf]]) the way the IVF-PQ family does.
+    */
+  def graphTopKPQWithIndex(queries: DataFrame, candidates: DataFrame,
+                           graph: DataFrame, codesIdx: DataFrame,
+                           books: Array[Array[Array[Long]]], entryK: Int,
+                           beam: Int, hops: Int, k: Int): DataFrame = {
     require(entryK >= 1 && beam >= 1 && hops >= 0 && k >= 1,
       s"bad entryK=$entryK beam=$beam hops=$hops k=$k")
     import graft.functions.VectorFns
     val m = books.length
     val kCent = books(0).length
     val sub = books(0)(0).length
-    // PQ-coded candidate table, checkpointed once (every hop probes it);
-    // production reads the persisted (c_id, codes) index instead
+    // the PQ-coded candidate table feeds every hop — materialized once
+    // (a ~free checkpoint when the caller passes a persisted-index read)
     val cIdx = graft.CkptCycle.cycle(
       graft.CkptCycle.callSiteKey("graphTopKPQ_codes", "graft.operators.Similarity"),
-      candidates.select(col("c_id"),
-          pqEncodeUnits(VectorFns.quantize(col("ce")), books).as("codes"))
-        .localCheckpoint(true))
+      codesIdx.select(col("c_id"), col("codes")).localCheckpoint(true))
     val lutCol = concat((0 until m).map { j =>
       kernelCol(graft.plans.CellDotsQ(
         kernelExpr(slice(VectorFns.quantize(col("qe")), j * sub + 1, sub)),

@@ -1122,6 +1122,54 @@ object VectorQueries {
                 FROM fin)
         SELECT q_id, c_id, rnk FROM frk WHERE rnk <= 5 ORDER BY q_id, rnk""")),
 
+    // ----- SERVE-shaped DiskANN: every artifact the PQ walk touches is a
+    // persisted read — the graph edge table, the unit-long codebooks
+    // (pqCodebooksUnitsDf through graft.Fixtures, rebuilt driver-side by
+    // the FitFrames bounded collect), and the (c_id, codes) table — so the
+    // timed query pays index reads + the ADC beam + one exact re-rank of
+    // the final beam, which is exactly what a DiskANN serving node pays.
+    // Identical results to q_ann_graph_pq (same frozen fits), so the
+    // oracle replays the full construction inline.
+    Q("q_ann_graph_pq_serve",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val qq = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val g = graft.Fixtures.read(s, dir, "knn_graph") {
+          graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
+            k = 4, passes = 2, degree = 6)
+        }
+        val booksDf = graft.Fixtures.read(s, dir, "pq_books") {
+          graft.operators.Similarity.pqCodebooksUnitsDf(s,
+            graft.operators.Similarity.pqTrainUnits(
+              cc.select(col("c_id"), col("ce").as("embedding")), "c_id",
+              "embedding", m = 8, kCent = 16, sampleSize = 256, iters = 2))
+        }
+        val books = graft.operators.Similarity.pqCodebooksUnitsFromDf(booksDf)
+        val codes = graft.Fixtures.read(s, dir, "pq_codes") {
+          cc.select(col("c_id"), graft.operators.Similarity.pqEncodeUnits(
+            VectorFns.quantize(col("ce")), books).as("codes"))
+        }
+        graft.operators.Similarity.graphTopKPQWithIndex(qq, cc, g, codes,
+            books, entryK = 4, beam = 8, hops = 2, k = 5)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH ${graphPqCtes(degree = 6, entryK = 4, beam = 8, hops = 2)},
+        fin AS (SELECT b.q_id, b.c_id,
+                       ${VectorFns.dotSql("qq.embedding", "cc.embedding")}
+                         / (qq.norm * cc.norm) AS cos
+                FROM b2 b
+                JOIN gn qq ON qq.vec_id = b.q_id
+                JOIN gn cc ON cc.vec_id = b.c_id),
+        frk AS (SELECT q_id, c_id,
+                       CAST(row_number() OVER (PARTITION BY q_id
+                              ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
+                FROM fin)
+        SELECT q_id, c_id, rnk FROM frk WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
     // ----- PQ-walk recall@5 vs exact brute force — the acceptance
     // measurement for the MOST lossy graph variant (approximate ADC
     // ordering can steer the beam off the true neighborhood before the
