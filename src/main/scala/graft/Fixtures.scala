@@ -29,16 +29,61 @@ object Fixtures {
   private val schemas = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), org.apache.spark.sql.types.StructType]()
 
+  private val root = new java.io.File("/tmp/graft_fixtures")
+
+  /** Reap fixture trees left by DEAD JVMs (ADVICE r17: dirs are keyed by
+    * path-digest + pid for cross-JVM isolation, so nothing ever reused a
+    * dead pid's tree — it just accumulated). Runs once per JVM, lazily at
+    * the first [[ensure]]: every `<digest>-<pid>` entry whose pid is not
+    * alive is deleted. Own-pid trees are never touched (they are this
+    * JVM's live fixtures), and a malformed entry (no pid suffix) is left
+    * alone rather than guessed at.
+    */
+  private lazy val reaped: Unit = reapDeadPids()
+
+  private[graft] def reapDeadPids(): Unit = {
+    val kids = root.listFiles()
+    if (kids != null) kids.foreach { d =>
+      val name = d.getName
+      val cut = name.lastIndexOf('-')
+      if (d.isDirectory && cut > 0) {
+        val pidStr = name.substring(cut + 1)
+        if (pidStr.nonEmpty && pidStr.forall(_.isDigit) &&
+            pidStr.length <= 18) {
+          val pid = pidStr.toLong
+          val self = java.lang.ProcessHandle.current().pid()
+          val alive = pid == self ||
+            java.lang.ProcessHandle.of(pid)
+              .map[java.lang.Boolean](h => java.lang.Boolean.valueOf(h.isAlive))
+              .orElse(java.lang.Boolean.FALSE).booleanValue()
+          if (!alive) deleteTree(d)
+        }
+      }
+    }
+  }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete(): Unit
+  }
+
   /** [[ensure]] + read with a CACHED schema: `spark.read.parquet(path)`
     * re-infers the schema from footers on every call — one extra job per
     * serve-row invocation for an index that is immutable within a JVM.
     * The schema is captured once at first read and passed explicitly
     * afterward, the same service `graft.Tables`' readers give the fixture
     * tables. (Plain get/putIfAbsent — never a nested computeIfAbsent.)
+    *
+    * `partitionBy` columns become parquet partition directories — serve
+    * paths that filter on one (the anchor index's `sparse` flag) get
+    * partition PRUNING on the fixture read, the same mechanism a
+    * production index table would use.
     */
-  def read(spark: SparkSession, sfDir: String, name: String)
+  def read(spark: SparkSession, sfDir: String, name: String,
+           partitionBy: Seq[String] = Nil)
           (build: => DataFrame): DataFrame = {
-    val dir = ensure(spark, sfDir, name)(build)
+    val dir = ensure(spark, sfDir, name, partitionBy)(build)
     val key = (spark, dir)
     val cached = schemas.get(key)
     if (cached != null) spark.read.schema(cached).parquet(dir)
@@ -49,24 +94,65 @@ object Fixtures {
     }
   }
 
+  private val scalars = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), java.lang.Long]()
+
+  /** A driver-memoized deterministic scalar of the fixture tables (the
+    * serve rows' batch split-point): computed by `compute` on the first
+    * invocation per (session, sfDir, name), free afterward. The fixture
+    * parquet dirs are pid-scoped, so persisting a 1-row meta table bought
+    * nothing over this map — it just charged every serve invocation a
+    * read job for a value the JVM already knew.
+    */
+  def scalarLong(spark: SparkSession, sfDir: String, name: String)
+                (compute: => Long): Long = {
+    val key = (spark, new java.io.File(sfDir).getAbsolutePath, name)
+    val got = scalars.get(key)
+    if (got != null) got.longValue()
+    else {
+      val v = compute
+      val prev = scalars.putIfAbsent(key, java.lang.Long.valueOf(v))
+      if (prev != null) prev.longValue() else v
+    }
+  }
+
   /** Persist `build` once per (session, sfDir, name); returns the parquet
     * path. Thread-safe; concurrent callers block until the build commits.
     */
-  def ensure(spark: SparkSession, sfDir: String, name: String)
+  def ensure(spark: SparkSession, sfDir: String, name: String,
+             partitionBy: Seq[String] = Nil)
             (build: => DataFrame): String = {
+    reaped
     // keyed by the ABSOLUTE dataset path, not its basename: two dataset
     // dirs sharing a basename (regenerated fixtures under different
-    // parents) must never silently share one index, and the per-JVM hash
+    // parents) must never silently share one index, and the per-JVM pid
     // segment keeps concurrent JVMs on one machine from overwriting a
-    // parquet another session is reading
+    // parquet another session is reading (dead pids' trees are reaped
+    // lazily above). The digest is the full SHA-256 of the absolute path
+    // (ADVICE r17: a 32-bit hashCode allowed two distinct dataset paths
+    // to collide within one JVM), truncated to 16 hex chars.
     val abs = new java.io.File(sfDir).getAbsolutePath
-    val dirKey = f"${abs.hashCode & 0x7fffffff}%08x-${
-      java.lang.ProcessHandle.current().pid()}%d"
-    val dir = s"/tmp/graft_fixtures/$dirKey/${new java.io.File(sfDir).getName}/$name"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+    val dirKey = s"$digest-${java.lang.ProcessHandle.current().pid()}"
+    val dir = s"$root/$dirKey/${new java.io.File(sfDir).getName}/$name"
     val key = (spark, dir)
     if (!built.contains(key)) synchronized {
       if (!built.contains(key)) {
-        build.write.mode("overwrite").parquet(dir)
+        val df = build
+        val w = df.write.mode("overwrite")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(dir)
+        // capture the BUILD frame's schema (partition columns keep their
+        // declared types — partition-value inference would read a boolean
+        // partition column back as string) so no read ever infers footers;
+        // partitionBy moves partition columns last in the on-disk layout,
+        // so reorder the cached schema to match while keeping the types
+        val reordered = org.apache.spark.sql.types.StructType(
+          df.schema.fields.filterNot(f => partitionBy.contains(f.name)) ++
+            partitionBy.map(df.schema.apply))
+        schemas.putIfAbsent(key, reordered)
         built.add(key)
       }
     }

@@ -165,12 +165,18 @@ object Tables {
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     var exchanged = false
+    var limited = false
     plan.foreach {
       case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
-           _: Deduplicate | _: RepartitionOperation | _: GlobalLimit => exchanged = true
+           _: Deduplicate | _: RepartitionOperation => exchanged = true
+      // a LIMIT is the opposite of exchange-backed parallelism: it
+      // COLLAPSES to a single partition, so a limit-derived input is
+      // exactly the serial-stage case spread exists to fix (ADVICE r17)
+      case _: GlobalLimit => limited = true
       case _ => ()
     }
-    if (exchanged) Long.MaxValue
+    if (limited) 1L
+    else if (exchanged) Long.MaxValue
     else plan.collectLeaves().map {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>

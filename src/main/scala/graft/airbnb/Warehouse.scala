@@ -79,6 +79,31 @@ final case class Warehouse(spark: SparkSession, root: String) {
     spark.read.parquet(path(name))
   }
 
+  /** Idempotent PER-PARTITION write: lands `df` as the single
+    * `partCol=partValue` partition directory of `name`, leaving every
+    * other partition untouched — the APPEND shape for grow-only tables
+    * (streaming gates' per-batch vector/index appends), where [[write]]'s
+    * whole-table swap would rewrite O(table) bytes per batch. The
+    * partition is written to an underscore-prefixed temp dir (invisible
+    * to readers — FileInputFormat skips `_`/`.` paths), then swapped in;
+    * a replay of the same `partValue` overwrites the same partition, so
+    * the foreachBatch replay contract holds without any groupBy-dedupe
+    * pass. Readers go through [[read]] as usual: partition discovery
+    * re-attaches `partCol` from the directory names.
+    */
+  def writePartition(name: String, partCol: String, partValue: Long,
+                     df: DataFrame): Unit = {
+    recover(name)
+    val base = new Path(path(name)); val f = fs(base)
+    f.mkdirs(base)
+    val dest = new Path(base, s"$partCol=$partValue")
+    val tmp = new Path(base, s"__tmp_$partCol=$partValue")
+    df.drop(partCol).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (f.exists(dest)) f.delete(dest, true)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(s"partition swap failed for $name/$dest")
+  }
+
   /** (beyond ref) §2.11 maintenance — small-files compaction. Streaming
     * sinks, incremental upserts, and over-parallel writes leave tables as
     * thousands of KB-sized parquet files; at cluster scale that means a

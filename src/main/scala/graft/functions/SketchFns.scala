@@ -59,6 +59,14 @@ object SketchFns {
     GraftColumnBridge.column(graft.plans.WinnowAnchors(
       GraftColumnBridge.expression(tokens), k, w))
 
+  /** Dense positional anchors (pos, h, sparse) with the winnowing
+    * selection flagged inline — one kernel pass feeds both the sparse
+    * probe and the dense verify of the serve-shaped substring gate.
+    */
+  def anchorRows(tokens: Column, k: Int, w: Int): Column =
+    GraftColumnBridge.column(graft.plans.AnchorRows(
+      GraftColumnBridge.expression(tokens), k, w))
+
   /** Distinct 64-bit shingle hashes of a token-array column — internal
     * join keys for operators that never surface the shingle text.
     */

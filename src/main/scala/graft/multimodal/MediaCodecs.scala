@@ -2709,11 +2709,15 @@ object MediaCodecs {
     * moof(mfhd, traf(tfhd default-base-is-moof, tfdt, trun)) + mdat pair
     * per fragment. Each trun carries per-sample sizes and a data_offset
     * relative to the moof start — the wiring every DASH segment reader
-    * must resolve.
+    * must resolve. With `muxAudio` the stream is a MUXED two-track
+    * segment (the common DASH shape): a dummy-PCM audio track is track 1
+    * and its trak, trex, and per-moof traf all come FIRST, so a walker
+    * must select the video track by track_id rather than by position.
     */
   def encodeMp4FragMjpeg(width: Int, height: Int, timescale: Int,
       sampleDelta: Int, fragments: Seq[Seq[Array[Byte]]],
-      samplesPerTrun: Int = Int.MaxValue): Array[Byte] = {
+      samplesPerTrun: Int = Int.MaxValue,
+      muxAudio: Boolean = false): Array[Byte] = {
     require(width >= 1 && height >= 1 && timescale >= 1 && sampleDelta >= 1 &&
       fragments.nonEmpty && fragments.forall(_.nonEmpty) && samplesPerTrun >= 1,
       "need positive dims/timescale/delta/trun-split and non-empty fragments")
@@ -2745,7 +2749,11 @@ object MediaCodecs {
       Array[Byte](0x01, 0x00, 0, 0) ++ be(0, 0,
         0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
         0, 0, 0, 0, 0, 0, 2))
-    val tkhd = full("tkhd", 7, be(0, 0, 1, 0, duration, 0, 0) ++
+    // muxed layout (the common DASH shape): audio is track 1 and its trak /
+    // trex / per-moof traf come FIRST, video is track 2 — a walker that
+    // grabs "the first trak" or "the first traf" reads the wrong track
+    val vTrackId = if (muxAudio) 2 else 1
+    val tkhd = full("tkhd", 7, be(0, 0, vTrackId, 0, duration, 0, 0) ++
       Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
       be(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
         width << 16, height << 16))
@@ -2775,17 +2783,61 @@ object MediaCodecs {
     val minf = box("minf", vmhd ++ dinf ++ stbl)
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)
     val trak = box("trak", tkhd ++ mdia)
-    // trex: track 1, default sample description 1, default duration, no
-    // default size (trun carries per-sample sizes), no default flags
-    val trex = full("trex", 0, be(1, 1, sampleDelta, 0, 0))
-    val mvex = box("mvex", trex)
-    val moov = box("moov", mvhd ++ trak ++ mvex)
+    // trex: video track, default sample description 1, default duration,
+    // no default size (trun carries per-sample sizes), no default flags
+    val trex = full("trex", 0, be(vTrackId, 1, sampleDelta, 0, 0))
+    // deterministic dummy audio payload per fragment — distinct bytes so a
+    // walker that reads the audio traf's samples as frames fails loudly
+    def audioSamples(fi: Int): Seq[Array[Byte]] =
+      Seq.tabulate(2)(s => Array.tabulate(48)(j => (j * 7 + fi * 31 + s).toByte))
+    val (audioTrak, audioTrex) = if (!muxAudio) {
+      (Array.emptyByteArray, Array.emptyByteArray)
+    } else {
+      val aTkhd = full("tkhd", 7, be(0, 0, 1, 0, duration, 0, 0) ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
+        be(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000, 0, 0))
+      val aMdhd = full("mdhd", 0, be(0, 0, timescale, duration) ++
+        Array[Byte](0x55, 0xc4.toByte, 0, 0))
+      val aHdlr = full("hdlr", 0, be(0) ++ "soun".getBytes("US-ASCII") ++
+        be(0, 0, 0) ++ Array[Byte](0))
+      val smhd = full("smhd", 0, be(0))
+      // minimal SoundSampleEntry ('sowt' PCM shape): 6 reserved + dri,
+      // then 8.16 version/revision/vendor + channels/bits/pre/pack + rate
+      val aEntry = {
+        val buf = ByteBuffer.allocate(36).order(ByteOrder.BIG_ENDIAN)
+        buf.putInt(36).put("sowt".getBytes("US-ASCII"))
+        buf.put(new Array[Byte](6)).putShort(1)
+        buf.putShort(0).putShort(0).putInt(0)
+        buf.putShort(1).putShort(16).putShort(0).putShort(0)
+        buf.putInt(timescale << 16)
+        buf.array()
+      }
+      val aStbl = box("stbl", full("stsd", 0, be(1) ++ aEntry) ++
+        full("stts", 0, be(0)) ++ full("stsc", 0, be(0)) ++
+        full("stsz", 0, be(0, 0)) ++ full("stco", 0, be(0)))
+      val aMinf = box("minf", smhd ++ dinf ++ aStbl)
+      val aMdia = box("mdia", aMdhd ++ aHdlr ++ aMinf)
+      (box("trak", aTkhd ++ aMdia), full("trex", 0, be(1, 1, sampleDelta, 0, 0)))
+    }
+    val mvex = box("mvex", audioTrex ++ trex)
+    val moov = box("moov", mvhd ++ audioTrak ++ trak ++ mvex)
     var outArr = ftyp ++ moov
     fragments.zipWithIndex.foreach { case (frames, fi) =>
       val mfhd = full("mfhd", 0, be(fi + 1))
+      val aud = if (muxAudio) audioSamples(fi) else Seq.empty
+      val audBytes = aud.map(_.length).sum
+      // audio traf first (the muxed layout): track 1, one trun, its
+      // data_offset patched below like the video runs'
+      val audioTraf = if (!muxAudio) Array.emptyByteArray else {
+        val aTfhd = full("tfhd", 0x020000, be(1))
+        val aTfdt = full("tfdt", 0, be(fi * 2 * sampleDelta))
+        val aTrun = full("trun", 0x301, be(aud.length, 0) ++
+          aud.toArray.flatMap(a => be(sampleDelta, a.length)))
+        box("traf", aTfhd ++ aTfdt ++ aTrun)
+      }
       // tfhd: default-base-is-moof (0x020000) — trun offsets are relative
       // to the moof's first byte
-      val tfhd = full("tfhd", 0x020000, be(1))
+      val tfhd = full("tfhd", 0x020000, be(vTrackId))
       val tfdt = full("tfdt", 0, be(fragments.take(fi).map(_.length).sum * sampleDelta))
       // one trun per `samplesPerTrun` run (multi-GOP DASH segments carry
       // several runs per traf); trun flags: data-offset (0x1) +
@@ -2797,7 +2849,7 @@ object MediaCodecs {
           r.toArray.flatMap(f => be(sampleDelta, f.length)))
       }
       val traf = box("traf", tfhd ++ tfdt ++ truns.toArray.flatten)
-      val moof = box("moof", mfhd ++ traf)
+      val moof = box("moof", mfhd ++ audioTraf ++ traf)
       val patched = moof.clone()
       def patch32(at: Int, v: Int): Unit = {
         patched(at) = ((v >> 24) & 0xff).toByte
@@ -2805,24 +2857,35 @@ object MediaCodecs {
         patched(at + 2) = ((v >> 8) & 0xff).toByte
         patched(at + 3) = (v & 0xff).toByte
       }
-      // each trun's data_offset = moof size + mdat header + the bytes of
-      // every earlier run's samples; the field sits at trun box start +
+      // mdat layout: audio samples first, then the video runs' frames;
+      // each trun's data_offset = moof size + mdat header + the bytes
+      // before its first sample; the field sits at trun box start +
       // header(8) + verflags(4) + sample_count(4)
-      var trunAt = 8 + mfhd.length + 8 + tfhd.length + tfdt.length
-      var bytesBefore = 0
+      if (muxAudio) {
+        // audio trun offset field: moof hdr + mfhd + traf hdr + tfhd(16) +
+        // tfdt(16) + trun hdr(8) + verflags(4) + sample_count(4)
+        val aTrunAt = 8 + mfhd.length + 8 + 16 + 16
+        patch32(aTrunAt + 8 + 4 + 4, moof.length + 8)
+      }
+      var trunAt = 8 + mfhd.length + audioTraf.length + 8 + tfhd.length + tfdt.length
+      var bytesBefore = audBytes
       runs.zip(truns).foreach { case (r, tr) =>
         patch32(trunAt + 8 + 4 + 4, moof.length + 8 + bytesBefore)
         bytesBefore += r.map(_.length).sum
         trunAt += tr.length
       }
-      outArr = outArr ++ patched ++ box("mdat", frames.toArray.flatten)
+      outArr = outArr ++ patched ++ box("mdat",
+        aud.toArray.flatten ++ frames.toArray.flatten)
     }
     outArr
   }
 
   /** Walk a FRAGMENTED MP4's movie fragments to the per-sample JPEG bytes:
-    * moov for the 'jpeg' VisualSampleEntry (dims) + mvex/trex defaults,
-    * then every top-level moof's traf/trun resolved to absolute byte
+    * moov walked trak-by-trak for the 'vide' handler's 'jpeg'
+    * VisualSampleEntry (dims) with its tkhd track_id, the MATCHING trex
+    * for defaults, then every top-level moof's VIDEO traf — selected by
+    * tfhd track_id, so muxed audio+video segments (the common DASH shape)
+    * walk the right track — with its trun(s) resolved to absolute byte
     * ranges (data_offset relative to the moof under default-base-is-moof;
     * per-sample sizes from trun, duration from trun or the trex default).
     * Returns samples in fragment order. None — never a throw — on
@@ -2837,19 +2900,39 @@ object MediaCodecs {
     if (b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return None
     val buf = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
     val (moovS, moovE) = mp4Child(b, buf, 0, b.length, "moov").getOrElse(return None)
-    val defaults = for {
-      (tS, tE)   <- mp4Child(b, buf, moovS, moovE, "trak")
-      (mS, mE)   <- mp4Child(b, buf, tS, tE, "mdia")
-      (hS, _)    <- mp4Child(b, buf, mS, mE, "hdlr")
-      if hS + 12 <= b.length && mp4Tag(b, hS + 8) == "vide"
-      (mdS, mdE) <- mp4Child(b, buf, mS, mE, "mdhd")
-      (miS, miE) <- mp4Child(b, buf, mS, mE, "minf")
-      (sbS, sbE) <- mp4Child(b, buf, miS, miE, "stbl")
-      (sdS, sdE) <- mp4Child(b, buf, sbS, sbE, "stsd")
-      (mvS, mvE) <- mp4Child(b, buf, moovS, moovE, "mvex")
-      (txS, txE) <- mp4Child(b, buf, mvS, mvE, "trex")
-    } yield (mdS, mdE, sdS, sdE, txS, txE)
-    val (mdS, mdE, sdS, sdE, txS, txE) = defaults.getOrElse(return None)
+    // walk EVERY trak and select the video one BY ITS tkhd track_id —
+    // real DASH segments are frequently MUXED (audio trak first is
+    // common), so "take the first trak" reads the wrong track (r17
+    // self-review / VERDICT r17 #3); the track_id then selects the
+    // matching trex and, below, the matching traf in every moof
+    var videoTrackId = 0
+    var mdS0, mdE0, sdS0, sdE0 = 0
+    var trakFrom = moovS
+    while (videoTrackId == 0 && trakFrom < moovE) {
+      val (tS, tE) = mp4Child(b, buf, trakFrom, moovE, "trak")
+        .getOrElse(return None)
+      val res = for {
+        (mS, mE)   <- mp4Child(b, buf, tS, tE, "mdia")
+        (hS, _)    <- mp4Child(b, buf, mS, mE, "hdlr")
+        if hS + 12 <= b.length && mp4Tag(b, hS + 8) == "vide"
+        (tkS, tkE) <- mp4Child(b, buf, tS, tE, "tkhd")
+        (mdS, mdE) <- mp4Child(b, buf, mS, mE, "mdhd")
+        (miS, miE) <- mp4Child(b, buf, mS, mE, "minf")
+        (sbS, sbE) <- mp4Child(b, buf, miS, miE, "stbl")
+        (sdS, sdE) <- mp4Child(b, buf, sbS, sbE, "stsd")
+      } yield (tkS, tkE, mdS, mdE, sdS, sdE)
+      res match {
+        case None => trakFrom = tE // not a video trak; try the next
+        case Some((tkS, tkE, mdS, mdE, sdS, sdE)) =>
+          // tkhd version 0: track_ID after ver/flags + 2×32-bit times
+          if (tkE - tkS < 16 || (b(tkS) & 0xff) != 0) return None
+          videoTrackId = buf.getInt(tkS + 12)
+          if (videoTrackId <= 0) return None
+          mdS0 = mdS; mdE0 = mdE; sdS0 = sdS; sdE0 = sdE
+      }
+    }
+    if (videoTrackId == 0) return None
+    val (mdS, mdE, sdS, sdE) = (mdS0, mdE0, sdS0, sdE0)
     if (mdE - mdS < 20 || (b(mdS) & 0xff) != 0) return None
     val timescale = buf.getInt(mdS + 12)
     if (timescale <= 0) return None
@@ -2858,8 +2941,22 @@ object MediaCodecs {
     val w = buf.getShort(sdS + 8 + 8 + 24) & 0xffff
     val h = buf.getShort(sdS + 8 + 8 + 26) & 0xffff
     if (w <= 0 || h <= 0) return None
-    if (txE - txS < 24) return None
-    val trexDelta = buf.getInt(txS + 12) // default_sample_duration
+    // select the trex whose track_ID matches the video trak (one trex per
+    // trak in a muxed movie); reject if the video track has none
+    val (mvS, mvE) = mp4Child(b, buf, moovS, moovE, "mvex").getOrElse(return None)
+    var trexDelta = 0
+    var trexFound = false
+    var txFrom = mvS
+    while (!trexFound && txFrom < mvE) {
+      val (txS, txE) = mp4Child(b, buf, txFrom, mvE, "trex")
+        .getOrElse(return None)
+      if (txE - txS < 24) return None
+      if (buf.getInt(txS + 4) == videoTrackId) {
+        trexDelta = buf.getInt(txS + 12) // default_sample_duration
+        trexFound = true
+      } else txFrom = txE
+    }
+    if (!trexFound) return None
     // walk top-level moof boxes in file order
     val frames = Vector.newBuilder[Array[Byte]]
     var nTotal = 0
@@ -2870,8 +2967,20 @@ object MediaCodecs {
       if (size < 8 || i.toLong + size > b.length) return None
       if (mp4Tag(b, i + 4) == "moof") {
         val moofStart = i
-        val (tfS, tfE) = mp4Child(b, buf, i + 8, i + size, "traf")
-          .getOrElse(return None)
+        // a muxed moof carries one traf PER TRACK (audio + video in the
+        // same fragment — the common DASH shape); select the video traf by
+        // its tfhd track_id and skip the others' truns entirely
+        var tfS = -1; var tfE = -1
+        var trafFrom = i + 8
+        while (tfS < 0 && trafFrom < i + size) {
+          val (cS, cE) = mp4Child(b, buf, trafFrom, i + size, "traf")
+            .getOrElse(return None)
+          val (thS, thE) = mp4Child(b, buf, cS, cE, "tfhd").getOrElse(return None)
+          if (thE - thS < 8) return None
+          if (buf.getInt(thS + 4) == videoTrackId) { tfS = cS; tfE = cE }
+          else trafFrom = cE
+        }
+        if (tfS < 0) return None // a fragment without the video track
         val (thS, _) = mp4Child(b, buf, tfS, tfE, "tfhd").getOrElse(return None)
         val tfhdFlags = buf.getInt(thS) & 0xffffff
         // only the default-base-is-moof addressing mode is supported (the

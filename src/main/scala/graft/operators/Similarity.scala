@@ -990,13 +990,41 @@ object Similarity {
     // DISTINCT is load-bearing: batch↔batch pairs already appear in both
     // directions before the reverse union, and a duplicated edge would
     // let the top-degree heap seat the same neighbor twice.
-    val newEdges = batchEdges.unionByName(
-        batchEdges.select(col("nbr").as("node"), col("node").as("nbr"), col("sim")))
-      .distinct()
-    graft.plans.TopKPerGroup.topK(
-        graph.select(col("node"), col("nbr"), col("sim")).unionByName(newEdges),
+    val newEdges = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("mergeKnnGraph_newEdges",
+        "graft.operators.Similarity"),
+      batchEdges.unionByName(
+          batchEdges.select(col("nbr").as("node"), col("node").as("nbr"), col("sim")))
+        .distinct()
+        .localCheckpoint(true))
+    // TOUCHED-NODE-ONLY re-rank (the r17 gate-growth decomposition fix):
+    // only nodes that gained a candidate edge this batch can change — an
+    // untouched node's stored edge set is already its exact
+    // top-`degree` selection (every writer of these graphs caps through
+    // this topK, the documented precondition), so re-running the heap
+    // over it returns it verbatim. The old shape unioned the FULL edge
+    // table into the heap every batch — a corpus-wide shuffle whose cost
+    // grew with the graph, not the batch (the r/f 0.27 term). Touched
+    // nodes are batch-bounded (batch nodes + touched-cell mates), so the
+    // semi/anti joins broadcast and the stored table streams MAP-SIDE;
+    // only touched nodes' edges enter the exchange-backed heap.
+    val touchedNodes = broadcast(newEdges.select(col("node")).distinct())
+    val old = graph.select(col("node"), col("nbr"), col("sim"))
+    // touched nodes' OLD edges are batch-bounded too (≤ touched × degree);
+    // checkpointing them severs the lineage the semi and anti branches
+    // would otherwise share (a union whose children both reference the
+    // same graph/touchedNodes subtrees trips Catalyst's union-constraint
+    // rewrite with a key-not-found on the duplicated attribute ids)
+    val touchedOld = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("mergeKnnGraph_touchedOld",
+        "graft.operators.Similarity"),
+      old.join(touchedNodes, Seq("node"), "left_semi").localCheckpoint(true))
+    val reranked = graft.plans.TopKPerGroup.topK(
+        touchedOld.unionByName(newEdges),
         Seq("node"), Seq(("sim", true), ("nbr", false)), degree)
       .select(col("node"), col("nbr"), col("sim"))
+    reranked.unionByName(
+      old.join(touchedNodes, Seq("node"), "left_anti"))
   }
 
   /** Graph-ANN serving: best-first BEAM SEARCH over a (typically
@@ -1187,13 +1215,74 @@ object Similarity {
     val entries = cIdx.select(col("c_id")).orderBy(col("c_id")).limit(entryK)
     val beamDf = beamSearch(queries.select(col("q_id")), graph, entries,
       score, beam, hops)
-    // exact cosine re-rank of the final beam only — the DiskANN discipline
+    // exact cosine re-rank of the final beam only — the DiskANN
+    // discipline. Rank on the cosine ROUNDED to 9 decimals with the c_id
+    // tie-break (the round-6 cross-engine discipline graphTopK already
+    // follows): the SQL oracles rank by round(cos, 9) DESC, and an
+    // unrounded float order could rank-flip candidates whose cosines
+    // differ only past 1e-9 (ADVICE r17).
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("similarity").desc, col("c_id"))
+      .orderBy(round(col("similarity"), 9).desc, col("c_id"))
     beamDf.select(col("q_id"), col("c_id"))
       .join(withNorm(candidates, "ce", "cn"), Seq("c_id"))
       .join(broadcast(withNorm(queries, "qe", "qn")), Seq("q_id"))
       .withColumn("similarity", cosinePre("qe", "ce", col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))
+  }
+
+  /** MATRYOSHKA (MRL) serving: a PREFIX-dimension IVF shortlist followed
+    * by a FULL-dimension exact re-rank — the serving shape MRL embeddings
+    * exist for (store and scan the low-dim prefix, keep the tail only for
+    * the final re-rank). `prefixIdx` is the persisted prefix index:
+    * (c_id, cluster, tv = quantized `prefixDim`-long prefix, tn = its
+    * norm) — `1/ (dim/prefixDim)` the bytes of the full-vector table, and
+    * when written partitioned by `cluster` the probe reads ONLY the
+    * queries' cells (partition pruning — the IVF entry). Per query: assign
+    * its prefix to the nearest centroid (the same [[KMeans.assignWith]]
+    * arithmetic that built the index), score its cell's members by
+    * quantized prefix cosine (rounded to 9, c_id tie-break — the
+    * cross-engine rank discipline) on the bounded heap, and fetch FULL
+    * vectors once per query for the `shortlist` survivors' exact re-rank.
+    *
+    * Scale: the scan side is the prefix index's probed cells only; full
+    * vectors join by id for |queries|·shortlist rows. Recall < 1 by
+    * construction (prefix ranking + single-cell entry); measured per
+    * corpus by the recall sibling before a swap, like every approximate
+    * family here.
+    */
+  def matryoshkaTopKServe(queries: DataFrame, candidates: DataFrame,
+                          prefixIdx: DataFrame, cents: Array[Array[Long]],
+                          prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+    require(prefixDim >= 1 && shortlist >= 1 && k >= 1,
+      s"bad prefixDim=$prefixDim shortlist=$shortlist k=$k")
+    import graft.functions.VectorFns
+    val qAssign = KMeans.assignWith(
+        queries.select(col("q_id"), slice(col("qe"), 1, prefixDim).as("__pe")),
+        "q_id", "__pe", cents)
+      .withColumn("__qn", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
+      .select(col("q_id"), col("cluster"), col("__u").as("__qu"), col("__qn"))
+    val shortDf = graft.plans.TopKPerGroup.topK(
+      prefixIdx.join(broadcast(qAssign), Seq("cluster"))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("psim", round(
+          VectorFns.dotQDouble(col("__qu"), col("tv")) / (col("__qn") * col("tn")), 9))
+        .select(col("q_id"), col("c_id"), col("psim")),
+      Seq("q_id"), Seq(("psim", true), ("c_id", false)), shortlist)
+    val cFull = candidates.select(col("c_id"),
+        VectorFns.quantize(col("ce")).as("__cu"))
+      .withColumn("__cn", sqrt(VectorFns.dotQDouble(col("__cu"), col("__cu"))))
+    val qFull = queries.select(col("q_id"),
+        VectorFns.quantize(col("qe")).as("__fu"))
+      .withColumn("__fn", sqrt(VectorFns.dotQDouble(col("__fu"), col("__fu"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("similarity"), 9).desc, col("c_id"))
+    shortDf.select(col("q_id"), col("c_id"))
+      .join(cFull, Seq("c_id"))
+      .join(broadcast(qFull), Seq("q_id"))
+      .withColumn("similarity",
+        VectorFns.dotQDouble(col("__fu"), col("__cu")) / (col("__fn") * col("__cn")))
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("similarity"), col("rank"))

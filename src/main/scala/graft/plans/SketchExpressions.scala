@@ -149,6 +149,19 @@ object SketchKernels {
     * whitespace tokens make the space-joined chunk string injective in
     * the token slice, so any well-mixed 64-bit hash of the slice is
     * equivalent.
+    *
+    * COLLISION BUDGET (the one approximation a 64-bit key carries): two
+    * DISTINCT chunks sharing a hash merge silently in any consumer that
+    * groups or joins on these keys (the dedup accounting legs, the anchor
+    * families). Birthday bound: among D distinct chunks the expected
+    * colliding pairs are ~D²/2⁶⁵ — at 100 TB (~10¹² chunks) that is ~3×10⁴
+    * pairs, i.e. ~3×10⁻⁸ of chunks, orders of magnitude below the noise
+    * floor of any dedup ratio these legs feed. Consumers whose OUTPUT must
+    * be collision-free (the exact-dedup survivor leg) key on md5 of the
+    * full text instead; the 64-bit legs are accounting/candidate machinery
+    * where a ppm-scale merge is invisible. DuckDB oracles that group on the
+    * chunk STRING agree with these legs conditional on no collision —
+    * guaranteed at fixture scale (D ~ 10⁵ → expected pairs ~3×10⁻¹⁰).
     */
   def chunkHashes(tokens: ArrayData, k: Int, stride: Int): ArrayData = {
     val n = tokens.numElements()
@@ -281,6 +294,51 @@ object SketchKernels {
       }
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Dense positional anchors WITH the robust-winnowing selection flagged
+    * inline — (0-based pos, 64-bit hash, sparse) for every full-length
+    * k-gram position, where `sparse` marks exactly the positions
+    * [[winnowAnchors]] would select. ONE pass over the token array builds
+    * both the dense verify side and the sparse probe side of the
+    * incremental substring gate's SERVE path (`Dedup.
+    * tagSpansAgainstIndexSparseServe`): the per-batch plan previously ran
+    * the tokenize+hash kernel twice (sparse probe anchors, then dense
+    * anchors for candidate docs); flagging the selection here makes the
+    * batch's single anchor checkpoint feed both consumers. Hash values
+    * are the same [[shingleHash64]] family as [[chunkHashes]] stride 1
+    * and [[winnowAnchors]] — the flagged subset is bit-identical to the
+    * standalone sparse set (asserted by FuzzSpec).
+    */
+  def anchorRows(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var p = 0
+    while (p < m) { hs(p) = shingleHash64(tokens, p, k); p += 1 }
+    val sel = new Array[Boolean](m)
+    if (m < w) {
+      var best = 0; var i = 1
+      while (i < m) { if (hs(i) <= hs(best)) best = i; i += 1 }
+      sel(best) = true
+    } else {
+      var j = 0
+      while (j <= m - w) {
+        var best = j; var i = j + 1
+        while (i < j + w) { if (hs(i) <= hs(best)) best = i; i += 1 }
+        sel(best) = true
+        j += 1
+      }
+    }
+    val out = new Array[Any](m)
+    p = 0
+    while (p < m) {
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](p.toLong, hs(p), sel(p)))
+      p += 1
+    }
+    new GenericArrayData(out)
   }
 
   def winnowFingerprints(tokens: ArrayData, k: Int, w: Int): ArrayData = {
@@ -543,6 +601,33 @@ case class WinnowAnchors(child: Expression, k: Int, w: Int)
       s"${ev.value} = graft.plans.SketchKernels.winnowAnchors($c, $k, $w);")
 
   override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<struct<pos:long, h:long, sparse:boolean>>
+  * dense positional anchors with the winnowing selection flagged inline
+  * (see SketchKernels.anchorRows — one kernel pass feeds both sides of the
+  * sparse serve gate).
+  */
+case class AnchorRows(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with TokenArrayInput {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+  override def fnName: String = "anchor_rows"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("h", LongType, nullable = false),
+      StructField("sparse", BooleanType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.anchorRows(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.anchorRows($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorRows =
     copy(child = newChild)
 }
 

@@ -441,14 +441,16 @@ object CurationQueries {
     // Streams.budgetSpendPlan the live gate runs.
     Q("q_stream_budget_batch",
       (s, dir) => {
-        import org.apache.spark.sql.types.{LongType => LT, StringType, StructField, StructType}
         val docs = t(s, dir, "documents")
         // ONE corpus scan pays the tokenize+score work; everything else in
         // this row is per-language scalars and micro-batch windows over
         // these checkpointed longs. (The pre-fusion form paid 11 jobs —
         // budgets checkpoint + its broadcast futures, a p0 checkpoint, a
         // separate mid collect — of which FixedCostProbe attributed ~0.6 s
-        // of a 1.06 s warm wall to job-launch gaps alone.)
+        // of a 1.06 s warm wall to job-launch gaps alone.) The budgets ride
+        // the decide plans as map LITERALS (budgetDecidePlanLiteral): the
+        // r17 shape joined them as LocalTableScan broadcasts, which in this
+        // Spark submit one AQE materialization job EACH.
         val scored = graft.CkptCycle.cycle("q_stream_budget_batch_scored",
           graft.streaming.Streams.budgetScorePlan(docs, "text", Seq("a", "the"))
             .select(col("lang"), col("doc_id"), col("score"), col("__ntok"))
@@ -460,18 +462,12 @@ object CurationQueries {
             max(col("doc_id")).as("__max_id"))
           .collect()
         val mid = if (bud.isEmpty) 0L else bud.map(_.getLong(2)).max / 2
-        val budSchema = StructType(Seq(StructField("lang", StringType),
-          StructField("__remaining", LT)))
-        def localBudgets(rows: Seq[org.apache.spark.sql.Row]) =
-          s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), budSchema)
-        val rem0 = localBudgets(bud.toSeq.map(r =>
-          org.apache.spark.sql.Row(r.getString(0), r.getLong(1))))
+        val rem0 = bud.toSeq.map(r => r.getString(0) -> r.getLong(1))
         val slim = (p: org.apache.spark.sql.DataFrame) => p.select(
           col("lang"), col("doc_id"), col("__ntok"), col("__selected"))
         val decide = (half: org.apache.spark.sql.DataFrame,
-                      rem: org.apache.spark.sql.DataFrame) =>
-          slim(graft.streaming.Streams.budgetDecidePlan(
+                      rem: Seq[(String, Long)]) =>
+          slim(graft.streaming.Streams.budgetDecidePlanLiteral(
             half, rem, "doc_id", "lang"))
         val p0 = decide(scored.filter(col("doc_id") < mid), rem0)
         // batch 0's spend per language: a second bounded collect over the
@@ -480,9 +476,8 @@ object CurationQueries {
         val spent0 = p0.filter(col("__selected")).groupBy(col("lang"))
           .agg(sum(col("__ntok")).as("__spent")).collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val rem1 = localBudgets(bud.toSeq.map(r =>
-          org.apache.spark.sql.Row(r.getString(0),
-            r.getLong(1) - spent0.getOrElse(r.getString(0), 0L))))
+        val rem1 = bud.toSeq.map(r => r.getString(0) ->
+          (r.getLong(1) - spent0.getOrElse(r.getString(0), 0L)))
         val p1 = decide(scored.filter(col("doc_id") >= mid), rem1)
         p0.withColumn("batch", lit(0L))
           .unionByName(p1.withColumn("batch", lit(1L)))

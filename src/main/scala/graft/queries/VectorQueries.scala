@@ -1081,6 +1081,75 @@ object VectorQueries {
         FROM mex LEFT JOIN mtr ON q_id = a_q AND c_id = a_c
         GROUP BY q_id ORDER BY q_id""")),
 
+    // ----- MATRYOSHKA SERVING (the MRL deployment shape the recall row
+    // above measures acceptance for): a persisted PREFIX-dimension index
+    // — 16 of 64 dims quantized + k-means cell, partitioned BY CELL so
+    // the probe partition-prunes to the queries' cells — shortlists by
+    // prefix cosine on the bounded heap, and FULL vectors join in once
+    // per query for the exact re-rank of the shortlist. Centroids are a
+    // persisted fit (train/persist/serve split); the oracle replays the
+    // prefix k-means (kmeansCtes over the sliced embedding), the
+    // single-cell entry, the rounded prefix shortlist, and the rounded
+    // full re-rank.
+    Q("q_ann_matryoshka_serve",
+      (s, dir) => {
+        val (qq, cc, idx, cents) = matryoshkaServeParts(s, dir)
+        graft.operators.Similarity.matryoshkaTopKServe(qq, cc, idx, cents,
+            prefixDim = 16, shortlist = 16, k = 5)
+          .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH $matryoshkaServeCtes
+        SELECT q_id, c_id, rnk FROM yrk WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+
+    // recall@5 of the matryoshka serve vs full-dimension exact brute
+    // force — the acceptance measurement for the prefix-IVF entry +
+    // shortlist size, per the approximate-family convention.
+    Q("q_ann_matryoshka_serve_recall",
+      (s, dir) => {
+        val (qq, cc, idx, cents) = matryoshkaServeParts(s, dir)
+        val approx = graft.operators.Similarity.matryoshkaTopKServe(qq, cc,
+            idx, cents, prefixDim = 16, shortlist = 16, k = 5)
+          .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
+        import graft.functions.VectorFns
+        val qq2 = qq.select(col("q_id"), VectorFns.quantize(col("qe")).as("qe2"))
+          .withColumn("qn", sqrt(VectorFns.dotQDouble(col("qe2"), col("qe2"))))
+        val cc2 = cc.select(col("c_id"), VectorFns.quantize(col("ce")).as("ce2"))
+          .withColumn("cn", sqrt(VectorFns.dotQDouble(col("ce2"), col("ce2"))))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        val exact = cc2.crossJoin(broadcast(qq2))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos",
+            VectorFns.dotQDouble(col("qe2"), col("ce2")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("c_id"))
+        exact.join(approx,
+            exact("q_id") === approx("a_q") && exact("c_id") === approx("a_c"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("a_c")).as("n_hits"),
+               expr("count(a_c) * 1000000L DIV 5").as("recall_ppm"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""
+        WITH $matryoshkaServeCtes,
+        yex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       ${VectorFns.dotSql("q.embedding", "c.embedding")}
+                         / (q.norm * c.norm) AS cos
+                FROM ye q, ye c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        ygx AS (SELECT q_id, c_id FROM (
+                  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(cos, 9) DESC, c_id) AS rk
+                  FROM yex) x WHERE rk <= 5),
+        yap AS (SELECT q_id AS a_q, c_id AS a_c FROM yrk WHERE rnk <= 5)
+        SELECT q_id, CAST(COUNT(a_c) AS BIGINT) AS n_hits,
+               CAST(COUNT(a_c) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM ygx LEFT JOIN yap ON q_id = a_q AND c_id = a_c
+        GROUP BY q_id ORDER BY q_id""")),
+
     // ----- DiskANN-shape graph serving: the beam walks the graph scored
     // by PRODUCT-QUANTIZED approximate inner products (integer ADC
     // lookups against the unit-long codebooks — every beam decision is
@@ -2203,13 +2272,74 @@ object VectorQueries {
                   FROM gn qe, ent WHERE qe.vec_id < 5),${adc("cand0", "s0")},${topBeam("s0", "b0")},$hopCtes"""
   }
 
-  private def kmeansCtes(src: String = "embeddings"): String = s"""
+  /** Shared plan parts of the matryoshka-serve pair: queries, candidates,
+    * the persisted prefix index (quantized 16-dim prefixes + k-means cell,
+    * PARTITIONED BY CELL so the probe partition-prunes), and the persisted
+    * prefix-k-means fit (the train/persist/serve split).
+    */
+  private def matryoshkaServeParts(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        Array[Array[Long]]) = {
+    val e = t(s, dir, "embeddings")
+    val qq = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val centsDf = graft.Fixtures.read(s, dir, "mrl_cents") {
+      graft.operators.KMeans.centroidsToDf(s, graft.operators.KMeans.train(
+        e.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("pe")),
+        "vec_id", "pe", 4, 2))
+    }
+    val cents = graft.operators.KMeans.centroidsFromDf(centsDf)
+    val idx = graft.Fixtures.read(s, dir, "mrl_prefix_idx", Seq("cluster")) {
+      graft.operators.KMeans.assignWith(
+          cc.select(col("c_id"), expr("slice(ce, 1, 16)").as("pe")),
+          "c_id", "pe", cents)
+        .withColumn("tn", sqrt(
+          graft.functions.VectorFns.dotQDouble(col("__u"), col("__u"))))
+        .select(col("c_id"), col("__u").as("tv"), col("tn"), col("cluster"))
+    }
+    (qq, cc, idx, cents)
+  }
+
+  /** The matryoshka-serve replay: prefix k-means (kmeansCtes over the
+    * 16-dim slice) → single-cell entry → rounded prefix shortlist (rn <=
+    * 16) → rounded full-dimension re-rank. Exposes `ye` (full + prefix
+    * vectors with norms) and `yrk` (q_id, c_id, rnk) to the outer query.
+    */
+  private lazy val matryoshkaServeCtes: String = s"""
+        ${kmeansCtes("(SELECT vec_id, embedding[1:16] AS embedding FROM embeddings) mpre", 16)},
+        ye AS (SELECT e0.vec_id, e0.embedding, e0.te,
+                      sqrt(${VectorFns.dotSql("e0.embedding", "e0.embedding")}) AS norm,
+                      sqrt(${VectorFns.dotSql("e0.te", "e0.te")}) AS tnorm
+               FROM (SELECT vec_id, embedding, embedding[1:16] AS te
+                     FROM embeddings) e0),
+        ysl AS (SELECT qa.vec_id AS q_id, ca.vec_id AS c_id,
+                       round(${VectorFns.dotSql("qq.te", "cc.te")}
+                         / (qq.tnorm * cc.tnorm), 9) AS psim
+                FROM a2 qa JOIN a2 ca ON qa.j = ca.j AND qa.vec_id <> ca.vec_id
+                JOIN ye qq ON qq.vec_id = qa.vec_id
+                JOIN ye cc ON cc.vec_id = ca.vec_id
+                WHERE qa.vec_id < 5),
+        ysh AS (SELECT q_id, c_id FROM (
+                  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY psim DESC, c_id) AS rn FROM ysl) t WHERE rn <= 16),
+        yfn AS (SELECT m.q_id, m.c_id,
+                       ${VectorFns.dotSql("qq.embedding", "cc.embedding")}
+                         / (qq.norm * cc.norm) AS cos
+                FROM ysh m JOIN ye qq ON qq.vec_id = m.q_id
+                JOIN ye cc ON cc.vec_id = m.c_id),
+        yrk AS (SELECT q_id, c_id, CAST(row_number() OVER (PARTITION BY q_id
+                  ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
+                FROM yfn)"""
+
+  private def kmeansCtes(src: String = "embeddings", nDim: Int = 64): String = s"""
         q AS (SELECT vec_id,
                      list_transform(embedding,
                        e -> CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,6)) * 1000000 AS BIGINT)) AS u
                    FROM $src),
         ql AS (SELECT vec_id, d.g + 1 AS dim, u[d.g + 1] AS v
-               FROM q, generate_series(0, 63) d(g)),
+               FROM q, generate_series(0, ${nDim - 1}) d(g)),
         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, vec_id
                FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT 4)),
         c0l AS (SELECT c0.j, ql.dim, ql.v AS cv FROM c0 JOIN ql USING (vec_id)),

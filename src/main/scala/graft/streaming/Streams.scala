@@ -794,14 +794,44 @@ object Streams {
       groupCol: String): DataFrame = {
     // within-batch greedy prefix per group against the remaining budget:
     // the window is bounded by the MICRO-BATCH, never a corpus
-    val wSpend = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(col("score").desc, col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     scored.join(
         broadcast(remaining.withColumnRenamed(groupCol, "__g")),
         col(groupCol) <=> col("__g"), "left")
       .drop("__g")
+      .transform(budgetCumSelect(idCol, groupCol))
+  }
+
+  /** [[budgetDecidePlan]] with the remaining budgets as DRIVER-KNOWN
+    * literals — the batch-unrolled oracle rows' shape, where the budgets
+    * were just computed by a bounded collect. The per-group budget rides a
+    * map LITERAL into the expression (null group via its own branch, since
+    * a map literal cannot key on null), so the decide pays ZERO extra jobs:
+    * in this Spark an AQE BroadcastQueryStage over even a LocalTableScan
+    * submits a materialization job per join. Selection semantics are
+    * identical to the null-safe left join: a group absent from `remaining`
+    * gets a null budget and never selects.
+    */
+  def budgetDecidePlanLiteral(scored: DataFrame,
+      remaining: Seq[(String, Long)], idCol: String,
+      groupCol: String): DataFrame = {
+    val nonNull = remaining.filter(_._1 != null)
+    val nullRem = remaining.collectFirst { case (null, v) => v }
+    val mapRem =
+      if (nonNull.isEmpty) lit(null).cast(LongType)
+      else element_at(typedLit(nonNull.toMap), col(groupCol))
+    val remCol = nullRem.fold(mapRem)(v =>
+      when(col(groupCol).isNull, lit(v)).otherwise(mapRem))
+    scored.withColumn("__remaining", remCol)
+      .transform(budgetCumSelect(idCol, groupCol))
+  }
+
+  private def budgetCumSelect(idCol: String, groupCol: String)
+                             (withRem: DataFrame): DataFrame = {
+    val wSpend = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    withRem
       .withColumn("__cum", sum(col("__ntok")).over(wSpend))
       .withColumn("__selected",
         col("__remaining").isNotNull && col("__cum") <= col("__remaining"))
@@ -1100,9 +1130,8 @@ object Streams {
     if (lastStamp < batchId && !batch.isEmpty) {
       val hist = vecIdx.filter(col("batch_id") < batchId)
         .select(col(idCol), col(embCol))
-      // materialize BOTH merge results BEFORE either table swap (the
-      // band-gate rule): the graph merge reads graphTable AND vecTable,
-      // the vector merge reads vecTable
+      // materialize the graph merge BEFORE either table write (the
+      // band-gate rule): it reads graphTable AND vecTable
       val merged = graft.operators.Similarity.mergeKnnGraph(
           g0.filter(col("batch_id") < batchId)
             .select(col("node"), col("nbr"), col("sim")),
@@ -1110,19 +1139,24 @@ object Streams {
           idCol, embCol, cents, degree)
         .withColumn("batch_id", lit(batchId))
         .localCheckpoint(true)
-      val vecMerged = vecIdx.unionByName(
-          batch.select(col(idCol), col(embCol))
-            .withColumn("batch_id", lit(batchId)))
-        .groupBy(col(idCol))
-        .agg(first(col(embCol)).as(embCol), min(col("batch_id")).as("batch_id"))
-        .localCheckpoint(true)
       try {
-        wh.write(vecTable, vecMerged)
+        // vectors APPEND as a batch_id partition — O(batch) bytes per
+        // batch where the r17 shape's groupBy-dedupe + whole-table swap
+        // rewrote O(corpus) every batch (the dominant term of the gate's
+        // ×10 growth decomposition, r18); a replay overwrites the same
+        // partition, so idempotence needs no dedupe pass. Ids are unique
+        // across the stream (the vec_id contract), so cross-partition
+        // duplicates cannot arise. The GRAPH table stays a whole-table
+        // swap: touched history nodes' rows change in place — its
+        // production shape is node-range partitioning with touched-range
+        // rewrites, the documented compaction-style maintenance cost.
+        wh.writePartition(vecTable, "batch_id", batchId,
+          batch.select(col(idCol), col(embCol)))
         wh.write(graphTable, merged)
-      } finally Seq(merged, vecMerged).foreach(_.queryExecution.analyzed.foreach {
+      } finally merged.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
         case _ => ()
-      })
+      }
     }
     writeBatchIdempotent(batch, outDir, batchId)
   }

@@ -470,6 +470,41 @@ class FuzzSpec extends AnyFunSuite {
     assert(rows.exists(_._1.length >= k + w), "fuzz must reach full windows")
   }
 
+  test("anchorRows: one kernel pass equals dense chunkHashes + winnowAnchors (fuzz)") {
+    import graft.functions.SketchFns
+    val (k, w) = (3, 4)
+    val tokG: Gen[Seq[String]] = for {
+      n <- Gen.chooseNum(0, 30)
+      ts <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", ""))
+    } yield ts
+    val docs = sample(tokG, 300, 78L).distinct.map(Tuple1(_))
+    val rows = docs.toDF("t").select(col("t"),
+        SketchFns.chunkHashes(col("t"), k, 1).as("dense"),
+        SketchFns.winnowAnchors(col("t"), k, w).as("an"),
+        SketchFns.anchorRows(col("t"), k, w).as("ar"))
+      .collect().map(r => (r.getSeq[String](0).toList,
+        r.getSeq[Long](1).toList,
+        r.getSeq[org.apache.spark.sql.Row](2).map(s => (s.getLong(0), s.getLong(1))).toList,
+        r.getSeq[org.apache.spark.sql.Row](3)
+          .map(s => (s.getLong(0), s.getLong(1), s.getBoolean(2))).toList))
+    var sparseSeen = false
+    rows.foreach { case (t, denseAll, anchors, ar) =>
+      val n = t.length
+      if (n < k) assert(ar.isEmpty, s"below k must be empty: $t")
+      else {
+        val m = n - k + 1
+        // the dense half IS chunkHashes stride 1 (full-length positions)
+        assert(ar.map(_._1) == (0L until m.toLong).toList &&
+          ar.map(_._2) == denseAll.take(m), s"dense half diverges on $t")
+        // the flagged subset IS winnowAnchors, bit for bit
+        assert(ar.filter(_._3).map(a => (a._1, a._2)) == anchors,
+          s"sparse flags diverge on $t")
+        sparseSeen ||= ar.exists(_._3)
+      }
+    }
+    assert(sparseSeen, "fuzz must reach selected anchors")
+  }
+
   test("percentileGate equals the sort-and-cut model under heavy ties (fuzz)") {
     // small score range forces boundary ties; several permilles exercise
     // the quota floor (including quota 0 for tiny groups)
@@ -563,5 +598,14 @@ class FuzzSpec extends AnyFunSuite {
       }
     }
     assert(got == want)
+    // the LITERAL decide (the batch-unrolled rows' zero-extra-job shape)
+    // makes identical decisions: same null-group branch, same
+    // absent-group-rejects semantics as the null-safe left join
+    val gotLit = graft.streaming.Streams.budgetDecidePlanLiteral(
+        graft.streaming.Streams.budgetScorePlan(df, "text", Seq("a", "the")),
+        Seq("a" -> 15L, "b" -> 0L, (null: String) -> 7L), "doc_id", "grp")
+      .select(col("doc_id"), col("__selected"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(gotLit == want)
   }
 }

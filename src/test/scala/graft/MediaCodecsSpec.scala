@@ -914,6 +914,43 @@ class MediaCodecsSpec extends AnyFunSuite {
       val c = multi.clone; c(i) = (c(i) ^ 0x33).toByte
       MediaCodecs.parseMp4FragSamples(c) // never throws
     }
+    // MUXED two-track segments (the common DASH shape): audio is track 1
+    // with its trak, trex, and per-moof traf all FIRST; the walker must
+    // select the video track by tkhd/tfhd track_id, skip the audio truns,
+    // and still resolve every frame byte-identically — a first-trak or
+    // first-traf walk reads audio bytes as frames and fails byte equality
+    for (split <- Seq(Seq(5), Seq(2, 3))) {
+      val all = (0 until split.sum).map { i =>
+        MediaCodecs.encodeJpegGray(8, 8, Array.fill[Byte](64)((i * 11 + 3).toByte), quant = 8)
+      }
+      val frags = split.foldLeft((Seq.empty[Seq[Array[Byte]]], all.toSeq)) {
+        case ((acc, rest), c) => (acc :+ rest.take(c), rest.drop(c))
+      }._1
+      val muxed = MediaCodecs.encodeMp4FragMjpeg(8, 8, 1000, 40, frags,
+        muxAudio = true)
+      // the fixture really is muxed: two traks, two trexes, and one traf
+      // per track per moof
+      assert(countTag(muxed, "trak") == 2 && countTag(muxed, "trex") == 2)
+      assert(countTag(muxed, "traf") == 2 * split.length)
+      assert(countTag(muxed, "soun") >= 1)
+      val ms = MediaCodecs.parseMp4FragSamples(muxed)
+        .getOrElse(fail(s"muxed split=$split did not parse"))
+      assert((ms.width, ms.height, ms.timescale, ms.sampleDelta) == (8, 8, 1000, 40))
+      assert(ms.frames.length == all.length)
+      ms.frames.zip(all).foreach { case (got, want) => assert(got.sameElements(want)) }
+      ms.frames.foreach(fr => assert(MediaCodecs.parseJpegPixels(fr).isDefined))
+      // hostile single-byte fuzz on the muxed layout never throws
+      (0 until muxed.length).foreach { i =>
+        val c = muxed.clone; c(i) = (c(i) ^ 0x5a).toByte
+        MediaCodecs.parseMp4FragSamples(c)
+      }
+    }
+    // multi-trun AND muxed at once (several video runs behind an audio traf)
+    val mx = MediaCodecs.encodeMp4FragMjpeg(8, 8, 1000, 40, Seq(mf),
+      samplesPerTrun = 2, muxAudio = true)
+    val mxs = MediaCodecs.parseMp4FragSamples(mx).getOrElse(fail("muxed multi-trun"))
+    assert(mxs.frames.length == 5)
+    mxs.frames.zip(mf).foreach { case (got, want) => assert(got.sameElements(want)) }
   }
 
   test("garbage, truncation, and BM-prefixed text do not parse") {

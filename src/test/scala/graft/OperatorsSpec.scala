@@ -812,6 +812,27 @@ class OperatorsSpec extends AnyFunSuite {
       graft.operators.Dedup.tagSpansAgainstIndexSparse(fresh,
         graft.operators.Dedup.sparseAnchors(hist, "doc_id", "text", 4, 3),
         hist, "doc_id", "text", 4, minSpanTokens = 5, w = 3))
+    // the SERVE shape — history as a pre-built anchorRows artifact, no
+    // history tokenization inside the gate — reproduces the same exact
+    // output, through BOTH tiers (maxDriverRows = 0 forces the
+    // distributed fallback)
+    val idxRows = graft.operators.Dedup.anchorRowsFrame(
+      hist, "doc_id", "text", 4, 3).localCheckpoint(true)
+    val served = res(graft.operators.Dedup.tagSpansAgainstIndexSparseServe(
+      fresh, idxRows, "doc_id", "text", 4, minSpanTokens = 6, w = 3))
+    assert(served == dense)
+    val servedDist = res(graft.operators.Dedup.tagSpansAgainstIndexSparseServe(
+      fresh, idxRows, "doc_id", "text", 4, minSpanTokens = 6, w = 3,
+      maxDriverRows = 0))
+    assert(servedDist == dense)
+    // and the artifact's flagged subset is exactly the sparse index
+    val viaFlag = idxRows.filter($"sparse")
+      .select($"doc_id", $"pos", $"sh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaSparse = graft.operators.Dedup.sparseAnchors(
+        hist, "doc_id", "text", 4, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaFlag == viaSparse)
   }
 
   test("table diff: insert/delete/update classified, null-safe, unchanged dropped") {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.airbnb.Warehouse
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class WarehouseSpec extends AnyFunSuite {
@@ -136,6 +137,41 @@ class WarehouseSpec extends AnyFunSuite {
     assert(!wh.exists("dim_listings")) // no roll-forward resurrection
     assert(!new File(s"$root/dim_listings__tmp").exists)
     assert(!new File(s"$root/dim_listings__old").exists)
+  }
+
+  test("writePartition appends one partition, leaves others, replays idempotently") {
+    val root = java.nio.file.Files.createTempDirectory("wh-part").toString
+    val wh = graft.airbnb.Warehouse(spark, root)
+    wh.writePartition("vecs", "batch_id", 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    wh.writePartition("vecs", "batch_id", 1L,
+      Seq((3L, "c")).toDF("id", "v"))
+    // partition discovery re-attaches batch_id; both partitions visible
+    val got = wh.read("vecs").select(col("id"), col("v"),
+        col("batch_id").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 1L)))
+    // a REPLAY of batch 1 overwrites ONLY batch 1 — batch 0 rows untouched,
+    // no duplicates (the foreachBatch idempotence contract, no dedupe pass)
+    wh.writePartition("vecs", "batch_id", 1L,
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    val got2 = wh.read("vecs").select(col("id"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+    // partition pruning: a batch_id filter reaches the scan as a
+    // PartitionFilter (the gate's history read is O(read partitions))
+    val scan = wh.read("vecs").filter(col("batch_id") < 1)
+      .queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+    assert(scan.partitionFilters.nonEmpty)
+    // a crash BETWEEN temp write and rename leaves an underscore dir that
+    // readers ignore and a replay repairs
+    val stray = new java.io.File(s"$root/vecs/__tmp_batch_id=2")
+    stray.mkdirs()
+    assert(wh.read("vecs").count() == 4)
+    wh.writePartition("vecs", "batch_id", 2L, Seq((9L, "z")).toDF("id", "v"))
+    assert(wh.read("vecs").count() == 5 && !stray.exists())
   }
 
   test("J9 catalog introspection replaces sys.tables/sys.columns queries") {
