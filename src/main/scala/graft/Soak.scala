@@ -756,11 +756,30 @@ object Soak {
             degree = 6)
         }
       }
+      // FIXED-batch variant (r18 decomposition): batches are the same
+      // ABSOLUTE size at 1x and xF (pmod 30 vs 30*F), so per-batch probe
+      // work is constant and the small→big growth isolates the
+      // O(corpus)-per-batch terms — the prior-graph scan + whole-table
+      // graph swap. The production daily-gate shape is batch ≪ corpus,
+      // which the corpus/3 batches of the main row cannot represent.
+      def runKnnGraphFixed(dir: String): Unit = {
+        val out = tmp("soak-kgf-out")
+        val wh = graft.airbnb.Warehouse(spark, tmp("soak-kgf-wh"))
+        val cents = kgCentsFor(dir)
+        val m = if (dir == small) 30 else 30 * gatesFactor
+        (0 until 3).foreach { i =>
+          Streams.knnGraphGateBatch(
+            emb(dir).filter(pmod(col("vec_id"), lit(m)) === i), wh, cents,
+            "kg_graph", "kg_vecs", out, i.toLong, "vec_id", "embedding",
+            degree = 6)
+        }
+      }
       val gateRuns: Seq[(String, String => Unit)] = Seq(
         "gate_budget_ledger" -> (runBudget _),
         "gate_percentile" -> (runPercentile _),
         "gate_substring_index" -> (runSubstring _),
-        "gate_knn_graph" -> (runKnnGraph _))
+        "gate_knn_graph" -> (runKnnGraph _),
+        "gate_knn_graph_fixedbatch" -> (runKnnGraphFixed _))
       println(f"${"gate (3 batches)"}%-26s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s ${"r/f"}%5s (data x$gatesFactor)")
       gateRuns.foreach { case (name, f) =>
         f(small); val tS = time(f(small))

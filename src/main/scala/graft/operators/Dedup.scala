@@ -1032,80 +1032,69 @@ object Dedup {
     require(w >= 1, s"w must be >= 1: $w")
     require(minSpanTokens >= w + k - 1,
       s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
-    val spark = newDf.sparkSession
     val newSparse = sparseAnchors(newDf, idCol, textCol, k, w)
     // the BATCH's sparse anchors ride a broadcast over the index scan —
     // the production probe shape: a daily batch's winnowed anchors are
     // MB-scale by construction (three longs per ~w-th token of the batch)
     // while the global index is the corpus-scale side, so the probe join
-    // is map-side over the index with no index exchange at any scale
-    val candPlan = sparseIdx.select(col(idCol).as("b_id"), col("sh"))
+    // is map-side over the index with no index exchange at any scale.
+    // Raw COLLISION rows (bounded by genuine shared-span content plus
+    // sparse-hash coincidences — batch-scale, never corpus-scale) collect
+    // once under the limit(n+1) tripwire and dedupe on the driver: no
+    // distinct exchange, and the candidate doc sets become InSet
+    // predicates fused into the dense-verify scans (an AQE
+    // BroadcastQueryStage over even a LocalTableScan submits a
+    // materialization job in this Spark — the r17 fast path paid three).
+    val probe = sparseIdx.select(col(idCol).as("b_id"), col("sh"))
       .join(broadcast(newSparse.select(col(idCol).as("a_id"), col("sh"))), "sh")
-      .select(col("a_id"), col("b_id")).distinct()
-    // Candidate pairs are bounded by genuine shared-span content plus
-    // sparse-hash coincidences — batch-scale, not corpus-scale. The fast
-    // path collects them ONCE (the FitFrames one-bounded-collect rule,
-    // with the LinkGraph limit(n+1) tripwire) and rides every downstream
-    // use on driver-local relations: LocalTableScan broadcasts build on
-    // the driver without submitting a job, so the serve query pays the
-    // probe join + the dense verify and nothing else — the r16 shape
-    // spent 17 jobs on checkpoint + distinct + broadcast-exchange
-    // machinery around the same two stages. Pathological batches (more
-    // candidates than the tripwire) fall back to the fully-distributed
-    // checkpointed plan below, which never holds the pair set anywhere.
-    val cs = boundedCandPairs(candPlan, idCol, maxDriverCand,
-      "Dedup.tagSpansAgainstIndexSparse")
-    val denseA = positionalAnchors(newDf.join(cs.aDocs, Seq(idCol)),
-      idCol, textCol, k)
-    val denseB = positionalAnchors(histDf.join(cs.bDocs, Seq(idCol)),
-      idCol, textCol, k)
-    val cand = cs.cand
-    val pairs = denseA
-      .select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))
-      .hint("shuffle_hash")
-      .join(denseB.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh")), "sh")
-      .join(cand, Seq("a_id", "b_id"))
-      .select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"), col("pa"))
-    mergeDiagIslands(pairs, k, minSpanTokens)
-      .groupBy(col("a_id"))
-      .agg(count(lit(1)).as("n_spans"), max(col("len_tokens")).as("max_span_tokens"))
-      .select(col("a_id").as(idCol), col("n_spans"), col("max_span_tokens"))
-  }
-
-  /** The candidate-pair frames of the sparse probe's bounded-collect fast
-    * path: `cand` (a_id, b_id), `aDocs`/`bDocs` (idCol) — driver-local
-    * broadcast relations when the pair count fits `maxDriverCand`
-    * (LocalTableScan broadcasts build on the driver without submitting a
-    * job; the FitFrames one-bounded-collect rule with the LinkGraph
-    * limit(n+1) tripwire), a checkpointed distributed plan otherwise.
-    */
-  private final case class CandSets(cand: DataFrame, aDocs: DataFrame,
-                                    bDocs: DataFrame)
-
-  private def boundedCandPairs(candPlan: DataFrame, idCol: String,
-                               maxDriverCand: Int, ckptPrefix: String): CandSets = {
-    val spark = candPlan.sparkSession
-    val head = candPlan.limit(maxDriverCand + 1).collect()
-    if (head.length <= maxDriverCand) {
-      def docSide(i: Int): DataFrame = broadcast(spark.createDataFrame(
-        java.util.Arrays.asList(head.map(_.get(i)).distinct
-          .map(org.apache.spark.sql.Row(_)): _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            candPlan.schema(i).dataType)))))
-      CandSets(
-        broadcast(spark.createDataFrame(
-          java.util.Arrays.asList(head: _*), candPlan.schema)),
-        docSide(0), docSide(1))
+      .select(col("a_id"), col("b_id"))
+    val rawHead = probe.limit(maxDriverCand + 1).collect()
+    if (rawHead.length <= maxDriverCand) {
+      val pairsLocal = rawHead.map(r => (r.get(0), r.get(1))).distinct
+      val idType = newDf.schema(idCol).dataType
+      val denseA = positionalAnchors(
+        idSetFilter(newDf, idCol, idType, pairsLocal.map(_._1).distinct),
+        idCol, textCol, k)
+      val denseB = positionalAnchors(
+        idSetFilter(histDf, idCol, idType, pairsLocal.map(_._2).distinct),
+        idCol, textCol, k)
+      // no candidate-pair join: denseA/denseB are id-restricted and a
+      // non-candidate pair's shared spans are all < w + k − 1 <=
+      // minSpanTokens (winnowing coverage), so the island length filter
+      // drops them unconditionally; the a-side (candidate-batch-bounded)
+      // broadcasts over the b-side verify scan
+      sparseVerify(denseA, denseB, cand = None, idCol, k, minSpanTokens,
+        broadcastA = true)
     } else {
+      // distributed tier: candidate pairs stay a checkpointed frame and
+      // bound both dense sides; nothing batch-scale lands on the driver
       val cand = graft.CkptCycle.cycle(
-        graft.CkptCycle.callSiteKey(ckptPrefix, "graft.operators.Dedup"),
-        candPlan.localCheckpoint(true)).hint("broadcast")
-      CandSets(cand,
-        cand.select(col("a_id").as(idCol)).distinct(),
-        cand.select(col("b_id").as(idCol)).distinct())
+        graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndexSparse",
+          "graft.operators.Dedup"),
+        probe.distinct().localCheckpoint(true)).hint("broadcast")
+      val denseA = positionalAnchors(
+        newDf.join(cand.select(col("a_id").as(idCol)).distinct(), Seq(idCol)),
+        idCol, textCol, k)
+      val denseB = positionalAnchors(
+        histDf.join(cand.select(col("b_id").as(idCol)).distinct(), Seq(idCol)),
+        idCol, textCol, k)
+      sparseVerify(denseA, denseB, Some(cand), idCol, k, minSpanTokens)
     }
   }
+
+  /** Id-set membership as an InSet predicate fused into the scan (with a
+    * local-relation join fallback for very large sets, which are rare
+    * under the callers' tripwires — the predicate keeps the expression
+    * tree bounded).
+    */
+  private def idSetFilter(df: DataFrame, idCol: String,
+                          idType: org.apache.spark.sql.types.DataType,
+                          ids: Array[Any]): DataFrame =
+    if (ids.length <= (1 << 16)) df.filter(col(idCol).isin(ids.toSeq: _*))
+    else df.join(broadcast(df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(ids.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, idType))))), Seq(idCol))
 
   /** Dense positional anchors WITH the winnowing selection flagged —
     * (idCol, pos 1-based, sh, sparse), one kernel pass
@@ -1175,12 +1164,7 @@ object Dedup {
     require(w >= 1, s"w must be >= 1: $w")
     require(minSpanTokens >= w + k - 1,
       s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
-    val spark = newDf.sparkSession
     val idType = newDf.schema(idCol).dataType
-    def localIds(ids: Array[Any]): DataFrame = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(ids.map(org.apache.spark.sql.Row(_)): _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(idCol, idType)))))
     // ONE kernel pass over the batch — checkpointed, spread off the
     // unsplittable scan — feeds the probe broadcast AND the a-side verify
     // (the r17 shape tokenized the batch twice and history once per serve)
@@ -1201,13 +1185,11 @@ object Dedup {
       // (and pushable to the parquet reader), not local-relation joins: in
       // this Spark an AQE BroadcastQueryStage over a LocalTableScan still
       // submits a materialization job, so each avoided join is an avoided
-      // job launch. Very large sets (rare under the tripwire) fall back to
-      // a local-relation join to keep the expression tree bounded.
-      def idFilter(df: DataFrame, ids: Array[Any]): DataFrame =
-        if (ids.length <= (1 << 16)) df.filter(col(idCol).isin(ids.toSeq: _*))
-        else df.join(localIds(ids), Seq(idCol))
-      val denseA = idFilter(batchAnchors, pairsLocal.map(_._1).distinct)
-      val denseB = idFilter(idx, pairsLocal.map(_._2).distinct)
+      // job launch
+      val denseA = idSetFilter(batchAnchors, idCol, idType,
+        pairsLocal.map(_._1).distinct)
+      val denseB = idSetFilter(idx, idCol, idType,
+        pairsLocal.map(_._2).distinct)
       // a-side anchors are candidate-batch-bounded (the tier is only
       // entered under the tripwire), so they BROADCAST over the index
       // scan: the whole verify fuses into one scan-side stage plus the

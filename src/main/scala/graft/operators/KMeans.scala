@@ -213,4 +213,27 @@ object KMeans {
       .withColumn("dist", expr("array_min(__d)").cast(LongType))
       .drop("__d")
   }
+
+  /** MULTI-PROBE assignment against the matrix: one row per
+    * (id, probed cluster) for the `nProbe` NEAREST centroids, ties to the
+    * lowest index — the IVF probe-list shape. Entirely map-side (the
+    * per-row (dist, index) struct array sorts and slices inside the
+    * projection; no exchange), so probe lists fuse into whatever scan
+    * carries the ids. Returns (idCol, cluster, __u).
+    */
+  def assignProbes(df: DataFrame, idCol: String, embCol: String,
+                   cents: Array[Array[Long]], nProbe: Int): DataFrame = {
+    require(cents.nonEmpty, "empty centroid matrix")
+    require(nProbe >= 1, s"nProbe must be >= 1: $nProbe")
+    val dists = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.CellDistsQ(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__u")),
+        cents.map(_.toSeq).toSeq))
+    df.select(col(idCol), VectorFns.quantize(col(embCol)).as("__u"))
+      .withColumn("__d", dists)
+      .withColumn("__probe", explode(expr(
+        s"slice(array_sort(transform(__d, (d, i) -> " +
+          s"named_struct('d', d, 'i', CAST(i AS LONG)))), 1, $nProbe)")))
+      .select(col(idCol), col("__probe.i").as("cluster"), col("__u"))
+  }
 }

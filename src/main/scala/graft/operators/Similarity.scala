@@ -1254,13 +1254,18 @@ object Similarity {
     */
   def matryoshkaTopKServe(queries: DataFrame, candidates: DataFrame,
                           prefixIdx: DataFrame, cents: Array[Array[Long]],
-                          prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+                          prefixDim: Int, shortlist: Int, k: Int,
+                          nProbe: Int = 1): DataFrame = {
     require(prefixDim >= 1 && shortlist >= 1 && k >= 1,
       s"bad prefixDim=$prefixDim shortlist=$shortlist k=$k")
     import graft.functions.VectorFns
-    val qAssign = KMeans.assignWith(
+    // multi-probe entry: each query probes its nProbe nearest cells (ties
+    // to the lowest index — replayable as the kmeans distance CTE's
+    // row_number); a candidate lives in exactly one cell, so probe lists
+    // never duplicate a candidate within a query
+    val qAssign = KMeans.assignProbes(
         queries.select(col("q_id"), slice(col("qe"), 1, prefixDim).as("__pe")),
-        "q_id", "__pe", cents)
+        "q_id", "__pe", cents, nProbe)
       .withColumn("__qn", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
       .select(col("q_id"), col("cluster"), col("__u").as("__qu"), col("__qn"))
     val shortDf = graft.plans.TopKPerGroup.topK(

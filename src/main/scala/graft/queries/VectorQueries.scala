@@ -1089,13 +1089,13 @@ object VectorQueries {
     // per query for the exact re-rank of the shortlist. Centroids are a
     // persisted fit (train/persist/serve split); the oracle replays the
     // prefix k-means (kmeansCtes over the sliced embedding), the
-    // single-cell entry, the rounded prefix shortlist, and the rounded
+    // 2-probe entry, the rounded prefix shortlist, and the rounded
     // full re-rank.
     Q("q_ann_matryoshka_serve",
       (s, dir) => {
         val (qq, cc, idx, cents) = matryoshkaServeParts(s, dir)
         graft.operators.Similarity.matryoshkaTopKServe(qq, cc, idx, cents,
-            prefixDim = 16, shortlist = 16, k = 5)
+            prefixDim = 16, shortlist = 16, k = 5, nProbe = 2)
           .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
           .orderBy(col("q_id"), col("rnk"))
       },
@@ -1105,12 +1105,16 @@ object VectorQueries {
 
     // recall@5 of the matryoshka serve vs full-dimension exact brute
     // force — the acceptance measurement for the prefix-IVF entry +
-    // shortlist size, per the approximate-family convention.
+    // shortlist size, per the approximate-family convention. At fixture
+    // scale it reads LOW (200k–400k ppm): the synthetic embeddings are
+    // not MRL-trained, so their first 16 dims carry no privileged signal
+    // — which is precisely the condition this row exists to surface
+    // before a corpus owner swaps prefix serving in.
     Q("q_ann_matryoshka_serve_recall",
       (s, dir) => {
         val (qq, cc, idx, cents) = matryoshkaServeParts(s, dir)
         val approx = graft.operators.Similarity.matryoshkaTopKServe(qq, cc,
-            idx, cents, prefixDim = 16, shortlist = 16, k = 5)
+            idx, cents, prefixDim = 16, shortlist = 16, k = 5, nProbe = 2)
           .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
         import graft.functions.VectorFns
         val qq2 = qq.select(col("q_id"), VectorFns.quantize(col("qe")).as("qe2"))
@@ -2303,8 +2307,9 @@ object VectorQueries {
   }
 
   /** The matryoshka-serve replay: prefix k-means (kmeansCtes over the
-    * 16-dim slice) → single-cell entry → rounded prefix shortlist (rn <=
-    * 16) → rounded full-dimension re-rank. Exposes `ye` (full + prefix
+    * 16-dim slice) → 2-probe entry (the queries' two nearest cells by
+    * final-centroid distance, ties to the lowest index) → rounded prefix
+    * shortlist (rn <= 16) → rounded full-dimension re-rank. Exposes `ye` (full + prefix
     * vectors with norms) and `yrk` (q_id, c_id, rnk) to the outer query.
     */
   private lazy val matryoshkaServeCtes: String = s"""
@@ -2314,13 +2319,16 @@ object VectorQueries {
                       sqrt(${VectorFns.dotSql("e0.te", "e0.te")}) AS tnorm
                FROM (SELECT vec_id, embedding, embedding[1:16] AS te
                      FROM embeddings) e0),
+        yqa AS (SELECT vec_id, j FROM (
+                  SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, j) AS rn FROM d2) pr
+                WHERE rn <= 2 AND vec_id < 5),
         ysl AS (SELECT qa.vec_id AS q_id, ca.vec_id AS c_id,
                        round(${VectorFns.dotSql("qq.te", "cc.te")}
                          / (qq.tnorm * cc.tnorm), 9) AS psim
-                FROM a2 qa JOIN a2 ca ON qa.j = ca.j AND qa.vec_id <> ca.vec_id
+                FROM yqa qa JOIN a2 ca ON qa.j = ca.j AND qa.vec_id <> ca.vec_id
                 JOIN ye qq ON qq.vec_id = qa.vec_id
-                JOIN ye cc ON cc.vec_id = ca.vec_id
-                WHERE qa.vec_id < 5),
+                JOIN ye cc ON cc.vec_id = ca.vec_id),
         ysh AS (SELECT q_id, c_id FROM (
                   SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
                     ORDER BY psim DESC, c_id) AS rn FROM ysl) t WHERE rn <= 16),

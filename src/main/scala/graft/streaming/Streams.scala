@@ -467,19 +467,23 @@ object Streams {
       idx.filter(col("batch_id") < batchId)
         .select(col("doc_id").as(idCol), col("pos"), col("sh")),
       idCol, textCol, k, minSpanTokens)
-    // materialize survivors BEFORE the index swap (the band-gate rule: a
-    // lazy plan still reading the swapped table would FILE_NOT_EXIST)
+    // materialize survivors once: they feed the index append AND the sink
     val survivors = batch.join(tags.select(col(idCol)), Seq(idCol), "left_anti")
       .localCheckpoint(true)
     try {
-      val merged = idx.unionByName(
-          graft.operators.Dedup.anchorIndex(survivors, idCol, textCol, k,
-              maxOccurrences)
-            .select(col(idCol).as("doc_id"), col("pos"), col("sh"))
-            .withColumn("batch_id", lit(batchId)))
-        .groupBy(col("sh"), col("doc_id"), col("pos"))
-        .agg(min(col("batch_id")).as("batch_id"))
-      wh.write(indexTable, merged)
+      // the index GROWS BY THE BATCH's anchors only, landed as an
+      // idempotent batch_id partition (r18): the r17 shape re-read and
+      // re-wrote the WHOLE index through a groupBy-dedupe + table swap
+      // every batch — O(index) per batch, the dominant term of the gate's
+      // ×10 soak growth. Cross-partition duplicates cannot arise (survivor
+      // doc ids are unique across the stream, anchorIndex rows are unique
+      // within a batch), and a replay overwrites its own partition. The
+      // per-batch occurrence cap still applies at build time;
+      // Dedup.compactAnchorIndex remains the periodic global re-cap.
+      wh.writePartition(indexTable, "batch_id", batchId,
+        graft.operators.Dedup.anchorIndex(survivors, idCol, textCol, k,
+            maxOccurrences)
+          .select(col(idCol).as("doc_id"), col("pos"), col("sh")))
       writeBatchIdempotent(survivors, outDir, batchId)
     } finally survivors.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
@@ -1234,15 +1238,21 @@ object Streams {
     val accepted = afterExact.join(tags, Seq(idCol), "left")
       .filter(!coalesce(col("is_near_dup"), lit(false)))
       .drop("is_near_dup")
-      .localCheckpoint(true) // both index swaps below invalidate its lineage
+      .localCheckpoint(true) // feeds both index appends and the sink
     try {
-      wh.write("fp_index", fpIdx.unionByName(
-          accepted.select(md5(col(textCol)).as("fp")).withColumn("batch_id", lit(batchId)))
-        .groupBy(col("fp")).agg(min(col("batch_id")).as("batch_id")))
-      wh.write("band_index", bandIdx.unionByName(
-          graft.operators.Dedup.bandIndex(accepted, idCol, textCol, shingleK, bands)
-            .withColumn("batch_id", lit(batchId)))
-        .groupBy(col("band_idx"), col("band_key")).agg(min(col("batch_id")).as("batch_id")))
+      // both indexes grow by the batch's SURVIVOR contribution only,
+      // landed as idempotent batch_id partitions (r18 — the r17 shape
+      // rewrote each whole index through a groupBy-dedupe + swap every
+      // batch). Cross-partition duplicates cannot arise by the gates' own
+      // acceptance rules: an fp matching history is rejected by the exact
+      // gate, and an accepted doc shares NO band key with history (a
+      // shared band key is exactly what is_near_dup flags); within-batch
+      // duplicates are deduped here (fp distinct; bandIndex is distinct by
+      // construction). Replays overwrite their own partitions.
+      wh.writePartition("fp_index", "batch_id", batchId,
+        accepted.select(md5(col(textCol)).as("fp")).distinct())
+      wh.writePartition("band_index", "batch_id", batchId,
+        graft.operators.Dedup.bandIndex(accepted, idCol, textCol, shingleK, bands))
       writeBatchIdempotent(accepted, outDir, batchId)
     } finally accepted.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)

@@ -1137,6 +1137,24 @@ class OperatorsSpec extends AnyFunSuite {
     val legacy = tailLost.drop("k", "dim")
     intercept[IllegalArgumentException](graft.operators.KMeans.centroidsFromDf(
       legacy, expectedK = cents.length, expectedDim = cents.head.length))
+    // multi-probe assignment: the nProbe nearest cells in (dist, index)
+    // order, with nProbe = 1 collapsing to assignWith's nearest cell and
+    // nProbe = k enumerating every cell exactly once per id
+    val probes2 = graft.operators.KMeans.assignProbes(
+        df, "vec_id", "embedding", back, 2)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(probes2.length == 5 * 2 &&
+      probes2.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 2))
+    val near1 = graft.operators.KMeans.assignProbes(
+        df, "vec_id", "embedding", back, 1)
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(near1 == viaFit.map(s =>
+      (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long])).toSeq)
+    // probes beyond k are impossible: slice caps at the matrix size
+    assert(graft.operators.KMeans.assignProbes(
+      df, "vec_id", "embedding", back, 99).count() == 5 * back.length)
   }
 
   test("heavy hitters: eviction path, MG superset guarantee, partition independence") {
