@@ -261,4 +261,34 @@ class PlanLintSpec extends AnyFunSuite {
       .findAllIn(p).size
     assert(joins <= 1, s"expected a single pair join, planned $joins")
   }
+
+  test("matryoshka serve partition-prunes the prefix index and re-ranks without a shuffle join") {
+    val q = SparkEntry.registry.find(_.name == "q_ann_matryoshka_serve").get
+    // formatted explain reaches inside AQE's unfinalized stages, where a
+    // plain executedPlan.collect sees only the adaptive root
+    val s = q.run(spark, TestSpark.sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(s.contains("mrl_prefix_idx"), "prefix index scan not found")
+    // the prefix-index probe must partition-prune to the queries' cells
+    // (dynamic pruning from the broadcast query-assignment side)
+    assert(s.contains("dynamicpruningexpression"),
+      "prefix-index scan reads every cell — partition pruning lost")
+    // the exact re-rank joins the shortlist against full vectors by id —
+    // broadcast-shaped, never a sort-merge of the corpus
+    assert(!s.contains("SortMergeJoin"),
+      "matryoshka re-rank plans a sort-merge join")
+  }
+
+  test("sparse serve fast tier: no shuffle-hash verify join, InSet candidate filters") {
+    // the fast tier broadcasts the (bounded) a-side dense anchors over the
+    // index scan and filters candidate docs with InSet predicates — a
+    // ShuffledHashJoin or extra LocalTableScan joins would mean the r18
+    // job-cut regressed to the r17 shape
+    val q = SparkEntry.registry.find(_.name == "q_dedup_incremental_sparse_serve").get
+    val p = q.run(spark, TestSpark.sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("ShuffledHashJoin"),
+      "sparse serve fast tier plans a shuffle-hash verify join")
+    assert(!p.contains("LocalTableScan"),
+      "sparse serve fast tier still joins driver-local relations")
+  }
 }
