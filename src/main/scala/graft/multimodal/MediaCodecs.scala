@@ -455,12 +455,17 @@ object MediaCodecs {
     if (b(4) != 'f' || b(5) != 't' || b(6) != 'y' || b(7) != 'p') return None
     var off = 0
     while (off + 8 <= b.length) {
-      val size = buf.getInt(off)
+      val (cS, cE) = mp4Box(b, buf, off, b.length) match {
+        case Some(x) => x
+        // tolerate a final to-eof box (size 0) — header-only metadata
+        // probing shouldn't reject a stream whose LAST box is open-ended
+        case None if buf.getInt(off) == 0 => (off + 8, b.length)
+        case None => return None
+      }
       val tpe = new String(b, off + 4, 4, "US-ASCII")
-      if (size < 8) return None // size 0/1 (to-eof / 64-bit) unsupported in fixtures
       if (tpe == "moov") {
-        var in = off + 8
-        val end = math.min(off + size, b.length)
+        var in = cS
+        val end = cE
         while (in + 8 <= end) {
           val s2 = buf.getInt(in)
           val t2 = new String(b, in + 4, 4, "US-ASCII")
@@ -483,7 +488,7 @@ object MediaCodecs {
         }
         return None
       }
-      off += size
+      off = cE
     }
     None
   }
@@ -2474,7 +2479,8 @@ object MediaCodecs {
     * exercised against the documented container, not a private framing.
     */
   def encodeMp4Mjpeg(width: Int, height: Int, timescale: Int, sampleDelta: Int,
-                     frames: Seq[Array[Byte]], samplesPerChunk: Int = 3): Array[Byte] = {
+                     frames: Seq[Array[Byte]], samplesPerChunk: Int = 3,
+                     use64BitOffsets: Boolean = false): Array[Byte] = {
     require(width >= 1 && height >= 1 && timescale >= 1 && sampleDelta >= 1 &&
       samplesPerChunk >= 1 && frames.nonEmpty,
       "need positive dims/timescale/delta/chunking and at least one frame")
@@ -2551,7 +2557,15 @@ object MediaCodecs {
       }
       offs
     }
-    val stco = full("stco", 0, be(nChunks) ++ be(chunkOffsets.toIndexedSeq: _*))
+    // co64 is the 64-bit chunk-offset table large files need (stco caps
+    // at 4 GiB); the fixture writes the same offsets widened so the
+    // walker's co64 path is pinned byte-for-byte against the stco path
+    val stco =
+      if (use64BitOffsets) {
+        val b = ByteBuffer.allocate(8 * nChunks).order(ByteOrder.BIG_ENDIAN)
+        chunkOffsets.foreach(o => b.putLong(o.toLong))
+        full("co64", 0, be(nChunks) ++ b.array())
+      } else full("stco", 0, be(nChunks) ++ be(chunkOffsets.toIndexedSeq: _*))
     val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
     val minf = box("minf", vmhd ++ dinf ++ stbl)
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)
@@ -2579,14 +2593,31 @@ object MediaCodecs {
   /** Find the first child box of [from, to) named `tpe`; returns
     * (start, end) of its BODY. None on a malformed size or no match.
     */
+  /** One box's (contentStart, end) at `i`, honoring the ISO-BMFF 64-bit
+    * `largesize` form (size == 1 → the real size is a u64 after the tag —
+    * the shape every > 4 GiB mdat ships in; our slices are int-bounded, so
+    * an in-bounds largesize always fits an Int). None on malformed sizes.
+    */
+  private def mp4Box(b: Array[Byte], buf: ByteBuffer, i: Int,
+                     to: Int): Option[(Int, Int)] = {
+    if (i + 8 > to) return None
+    val size32 = buf.getInt(i)
+    if (size32 == 1) {
+      if (i + 16 > to) return None
+      val size64 = buf.getLong(i + 8)
+      if (size64 < 16 || size64 > (to - i).toLong) None
+      else Some((i + 16, i + size64.toInt))
+    } else if (size32 < 8 || i + size32 > to) None
+    else Some((i + 8, i + size32))
+  }
+
   private def mp4Child(b: Array[Byte], buf: ByteBuffer, from: Int, to: Int,
                        tpe: String): Option[(Int, Int)] = {
     var i = from
     while (i + 8 <= to) {
-      val size = buf.getInt(i)
-      if (size < 8 || i + size > to) return None
-      if (mp4Tag(b, i + 4) == tpe) return Some((i + 8, i + size))
-      i += size
+      val (cS, cE) = mp4Box(b, buf, i, to).getOrElse(return None)
+      if (mp4Tag(b, i + 4) == tpe) return Some((cS, cE))
+      i = cE
     }
     None
   }
@@ -2618,11 +2649,14 @@ object MediaCodecs {
         (ttS, ttE) <- child(sbS, sbE, "stts")
         (scS, scE) <- child(sbS, sbE, "stsc")
         (szS, szE) <- child(sbS, sbE, "stsz")
-        (coS, coE) <- child(sbS, sbE, "stco")
-      } yield (mdS, mdE, sdS, sdE, ttS, ttE, scS, scE, szS, szE, coS, coE)
+        // chunk offsets: 32-bit stco or the 64-bit co64 large files carry
+        (coS, coE, co64) <- child(sbS, sbE, "stco")
+          .map { case (s, e) => (s, e, false) }
+          .orElse(child(sbS, sbE, "co64").map { case (s, e) => (s, e, true) })
+      } yield (mdS, mdE, sdS, sdE, ttS, ttE, scS, scE, szS, szE, coS, coE, co64)
       res match {
         case None => trakFrom = tE // not a video track; try the next trak
-        case Some((mdS, mdE, sdS, sdE, ttS, ttE, scS, scE, szS, szE, coS, coE)) =>
+        case Some((mdS, mdE, sdS, sdE, ttS, ttE, scS, scE, szS, szE, coS, coE, co64)) =>
           // mdhd version 0: timescale after ver/flags + 2×32-bit times
           if (mdE - mdS < 20 || (b(mdS) & 0xff) != 0) return None
           timescale = buf.getInt(mdS + 12)
@@ -2650,15 +2684,20 @@ object MediaCodecs {
             while (i < n) { sizes(i) = buf.getInt(szS + 12 + 4 * i); i += 1 }
           }
           if (sizes.exists(s => s <= 0 || s > (1 << 24))) return None
-          // stco chunk offsets
+          // stco/co64 chunk offsets (4- vs 8-byte entries)
           if (coE - coS < 8) return None
+          val offW = if (co64) 8 else 4
           val nChunks = buf.getInt(coS + 4)
-          if (nChunks <= 0 || nChunks > 100000 || coE - coS < 8 + 4L * nChunks)
+          if (nChunks <= 0 || nChunks > 100000 ||
+              coE - coS < 8 + offW.toLong * nChunks)
             return None
           val chunkOff = new Array[Long](nChunks)
           var i = 0
           while (i < nChunks) {
-            chunkOff(i) = buf.getInt(coS + 8 + 4 * i).toLong & 0xffffffffL
+            chunkOff(i) =
+              if (co64) buf.getLong(coS + 8 + 8 * i)
+              else buf.getInt(coS + 8 + 4 * i).toLong & 0xffffffffL
+            if (chunkOff(i) < 0) return None // hostile 64-bit offset
             i += 1
           }
           // stsc runs: (first_chunk, samples_per_chunk); resolve per chunk
@@ -2963,17 +3002,17 @@ object MediaCodecs {
     var delta = 0
     var i = 0
     while (i + 8 <= b.length) {
-      val size = buf.getInt(i)
-      if (size < 8 || i.toLong + size > b.length) return None
+      // mp4Box honors the 64-bit largesize form a > 4 GiB mdat ships in
+      val (boxS, boxE) = mp4Box(b, buf, i, b.length).getOrElse(return None)
       if (mp4Tag(b, i + 4) == "moof") {
         val moofStart = i
         // a muxed moof carries one traf PER TRACK (audio + video in the
         // same fragment — the common DASH shape); select the video traf by
         // its tfhd track_id and skip the others' truns entirely
         var tfS = -1; var tfE = -1
-        var trafFrom = i + 8
-        while (tfS < 0 && trafFrom < i + size) {
-          val (cS, cE) = mp4Child(b, buf, trafFrom, i + size, "traf")
+        var trafFrom = boxS
+        while (tfS < 0 && trafFrom < boxE) {
+          val (cS, cE) = mp4Child(b, buf, trafFrom, boxE, "traf")
             .getOrElse(return None)
           val (thS, thE) = mp4Child(b, buf, cS, cE, "tfhd").getOrElse(return None)
           if (thE - thS < 8) return None
@@ -3034,7 +3073,7 @@ object MediaCodecs {
         }
         if (!sawTrun) return None
       }
-      i += size
+      i = boxE
     }
     val fs = frames.result()
     if (fs.isEmpty || delta <= 0) None

@@ -798,6 +798,27 @@ class MediaCodecsSpec extends AnyFunSuite {
       // the metadata-only parser agrees on the movie header
       val meta = MediaCodecs.parseMp4(mp4).get
       assert(meta.timescale == 1000 && meta.duration == n.toLong * 40)
+      // co64 (the 64-bit chunk-offset table large files carry): identical
+      // frames through the widened-offset path, and the stco path is
+      // really gone from the container
+      val big = MediaCodecs.encodeMp4Mjpeg(16, 8, 1000, 40, f,
+        samplesPerChunk = spc, use64BitOffsets = true)
+      def tag4(bb: Array[Byte], i: Int) = new String(bb, i, 4, "US-ASCII")
+      assert((0 until big.length - 4).exists(i => tag4(big, i) == "co64") &&
+        !(0 until big.length - 4).exists(i => tag4(big, i) == "stco"))
+      val sb = MediaCodecs.parseMp4Samples(big)
+        .getOrElse(fail(s"co64 n=$n spc=$spc did not parse"))
+      assert(sb.frames.length == n)
+      sb.frames.zip(f).foreach { case (got, want) => assert(got.sameElements(want)) }
+      // hostile: a co64 offset with the sign bit set rejects cleanly
+      val co64At = (0 until big.length - 4).find(i => tag4(big, i) == "co64").get
+      val evil = big.clone
+      evil(co64At + 12) = 0x80.toByte // first offset's top byte
+      assert(MediaCodecs.parseMp4Samples(evil).isEmpty)
+      (0 until big.length by 7).foreach { i =>
+        val c = big.clone; c(i) = (c(i) ^ 0x5a).toByte
+        MediaCodecs.parseMp4Samples(c) // never throws
+      }
     }
   }
 
@@ -816,6 +837,26 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(tag(moovAt + 4) == "moov" && u32(moovAt) == mp4.length - moovAt)
     val stcoAt = (0 until mp4.length - 4).find(i => tag(i) == "stco").get
     assert(u32(stcoAt + 8) == 1 && u32(stcoAt + 12) == 24)
+    // a 64-bit LARGESIZE top-level box (the > 4 GiB mdat form) between
+    // mdat and moov must be skipped, not rejected: size32 == 1 with the
+    // real u64 size after the tag. Inserted after mdat so no stco offset
+    // shifts; the walker previously rejected any largesize box outright.
+    val largeFree = java.nio.ByteBuffer.allocate(24)
+      .putInt(1).put("free".getBytes("US-ASCII")).putLong(24L)
+      .put(Array.fill[Byte](8)(0x5a)).array()
+    val withFree = mp4.slice(0, moovAt) ++ largeFree ++ mp4.drop(moovAt)
+    val sLarge = MediaCodecs.parseMp4Samples(withFree)
+      .getOrElse(fail("largesize free box rejected"))
+    assert(sLarge.frames.length == 1 && sLarge.frames.head.sameElements(f.head))
+    // hostile: a largesize claiming less than its own header rejects, and
+    // single-byte fuzz over the largesize container never throws
+    val evil = withFree.clone
+    evil(moovAt + 15) = 8 // u64 size -> 8 (< 16)
+    assert(MediaCodecs.parseMp4Samples(evil).isEmpty)
+    (0 until withFree.length).foreach { i =>
+      val c = withFree.clone; c(i) = (c(i) ^ 0x5a).toByte
+      MediaCodecs.parseMp4Samples(c)
+    }
   }
 
   test("MP4/MJPEG: hostile bytes, truncation, and table bombs reject without throwing") {
