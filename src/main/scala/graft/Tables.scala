@@ -164,29 +164,29 @@ object Tables {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    var exchanged = false
-    var limited = false
-    plan.foreach {
-      case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
-           _: Deduplicate | _: RepartitionOperation => exchanged = true
-      // a LIMIT is the opposite of exchange-backed parallelism: it
-      // COLLAPSES to a single partition, so a limit-derived input is
-      // exactly the serial-stage case spread exists to fix (ADVICE r17)
-      case _: GlobalLimit => limited = true
-      case _ => ()
-    }
-    if (limited) 1L
-    else if (exchanged) Long.MaxValue
-    else plan.collectLeaves().map {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
-          math.max(fs.location.inputFiles.length.toLong,
-            (fs.location.sizeInBytes + maxBytes - 1) / maxBytes)
-        case _ => Long.MaxValue
+    // TOP-DOWN: the OUTPUT parallelism is set by the topmost partitioning
+    // operator on each path — an exchange-inducing node above a limit
+    // restores full parallelism (its output is session-managed), while a
+    // GlobalLimit above everything collapses to ONE partition (the serial
+    // case spread exists to fix — ADVICE r17, refined r18: the first cut
+    // gave the limit unconditional priority, so limit-UNDER-join plans
+    // were mis-estimated at 1 and spread added a redundant repartition)
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Long =
+      p match {
+        case _: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+             _: Deduplicate | _: RepartitionOperation => Long.MaxValue
+        case _: GlobalLimit => 1L
+        case lr: LogicalRelation => lr.relation match {
+          case fsr: HadoopFsRelation =>
+            val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+            math.max(fsr.location.inputFiles.length.toLong,
+              (fsr.location.sizeInBytes + maxBytes - 1) / maxBytes)
+          case _ => Long.MaxValue
+        }
+        case lr: LogicalRDD => lr.rdd.getNumPartitions.toLong
+        case leaf if leaf.children.isEmpty => Long.MaxValue
+        case other => other.children.map(walk).foldLeft(Long.MaxValue)(math.min)
       }
-      case lr: LogicalRDD => lr.rdd.getNumPartitions.toLong
-      case _ => Long.MaxValue
-    }.foldLeft(Long.MaxValue)(math.min)
+    walk(plan)
   }
 }

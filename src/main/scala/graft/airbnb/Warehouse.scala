@@ -96,12 +96,30 @@ final case class Warehouse(spark: SparkSession, root: String) {
     recover(name)
     val base = new Path(path(name)); val f = fs(base)
     f.mkdirs(base)
-    val dest = new Path(base, s"$partCol=$partValue")
-    val tmp = new Path(base, s"__tmp_$partCol=$partValue")
+    val part = s"$partCol=$partValue"
+    val dest = new Path(base, part)
+    // temp and park dirs live OUTSIDE the table root as siblings: a dir
+    // inside the root that contains data files participates in partition
+    // DISCOVERY regardless of an underscore prefix (a parked
+    // `__old_batch_id=2` raised CONFLICTING_PARTITION_COLUMN_NAMES, and a
+    // mid-write temp would race readers the same way)
+    val tmp = new Path(path(name) + s"__ptmp_$part")
+    val old = new Path(path(name) + s"__pold_$part")
+    // stray park from an earlier crash of THIS partition: the replay that
+    // reaches here rewrites the partition anyway, so the park is obsolete
+    if (f.exists(old)) f.delete(old, true)
     df.drop(partCol).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (f.exists(dest)) f.delete(dest, true)
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(s"partition swap failed for $name/$dest")
+    // park-then-promote, never delete-before-rename (the write() swap
+    // discipline): every crash window leaves the previous rows on disk —
+    // either still at dest, or parked at the reader-invisible __old_ dir —
+    // and a rename failure rolls the park back
+    if (f.exists(dest) && !f.rename(dest, old))
+      throw new java.io.IOException(s"partition swap: park failed for $name/$part")
+    if (!f.rename(tmp, dest)) {
+      if (f.exists(old)) f.rename(old, dest) // roll back
+      throw new java.io.IOException(s"partition swap failed for $name/$part")
+    }
+    if (f.exists(old)) f.delete(old, true)
   }
 
   /** (beyond ref) §2.11 maintenance — small-files compaction. Streaming
@@ -120,8 +138,8 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def compactSmallFiles(name: String, targetBytes: Long = 128L << 20): Int = {
     recover(name)
     val dir = new Path(path(name)); val f = fs(dir)
-    def dataFiles = {
-      val it = f.listFiles(dir, true)
+    def dataFilesUnder(root: Path) = {
+      val it = f.listFiles(root, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
         val st = it.next()
@@ -129,7 +147,43 @@ final case class Warehouse(spark: SparkSession, root: String) {
       }
       buf.toSeq
     }
-    val files = dataFiles
+    if (!f.exists(dir)) return 0
+    // a PARTITIONED table (the writePartition layout) compacts each
+    // partition directory IN PLACE: the whole-table path below would
+    // rewrite it unpartitioned — flattening the partition column into
+    // root-level data files, so the next writePartition would produce a
+    // mixed layout that breaks partition discovery on every later read
+    val partDirs = f.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (partDirs.nonEmpty) {
+      partDirs.foreach { pd =>
+        val files = dataFilesUnder(pd.getPath)
+        if (files.length > 1) {
+          val total = files.map(_.getLen).sum
+          if (total / files.length < targetBytes / 2) {
+            val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+            // sibling temp/park dirs, outside the table root (see
+            // writePartition — in-root dirs join partition discovery)
+            val tmp = new Path(path(name) + s"__ptmp_${pd.getPath.getName}")
+            spark.read.parquet(pd.getPath.toString).coalesce(nOut)
+              .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            val old = new Path(path(name) + s"__pold_${pd.getPath.getName}")
+            if (f.exists(old)) f.delete(old, true)
+            if (!f.rename(pd.getPath, old))
+              throw new java.io.IOException(s"compaction park failed: ${pd.getPath}")
+            if (!f.rename(tmp, pd.getPath)) {
+              f.rename(old, pd.getPath) // roll back
+              throw new java.io.IOException(s"compaction swap failed: ${pd.getPath}")
+            }
+            f.delete(old, true)
+          }
+        }
+      }
+      return dataFilesUnder(dir).length
+    }
+    val files = dataFilesUnder(dir)
     if (files.isEmpty) return 0
     val total = files.map(_.getLen).sum
     val avg = total / files.length
@@ -138,7 +192,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
       // coalesce, not repartition: compaction must not pay a shuffle —
       // merging co-located small files is a narrow dependency
       write(name, read(name).coalesce(nOut))
-      dataFiles.length
+      dataFilesUnder(dir).length
     } else files.length
   }
 
@@ -155,11 +209,24 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * let a later recover() roll the dropped table FORWARD from a pre-drop
     * __tmp. The one shared deletion path for every truncate-like operation.
     */
-  private def dropTable(name: String): Unit =
+  private def dropTable(name: String): Unit = {
     Seq(path(name), path(name) + "__tmp", path(name) + "__old").foreach { s =>
       val p = new Path(s); val f = fs(p)
       if (f.exists(p)) f.delete(p, true)
     }
+    // per-partition swap strays ([[writePartition]]/compaction siblings:
+    // name__ptmp_* / name__pold_*) — a dropped table must not leave them
+    val tableDir = new Path(path(name)); val f = fs(tableDir)
+    val parent = tableDir.getParent
+    if (parent != null && f.exists(parent)) {
+      val base = tableDir.getName
+      f.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(base + "__ptmp_") || n.startsWith(base + "__pold_"))
+          f.delete(st.getPath, true)
+      }
+    }
+  }
 
   /** S10 — clear in FK order (facts → dims), like 00_prepare_tables.sql:5-10. */
   def truncateAll(): Unit =

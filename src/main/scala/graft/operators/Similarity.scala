@@ -943,9 +943,19 @@ object Similarity {
     * those cells are never re-read — at scale, a partition-pruned fetch
     * when the corpus is written partitioned by cell), in BOTH directions:
     * batch nodes rank their cellmates, and history cellmates may adopt a
-    * closer batch neighbor. The final per-node top-`degree` re-rank runs
-    * over existing-edges ∪ new-edges — one pass over the edge table, the
-    * compaction-style maintenance cost.
+    * closer batch neighbor. Only TOUCHED nodes re-rank through the
+    * top-`degree` heap; untouched nodes' stored edges pass through
+    * MAP-SIDE verbatim.
+    *
+    * PRECONDITION (r18, the touched-node fast path's contract): `graph`
+    * must already be a per-node top-`degree` selection under the SAME
+    * `degree` and tie order — i.e. the output of [[knnGraphWith]] or a
+    * previous merge with identical parameters, which is the only thing
+    * the gates ever store. A hand-built over-degree graph, or a merge
+    * called with a SMALLER degree than the table was built with, passes
+    * untouched nodes through uncapped (the pre-r18 full-table re-rank
+    * would have re-capped them); re-cap such a table once with
+    * [[graft.plans.TopKPerGroup.topK]] before merging incrementally.
     *
     * EQUALITY CONTRACT (spec- and oracle-pinned): with the same frozen
     * centroids, `mergeKnnGraph(knnGraphWith(hist), hist, batch)` is

@@ -820,9 +820,12 @@ object Streams {
       groupCol: String): DataFrame = {
     val nonNull = remaining.filter(_._1 != null)
     val nullRem = remaining.collectFirst { case (null, v) => v }
+    // try_element_at, not element_at: under ANSI mode a group ABSENT from
+    // the map must yield a null budget (unbudgeted -> never selects, the
+    // left-join semantics), not a MAP_KEY_DOES_NOT_EXIST error
     val mapRem =
       if (nonNull.isEmpty) lit(null).cast(LongType)
-      else element_at(typedLit(nonNull.toMap), col(groupCol))
+      else try_element_at(typedLit(nonNull.toMap), col(groupCol))
     val remCol = nullRem.fold(mapRem)(v =>
       when(col(groupCol).isNull, lit(v)).otherwise(mapRem))
     scored.withColumn("__remaining", remCol)

@@ -601,11 +601,19 @@ class FuzzSpec extends AnyFunSuite {
     // the LITERAL decide (the batch-unrolled rows' zero-extra-job shape)
     // makes identical decisions: same null-group branch, same
     // absent-group-rejects semantics as the null-safe left join
-    val gotLit = graft.streaming.Streams.budgetDecidePlanLiteral(
+    def litDecide() = graft.streaming.Streams.budgetDecidePlanLiteral(
         graft.streaming.Streams.budgetScorePlan(df, "text", Seq("a", "the")),
         Seq("a" -> 15L, "b" -> 0L, (null: String) -> 7L), "doc_id", "grp")
       .select(col("doc_id"), col("__selected"))
       .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
-    assert(gotLit == want)
+    assert(litDecide() == want)
+    // group "c" is ABSENT from the map: under ANSI mode a plain element_at
+    // would throw MAP_KEY_DOES_NOT_EXIST instead of rejecting the
+    // unbudgeted group — the literal decide must use try_element_at
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      assert(litDecide() == want)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
   }
 }

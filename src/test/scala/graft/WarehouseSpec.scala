@@ -165,13 +165,39 @@ class WarehouseSpec extends AnyFunSuite {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.head
     assert(scan.partitionFilters.nonEmpty)
-    // a crash BETWEEN temp write and rename leaves an underscore dir that
-    // readers ignore and a replay repairs
-    val stray = new java.io.File(s"$root/vecs/__tmp_batch_id=2")
+    // a crash BETWEEN temp write and rename leaves a SIBLING temp dir
+    // (outside the table root — an in-root dir with data files would join
+    // partition discovery) that readers never see and a replay overwrites
+    val stray = new java.io.File(s"$root/vecs__ptmp_batch_id=2")
     stray.mkdirs()
     assert(wh.read("vecs").count() == 4)
     wh.writePartition("vecs", "batch_id", 2L, Seq((9L, "z")).toDF("id", "v"))
     assert(wh.read("vecs").count() == 5 && !stray.exists())
+    // a crash AFTER parking the previous partition (sibling park dir,
+    // data preserved — never delete-before-rename) heals on replay;
+    // mid-crash readers still see every OTHER partition
+    val destDir = new java.io.File(s"$root/vecs/batch_id=2")
+    assert(destDir.renameTo(new java.io.File(s"$root/vecs__pold_batch_id=2")))
+    assert(wh.read("vecs").count() == 4) // partition parked, others intact
+    wh.writePartition("vecs", "batch_id", 2L, Seq((9L, "z")).toDF("id", "v"))
+    assert(wh.read("vecs").count() == 5)
+    assert(!new java.io.File(s"$root/vecs__pold_batch_id=2").exists())
+    // compaction on the PARTITIONED layout compacts per partition dir —
+    // the layout survives (no root-level files) and every row remains
+    wh.writePartition("vecs", "batch_id", 3L,
+      spark.range(0, 64).selectExpr("id", "CAST(id AS STRING) AS v")
+        .repartition(16))
+    val beforeFiles = new java.io.File(s"$root/vecs/batch_id=3")
+      .listFiles().count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(beforeFiles == 16)
+    wh.compactSmallFiles("vecs", targetBytes = 512L << 20)
+    val afterFiles = new java.io.File(s"$root/vecs/batch_id=3")
+      .listFiles().count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(afterFiles < 16, s"partition not compacted: $afterFiles files")
+    assert(!new java.io.File(s"$root/vecs").listFiles().exists(_.isFile),
+      "compaction flattened the partitioned layout into root-level files")
+    assert(wh.read("vecs").count() == 5 + 64)
+    assert(wh.read("vecs").filter(col("batch_id") === 3).count() == 64)
   }
 
   test("J9 catalog introspection replaces sys.tables/sys.columns queries") {
