@@ -94,6 +94,17 @@ object Fixtures {
     }
   }
 
+  /** A JVM-scoped scratch directory under the fixtures root — for rows
+    * that stage a warehouse (table swaps) rather than a parquet fixture.
+    * Pid-keyed like fixture dirs, so two concurrent JVMs (tests + a bench)
+    * never race each other's table swaps; the dead-pid reaper collects
+    * `scratch-<pid>` trees exactly like `<digest>-<pid>` ones.
+    */
+  def jvmScratch(name: String): String = {
+    reaped
+    s"$root/scratch-${java.lang.ProcessHandle.current().pid()}/$name"
+  }
+
   private val scalars = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), java.lang.Long]()
 

@@ -611,7 +611,7 @@ object TextQueries {
         // persisted through the warehouse (crash-recoverable swap) and the
         // gate reads the KB-sized sketch table back instead of re-sketching
         // yesterday's corpus — what the daily-crawl deployment actually does
-        val wh = graft.airbnb.Warehouse(s, "/tmp/graft_fixtures/wh_band_index")
+        val wh = graft.airbnb.Warehouse(s, graft.Fixtures.jvmScratch("wh_band_index"))
         wh.write("band_index", Dedup.bandIndex(
           docs.filter(col("doc_id") < mid), "doc_id", "text", 4))
         val tags = Dedup.tagAgainstBandIndex(
@@ -1428,7 +1428,7 @@ object TextQueries {
         val recrawl = docs.filter(col("doc_id") < mid && col("doc_id") % 5 === 0)
           .withColumn("doc_id", col("doc_id") + lit(1000000L))
         val batch = docs.filter(col("doc_id") >= mid).unionByName(recrawl)
-        val wh = graft.airbnb.Warehouse(s, "/tmp/graft_fixtures/wh_incr_pipeline")
+        val wh = graft.airbnb.Warehouse(s, graft.Fixtures.jvmScratch("wh_incr_pipeline"))
         wh.write("fp_index", hist.select(md5(col("text")).as("fp")).distinct())
         wh.write("band_index", Dedup.bandIndex(hist, "doc_id", "text", 4))
         val gated = batch.filter(size(TextFns.tokens(col("text"))) >= 20)

@@ -42,11 +42,18 @@ class FixturesSpec extends AnyFunSuite {
     live.mkdirs()
     val odd = new java.io.File(root, "not-a-pid-entry")
     odd.mkdirs()
+    // jvmScratch trees (warehouse staging for the pipeline rows) follow
+    // the same <prefix>-<pid> reaping contract
+    val deadScratch = new java.io.File(root, "scratch-987654322")
+    new java.io.File(deadScratch, "wh_incr_pipeline").mkdirs()
     try {
       Fixtures.reapDeadPids()
       assert(!dead.exists(), "dead-pid tree must be reaped")
+      assert(!deadScratch.exists(), "dead-pid scratch tree must be reaped")
       assert(live.exists(), "own-pid tree must survive")
       assert(odd.exists(), "malformed entries are left alone")
+      assert(new java.io.File(Fixtures.jvmScratch("probe")).getPath
+        .contains(s"scratch-${java.lang.ProcessHandle.current().pid()}"))
     } finally { Seq(live, odd).foreach(_.delete()) }
   }
 
