@@ -867,16 +867,25 @@ object MediaCodecs {
     * renders — the decoder is exercised against genuine LZW, not a
     * degenerate literal stream.
     */
-  def encodeGifRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+  def encodeGifRgb(width: Int, height: Int, rgb: Array[Byte],
+                   interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
       s"dims must be positive u16 ($width x $height)")
     require(rgb.length == width * height * 3, s"rgb must be w*h*3, got ${rgb.length}")
-    // palette in first-appearance order
+    // palette in first-appearance order; interlaced streams store rows in
+    // the 4-pass order (8k, 8k+4, 4k+2, 2k+1), so emit display rows in
+    // that sequence (palette order follows the STORED order, matching a
+    // real encoder's single pass)
+    val rowSeq: IndexedSeq[Int] =
+      if (!interlaced) 0 until height
+      else (0 until height by 8) ++ (4 until height by 8) ++
+        (2 until height by 4) ++ (1 until height by 2)
     val paletteIdx = new java.util.LinkedHashMap[Int, Int]()
     val indices = new Array[Int](width * height)
     var p = 0
     while (p < indices.length) {
-      val c = ((rgb(p * 3) & 0xff) << 16) | ((rgb(p * 3 + 1) & 0xff) << 8) | (rgb(p * 3 + 2) & 0xff)
+      val src = (rowSeq(p / width) * width + p % width) * 3
+      val c = ((rgb(src) & 0xff) << 16) | ((rgb(src + 1) & 0xff) << 8) | (rgb(src + 2) & 0xff)
       var idx = paletteIdx.getOrDefault(c, -1)
       if (idx < 0) { idx = paletteIdx.size(); paletteIdx.put(c, idx) }
       indices(p) = idx
@@ -906,7 +915,7 @@ object MediaCodecs {
     while (written < tableEntries) { out.u8(0); out.u8(0); out.u8(0); written += 1 }
     out.u8(0x2c)                              // image descriptor
     out.u16(0); out.u16(0); out.u16(width); out.u16(height)
-    out.u8(0)                                 // no LCT, not interlaced
+    out.u8(if (interlaced) 0x40 else 0)       // no LCT; interlace flag
     out.u8(minCode)
     var off = 0                               // 255-byte sub-blocks
     while (off < lzw.length) {
@@ -921,11 +930,12 @@ object MediaCodecs {
     out.toArray
   }
 
-  /** Decode the first image of a non-interlaced GIF to top-down RGB:
-    * global/local color table, extension-block skipping, sub-block
-    * reassembly, and a full LZW decompressor (deferred-clear handling, the
-    * KwKwK first-char case, 12-bit code ceiling). Returns None — never
-    * throws — on interlaced images, missing color tables, hostile
+  /** Decode the first image of a GIF to top-down RGB (interlaced streams
+    * deinterlaced through the 4-pass row map): global/local color table,
+    * extension-block skipping, sub-block reassembly, and a full LZW
+    * decompressor (deferred-clear handling, the KwKwK first-char case,
+    * 12-bit code ceiling). Returns None — never
+    * throws — on missing color tables, hostile
     * dimension/allocation attacks (> 1<<24 pixels), or any malformed LZW
     * stream; truncated pixel data is rejected, not zero-padded (the
     * parseBmpPixels discipline).
@@ -960,7 +970,7 @@ object MediaCodecs {
           val w = buf.getShort(off + 5) & 0xffff
           val h = buf.getShort(off + 7) & 0xffff
           val packed = b(off + 9) & 0xff
-          if ((packed & 0x40) != 0) return None        // interlaced: out of scope
+          val interlaced = (packed & 0x40) != 0
           off += 10
           val lct = if ((packed & 0x80) != 0) {
             val n = 1 << ((packed & 0x07) + 1)
@@ -993,13 +1003,23 @@ object MediaCodecs {
           val indices = lzwDecompress(data.toArray, minCode, w * h)
           if (indices == null) return None
           val nCols = lct.length / 3
+          // interlaced streams store rows in the 4-pass order (8k, 8k+4,
+          // 4k+2, 2k+1); map stored row -> display row before painting
+          val rowOf: Int => Int =
+            if (!interlaced) identity
+            else {
+              val order = ((0 until h by 8) ++ (4 until h by 8) ++
+                (2 until h by 4) ++ (1 until h by 2)).toArray
+              order.apply _
+            }
           val rgb = new Array[Byte](w * h * 3)
           var i = 0
           while (i < w * h) {
             val ix = indices(i)
             if (ix >= nCols) return None               // index outside the table
-            rgb(i * 3) = lct(ix * 3); rgb(i * 3 + 1) = lct(ix * 3 + 1)
-            rgb(i * 3 + 2) = lct(ix * 3 + 2)
+            val o = (rowOf(i / w) * w + i % w) * 3
+            rgb(o) = lct(ix * 3); rgb(o + 1) = lct(ix * 3 + 1)
+            rgb(o + 2) = lct(ix * 3 + 2)
             i += 1
           }
           return Some((w, h, rgb))

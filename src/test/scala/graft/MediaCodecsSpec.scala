@@ -350,6 +350,31 @@ class MediaCodecsSpec extends AnyFunSuite {
     val bw = Array.tabulate(10 * 10 * 3)(i => if ((i / 3) % 2 == 0) 0.toByte else 255.toByte)
     val decBw = MediaCodecs.parseGifPixels(MediaCodecs.encodeGifRgb(10, 10, bw))
     assert(decBw.isDefined && decBw.get._3.sameElements(bw))
+    // INTERLACED roundtrip: every row a distinct color so any 4-pass
+    // deinterlace slip breaks byte equality; heights straddle the pass
+    // edges (1 = pass-1-only, 5 = every pass short, 17 = full passes)
+    for ((w, h) <- Seq((7, 1), (5, 5), (9, 17), (16, 48))) {
+      val rgb = Array.tabulate(w * h * 3) { i =>
+        val row = (i / 3) / w
+        (i % 3 match { case 0 => row; case 1 => 255 - row; case _ => 7 * row }).toByte
+      }
+      val enc = MediaCodecs.encodeGifRgb(w, h, rgb, interlaced = true)
+      // the interlace flag is really set in the image descriptor
+      assert((0 until enc.length - 10).exists(i =>
+        enc(i) == 0x2c.toByte && (enc(i + 9) & 0x40) != 0))
+      val di = MediaCodecs.parseGifPixels(enc)
+      assert(di.isDefined, s"interlaced ${w}x$h")
+      assert(di.get._3.sameElements(rgb), s"interlaced ${w}x$h deinterlace")
+      // and the plain encoding of the same raster decodes identically
+      assert(MediaCodecs.parseGifPixels(MediaCodecs.encodeGifRgb(w, h, rgb))
+        .get._3.sameElements(rgb))
+    }
+    // hostile: fuzz over an interlaced container never throws
+    val ienc = MediaCodecs.encodeGifRgb(9, 17, gradient(9, 17), interlaced = true)
+    (0 until ienc.length).foreach { i =>
+      val c = ienc.clone; c(i) = (c(i) ^ 0x5a).toByte
+      MediaCodecs.parseGifPixels(c)
+    }
   }
 
   test("GIF raster: header meta still parses; hostile bytes never throw") {
@@ -364,11 +389,21 @@ class MediaCodecsSpec extends AnyFunSuite {
       val dec = MediaCodecs.parseGifPixels(file.take(n))
       if (n < file.length - 1) assert(dec.isEmpty, s"decoded at truncation $n")
     }
-    // interlace flag set -> rejected (flag lives in the image descriptor)
+    // flipping the interlace flag on a sequentially-stored stream decodes
+    // (the deinterlace path) but PERMUTES the rows — proof the 4-pass row
+    // map is actually applied, not ignored
     val interlaced = file.clone
     val idOff = file.indexOfSlice(Seq(0x2c.toByte))
     interlaced(idOff + 9) = (interlaced(idOff + 9) | 0x40).toByte
-    assert(MediaCodecs.parseGifPixels(interlaced).isEmpty)
+    val scrambled = MediaCodecs.parseGifPixels(interlaced)
+    assert(scrambled.isDefined && !scrambled.get._3.sameElements(rgb))
+    // ...and the permutation is exactly the 4-pass order: stored row s
+    // lands at display row order(s) (h=5 -> order 0,4,2,1,3)
+    val order = Seq(0, 4, 2, 1, 3)
+    val want = new Array[Byte](rgb.length)
+    for (s <- 0 until 5; x <- 0 until 8 * 3)
+      want(order(s) * 8 * 3 + x) = rgb(s * 8 * 3 + x)
+    assert(scrambled.get._3.sameElements(want))
     // corrupt LZW payload byte: decode fails cleanly (None), never throws
     val corrupt = file.clone
     corrupt(file.length - 5) = 0x7f.toByte
