@@ -634,18 +634,37 @@ object MediaCodecs {
     * (each row: filter byte 0 + RGB bytes), IEND — every chunk CRC'd as
     * the spec requires. A complete, viewer-openable file.
     */
-  def encodePngRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+  def encodePngRgb(width: Int, height: Int, rgb: Array[Byte],
+                   interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, s"dims must be positive ($width x $height)")
     require(rgb.length == width * height * 3,
       s"rgb must be w*h*3 = ${width * height * 3} bytes, got ${rgb.length}")
-    val raw = new Array[Byte](height * (1 + width * 3))
-    var y = 0
-    while (y < height) {
-      val off = y * (1 + width * 3)
-      raw(off) = 0 // filter: None
-      System.arraycopy(rgb, y * width * 3, raw, off + 1, width * 3)
-      y += 1
+    // Adam7 emits each pass as its own filter-0 sub-image (the fixture
+    // that pins the decoder's per-pass defilter + scatter)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (!interlaced) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val zraw = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = if (width > x0) (width - x0 + dx - 1) / dx else 0
+      val ph = if (height > y0) (height - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        var j = 0
+        while (j < ph) {
+          zraw.write(0) // filter: None
+          var i = 0
+          while (i < pw) {
+            val src = ((y0 + j * dy) * width + (x0 + i * dx)) * 3
+            zraw.write(rgb(src) & 0xff); zraw.write(rgb(src + 1) & 0xff)
+            zraw.write(rgb(src + 2) & 0xff)
+            i += 1
+          }
+          j += 1
+        }
+      }
     }
+    val raw = zraw.toByteArray
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
@@ -665,7 +684,8 @@ object MediaCodecs {
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
     ihdr.putInt(width).putInt(height)
     ihdr.put(8.toByte).put(2.toByte) // bit depth 8, truecolor
-    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    ihdr.put(0.toByte).put(0.toByte)
+    ihdr.put(if (interlaced) 1.toByte else 0.toByte)
     PngSig ++ chunk("IHDR", ihdr.array()) ++ chunk("IDAT", idat) ++
       chunk("IEND", Array.empty[Byte])
   }
@@ -673,8 +693,9 @@ object MediaCodecs {
   /** Decode a truecolor PNG to (width, height, top-down RGB): walks the
     * chunk list, concatenates every IDAT, inflates the scanline stream, and
     * UNDOES all five per-row filters (None/Sub/Up/Average/Paeth — the part
-    * of PNG a header parse never touches). 8-bit color type 2,
-    * non-interlaced only; returns None — never throws — on anything else
+    * of PNG a header parse never touches), with Adam7-interlaced streams
+    * defiltered PER PASS and scattered through the 7-pass grid. 8-bit
+    * color type 2; returns None — never throws — on anything else
     * (bad magic/IHDR, hostile dims past the 1 << 24-pixel cap, truncated or
     * corrupt deflate stream, short pixel data, unknown filter byte).
     */
@@ -683,10 +704,12 @@ object MediaCodecs {
     val buf = ByteBuffer.wrap(b).order(ByteOrder.BIG_ENDIAN)
     val w = buf.getInt(16); val h = buf.getInt(20)
     if (w.toLong * h > (1 << 24)) return None
-    // 8-bit RGB, compression method 0, filter method 0, no interlace: a PNG
-    // declaring a nonzero filter method must be rejected, not defiltered
-    // with the method-0 filters.
-    if (b(24) != 8 || b(25) != 2 || b(26) != 0 || b(27) != 0 || b(28) != 0) return None
+    // 8-bit RGB, compression method 0, filter method 0, interlace 0 or 1
+    // (Adam7): a PNG declaring a nonzero filter METHOD must be rejected,
+    // not defiltered with the method-0 filters.
+    val interlace = b(28) & 0xff
+    if (b(24) != 8 || b(25) != 2 || b(26) != 0 || b(27) != 0 ||
+        (interlace != 0 && interlace != 1)) return None
     // walk chunks from after IHDR, concatenating IDAT payloads
     val z = new java.io.ByteArrayOutputStream()
     var off = 8 + 12 + 13 // sig + IHDR chunk
@@ -701,7 +724,24 @@ object MediaCodecs {
     }
     if (z.size() == 0) return None
     val stride = w * 3
-    val raw = new Array[Byte](h * (1 + stride))
+    // pass geometry: interlace 0 is the single full-frame "pass"; Adam7
+    // is the spec's 7-pass (xStart, yStart, xStep, yStep) table, each
+    // pass an independently FILTERED sub-image in the same zlib stream
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+       if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + pw * 3)
+    }.sum
+    if (rawLen <= 0 || rawLen > (1L << 27)) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(z.toByteArray)
     val n = try {
@@ -717,34 +757,59 @@ object MediaCodecs {
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inflater.end()
     if (n < raw.length) return None
-    // defilter in place into the output raster
+    // defilter each pass against ITS OWN previous scanline, then scatter
+    // its pixels to the display grid (identity scatter when uninterlaced)
     val out = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val rOff = y * (1 + stride) // filter byte position
-      val oOff = y * stride
-      val filter = raw(rOff) & 0xff
-      var x = 0
-      while (x < stride) {
-        val cur = raw(rOff + 1 + x) & 0xff
-        val a = if (x >= 3) out(oOff + x - 3) & 0xff else 0      // left
-        val up = if (y > 0) out(oOff - stride + x) & 0xff else 0 // above
-        val c = if (x >= 3 && y > 0) out(oOff - stride + x - 3) & 0xff else 0
-        val v = filter match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + up
-          case 3 => cur + (a + up) / 2
-          case 4 =>
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
-            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
-          case _ => return None
+    var base = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(passes(pi))
+      if (pw > 0 && ph > 0) {
+        val pstride = pw * 3
+        val pout = new Array[Byte](ph * pstride)
+        var y = 0
+        while (y < ph) {
+          val rOff = base + y * (1 + pstride) // filter byte position
+          val oOff = y * pstride
+          val filter = raw(rOff) & 0xff
+          var x = 0
+          while (x < pstride) {
+            val cur = raw(rOff + 1 + x) & 0xff
+            val a = if (x >= 3) pout(oOff + x - 3) & 0xff else 0       // left
+            val up = if (y > 0) pout(oOff - pstride + x) & 0xff else 0 // above
+            val c = if (x >= 3 && y > 0) pout(oOff - pstride + x - 3) & 0xff else 0
+            val v = filter match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + up
+              case 3 => cur + (a + up) / 2
+              case 4 =>
+                val p = a + up - c
+                val pa = math.abs(p - a); val pb = math.abs(p - up); val pc = math.abs(p - c)
+                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+              case _ => return None
+            }
+            pout(oOff + x) = (v & 0xff).toByte
+            x += 1
+          }
+          y += 1
         }
-        out(oOff + x) = (v & 0xff).toByte
-        x += 1
+        var j = 0
+        while (j < ph) {
+          var i = 0
+          while (i < pw) {
+            val src = (j * pw + i) * 3
+            val dst = ((y0 + j * dy) * w + (x0 + i * dx)) * 3
+            out(dst) = pout(src); out(dst + 1) = pout(src + 1)
+            out(dst + 2) = pout(src + 2)
+            i += 1
+          }
+          j += 1
+        }
+        base += ph * (1 + pstride)
       }
-      y += 1
+      pi += 1
     }
     Some((w, h, out))
   }

@@ -258,6 +258,34 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.parsePngPixels(corrupt).isEmpty ||
       !MediaCodecs.parsePngPixels(corrupt).get._3.sameElements(rgb))
     assert(MediaCodecs.parsePngPixels("not a png".getBytes("UTF-8")).isEmpty)
+    // ADAM7 interlace: per-pixel distinct values so any pass-geometry slip
+    // (wrong sub-image dims, wrong scatter grid, wrong per-pass filter
+    // reset) breaks byte equality; dims straddle the pass edges — 1x1
+    // (pass 1 only), 3x3/5x7 (short passes), 8x8 (one full cycle), 17x10
+    (Seq((1, 1), (3, 3), (5, 7), (8, 8), (17, 10))).foreach { case (w2, h2) =>
+      val r2 = Array.tabulate[Byte](w2 * h2 * 3)(i => ((i * 31 + 7) % 256).toByte)
+      val ipng = MediaCodecs.encodePngRgb(w2, h2, r2, interlaced = true)
+      assert((ipng(28) & 0xff) == 1, "interlace byte not set") // IHDR data[12]
+      val di = MediaCodecs.parsePngPixels(ipng)
+      assert(di.isDefined, s"adam7 ${w2}x$h2")
+      assert(di.get._3.sameElements(r2), s"adam7 ${w2}x$h2 raster")
+      // the plain encoding of the same raster decodes identically
+      assert(MediaCodecs.parsePngPixels(MediaCodecs.encodePngRgb(w2, h2, r2))
+        .get._3.sameElements(r2))
+    }
+    // hostile: single-byte fuzz over an interlaced container never throws
+    val fz = MediaCodecs.encodePngRgb(17, 10,
+      Array.tabulate[Byte](17 * 10 * 3)(i => (i % 251).toByte), interlaced = true)
+    (0 until fz.length).foreach { i =>
+      val c = fz.clone; c(i) = (c(i) ^ 0x5a).toByte
+      MediaCodecs.parsePngPixels(c)
+    }
+    // flipping interlace OFF on an Adam7 stream mis-sizes the scanline
+    // stream -> clean reject (the raw-length check), never a scrambled decode
+    val off7 = fz.clone; off7(28) = 0
+    // IHDR CRC now wrong too; either rejection path is fine
+    assert(MediaCodecs.parsePngPixels(off7).isEmpty ||
+      !MediaCodecs.parsePngPixels(off7).get._3.sameElements(fz))
   }
 
   test("PNG defilter: Sub, Up, Average and Paeth rows, hand-computed") {
