@@ -469,7 +469,7 @@ object MediaCodecs {
         while (in + 8 <= end) {
           val s2 = buf.getInt(in)
           val t2 = new String(b, in + 4, 4, "US-ASCII")
-          if (s2 < 8) return None
+          if (s2 < 8 || in.toLong + s2 > end) return None
           if (t2 == "mvhd" && in + 8 + 20 <= end) {
             val version = b(in + 8) & 0xff
             if (version == 0) {
@@ -2692,7 +2692,7 @@ object MediaCodecs {
       val size64 = buf.getLong(i + 8)
       if (size64 < 16 || size64 > (to - i).toLong) None
       else Some((i + 16, i + size64.toInt))
-    } else if (size32 < 8 || i + size32 > to) None
+    } else if (size32 < 8 || i.toLong + size32 > to) None
     else Some((i + 8, i + size32))
   }
 
@@ -3116,7 +3116,7 @@ object MediaCodecs {
         var tb = tfS
         while (tb + 8 <= tfE) {
           val bsz = buf.getInt(tb)
-          if (bsz < 8 || tb + bsz > tfE) return None
+          if (bsz < 8 || tb.toLong + bsz > tfE) return None
           if (mp4Tag(b, tb + 4) == "trun") {
             sawTrun = true
             val trS = tb + 8; val trE = tb + bsz

@@ -950,6 +950,18 @@ class MediaCodecsSpec extends AnyFunSuite {
     val stcoAt = (0 until mp4.length - 4).find(i => tag(i) == "stco").get
     assert(MediaCodecs.parseMp4Samples(
       patch(stcoAt + 12, Array(0x7f, 0xff, 0xff, 0xff).map(_.toByte))).isEmpty)
+    // a 32-bit box size near Int.MaxValue at a non-zero offset must not
+    // wrap the `i + size` bound check negative (Int overflow) — it rejects
+    // cleanly via long math at every walk depth (top level, moov children,
+    // stbl children), for both the sample walker and the meta probe
+    val moovAt2 = (0 until mp4.length - 4).find(i => tag(i) == "moov").get
+    val trakAt = (0 until mp4.length - 4).find(i => tag(i) == "trak").get
+    val big = Array(0x7f, 0xff, 0xff, 0xff).map(_.toByte)
+    Seq(moovAt2, trakAt, stcoAt, stszAt).foreach { tagAt =>
+      val c = patch(tagAt - 4, big) // the u32 size field precedes the tag
+      assert(MediaCodecs.parseMp4Samples(c).isEmpty) // never throws
+      MediaCodecs.parseMp4(c)                        // meta probe never throws
+    }
     // single-byte fuzz across the whole container must never throw
     (0 until mp4.length).foreach { i =>
       val c = mp4.clone; c(i) = (c(i) ^ 0x5a).toByte
@@ -1000,6 +1012,14 @@ class MediaCodecsSpec extends AnyFunSuite {
     val bomb = good.clone
     bomb(trunAt + 8) = 0x7f.toByte
     assert(MediaCodecs.parseMp4FragSamples(bomb).isEmpty)
+    // a near-Int.MaxValue box size inside the traf walk (and at top level)
+    // must reject via long math, not wrap negative and throw
+    val big7f = Array(0x7f, 0xff, 0xff, 0xff).map(_.toByte)
+    Seq("trun", "tfhd", "traf", "moof").foreach { t =>
+      val at = (0 until good.length - 4).find(i => tag4(good, i) == t).get
+      val c = good.clone; System.arraycopy(big7f, 0, c, at - 4, 4)
+      assert(MediaCodecs.parseMp4FragSamples(c).isEmpty) // never throws
+    }
     // MULTI-TRUN fragments (several runs per traf — the multi-GOP DASH
     // shape): 5 samples split 2/2/1 across truns within ONE fragment must
     // roundtrip byte-identically, and the multi-trun stream must carry
