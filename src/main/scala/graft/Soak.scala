@@ -774,12 +774,64 @@ object Soak {
             degree = 6)
         }
       }
+      // CELL-LOCAL batch variant (r19, VERDICT r18 #5): the 3-batch and
+      // fixed-batch rows split the corpus across batches, so every batch
+      // touches every cell and the touched-cell design's sublinearity
+      // cannot show. Here the corpus is ingested OUTSIDE the timed window
+      // (the daily gate's steady state) and each timed batch is the
+      // held-out residue of ONE cell — and both the batch size and the
+      // touched-cell size are CONSTANT across 1x and xF by construction
+      // (batch_i = (vec_id % 97 == 0) ∩ cell i; cells number 4 at 1x and
+      // 4F at xF, so one cell holds ~corpus/4F·F = corpus₁ₓ/4 vectors at
+      // every scale). If per-batch cost is O(touched), the timed 3-merge
+      // wall is FLAT as the corpus grows ×F (ratio ≈ 1, r/f ≈ 1/F); any
+      // O(corpus) residue in the merge or the partition swap shows up as
+      // ratio > 1 directly.
+      val kgLocalState = scala.collection.mutable.Map[String,
+        (graft.airbnb.Warehouse, String, IndexedSeq[org.apache.spark.sql.DataFrame])]()
+      var kgLocalSeq = 0L
+      def runKnnGraphLocal(dir: String): Unit = {
+        val cents = kgCentsFor(dir)
+        val (wh, out, batches) = kgLocalState.getOrElseUpdate(dir, {
+          val wh0 = graft.airbnb.Warehouse(spark, tmp("soak-kgl-wh"))
+          val out0 = tmp("soak-kgl-out")
+          val all = emb(dir)
+          val tagged = graft.operators.KMeans.assignWith(all, "vec_id",
+              "embedding", cents)
+            .filter(pmod(col("vec_id"), lit(97)) === 0 && col("cluster") < 3)
+            .select(col("vec_id"), col("cluster")).localCheckpoint(true)
+          val bs = (0 until 3).map { i =>
+            all.join(tagged.filter(col("cluster") === i).select("vec_id"),
+              Seq("vec_id"), "left_semi").localCheckpoint(true)
+          }
+          // steady-state corpus: everything outside the held-out batches,
+          // ingested once, untimed
+          graft.streaming.Streams.knnGraphGateBatch(
+            all.join(tagged.select("vec_id"), Seq("vec_id"), "left_anti"),
+            wh0, cents, "kg_graph", "kg_vecs", out0, 0L, "vec_id",
+            "embedding", degree = 6)
+          (wh0, out0, bs)
+        })
+        (0 until 3).foreach { i =>
+          kgLocalSeq += 1
+          // fresh ids per invocation (the vec_id uniqueness contract —
+          // the harness replays the same held-out vectors as NEW daily
+          // arrivals); embeddings are unchanged, so each batch still
+          // lands in exactly its one cell
+          graft.streaming.Streams.knnGraphGateBatch(
+            batches(i).withColumn("vec_id",
+              col("vec_id") + lit(kgLocalSeq << 41)),
+            wh, cents, "kg_graph", "kg_vecs", out, kgLocalSeq, "vec_id",
+            "embedding", degree = 6)
+        }
+      }
       val gateRuns: Seq[(String, String => Unit)] = Seq(
         "gate_budget_ledger" -> (runBudget _),
         "gate_percentile" -> (runPercentile _),
         "gate_substring_index" -> (runSubstring _),
         "gate_knn_graph" -> (runKnnGraph _),
-        "gate_knn_graph_fixedbatch" -> (runKnnGraphFixed _))
+        "gate_knn_graph_fixedbatch" -> (runKnnGraphFixed _),
+        "gate_knn_graph_localbatch" -> (runKnnGraphLocal _))
       println(f"${"gate (3 batches)"}%-26s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s ${"r/f"}%5s (data x$gatesFactor)")
       gateRuns.foreach { case (name, f) =>
         f(small); val tS = time(f(small))

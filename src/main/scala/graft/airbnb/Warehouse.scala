@@ -72,7 +72,17 @@ final case class Warehouse(spark: SparkSession, root: String) {
       throw new java.io.IOException(s"swap failed for $name")
     }
     if (f.exists(old)) f.delete(old, true)
+    invalidateListings(name)
   }
+
+  /** Drop Spark's cached file listings/footers for a table path after a
+    * swap: a DataFrame planned against the PREVIOUS version's listing
+    * would otherwise fail mid-query with FAILED_READ_FILE on the renamed
+    * files. Every swap path (whole-table, single-partition,
+    * multi-partition) calls this; it is a driver-local cache clear.
+    */
+  private def invalidateListings(name: String): Unit =
+    spark.catalog.refreshByPath(path(name))
 
   def read(name: String): DataFrame = {
     recover(name)
@@ -91,10 +101,42 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * pass. Readers go through [[read]] as usual: partition discovery
     * re-attaches `partCol` from the directory names.
     */
+  /** Refuse a per-partition write into a table whose root holds data FILES
+    * (the [[write]] layout) or partition dirs under a DIFFERENT column:
+    * root-level files beside `partCol=` dirs break partition discovery on
+    * every later read (CONFLICTING_PARTITION_COLUMN_NAMES / silently
+    * missing rows), and the mix is only detectable at read time. A table
+    * that needs a whole-table rewrite while staying partitioned (the
+    * periodic re-cap maintenance shape, e.g. persisting
+    * Dedup.compactAnchorIndex output) must go through
+    * `write(name, df, partitionBy = Seq(partCol))`, which preserves the
+    * layout — after which per-partition writes remain valid.
+    */
+  private def requirePartitionedLayout(f: org.apache.hadoop.fs.FileSystem,
+                                       base: Path, name: String,
+                                       partCol: String): Unit = {
+    if (!f.exists(base)) return
+    f.listStatus(base).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        throw new IllegalStateException(
+          s"writePartition($name): table root holds data file '$n' (the " +
+          s"whole-table write() layout); a partition write would create a " +
+          s"mixed layout that breaks partition discovery. Rewrite once via " +
+          s"write(name, df, partitionBy = Seq(\"$partCol\")) first.")
+      if (st.isDirectory && n.contains("=") && !n.startsWith(partCol + "=") &&
+          !n.startsWith("_") && !n.startsWith("."))
+        throw new IllegalStateException(
+          s"writePartition($name): table is partitioned by '${n.takeWhile(_ != '=')}', " +
+          s"not '$partCol' — one table, one partition column.")
+    }
+  }
+
   def writePartition(name: String, partCol: String, partValue: Long,
                      df: DataFrame): Unit = {
     recover(name)
     val base = new Path(path(name)); val f = fs(base)
+    requirePartitionedLayout(f, base, name, partCol)
     f.mkdirs(base)
     val part = s"$partCol=$partValue"
     val dest = new Path(base, part)
@@ -120,6 +162,53 @@ final case class Warehouse(spark: SparkSession, root: String) {
       throw new java.io.IOException(s"partition swap failed for $name/$part")
     }
     if (f.exists(old)) f.delete(old, true)
+    invalidateListings(name)
+  }
+
+  /** Idempotent MULTI-partition write: lands every `partCol` partition
+    * present in `df` (which must carry the column), leaving all other
+    * partitions untouched — the TOUCHED-RANGE rewrite shape for indexes
+    * whose rows change in place per batch (the kNN gate's cell-partitioned
+    * edge store), where [[write]]'s whole-table swap rewrites O(table)
+    * bytes per batch and [[writePartition]] can only append one new value.
+    * One write job materializes all partitions into a sibling temp dir
+    * (partition values become directory names via partitionBy), then each
+    * partition dir swaps in through the same park-then-promote discipline
+    * as [[writePartition]] — every crash window leaves each INDIVIDUAL
+    * partition either fully old or fully new, never mixed, so a caller
+    * that stamps rows with the writing batch can detect and skip
+    * already-committed partitions on replay (per-partition idempotence).
+    * Returns the partition directory names written.
+    */
+  def writePartitions(name: String, partCol: String, df: DataFrame): Seq[String] = {
+    recover(name)
+    val base = new Path(path(name)); val f = fs(base)
+    requirePartitionedLayout(f, base, name, partCol)
+    f.mkdirs(base)
+    val tmpRoot = new Path(path(name) + "__ptmp_multi")
+    if (f.exists(tmpRoot)) f.delete(tmpRoot, true)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmpRoot.toString)
+    val parts = f.listStatus(tmpRoot).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith(partCol + "=")
+    }
+    parts.foreach { st =>
+      val part = st.getPath.getName
+      val dest = new Path(base, part)
+      val old = new Path(path(name) + s"__pold_$part")
+      // stray park from an earlier crash of THIS partition: obsolete — the
+      // replay that reaches here rewrites the partition anyway
+      if (f.exists(old)) f.delete(old, true)
+      if (f.exists(dest) && !f.rename(dest, old))
+        throw new java.io.IOException(s"partition swap: park failed for $name/$part")
+      if (!f.rename(st.getPath, dest)) {
+        if (f.exists(old)) f.rename(old, dest) // roll back
+        throw new java.io.IOException(s"partition swap failed for $name/$part")
+      }
+      if (f.exists(old)) f.delete(old, true)
+    }
+    f.delete(tmpRoot, true)
+    invalidateListings(name)
+    parts.map(_.getPath.getName).toSeq
   }
 
   /** (beyond ref) §2.11 maintenance — small-files compaction. Streaming
@@ -196,9 +285,15 @@ final case class Warehouse(spark: SparkSession, root: String) {
     } else files.length
   }
 
-  def readOrEmpty(name: String, schema: StructType): DataFrame =
-    if (exists(name)) read(name)
+  def readOrEmpty(name: String, schema: StructType): DataFrame = {
+    // an EXISTING but EMPTY directory reads as an empty table too: a crash
+    // between a per-partition writer's mkdirs and its first partition swap
+    // leaves exactly that state, and spark.read.parquet on it would fail
+    // schema inference instead of letting the replay proceed
+    val p = new Path(path(name))
+    if (exists(name) && fs(p).listStatus(p).nonEmpty) read(name)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   def exists(name: String): Boolean = {
     recover(name)

@@ -964,8 +964,54 @@ object Similarity {
     */
   def mergeKnnGraph(graph: DataFrame, histDf: DataFrame, batchDf: DataFrame,
                     idCol: String, embCol: String, cents: Array[Array[Long]],
-                    degree: Int): DataFrame = {
+                    degree: Int, requireCapped: Boolean = false): DataFrame = {
     require(degree >= 1, s"degree must be >= 1: $degree")
+    val newEdges = newCandidateEdges(histDf, batchDf, idCol, embCol, cents)
+    // TOUCHED-NODE-ONLY re-rank (the r17 gate-growth decomposition fix):
+    // only nodes that gained a candidate edge this batch can change — an
+    // untouched node's stored edge set is already its exact
+    // top-`degree` selection (every writer of these graphs caps through
+    // this topK, the documented precondition), so re-running the heap
+    // over it returns it verbatim. The old shape unioned the FULL edge
+    // table into the heap every batch — a corpus-wide shuffle whose cost
+    // grew with the graph, not the batch (the r/f 0.27 term). Touched
+    // nodes are batch-bounded (batch nodes + touched-cell mates), so the
+    // semi/anti joins broadcast and the stored table streams MAP-SIDE;
+    // only touched nodes' edges enter the exchange-backed heap.
+    val touchedNodes = broadcast(newEdges.select(col("node")).distinct())
+    val old = graph.select(col("node"), col("nbr"), col("sim"))
+    // touched nodes' OLD edges are batch-bounded too (≤ touched × degree);
+    // checkpointing them severs the lineage the semi and anti branches
+    // would otherwise share (a union whose children both reference the
+    // same graph/touchedNodes subtrees trips Catalyst's union-constraint
+    // rewrite with a key-not-found on the duplicated attribute ids)
+    val touchedOld = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("mergeKnnGraph_touchedOld",
+        "graft.operators.Similarity"),
+      old.join(touchedNodes, Seq("node"), "left_semi").localCheckpoint(true))
+    validateCapped(touchedOld, degree, requireCapped)
+    val reranked = graft.plans.TopKPerGroup.topK(
+        touchedOld.unionByName(newEdges.select(col("node"), col("nbr"), col("sim"))),
+        Seq("node"), Seq(("sim", true), ("nbr", false)), degree)
+      .select(col("node"), col("nbr"), col("sim"))
+    reranked.unionByName(
+      old.join(touchedNodes, Seq("node"), "left_anti"))
+  }
+
+  /** Candidate edges a batch contributes under frozen `cents`: every
+    * (batch node, touched-cell mate) pair in BOTH directions — cellmates
+    * may adopt a batch node as a nearer neighbor; the reverse edge carries
+    * the same rounded cosine and the same `cluster` (edges never cross
+    * cells under one assignment). The DISTINCT is load-bearing:
+    * batch↔batch pairs already appear in both directions before the
+    * reverse union, and a duplicated edge would let the top-degree heap
+    * seat the same neighbor twice. Returns (node, nbr, sim, cluster),
+    * checkpointed (it feeds the re-rank union AND the touched-node
+    * broadcast). Batch-bounded: history outside touched cells is never
+    * paired.
+    */
+  private def newCandidateEdges(histDf: DataFrame, batchDf: DataFrame,
+      idCol: String, embCol: String, cents: Array[Array[Long]]): DataFrame = {
     import graft.functions.VectorFns
     def withNorms(d: DataFrame) =
       KMeans.assignWith(d, idCol, embCol, cents)
@@ -994,45 +1040,78 @@ object Similarity {
       .filter(col("node") =!= col("nbr"))
       .withColumn("sim",
         round(VectorFns.dotQDouble(col("ae"), col("be")) / (col("an") * col("bn")), 6))
-      .select(col("node"), col("nbr"), col("sim"))
-    // both directions: cellmates may adopt a batch node as a nearer
-    // neighbor — the reverse edge carries the same rounded cosine. The
-    // DISTINCT is load-bearing: batch↔batch pairs already appear in both
-    // directions before the reverse union, and a duplicated edge would
-    // let the top-degree heap seat the same neighbor twice.
-    val newEdges = graft.CkptCycle.cycle(
+      .select(col("node"), col("nbr"), col("sim"), col("cluster"))
+    graft.CkptCycle.cycle(
       graft.CkptCycle.callSiteKey("mergeKnnGraph_newEdges",
         "graft.operators.Similarity"),
       batchEdges.unionByName(
-          batchEdges.select(col("nbr").as("node"), col("node").as("nbr"), col("sim")))
+          batchEdges.select(col("nbr").as("node"), col("node").as("nbr"),
+            col("sim"), col("cluster")))
         .distinct()
         .localCheckpoint(true))
-    // TOUCHED-NODE-ONLY re-rank (the r17 gate-growth decomposition fix):
-    // only nodes that gained a candidate edge this batch can change — an
-    // untouched node's stored edge set is already its exact
-    // top-`degree` selection (every writer of these graphs caps through
-    // this topK, the documented precondition), so re-running the heap
-    // over it returns it verbatim. The old shape unioned the FULL edge
-    // table into the heap every batch — a corpus-wide shuffle whose cost
-    // grew with the graph, not the batch (the r/f 0.27 term). Touched
-    // nodes are batch-bounded (batch nodes + touched-cell mates), so the
-    // semi/anti joins broadcast and the stored table streams MAP-SIDE;
-    // only touched nodes' edges enter the exchange-backed heap.
+  }
+
+  /** The merge precondition made loud on demand (`requireCapped = true`):
+    * every TOUCHED node's stored edge set must already be within `degree`.
+    * Bounded — it runs on the batch-sized, already-checkpointed
+    * touched-old slice, never the full table (a full-table check would
+    * cost exactly the O(corpus) pass the touched-node merge exists to
+    * avoid; a stale or hand-built over-degree table virtually always
+    * violates on touched nodes too, since the violation is table-wide).
+    * Off by default: the gates only ever store this function's own output.
+    */
+  private def validateCapped(touchedOld: DataFrame, degree: Int,
+                             enabled: Boolean): Unit = {
+    if (!enabled) return
+    val bad = touchedOld.groupBy(col("node")).count()
+      .filter(col("count") > degree).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"mergeKnnGraph(requireCapped): stored graph holds ${bad.head.getLong(1)} " +
+        s"edges for node ${bad.head.get(0)} (> degree $degree) — the table " +
+        s"was built under different parameters; re-cap it once with " +
+        s"TopKPerGroup.topK before merging incrementally.")
+  }
+
+  /** [[mergeKnnGraph]] against a CELL-PARTITIONED edge store — the
+    * touched-range rewrite shape that keeps per-batch index maintenance
+    * O(touched), not O(corpus). `oldTouchedCells` must be the stored edges
+    * of exactly the cells the batch lands in (the partition-pruned read;
+    * same top-degree precondition as [[mergeKnnGraph]]), carrying a `cell`
+    * column. Returns the REPLACEMENT content for those cells — touched
+    * nodes re-ranked, untouched cellmates passed through map-side — with
+    * `cell` attached, ready for a per-partition swap
+    * ([[graft.airbnb.Warehouse.writePartitions]]). Untouched cells'
+    * partitions are never read, shuffled, or rewritten.
+    *
+    * Cells are independent under one frozen assignment (every edge's two
+    * endpoints share a cell), so per-cell output equals what the
+    * whole-table [[mergeKnnGraph]] would produce for that cell — the
+    * equality contract restricted to touched partitions, which is what
+    * makes PARTIAL partition swaps crash-safe: a replay re-merges only
+    * the cells whose partitions still carry an older batch stamp.
+    */
+  def mergeKnnGraphTouchedCells(oldTouchedCells: DataFrame, histDf: DataFrame,
+      batchDf: DataFrame, idCol: String, embCol: String,
+      cents: Array[Array[Long]], degree: Int,
+      requireCapped: Boolean = false): DataFrame = {
+    require(degree >= 1, s"degree must be >= 1: $degree")
+    val newEdges = newCandidateEdges(histDf, batchDf, idCol, embCol, cents)
+      .withColumnRenamed("cluster", "cell")
     val touchedNodes = broadcast(newEdges.select(col("node")).distinct())
-    val old = graph.select(col("node"), col("nbr"), col("sim"))
-    // touched nodes' OLD edges are batch-bounded too (≤ touched × degree);
-    // checkpointing them severs the lineage the semi and anti branches
-    // would otherwise share (a union whose children both reference the
-    // same graph/touchedNodes subtrees trips Catalyst's union-constraint
-    // rewrite with a key-not-found on the duplicated attribute ids)
+    val old = oldTouchedCells.select(col("node"), col("nbr"), col("sim"),
+      col("cell"))
     val touchedOld = graft.CkptCycle.cycle(
-      graft.CkptCycle.callSiteKey("mergeKnnGraph_touchedOld",
+      graft.CkptCycle.callSiteKey("mergeKnnGraphCells_touchedOld",
         "graft.operators.Similarity"),
       old.join(touchedNodes, Seq("node"), "left_semi").localCheckpoint(true))
+    validateCapped(touchedOld, degree, requireCapped)
+    // `cell` rides the heap untouched: node → cell is functional (one
+    // assignment per node), so carrying it through the group adds no rows
     val reranked = graft.plans.TopKPerGroup.topK(
         touchedOld.unionByName(newEdges),
         Seq("node"), Seq(("sim", true), ("nbr", false)), degree)
-      .select(col("node"), col("nbr"), col("sim"))
+      .select(col("node"), col("nbr"), col("sim"), col("cell"))
     reranked.unionByName(
       old.join(touchedNodes, Seq("node"), "left_anti"))
   }

@@ -22,6 +22,56 @@ import org.apache.spark.sql.types._
   */
 object TextQueries {
 
+  // ---- once-per-JVM persisted artifacts the SERVE rows read (and the
+  // matching `prepare` hooks Bench runs untimed — VERDICT r18 #2: the
+  // first cold invocation must price serving, not the index build) ----
+
+  private def docMid(s: SparkSession, dir: String): Long =
+    graft.Fixtures.scalarLong(s, dir, "doc_mid") {
+      t(s, dir, "documents")
+        .agg(expr("coalesce(MAX(doc_id) DIV 2, 0L)").as("mid"))
+        .collect()(0).getLong(0)
+    }
+
+  private def bandIndexFixture(s: SparkSession, dir: String): DataFrame =
+    graft.Fixtures.read(s, dir, "band_index") {
+      Dedup.bandIndex(
+        t(s, dir, "documents").filter(col("doc_id") < docMid(s, dir)),
+        "doc_id", "text", 4)
+    }
+
+  private def anchorIndexFixture(s: SparkSession, dir: String): DataFrame =
+    graft.Fixtures.read(s, dir, "anchor_index") {
+      Dedup.anchorIndex(
+        t(s, dir, "documents").filter(col("doc_id") < docMid(s, dir)),
+        "doc_id", "text", 4, maxOccurrences = 64L)
+    }
+
+  private def anchorRowsFixture(s: SparkSession, dir: String): DataFrame =
+    graft.Fixtures.read(s, dir, "anchor_rows", Seq("sparse")) {
+      Dedup.anchorRowsFrame(
+        t(s, dir, "documents").filter(col("doc_id") < docMid(s, dir))
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", 4, 3)
+    }
+
+  /** Stage the incremental pipeline's HISTORY indexes (yesterday's state)
+    * once per (JVM, dataset): the timed row then prices the daily batch —
+    * gate, two index probes, accounting, re-weighting — not the history
+    * sketch. Scratch is dataset-scoped so two SF dirs in one JVM never
+    * share staged tables.
+    */
+  private def incrPipelineWh(s: SparkSession, dir: String): graft.airbnb.Warehouse = {
+    val wh = graft.airbnb.Warehouse(s,
+      graft.Fixtures.scratchFor(dir, "wh_incr_pipeline"))
+    graft.Fixtures.stageOnce(s, dir, "wh_incr_pipeline") {
+      val hist = t(s, dir, "documents").filter(col("doc_id") < docMid(s, dir))
+      wh.write("fp_index", hist.select(md5(col("text")).as("fp")).distinct())
+      wh.write("band_index", Dedup.bandIndex(hist, "doc_id", "text", 4))
+    }
+    wh
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 4))).cast(DoubleType)
@@ -1192,11 +1242,8 @@ object TextQueries {
     Q("q_dedup_incremental_minhash_serve",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
-          .collect()(0).getLong(0)
-        val idx = graft.Fixtures.read(s, dir, "band_index") {
-          Dedup.bandIndex(docs.filter(col("doc_id") < mid), "doc_id", "text", 4)
-        }
+        val mid = docMid(s, dir)
+        val idx = bandIndexFixture(s, dir)
         val fresh = docs.filter(col("doc_id") >= mid)
         val tags = Dedup.tagAgainstBandIndex(
           fresh, idx, "doc_id", "text", 4)
@@ -1229,17 +1276,14 @@ object TextQueries {
           LEFT JOIN hits h ON d.doc_id = h.doc_id
           WHERE d.doc_id >= m
           GROUP BY d.source ORDER BY d.source"""
-      }),
+      },
+      prepare = Some((s, dir) => { bandIndexFixture(s, dir); () })),
 
     Q("q_dedup_incremental_substring_serve",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
-          .collect()(0).getLong(0)
-        val idx = graft.Fixtures.read(s, dir, "anchor_index") {
-          Dedup.anchorIndex(docs.filter(col("doc_id") < mid),
-            "doc_id", "text", 4, maxOccurrences = 64L)
-        }
+        val mid = docMid(s, dir)
+        val idx = anchorIndexFixture(s, dir)
         Dedup.tagSpansAgainstIndex(
             docs.filter(col("doc_id") >= mid), idx,
             "doc_id", "text", 4, minSpanTokens = 6)
@@ -1273,7 +1317,8 @@ object TextQueries {
         SELECT a_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
                CAST(MAX(len) AS BIGINT) AS max_span_tokens
         FROM sp WHERE len >= 6
-        GROUP BY a_id ORDER BY a_id""")),
+        GROUP BY a_id ORDER BY a_id"""),
+      prepare = Some((s, dir) => { anchorIndexFixture(s, dir); () })),
 
     Q("q_dedup_incremental_sparse_serve",
       (s, dir) => {
@@ -1289,18 +1334,11 @@ object TextQueries {
         // collision collect (candidates deduped on the driver — no
         // distinct exchange), and the single dense-verify action, plus the
         // final ordered fetch. The r17 shape paid 14 jobs and re-ran the
-        // tokenize+hash kernel three times.
-        val mid = graft.Fixtures.scalarLong(s, dir, "doc_mid") {
-          t(s, dir, "documents")
-            .agg(expr("coalesce(MAX(doc_id) DIV 2, 0L)").as("mid"))
-            .collect()(0).getLong(0)
-        }
-        val idx = graft.Fixtures.read(s, dir, "anchor_rows", Seq("sparse")) {
-          Dedup.anchorRowsFrame(
-            t(s, dir, "documents").filter(col("doc_id") < mid)
-              .select(col("doc_id"), col("text")),
-            "doc_id", "text", 4, 3)
-        }
+        // tokenize+hash kernel three times. (r19: the artifact build — the
+        // dominant share of this row's cold on a busy host, VERDICT r18
+        // #2 — moved to the untimed `prepare` hook below.)
+        val mid = docMid(s, dir)
+        val idx = anchorRowsFixture(s, dir)
         Dedup.tagSpansAgainstIndexSparseServe(
             t(s, dir, "documents").filter(col("doc_id") >= mid)
               .select(col("doc_id"), col("text")),
@@ -1333,7 +1371,8 @@ object TextQueries {
         SELECT a_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
                CAST(MAX(len) AS BIGINT) AS max_span_tokens
         FROM sp WHERE len >= 6
-        GROUP BY a_id ORDER BY a_id""")),
+        GROUP BY a_id ORDER BY a_id"""),
+      prepare = Some((s, dir) => { anchorRowsFixture(s, dir); () })),
 
     // ----- sketch-recall evaluation: how much of the EXACT Jaccard pair
     // set at 0.85 does the 2-band MinHash-LSH candidate path recover, and
@@ -1416,8 +1455,7 @@ object TextQueries {
     Q("q_incremental_pipeline",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val mid = docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0)").as("mid"))
-          .collect()(0).getLong(0)
+        val mid = docMid(s, dir)
         val hist = docs.filter(col("doc_id") < mid)
         // today's batch = the fresh half PLUS re-crawls: a daily crawl
         // re-fetches a slice of known pages, which arrive under NEW crawl
@@ -1428,9 +1466,11 @@ object TextQueries {
         val recrawl = docs.filter(col("doc_id") < mid && col("doc_id") % 5 === 0)
           .withColumn("doc_id", col("doc_id") + lit(1000000L))
         val batch = docs.filter(col("doc_id") >= mid).unionByName(recrawl)
-        val wh = graft.airbnb.Warehouse(s, graft.Fixtures.jvmScratch("wh_incr_pipeline"))
-        wh.write("fp_index", hist.select(md5(col("text")).as("fp")).distinct())
-        wh.write("band_index", Dedup.bandIndex(hist, "doc_id", "text", 4))
+        // yesterday's fingerprint + band indexes are staged once per JVM
+        // (r19, VERDICT r18 #2): the daily-batch capstone prices the
+        // BATCH — gate, two persisted-index probes, accounting, merge
+        // re-weighting — not the history sketch it would never re-run
+        val wh = incrPipelineWh(s, dir)
         val gated = batch.filter(size(TextFns.tokens(col("text"))) >= 20)
         val novel = graft.CkptCycle.cycle("q_incremental_pipeline_novel",
           Dedup.tagAgainstIndex(gated, wh.read("fp_index"), "text")
@@ -1541,7 +1581,8 @@ object TextQueries {
           LEFT JOIN an ON w.source = an.source
           LEFT JOIN aa ON w.source = aa.source
           ORDER BY w.source"""
-      }),
+      },
+      prepare = Some((s, dir) => { incrPipelineWh(s, dir); () })),
 
     // ----- FUZZY-DEDUP → RE-BALANCE CAPSTONE (the DataComp/FineWeb "dedup
     // then re-weight" shape): MinHash-LSH candidate pairs → connected
@@ -2130,7 +2171,15 @@ object TextQueries {
     Q("q_mm_image_stats_png",
       (s, dir) => {
         import s.implicits._
+        // the documents scan is ONE parquet split at bench SFs (file ≪
+        // maxPartitionBytes), so without a spread the whole encode+decode
+        // kernel — zlib deflate per row, the heaviest mm codec — ran on
+        // one core of 32 (warm ≈ cold pinned it as serial compute,
+        // VERDICT r18 #4). The ids are 8 bytes each: repartitioning them
+        // is a trivial exchange that buys full-width raster work, the
+        // same shape a production media table gets from many input files.
         val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
           .map { id =>
             val w = (id % 48 + 8).toInt
             val h = (id * 7 % 40 + 8).toInt

@@ -27,6 +27,35 @@ object VectorQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  // ---- once-per-JVM persisted artifacts the SERVE rows read (and the
+  // matching `prepare` hooks Bench runs untimed — VERDICT r18 #2) ----
+
+  private def knnGraphFixture(s: SparkSession, dir: String): DataFrame =
+    graft.Fixtures.read(s, dir, "knn_graph") {
+      graft.operators.Similarity.knnGraph(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, passes = 2, degree = 6)
+    }
+
+  private def pqBooksFixture(s: SparkSession, dir: String): DataFrame =
+    graft.Fixtures.read(s, dir, "pq_books") {
+      val cc = t(s, dir, "embeddings")
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      graft.operators.Similarity.pqCodebooksUnitsDf(s,
+        graft.operators.Similarity.pqTrainUnits(
+          cc.select(col("c_id"), col("ce").as("embedding")), "c_id",
+          "embedding", m = 8, kCent = 16, sampleSize = 256, iters = 2))
+    }
+
+  private def pqCodesFixture(s: SparkSession, dir: String): DataFrame = {
+    val books = graft.operators.Similarity.pqCodebooksUnitsFromDf(
+      pqBooksFixture(s, dir))
+    graft.Fixtures.read(s, dir, "pq_codes") {
+      t(s, dir, "embeddings")
+        .select(col("vec_id").as("c_id"), graft.operators.Similarity
+          .pqEncodeUnits(VectorFns.quantize(col("embedding")), books).as("codes"))
+    }
+  }
+
   /** The IVF-PQ fixed-point replay as a CTE chain (qv → … → en → p → r):
     * coarse train (2 integer Lloyd iterations over the 256-lowest-id
     * sample), full-corpus cell assignment, residuals, residual-codebook
@@ -1101,7 +1130,8 @@ object VectorQueries {
       },
       Some(s"""
         WITH $matryoshkaServeCtes
-        SELECT q_id, c_id, rnk FROM yrk WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+        SELECT q_id, c_id, rnk FROM yrk WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      prepare = Some((s, dir) => { matryoshkaServeParts(s, dir); () })),
 
     // recall@5 of the matryoshka serve vs full-dimension exact brute
     // force — the acceptance measurement for the prefix-IVF entry +
@@ -1152,7 +1182,62 @@ object VectorQueries {
         SELECT q_id, CAST(COUNT(a_c) AS BIGINT) AS n_hits,
                CAST(COUNT(a_c) * 1000000 // 5 AS BIGINT) AS recall_ppm
         FROM ygx LEFT JOIN yap ON q_id = a_q AND c_id = a_c
-        GROUP BY q_id ORDER BY q_id""")),
+        GROUP BY q_id ORDER BY q_id"""),
+      prepare = Some((s, dir) => { matryoshkaServeParts(s, dir); () })),
+
+    // the POSITIVE control for the row above (VERDICT r18 #8): the same
+    // serve path over a PREFIX-INFORMATIVE variant of the fixture
+    // embeddings (tails scaled 2⁻⁴ — the energy profile an MRL-trained
+    // embedder actually emits, exact in both engines' arithmetic). The
+    // iid row honestly reads 200–400k ppm because its first 16 dims carry
+    // no privileged signal; this row demonstrates the machinery working
+    // on vectors with the shape it is built for, and the CONTRAST between
+    // the two is the acceptance measurement a corpus owner reads before
+    // swapping prefix serving in.
+    Q("q_ann_matryoshka_serve_recall_mrl",
+      (s, dir) => {
+        val (qq, cc, idx, cents) = matryoshkaServeParts(s, dir, mrl = true)
+        val approx = graft.operators.Similarity.matryoshkaTopKServe(qq, cc,
+            idx, cents, prefixDim = 16, shortlist = 16, k = 5, nProbe = 2)
+          .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
+        import graft.functions.VectorFns
+        val qq2 = qq.select(col("q_id"), VectorFns.quantize(col("qe")).as("qe2"))
+          .withColumn("qn", sqrt(VectorFns.dotQDouble(col("qe2"), col("qe2"))))
+        val cc2 = cc.select(col("c_id"), VectorFns.quantize(col("ce")).as("ce2"))
+          .withColumn("cn", sqrt(VectorFns.dotQDouble(col("ce2"), col("ce2"))))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(round(col("cos"), 9).desc, col("c_id"))
+        val exact = cc2.crossJoin(broadcast(qq2))
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("cos",
+            VectorFns.dotQDouble(col("qe2"), col("ce2")) / (col("qn") * col("cn")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("c_id"))
+        exact.join(approx,
+            exact("q_id") === approx("a_q") && exact("c_id") === approx("a_c"),
+            "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("a_c")).as("n_hits"),
+               expr("count(a_c) * 1000000L DIV 5").as("recall_ppm"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""
+        WITH ${matryoshkaServeCtesFor(mrlShapedSql)},
+        yex AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                       ${VectorFns.dotSql("q.embedding", "c.embedding")}
+                         / (q.norm * c.norm) AS cos
+                FROM ye q, ye c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        ygx AS (SELECT q_id, c_id FROM (
+                  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(cos, 9) DESC, c_id) AS rk
+                  FROM yex) x WHERE rk <= 5),
+        yap AS (SELECT q_id AS a_q, c_id AS a_c FROM yrk WHERE rnk <= 5)
+        SELECT q_id, CAST(COUNT(a_c) AS BIGINT) AS n_hits,
+               CAST(COUNT(a_c) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM ygx LEFT JOIN yap ON q_id = a_q AND c_id = a_c
+        GROUP BY q_id ORDER BY q_id"""),
+      prepare = Some((s, dir) => { matryoshkaServeParts(s, dir, mrl = true); () })),
 
     // ----- DiskANN-shape graph serving: the beam walks the graph scored
     // by PRODUCT-QUANTIZED approximate inner products (integer ADC
@@ -1169,10 +1254,7 @@ object VectorQueries {
         val qq = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        val g = graft.Fixtures.read(s, dir, "knn_graph") {
-          graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
-            k = 4, passes = 2, degree = 6)
-        }
+        val g = knnGraphFixture(s, dir)
         val books = graft.operators.Similarity.pqTrainUnits(
           cc.select(col("c_id"), col("ce").as("embedding")), "c_id", "embedding",
           m = 8, kCent = 16, sampleSize = 256, iters = 2)
@@ -1209,21 +1291,10 @@ object VectorQueries {
         val qq = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        val g = graft.Fixtures.read(s, dir, "knn_graph") {
-          graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
-            k = 4, passes = 2, degree = 6)
-        }
-        val booksDf = graft.Fixtures.read(s, dir, "pq_books") {
-          graft.operators.Similarity.pqCodebooksUnitsDf(s,
-            graft.operators.Similarity.pqTrainUnits(
-              cc.select(col("c_id"), col("ce").as("embedding")), "c_id",
-              "embedding", m = 8, kCent = 16, sampleSize = 256, iters = 2))
-        }
-        val books = graft.operators.Similarity.pqCodebooksUnitsFromDf(booksDf)
-        val codes = graft.Fixtures.read(s, dir, "pq_codes") {
-          cc.select(col("c_id"), graft.operators.Similarity.pqEncodeUnits(
-            VectorFns.quantize(col("ce")), books).as("codes"))
-        }
+        val g = knnGraphFixture(s, dir)
+        val books = graft.operators.Similarity.pqCodebooksUnitsFromDf(
+          pqBooksFixture(s, dir))
+        val codes = pqCodesFixture(s, dir)
         graft.operators.Similarity.graphTopKPQWithIndex(qq, cc, g, codes,
             books, entryK = 4, beam = 8, hops = 2, k = 5)
           .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
@@ -1241,7 +1312,10 @@ object VectorQueries {
                        CAST(row_number() OVER (PARTITION BY q_id
                               ORDER BY round(cos, 9) DESC, c_id) AS BIGINT) AS rnk
                 FROM fin)
-        SELECT q_id, c_id, rnk FROM frk WHERE rnk <= 5 ORDER BY q_id, rnk""")),
+        SELECT q_id, c_id, rnk FROM frk WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      prepare = Some((s, dir) => {
+        knnGraphFixture(s, dir); pqCodesFixture(s, dir); ()
+      })),
 
     // ----- PQ-walk recall@5 vs exact brute force — the acceptance
     // measurement for the MOST lossy graph variant (approximate ADC
@@ -1255,10 +1329,7 @@ object VectorQueries {
         val qq = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        val g = graft.Fixtures.read(s, dir, "knn_graph") {
-          graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
-            k = 4, passes = 2, degree = 6)
-        }
+        val g = knnGraphFixture(s, dir)
         val books = graft.operators.Similarity.pqTrainUnits(
           cc.select(col("c_id"), col("ce").as("embedding")), "c_id", "embedding",
           m = 8, kCent = 16, sampleSize = 256, iters = 2)
@@ -1327,10 +1398,7 @@ object VectorQueries {
         val qq = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        val g = graft.Fixtures.read(s, dir, "knn_graph") {
-          graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
-            k = 4, passes = 2, degree = 6)
-        }
+        val g = knnGraphFixture(s, dir)
         graft.operators.Similarity.graphTopKLayered(qq, cc, g,
             sampleMod = 4L, beam = 8, hops = 2, k = 5)
           .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
@@ -1341,7 +1409,8 @@ object VectorQueries {
         SELECT q_id, c_id, CAST(rk AS BIGINT) AS rnk
         FROM (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
                 ORDER BY sim DESC, c_id) AS rk FROM b2) f
-        WHERE rk <= 5 ORDER BY q_id, rnk""")),
+        WHERE rk <= 5 ORDER BY q_id, rnk"""),
+      prepare = Some((s, dir) => { knnGraphFixture(s, dir); () })),
 
     // ----- SERVE-shaped graph ANN (the r16 gate treatment applied to the
     // graph family): q_ann_graph_topk prices build+serve in one query —
@@ -1362,10 +1431,7 @@ object VectorQueries {
         val qq = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
         val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-        val g = graft.Fixtures.read(s, dir, "knn_graph") {
-          graft.operators.Similarity.knnGraph(e, "vec_id", "embedding",
-            k = 4, passes = 2, degree = 6)
-        }
+        val g = knnGraphFixture(s, dir)
         graft.operators.Similarity.graphTopK(qq, cc, g,
             entryK = 4, beam = 8, hops = 2, k = 5)
           .select(col("q_id"), col("c_id"), col("rank").as("rnk"))
@@ -1376,7 +1442,8 @@ object VectorQueries {
         SELECT q_id, c_id, CAST(rk AS BIGINT) AS rnk
         FROM (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
                 ORDER BY sim DESC, c_id) AS rk FROM b2) f
-        WHERE rk <= 5 ORDER BY q_id, rnk""")),
+        WHERE rk <= 5 ORDER BY q_id, rnk"""),
+      prepare = Some((s, dir) => { knnGraphFixture(s, dir); () })),
 
     // ----- incremental graph maintenance (the daily-batch shape of the
     // graph family, completing the incremental symmetry exact/minhash/
@@ -2281,21 +2348,44 @@ object VectorQueries {
     * PARTITIONED BY CELL so the probe partition-prunes), and the persisted
     * prefix-k-means fit (the train/persist/serve split).
     */
+  /** The fixture embeddings with their TAIL dims (17..64) scaled by 2⁻⁴ —
+    * a PREFIX-INFORMATIVE variant shaped like an MRL-trained embedder's
+    * output (leading dims carry ~99% of the energy: 16/(16 + 48/256)),
+    * which the iid fixture deliberately is not. The 2⁻⁴ factor is a pure
+    * exponent shift, exact in float AND in DuckDB's double, so both
+    * engines transform to bit-identical values before the shared
+    * DECIMAL(12,6) lattice. Used by the `_mrl` acceptance row; the iid
+    * rows stay as the honest negative control.
+    */
+  private def mrlShaped(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      concat(expr("slice(embedding, 1, 16)"),
+        expr("transform(slice(embedding, 17, 48), x -> x * CAST(0.0625 AS FLOAT))"))
+        .as("embedding"))
+
+  // def, not val: the registry interpolates this during object init,
+  // before later plain vals would be assigned (a val here reads null)
+  private def mrlShapedSql: String =
+    """(SELECT vec_id, list_concat(embedding[1:16],
+         list_transform(embedding[17:64], x -> CAST(x * 0.0625 AS FLOAT))) AS embedding
+       FROM embeddings)"""
+
   private def matryoshkaServeParts(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame,
+      dir: String, mrl: Boolean = false): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         Array[Array[Long]]) = {
-    val e = t(s, dir, "embeddings")
+    val e = if (mrl) mrlShaped(s, dir) else t(s, dir, "embeddings")
+    val fx = if (mrl) "mrlp_" else "mrl_"
     val qq = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
     val cc = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-    val centsDf = graft.Fixtures.read(s, dir, "mrl_cents") {
+    val centsDf = graft.Fixtures.read(s, dir, fx + "cents") {
       graft.operators.KMeans.centroidsToDf(s, graft.operators.KMeans.train(
         e.select(col("vec_id"), expr("slice(embedding, 1, 16)").as("pe")),
         "vec_id", "pe", 4, 2))
     }
     val cents = graft.operators.KMeans.centroidsFromDf(centsDf)
-    val idx = graft.Fixtures.read(s, dir, "mrl_prefix_idx", Seq("cluster")) {
+    val idx = graft.Fixtures.read(s, dir, fx + "prefix_idx", Seq("cluster")) {
       graft.operators.KMeans.assignWith(
           cc.select(col("c_id"), expr("slice(ce, 1, 16)").as("pe")),
           "c_id", "pe", cents)
@@ -2312,13 +2402,15 @@ object VectorQueries {
     * shortlist (rn <= 16) → rounded full-dimension re-rank. Exposes `ye` (full + prefix
     * vectors with norms) and `yrk` (q_id, c_id, rnk) to the outer query.
     */
-  private lazy val matryoshkaServeCtes: String = s"""
-        ${kmeansCtes("(SELECT vec_id, embedding[1:16] AS embedding FROM embeddings) mpre", 16)},
+  private lazy val matryoshkaServeCtes: String = matryoshkaServeCtesFor("embeddings")
+
+  private def matryoshkaServeCtesFor(src: String): String = s"""
+        ${kmeansCtes(s"(SELECT vec_id, embedding[1:16] AS embedding FROM $src AS __mp) mpre", 16)},
         ye AS (SELECT e0.vec_id, e0.embedding, e0.te,
                       sqrt(${VectorFns.dotSql("e0.embedding", "e0.embedding")}) AS norm,
                       sqrt(${VectorFns.dotSql("e0.te", "e0.te")}) AS tnorm
                FROM (SELECT vec_id, embedding, embedding[1:16] AS te
-                     FROM embeddings) e0),
+                     FROM $src AS __ye) e0),
         yqa AS (SELECT vec_id, j FROM (
                   SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
                     ORDER BY dist, j) AS rn FROM d2) pr

@@ -1093,18 +1093,28 @@ object Streams {
   // RE-RANKED top-degree set, not a monotone union, so min-batch-id
   // merging cannot make a replayed merge a no-op — a re-merged batch edge
   // already present in the swapped table would seat the same neighbor
-  // twice through the top-degree heap. Instead every graph VERSION is
-  // stamped with the batch that produced it; a replay that finds its own
-  // stamp skips the merge (it already committed) and only re-runs the
-  // idempotent sink write. The vectors table IS a monotone union and
-  // keeps the min-batch-id discipline, and the merge reads history
-  // strictly below the current batch, so a death in any window replays
-  // into identical inputs.
+  // twice through the top-degree heap. Instead every graph PARTITION is
+  // stamped with the batch that last wrote it; a replay re-merges only
+  // the cells whose partitions still carry an older stamp (cells are
+  // independent under one frozen assignment — every edge's endpoints
+  // share a cell — so a cell-restricted merge equals the full merge
+  // restricted to those cells) and re-runs the idempotent sink write.
+  // The vectors table IS a monotone union and keeps the batch_id
+  // partition-append discipline, and the merge reads history strictly
+  // below the current batch, so a death in ANY window — including midway
+  // through the multi-partition graph swap — replays into inputs that
+  // converge to the same table.
   //
-  // Scale: per batch the merge moves batch×(touched-cell) pairs only
-  // (mergeKnnGraph's contract — at 100 TB the vectors table partitions by
-  // cell and the history fetch partition-prunes); the re-rank is one pass
-  // over old ∪ new edges, the compaction-style maintenance cost.
+  // Scale (r19): the graph table is PARTITIONED BY CELL and only touched
+  // cells' partitions are read or rewritten per batch
+  // (Warehouse.writePartitions) — the r18 shape computed the merge
+  // touched-node-only but still swapped the WHOLE edge table every batch,
+  // the last O(corpus)-per-batch term of the gate-growth decomposition
+  // (SCALING.md r18, the r/f-0.27 driver). Per batch the merge moves
+  // batch×(touched-cell) pairs only (mergeKnnGraph's contract — at 100 TB
+  // the vectors table partitions by cell too and the history fetch
+  // partition-prunes); the re-rank is one pass over the touched cells'
+  // old ∪ new edges.
   // ---------------------------------------------------------------------
 
   /** The foreachBatch body of the kNN-graph gate, callable directly in
@@ -1127,39 +1137,68 @@ object Streams {
       StructField("batch_id", LongType)))
     val graphSchema = StructType(Seq(StructField("node", idT),
       StructField("nbr", idT), StructField("sim", DoubleType),
-      StructField("batch_id", LongType)))
+      StructField("batch_id", LongType),
+      StructField("cell", LongType)))
     val vecIdx = wh.readOrEmpty(vecTable, vecSchema)
     val g0 = wh.readOrEmpty(graphTable, graphSchema)
-    val lastStamp = g0.agg(coalesce(max(col("batch_id")), lit(Long.MinValue)))
-      .collect()(0).getLong(0)
-    // an empty micro-batch contributes no vectors and no edges — skip the
-    // no-op merge and both table swaps; the sink marker alone commits it
-    if (lastStamp < batchId && !batch.isEmpty) {
+    // cells this batch lands in: one bounded collect (≤ k values — the
+    // centroid matrix is already driver-sized), needed driver-side to
+    // drive the partition-pruned read and the per-partition swap set
+    val touchedCells: Array[Long] =
+      if (batch.isEmpty) Array.empty
+      else graft.operators.KMeans.assignWith(
+          batch.select(col(idCol), col(embCol)), idCol, embCol, cents)
+        .select(col("cluster")).distinct()
+        .collect().map(_.getLong(0))
+    // per-cell batch stamps, read from ONLY the touched partitions
+    // (partition-pruned): cells already stamped with this batch committed
+    // in a previous attempt's partial swap — skip them; re-merge the rest.
+    // An empty micro-batch touches nothing; the sink marker alone commits.
+    val doneCells: Set[Long] =
+      if (touchedCells.isEmpty) Set.empty
+      else g0.filter(col("cell").cast(LongType).isin(touchedCells: _*))
+        .groupBy(col("cell").cast(LongType).as("cell"))
+        .agg(max(col("batch_id")).as("stamp"))
+        .filter(col("stamp") >= batchId)
+        .collect().map(_.getLong(0)).toSet
+    val remainCells = touchedCells.filterNot(doneCells)
+    if (remainCells.nonEmpty) {
       val hist = vecIdx.filter(col("batch_id") < batchId)
         .select(col(idCol), col(embCol))
-      // materialize the graph merge BEFORE either table write (the
-      // band-gate rule): it reads graphTable AND vecTable
-      val merged = graft.operators.Similarity.mergeKnnGraph(
-          g0.filter(col("batch_id") < batchId)
-            .select(col("node"), col("nbr"), col("sim")),
-          hist, batch.select(col(idCol), col(embCol)),
-          idCol, embCol, cents, degree)
+      // restrict the merge to the cells still at an older stamp: on a
+      // first attempt that is every touched cell (no restriction needed);
+      // on a partial-swap replay only the unswapped ones (their partitions
+      // are fully old — each partition swaps atomically, never mixes)
+      val batchRemain =
+        if (remainCells.length == touchedCells.length)
+          batch.select(col(idCol), col(embCol))
+        else batch.select(col(idCol), col(embCol)).join(
+          graft.operators.KMeans.assignWith(
+              batch.select(col(idCol), col(embCol)), idCol, embCol, cents)
+            .filter(col("cluster").isin(remainCells: _*))
+            .select(col(idCol)),
+          Seq(idCol), "left_semi")
+      val oldTouched = g0
+        .filter(col("cell").cast(LongType).isin(remainCells: _*))
+        .select(col("node"), col("nbr"), col("sim"),
+          col("cell").cast(LongType).as("cell"))
+      // materialize the merge BEFORE either table write (the band-gate
+      // rule): it reads graphTable AND vecTable
+      val merged = graft.operators.Similarity.mergeKnnGraphTouchedCells(
+          oldTouched, hist, batchRemain, idCol, embCol, cents, degree)
         .withColumn("batch_id", lit(batchId))
         .localCheckpoint(true)
       try {
         // vectors APPEND as a batch_id partition — O(batch) bytes per
-        // batch where the r17 shape's groupBy-dedupe + whole-table swap
-        // rewrote O(corpus) every batch (the dominant term of the gate's
-        // ×10 growth decomposition, r18); a replay overwrites the same
-        // partition, so idempotence needs no dedupe pass. Ids are unique
-        // across the stream (the vec_id contract), so cross-partition
-        // duplicates cannot arise. The GRAPH table stays a whole-table
-        // swap: touched history nodes' rows change in place — its
-        // production shape is node-range partitioning with touched-range
-        // rewrites, the documented compaction-style maintenance cost.
+        // batch; a replay overwrites the same partition, so idempotence
+        // needs no dedupe pass. Ids are unique across the stream (the
+        // vec_id contract), so cross-partition duplicates cannot arise.
         wh.writePartition(vecTable, "batch_id", batchId,
           batch.select(col(idCol), col(embCol)))
-        wh.write(graphTable, merged)
+        // graph: touched-cell partitions ONLY, each swapped atomically
+        // and stamped with this batch — untouched cells are never read
+        // or rewritten (the r19 touched-range shape)
+        wh.writePartitions(graphTable, "cell", merged)
       } finally merged.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
         case _ => ()

@@ -1249,24 +1249,37 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("graph ANN: incremental merge equals the full rebuild under frozen centroids") {
-    // 8 planted 2-D vectors over two angular clusters; history = ids 1-5,
-    // batch = 6-8 landing in BOTH cells so the merge must (a) give batch
-    // nodes ranked edges, (b) let history nodes adopt closer batch
-    // neighbors, and (c) leave untouched-cell edges alone — all checked
-    // at once by edge-set equality with knnGraphWith over the union
+    // 11 planted 2-D vectors over THREE angular clusters; history =
+    // ids 1-5 (clusters A/B) plus 9-11 (cluster C), batch = 6-8 landing
+    // in A and B only, so the merge must (a) give batch nodes ranked
+    // edges, (b) let history nodes adopt closer batch neighbors, and
+    // (c) pass the UNTOUCHED cell C's edges through the map-side
+    // anti-join branch verbatim — all checked at once by edge-set
+    // equality with knnGraphWith over the union. (Pre-r19 the fixture
+    // had no history-only cell, so (c)'s pass-through was unexercised.)
     def vec(deg: Double) = Array(
       math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
     val hist = Seq(1L -> vec(0), 2L -> vec(12), 3L -> vec(24),
-        4L -> vec(80), 5L -> vec(95))
+        4L -> vec(80), 5L -> vec(95),
+        9L -> vec(180), 10L -> vec(190), 11L -> vec(201))
       .toDF("vec_id", "embedding")
     val batch = Seq(6L -> vec(6), 7L -> vec(88), 8L -> vec(101))
       .toDF("vec_id", "embedding")
     val cents = graft.operators.KMeans.train(hist, "vec_id", "embedding",
-      k = 2, passes = 2)
+      k = 3, passes = 3)
+    // the fixture's premise: the batch touches exactly two of three cells
+    val bCells = graft.operators.KMeans.assignWith(batch, "vec_id",
+      "embedding", cents).select("cluster").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val cCell = graft.operators.KMeans.assignWith(
+      hist.filter($"vec_id" >= 9L), "vec_id", "embedding", cents)
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(bCells.size == 2 && cCell.size == 1 && !bCells.contains(cCell.head),
+      s"fixture drift: batch cells $bCells must exclude the history-only cell $cCell")
     val g0 = graft.operators.Similarity.knnGraphWith(hist, "vec_id",
       "embedding", cents, degree = 2)
-    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def edges(df: org.apache.spark.sql.DataFrame) = df.select("node", "nbr", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val merged = edges(graft.operators.Similarity.mergeKnnGraph(
       g0, hist, batch, "vec_id", "embedding", cents, degree = 2))
     val rebuilt = edges(graft.operators.Similarity.knnGraphWith(
@@ -1276,6 +1289,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(merged != edges(g0))
     assert(merged.exists { case (n, nb, _) => n <= 5 && nb >= 6 },
       "no history node adopted a batch neighbor — the reverse leg is dead")
+    // (c) explicitly: the untouched cell's stored edges survive verbatim
+    val cIds = Set(9L, 10L, 11L)
+    assert(merged.filter(e => cIds(e._1)) == edges(g0).filter(e => cIds(e._1)),
+      "untouched-cell edges were not passed through unchanged")
+
+    // the CELL-PARTITIONED variant returns replacement content for the
+    // touched cells only, cell attached, equal to the full merge
+    // restricted to those cells
+    val g0c = graft.operators.KMeans.assignWith(hist, "vec_id", "embedding",
+        cents).select($"vec_id".as("node"), $"cluster".as("cell"))
+      .join(g0, Seq("node"))
+    val touchedContent = graft.operators.Similarity.mergeKnnGraphTouchedCells(
+      g0c.filter($"cell".isin(bCells.toSeq: _*)), hist, batch,
+      "vec_id", "embedding", cents, degree = 2)
+    assert(touchedContent.select("cell").distinct().collect()
+      .map(_.getLong(0)).toSet == bCells,
+      "touched-cell content must cover exactly the batch's cells")
+    val touchedIds = graft.operators.KMeans.assignWith(
+        hist.unionByName(batch), "vec_id", "embedding", cents)
+      .filter($"cluster".isin(bCells.toSeq: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(edges(touchedContent) == rebuilt.filter(e => touchedIds(e._1)))
+
+    // requireCapped: an over-degree stored graph fails LOUDLY instead of
+    // passing untouched nodes through uncapped (the documented
+    // precondition made enforceable); the well-formed table passes
+    val overfull = g0.unionByName(
+      g0.select($"node", ($"nbr" + 1000L).as("nbr"), ($"sim" - 0.5).as("sim")))
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Similarity.mergeKnnGraph(overfull, hist, batch,
+        "vec_id", "embedding", cents, degree = 2, requireCapped = true).count()
+    }
+    assert(ex.getMessage.contains("re-cap"))
+    assert(edges(graft.operators.Similarity.mergeKnnGraph(g0, hist, batch,
+      "vec_id", "embedding", cents, degree = 2, requireCapped = true)) == rebuilt)
   }
 
   test("profile reports nulls, distincts and min/max per column") {

@@ -901,14 +901,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(wh.read("kg_graph").groupBy("node", "nbr").count()
       .filter($"count" > 1).count() == 0L)
     // crash drill B — death between the vector merge and the graph swap:
-    // park the graph back one version (stamp 1), leave the vectors table
-    // holding batch 2 under batch_id=2; the replayed merge reads history
-    // strictly below batch 2 and converges to the same graph
+    // park the graph back one version (stamp 1; partitionBy preserves the
+    // cell layout — an unpartitioned park would trip writePartitions'
+    // mixed-layout guard, by design), leave the vectors table holding
+    // batch 2 under batch_id=2; the replayed merge reads history strictly
+    // below batch 2 and converges to the same graph
     assert(gfs.delete(b2dir, true))
-    wh.write("kg_graph", g1)
+    wh.write("kg_graph", g1, partitionBy = Seq("cell"))
     assert(Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
       out, 2L, "vec_id", "embedding", degree = 2))
     assert(edges(wh.read("kg_graph")) == edges(rebuild))
+    // crash drill C — death MIDWAY through the multi-partition graph swap
+    // (the r19 touched-range store's new window): batch 2 lands in both
+    // cells; roll exactly ONE touched cell's partition back to its stamp-1
+    // content, leave the other at stamp 2. The replay must re-merge ONLY
+    // the rolled-back cell (the stamped one skips — re-merging it would
+    // seat neighbors twice) and still converge edge-for-edge
+    assert(gfs.delete(b2dir, true))
+    val whRoot = new org.apache.hadoop.fs.Path(wh.root)
+    val cellDirs = gfs.listStatus(new org.apache.hadoop.fs.Path(whRoot, "kg_graph"))
+      .map(_.getPath).filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length == 2, s"expected two cell partitions: ${cellDirs.toSeq}")
+    val rolled = cellDirs.head
+    val keepName = rolled.getName
+    assert(gfs.delete(rolled, true))
+    // rebuild that one partition from g1 (stamp-1 rows of that cell)
+    val cellVal = keepName.stripPrefix("cell=").toLong
+    wh.writePartitions("kg_graph",
+      "cell", g1.filter($"cell" === cellVal))
+    assert(wh.read("kg_graph").filter($"cell" === cellVal)
+      .agg(org.apache.spark.sql.functions.max("batch_id")).collect()(0).getLong(0) == 1L,
+      "roll-back did not land the stamp-1 version")
+    assert(Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
+      out, 2L, "vec_id", "embedding", degree = 2))
+    assert(edges(wh.read("kg_graph")) == edges(rebuild))
+    assert(wh.read("kg_graph").groupBy("node", "nbr").count()
+      .filter($"count" > 1).count() == 0L)
     // a pure replay (marker present) is a no-op
     assert(!Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
       out, 2L, "vec_id", "embedding", degree = 2))

@@ -200,6 +200,55 @@ class WarehouseSpec extends AnyFunSuite {
     assert(wh.read("vecs").filter(col("batch_id") === 3).count() == 64)
   }
 
+  test("writePartitions swaps touched partitions only; mixed layouts fail loudly") {
+    val root = java.nio.file.Files.createTempDirectory("wh-parts").toString
+    val wh = graft.airbnb.Warehouse(spark, root)
+    wh.writePartitions("edges", "cell",
+      Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)).toDF("node", "cell"))
+    def got() = wh.read("edges").select(col("node"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got() == Set((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
+    // rewrite cells 0 and 2 in one call: cell 1 is untouched ON DISK (the
+    // touched-range contract), not merely value-equal after a full rewrite
+    val c1Before = new java.io.File(s"$root/edges/cell=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    wh.writePartitions("edges", "cell",
+      Seq((9L, 0L), (8L, 2L), (7L, 2L)).toDF("node", "cell"))
+    assert(got() == Set((9L, 0L), (3L, 1L), (8L, 2L), (7L, 2L)))
+    val c1After = new java.io.File(s"$root/edges/cell=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).toSet
+    assert(c1After == c1Before, "untouched partition was rewritten")
+    // crash drills: a stray multi-temp dir is swept; a parked partition
+    // heals on replay exactly like writePartition's windows
+    new java.io.File(s"$root/edges__ptmp_multi/cell=5").mkdirs()
+    wh.writePartitions("edges", "cell", Seq((5L, 3L)).toDF("node", "cell"))
+    assert(got().contains((5L, 3L)) &&
+      !new java.io.File(s"$root/edges__ptmp_multi").exists())
+    // MIXED-LAYOUT GUARD: a root-level data file (the write() layout)
+    // must reject per-partition writes BEFORE any bytes move — partition
+    // discovery over the mix breaks every later read
+    val flat = wh.read("edges").select(col("node"),
+      col("cell").cast("long").as("cell")).localCheckpoint(true)
+    wh.write("edges", flat) // whole-table, unpartitioned: cell is now a data column
+    val ex = intercept[IllegalStateException] {
+      wh.writePartitions("edges", "cell", Seq((6L, 4L)).toDF("node", "cell"))
+    }
+    assert(ex.getMessage.contains("mixed layout"))
+    intercept[IllegalStateException] {
+      wh.writePartition("edges", "cell", 4L, Seq(6L).toDF("node"))
+    }
+    // the documented repair: ONE whole-table rewrite that keeps the
+    // layout, after which per-partition writes are valid again
+    wh.write("edges", flat, partitionBy = Seq("cell"))
+    wh.writePartitions("edges", "cell", Seq((6L, 4L)).toDF("node", "cell"))
+    assert(got() == Set((9L, 0L), (3L, 1L), (8L, 2L), (7L, 2L), (5L, 3L), (6L, 4L)))
+    // and a WRONG partition column on a partitioned table rejects too
+    val ex2 = intercept[IllegalStateException] {
+      wh.writePartition("edges", "batch_id", 0L, Seq(1L).toDF("node"))
+    }
+    assert(ex2.getMessage.contains("one partition column"))
+  }
+
   test("J9 catalog introspection replaces sys.tables/sys.columns queries") {
     Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("t_cat_probe")
     val tables = spark.catalog.listTables().collect().map(_.name)
