@@ -1082,6 +1082,68 @@ object Dedup {
     }
   }
 
+  /** [[tagSpansAgainstIndexSparse]] for the INLINE build+probe rows, over
+    * ONE shared kernel pass: [[anchorRowsFrame]] runs once for the WHOLE
+    * corpus (spread off the unsplittable scan, checkpointed) and every leg
+    * — history's sparse index, the batch's probe anchors, and both
+    * candidate dense-verify sides — is a filter of that checkpoint, so the
+    * tokenize+hash kernel runs once where the compositional form ran it
+    * four times (FixedCostProbe r19: four serial ~150 ms tokenize stages
+    * were most of that row's stage time). `histPred` splits history from
+    * batch by row (e.g. doc_id < mid). Output identical to
+    * `tagSpansAgainstIndexSparse(df.filter(!histPred),
+    * sparseAnchors(df.filter(histPred), …), df.filter(histPred), …)` —
+    * the sparse rows of the checkpoint are bit-identical to
+    * [[sparseAnchors]] and its full set to the positional-anchor stage.
+    *
+    * Scale: same contract as the compositional form — the probe broadcasts
+    * the batch's winnowed anchors over the history slice of the
+    * checkpoint, candidates collect under the limit(n+1) tripwire, dense
+    * verify is candidate-bounded (distributed tier kept for pathological
+    * batches). At 100 TB the checkpoint is the per-batch artifact and
+    * history's side reads the PERSISTED index instead — the `_serve` row's
+    * shape; this form exists for the build+probe-in-one-query pricing.
+    */
+  def tagSpansSplitSparse(df: DataFrame, histPred: Column, idCol: String,
+      textCol: String, k: Int, minSpanTokens: Int, w: Int,
+      maxDriverCand: Int = 1 << 20): DataFrame = {
+    require(w >= 1, s"w must be >= 1: $w")
+    require(minSpanTokens >= w + k - 1,
+      s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
+    val idType = df.schema(idCol).dataType
+    val rows = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.tagSpansSplitSparse",
+        "graft.operators.Dedup"),
+      anchorRowsFrame(graft.Tables.spread(df), idCol, textCol, k, w)
+        .withColumn("__hist", histPred)
+        .localCheckpoint(true))
+    val probe = rows.filter(col("__hist") && col("sparse"))
+      .select(col(idCol).as("b_id"), col("sh"))
+      .join(broadcast(rows.filter(!col("__hist") && col("sparse"))
+        .select(col(idCol).as("a_id"), col("sh"))), "sh")
+      .select(col("a_id"), col("b_id"))
+    val rawHead = probe.limit(maxDriverCand + 1).collect()
+    if (rawHead.length <= maxDriverCand) {
+      val pairsLocal = rawHead.map(r => (r.get(0), r.get(1))).distinct
+      val denseA = idSetFilter(rows.filter(!col("__hist")), idCol, idType,
+        pairsLocal.map(_._1).distinct)
+      val denseB = idSetFilter(rows.filter(col("__hist")), idCol, idType,
+        pairsLocal.map(_._2).distinct)
+      sparseVerify(denseA, denseB, cand = None, idCol, k, minSpanTokens,
+        broadcastA = true)
+    } else {
+      val cand = graft.CkptCycle.cycle(
+        graft.CkptCycle.callSiteKey("Dedup.tagSpansSplitSparse.cand",
+          "graft.operators.Dedup"),
+        probe.distinct().localCheckpoint(true)).hint("broadcast")
+      val denseA = rows.filter(!col("__hist")).join(
+        cand.select(col("a_id").as(idCol)).distinct(), Seq(idCol))
+      val denseB = rows.filter(col("__hist")).join(
+        cand.select(col("b_id").as(idCol)).distinct(), Seq(idCol))
+      sparseVerify(denseA, denseB, Some(cand), idCol, k, minSpanTokens)
+    }
+  }
+
   /** Id-set membership as an InSet predicate fused into the scan (with a
     * local-relation join fallback for very large sets, which are rare
     * under the callers' tripwires — the predicate keeps the expression

@@ -1012,20 +1012,40 @@ object Similarity {
     */
   private def newCandidateEdges(histDf: DataFrame, batchDf: DataFrame,
       idCol: String, embCol: String, cents: Array[Array[Long]]): DataFrame = {
+    def assigned(d: DataFrame) = KMeans.assignWith(d, idCol, embCol, cents)
+      .select(col(idCol), col("cluster"), col("__u"))
+    newCandidateEdgesAssigned(assigned(histDf), assigned(batchDf), idCol)
+  }
+
+  /** [[newCandidateEdges]] over PRE-ASSIGNED frames — (idCol, cluster,
+    * __u) rows. The gate's 100 TB shape: the vector table stores the
+    * quantized vector and its frozen-fit cell, so per-batch history
+    * never re-runs the k-means distance kernel (O(corpus·k·dim) map work
+    * the r19 soak measured as the gate's dominant residue) — only the
+    * batch side assigns, once, at ingest.
+    */
+  private def newCandidateEdgesAssigned(histA: DataFrame, batchA: DataFrame,
+      idCol: String, batchMaterialized: Boolean = false): DataFrame = {
     import graft.functions.VectorFns
     def withNorms(d: DataFrame) =
-      KMeans.assignWith(d, idCol, embCol, cents)
-        .withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
+      d.withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
     // the assigned batch feeds FOUR consumers (touched cells, the mates
     // union, the a-side, and the broadcast's own subplan) — checkpointed
-    // once per the CkptCycle rule; it is batch-sized, never the corpus
-    val bAssign = graft.CkptCycle.cycle(
-      graft.CkptCycle.callSiteKey("mergeKnnGraph_batch",
-        "graft.operators.Similarity"),
-      withNorms(batchDf).localCheckpoint(true))
+    // once per the CkptCycle rule; it is batch-sized, never the corpus.
+    // A caller that already holds the batch as a checkpoint (the gate,
+    // which collected touched cells from it) says so — the norm column is
+    // a cheap projection over the existing blocks, and a second
+    // localCheckpoint would re-materialize the whole batch per merge.
+    val bAssign =
+      if (batchMaterialized) withNorms(batchA)
+      else graft.CkptCycle.cycle(
+        graft.CkptCycle.callSiteKey("mergeKnnGraph_batch",
+          "graft.operators.Similarity"),
+        withNorms(batchA).localCheckpoint(true))
     val touched = bAssign.select(col("cluster")).distinct()
-    // history vectors in touched cells only (broadcast: <= k cells)
-    val hTouched = withNorms(histDf).join(broadcast(touched), Seq("cluster"))
+    // history vectors in touched cells only (broadcast: <= k cells);
+    // norms compute AFTER the cell filter, for survivors only
+    val hTouched = withNorms(histA.join(broadcast(touched), Seq("cluster")))
     val mates = hTouched.unionByName(bAssign)
     val b = bAssign.select(col(idCol).as("node"), col("cluster"),
       col("__u").as("ae"), col("__n").as("an"))
@@ -1033,7 +1053,7 @@ object Similarity {
       col("__u").as("be"), col("__n").as("bn"))
     val pairSalt = 8
     val bS = b.withColumn("__salt", explode(lit((0 until pairSalt).toArray)))
-      .repartition(batchDf.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(batchA.sparkSession.sessionState.conf.numShufflePartitions,
         col("cluster"), col("__salt"))
     val xS = x.withColumn("__salt", pmod(hash(col("nbr")), lit(pairSalt)))
     val batchEdges = bS.join(xS, Seq("cluster", "__salt"))
@@ -1095,8 +1115,29 @@ object Similarity {
       batchDf: DataFrame, idCol: String, embCol: String,
       cents: Array[Array[Long]], degree: Int,
       requireCapped: Boolean = false): DataFrame = {
+    def assigned(d: DataFrame) = KMeans.assignWith(d, idCol, embCol, cents)
+      .select(col(idCol), col("cluster"), col("__u"))
+    mergeKnnGraphTouchedCellsAssigned(oldTouchedCells, assigned(histDf),
+      assigned(batchDf), idCol, degree, requireCapped)
+  }
+
+  /** [[mergeKnnGraphTouchedCells]] over PRE-ASSIGNED (idCol, cluster, __u)
+    * frames — the gate's steady-state shape: the vector table stores each
+    * vector's quantized form and frozen-fit cell at ingest, so the merge
+    * never re-runs the k-means distance kernel over history (the r19 soak
+    * measured that O(corpus·k·dim) map pass as the corpus-batch gate's
+    * dominant residue). `histAssigned` may be a superset of the touched
+    * cells — the candidate stage re-filters through the batch-cells
+    * broadcast — but feeding it partition-pruned/cell-filtered keeps the
+    * scan O(touched).
+    */
+  def mergeKnnGraphTouchedCellsAssigned(oldTouchedCells: DataFrame,
+      histAssigned: DataFrame, batchAssigned: DataFrame, idCol: String,
+      degree: Int, requireCapped: Boolean = false,
+      batchMaterialized: Boolean = false): DataFrame = {
     require(degree >= 1, s"degree must be >= 1: $degree")
-    val newEdges = newCandidateEdges(histDf, batchDf, idCol, embCol, cents)
+    val newEdges = newCandidateEdgesAssigned(histAssigned, batchAssigned,
+        idCol, batchMaterialized)
       .withColumnRenamed("cluster", "cell")
     val touchedNodes = broadcast(newEdges.select(col("node")).distinct())
     val old = oldTouchedCells.select(col("node"), col("nbr"), col("sim"),

@@ -1192,13 +1192,18 @@ object TextQueries {
     Q("q_dedup_incremental_sparse",
       (s, dir) => {
         val d = t(s, dir, "documents")
+        // batch boundary as a DRIVER LITERAL (one bounded 1-row agg job):
+        // as a lazy broadcast subplan the mid frame re-derived its
+        // max-scan inside every consumer — the sparse index leg, the
+        // batch leg, and the dense-verify history leg each paid a
+        // ~150 ms broadcast-materialization stage (FixedCostProbe r19:
+        // four 1-task 140–172 ms stages = most of the row's stage time).
+        // Same lesson as q_dedup_incremental_minhash; production's batch
+        // boundary is a known ingestion watermark anyway.
         val mid = d.agg(expr("coalesce(MAX(doc_id) DIV 2, 0L)").as("mid"))
-        val withMid = d.crossJoin(broadcast(mid))
-        val hist = withMid.filter(col("doc_id") < col("mid"))
-        Dedup.tagSpansAgainstIndexSparse(
-            withMid.filter(col("doc_id") >= col("mid")),
-            Dedup.sparseAnchors(hist, "doc_id", "text", 4, 3),
-            hist, "doc_id", "text", 4, minSpanTokens = 6, w = 3)
+          .collect()(0).getLong(0)
+        Dedup.tagSpansSplitSparse(d, col("doc_id") < mid,
+            "doc_id", "text", 4, minSpanTokens = 6, w = 3)
           .orderBy(col("doc_id"))
       },
       Some("""

@@ -1132,8 +1132,15 @@ object Streams {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new Path(dir, "_COMMITTED"))) return false
     val idT = batch.schema(idCol).dataType
+    // the vector table stores each vector's QUANTIZED form (`u` — the
+    // exact-lattice representation every graph computation uses) and its
+    // frozen-fit CELL, assigned once at ingest: per-batch history reads
+    // then filter by cell and never re-run the k-means distance kernel —
+    // the O(corpus·k·dim) map pass the r19 soak measured as the
+    // corpus-batch gate's dominant residue
     val vecSchema = StructType(Seq(StructField(idCol, idT),
-      StructField(embCol, batch.schema(embCol).dataType),
+      StructField("u", ArrayType(LongType, containsNull = false)),
+      StructField("cluster", LongType),
       StructField("batch_id", LongType)))
     val graphSchema = StructType(Seq(StructField("node", idT),
       StructField("nbr", idT), StructField("sim", DoubleType),
@@ -1141,14 +1148,20 @@ object Streams {
       StructField("cell", LongType)))
     val vecIdx = wh.readOrEmpty(vecTable, vecSchema)
     val g0 = wh.readOrEmpty(graphTable, graphSchema)
+    // assign the batch ONCE (batch-sized, checkpointed): it feeds the
+    // touched-cells collect, the vector-table append, and the merge
+    val bAssign =
+      if (batch.isEmpty) null
+      else graft.operators.KMeans.assignWith(
+          batch.select(col(idCol), col(embCol)), idCol, embCol, cents)
+        .select(col(idCol), col("cluster"), col("__u"))
+        .localCheckpoint(true)
     // cells this batch lands in: one bounded collect (≤ k values — the
     // centroid matrix is already driver-sized), needed driver-side to
     // drive the partition-pruned read and the per-partition swap set
     val touchedCells: Array[Long] =
       if (batch.isEmpty) Array.empty
-      else graft.operators.KMeans.assignWith(
-          batch.select(col(idCol), col(embCol)), idCol, embCol, cents)
-        .select(col("cluster")).distinct()
+      else bAssign.select(col("cluster")).distinct()
         .collect().map(_.getLong(0))
     // per-cell batch stamps, read from ONLY the touched partitions
     // (partition-pruned): cells already stamped with this batch committed
@@ -1162,47 +1175,51 @@ object Streams {
         .filter(col("stamp") >= batchId)
         .collect().map(_.getLong(0)).toSet
     val remainCells = touchedCells.filterNot(doneCells)
-    if (remainCells.nonEmpty) {
-      val hist = vecIdx.filter(col("batch_id") < batchId)
-        .select(col(idCol), col(embCol))
-      // restrict the merge to the cells still at an older stamp: on a
-      // first attempt that is every touched cell (no restriction needed);
-      // on a partial-swap replay only the unswapped ones (their partitions
-      // are fully old — each partition swaps atomically, never mixes)
-      val batchRemain =
-        if (remainCells.length == touchedCells.length)
-          batch.select(col(idCol), col(embCol))
-        else batch.select(col(idCol), col(embCol)).join(
-          graft.operators.KMeans.assignWith(
-              batch.select(col(idCol), col(embCol)), idCol, embCol, cents)
-            .filter(col("cluster").isin(remainCells: _*))
-            .select(col(idCol)),
-          Seq(idCol), "left_semi")
-      val oldTouched = g0
-        .filter(col("cell").cast(LongType).isin(remainCells: _*))
-        .select(col("node"), col("nbr"), col("sim"),
-          col("cell").cast(LongType).as("cell"))
-      // materialize the merge BEFORE either table write (the band-gate
-      // rule): it reads graphTable AND vecTable
-      val merged = graft.operators.Similarity.mergeKnnGraphTouchedCells(
-          oldTouched, hist, batchRemain, idCol, embCol, cents, degree)
-        .withColumn("batch_id", lit(batchId))
-        .localCheckpoint(true)
-      try {
-        // vectors APPEND as a batch_id partition — O(batch) bytes per
-        // batch; a replay overwrites the same partition, so idempotence
-        // needs no dedupe pass. Ids are unique across the stream (the
-        // vec_id contract), so cross-partition duplicates cannot arise.
-        wh.writePartition(vecTable, "batch_id", batchId,
-          batch.select(col(idCol), col(embCol)))
-        // graph: touched-cell partitions ONLY, each swapped atomically
-        // and stamped with this batch — untouched cells are never read
-        // or rewritten (the r19 touched-range shape)
-        wh.writePartitions(graphTable, "cell", merged)
-      } finally merged.queryExecution.analyzed.foreach {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ => ()
+    try {
+      if (remainCells.nonEmpty) {
+        // history pre-assigned from STORED columns — cell filter + stored
+        // quantized vectors, no distance kernel; at 100 TB the vector
+        // table partitions by cell too and this read partition-prunes
+        val histA = vecIdx.filter(col("batch_id") < batchId &&
+            col("cluster").isin(remainCells: _*))
+          .select(col(idCol), col("cluster"), col("u").as("__u"))
+        // restrict the merge to the cells still at an older stamp: on a
+        // first attempt that is every touched cell; on a partial-swap
+        // replay only the unswapped ones (their partitions are fully old —
+        // each partition swaps atomically, never mixes versions)
+        val batchA =
+          if (remainCells.length == touchedCells.length) bAssign
+          else bAssign.filter(col("cluster").isin(remainCells: _*))
+        val oldTouched = g0
+          .filter(col("cell").cast(LongType).isin(remainCells: _*))
+          .select(col("node"), col("nbr"), col("sim"),
+            col("cell").cast(LongType).as("cell"))
+        // materialize the merge BEFORE either table write (the band-gate
+        // rule): it reads graphTable AND vecTable
+        val merged = graft.operators.Similarity.mergeKnnGraphTouchedCellsAssigned(
+            oldTouched, histA, batchA, idCol, degree,
+            batchMaterialized = true)
+          .withColumn("batch_id", lit(batchId))
+          .localCheckpoint(true)
+        try {
+          // vectors APPEND as a batch_id partition — O(batch) bytes per
+          // batch; a replay overwrites the same partition, so idempotence
+          // needs no dedupe pass. Ids are unique across the stream (the
+          // vec_id contract), so cross-partition duplicates cannot arise.
+          wh.writePartition(vecTable, "batch_id", batchId,
+            bAssign.select(col(idCol), col("__u").as("u"), col("cluster")))
+          // graph: touched-cell partitions ONLY, each swapped atomically
+          // and stamped with this batch — untouched cells are never read
+          // or rewritten (the r19 touched-range shape)
+          wh.writePartitions(graphTable, "cell", merged)
+        } finally merged.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ => ()
+        }
       }
+    } finally if (bAssign != null) bAssign.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
     }
     writeBatchIdempotent(batch, outDir, batchId)
   }

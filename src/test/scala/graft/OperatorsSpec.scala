@@ -833,6 +833,20 @@ class OperatorsSpec extends AnyFunSuite {
         hist, "doc_id", "text", 4, 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaFlag == viaSparse)
+    // the SPLIT (one-kernel-pass) inline form — one anchorRowsFrame
+    // checkpoint feeds index, probe, and both verify legs — reproduces
+    // the same exact output through BOTH tiers, and enforces the
+    // winnowing precondition loudly
+    val split = res(graft.operators.Dedup.tagSpansSplitSparse(
+      d, $"doc_id" < mid, "doc_id", "text", 4, minSpanTokens = 6, w = 3))
+    assert(split == dense)
+    val splitDist = res(graft.operators.Dedup.tagSpansSplitSparse(
+      d, $"doc_id" < mid, "doc_id", "text", 4, minSpanTokens = 6, w = 3,
+      maxDriverCand = 0))
+    assert(splitDist == dense)
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.tagSpansSplitSparse(
+        d, $"doc_id" < mid, "doc_id", "text", 4, minSpanTokens = 5, w = 3))
   }
 
   test("table diff: insert/delete/update classified, null-safe, unchanged dropped") {
