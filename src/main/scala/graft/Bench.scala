@@ -118,7 +118,8 @@ object Bench {
       // number. A prepare failure is not fatal here — the run path lazily
       // builds the same artifact and any real error surfaces there, timed.
       q.prepare.foreach { p =>
-        try { p(spark, sfDir); release() } catch { case _: Throwable => () }
+        try { p(spark, sfDir); release() }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       val cold0 = once(); release(); val warm = once()
       scrub(math.max(cold0, warm))

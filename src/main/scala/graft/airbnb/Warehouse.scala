@@ -45,6 +45,39 @@ final case class Warehouse(spark: SparkSession, root: String) {
       if (f.exists(old) && !f.rename(old, dest))
         throw new java.io.IOException(s"recover: rollback failed for $name")
     }
+    recoverPartitions(name)
+  }
+
+  /** Heal PER-PARTITION swap windows: a death between a partition's park
+    * rename and its promote rename leaves the partition ABSENT from the
+    * table with its only surviving copy at the sibling `__pold_<part>`
+    * dir. A reader (or the replaying writer) that proceeded without
+    * healing would see the partition as empty — and the writer's
+    * stray-park sweep would then DELETE the last copy before a
+    * read-modify-write caller (the kNN gate) could regenerate it from
+    * state it no longer has. So every recover() rolls such parks BACK
+    * into the table first; parks whose partition exists are completed
+    * swaps' strays and drop. This is what makes the documented invariant
+    * — "each individual partition is either fully old or fully new at
+    * every crash point" — true for the park-then-promote window too.
+    */
+  private def recoverPartitions(name: String): Unit = {
+    val base = new Path(path(name)); val f = fs(base)
+    val parent = base.getParent
+    if (parent == null || !f.exists(parent)) return
+    val prefix = base.getName + "__pold_"
+    f.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix) && st.isDirectory) {
+        val partDest = new Path(base, n.stripPrefix(prefix))
+        if (!f.exists(partDest)) {
+          f.mkdirs(base)
+          if (!f.rename(st.getPath, partDest))
+            throw new java.io.IOException(
+              s"recover: partition rollback failed for $name/${partDest.getName}")
+        } else f.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Write-to-temp-then-swap: upserts read the current table while producing

@@ -1230,6 +1230,12 @@ object Curation {
     val key = if (shareKey != null) shareKey
       else graft.CkptCycle.callSiteKey("Curation.selectByTokenBudget",
         "graft.operators.Curation")
+    // NO spread on this checkpoint — A/B'd r19: the score kernel does run
+    // serially inside the one-row-group scan (~320 ms), but the repartition
+    // pays a raw-text shuffle + one extra job and measured wash-to-loss
+    // (647 → 738 ms wall, stage Σ 418 → 347 but non-stage +160). Same
+    // verdict as the incremental gates' probes (SCALING r16); bigram_lm
+    // differs because its kernel is ~5× the scan.
     val scored = graft.CkptCycle.cycle(key,
       qualityScore(df, textCol, stopwords, keepThreshold = Long.MinValue)
         .withColumn("ntok", TextFns.tokenCount(col(textCol)).cast(LongType))

@@ -1033,52 +1033,64 @@ object Dedup {
     require(minSpanTokens >= w + k - 1,
       s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
     val newSparse = sparseAnchors(newDf, idCol, textCol, k, w)
-    // the BATCH's sparse anchors ride a broadcast over the index scan —
-    // the production probe shape: a daily batch's winnowed anchors are
-    // MB-scale by construction (three longs per ~w-th token of the batch)
-    // while the global index is the corpus-scale side, so the probe join
-    // is map-side over the index with no index exchange at any scale.
-    // Raw COLLISION rows (bounded by genuine shared-span content plus
-    // sparse-hash coincidences — batch-scale, never corpus-scale) collect
-    // once under the limit(n+1) tripwire and dedupe on the driver: no
-    // distinct exchange, and the candidate doc sets become InSet
-    // predicates fused into the dense-verify scans (an AQE
-    // BroadcastQueryStage over even a LocalTableScan submits a
-    // materialization job in this Spark — the r17 fast path paid three).
-    val probe = sparseIdx.select(col(idCol).as("b_id"), col("sh"))
-      .join(broadcast(newSparse.select(col(idCol).as("a_id"), col("sh"))), "sh")
+    val idType = newDf.schema(idCol).dataType
+    sparseProbeVerify(
+      sparseIdx.select(col(idCol).as("b_id"), col("sh")),
+      newSparse.select(col(idCol).as("a_id"), col("sh")),
+      fastA = ids => positionalAnchors(
+        idSetFilter(newDf, idCol, idType, ids), idCol, textCol, k),
+      fastB = ids => positionalAnchors(
+        idSetFilter(histDf, idCol, idType, ids), idCol, textCol, k),
+      distA = c => positionalAnchors(newDf.join(c, Seq(idCol)), idCol, textCol, k),
+      distB = c => positionalAnchors(histDf.join(c, Seq(idCol)), idCol, textCol, k),
+      idCol, k, minSpanTokens, maxDriverCand, "Dedup.tagSpansAgainstIndexSparse")
+  }
+
+  /** The shared two-tier candidate probe + dense verify of the sparse gate
+    * family ([[tagSpansAgainstIndexSparse]] / [[tagSpansAgainstIndexSparseServe]]
+    * / [[tagSpansSplitSparse]] — one copy of the tripwire/tier logic, so a
+    * fix to either tier lands in all three). `idxSparse` (b_id, sh) is the
+    * history-side winnowed index — the corpus-scale side, never exchanged;
+    * `batchSparse` (a_id, sh) rides a BROADCAST over it (a daily batch's
+    * winnowed anchors are MB-scale by construction: three longs per ~w-th
+    * token). Raw collision rows — bounded by genuine shared-span content
+    * plus sparse-hash coincidences, batch-scale never corpus-scale —
+    * collect once under the limit(n+1) tripwire:
+    *  - FAST tier: pairs dedupe ON THE DRIVER (no distinct exchange) and
+    *    the candidate doc id sets reach the dense sides through
+    *    `fastA`/`fastB` as InSet predicates fused into the scans (an AQE
+    *    BroadcastQueryStage over even a LocalTableScan submits a
+    *    materialization job in this Spark — the r17 fast path paid three).
+    *    NO candidate-pair join: a non-candidate pair's shared spans are
+    *    all < w + k − 1 <= minSpanTokens by the winnowing coverage
+    *    guarantee, so the island length filter drops them unconditionally;
+    *    the a-side (candidate-batch-bounded) broadcasts over the b-side
+    *    verify scan.
+    *  - DISTRIBUTED tier (tripwire trips): candidate pairs stay a
+    *    checkpointed frame that bounds both dense sides via
+    *    `distA`/`distB` (each receives the deduped one-column id frame);
+    *    nothing batch-scale ever lands on the driver.
+    */
+  private def sparseProbeVerify(idxSparse: DataFrame, batchSparse: DataFrame,
+      fastA: Array[Any] => DataFrame, fastB: Array[Any] => DataFrame,
+      distA: DataFrame => DataFrame, distB: DataFrame => DataFrame,
+      idCol: String, k: Int, minSpanTokens: Int, maxDriverCand: Int,
+      ckptKey: String): DataFrame = {
+    val probe = idxSparse.join(broadcast(batchSparse), "sh")
       .select(col("a_id"), col("b_id"))
     val rawHead = probe.limit(maxDriverCand + 1).collect()
     if (rawHead.length <= maxDriverCand) {
       val pairsLocal = rawHead.map(r => (r.get(0), r.get(1))).distinct
-      val idType = newDf.schema(idCol).dataType
-      val denseA = positionalAnchors(
-        idSetFilter(newDf, idCol, idType, pairsLocal.map(_._1).distinct),
-        idCol, textCol, k)
-      val denseB = positionalAnchors(
-        idSetFilter(histDf, idCol, idType, pairsLocal.map(_._2).distinct),
-        idCol, textCol, k)
-      // no candidate-pair join: denseA/denseB are id-restricted and a
-      // non-candidate pair's shared spans are all < w + k − 1 <=
-      // minSpanTokens (winnowing coverage), so the island length filter
-      // drops them unconditionally; the a-side (candidate-batch-bounded)
-      // broadcasts over the b-side verify scan
-      sparseVerify(denseA, denseB, cand = None, idCol, k, minSpanTokens,
-        broadcastA = true)
+      sparseVerify(fastA(pairsLocal.map(_._1).distinct),
+        fastB(pairsLocal.map(_._2).distinct), cand = None, idCol, k,
+        minSpanTokens, broadcastA = true)
     } else {
-      // distributed tier: candidate pairs stay a checkpointed frame and
-      // bound both dense sides; nothing batch-scale lands on the driver
       val cand = graft.CkptCycle.cycle(
-        graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndexSparse",
-          "graft.operators.Dedup"),
+        graft.CkptCycle.callSiteKey(ckptKey, "graft.operators.Dedup"),
         probe.distinct().localCheckpoint(true)).hint("broadcast")
-      val denseA = positionalAnchors(
-        newDf.join(cand.select(col("a_id").as(idCol)).distinct(), Seq(idCol)),
-        idCol, textCol, k)
-      val denseB = positionalAnchors(
-        histDf.join(cand.select(col("b_id").as(idCol)).distinct(), Seq(idCol)),
-        idCol, textCol, k)
-      sparseVerify(denseA, denseB, Some(cand), idCol, k, minSpanTokens)
+      sparseVerify(distA(cand.select(col("a_id").as(idCol)).distinct()),
+        distB(cand.select(col("b_id").as(idCol)).distinct()),
+        Some(cand), idCol, k, minSpanTokens)
     }
   }
 
@@ -1090,7 +1102,10 @@ object Dedup {
     * tokenize+hash kernel runs once where the compositional form ran it
     * four times (FixedCostProbe r19: four serial ~150 ms tokenize stages
     * were most of that row's stage time). `histPred` splits history from
-    * batch by row (e.g. doc_id < mid). Output identical to
+    * batch by row and MUST reference only `idCol` — it is evaluated on
+    * the anchor checkpoint, which carries (idCol, pos, sh, sparse) and
+    * nothing else; a predicate over any other input column fails analysis
+    * loudly (use the compositional form for those). Output identical to
     * `tagSpansAgainstIndexSparse(df.filter(!histPred),
     * sparseAnchors(df.filter(histPred), …), df.filter(histPred), …)` —
     * the sparse rows of the checkpoint are bit-identical to
@@ -1117,31 +1132,16 @@ object Dedup {
       anchorRowsFrame(graft.Tables.spread(df), idCol, textCol, k, w)
         .withColumn("__hist", histPred)
         .localCheckpoint(true))
-    val probe = rows.filter(col("__hist") && col("sparse"))
-      .select(col(idCol).as("b_id"), col("sh"))
-      .join(broadcast(rows.filter(!col("__hist") && col("sparse"))
-        .select(col(idCol).as("a_id"), col("sh"))), "sh")
-      .select(col("a_id"), col("b_id"))
-    val rawHead = probe.limit(maxDriverCand + 1).collect()
-    if (rawHead.length <= maxDriverCand) {
-      val pairsLocal = rawHead.map(r => (r.get(0), r.get(1))).distinct
-      val denseA = idSetFilter(rows.filter(!col("__hist")), idCol, idType,
-        pairsLocal.map(_._1).distinct)
-      val denseB = idSetFilter(rows.filter(col("__hist")), idCol, idType,
-        pairsLocal.map(_._2).distinct)
-      sparseVerify(denseA, denseB, cand = None, idCol, k, minSpanTokens,
-        broadcastA = true)
-    } else {
-      val cand = graft.CkptCycle.cycle(
-        graft.CkptCycle.callSiteKey("Dedup.tagSpansSplitSparse.cand",
-          "graft.operators.Dedup"),
-        probe.distinct().localCheckpoint(true)).hint("broadcast")
-      val denseA = rows.filter(!col("__hist")).join(
-        cand.select(col("a_id").as(idCol)).distinct(), Seq(idCol))
-      val denseB = rows.filter(col("__hist")).join(
-        cand.select(col("b_id").as(idCol)).distinct(), Seq(idCol))
-      sparseVerify(denseA, denseB, Some(cand), idCol, k, minSpanTokens)
-    }
+    sparseProbeVerify(
+      rows.filter(col("__hist") && col("sparse"))
+        .select(col(idCol).as("b_id"), col("sh")),
+      rows.filter(!col("__hist") && col("sparse"))
+        .select(col(idCol).as("a_id"), col("sh")),
+      fastA = ids => idSetFilter(rows.filter(!col("__hist")), idCol, idType, ids),
+      fastB = ids => idSetFilter(rows.filter(col("__hist")), idCol, idType, ids),
+      distA = c => rows.filter(!col("__hist")).join(c, Seq(idCol)),
+      distB = c => rows.filter(col("__hist")).join(c, Seq(idCol)),
+      idCol, k, minSpanTokens, maxDriverCand, "Dedup.tagSpansSplitSparse.cand")
   }
 
   /** Id-set membership as an InSet predicate fused into the scan (with a
@@ -1235,48 +1235,16 @@ object Dedup {
         "graft.operators.Dedup"),
       anchorRowsFrame(graft.Tables.spread(newDf), idCol, textCol, k, w)
         .localCheckpoint(true))
-    val probe = idx.filter(col("sparse"))
-      .select(col(idCol).as("b_id"), col("sh"))
-      .join(broadcast(batchAnchors.filter(col("sparse"))
-        .select(col(idCol).as("a_id"), col("sh"))), "sh")
-      .select(col("a_id"), col("b_id"))
-    val rawHead = probe.limit(maxDriverRows + 1).collect()
-    if (rawHead.length <= maxDriverRows) {
-      val pairsLocal = rawHead.map(r => (r.get(0), r.get(1))).distinct
-      // candidate doc sets become IN-SET predicates fused into the scans
-      // (and pushable to the parquet reader), not local-relation joins: in
-      // this Spark an AQE BroadcastQueryStage over a LocalTableScan still
-      // submits a materialization job, so each avoided join is an avoided
-      // job launch
-      val denseA = idSetFilter(batchAnchors, idCol, idType,
-        pairsLocal.map(_._1).distinct)
-      val denseB = idSetFilter(idx, idCol, idType,
-        pairsLocal.map(_._2).distinct)
-      // a-side anchors are candidate-batch-bounded (the tier is only
-      // entered under the tripwire), so they BROADCAST over the index
-      // scan: the whole verify fuses into one scan-side stage plus the
-      // island window's exchange — no shuffle-hash maps, no join reduce.
-      // NO candidate-pair join either: denseA/denseB are already
-      // id-restricted, and a non-candidate (a, b) pair — one with no
-      // sparse collision — has every shared span < w + k − 1 <=
-      // minSpanTokens by the winnowing coverage guarantee, so the island
-      // merge's length filter drops its rows unconditionally; the pair
-      // join bounds work in the distributed tier but cannot change output.
-      sparseVerify(denseA, denseB, cand = None, idCol, k, minSpanTokens,
-        broadcastA = true)
-    } else {
-      // distributed tier: candidate pairs stay a checkpointed distributed
-      // frame; nothing batch-scale ever lands on the driver
-      val cand = graft.CkptCycle.cycle(
-        graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndexSparseServe.cand",
-          "graft.operators.Dedup"),
-        probe.distinct().localCheckpoint(true)).hint("broadcast")
-      val denseA = batchAnchors.join(
-        cand.select(col("a_id").as(idCol)).distinct(), Seq(idCol))
-      val denseB = idx.join(
-        cand.select(col("b_id").as(idCol)).distinct(), Seq(idCol))
-      sparseVerify(denseA, denseB, Some(cand), idCol, k, minSpanTokens)
-    }
+    sparseProbeVerify(
+      idx.filter(col("sparse")).select(col(idCol).as("b_id"), col("sh")),
+      batchAnchors.filter(col("sparse"))
+        .select(col(idCol).as("a_id"), col("sh")),
+      fastA = ids => idSetFilter(batchAnchors, idCol, idType, ids),
+      fastB = ids => idSetFilter(idx, idCol, idType, ids),
+      distA = c => batchAnchors.join(c, Seq(idCol)),
+      distB = c => idx.join(c, Seq(idCol)),
+      idCol, k, minSpanTokens, maxDriverRows,
+      "Dedup.tagSpansAgainstIndexSparseServe.cand")
   }
 
   /** The shared dense-verify tail of the sparse serve tiers: join of the

@@ -967,33 +967,43 @@ object Similarity {
                     degree: Int, requireCapped: Boolean = false): DataFrame = {
     require(degree >= 1, s"degree must be >= 1: $degree")
     val newEdges = newCandidateEdges(histDf, batchDf, idCol, embCol, cents)
-    // TOUCHED-NODE-ONLY re-rank (the r17 gate-growth decomposition fix):
-    // only nodes that gained a candidate edge this batch can change — an
-    // untouched node's stored edge set is already its exact
-    // top-`degree` selection (every writer of these graphs caps through
-    // this topK, the documented precondition), so re-running the heap
-    // over it returns it verbatim. The old shape unioned the FULL edge
-    // table into the heap every batch — a corpus-wide shuffle whose cost
-    // grew with the graph, not the batch (the r/f 0.27 term). Touched
-    // nodes are batch-bounded (batch nodes + touched-cell mates), so the
-    // semi/anti joins broadcast and the stored table streams MAP-SIDE;
-    // only touched nodes' edges enter the exchange-backed heap.
+    rerankMergeTail(graph, newEdges, carry = Nil, degree, requireCapped,
+      "mergeKnnGraph_touchedOld")
+  }
+
+  /** The TOUCHED-NODE-ONLY re-rank tail shared by [[mergeKnnGraph]] and
+    * the cell-partitioned variant (the r17 gate-growth decomposition fix):
+    * only nodes that gained a candidate edge this batch can change — an
+    * untouched node's stored edge set is already its exact top-`degree`
+    * selection (every writer of these graphs caps through this topK, the
+    * documented precondition), so re-running the heap over it returns it
+    * verbatim; it streams through MAP-SIDE via the broadcast anti-join.
+    * The old shape unioned the FULL edge table into the heap every batch —
+    * a corpus-wide shuffle whose cost grew with the graph, not the batch.
+    * `carry` names extra columns to thread through (the cells variant's
+    * `cell` — functional in `node`, so the heap's row counts are
+    * unchanged).
+    *
+    * Touched nodes' OLD edges are batch-bounded (≤ touched × degree);
+    * checkpointing them severs the lineage the semi and anti branches
+    * would otherwise share (a union whose children both reference the
+    * same graph/touchedNodes subtrees trips Catalyst's union-constraint
+    * rewrite with a key-not-found on the duplicated attribute ids).
+    */
+  private def rerankMergeTail(old0: DataFrame, newEdges: DataFrame,
+      carry: Seq[String], degree: Int, requireCapped: Boolean,
+      ckptKey: String): DataFrame = {
+    val cols = (Seq("node", "nbr", "sim") ++ carry).map(col)
     val touchedNodes = broadcast(newEdges.select(col("node")).distinct())
-    val old = graph.select(col("node"), col("nbr"), col("sim"))
-    // touched nodes' OLD edges are batch-bounded too (≤ touched × degree);
-    // checkpointing them severs the lineage the semi and anti branches
-    // would otherwise share (a union whose children both reference the
-    // same graph/touchedNodes subtrees trips Catalyst's union-constraint
-    // rewrite with a key-not-found on the duplicated attribute ids)
+    val old = old0.select(cols: _*)
     val touchedOld = graft.CkptCycle.cycle(
-      graft.CkptCycle.callSiteKey("mergeKnnGraph_touchedOld",
-        "graft.operators.Similarity"),
+      graft.CkptCycle.callSiteKey(ckptKey, "graft.operators.Similarity"),
       old.join(touchedNodes, Seq("node"), "left_semi").localCheckpoint(true))
     validateCapped(touchedOld, degree, requireCapped)
     val reranked = graft.plans.TopKPerGroup.topK(
-        touchedOld.unionByName(newEdges.select(col("node"), col("nbr"), col("sim"))),
+        touchedOld.unionByName(newEdges.select(cols: _*)),
         Seq("node"), Seq(("sim", true), ("nbr", false)), degree)
-      .select(col("node"), col("nbr"), col("sim"))
+      .select(cols: _*)
     reranked.unionByName(
       old.join(touchedNodes, Seq("node"), "left_anti"))
   }
@@ -1025,7 +1035,8 @@ object Similarity {
     * batch side assigns, once, at ingest.
     */
   private def newCandidateEdgesAssigned(histA: DataFrame, batchA: DataFrame,
-      idCol: String, batchMaterialized: Boolean = false): DataFrame = {
+      idCol: String, batchMaterialized: Boolean = false,
+      touchedCellsHint: Option[Seq[Long]] = None): DataFrame = {
     import graft.functions.VectorFns
     def withNorms(d: DataFrame) =
       d.withColumn("__n", sqrt(VectorFns.dotQDouble(col("__u"), col("__u"))))
@@ -1042,10 +1053,17 @@ object Similarity {
         graft.CkptCycle.callSiteKey("mergeKnnGraph_batch",
           "graft.operators.Similarity"),
         withNorms(batchA).localCheckpoint(true))
-    val touched = bAssign.select(col("cluster")).distinct()
-    // history vectors in touched cells only (broadcast: <= k cells);
-    // norms compute AFTER the cell filter, for survivors only
-    val hTouched = withNorms(histA.join(broadcast(touched), Seq("cluster")))
+    // history vectors in touched cells only; norms compute AFTER the cell
+    // filter, for survivors only. A caller that already knows the batch's
+    // cells driver-side (the gate collected them for the partition-pruned
+    // read) passes them as an isin LITERAL — no distinct exchange, no
+    // broadcast materialization job; otherwise the cells come from a
+    // broadcast of the batch's distinct clusters (<= k rows)
+    val hTouched = withNorms(touchedCellsHint match {
+      case Some(cells) => histA.filter(col("cluster").isin(cells: _*))
+      case None => histA.join(
+        broadcast(bAssign.select(col("cluster")).distinct()), Seq("cluster"))
+    })
     val mates = hTouched.unionByName(bAssign)
     val b = bAssign.select(col(idCol).as("node"), col("cluster"),
       col("__u").as("ae"), col("__n").as("an"))
@@ -1134,27 +1152,14 @@ object Similarity {
   def mergeKnnGraphTouchedCellsAssigned(oldTouchedCells: DataFrame,
       histAssigned: DataFrame, batchAssigned: DataFrame, idCol: String,
       degree: Int, requireCapped: Boolean = false,
-      batchMaterialized: Boolean = false): DataFrame = {
+      batchMaterialized: Boolean = false,
+      touchedCellsHint: Option[Seq[Long]] = None): DataFrame = {
     require(degree >= 1, s"degree must be >= 1: $degree")
     val newEdges = newCandidateEdgesAssigned(histAssigned, batchAssigned,
-        idCol, batchMaterialized)
+        idCol, batchMaterialized, touchedCellsHint)
       .withColumnRenamed("cluster", "cell")
-    val touchedNodes = broadcast(newEdges.select(col("node")).distinct())
-    val old = oldTouchedCells.select(col("node"), col("nbr"), col("sim"),
-      col("cell"))
-    val touchedOld = graft.CkptCycle.cycle(
-      graft.CkptCycle.callSiteKey("mergeKnnGraphCells_touchedOld",
-        "graft.operators.Similarity"),
-      old.join(touchedNodes, Seq("node"), "left_semi").localCheckpoint(true))
-    validateCapped(touchedOld, degree, requireCapped)
-    // `cell` rides the heap untouched: node → cell is functional (one
-    // assignment per node), so carrying it through the group adds no rows
-    val reranked = graft.plans.TopKPerGroup.topK(
-        touchedOld.unionByName(newEdges),
-        Seq("node"), Seq(("sim", true), ("nbr", false)), degree)
-      .select(col("node"), col("nbr"), col("sim"), col("cell"))
-    reranked.unionByName(
-      old.join(touchedNodes, Seq("node"), "left_anti"))
+    rerankMergeTail(oldTouchedCells, newEdges, carry = Seq("cell"), degree,
+      requireCapped, "mergeKnnGraphCells_touchedOld")
   }
 
   /** Graph-ANN serving: best-first BEAM SEARCH over a (typically

@@ -1149,9 +1149,11 @@ object Streams {
     val vecIdx = wh.readOrEmpty(vecTable, vecSchema)
     val g0 = wh.readOrEmpty(graphTable, graphSchema)
     // assign the batch ONCE (batch-sized, checkpointed): it feeds the
-    // touched-cells collect, the vector-table append, and the merge
+    // touched-cells collect, the vector-table append, and the merge.
+    // (isEmpty is itself a Spark job — evaluate it once per batch.)
+    val batchEmpty = batch.isEmpty
     val bAssign =
-      if (batch.isEmpty) null
+      if (batchEmpty) null
       else graft.operators.KMeans.assignWith(
           batch.select(col(idCol), col(embCol)), idCol, embCol, cents)
         .select(col(idCol), col("cluster"), col("__u"))
@@ -1160,7 +1162,7 @@ object Streams {
     // centroid matrix is already driver-sized), needed driver-side to
     // drive the partition-pruned read and the per-partition swap set
     val touchedCells: Array[Long] =
-      if (batch.isEmpty) Array.empty
+      if (batchEmpty) Array.empty
       else bAssign.select(col("cluster")).distinct()
         .collect().map(_.getLong(0))
     // per-cell batch stamps, read from ONLY the touched partitions
@@ -1198,7 +1200,8 @@ object Streams {
         // rule): it reads graphTable AND vecTable
         val merged = graft.operators.Similarity.mergeKnnGraphTouchedCellsAssigned(
             oldTouched, histA, batchA, idCol, degree,
-            batchMaterialized = true)
+            batchMaterialized = true,
+            touchedCellsHint = Some(remainCells.toSeq))
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint(true)
         try {

@@ -937,6 +937,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(edges(wh.read("kg_graph")) == edges(rebuild))
     assert(wh.read("kg_graph").groupBy("node", "nbr").count()
       .filter($"count" > 1).count() == 0L)
+    // crash drill D — death BETWEEN a partition's park and promote renames
+    // (the window inside the multi-partition swap itself): the cell's only
+    // copy sits at the __pold_ sibling and the table is missing the
+    // partition. The replay's first table read must ROLL THE PARK BACK
+    // (the stamp-1... here stamp-2 content restores, the cell skips the
+    // re-merge as already committed) — without the heal, the gate would
+    // re-merge the cell from an empty old state and silently lose every
+    // untouched cellmate edge
+    assert(gfs.delete(b2dir, true))
+    val parkCell = cellDirs.last.getName
+    assert(gfs.rename(new org.apache.hadoop.fs.Path(whRoot, s"kg_graph/$parkCell"),
+      new org.apache.hadoop.fs.Path(whRoot, s"kg_graph__pold_$parkCell")))
+    assert(Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
+      out, 2L, "vec_id", "embedding", degree = 2))
+    assert(edges(wh.read("kg_graph")) == edges(rebuild))
+    assert(wh.read("kg_graph").groupBy("node", "nbr").count()
+      .filter($"count" > 1).count() == 0L)
     // a pure replay (marker present) is a no-op
     assert(!Streams.knnGraphGateBatch(b2, wh, cents, "kg_graph", "kg_vecs",
       out, 2L, "vec_id", "embedding", degree = 2))

@@ -174,11 +174,15 @@ class WarehouseSpec extends AnyFunSuite {
     wh.writePartition("vecs", "batch_id", 2L, Seq((9L, "z")).toDF("id", "v"))
     assert(wh.read("vecs").count() == 5 && !stray.exists())
     // a crash AFTER parking the previous partition (sibling park dir,
-    // data preserved — never delete-before-rename) heals on replay;
-    // mid-crash readers still see every OTHER partition
+    // data preserved — never delete-before-rename): the FIRST read ROLLS
+    // THE PARK BACK (r19 recover() heal — pre-r19 readers saw the
+    // partition as missing until the replay rewrote it, which destroyed
+    // the only copy for read-modify-write callers), then the replay
+    // overwrites the partition as usual
     val destDir = new java.io.File(s"$root/vecs/batch_id=2")
     assert(destDir.renameTo(new java.io.File(s"$root/vecs__pold_batch_id=2")))
-    assert(wh.read("vecs").count() == 4) // partition parked, others intact
+    assert(wh.read("vecs").count() == 5) // park healed back into the table
+    assert(!new java.io.File(s"$root/vecs__pold_batch_id=2").exists())
     wh.writePartition("vecs", "batch_id", 2L, Seq((9L, "z")).toDF("id", "v"))
     assert(wh.read("vecs").count() == 5)
     assert(!new java.io.File(s"$root/vecs__pold_batch_id=2").exists())
@@ -224,6 +228,16 @@ class WarehouseSpec extends AnyFunSuite {
     wh.writePartitions("edges", "cell", Seq((5L, 3L)).toDF("node", "cell"))
     assert(got().contains((5L, 3L)) &&
       !new java.io.File(s"$root/edges__ptmp_multi").exists())
+    // the PARK-WITHOUT-PROMOTE window (death between the two renames):
+    // the partition is absent from the table and its only copy sits at
+    // the __pold_ sibling. The next read()/write must ROLL IT BACK, not
+    // read the partition as empty (and never sweep the park as a stray —
+    // that would destroy the last copy a read-modify-write caller needs)
+    assert(new java.io.File(s"$root/edges/cell=1")
+      .renameTo(new java.io.File(s"$root/edges__pold_cell=1")))
+    assert(got().contains((3L, 1L)), "parked partition must heal on read")
+    assert(new java.io.File(s"$root/edges/cell=1").exists() &&
+      !new java.io.File(s"$root/edges__pold_cell=1").exists())
     // MIXED-LAYOUT GUARD: a root-level data file (the write() layout)
     // must reject per-partition writes BEFORE any bytes move — partition
     // discovery over the mix breaks every later read
