@@ -1213,8 +1213,15 @@ object Streams {
             bAssign.select(col(idCol), col("__u").as("u"), col("cluster")))
           // graph: touched-cell partitions ONLY, each swapped atomically
           // and stamped with this batch — untouched cells are never read
-          // or rewritten (the r19 touched-range shape)
-          wh.writePartitions(graphTable, "cell", merged)
+          // or rewritten (the r19 touched-range shape). Hash-partition by
+          // cell first: a partitionBy write otherwise emits a file per
+          // (task × cell) — tasks × touched-cells small files per batch,
+          // whose open cost taxes every later read (the first soak of the
+          // store measured it); with the exchange each cell lands as one
+          // file (per-cell parallelism matters only when one cell exceeds
+          // a task — then drop this or re-split by a secondary key)
+          wh.writePartitions(graphTable, "cell",
+            merged.repartition(col("cell")))
         } finally merged.queryExecution.analyzed.foreach {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
           case _ => ()
