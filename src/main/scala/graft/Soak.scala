@@ -288,6 +288,16 @@ object Soak {
         "dedup_substring_sparse" -> { dir =>
           Dedup.repeatedSpansSparse(docs(dir), "doc_id", "text", 4, 6, 3).count()
         },
+        // the r19 one-kernel-pass INLINE incremental gate (tagSpansSplitSparse):
+        // one anchorRows checkpoint feeds index, probe, and both verify
+        // legs; growth tracks the span-pair volume like its siblings
+        "dedup_incr_split_sparse" -> { dir =>
+          val d = docs(dir)
+          val mid = d.agg(expr("coalesce(MAX(doc_id) DIV 2, 0L)"))
+            .collect()(0).getLong(0)
+          Dedup.tagSpansSplitSparse(d, col("doc_id") < mid,
+            "doc_id", "text", 4, 6, 3).count()
+        },
         // curation family on the same corpus: chunk-DF boilerplate accounting
         // (one chunk-key shuffle) and train/test shingle decontamination
         "curation_boilerplate" -> { dir =>
