@@ -1209,8 +1209,15 @@ object Streams {
           // batch; a replay overwrites the same partition, so idempotence
           // needs no dedupe pass. Ids are unique across the stream (the
           // vec_id contract), so cross-partition duplicates cannot arise.
+          // SORTED BY CLUSTER within the write: parquet row-group min/max
+          // stats on `cluster` then answer the history read's touched-cell
+          // filter — at production batch sizes (many row groups per file)
+          // the filter row-group-prunes instead of scanning every vector's
+          // cluster column, without the write amplification a fully
+          // cell-partitioned vector store would pay on corpus-scale batches
           wh.writePartition(vecTable, "batch_id", batchId,
-            bAssign.select(col(idCol), col("__u").as("u"), col("cluster")))
+            bAssign.select(col(idCol), col("__u").as("u"), col("cluster"))
+              .sortWithinPartitions(col("cluster")))
           // graph: touched-cell partitions ONLY, each swapped atomically
           // and stamped with this batch — untouched cells are never read
           // or rewritten (the r19 touched-range shape). Hash-partition by
