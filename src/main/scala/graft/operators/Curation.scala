@@ -1590,9 +1590,19 @@ object Curation {
     * product would turn keep/drop into sign-dependent noise.
     */
   def weightedBernoulli(df: DataFrame, weightCol: String, idCol: String): DataFrame = {
-    val stats = df.agg(min(col(weightCol).cast(LongType)).as("__wmin"),
+    // the input feeds TWO consumers — the bounded min/max collect and the
+    // keep filter — and is typically the output of a scoring kernel over
+    // the corpus: unchecked, BOTH consumers re-run that whole upstream
+    // pass (two corpus scans at scale; two serial ~350 ms kernel stages at
+    // fixture scale, FixedCostProbe r19). Checkpoint once — the frame is
+    // (id, weight)-shaped, far smaller than what produced it.
+    val cached = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Curation.weightedBernoulli",
+        "graft.operators.Curation"),
+      df.localCheckpoint(true))
+    val stats = cached.agg(min(col(weightCol).cast(LongType)).as("__wmin"),
       max(col(weightCol).cast(LongType)).as("__wmax")).collect()(0)
-    if (stats.isNullAt(0)) return df // empty input: nothing to sample
+    if (stats.isNullAt(0)) return cached // empty input: nothing to sample
     val (wmin, wmax) = (stats.getLong(0), stats.getLong(1))
     require(wmin > 0L,
       s"weightedBernoulli: weights must be positive (min weight = $wmin); " +
@@ -1600,7 +1610,7 @@ object Curation {
     require(wmax < (1L << 32),
       s"weightedBernoulli: max weight $wmax >= 2^32 would overflow the " +
         "Long keep-decision product; rescale weights upstream")
-    df.withColumn("__h",
+    cached.withColumn("__h",
         pmod(pmod(col(idCol), lit(2147483647L)) * lit(2654435761L), lit(2147483647L)))
       .filter(col("__h") * lit(wmax) < lit(2147483647L) * col(weightCol))
       .drop("__h")
