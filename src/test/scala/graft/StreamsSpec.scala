@@ -694,6 +694,53 @@ class StreamsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("budgetUnrolledPlan == the composed per-batch literal decides, row for row") {
+    // the algebra q_stream_budget_batch rides (r20): the one-plan window
+    // unroll must make EXACTLY the decisions of running batch 0 through
+    // budgetDecidePlanLiteral with the full budgets, collecting its spend,
+    // and running batch 1 with the depleted remainders — including a null
+    // group and a group that only appears in batch 1
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // (doc_id, lang, score, ntok)
+      (1L, "en", 900L, 10L), (2L, "en", 800L, 10L), (3L, "en", 700L, 10L),
+      (4L, "en", 950L, 10L), (5L, "en", 600L, 10L),
+      (6L, "de", 500L, 8L), (7L, "de", 400L, 8L),
+      (8L, null.asInstanceOf[String], 300L, 6L),
+      (9L, null.asInstanceOf[String], 200L, 6L),
+      (10L, "fr", 100L, 4L) // batch-1-only group
+    )
+    val scored = rows.toDF("doc_id", "lang", "score", "__ntok")
+    val midB = 6L // docs 1-5 are batch 0, 6-10 batch 1
+    val permille = 600
+    val got = Streams.budgetUnrolledPlan(scored, col("doc_id") < midB,
+        "doc_id", "lang", permille)
+      .select(col("doc_id"), col("__batch"), col("__selected"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // reference composition: literal decides per batch
+    val bud = scored.groupBy(col("lang"))
+      .agg(expr(s"(SUM(__ntok) * $permille) DIV 1000").as("b")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1))
+      .toSeq
+    val p0 = Streams.budgetDecidePlanLiteral(
+      scored.filter(col("doc_id") < midB), bud, "doc_id", "lang")
+    val spent0 = p0.filter(col("__selected")).groupBy(col("lang"))
+      .agg(sum(col("__ntok")).as("s")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1))
+      .toMap
+    val rem1 = bud.map { case (g, b) => g -> (b - spent0.getOrElse(g, 0L)) }
+    val p1 = Streams.budgetDecidePlanLiteral(
+      scored.filter(col("doc_id") >= midB), rem1, "doc_id", "lang")
+    val want =
+      p0.select(col("doc_id"), lit(0L).as("b"), col("__selected")).unionByName(
+        p1.select(col("doc_id"), lit(1L).as("b"), col("__selected")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == want)
+    // and the unroll's decisions are the expected greedy-prefix ones
+    assert(got.filter(_._3).map(_._1) ==
+      want.filter(_._3).map(_._1))
+  }
+
   test("ledger compaction crash windows: stale originals and half-written folds never change spend") {
     val out = java.nio.file.Files.createTempDirectory("graft-budc-out").toString
     val rej = java.nio.file.Files.createTempDirectory("graft-budc-rej").toString
