@@ -117,9 +117,18 @@ object Bench {
       // today's batch arrives, so the build must not land in the cold
       // number. A prepare failure is not fatal here — the run path lazily
       // builds the same artifact and any real error surfaces there, timed.
+      // A prepare failure must be VISIBLE (ADVICE r19): a silently broken
+      // hook shifts the artifact build back into the timed cold number —
+      // the exact distortion the hook exists to remove. And release() runs
+      // in a finally so a failed prepare can't leave its checkpoint blocks
+      // live during the timed run either.
       q.prepare.foreach { p =>
-        try { p(spark, sfDir); release() }
-        catch { case scala.util.control.NonFatal(_) => () }
+        try p(spark, sfDir)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"BENCH PREPARE FAIL ${q.name}: ${e.getClass.getName}: ${e.getMessage}" +
+            " — artifact build will land in the timed cold run")
+        } finally release()
       }
       val cold0 = once(); release(); val warm = once()
       scrub(math.max(cold0, warm))

@@ -19,15 +19,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the index construction inline as CTEs, the only self-contained form the
   * driver's gate can run — verify the SAME index the serve path reads.
   *
-  * Scoped per (session, sfDir, name) and rebuilt once per JVM (overwrite),
-  * so a code or fixture change can never serve a stale index across
-  * sessions.
+  * Scoped per (pid, sfDir, name) — the on-disk scope — and built once per
+  * JVM; within one JVM the build is a pure function of the fixture tables,
+  * so a second session reuses the first's artifact instead of overwriting
+  * it under live readers, and cross-JVM staleness can't happen because the
+  * directory itself is pid-keyed (dead pids' trees are reaped).
   */
 object Fixtures {
+  // Build/staging state is keyed by the ON-DISK scope — the (pid,
+  // dataset)-scoped path — not by SparkSession (ADVICE r19): fixture
+  // content is deterministic from the fixture tables, so a second session
+  // in the same JVM re-building would produce identical bytes while
+  // overwriting (or swapping tables under) frames the first session's
+  // readers still hold. Per-key monitors keep one slow build from
+  // serializing unrelated fixture builds on a global lock.
   private val built =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val schemas = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), org.apache.spark.sql.types.StructType]()
+    String, org.apache.spark.sql.types.StructType]()
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(key: String): Object =
+    keyLocks.computeIfAbsent(key, _ => new Object)
 
   private val root = new java.io.File("/tmp/graft_fixtures")
 
@@ -84,12 +98,11 @@ object Fixtures {
            partitionBy: Seq[String] = Nil)
           (build: => DataFrame): DataFrame = {
     val dir = ensure(spark, sfDir, name, partitionBy)(build)
-    val key = (spark, dir)
-    val cached = schemas.get(key)
+    val cached = schemas.get(dir)
     if (cached != null) spark.read.schema(cached).parquet(dir)
     else {
       val df = spark.read.parquet(dir)
-      schemas.putIfAbsent(key, df.schema)
+      schemas.putIfAbsent(dir, df.schema)
       df
     }
   }
@@ -121,21 +134,26 @@ object Fixtures {
   }
 
   private val staged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Run a STAGING block (warehouse writes, table swaps) once per
-    * (session, dataset dir, name) — the [[ensure]] discipline for setup
-    * that lands tables rather than one parquet fixture. The first caller
-    * in a JVM pays the build (in Bench that is the untimed `prepare`
-    * hook); later callers — the timed run, Verify, tests — skip straight
-    * to reading the staged tables. Content stays deterministic from the
-    * fixture tables, so WHO builds never changes WHAT is read.
+  /** Run a STAGING block (warehouse writes, table swaps) once per staged
+    * SCRATCH PATH — the [[ensure]] discipline for setup that lands tables
+    * rather than one parquet fixture. The first caller in a JVM pays the
+    * build (in Bench that is the untimed `prepare` hook); later callers —
+    * the timed run, Verify, tests, a SECOND SESSION in the same JVM — skip
+    * straight to reading the staged tables. Content stays deterministic
+    * from the fixture tables, so WHO builds never changes WHAT is read;
+    * the key matches the on-disk (pid, dataset) scope of [[scratchFor]]
+    * (ADVICE r19 — a session-scoped key let a second session re-stage and
+    * swap tables under the first session's live readers), and the per-key
+    * monitor keeps one multi-second staging from blocking unrelated
+    * fixture work.
     */
   def stageOnce(spark: SparkSession, sfDir: String, name: String)
                (stage: => Unit): Unit = {
-    val key = (spark, new java.io.File(sfDir).getAbsolutePath, name)
-    if (!staged.contains(key)) synchronized {
-      if (!staged.contains(key)) { stage; staged.add(key) }
+    val key = scratchFor(sfDir, name)
+    if (!staged.contains(key)) lockFor(key).synchronized {
+      if (!staged.contains(key)) { stage; staged.add(key): Unit }
     }
   }
 
@@ -178,9 +196,8 @@ object Fixtures {
     // to collide within one JVM), truncated to 16 hex chars.
     val dirKey = s"${pathDigest(sfDir)}-${java.lang.ProcessHandle.current().pid()}"
     val dir = s"$root/$dirKey/${new java.io.File(sfDir).getName}/$name"
-    val key = (spark, dir)
-    if (!built.contains(key)) synchronized {
-      if (!built.contains(key)) {
+    if (!built.contains(dir)) lockFor(dir).synchronized {
+      if (!built.contains(dir)) {
         val df = build
         val w = df.write.mode("overwrite")
         (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -193,8 +210,8 @@ object Fixtures {
         val reordered = org.apache.spark.sql.types.StructType(
           df.schema.fields.filterNot(f => partitionBy.contains(f.name)) ++
             partitionBy.map(df.schema.apply))
-        schemas.putIfAbsent(key, reordered)
-        built.add(key)
+        schemas.putIfAbsent(dir, reordered)
+        built.add(dir): Unit
       }
     }
     dir

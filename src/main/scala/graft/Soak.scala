@@ -827,7 +827,19 @@ object Soak {
           // fresh ids per invocation (the vec_id uniqueness contract —
           // the harness replays the same held-out vectors as NEW daily
           // arrivals); embeddings are unchanged, so each batch still
-          // lands in exactly its one cell
+          // lands in exactly its one cell.
+          //
+          // CAVEAT (ADVICE r19): because replays accumulate, each
+          // invocation grows the touched cells by ~3x batch vectors, so
+          // "touched-cell size constant by construction" is exact only
+          // for the first invocation. The bracket comparison survives
+          // anyway: the harness runs the same warm-up + timed sequence
+          // at 1x and xF and the batch size is the same ABSOLUTE count
+          // at both scales, so both sides of the ratio carry the same
+          // additive growth (cell + k*3*batch at invocation k) — an
+          // O(corpus) term would still read ~x10 while this drift stays
+          // a few percent of a cell. SCALING.md's localbatch row states
+          // the same caveat.
           graft.streaming.Streams.knnGraphGateBatch(
             batches(i).withColumn("vec_id",
               col("vec_id") + lit(kgLocalSeq << 41)),

@@ -64,9 +64,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
   private def recoverPartitions(name: String): Unit = {
     val base = new Path(path(name)); val f = fs(base)
     val parent = base.getParent
-    if (parent == null || !f.exists(parent)) return
+    if (parent == null) return
     val prefix = base.getName + "__pold_"
-    f.listStatus(parent).foreach { st =>
+    // globStatus on the park PATTERN, not listStatus on the warehouse
+    // root (ADVICE r19): recover() runs on every read/exists/write, and a
+    // root LIST is O(#sibling tables) per access — a real per-request
+    // cost on object stores. The glob touches only this table's parks
+    // (normally zero entries) and returns null for a missing parent.
+    val parks = Option(f.globStatus(new Path(parent, prefix + "*")))
+      .getOrElse(Array.empty)
+    parks.foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith(prefix) && st.isDirectory) {
         val partDest = new Path(base, n.stripPrefix(prefix))
@@ -322,9 +329,18 @@ final case class Warehouse(spark: SparkSession, root: String) {
     // an EXISTING but EMPTY directory reads as an empty table too: a crash
     // between a per-partition writer's mkdirs and its first partition swap
     // leaves exactly that state, and spark.read.parquet on it would fail
-    // schema inference instead of letting the replay proceed
+    // schema inference instead of letting the replay proceed. "Empty"
+    // means NO data entry (ADVICE r19): a whole-table write() of a
+    // zero-partition DataFrame leaves a directory holding only _SUCCESS,
+    // which has entries but still fails schema inference — so the guard
+    // skips underscore/dot-prefixed metadata names, exactly the names
+    // FileInputFormat hides from readers.
     val p = new Path(path(name))
-    if (exists(name) && fs(p).listStatus(p).nonEmpty) read(name)
+    val hasData = exists(name) && fs(p).listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) read(name)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
