@@ -745,6 +745,47 @@ object Soak {
             maxOccurrences = 64L)
         }
       }
+      // CELL-LOCAL variant of the substring gate (r20, VERDICT r19 #6 —
+      // the kNN localbatch design applied to the anchor index): the
+      // corpus's anchors are ingested OUTSIDE the timed window and each
+      // timed batch is a CONSTANT-absolute-size held-out slice (doc_id mod
+      // m == i with m = 97·F, so corpus/m is the same count at 1x and xF).
+      // With the r20 broadcast probe the batch side broadcasts over the
+      // index scan, so the expected per-batch anatomy is O(batch kernel) +
+      // O(index SCAN, map-side, no exchange) + O(hits): a residual ratio
+      // above ~1 here prices the unavoidable index scan — exact substring
+      // gating reads its whole index per batch (hash keys have no
+      // locality to prune on) — NOT an exchange term. Same replay-drift
+      // caveat as the kNN localbatch row (fresh ids per invocation).
+      val subLocalState = scala.collection.mutable.Map[String,
+        (graft.airbnb.Warehouse, String, IndexedSeq[org.apache.spark.sql.DataFrame])]()
+      var subLocalSeq = 0L
+      def runSubstringLocal(dir: String): Unit = {
+        val m = if (dir == small) 97 else 97 * gatesFactor
+        val (wh, out, batches) = subLocalState.getOrElseUpdate(dir, {
+          val wh0 = graft.airbnb.Warehouse(spark, tmp("soak-subl-wh"))
+          val out0 = tmp("soak-subl-out")
+          val all = docs(dir)
+          val held = (0 until 3).map { i =>
+            all.filter(pmod(col("doc_id"), lit(m)) === i).localCheckpoint(true)
+          }
+          // steady-state index: everything outside the held-out slices,
+          // ingested once, untimed
+          Streams.substringGateBatch(
+            all.filter(pmod(col("doc_id"), lit(m)) >= 3), wh0, "anchor_idx",
+            out0, 0L, "doc_id", "text", k = 4, minSpanTokens = 6,
+            maxOccurrences = 64L)
+          (wh0, out0, held)
+        })
+        (0 until 3).foreach { i =>
+          subLocalSeq += 1
+          Streams.substringGateBatch(
+            batches(i).withColumn("doc_id",
+              col("doc_id") + lit(subLocalSeq << 41)),
+            wh, "anchor_idx", out, subLocalSeq, "doc_id", "text", k = 4,
+            minSpanTokens = 6, maxOccurrences = 64L)
+        }
+      }
       // kNN-graph maintenance gate: k scales with the corpus (the cell-size
       // contract every graph/semdedup soak applies), the frozen fit is
       // trained once per dir OUTSIDE the timed run (production's
@@ -851,6 +892,7 @@ object Soak {
         "gate_budget_ledger" -> (runBudget _),
         "gate_percentile" -> (runPercentile _),
         "gate_substring_index" -> (runSubstring _),
+        "gate_substring_localbatch" -> (runSubstringLocal _),
         "gate_knn_graph" -> (runKnnGraph _),
         "gate_knn_graph_fixedbatch" -> (runKnnGraphFixed _),
         "gate_knn_graph_localbatch" -> (runKnnGraphLocal _))

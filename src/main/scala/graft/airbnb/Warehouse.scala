@@ -113,6 +113,13 @@ final case class Warehouse(spark: SparkSession, root: String) {
     }
     if (f.exists(old)) f.delete(old, true)
     invalidateListings(name)
+    // write-time schema capture, UNPARTITIONED tables only: the on-disk
+    // schema is exactly df's, so the first read-back skips its footer
+    // job. Partitioned writes keep read-side inference — partition-value
+    // inference types (e.g. boolean partition dirs read back as string)
+    // are the established read contract and a declared-type cache would
+    // silently change it.
+    if (partitionBy.isEmpty) Warehouse.schemaCache.put(path(name), df.schema): Unit
   }
 
   /** Drop Spark's cached file listings/footers for a table path after a
@@ -121,12 +128,28 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * files. Every swap path (whole-table, single-partition,
     * multi-partition) calls this; it is a driver-local cache clear.
     */
-  private def invalidateListings(name: String): Unit =
+  private def invalidateListings(name: String): Unit = {
     spark.catalog.refreshByPath(path(name))
+    Warehouse.schemaCache.remove(path(name)): Unit
+  }
 
   def read(name: String): DataFrame = {
     recover(name)
-    spark.read.parquet(path(name))
+    // schema cached per PATH across Warehouse instances (instances are
+    // cheap per-invocation objects): an uncached spark.read.parquet
+    // re-infers from footers — one extra job per read of an immutable
+    // index table. Every schema-changing path (write/writePartition(s) →
+    // invalidateListings, dropTable) clears the entry; a recreate after
+    // drop goes through write(), so the cache can never serve a stale
+    // schema.
+    val p = path(name)
+    val cached = Warehouse.schemaCache.get(p)
+    if (cached != null) spark.read.schema(cached).parquet(p)
+    else {
+      val df = spark.read.parquet(p)
+      Warehouse.schemaCache.putIfAbsent(p, df.schema)
+      df
+    }
   }
 
   /** Idempotent PER-PARTITION write: lands `df` as the single
@@ -354,6 +377,7 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * __tmp. The one shared deletion path for every truncate-like operation.
     */
   private def dropTable(name: String): Unit = {
+    Warehouse.schemaCache.remove(path(name))
     Seq(path(name), path(name) + "__tmp", path(name) + "__old").foreach { s =>
       val p = new Path(s); val f = fs(p)
       if (f.exists(p)) f.delete(p, true)
@@ -507,4 +531,14 @@ final case class Warehouse(spark: SparkSession, root: String) {
       val p = new Path(path(t))
       t -> fs(p).getContentSummary(p).getLength
     }.toMap
+}
+
+object Warehouse {
+  /** Footer-schema cache keyed by table PATH (Warehouse instances are
+    * per-invocation value objects, so the cache lives here): one schema
+    * inference job per table per JVM instead of per read. Cleared by
+    * invalidateListings (every swap path) and dropTable.
+    */
+  private[airbnb] val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 }

@@ -877,6 +877,17 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("a_id"), col("b_id"), col("diag")).orderBy(col("pa"))
     pairs
+      // ONE exchange for the whole island tail: hash on a_id satisfies —
+      // by the subset rule — the clustered distribution of this window
+      // (a_id, b_id, diag), of the island aggregate, and of the per-doc
+      // rollup the incremental callers put on top (each otherwise its own
+      // shuffle + AQE job). Partition count pinned so AQE's small-data
+      // coalescing can't collapse the sort to one task (measured: the
+      // unpinned form went serial and cost more than the exchanges it
+      // saved). Partition size is bounded by one new doc's collisions
+      // (occurrence-capped), never a corpus-scale key.
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"))
       .withColumn("__isl", col("pa") - row_number().over(w))
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("__isl"))
       .agg(min(col("pa")).as("start_a"), count(lit(1)).as("__run"))
@@ -931,12 +942,29 @@ object Dedup {
     * window partitions per (new doc, index doc, diagonal).
     */
   def tagSpansAgainstIndex(newDf: DataFrame, index: DataFrame, idCol: String,
-                           textCol: String, k: Int,
-                           minSpanTokens: Int): DataFrame = {
+                           textCol: String, k: Int, minSpanTokens: Int,
+                           maxBroadcastAnchors: Long = 0L): DataFrame = {
     val newA = positionalAnchors(newDf, idCol, textCol, k)
     // island columns: a_id = NEW doc (pa = its position), b_id = index doc
-    val pairs = newA.select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))
-      .join(index.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh")), "sh")
+    val aSide = newA.select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))
+    val bSide = index.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh"))
+    // Probe direction is THE per-batch scale term (r20, VERDICT r19 #6):
+    // a plain join on `sh` exchanges BOTH sides, i.e. re-shuffles the
+    // O(index) side on every batch — disk+network ∝ corpus per micro-batch.
+    // When the batch's anchor set is bounded (`maxBroadcastAnchors` > 0 and
+    // the limit-tripwire confirms — the sparseProbeVerify discipline), the
+    // batch side broadcasts over the index SCAN instead: the index never
+    // exchanges, and the only shuffle left is the collision rows' island
+    // merge. The streaming gate turns this on (micro-batches are bounded
+    // by the trigger); the inline/serve rows keep the shuffle default, as
+    // their "batch" is half the corpus by construction.
+    val joined =
+      if (maxBroadcastAnchors > 0L &&
+          newA.limit(math.min(maxBroadcastAnchors + 1, Int.MaxValue.toLong)
+            .toInt).count() <= maxBroadcastAnchors)
+        bSide.join(broadcast(aSide), "sh")
+      else aSide.join(bSide, "sh")
+    val pairs = joined
       .select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"), col("pa"))
     mergeDiagIslands(pairs, k, minSpanTokens)
       .groupBy(col("a_id"))
@@ -1227,9 +1255,12 @@ object Dedup {
     require(minSpanTokens >= w + k - 1,
       s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
     val idType = newDf.schema(idCol).dataType
-    // ONE kernel pass over the batch — checkpointed, spread off the
+    // ONE kernel pass over the batch — lazily CACHED (r20), spread off the
     // unsplittable scan — feeds the probe broadcast AND the a-side verify
-    // (the r17 shape tokenized the batch twice and history once per serve)
+    // (the r17 shape tokenized the batch twice and history once per
+    // serve). cycleCached, not an eager localCheckpoint: the probe
+    // broadcast scans the whole frame first anyway, so the cache fills
+    // inside that job and the serve pays no dedicated materialization job.
     val batchAnchors = graft.CkptCycle.cycle(
       graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndexSparseServe",
         "graft.operators.Dedup"),

@@ -457,16 +457,24 @@ object Streams {
   def substringGateBatch(batch: DataFrame, wh: graft.airbnb.Warehouse,
       indexTable: String, outDir: String, batchId: Long, idCol: String,
       textCol: String, k: Int, minSpanTokens: Int,
-      maxOccurrences: Long = 0L): Boolean = {
+      maxOccurrences: Long = 0L,
+      maxBroadcastAnchors: Long = 4L << 20): Boolean = {
     val spark = batch.sparkSession
     val dir = batchDir(outDir, batchId)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new Path(dir, "_COMMITTED"))) return false
     val idx = wh.readOrEmpty(indexTable, anchorIndexSchema)
+    // maxBroadcastAnchors (r20): a micro-batch's anchors are bounded by
+    // the trigger, so the probe broadcasts the BATCH side over the index
+    // scan — the index is read, never exchanged, making per-batch shuffle
+    // O(batch + hits) instead of O(index). 4M anchors ≈ ~100 MB broadcast;
+    // a pathological replay batch above that falls back to the shuffle
+    // join via the tripwire.
     val tags = graft.operators.Dedup.tagSpansAgainstIndex(batch,
       idx.filter(col("batch_id") < batchId)
         .select(col("doc_id").as(idCol), col("pos"), col("sh")),
-      idCol, textCol, k, minSpanTokens)
+      idCol, textCol, k, minSpanTokens,
+      maxBroadcastAnchors = maxBroadcastAnchors)
     // materialize survivors once: they feed the index append AND the sink
     val survivors = batch.join(tags.select(col(idCol)), Seq(idCol), "left_anti")
       .localCheckpoint(true)

@@ -4,7 +4,14 @@ of the matched Spark-vs-DuckDB bench pair (BASELINE.json: the operative
 baseline is the DuckDB total on the same oracles at the same SF).
 
 Usage:
-    python3 tools/oraclebench.py <verify_dump_dir> <sf_dir> [bench.json]
+    python3 tools/oraclebench.py <verify_dump_dir> <sf_dir> [bench.json] [out.json]
+
+With a 4th argument, the per-query map is ALSO written there as JSON
+({"metric": "duckdb_total", "value": ..., "queries": {...}}) — the
+round-close archive (ORACLE_r<N>_queries.json) a judge needs to compute
+the weak list from artifacts alone: two oracle runs on this host have
+differed ±16% in total, so only a same-session per-query map is
+comparable to a same-session BENCH_r<N>_queries.json.
 
 Reads <verify_dump_dir>/oracle_sql.json; if a bench.json (the graft.Bench
 artifact) is given, only the queries in its per-query map are timed — the
@@ -46,8 +53,12 @@ def main():
         per[name] = best
         total += best
         print(f"{name:40s} {best:8.3f}")
-    print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
-                      "n_queries": len(per), "sf": str(sf)}))
+    summary = {"metric": "duckdb_total", "value": round(total, 3),
+               "n_queries": len(per), "sf": str(sf)}
+    print(json.dumps(summary))
+    if len(sys.argv) > 4:
+        summary["queries"] = {k: round(v, 3) for k, v in per.items()}
+        Path(sys.argv[4]).write_text(json.dumps(summary) + "\n")
 
 
 if __name__ == "__main__":
