@@ -384,19 +384,27 @@ object Dedup {
     */
   def containmentSketchPairs(df0: DataFrame, idCol: String, textCol: String,
                              k: Int, bottomK: Int, threshold: Double): DataFrame = {
-    // spread: both sketch legs pay a full tokenize+hash scan (measured
-    // 551 + 235 ms 1-task off the one-row-group fixture); see
-    // Tables.spread (identity at scale)
     val df = graft.Tables.spread(df0)
     val toks = TextFns.tokens(col(textCol))
-    val a = df.select(col(idCol).as("a_id"),
-        graft.functions.SketchFns.bottomKShingleHashes(toks, k, bottomK).as("__bk"))
+    // ONE tokenize+hash kernel pass (r20): both sketch legs derive from
+    // the same distinct-hash array — the bottom-k sketch is exactly the
+    // ascending prefix of the sorted distinct hashes (bottomKShingleHashes
+    // ≡ slice(array_sort(winnowFingerprints(w=1)), 1, bk); KernelParitySpec
+    // pins both kernels to the same shingleHash family) — so the
+    // checkpointed (id, hashes) longs replace the second full
+    // scan+tokenize leg the pre-r20 shape paid.
+    val hs = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.containmentSketchPairs",
+        "graft.operators.Dedup"),
+      df.select(col(idCol).as("__id"),
+          graft.functions.SketchFns.winnowFingerprints(toks, k, 1).as("__hs"))
+        .filter(size(col("__hs")) > 0)
+        .localCheckpoint(true))
+    val a = hs.select(col("__id").as("a_id"),
+        slice(array_sort(col("__hs")), 1, bottomK).as("__bk"))
       .withColumn("nbk", size(col("__bk")).cast(LongType))
-      .filter(col("nbk") > 0)
       .select(col("a_id"), col("nbk"), explode(col("__bk")).as("h"))
-    // full distinct shingle polyhashes: the winnow kernel at window 1
-    val b = df.select(col(idCol).as("b_id"), explode(
-        graft.functions.SketchFns.winnowFingerprints(toks, k, 1)).as("h"))
+    val b = hs.select(col("__id").as("b_id"), explode(col("__hs")).as("h"))
     a.hint("shuffle_hash").join(b, "h")
       .filter(col("a_id") =!= col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
