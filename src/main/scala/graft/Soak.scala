@@ -896,8 +896,12 @@ object Soak {
         "gate_knn_graph" -> (runKnnGraph _),
         "gate_knn_graph_fixedbatch" -> (runKnnGraphFixed _),
         "gate_knn_graph_localbatch" -> (runKnnGraphLocal _))
+      // SPARK_GRAFT_SOAK_GATE_ONLY=substr narrows to matching gate rows —
+      // the isolated re-measurement aid (a full 7-row pass is ~10 min)
+      val gateOnly = sys.env.getOrElse("SPARK_GRAFT_SOAK_GATE_ONLY", "")
       println(f"${"gate (3 batches)"}%-26s ${"small_warm"}%10s ${"big_warm"}%10s ${"ratio"}%7s ${"r/f"}%5s (data x$gatesFactor)")
-      gateRuns.foreach { case (name, f) =>
+      gateRuns.filter(r => gateOnly.isEmpty || r._1.contains(gateOnly))
+        .foreach { case (name, f) =>
         f(small); val tS = time(f(small))
         f(dbig); val tB = time(f(dbig))
         println(f"$name%-26s $tS%10.2f $tB%10.2f ${tB / tS}%7.1f ${tB / tS / gatesFactor}%5.2f")
