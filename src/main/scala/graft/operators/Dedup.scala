@@ -1155,6 +1155,44 @@ object Dedup {
     * history's side reads the PERSISTED index instead — the `_serve` row's
     * shape; this form exists for the build+probe-in-one-query pricing.
     */
+  /** The one-corpus split shape of the DENSE incremental substring gate —
+    * [[anchorIndex]] + [[tagSpansAgainstIndex]] when history and batch are
+    * two halves of one frame (the inline fixture rows' shape; production
+    * reads a persisted index instead). ONE positional-anchor kernel pass
+    * over the whole corpus (checkpointed, spread off the unsplittable
+    * scan) feeds the history side (occurrence-capped over the checkpointed
+    * longs), the batch side, AND the probe — the naive composition paid
+    * three serial scan+tokenize kernel stages (FixedCostProbe r20: three
+    * 1-task 180–216 ms stages of q_dedup_incremental_substring's 781 ms
+    * stage total). The probe broadcasts the batch anchors over the
+    * history side, the gate's r20 direction (O(batch + hits) shuffle).
+    * Output contract identical to [[tagSpansAgainstIndex]].
+    */
+  def tagSpansSplit(df: DataFrame, histPred: Column, idCol: String,
+      textCol: String, k: Int, minSpanTokens: Int,
+      maxOccurrences: Long = 0L): DataFrame = {
+    val rows = graft.CkptCycle.cycle(
+      graft.CkptCycle.callSiteKey("Dedup.tagSpansSplit",
+        "graft.operators.Dedup"),
+      positionalAnchors(graft.Tables.spread(df), idCol, textCol, k)
+        .withColumn("__hist", histPred)
+        .localCheckpoint(true))
+    val idx0 = rows.filter(col("__hist"))
+    val idx =
+      if (maxOccurrences <= 0L) idx0
+      else idx0.join(
+        idx0.groupBy(col("sh")).agg(count(lit(1)).as("__occ"))
+          .filter(col("__occ") <= maxOccurrences).select(col("sh")), "sh")
+    val pairs = idx.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh"))
+      .join(broadcast(rows.filter(!col("__hist"))
+        .select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))), "sh")
+      .select(col("a_id"), col("b_id"), (col("pa") - col("pb")).as("diag"), col("pa"))
+    mergeDiagIslands(pairs, k, minSpanTokens)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("len_tokens")).as("max_span_tokens"))
+      .select(col("a_id").as(idCol), col("n_spans"), col("max_span_tokens"))
+  }
+
   def tagSpansSplitSparse(df: DataFrame, histPred: Column, idCol: String,
       textCol: String, k: Int, minSpanTokens: Int, w: Int,
       maxDriverCand: Int = 1 << 20): DataFrame = {

@@ -1139,14 +1139,14 @@ object TextQueries {
     // at sf0.01 (max shared span 93 tokens).
     Q("q_dedup_incremental_substring",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        val mid = d.agg(expr("coalesce(MAX(doc_id) DIV 2, 0L)").as("mid"))
-        val withMid = d.crossJoin(broadcast(mid))
-        Dedup.tagSpansAgainstIndex(
-            withMid.filter(col("doc_id") >= col("mid")),
-            Dedup.anchorIndex(withMid.filter(col("doc_id") < col("mid")),
-              "doc_id", "text", 4, maxOccurrences = 64L),
-            "doc_id", "text", 4, minSpanTokens = 6)
+        // r20: the one-corpus split operator — one checkpointed kernel
+        // pass feeds history (capped), batch, and the broadcast probe;
+        // the prior anchorIndex + tagSpansAgainstIndex composition paid
+        // three serial scan+tokenize stages and an O(index) exchange.
+        // Boundary memoized like every split-point row.
+        Dedup.tagSpansSplit(t(s, dir, "documents"),
+            col("doc_id") < docMid(s, dir),
+            "doc_id", "text", 4, minSpanTokens = 6, maxOccurrences = 64L)
           .orderBy(col("doc_id"))
       },
       Some("""

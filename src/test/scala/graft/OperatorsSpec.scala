@@ -578,6 +578,40 @@ class OperatorsSpec extends AnyFunSuite {
     val idxCap = Dedup.anchorIndex(hist, "doc_id", "text", 4, maxOccurrences = 1L)
     assert(Dedup.tagSpansAgainstIndex(batch, idxCap, "doc_id", "text", 4, 6)
       .count() == 1L)
+    // broadcast-probe tier (r20): same rows through the tripwired
+    // broadcast direction
+    assert(Dedup.tagSpansAgainstIndex(batch, idx, "doc_id", "text", 4, 6,
+        maxBroadcastAnchors = 1L << 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 1L, 8L)))
+  }
+
+  test("tagSpansSplit == anchorIndex + tagSpansAgainstIndex, cap included") {
+    // the one-corpus split operator (r20) must reproduce the composed
+    // form row for row, including the history-side occurrence cap
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $span a5 a6"),
+      (2L, "h1 h2 h3 h4 h5 h6 h7 h8"),
+      (3L, s"c1 $span c2 c3"), // second history carrier → cap 1 drops the span's anchors
+      (10L, s"$span b1 b2"),
+      (11L, "n1 n2 n3 n4 n5 n6 n7 n8"),
+      (12L, "q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+      (13L, "q1 q2 q3 q4 q5 q6 q7 q8 q9")).toDF("doc_id", "text")
+    val hist = docs.filter(col("doc_id") < 10L)
+    val batch = docs.filter(col("doc_id") >= 10L)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (cap <- Seq(0L, 1L, 64L)) {
+      val composed = res(Dedup.tagSpansAgainstIndex(batch,
+        Dedup.anchorIndex(hist, "doc_id", "text", 4, maxOccurrences = cap),
+        "doc_id", "text", 4, 6))
+      val split = res(Dedup.tagSpansSplit(docs, col("doc_id") < 10L,
+        "doc_id", "text", 4, 6, maxOccurrences = cap))
+      assert(split == composed, s"cap=$cap: $split vs $composed")
+    }
   }
 
   test("scrubRepeatedSpans keep-first: later docs lose covered ranges, earliest untouched") {
