@@ -402,14 +402,20 @@ object Curation {
     val uni = allPairs
       .groupBy(substring_index(col("pair"), " ", 1).as("w"))
       .agg(sum(col("cab")).as("cw"))
-    val total = uni.agg(sum(col("cw")).cast(LongType).as("n_total"))
+    // n_total directly off the pair counts (sum cab == sum cw — every
+    // pair is counted once under its w1), so `uni` feeds only the two
+    // lookups; and those BROADCAST (r20) — the unigram side is
+    // vocabulary-bounded while the pair side is the big one, so the
+    // shuffle-join form re-exchanged pair-vocab rows twice per run
+    // (11 jobs; now ~6).
+    val total = allPairs.agg(sum(col("cab")).cast(LongType).as("n_total"))
     allPairs
       .filter(substring_index(col("pair"), " ", -1) =!= sent)
       .filter(col("cab") >= minCount)
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .withColumn("w2", substring_index(col("pair"), " ", -1))
-      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), "w2")
       .crossJoin(broadcast(total))
       .withColumn("lift_ppm", expr(
         """CAST((CAST(1000000 AS DECIMAL(38,0)) * cab * n_total)

@@ -1180,30 +1180,36 @@ object CoreQueries {
         val ev = t(s, dir, "events")
           .select(col("event_type"), col("event_id"),
             col("value").cast(DecimalType(18, 6)).as("v"))
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("v"), col("event_id"))
+        // ONE exchange (r20): the quartiles ride the SAME event_type
+        // partitioning as the rank window (min-over-window of the
+        // nearest-rank row), and the outlier counts are a groupBy on the
+        // windowed frame — the prior shape re-joined a broadcast bounds
+        // frame onto a second scan (5 jobs; and AQE's small-data
+        // coalescing ran the rank window as ONE serial task, so the
+        // repartition pins the per-type parallelism too).
+        val wT = Window.partitionBy(col("event_type"))
+        val wR = wT.orderBy(col("v"), col("event_id"))
         val ranked = ev
-          .withColumn("r", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+          .repartition(s.sparkContext.defaultParallelism, col("event_type"))
+          .withColumn("r", row_number().over(wR))
+          .withColumn("n", count(lit(1)).over(wT))
         // Tukey fences scaled by 2 so every comparison is integer-weighted
         // decimal (lo = q1 - 1.5*IQR = (5*q1 - 3*q3)/2): no 1.5 literal,
         // whose decimal-vs-double typing differs between engines.
-        val bounds = ranked
-          .filter(col("r") === ceil(col("n") / 4.0) ||
-                  col("r") === ceil(col("n") * 3.0 / 4.0))
-          .groupBy(col("event_type"))
-          .agg(min(col("v")).as("q1"), max(col("v")).as("q3"))
-          .select(col("event_type"),
-            (col("q1") * 5 - col("q3") * 3).as("lo2"),
-            (col("q3") * 5 - col("q1") * 3).as("hi2"))
-        ev.join(broadcast(bounds), "event_type")
-          .groupBy(col("event_type"))
+        val withQ = ranked
+          .withColumn("q1",
+            min(when(col("r") === ceil(col("n") / 4.0), col("v"))).over(wT))
+          .withColumn("q3",
+            min(when(col("r") === ceil(col("n") * 3.0 / 4.0), col("v"))).over(wT))
+          .withColumn("lo2", col("q1") * 5 - col("q3") * 3)
+          .withColumn("hi2", col("q3") * 5 - col("q1") * 3)
+        withQ.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_events"),
             count(when(col("v") * 2 < col("lo2") || col("v") * 2 > col("hi2"), 1))
               .as("n_outliers"),
             (min(col("lo2")).cast(DoubleType) / 2).as("lo_fence"),
             (min(col("hi2")).cast(DoubleType) / 2).as("hi_fence"))
-          .orderBy(col("event_type"))
+          .coalesce(1).sortWithinPartitions(col("event_type"))
       },
       Some("""
         WITH ev AS (
