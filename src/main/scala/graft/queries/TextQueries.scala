@@ -699,6 +699,11 @@ object TextQueries {
     // ----- near-dup: word 4-gram Jaccard over shared-shingle pairs
     Q("q_dedup_ngram_jaccard",
       (s, dir) =>
+        // (r20 re-A/B CONFIRMED the r14 spread rejection, now on tmpfs
+        // shuffle too: fanning out before the kernel still leaves a
+        // ~395 ms serial scan+text-shuffle-write stage and adds an
+        // exchange — wall 862 -> 1072 ms. The serial term is the
+        // one-row-group scan itself, moot at scale.)
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 4, 0.4)
           .orderBy(col("a_id"), col("b_id")),
       Some(s"""$shingleCte,
