@@ -1209,7 +1209,14 @@ object CoreQueries {
               .as("n_outliers"),
             (min(col("lo2")).cast(DoubleType) / 2).as("lo_fence"),
             (min(col("hi2")).cast(DoubleType) / 2).as("hi_fence"))
-          .coalesce(1).sortWithinPartitions(col("event_type"))
+          // repartition(1), NOT coalesce(1) (ADVICE r20 medium): coalesce is
+          // a narrow dependency, so with no exchange between the windows/agg
+          // (which reuse the repartition's hashpartitioning) and the
+          // coalesce, the WHOLE post-shuffle stage — rank window, quartile
+          // windows, aggregate — ran as ONE task, defeating the repartition
+          // above (FixedCostProbe: 126 ms 1-task final stage). The exchange
+          // here moves only the bounded per-type aggregate rows.
+          .repartition(1).sortWithinPartitions(col("event_type"))
       },
       Some("""
         WITH ev AS (

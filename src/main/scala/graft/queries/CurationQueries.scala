@@ -471,8 +471,11 @@ object CurationQueries {
             coalesce(sum(when(col("__selected"), col("__ntok"))), lit(0L))
               .cast(LongType).as("tokens_kept"))
           // groups x 2 rows: one-partition in-place sort instead of a
-          // global orderBy's range-sampling job + exchange
-          .coalesce(1).sortWithinPartitions(col("lang"), col("batch"))
+          // global orderBy's range-sampling job + exchange. repartition(1),
+          // NOT coalesce(1) (ADVICE r20 medium): a narrow coalesce fuses
+          // into the budget windows' stage and runs all three windows + the
+          // aggregate as ONE task; the exchange moves only groups×2 rows.
+          .repartition(1).sortWithinPartitions(col("lang"), col("batch"))
       },
       Some("""
         WITH toks AS (SELECT doc_id, lang,

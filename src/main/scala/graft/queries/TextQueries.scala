@@ -1103,8 +1103,11 @@ object TextQueries {
         Dedup.repeatedSpansWithinDoc(t(s, dir, "documents"), "doc_id", "text",
             k = 2, minSpanTokens = 3, maxOccurrences = 64L)
           // bounded output: one-partition in-place sort, not a global
-          // orderBy's range-sampling job + exchange (r20 floor trim)
-          .coalesce(1)
+          // orderBy's range-sampling job + exchange (r20 floor trim).
+          // repartition(1), NOT coalesce(1) (ADVICE r20 medium): a narrow
+          // coalesce fuses into the island window/aggregate stage and runs
+          // it as ONE task, defeating mergeDiagIslands' parallelism pin.
+          .repartition(1)
           .sortWithinPartitions(col("doc_id"), col("start_a"), col("start_b")),
       Some("""
         WITH toks AS (
@@ -1155,7 +1158,9 @@ object TextQueries {
         Dedup.tagSpansSplit(t(s, dir, "documents"),
             col("doc_id") < docMid(s, dir),
             "doc_id", "text", 4, minSpanTokens = 6, maxOccurrences = 64L)
-          .coalesce(1).sortWithinPartitions(col("doc_id"))
+          // repartition(1), not a narrow coalesce(1), so the island
+          // window/rollup stage keeps its parallelism (ADVICE r20 medium)
+          .repartition(1).sortWithinPartitions(col("doc_id"))
       },
       Some("""
         WITH toks AS (
@@ -1207,7 +1212,9 @@ object TextQueries {
         val mid = docMid(s, dir)
         Dedup.tagSpansSplitSparse(d, col("doc_id") < mid,
             "doc_id", "text", 4, minSpanTokens = 6, w = 3)
-          .coalesce(1).sortWithinPartitions(col("doc_id"))
+          // repartition(1), not a narrow coalesce(1), so the island
+          // window/rollup stage keeps its parallelism (ADVICE r20 medium)
+          .repartition(1).sortWithinPartitions(col("doc_id"))
       },
       Some("""
         WITH toks AS (
@@ -1351,7 +1358,9 @@ object TextQueries {
             t(s, dir, "documents").filter(col("doc_id") >= mid)
               .select(col("doc_id"), col("text")),
             idx, "doc_id", "text", 4, minSpanTokens = 6, w = 3)
-          .coalesce(1).sortWithinPartitions(col("doc_id"))
+          // repartition(1), not a narrow coalesce(1), so the island
+          // window/rollup stage keeps its parallelism (ADVICE r20 medium)
+          .repartition(1).sortWithinPartitions(col("doc_id"))
       },
       Some("""
         WITH toks AS (
@@ -1535,7 +1544,9 @@ object TextQueries {
             coalesce(col("n_novel"), lit(0L)).as("n_novel"),
             coalesce(col("n_accepted"), lit(0L)).as("n_accepted"),
             col("n_merged"), col("tokens"), col("weight"), col("alloc_tokens"))
-          .coalesce(1).sortWithinPartitions(col("source"))
+          // repartition(1), not a narrow coalesce(1), so the merge window +
+          // accounting aggregate stage keeps its parallelism (ADVICE r20)
+          .repartition(1).sortWithinPartitions(col("source"))
       },
       Some {
         val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>

@@ -150,8 +150,12 @@ class PlanLintSpec extends AnyFunSuite {
     // scan of the fact table)
     val p = plan("q_outlier_iqr")
     assert(!p.contains("Join"), s"outlier plan regained a join:\n$p")
+    // exactly two exchanges: the event_type hash exchange all windows + the
+    // aggregate share, and the SinglePartition repartition over the bounded
+    // per-type rows (r21 — a narrow coalesce(1) here serialized the whole
+    // window+aggregate stage; see the serial-collapse backstop test)
     val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 1, s"outlier plans $exchanges exchanges:\n$p")
+    assert(exchanges <= 2, s"outlier plans $exchanges exchanges:\n$p")
   }
 
   test("sessionization shares one user_id shuffle across windows and agg") {
@@ -282,6 +286,23 @@ class PlanLintSpec extends AnyFunSuite {
     // broadcast-shaped, never a sort-merge of the corpus
     assert(!s.contains("SortMergeJoin"),
       "matryoshka re-rank plans a sort-merge join")
+  }
+
+  test("no query plans a single-partition narrow coalesce (serial-collapse backstop)") {
+    // ADVICE r20 (medium): a trailing .coalesce(1) is a NARROW dependency —
+    // with no exchange between a window/aggregate and the coalesce, the
+    // whole post-shuffle stage executes as ONE task, silently defeating any
+    // upstream repartition (q_outlier_iqr measured its entire rank+quartile
+    // +aggregate stage at 1 task). Bounded final outputs must use
+    // repartition(1) + sortWithinPartitions (one tiny exchange) instead.
+    import org.apache.spark.sql.execution.CoalesceExec
+    SparkEntry.registry.foreach { q =>
+      val serial = q.run(spark, TestSpark.sfDir).queryExecution.executedPlan.collect {
+        case c: CoalesceExec if c.numPartitions == 1 => c
+      }
+      assert(serial.isEmpty,
+        s"${q.name} plans a narrow coalesce(1) — the stage above it runs serial")
+    }
   }
 
   test("sparse serve fast tier: no shuffle-hash verify join, InSet candidate filters") {
