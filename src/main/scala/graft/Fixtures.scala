@@ -33,6 +33,17 @@ object Fixtures {
   // overwriting (or swapping tables under) frames the first session's
   // readers still hold. Per-key monitors keep one slow build from
   // serializing unrelated fixture builds on a global lock.
+  //
+  // CONTRACT (ADVICE r20): the dataset dir named by `sfDir` must be
+  // IMMUTABLE for this JVM's lifetime. The keys carry no content witness,
+  // so a process that regenerates the source tables at the same path
+  // in-JVM would silently be served the artifacts staged from the old
+  // bytes. That is the deliberate trade: every entry point here reads
+  // driver-provisioned, read-only testdata dirs, and a stat/digest witness
+  // would charge every fixture access a filesystem round trip (a real
+  // per-request cost on object stores) to defend against a caller that
+  // does not exist. Regenerating a dataset in place requires a new path
+  // (or a new JVM) by design.
   private val built =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val schemas = new java.util.concurrent.ConcurrentHashMap[

@@ -118,8 +118,13 @@ final case class Warehouse(spark: SparkSession, root: String) {
     // job. Partitioned writes keep read-side inference — partition-value
     // inference types (e.g. boolean partition dirs read back as string)
     // are the established read contract and a declared-type cache would
-    // silently change it.
-    if (partitionBy.isEmpty) Warehouse.schemaCache.put(path(name), df.schema): Unit
+    // silently change it. NORMALIZED to nullable (ADVICE r20): footer
+    // inference in any other JVM (or after eviction) returns all-nullable
+    // fields, so caching the writer's nullability would present the same
+    // table with two schemas depending on which session reads it.
+    if (partitionBy.isEmpty)
+      Warehouse.schemaCache.put(path(name),
+        Warehouse.allNullable(df.schema)): Unit
   }
 
   /** Drop Spark's cached file listings/footers for a table path after a
@@ -541,4 +546,22 @@ object Warehouse {
     */
   private[airbnb] val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  /** The all-nullable form footer inference would return (ADVICE r20) —
+    * recursive, so nested fields/elements normalize too. (StructType's own
+    * asNullable is private[sql].)
+    */
+  private[airbnb] def allNullable(st: StructType): StructType =
+    nullableType(st).asInstanceOf[StructType]
+
+  private def nullableType(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableType(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullableType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
 }

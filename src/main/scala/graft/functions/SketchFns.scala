@@ -38,6 +38,13 @@ object SketchFns {
     GraftColumnBridge.column(graft.plans.ChunkHashStrings(
       GraftColumnBridge.expression(tokens), k, stride))
 
+  /** Adjacent-token-pair (hp, hw) hashes of a token-array column — the
+    * bigram-LM join keys in one kernel pass (internal keys).
+    */
+  def pairHashes(tokens: Column): Column =
+    GraftColumnBridge.column(graft.plans.PairHashes(
+      GraftColumnBridge.expression(tokens)))
+
   /** Per-token polyHash values of a token-array column (oracle-portable —
     * the kernel form of TextFns.polyHashEach).
     */

@@ -18,6 +18,14 @@ object TextFns {
     * non-space padding, so results agree; the Spark side is the stricter one.
     */
   def tokens(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(graft.plans.WsTokens(
+      org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  /** The built-in expression chain [[tokens]] replaces — kept (and pinned
+    * byte-exact against the kernel by TokenizeParitySpec) so the contract
+    * cannot drift: the kernel IS split(lower(wsTrim(s)), "\\s+").
+    */
+  def tokensHof(c: Column): Column =
     split(lower(graft.functions.CleanFns.wsTrim(c)), "\\s+")
 
   /** Token count (whitespace tokenizer; reference U4's 100-char snippet is a

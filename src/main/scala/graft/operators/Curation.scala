@@ -375,7 +375,8 @@ object Curation {
     * oracle; on text containing U+0001 tokens the two forms differ
     * exactly by those tokens' pairs, which this form deliberately drops.
     */
-  def collocations(df: DataFrame, textCol: String, k: Int, minCount: Long): DataFrame = {
+  def collocations(df: DataFrame, textCol: String, k: Int, minCount: Long,
+                   maxBroadcastVocab: Long = 0L): DataFrame = {
     require(k > 0 && minCount >= 1, s"bad k=$k / minCount=$minCount")
     val sent = "\u0001"
     // EAGER: the pair-count table feeds FOUR consumers (unigram
@@ -407,15 +408,26 @@ object Curation {
     // lookups; and those BROADCAST (r20) — the unigram side is
     // vocabulary-bounded while the pair side is the big one, so the
     // shuffle-join form re-exchanged pair-vocab rows twice per run
-    // (11 jobs; now ~6).
+    // (11 jobs; now ~6). "Vocabulary-bounded" is not a priori
+    // DRIVER-bounded at web scale (ADVICE r20), so the broadcast is
+    // tripwired like the anchor probes: with maxBroadcastVocab > 0 a
+    // bounded limit-count over the CHECKPOINTED pair table (cheap — the
+    // blocks are already materialized) confirms the vocab fits, else both
+    // lookups fall back to the shuffle join. 0 keeps the unconditional
+    // broadcast (the local default; the bench-visible plan is unchanged).
     val total = allPairs.agg(sum(col("cab")).cast(LongType).as("n_total"))
+    val bcast = maxBroadcastVocab <= 0L ||
+      allPairs.limit(math.min(maxBroadcastVocab + 1, Int.MaxValue.toLong).toInt)
+        .count() <= maxBroadcastVocab
+    def lk(u: DataFrame): DataFrame =
+      if (bcast) broadcast(u) else u.hint("shuffle_hash")
     allPairs
       .filter(substring_index(col("pair"), " ", -1) =!= sent)
       .filter(col("cab") >= minCount)
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .withColumn("w2", substring_index(col("pair"), " ", -1))
-      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), "w2")
+      .join(lk(uni.select(col("w").as("w1"), col("cw").as("c1"))), "w1")
+      .join(lk(uni.select(col("w").as("w2"), col("cw").as("c2"))), "w2")
       .crossJoin(broadcast(total))
       .withColumn("lift_ppm", expr(
         """CAST((CAST(1000000 AS DECIMAL(38,0)) * cab * n_total)
@@ -917,14 +929,18 @@ object Curation {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
                     shareKey: Option[String] = None): DataFrame = {
+    // PairHashes kernel (r21): one codegen pass emits both join keys per
+    // position — the prior HOF transform ran INTERPRETED inside
+    // GenerateExec, materialized every pair string, and paid two xxhash64
+    // string passes on top. Same internal 64-bit key semantics (any
+    // well-mixed hash of the pair / its prefix is interchangeable; the
+    // oracle groups on the pair string).
     val pairs0 = graft.Tables.spread(df)
       .withColumn("__t", TextFns.tokens(col(textCol)))
       .filter(size(col("__t")) >= 2)
-      .select(col(idCol), explode(expr(
-        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', element_at(__t, i + 2)))"))
-        .as("pair"))
-      .select(col(idCol), xxhash64(col("pair")).as("__hp"),
-        xxhash64(substring_index(col("pair"), " ", 1)).as("__hw"))
+      .select(col(idCol), explode(
+        graft.functions.SketchFns.pairHashes(col("__t"))).as("__p"))
+      .select(col(idCol), col("__p.hp").as("__hp"), col("__p.hw").as("__hw"))
     // The hashed pair stream feeds TWO exchanges — the pair-count partial
     // and the final join's probe side — whose canonicalized forms differ
     // (one carries the partial agg), so the tokenize+explode map work

@@ -393,15 +393,21 @@ object Dedup {
     // pins both kernels to the same shingleHash family) — so the
     // checkpointed (id, hashes) longs replace the second full
     // scan+tokenize leg the pre-r20 shape paid.
+    // the checkpoint stores the hash set SORTED (r21): the bottom-k sketch
+    // is the ascending prefix, so sorting once inside the 32-wide kernel
+    // stage deletes the per-row array_sort the a-side join leg re-ran on
+    // every doc's full hash array (FixedCostProbe priced that leg equal to
+    // the b-side's full explode); the b side is order-insensitive (set)
     val hs = graft.CkptCycle.cycle(
       graft.CkptCycle.callSiteKey("Dedup.containmentSketchPairs",
         "graft.operators.Dedup"),
       df.select(col(idCol).as("__id"),
-          graft.functions.SketchFns.winnowFingerprints(toks, k, 1).as("__hs"))
+          array_sort(graft.functions.SketchFns.winnowFingerprints(toks, k, 1))
+            .as("__hs"))
         .filter(size(col("__hs")) > 0)
         .localCheckpoint(true))
     val a = hs.select(col("__id").as("a_id"),
-        slice(array_sort(col("__hs")), 1, bottomK).as("__bk"))
+        slice(col("__hs"), 1, bottomK).as("__bk"))
       .withColumn("nbk", size(col("__bk")).cast(LongType))
       .select(col("a_id"), col("nbk"), explode(col("__bk")).as("h"))
     val b = hs.select(col("__id").as("b_id"), explode(col("__hs")).as("h"))
@@ -952,7 +958,21 @@ object Dedup {
   def tagSpansAgainstIndex(newDf: DataFrame, index: DataFrame, idCol: String,
                            textCol: String, k: Int, minSpanTokens: Int,
                            maxBroadcastAnchors: Long = 0L): DataFrame = {
-    val newA = positionalAnchors(newDf, idCol, textCol, k)
+    // With the tripwire armed, the batch's anchors are CHECKPOINTED once
+    // (ADVICE r20): the eager limit-count previously re-ran the whole
+    // tokenize+anchor kernel over the batch, and the joined side then
+    // recomputed it a third time — with micro-batches that was two extra
+    // near-batch-size kernel passes per trigger. The checkpoint is
+    // batch-bounded (three longs per token position), the count scans the
+    // materialized blocks, and the join reads them again; CkptCycle frees
+    // the previous batch's blocks at the next call from this site.
+    val newA0 = positionalAnchors(newDf, idCol, textCol, k)
+    val newA =
+      if (maxBroadcastAnchors <= 0L) newA0
+      else graft.CkptCycle.cycle(
+        graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndex",
+          "graft.operators.Dedup"),
+        newA0.localCheckpoint(true))
     // island columns: a_id = NEW doc (pa = its position), b_id = index doc
     val aSide = newA.select(col(idCol).as("a_id"), col("pos").as("pa"), col("sh"))
     val bSide = index.select(col(idCol).as("b_id"), col("pos").as("pb"), col("sh"))

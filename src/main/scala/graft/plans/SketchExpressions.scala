@@ -178,6 +178,30 @@ object SketchKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, c))
   }
 
+  /** Adjacent-token-pair hashes — (hp, hw) per position 0..n-2, where hp is
+    * the 64-bit hash of the two-token pair (space-joined, [[shingleHash64]]
+    * family) and hw of its FIRST token alone: the bigram-LM stage's two
+    * join keys from ONE kernel pass. INTERNAL keys only (the operator
+    * previously keyed on xxhash64 of the pair string / its prefix — any
+    * well-mixed 64-bit hash is interchangeable; the oracle groups on the
+    * pair STRING and agrees modulo the same birthday-bound collision trade
+    * [[chunkHashes]] documents). Replaces an interpreted HOF transform
+    * (evaluated per row inside GenerateExec) that materialized every pair
+    * string, plus two xxhash64 passes over those strings.
+    */
+  def pairHashes(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var p = 0
+    while (p < n - 1) {
+      out(p) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](shingleHash64(tokens, p, 2), shingleHash64(tokens, p, 1)))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Strided chunks as (hash, text) struct rows — the boilerplate-REMOVAL
     * kernel: one pass builds both the 64-bit join key (the same
     * [[shingleHash64]] space [[chunkHashes]] emits, so the accounting and
@@ -555,6 +579,29 @@ case class ChunkHashStrings(child: Expression, k: Int, stride: Int)
       s"${ev.value} = graft.plans.SketchKernels.chunkHashStrings($c, $k, $stride);")
 
   override protected def withNewChildInternal(newChild: Expression): ChunkHashStrings =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<struct<hp: long, hw: long>> adjacent-pair
+  * and first-token hashes (internal join keys; see SketchKernels.pairHashes).
+  */
+case class PairHashes(child: Expression)
+    extends UnaryExpression with TokenArrayInput {
+  override def fnName: String = "pair_hashes"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("hp", LongType, nullable = false),
+      StructField("hw", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    SketchKernels.pairHashes(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SketchKernels.pairHashes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PairHashes =
     copy(child = newChild)
 }
 

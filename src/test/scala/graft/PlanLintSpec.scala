@@ -218,8 +218,8 @@ class PlanLintSpec extends AnyFunSuite {
     val p = graft.operators.Curation.bigramLmScore(
         graft.Tables.load(spark, TestSpark.sfDir, "documents"), "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(p.contains("xxhash64"),
-      "bigram count joins key on raw pair strings")
+    assert(p.toLowerCase.contains("pairhashes"),
+      "bigram count does not ride the PairHashes kernel — raw pair strings?")
   }
 
   test("BMP resize is one map-side pass (no shuffle before the accounting)") {
