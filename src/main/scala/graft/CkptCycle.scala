@@ -27,6 +27,8 @@ object CkptCycle {
 
   private val last =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private val lastCached =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
 
   /** Free the blocks of EVERY frame registered for `spark` and forget the
     * keys — inter-query hygiene for a harness (Bench) that knows no cycled
@@ -46,6 +48,14 @@ object CkptCycle {
             case _              => ()
           }
         it.remove()
+      }
+    }
+    val itC = lastCached.entrySet().iterator()
+    while (itC.hasNext) {
+      val e = itC.next()
+      if (e.getKey._1 eq spark) {
+        if (!spark.sparkContext.isStopped) e.getValue.unpersist(blocking = false)
+        itC.remove()
       }
     }
   }
@@ -68,6 +78,22 @@ object CkptCycle {
       !skipClassPrefixes.exists(cn.startsWith)
     }.getOrElse(st.last)
     s"$prefix@${f.getClassName}:${f.getLineNumber}"
+  }
+
+  /** The LAZY-cache sibling of [[cycle]] for multi-consumer frames whose
+    * FIRST consumer scans the whole frame anyway (e.g. a probe broadcast
+    * over the full batch): `persist` fills inside that consumer's job, so
+    * no dedicated materialization job is ever launched — where an eager
+    * localCheckpoint pays one — and the lineage stays intact (an evicted
+    * block recomputes instead of failing). Same single-live-frame cycling:
+    * registering key K unpersists the frame previously registered under K.
+    */
+  def cycleCached(key: String, df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastCached.put((df.sparkSession, key), df)
+    if (prev != null && (prev ne df) && !prev.sparkSession.sparkContext.isStopped)
+      prev.unpersist(blocking = false)
+    df
   }
 
   def cycle(key: String, df: DataFrame): DataFrame = {

@@ -1321,17 +1321,18 @@ object Dedup {
     require(minSpanTokens >= w + k - 1,
       s"winnowing guarantee needs minSpanTokens >= w + k - 1: $minSpanTokens < ${w + k - 1}")
     val idType = newDf.schema(idCol).dataType
-    // ONE kernel pass over the batch — lazily CACHED (r20), spread off the
+    // ONE kernel pass over the batch — lazily CACHED (r21), spread off the
     // unsplittable scan — feeds the probe broadcast AND the a-side verify
     // (the r17 shape tokenized the batch twice and history once per
     // serve). cycleCached, not an eager localCheckpoint: the probe
     // broadcast scans the whole frame first anyway, so the cache fills
-    // inside that job and the serve pays no dedicated materialization job.
-    val batchAnchors = graft.CkptCycle.cycle(
+    // inside that job and the serve pays no dedicated materialization job
+    // (FixedCostProbe: the eager form held an extra job + a 73 ms
+    // checkpoint stage on this row's 7-8-job floor-priced anatomy).
+    val batchAnchors = graft.CkptCycle.cycleCached(
       graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndexSparseServe",
         "graft.operators.Dedup"),
-      anchorRowsFrame(graft.Tables.spread(newDf), idCol, textCol, k, w)
-        .localCheckpoint(true))
+      anchorRowsFrame(graft.Tables.spread(newDf), idCol, textCol, k, w))
     sparseProbeVerify(
       idx.filter(col("sparse")).select(col(idCol).as("b_id"), col("sh")),
       batchAnchors.filter(col("sparse"))
