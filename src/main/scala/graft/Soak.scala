@@ -298,6 +298,14 @@ object Soak {
           Dedup.tagSpansSplitSparse(d, col("doc_id") < mid,
             "doc_id", "text", 4, 6, 3).count()
         },
+        // bottom-k containment sketch (r21, VERDICT r20 #6): the probe side
+        // is <= bottomK rows per doc at any factor, the b side the distinct
+        // hash stream; hashes are copy-local on this corpus, so candidate
+        // fan-out per hash is the base corpus's and the join grows linearly
+        "dedup_containment_sketch" -> { dir =>
+          Dedup.containmentSketchPairs(docs(dir), "doc_id", "text", 4, 16, 0.9)
+            .count()
+        },
         // curation family on the same corpus: chunk-DF boilerplate accounting
         // (one chunk-key shuffle) and train/test shingle decontamination
         "curation_boilerplate" -> { dir =>
