@@ -1133,7 +1133,9 @@ object CurationQueries {
       (s, dir) =>
         Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
             shareKey = Some("q_text_bigram_lm"))
-          .orderBy(col("doc_id")),
+          // bounded per-doc output: in-place sort, not a range-sampled
+          // orderBy (one job less; the scoring aggregate stage stays wide)
+          .repartition(1).sortWithinPartitions(col("doc_id")),
       Some("""
         WITH tk AS (SELECT doc_id,
                       string_split_regex(lower(trim(text)), '\s+') AS t

@@ -670,7 +670,9 @@ object TextQueries {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_new"),
             count(when(!coalesce(col("is_near_dup"), lit(false)), 1)).as("n_novel"))
-          .orderBy(col("source"))
+          // bounded per-source rows: in-place sort, not a range-sampled
+          // orderBy (one job less on a 5-job row)
+          .repartition(1).sortWithinPartitions(col("source"))
       },
       Some {
         val minExprs = TextFns.minhashPerms.zipWithIndex.map { case ((a, b), i) =>
@@ -705,7 +707,11 @@ object TextQueries {
         // exchange — wall 862 -> 1072 ms. The serial term is the
         // one-row-group scan itself, moot at scale.)
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 4, 0.4)
-          .orderBy(col("a_id"), col("b_id")),
+          // bounded pair output: single-partition in-place sort instead of a
+          // global orderBy's range-sampling job + range exchange (r21; the
+          // repartition keeps the pair aggregate stage wide — never a
+          // narrow coalesce, see PlanLintSpec's serial-collapse backstop)
+          .repartition(1).sortWithinPartitions(col("a_id"), col("b_id")),
       Some(s"""$shingleCte,
         sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
         pairs AS (
@@ -788,7 +794,8 @@ object TextQueries {
         Dedup.containmentSketchPairs(t(s, dir, "documents"), "doc_id", "text",
             k = 4, bottomK = 16, threshold = 0.9)
           .withColumn("n_hit", col("n_hit").cast(LongType))
-          .orderBy(col("a_id"), col("b_id")),
+          // bounded pair output: in-place sort, not a range-sampled orderBy
+          .repartition(1).sortWithinPartitions(col("a_id"), col("b_id")),
       Some(s"""$shingleCte,
         hashed AS (SELECT DISTINCT doc_id, ${TextFns.polyHashSql("sh")} AS h
                    FROM sh),
