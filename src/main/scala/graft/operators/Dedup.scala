@@ -397,7 +397,13 @@ object Dedup {
     // is the ascending prefix, so sorting once inside the 32-wide kernel
     // stage deletes the per-row array_sort the a-side join leg re-ran on
     // every doc's full hash array (FixedCostProbe priced that leg equal to
-    // the b-side's full explode); the b side is order-insensitive (set)
+    // the b-side's full explode); the b side is order-insensitive (set).
+    // EAGER localCheckpoint, deliberately NOT cycleCached (r21 A/B): the
+    // two join legs are submitted CONCURRENTLY by AQE, so a lazy cache
+    // races its own fill — both legs computed the kernel pass and the
+    // probe measured execute 0.84-1.09 s vs 0.39-0.63 s with the eager
+    // form (the serve gate differs: its probe strictly precedes the
+    // verify, so the lazy cache wins there).
     val hs = graft.CkptCycle.cycle(
       graft.CkptCycle.callSiteKey("Dedup.containmentSketchPairs",
         "graft.operators.Dedup"),
