@@ -1335,6 +1335,10 @@ object Dedup {
     // inside that job and the serve pays no dedicated materialization job
     // (FixedCostProbe: the eager form held an extra job + a 73 ms
     // checkpoint stage on this row's 7-8-job floor-priced anatomy).
+    // (r21 A/B: dropping the spread saves one AQE job but serializes the
+    // batch kernel onto the unsplittable scan — probe read 254 ms 1-task
+    // vs 114 ms scan + 49 ms wide kernel; net wash locally, and at scale
+    // spread is the identity. Kept.)
     val batchAnchors = graft.CkptCycle.cycleCached(
       graft.CkptCycle.callSiteKey("Dedup.tagSpansAgainstIndexSparseServe",
         "graft.operators.Dedup"),
